@@ -1,0 +1,70 @@
+"""Pipeline configuration — the one dataclass that replaces the
+reference's ``deduplicator.properties`` keys + CLI flags
+(deduplicator-indexer/src/main/resources/deduplicator.properties:10-37,
+IndexingLauncher.java:35-43,95-125, CommandLineParser.java:66-101) and the
+Spring bean knobs of the crawl-side processor
+(profile-crawler-beans.cxml:280-289).
+"""
+
+from __future__ import annotations
+
+import enum
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+class SearchStrategy(str, enum.Enum):
+    """Lookup strategies — SearchStrategy.java:3-30 /
+    LuceneIndexSearcher.java:226-239."""
+
+    URL_EXACT = "URL_EXACT"
+    URL_CANONICAL = "URL_CANONICAL"
+    DIGEST_URL_PREFERRED = "DIGEST_URL_PREFERRED"
+    DIGEST_ANY = "DIGEST_ANY"  # recommended default (manual.md:181-186)
+
+
+@dataclass(frozen=True)
+class MinHashConfig:
+    """Shingle/signature config; defaults follow FIXTURES.md §5
+    (5-word shingles, 128 perms, 16 bands x 8 rows)."""
+
+    shingle_words: int = 5
+    num_perms: int = 128
+    bands: int = 16
+    rows_per_band: int = 8
+    jaccard_threshold: float = 0.8
+    seed: int = 42
+    max_band_group: int = 2000  # skew cap: pairs per LSH bucket before sampling
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perms:
+            raise ValueError("bands * rows_per_band must equal num_perms")
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- reference knobs ---
+    strategy: SearchStrategy = SearchStrategy.DIGEST_ANY
+    index_url: bool = True          # properties 'index-url' / CLI -u
+    include_canonical: bool = True  # 'canonicalize-url'
+    include_etag: bool = False      # 'include-etag' / -e
+    index_digest_scheme: bool = False  # 'index-digest-scheme'
+    mime_filter: str = "^text/.*"   # IndexingLauncher.java:101-102 default
+    mime_whitelist: bool = False    # blacklist by default (-w flips)
+    # --- semantics flags (SURVEY.md §2.9) ---
+    within_batch: bool = False      # False = reference snapshot semantics
+    # --- near-dup extension ---
+    minhash: MinHashConfig = field(default_factory=MinHashConfig)
+    # --- execution ---
+    batch_size: int = 4096
+    salt_buckets: int = 16          # skew: sub-buckets for hub digests
+    checkpoint_dir: str | None = None
+
+    def config_hash(self) -> str:
+        """Stable hash used to key checkpoint/lineage entries — a resumed
+        run only reuses partitions produced under the identical config."""
+        d = asdict(self)
+        d["strategy"] = self.strategy.value
+        blob = json.dumps(d, sort_keys=True, default=str).encode()
+        return hashlib.sha1(blob).hexdigest()[:16]

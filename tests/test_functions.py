@@ -1,0 +1,118 @@
+"""Unit tests for the pure function layer (SURVEY.md §5 item 1)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from deduplicator_ray.functions.canonical import (
+    canonical_sql_expr,
+    canonicalize,
+    canonicalize_many,
+)
+from deduplicator_ray.functions.digesting import (
+    md5_hex,
+    sha1_base32,
+    sha1_base32_many,
+    strip_scheme,
+)
+from deduplicator_ray.functions.timestamps import (
+    format_bytes,
+    get_percentage,
+    heritrix17_to_iso,
+    iso_to_datetime,
+)
+
+URLS = [
+    "http://www.Example.COM/Path/",
+    "https://www2.example.com:80/a/b?phpsessid=abc123&x=1",
+    "http://example.com/a;jsessionid=deadbeef?x=1",
+    "http://example.com/?sid=42",
+    "http://example.com/p?a=1&sid=9&b=2",
+    "http://example.com/p?classid=5",  # must NOT be stripped
+    "http://sub.example.com:80",
+    "example.com/no/scheme/",
+    None,
+]
+
+
+class TestCanonicalize:
+    def test_rules(self):
+        assert canonicalize("http://www.Example.COM/Path/") == "example.com/path"
+        assert (
+            canonicalize("https://www2.example.com:80/a/b?phpsessid=abc&x=1")
+            == "example.com/a/b?x=1"
+        )
+        assert canonicalize("http://example.com/a;jsessionid=dead?x=1") == "example.com/a?x=1"
+        assert canonicalize("http://example.com/?sid=42") == "example.com"
+        assert canonicalize("http://example.com/p?a=1&sid=9&b=2") == "example.com/p?a=1&b=2"
+        assert canonicalize("http://example.com/p?classid=5") == "example.com/p?classid=5"
+        assert canonicalize("http://sub.example.com:80") == "sub.example.com"
+        assert canonicalize(None) is None
+
+    def test_idempotent(self):
+        for u in URLS:
+            c = canonicalize(u)
+            assert canonicalize(c) == c
+
+    def test_many_matches_scalar(self):
+        assert canonicalize_many(URLS) == [canonicalize(u) for u in URLS]
+
+    def test_sql_mirror_matches_python(self):
+        """The DuckDB expression must agree value-for-value with Python —
+        this is what makes the oracle queries trustworthy."""
+        con = duckdb.connect()
+        expr = canonical_sql_expr("u")
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT unnest(?::VARCHAR[]) AS u)",
+            [[u for u in URLS if u is not None]],
+        ).fetchall()
+        want = [canonicalize(u) for u in URLS if u is not None]
+        assert [g[0] for g in got] == want
+
+
+class TestDigest:
+    def test_sha1_base32_known_vector(self):
+        # sha1("") = da39a3ee5e6b4b0d3255bfef95601890afd80709
+        # base32 of those 20 bytes:
+        assert sha1_base32(b"") == "3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ"
+        assert sha1_base32(b"", with_scheme=True) == "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ"
+        assert len(sha1_base32(b"abc")) == 32
+
+    def test_strip_scheme_last_colon(self):
+        # IndexBuilder.java:203-207 uses lastIndexOf(':')
+        assert strip_scheme("sha1:ABC") == "ABC"
+        assert strip_scheme("x:y:ABC") == "ABC"
+        assert strip_scheme("ABC") == "ABC"
+        assert strip_scheme(None) is None
+
+    def test_many(self):
+        ps = [b"", b"abc", None]
+        assert sha1_base32_many(ps) == [sha1_base32(p) for p in ps]
+
+    def test_md5_matches_duckdb(self):
+        con = duckdb.connect()
+        for s in ["", "hello", "ünïcødé"]:
+            assert md5_hex(s) == con.execute("select md5(?)", [s]).fetchone()[0]
+
+
+class TestTimestamps:
+    def test_heritrix17(self):
+        # CrawlLogIterator.java:182-189 semantics
+        assert heritrix17_to_iso("20130522141637177+564") == "2013-05-22T14:16:37Z"
+        assert heritrix17_to_iso("20130522141637177") == "2013-05-22T14:16:37Z"
+        assert heritrix17_to_iso("garbage") is None
+        assert heritrix17_to_iso(None) is None
+
+    def test_iso_roundtrip(self):
+        d = iso_to_datetime("2013-05-22T14:16:37Z")
+        assert d is not None and d.year == 2013 and d.tzinfo is None
+
+    def test_get_percentage(self):
+        # DeDuplicatorTest.java:7-9 golden assertion, ported
+        assert get_percentage(5, 200) == "2.5%"
+        assert get_percentage(0, 0) == "0.0%"
+
+    def test_format_bytes(self):
+        assert format_bytes(512) == "512 B"
+        assert format_bytes(2048) == "2.0 KiB"
