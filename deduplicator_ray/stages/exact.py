@@ -1,0 +1,448 @@
+"""Exact dedup: the reference's four lookup strategies (J1-J4), the index
+build upsert (A4), and the statistics report (A1/A2) — SURVEY.md §2.4-2.5.
+
+The reference's Lucene left-lookup-join (LuceneIndexSearcher.java:214-310)
+becomes, in Ray Data, either:
+
+- **shuffle mode** (default, both sides large): tag history and current
+  rows, union them, ``groupby(strategy key)``, and run one vectorized
+  per-group reduce that elects the match for every current row.  This is
+  the architecture the north_rule prescribes ("digest-match and
+  url+digest-match strategies as groupby-aggregate shuffles").
+
+- **broadcast mode** (history ≪ current): pre-reduce history to its
+  per-key best rows, ``ray.put`` that table once, and resolve matches
+  inside ``map_batches`` on the current stream with pandas merges — no
+  shuffle of the big side at all.  Mirrors the reference's shape (small
+  shared index, streamed crawl), and doubles as the skew-proof path for
+  hub digests: the big current side is never grouped.
+
+Match preference for DIGEST_URL_PREFERRED is made total and deterministic
+(exact url > canonical url > any, then earliest date, then lexicographic
+url, then record id) — the reference only best-efforts this via Lucene
+SHOULD scoring (SearchStrategy.java:17-22).  Tier classification is
+post-hoc from the chosen match, independent of strategy, exactly like
+DeDuplicator.java:194-205.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from deduplicator_ray.config import PipelineConfig, SearchStrategy
+from deduplicator_ray.schema import (
+    MATCH_TIER_CANONICAL,
+    MATCH_TIER_DIGEST,
+    MATCH_TIER_EXACT_URL,
+    MATCH_TIER_NONE,
+)
+
+# Columns both sides are conformed to before the union/groupby.
+_UNION_COLS = [
+    "digest",
+    "url",
+    "url_canonical",
+    "ts",
+    "record_id",
+    "content_bytes",
+    "src",  # 0 = history, 1 = current
+]
+
+
+def strategy_key(strategy: SearchStrategy) -> list[str]:
+    """Shuffle key per strategy (J1-J4)."""
+    if strategy == SearchStrategy.URL_EXACT:
+        return ["digest", "url"]
+    if strategy == SearchStrategy.URL_CANONICAL:
+        return ["digest", "url_canonical"]
+    return ["digest"]  # DIGEST_URL_PREFERRED / DIGEST_ANY
+
+
+def verify_strategy(history_schema: pa.Schema, cfg: PipelineConfig) -> None:
+    """Schema assertion mirroring LuceneIndexSearcher.verifyStrategy
+    (:158-170) + inspectIndex (:131-151): DIGEST must exist; URL_* need
+    their column indexed."""
+    names = set(history_schema.names)
+    if "digest" not in names:
+        raise ValueError("history index has no 'digest' column (DIGEST must always be indexed)")
+    need = {
+        SearchStrategy.URL_EXACT: "url",
+        SearchStrategy.URL_CANONICAL: "url_canonical",
+    }.get(cfg.strategy)
+    if need and need not in names:
+        raise ValueError(f"strategy {cfg.strategy.value} needs history column '{need}'")
+
+
+def _conform(ds, *, src: int, id_cols: tuple[str, ...], ts_col: str):
+    """Project either side to the union schema; id passthrough columns are
+    nulled on the history side."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+        names = set(batch.column_names)
+        cols["digest"] = batch["digest"]
+        cols["url"] = batch["url"] if "url" in names else pa.nulls(n, pa.string())
+        cols["url_canonical"] = (
+            batch["url_canonical"] if "url_canonical" in names else pa.nulls(n, pa.string())
+        )
+        cols["ts"] = batch[ts_col].cast(pa.timestamp("us")) if ts_col in names else pa.nulls(n, pa.timestamp("us"))
+        rid = "original_record_id" if src == 0 else "record_id"
+        cols["record_id"] = batch[rid] if rid in names else pa.nulls(n, pa.string())
+        cols["content_bytes"] = (
+            batch["content_bytes"].cast(pa.int64()) if "content_bytes" in names else pa.nulls(n, pa.int64())
+        )
+        cols["src"] = pa.array(np.full(n, src, dtype=np.int8))
+        for c in id_cols:
+            cols[c] = batch[c] if src == 1 and c in names else pa.nulls(n, pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pick_best(hist: pd.DataFrame) -> pd.DataFrame:
+    """Sort history deterministically: earliest date, then url, record id."""
+    return hist.sort_values(["ts", "url", "record_id"], na_position="last", kind="mergesort")
+
+
+def _resolve_group(g: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
+    """One strategy-key group -> one output row per current row."""
+    cur = g[g["src"] == 1]
+    if cur.empty:
+        return _empty_out(g, cfg)
+    hist = _pick_best(g[g["src"] == 0])
+
+    if cfg.within_batch:
+        # intra-batch extension (§2.9): elect one original over hist ∪ cur;
+        # every other current row is a duplicate of it.
+        allr = pd.concat([hist, cur.sort_values(["ts", "url"], kind="mergesort")])
+        allr = allr.sort_values(["ts", "src", "url"], kind="mergesort")
+        orig = allr.iloc[0]
+        out = cur.copy()
+        is_orig = (cur["ts"].values == orig["ts"]) & (cur["url"].values == orig["url"]) & (
+            orig["src"] == 1
+        )
+        out["is_duplicate"] = ~is_orig
+        out["refers_to_url"] = np.where(is_orig, None, orig["url"])
+        out["refers_to_date"] = pd.Series(
+            np.where(is_orig, np.datetime64("NaT"), orig["ts"]), index=cur.index
+        )
+        out["refers_to_record_id"] = np.where(is_orig, None, orig["record_id"])
+        return _finish(out, cfg)
+
+    out = cur.copy()
+    if hist.empty:
+        out["is_duplicate"] = False
+        out["refers_to_url"] = None
+        out["refers_to_date"] = pd.NaT
+        out["refers_to_record_id"] = None
+        return _finish(out, cfg)
+
+    if cfg.strategy == SearchStrategy.DIGEST_URL_PREFERRED:
+        # per-row preference: exact url > canonical url > any
+        first_any = hist.iloc[0]
+        by_url = hist.drop_duplicates("url").set_index("url")
+        by_can = hist.drop_duplicates("url_canonical").set_index("url_canonical")
+        m_url = out["url"].map(by_url["ts"]).notna()
+        m_can = out["url_canonical"].map(by_can["ts"]).notna() & cfg.include_canonical
+        ref_url = np.where(
+            m_url, out["url"], np.where(m_can, by_can["url"].reindex(out["url_canonical"]).values, first_any["url"])
+        )
+        ref_ts = np.where(
+            m_url,
+            by_url["ts"].reindex(out["url"]).values,
+            np.where(m_can, by_can["ts"].reindex(out["url_canonical"]).values, first_any["ts"]),
+        )
+        ref_rid = np.where(
+            m_url,
+            by_url["record_id"].reindex(out["url"]).values,
+            np.where(m_can, by_can["record_id"].reindex(out["url_canonical"]).values, first_any["record_id"]),
+        )
+        out["is_duplicate"] = True
+        out["refers_to_url"] = ref_url
+        out["refers_to_date"] = pd.Series(ref_ts, index=out.index)
+        out["refers_to_record_id"] = ref_rid
+    else:
+        # URL_EXACT / URL_CANONICAL: every history row in the group already
+        # satisfies the strategy predicate (the key encodes it);
+        # DIGEST_ANY: any hit is valid (manual.md:181-186). Deterministic
+        # choice: the earliest history row.
+        first_any = hist.iloc[0]
+        out["is_duplicate"] = True
+        out["refers_to_url"] = first_any["url"]
+        out["refers_to_date"] = first_any["ts"]
+        out["refers_to_record_id"] = first_any["record_id"]
+    return _finish(out, cfg)
+
+
+def _finish(out: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
+    """Post-hoc tier classification (DeDuplicator.java:194-205)."""
+    dup = out["is_duplicate"].to_numpy(dtype=bool)
+    same_url = out["refers_to_url"].values == out["url"].values
+    # canonical comparison needs the match's canonical form; for our data
+    # model refers_to_url canonicalizes identically iff the current row's
+    # canonical matches the original's — recompute cheaply:
+    from deduplicator_ray.functions.canonical import canonicalize_many
+
+    ref_canon = np.asarray(
+        canonicalize_many([None if not d else u for d, u in zip(dup, out["refers_to_url"].tolist())]),
+        dtype=object,
+    )
+    same_can = (ref_canon == out["url_canonical"].values) & cfg.include_canonical
+    tier = np.where(
+        ~dup,
+        MATCH_TIER_NONE,
+        np.where(same_url, MATCH_TIER_EXACT_URL, np.where(same_can, MATCH_TIER_CANONICAL, MATCH_TIER_DIGEST)),
+    )
+    out["match_tier"] = tier
+    return out.drop(columns=["src"])
+
+
+def _empty_out(g: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
+    out = g.iloc[0:0].copy()
+    out["is_duplicate"] = pd.Series([], dtype=bool)
+    out["refers_to_url"] = pd.Series([], dtype=object)
+    out["refers_to_date"] = pd.Series([], dtype="datetime64[us]")
+    out["refers_to_record_id"] = pd.Series([], dtype=object)
+    out["match_tier"] = pd.Series([], dtype=object)
+    return out.drop(columns=["src"])
+
+
+def match_shuffle(current, history, cfg: PipelineConfig | None = None, *, id_cols: tuple[str, ...] = ()):
+    """Shuffle-mode matcher: union(history, current) -> groupby(strategy
+    key) -> vectorized per-group reduce. One output row per current row.
+
+    Partitioning: the shuffle key is the strategy key; hub digests form
+    large groups but the reduce is O(group) vectorized pandas, and the
+    broadcast matcher exists for adversarial skew.
+    """
+    cfg = cfg or PipelineConfig()
+    verify_strategy(history.schema(), cfg)
+    key = strategy_key(cfg.strategy)
+    h = _conform(history, src=0, id_cols=id_cols, ts_col="date")
+    c = _conform(current, src=1, id_cols=id_cols, ts_col="warc_ts")
+    both = h.union(c)
+    return both.groupby(key).map_groups(
+        lambda g: _resolve_group(g, cfg), batch_format="pandas"
+    )
+
+
+def _history_best_tables(history, cfg: PipelineConfig, max_rows: int = 5_000_000):
+    """Pre-reduce history to the minimal lookup tables (driver-side; the
+    guard keeps this mode honest — beyond it, use match_shuffle)."""
+    cols = [c for c in ["digest", "url", "url_canonical", "date", "original_record_id"] if c in history.schema().names]
+    pdf = history.select_columns(cols).to_pandas()
+    if len(pdf) > max_rows:
+        raise ValueError(f"history too large to broadcast ({len(pdf)} rows > {max_rows}); use match_shuffle")
+    pdf = pdf.rename(columns={"date": "ts", "original_record_id": "record_id"})
+    for c in ["url", "url_canonical", "ts", "record_id"]:
+        if c not in pdf.columns:
+            pdf[c] = None
+    pdf = _pick_best(pdf)
+    by_digest = pdf.drop_duplicates("digest")
+    by_url = pdf.drop_duplicates(["digest", "url"])
+    by_can = pdf.drop_duplicates(["digest", "url_canonical"])
+    return by_digest, by_url, by_can
+
+
+class _BroadcastMatcher:
+    """Actor-pool stage: holds the broadcast history lookup tables
+    (fetched once per actor from the object store, mirroring the
+    reference's once-per-JVM index open, LuceneIndexSearcher.java:109-129)."""
+
+    def __init__(self, tables_ref, cfg: PipelineConfig):
+        import ray
+
+        by_digest, by_url, by_can = ray.get(tables_ref)
+        # pre-rename once per actor so batch merges are collision-free
+        self.d = by_digest.rename(
+            columns={"url": "url_m", "ts": "ts_m", "record_id": "rid_m"}
+        )[["digest", "url_m", "ts_m", "rid_m"]]
+        self.u = by_url.rename(columns={"ts": "ts_e", "record_id": "rid_e"})[
+            ["digest", "url", "ts_e", "rid_e"]
+        ]
+        self.c = by_can.rename(
+            columns={"url": "url_c", "ts": "ts_c", "record_id": "rid_c"}
+        )[["digest", "url_canonical", "url_c", "ts_c", "rid_c"]]
+        self.cfg = cfg
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        cfg = self.cfg
+        out = batch.rename(columns={"warc_ts": "ts"})
+        out["src"] = 1
+        s = cfg.strategy
+        if s == SearchStrategy.URL_EXACT:
+            m = out.merge(self.u, on=["digest", "url"], how="left")
+            hit = m["ts_e"].notna()
+            ref_url, ref_ts, ref_rid = m["url"], m["ts_e"], m["rid_e"]
+        elif s == SearchStrategy.URL_CANONICAL:
+            m = out.merge(self.c, on=["digest", "url_canonical"], how="left")
+            hit = m["ts_c"].notna()
+            ref_url, ref_ts, ref_rid = m["url_c"], m["ts_c"], m["rid_c"]
+        else:
+            m = out.merge(self.d, on="digest", how="left")
+            hit = m["ts_m"].notna()
+            ref_url, ref_ts, ref_rid = m["url_m"], m["ts_m"], m["rid_m"]
+            if s == SearchStrategy.DIGEST_URL_PREFERRED:
+                eu = out.merge(self.u, on=["digest", "url"], how="left")
+                ec = out.merge(self.c, on=["digest", "url_canonical"], how="left")
+                has_e = eu["ts_e"].notna().values
+                has_c = ec["ts_c"].notna().values & cfg.include_canonical
+                ref_url = pd.Series(
+                    np.where(has_e, out["url"].values, np.where(has_c, ec["url_c"].values, ref_url.values)),
+                    index=out.index,
+                )
+                ref_ts = pd.Series(
+                    np.where(has_e, eu["ts_e"].values, np.where(has_c, ec["ts_c"].values, ref_ts.values)),
+                    index=out.index,
+                )
+                ref_rid = pd.Series(
+                    np.where(has_e, eu["rid_e"].values, np.where(has_c, ec["rid_c"].values, ref_rid.values)),
+                    index=out.index,
+                )
+        out["is_duplicate"] = hit.values
+        out["refers_to_url"] = pd.Series(np.where(hit.values, ref_url.values, None), index=out.index)
+        out["refers_to_date"] = pd.Series(np.where(hit.values, ref_ts.values, np.datetime64("NaT")), index=out.index)
+        out["refers_to_record_id"] = pd.Series(np.where(hit.values, ref_rid.values, None), index=out.index)
+        return _finish(out, cfg)
+
+
+def match_broadcast(current, history, cfg: PipelineConfig | None = None, *, concurrency: int = 4):
+    """Broadcast-mode matcher: no shuffle of the current stream at all."""
+    import ray
+
+    cfg = cfg or PipelineConfig()
+    verify_strategy(history.schema(), cfg)
+    tables_ref = ray.put(_history_best_tables(history, cfg))
+    return current.map_batches(
+        _BroadcastMatcher,
+        fn_constructor_args=(tables_ref, cfg),
+        batch_format="pandas",
+        batch_size=cfg.batch_size,
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — index build (keep-latest upsert -> INDEX_TABLE)
+# ---------------------------------------------------------------------------
+
+
+def build_index(ds, cfg: PipelineConfig | None = None):
+    """Normalized corpus -> dedup index table (IndexBuilder.writeToIndex,
+    IndexBuilder.java:124-241).
+
+    Distinct on (url, digest) when ``index_url`` (the reference deletes
+    then re-adds, keeping the newest — :227-236, manual.md:149-150), else
+    distinct on digest alone.  Order-independence: "newest" is decided by
+    (warc_ts desc, url) inside the group, not by input order (the
+    reference leans on its sorted WARC file list, WarcIterator.java:59).
+
+    Scale: a vectorized per-batch pre-reduce drops within-batch losers
+    before the shuffle, so shuffle volume is bounded by per-batch distinct
+    keys, not rows.
+    """
+    cfg = cfg or PipelineConfig()
+    key = ["url", "digest"] if cfg.index_url else ["digest"]
+
+    def pre_reduce(b: pd.DataFrame) -> pd.DataFrame:
+        # M7 revisit remap when the columns exist
+        if "is_revisit" in b.columns:
+            rev = b["is_revisit"].fillna(False).astype(bool)
+            resolved = rev & b["original_url"].notna() & b["original_ts"].notna()
+            b = b[~rev | resolved].copy()
+            rev = b["is_revisit"].fillna(False).astype(bool)
+            b.loc[rev, "url"] = b.loc[rev, "original_url"]
+            b.loc[rev, "warc_ts"] = b.loc[rev, "original_ts"]
+        b = b.sort_values(["warc_ts", "url"], ascending=[False, True], kind="mergesort")
+        return b.drop_duplicates(key, keep="first")
+
+    def final_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["warc_ts", "url"], ascending=[False, True], kind="mergesort")
+        return g.head(1)
+
+    def project(b: pd.DataFrame) -> pa.Table:
+        n = len(b)
+
+        def col(name: str, present: bool):
+            return pa.array(b[name] if present else [None] * n, type=pa.string())
+
+        return pa.table(
+            {
+                "url": col("url", True),
+                "url_canonical": col("url_canonical", "url_canonical" in b.columns),
+                "digest": col("digest", True),
+                "date": pa.array(b["warc_ts"]).cast(pa.timestamp("us")),
+                "etag": col("etag", "etag" in b.columns and cfg.include_etag),
+                "original_record_id": col("record_id", "record_id" in b.columns),
+            }
+        )
+
+    ds = ds.map_batches(pre_reduce, batch_format="pandas", batch_size=cfg.batch_size)
+    ds = ds.groupby(key).map_groups(final_reduce, batch_format="pandas")
+    return ds.map_batches(project, batch_format="pandas", batch_size=cfg.batch_size)
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 — report aggregates
+# ---------------------------------------------------------------------------
+
+
+def report_aggregates(matches) -> dict:
+    """Matches Dataset -> the reference's report counters
+    (DeDuplicator.report, :207-247): handled, duplicates, byte totals, and
+    per-tier hits/bytes. Partial+final aggregation is Ray-native; only the
+    tiny per-tier table reaches the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    per_tier = (
+        matches.groupby("match_tier")
+        .aggregate(Count(alias_name="hits"), Sum("content_bytes", alias_name="bytes"))
+        .to_pandas()
+    )
+    if per_tier.empty:
+        return {
+            "handled": 0,
+            "duplicates": 0,
+            "total_bytes": 0,
+            "duplicate_bytes": 0,
+            "by_tier": {},
+        }
+    handled = int(per_tier["hits"].sum())
+    total_bytes = int(per_tier["bytes"].fillna(0).sum())
+    dup_mask = per_tier["match_tier"] != MATCH_TIER_NONE
+    duplicates = int(per_tier.loc[dup_mask, "hits"].sum())
+    dup_bytes = int(per_tier.loc[dup_mask, "bytes"].fillna(0).sum())
+    tiers = {
+        r["match_tier"]: {"hits": int(r["hits"]), "bytes": int(r["bytes"] or 0)}
+        for _, r in per_tier.iterrows()
+    }
+    return {
+        "handled": handled,
+        "duplicates": duplicates,
+        "total_bytes": total_bytes,
+        "duplicate_bytes": dup_bytes,
+        "by_tier": tiers,
+    }
+
+
+def render_report(agg: dict) -> str:
+    """Text report with the reference's line items (DeDuplicator.java:207-247)."""
+    from deduplicator_ray.functions.timestamps import format_bytes, get_percentage
+
+    t = agg["by_tier"]
+    lines = [
+        "Processor: deduplicator_ray.stages.exact",
+        f"  Function:          Abort processing of duplicate records",
+        f"  Total handled:     {agg['handled']}",
+        f"  Duplicates found:  {agg['duplicates']} {get_percentage(agg['duplicates'], agg['handled'])}",
+        f"  Bytes total:       {agg['total_bytes']} ({format_bytes(agg['total_bytes'])})",
+        f"  Bytes duplicate:   {agg['duplicate_bytes']} ({format_bytes(agg['duplicate_bytes'])})",
+        "  Duplicates by tier:",
+        f"    Exact URL:       {t.get(MATCH_TIER_EXACT_URL, {}).get('hits', 0)}",
+        f"    Canonical URL:   {t.get(MATCH_TIER_CANONICAL, {}).get('hits', 0)}",
+        f"    Digest only:     {t.get(MATCH_TIER_DIGEST, {}).get('hits', 0)}",
+    ]
+    return "\n".join(lines)
