@@ -1,0 +1,378 @@
+"""Driver-facing query registry.
+
+Every entry is one operator/pipeline from SURVEY.md §2 (or a north-star
+extension), expressed as a Ray Data pipeline over the sf tables, paired —
+where SQL can express it — with an ANSI-SQL oracle DuckDB runs on the same
+parquet views.  Column names are kept identical on both sides (the
+driver's compare hashes values under sorted column names).
+
+Conventions:
+- timestamps cross the boundary as epoch-second BIGINTs (``*_epoch``) to
+  dodge timestamp-representation drift between Arrow and DuckDB;
+- byte/char counts are integers; no floats in oracle-checked outputs
+  except where both sides compute the identical IEEE expression;
+- the captures corpus (sources/corpus.py) carries the planted duplicate
+  structure; its SQL mirror is CAPTURES_CTE.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from deduplicator_ray.config import PipelineConfig, SearchStrategy
+from deduplicator_ray.functions.canonical import canonical_sql_expr
+from deduplicator_ray.sources.corpus import CAPTURES_CTE, EPOCH0, captures_dataset
+from deduplicator_ray.stages.exact import build_index, match_shuffle
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+
+def _split_captures(sf_dir: str):
+    """captures -> (history_index_ds, current_ds) via the real engine
+    stages (Ray-native end to end)."""
+    caps = captures_dataset(sf_dir)
+
+    def hist_part(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["crawl"], "history"))
+        return t
+
+    def cur_part(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["crawl"], "current"))
+        return t.append_column("content_bytes", pc.cast(pc.utf8_length(t["text"]), pa.int64()))
+
+    hist = caps.map_batches(hist_part, batch_format="pyarrow", zero_copy_batch=True)
+    cur = caps.map_batches(cur_part, batch_format="pyarrow", zero_copy_batch=True)
+    index = build_index(hist, PipelineConfig())
+    return index, cur
+
+
+def _matches_to_output(matches):
+    """Project match output to the oracle-comparable column set."""
+
+    def f(b: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(b["ts"].cast(pa.timestamp("us")), pa.int64()), 1_000_000)
+        ref_epoch = pc.divide(
+            pc.cast(b["refers_to_date"].cast(pa.timestamp("us")), pa.int64()), 1_000_000
+        )
+        # id/count columns pass through the union as nullable (the history
+        # side nulls them) and come back float64 — restore exact int64
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "rep": pc.cast(b["rep"], pa.int64()),
+                "url": b["url"],
+                "digest": b["digest"],
+                "ts_epoch": epoch,
+                "is_duplicate": b["is_duplicate"],
+                "match_tier": b["match_tier"],
+                "refers_to_url": b["refers_to_url"],
+                "refers_to_epoch": ref_epoch,
+                "content_chars": pc.cast(b["content_bytes"], pa.int64()),
+            }
+        )
+
+    return matches.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _exact_match_query(sf_dir: str, strategy: SearchStrategy):
+    index, cur = _split_captures(sf_dir)
+    cfg = PipelineConfig(strategy=strategy)
+    m = match_shuffle(cur, index, cfg, id_cols=("doc_id", "rep"))
+    return _matches_to_output(m)
+
+
+# SQL building blocks -------------------------------------------------------
+
+_IDX_SQL = """
+idx AS (
+  SELECT url, md5(text) AS digest, max(ts_epoch) AS ts_epoch
+  FROM captures WHERE crawl = 'history'
+  GROUP BY url, md5(text)
+),
+cur AS (SELECT * FROM captures WHERE crawl = 'current')
+"""
+
+_CANON_U = canonical_sql_expr("s.url")
+_CANON_C = canonical_sql_expr("c.url")
+
+_TIER_SQL = f"""
+  CASE WHEN s.url IS NULL THEN 'none'
+       WHEN s.url = c.url THEN 'exact_url'
+       WHEN {_CANON_U} = {_CANON_C} THEN 'canonical_url'
+       ELSE 'digest' END
+"""
+
+_OUT_SQL = f"""
+SELECT c.doc_id, c.rep, c.url, md5(c.text) AS digest, c.ts_epoch,
+       s.url IS NOT NULL AS is_duplicate,
+       {_TIER_SQL} AS match_tier,
+       s.url AS refers_to_url,
+       s.ts_epoch AS refers_to_epoch,
+       length(c.text) AS content_chars
+FROM cur c LEFT JOIN sel s ON s.digest = md5(c.text)
+"""
+
+
+def _sql_digest_any() -> str:
+    return f"""
+WITH {CAPTURES_CTE}, {_IDX_SQL},
+sel AS (
+  SELECT digest, url, ts_epoch,
+         row_number() OVER (PARTITION BY digest ORDER BY ts_epoch, url) AS rn
+  FROM idx
+  QUALIFY rn = 1
+)
+{_OUT_SQL}
+"""
+
+
+def _sql_url_exact() -> str:
+    return f"""
+WITH {CAPTURES_CTE}, {_IDX_SQL},
+sel0 AS (
+  SELECT digest, url, ts_epoch,
+         row_number() OVER (PARTITION BY digest, url ORDER BY ts_epoch) AS rn
+  FROM idx
+  QUALIFY rn = 1
+),
+sel AS (SELECT * FROM sel0)
+SELECT c.doc_id, c.rep, c.url, md5(c.text) AS digest, c.ts_epoch,
+       s.url IS NOT NULL AS is_duplicate,
+       {_TIER_SQL} AS match_tier,
+       s.url AS refers_to_url,
+       s.ts_epoch AS refers_to_epoch,
+       length(c.text) AS content_chars
+FROM cur c LEFT JOIN sel s ON s.digest = md5(c.text) AND s.url = c.url
+"""
+
+
+def _sql_url_canonical() -> str:
+    canon_idx = canonical_sql_expr("url")
+    return f"""
+WITH {CAPTURES_CTE}, {_IDX_SQL},
+selc AS (
+  SELECT digest, url, ts_epoch, {canon_idx} AS url_canonical,
+         row_number() OVER (PARTITION BY digest, {canon_idx} ORDER BY ts_epoch, url) AS rn
+  FROM idx
+  QUALIFY rn = 1
+)
+SELECT c.doc_id, c.rep, c.url, md5(c.text) AS digest, c.ts_epoch,
+       s.url IS NOT NULL AS is_duplicate,
+       CASE WHEN s.url IS NULL THEN 'none'
+            WHEN s.url = c.url THEN 'exact_url'
+            WHEN s.url_canonical = {canonical_sql_expr('c.url')} THEN 'canonical_url'
+            ELSE 'digest' END AS match_tier,
+       s.url AS refers_to_url,
+       s.ts_epoch AS refers_to_epoch,
+       length(c.text) AS content_chars
+FROM cur c LEFT JOIN selc s
+  ON s.digest = md5(c.text) AND s.url_canonical = {canonical_sql_expr('c.url')}
+"""
+
+
+def _sql_digest_url_preferred() -> str:
+    canon_idx = canonical_sql_expr("url")
+    return f"""
+WITH {CAPTURES_CTE}, {_IDX_SQL},
+bexact AS (
+  SELECT digest, url, ts_epoch,
+         row_number() OVER (PARTITION BY digest, url ORDER BY ts_epoch) AS rn
+  FROM idx QUALIFY rn = 1
+),
+bcanon AS (
+  SELECT digest, url, ts_epoch, {canon_idx} AS url_canonical,
+         row_number() OVER (PARTITION BY digest, {canon_idx} ORDER BY ts_epoch, url) AS rn
+  FROM idx QUALIFY rn = 1
+),
+bany AS (
+  SELECT digest, url, ts_epoch,
+         row_number() OVER (PARTITION BY digest ORDER BY ts_epoch, url) AS rn
+  FROM idx QUALIFY rn = 1
+)
+SELECT c.doc_id, c.rep, c.url, md5(c.text) AS digest, c.ts_epoch,
+       coalesce(e.url, n.url, a.url) IS NOT NULL AS is_duplicate,
+       CASE WHEN coalesce(e.url, n.url, a.url) IS NULL THEN 'none'
+            WHEN coalesce(e.url, n.url, a.url) = c.url THEN 'exact_url'
+            WHEN {canonical_sql_expr('coalesce(e.url, n.url, a.url)')} = {canonical_sql_expr('c.url')}
+              THEN 'canonical_url'
+            ELSE 'digest' END AS match_tier,
+       coalesce(e.url, n.url, a.url) AS refers_to_url,
+       coalesce(e.ts_epoch, n.ts_epoch, a.ts_epoch) AS refers_to_epoch,
+       length(c.text) AS content_chars
+FROM cur c
+LEFT JOIN bexact e ON e.digest = md5(c.text) AND e.url = c.url
+LEFT JOIN bcanon n ON n.digest = md5(c.text) AND n.url_canonical = {canonical_sql_expr('c.url')}
+LEFT JOIN bany   a ON a.digest = md5(c.text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# individual queries
+# ---------------------------------------------------------------------------
+
+
+def q_index_build(sf_dir: str):
+    """A4: keep-latest dedup index over the history crawl."""
+    index, _ = _split_captures(sf_dir)
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": b["url"],
+                "url_canonical": b["url_canonical"],
+                "digest": b["digest"],
+                "date_epoch": pc.divide(pc.cast(b["date"], pa.int64()), 1_000_000),
+            }
+        )
+
+    return index.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_index_build() -> str:
+    return f"""
+WITH {CAPTURES_CTE}
+SELECT url, {canonical_sql_expr('url')} AS url_canonical, md5(text) AS digest,
+       max(ts_epoch) AS date_epoch
+FROM captures WHERE crawl = 'history'
+GROUP BY url, {canonical_sql_expr('url')}, md5(text)
+"""
+
+
+def q_dup_report(sf_dir: str):
+    """A1/A2: per-tier duplicate counts + char totals (DIGEST_ANY)."""
+    from ray.data.aggregate import Count, Sum
+
+    m = _exact_match_query(sf_dir, SearchStrategy.DIGEST_ANY)
+    return m.groupby("match_tier").aggregate(
+        Count(alias_name="hits"), Sum("content_chars", alias_name="chars")
+    )
+
+
+def _sql_dup_report() -> str:
+    return f"""
+WITH m AS ({_sql_digest_any()})
+SELECT match_tier, count(*) AS hits, sum(content_chars)::BIGINT AS chars
+FROM m GROUP BY match_tier
+"""
+
+
+def q_canonical_urls(sf_dir: str):
+    """M5: url canonicalization over all captures."""
+    caps = captures_dataset(sf_dir)
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b["doc_id"], "rep": b["rep"], "url": b["url"], "url_canonical": b["url_canonical"]}
+        )
+
+    return caps.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_canonical_urls() -> str:
+    return f"""
+WITH {CAPTURES_CTE}
+SELECT doc_id, rep, url, {canonical_sql_expr('url')} AS url_canonical FROM captures
+"""
+
+
+def q_lang_counts(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def q_doc_stats_by_source(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+
+
+def q_top_longest(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour windows per user over the events stream
+    (streaming-shaped workload per the ray guide; oracle = GROUP BY
+    epoch bucket)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+
+    def add_window(b: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(b["ts"].cast(pa.timestamp("us")), pa.int64()), 1_000_000)
+        win = pc.multiply(pc.divide(epoch, 3600), 3600)
+        return b.append_column("window_epoch", win)
+
+    ds = ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby(["user_id", "window_epoch"]).aggregate(
+        Count(alias_name="n_events"),
+        Min("event_id", alias_name="first_event"),
+        Max("event_id", alias_name="last_event"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def registry():
+    """name -> (callable(sf_dir) -> Dataset, oracle_sql | None)."""
+    return {
+        "exact_match_digest_any": (
+            lambda sf: _exact_match_query(sf, SearchStrategy.DIGEST_ANY),
+            _sql_digest_any(),
+        ),
+        "exact_match_url_exact": (
+            lambda sf: _exact_match_query(sf, SearchStrategy.URL_EXACT),
+            _sql_url_exact(),
+        ),
+        "exact_match_url_canonical": (
+            lambda sf: _exact_match_query(sf, SearchStrategy.URL_CANONICAL),
+            _sql_url_canonical(),
+        ),
+        "exact_match_digest_url_preferred": (
+            lambda sf: _exact_match_query(sf, SearchStrategy.DIGEST_URL_PREFERRED),
+            _sql_digest_url_preferred(),
+        ),
+        "index_build": (q_index_build, _sql_index_build()),
+        "dup_report": (q_dup_report, _sql_dup_report()),
+        "canonical_urls": (q_canonical_urls, _sql_canonical_urls()),
+        "lang_counts": (
+            q_lang_counts,
+            "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        ),
+        "doc_stats_by_source": (
+            q_doc_stats_by_source,
+            "SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars, "
+            "min(n_chars) AS min_chars, max(n_chars) AS max_chars "
+            "FROM documents GROUP BY source",
+        ),
+        "top_longest": (
+            q_top_longest,
+            "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10",
+        ),
+        "events_window": (
+            q_events_window,
+            "SELECT user_id, ((epoch_ms(ts) // 1000) // 3600) * 3600 AS window_epoch, "
+            "count(*) AS n_events, min(event_id) AS first_event, max(event_id) AS last_event "
+            "FROM events GROUP BY 1, 2",
+        ),
+    }
