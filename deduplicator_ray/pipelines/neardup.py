@@ -1,0 +1,83 @@
+"""Near-duplicate clustering pipeline: MinHash -> LSH -> verify -> CC
+(north_rule core). Produces a (doc_key, cluster_id) assignment plus the
+cluster table over the corpus.
+
+Partitioning assumptions, stated explicitly:
+- signature computation is embarrassingly parallel (actor pool);
+- the only all-to-all exchanges are (1) the band-bucket groupby, keyed on
+  bands x 64-bit bucket hashes (band index folded in = natural salt), and
+  (2) the distinct-pair groupby over verified tiny rows;
+- connected components defaults to driver union-find because verified
+  edges << docs by construction (LSH + Jaccard filter); the distributed
+  hash-min path exists for adversarial graphs (see stages/cc.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from deduplicator_ray.config import MinHashConfig
+from deduplicator_ray.stages.cc import (
+    connected_components_distributed,
+    connected_components_driver,
+)
+from deduplicator_ray.stages.lsh import band_explode, candidate_pairs, verified_edges
+from deduplicator_ray.stages.minhash import signatures
+
+
+def ensure_doc_key(ds, *, key_col: str = "doc_key"):
+    """Attach a stable int64 doc key when absent: blake2b-8 of
+    url|warc_ts (deterministic across runs/workers; collision odds at
+    10^12 docs ~ 2.7e-5 — acceptable for clustering, and any collision
+    only over-merges one pair of docs)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        if key_col in b.column_names:
+            return b
+        urls = b["url"].to_pylist()
+        ts = b["warc_ts"].cast(pa.int64()).to_pylist()
+        keys = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(f"{u}|{t}".encode(), digest_size=8).digest(), "big"
+                )
+                >> 1  # keep positive in int64
+                for u, t in zip(urls, ts)
+            ),
+            dtype=np.int64,
+            count=len(urls),
+        )
+        return b.append_column(key_col, pa.array(keys, type=pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cluster_near_duplicates(
+    corpus_ds,
+    cfg: MinHashConfig | None = None,
+    *,
+    key_col: str = "doc_key",
+    text_col: str = "text",
+    distributed_cc: bool = False,
+):
+    """corpus (needs text + doc_key/url+warc_ts) ->
+    (edges_ds, assignments) where assignments is an Arrow table or
+    Dataset of (doc_key, cluster_id) for every doc in some cluster.
+
+    Docs not present in assignments are singletons (cluster_id = own key).
+    """
+    cfg = cfg or MinHashConfig()
+    ds = ensure_doc_key(corpus_ds, key_col=key_col)
+    # shed payload columns before anything wide: only key + text go on
+    sigs = signatures(ds.select_columns([key_col, text_col]), cfg, text_col=text_col)
+    bands = band_explode(sigs.select_columns([key_col, "minhash_sig"]), cfg, key_col=key_col)
+    pairs = candidate_pairs(bands, cfg, key_col=key_col)
+    edges = verified_edges(pairs, cfg)
+    if distributed_cc:
+        assignments = connected_components_distributed(edges)
+    else:
+        assignments = connected_components_driver(edges)
+    return edges, assignments

@@ -1,0 +1,152 @@
+"""Near-dup clustering conformance (north_rule: dup-pair recall >= 0.99
+vs the oracle clustering at the same shingle/signature config).
+
+Oracle = single-threaded all-pairs estimated-Jaccard over signatures from
+the SAME MinHasher config (same seed -> same permutations), clustered by
+union-find.  The engine's LSH path must recover >= 99% of oracle pairs
+and reproduce the cluster labels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from deduplicator_ray.config import MinHashConfig
+from deduplicator_ray.sources.corpus import synth_corpus
+from deduplicator_ray.stages.cc import (
+    _unionfind,
+    connected_components_distributed,
+    connected_components_driver,
+)
+from deduplicator_ray.stages.minhash import MinHasher
+from deduplicator_ray.pipelines.neardup import cluster_near_duplicates, ensure_doc_key
+
+CFG = MinHashConfig(bands=32, rows_per_band=4)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pdf = synth_corpus(400, 42).to_pandas()
+    pdf["doc_key"] = np.arange(len(pdf), dtype=np.int64)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    mh = MinHasher(CFG)
+    sigs = mh.signature_matrix(corpus["text"].tolist())
+    n = len(corpus)
+    eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+    iu = np.triu_indices(n, k=1)
+    mask = eq[iu] >= CFG.jaccard_threshold
+    pairs = set(zip(iu[0][mask].tolist(), iu[1][mask].tolist()))
+    roots = _unionfind(
+        np.array([p[0] for p in pairs], dtype=np.int64),
+        np.array([p[1] for p in pairs], dtype=np.int64),
+    )
+    return pairs, roots
+
+
+@pytest.fixture(scope="module")
+def engine_result(ray_session, corpus):
+    import ray.data as rd
+
+    ds = rd.from_pandas(corpus[["doc_key", "text"]])
+    edges, asg = cluster_near_duplicates(ds, CFG)
+    return edges.to_pandas(), asg.to_pandas()
+
+
+def test_pair_recall(engine_result, oracle):
+    e, _ = engine_result
+    true_pairs, _ = oracle
+    found = set(zip(e["a"].tolist(), e["b"].tolist()))
+    missing = true_pairs - found
+    recall = 1 - len(missing) / max(1, len(true_pairs))
+    assert recall >= 0.99, f"recall {recall}: missing {len(missing)} of {len(true_pairs)}"
+    # precision against the oracle criterion: every found edge satisfies
+    # the same threshold (verification uses the same estimator)
+    assert found <= true_pairs
+
+
+def test_cluster_assignments_match_oracle(engine_result, oracle):
+    _, asg = engine_result
+    _, roots = oracle
+    got = dict(zip(asg["doc_key"].tolist(), asg["cluster_id"].tolist()))
+    nodes = set(roots)
+    agree = sum(got.get(v, v) == roots.get(v, v) for v in nodes)
+    assert agree == len(nodes)
+
+
+def test_planted_clusters_recovered(engine_result, corpus):
+    """Docs planted in the same true_cluster with low mutation must land
+    in the same engine cluster (sanity beyond the estimator oracle)."""
+    _, asg = engine_result
+    got = dict(zip(asg["doc_key"].tolist(), asg["cluster_id"].tolist()))
+    hub = corpus[corpus["true_cluster"] == -2]
+    # all hub (empty) docs form one cluster
+    labels = {got.get(int(k), int(k)) for k in hub["doc_key"]}
+    assert len(labels) == 1
+
+
+def test_mega_bucket_star_preserves_connectivity(ray_session, corpus, oracle):
+    """With a tiny bucket cap the hub bucket degrades to star pairs; the
+    resulting components must be identical."""
+    import ray.data as rd
+
+    cfg = MinHashConfig(bands=32, rows_per_band=4, max_band_group=5)
+    ds = rd.from_pandas(corpus[["doc_key", "text"]])
+    _, asg = cluster_near_duplicates(ds, cfg)
+    asg = asg.to_pandas()
+    _, roots = oracle
+    got = dict(zip(asg["doc_key"].tolist(), asg["cluster_id"].tolist()))
+    # same partition: every oracle component still maps to one engine label
+    from collections import defaultdict
+
+    comp_labels = defaultdict(set)
+    for v, r in roots.items():
+        comp_labels[r].add(got.get(v, v))
+    assert all(len(ls) == 1 for ls in comp_labels.values())
+
+
+def test_distributed_cc_equals_driver(ray_session, engine_result):
+    import ray.data as rd
+
+    e, asg_driver = engine_result
+    if len(e) == 0:
+        pytest.skip("no edges")
+    edges_ds = rd.from_pandas(e)
+    asg_dist = connected_components_distributed(edges_ds).to_pandas()
+    a = asg_driver.sort_values("doc_key", ignore_index=True)
+    b = asg_dist.sort_values("doc_key", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_empty_corpus(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_key": pd.Series(dtype="int64"), "text": pd.Series(dtype=str)})
+    )
+    edges, asg = cluster_near_duplicates(ds, CFG)
+    assert edges.count() == 0
+    assert len(asg.to_pandas()) == 0
+
+
+def test_ensure_doc_key(ray_session):
+    import ray.data as rd
+
+    pdf = pd.DataFrame(
+        {
+            "url": ["http://a", "http://b", "http://a"],
+            "warc_ts": pd.to_datetime([1, 2, 3], unit="s"),
+            "text": ["x", "y", "z"],
+        }
+    )
+    keyed = ensure_doc_key(rd.from_pandas(pdf)).to_pandas()
+    assert keyed["doc_key"].nunique() == 3  # (url, ts) unique -> unique keys
+    # deterministic across calls
+    keyed2 = ensure_doc_key(rd.from_pandas(pdf)).to_pandas()
+    assert keyed["doc_key"].tolist() == keyed2["doc_key"].tolist()
