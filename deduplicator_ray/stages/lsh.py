@@ -127,8 +127,18 @@ def candidate_pairs(
         import ray.data as rd
 
         return rd.from_arrow(_empty_pairs_table())
-    bands_s = bands_ds.join(
-        stats, join_type="inner", num_partitions=num_partitions, on=("band_bucket",)
+    from deduplicator_ray.stages.joins import hash_join
+
+    _BANDS_SCHEMA = {
+        "band_bucket": pa.int64(),
+        key_col: pa.int64(),
+        "minhash_sig": pa.binary(),
+        "bucket_n": pa.int64(),
+        "bucket_min": pa.int64(),
+    }
+    bands_s = hash_join(
+        bands_ds, stats, on=("band_bucket",), num_partitions=num_partitions,
+        out_schema=_BANDS_SCHEMA,
     ).materialize()
 
     def split_small(b: pa.Table) -> pa.Table:
@@ -150,8 +160,9 @@ def candidate_pairs(
     small_r = small.select_columns(["band_bucket", key_col, "minhash_sig"]).rename_columns(
         {key_col: "b_key", "minhash_sig": "sig_b"}
     )
-    pairs_small = small.join(
-        small_r, join_type="inner", num_partitions=num_partitions, on=("band_bucket",)
+    pairs_small = hash_join(
+        small, small_r, on=("band_bucket",), num_partitions=num_partitions,
+        out_schema=dict(_BANDS_SCHEMA, b_key=pa.int64(), sig_b=pa.binary()),
     )
 
     def project_small(b: pa.Table) -> pa.Table:
@@ -179,8 +190,9 @@ def candidate_pairs(
         return pairs_small
     mega_min = bands_s.map_batches(split_mega_min, batch_format="pyarrow", zero_copy_batch=True)
     mega_min_r = mega_min.rename_columns({key_col: "a_key", "minhash_sig": "sig_a0"})
-    pairs_mega = mega_nonmin.join(
-        mega_min_r, join_type="inner", num_partitions=num_partitions, on=("band_bucket",)
+    pairs_mega = hash_join(
+        mega_nonmin, mega_min_r, on=("band_bucket",), num_partitions=num_partitions,
+        out_schema=dict(_BANDS_SCHEMA, a_key=pa.int64(), sig_a0=pa.binary()),
     )
 
     def project_mega(b: pa.Table) -> pa.Table:
@@ -234,3 +246,61 @@ def verified_edges(pairs_ds, cfg: MinHashConfig | None = None):
 
     verified = pairs_ds.map_batches(verify, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
     return verified.groupby(["a", "b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+
+
+def exact_jaccard_edges(edges_ds, corpus_ds, cfg: MinHashConfig | None = None, *,
+                        key_col: str = "doc_key", text_col: str = "text",
+                        num_partitions: int = 8):
+    """n-gram Jaccard dedup: re-verify (or independently score) candidate
+    pairs with the EXACT word-shingle Jaccard (set intersection over
+    union), not the signature estimate.  Texts are attached to the small
+    pair table by two hash joins; the set computation is per-pair numpy.
+
+    Output: (a, b, jaccard) for pairs with jaccard >= cfg.jaccard_threshold.
+    """
+    import re as _re
+
+    from deduplicator_ray.stages.minhash import shingle_hashes
+
+    cfg = cfg or MinHashConfig()
+    texts = corpus_ds.select_columns([key_col, text_col])
+
+    def _ren(new_key: str, new_text: str):
+        def g(t: pa.Table) -> pa.Table:
+            return pa.table({new_key: t[key_col], new_text: t[text_col]})
+
+        return texts.map_batches(g, batch_format="pyarrow", zero_copy_batch=True)
+
+    ta = _ren("a", "text_a")
+    tb = _ren("b", "text_b")
+    from deduplicator_ray.stages.joins import hash_join
+
+    txt = pa.large_string()
+    e = hash_join(
+        edges_ds.select_columns(["a", "b"]), ta, on=("a",), num_partitions=num_partitions,
+        out_schema={"a": pa.int64(), "b": pa.int64(), "text_a": txt},
+    )
+    e = hash_join(
+        e, tb, on=("b",), num_partitions=num_partitions,
+        out_schema={"a": pa.int64(), "b": pa.int64(), "text_a": txt, "text_b": txt},
+    )
+    token_re = _re.compile(r"\w+", _re.UNICODE)
+
+    def f(b: pa.Table) -> pa.Table:
+        xs = b["text_a"].to_pylist()
+        ys = b["text_b"].to_pylist()
+        jac = np.zeros(len(xs), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(xs, ys)):
+            ha = shingle_hashes(x or "", cfg.shingle_words, token_re)
+            hb = shingle_hashes(y or "", cfg.shingle_words, token_re)
+            if len(ha) == 0 and len(hb) == 0:
+                jac[i] = 1.0
+                continue
+            inter = len(np.intersect1d(ha, hb, assume_unique=True))
+            union = len(ha) + len(hb) - inter
+            jac[i] = inter / union if union else 0.0
+        keep = jac >= cfg.jaccard_threshold
+        t = b.filter(pa.array(keep))
+        return pa.table({"a": t["a"], "b": t["b"], "jaccard": pa.array(jac[keep])})
+
+    return e.map_batches(f, batch_format="pyarrow", batch_size=1024)

@@ -1,0 +1,131 @@
+"""SimHash near-duplicate detection (training-data-pipeline extension).
+
+64-bit SimHash over word features: each token hashes to 64 bits; each bit
+position accumulates +1/-1 votes across the doc's tokens; the signature
+is the sign vector.  Near-duplicates have small Hamming distance.
+
+Candidate generation reuses the LSH machinery (stages/lsh.py): the 64-bit
+signature is split into 4 x 16-bit chunks stored in the same binary
+signature layout ``candidate_pairs`` consumes, with a 4-band x 1-row
+config — by the pigeonhole principle any pair within Hamming distance 3
+shares at least one exact 16-bit chunk, so banding finds every such pair.
+Verification computes the exact Hamming distance (vectorized popcount).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from deduplicator_ray.config import MinHashConfig
+from deduplicator_ray.stages.lsh import _sig_matrix, band_explode, candidate_pairs
+
+# config that makes lsh.band_explode treat the 4x16-bit chunks as 4 bands
+SIMHASH_BAND_CFG = MinHashConfig(
+    shingle_words=1, num_perms=4, bands=4, rows_per_band=1, jaccard_threshold=0.0
+)
+
+
+def _token_hashes64(text: str) -> np.ndarray:
+    """64-bit per-token hashes: two salted crc32 halves (deterministic
+    across processes, C speed)."""
+    toks = text.lower().split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    hi = np.fromiter((zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks))
+    lo = np.fromiter(
+        (zlib.crc32(t.encode(), 0x9E3779B9) for t in toks), dtype=np.uint64, count=len(toks)
+    )
+    return (hi << np.uint64(32)) | lo
+
+
+def simhash64(text: str | None) -> int:
+    """64-bit SimHash of a text (0 for empty)."""
+    h = _token_hashes64(text or "")
+    if len(h) == 0:
+        return 0
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes = (2 * bits - 1).sum(axis=0)
+    sig = np.uint64(0)
+    for i in np.nonzero(votes > 0)[0]:
+        sig |= np.uint64(1) << np.uint64(i)
+    return int(sig)
+
+
+class SimHasher:
+    """Actor-pool stage: adds ``simhash`` (int64 bit-cast) and the banded
+    binary signature column reused by the LSH candidate machinery."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        sigs = np.fromiter((simhash64(t) for t in texts), dtype=np.uint64, count=len(texts))
+        # 4 x 16-bit chunks widened to uint32, little-endian — the layout
+        # lsh._sig_matrix / band_explode expect
+        chunks = np.empty((len(texts), 4), dtype=np.uint32)
+        for c in range(4):
+            chunks[:, c] = ((sigs >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.uint32)
+        blob = chunks.astype("<u4").tobytes()
+        sig_arr = pa.array(
+            [blob[i * 16 : (i + 1) * 16] for i in range(len(texts))], type=pa.binary()
+        )
+        out = batch.append_column("simhash", pa.array(sigs.astype(np.int64)))
+        return out.append_column("minhash_sig", sig_arr)
+
+
+def simhash_signatures(ds, *, text_col: str = "text",
+                       concurrency: int | tuple[int, int] = (2, 8), batch_size: int = 1024):
+    return ds.map_batches(
+        SimHasher,
+        fn_constructor_args=(text_col,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    v = x.copy()
+    count = np.zeros(v.shape, dtype=np.int64)
+    while True:
+        nz = v != 0
+        if not nz.any():
+            return count
+        count += (v & np.uint64(1)).astype(np.int64)
+        v >>= np.uint64(1)
+
+
+def simhash_pairs(ds, *, key_col: str = "doc_key", max_hamming: int = 3,
+                  num_partitions: int = 8):
+    """Signature dataset (from simhash_signatures) -> distinct pairs
+    (a, b, hamming) with Hamming distance <= max_hamming.
+
+    Banding guarantee: complete for max_hamming <= 3 (4 bands); larger
+    radii may miss pairs that differ in all four chunks."""
+    from ray.data.aggregate import Min
+
+    bands = band_explode(ds.select_columns([key_col, "minhash_sig"]), SIMHASH_BAND_CFG, key_col=key_col)
+    pairs = candidate_pairs(bands, SIMHASH_BAND_CFG, key_col=key_col, num_partitions=num_partitions)
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        sa = _sig_matrix(b["sig_a"], 4).astype(np.uint64)
+        sb = _sig_matrix(b["sig_b"], 4).astype(np.uint64)
+        va = (sa[:, 0] | (sa[:, 1] << np.uint64(16)) | (sa[:, 2] << np.uint64(32)) | (sa[:, 3] << np.uint64(48)))
+        vb = (sb[:, 0] | (sb[:, 1] << np.uint64(16)) | (sb[:, 2] << np.uint64(32)) | (sb[:, 3] << np.uint64(48)))
+        d = _popcount64(va ^ vb)
+        keep = d <= max_hamming
+        t = b.filter(pa.array(keep))
+        return pa.table({"a": t["a"], "b": t["b"], "hamming": pa.array(d[keep])})
+
+    verified = pairs.map_batches(verify, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
+    return verified.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))

@@ -1,0 +1,192 @@
+"""Text analysis stages for a training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting (first-class
+extensions alongside SURVEY.md §2).
+
+All stages are vectorized ``map_batches`` transforms; the language
+profiles and compiled regexes live in an actor (built once per worker).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer (GPT-2 style, simplified): contractions, words,
+# non-space punctuation runs
+_BPE_RE = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+")
+
+
+def token_counts(ds, *, text_col: str = "text"):
+    """Adds ``n_ws_tokens`` (whitespace tokens; SQL-mirrorable) and
+    ``n_bpe_tokens`` (regex pre-tokenizer count)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        ws = np.fromiter(
+            (len(t.split()) if t else 0 for t in texts), dtype=np.int64, count=len(texts)
+        )
+        bpe = np.fromiter(
+            (len(_BPE_RE.findall(t)) if t else 0 for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        return b.append_column("n_ws_tokens", pa.array(ws)).append_column(
+            "n_bpe_tokens", pa.array(bpe)
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# quality metrics
+# ---------------------------------------------------------------------------
+
+
+def quality_metrics(ds, *, text_col: str = "text"):
+    """Adds integer quality counters (SQL-mirrorable): n_chars, n_punct,
+    n_digits, n_upper, n_spaces — plus a float ``quality_score`` in [0,1]
+    combining length, punctuation balance and word-length sanity."""
+
+    def f(b: pa.Table) -> pa.Table:
+        t = b[text_col]
+        n_chars = pc.cast(pc.utf8_length(t), pa.int64())
+        texts = t.to_pylist()
+        n = len(texts)
+        punct = np.zeros(n, dtype=np.int64)
+        digits = np.zeros(n, dtype=np.int64)
+        upper = np.zeros(n, dtype=np.int64)
+        spaces = np.zeros(n, dtype=np.int64)
+        score = np.zeros(n, dtype=np.float64)
+        for i, s in enumerate(texts):
+            if not s:
+                continue
+            punct[i] = sum(not c.isalnum() and not c.isspace() for c in s)
+            digits[i] = sum(c.isdigit() for c in s)
+            upper[i] = sum(c.isupper() for c in s)
+            spaces[i] = s.count(" ")
+            words = s.split()
+            mwl = float(np.mean([len(w) for w in words])) if words else 0.0
+            ln = len(s)
+            len_ok = min(1.0, ln / 200.0) * (1.0 if ln < 20000 else 0.5)
+            punct_ok = 1.0 - min(1.0, (punct[i] / max(1, ln)) * 4.0)
+            word_ok = 1.0 if 2.0 <= mwl <= 12.0 else 0.3
+            score[i] = round(len_ok * 0.4 + punct_ok * 0.3 + word_ok * 0.3, 6)
+        out = b.append_column("n_chars_q", n_chars)
+        for name, arr in [
+            ("n_punct", punct),
+            ("n_digits", digits),
+            ("n_upper", upper),
+            ("n_spaces", spaces),
+        ]:
+            out = out.append_column(name, pa.array(arr))
+        return out.append_column("quality_score", pa.array(score))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=2048, zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# language identification (n-gram/stopword heuristic)
+# ---------------------------------------------------------------------------
+
+_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is was for on that with as it at by from this be are".split()),
+    "de": frozenset("der die das und ist von zu mit den im für auf des ein eine nicht als".split()),
+    "fr": frozenset("le la les de des et en un une du est pour que dans qui au sur pas".split()),
+    "es": frozenset("el la los las de y en un una del es por que con para su al como".split()),
+    "is": frozenset("og að í á er um við sem af fyrir það til en ekki hann hún með".split()),
+}
+
+
+class LangId:
+    """Actor-pool stage: heuristic language ID.
+
+    Scoring: stopword hit-rate per language profile; CJK codepoint ratio
+    short-circuits to 'zh'. Unknown -> 'und'."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.profiles = _PROFILES
+
+    def detect(self, text: str | None) -> str:
+        if not text:
+            return "und"
+        sample = text[:2000]
+        cjk = sum(1 for c in sample if "一" <= c <= "鿿")
+        if cjk > 0.2 * max(1, len(sample.replace(" ", ""))):
+            return "zh"
+        words = [w.lower() for w in self.word_re.findall(sample)]
+        if not words:
+            return "und"
+        best, best_rate = "und", 0.04  # minimum confidence
+        for lang, prof in self.profiles.items():
+            rate = sum(w in prof for w in words) / len(words)
+            if rate > best_rate:
+                best, best_rate = lang, rate
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = [self.detect(t) for t in batch[self.text_col].to_pylist()]
+        return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
+
+
+def lang_id(ds, *, text_col: str = "text", concurrency: int | tuple[int, int] = (2, 8)):
+    return ds.map_batches(
+        LangId,
+        fn_constructor_args=(text_col,),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (winnowing)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(text: str, *, k: int = 8, window: int = 16) -> np.ndarray:
+    """Winnowing (Schleimer et al., SIGMOD'03): rolling k-gram crc32
+    hashes, minimum per sliding window, deduplicated. Deterministic."""
+    s = text or ""
+    if len(s) < k:
+        return np.empty(0, dtype=np.int64)
+    grams = np.fromiter(
+        (zlib.crc32(s[i : i + k].encode("utf-8")) for i in range(len(s) - k + 1)),
+        dtype=np.int64,
+    )
+    if len(grams) <= window:
+        return np.unique(grams[[int(np.argmin(grams))]])
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(grams, window).min(axis=1)
+    return np.unique(mins)
+
+
+def fingerprints(ds, *, text_col: str = "text", k: int = 8, window: int = 16):
+    """Adds ``fp_min`` (the smallest winnow fingerprint, an int64 doc
+    sketch) and ``fp_count`` (number of distinct window minima)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        n = len(texts)
+        fmin = np.zeros(n, dtype=np.int64)
+        fcnt = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            fp = winnow_fingerprints(t or "", k=k, window=window)
+            fcnt[i] = len(fp)
+            fmin[i] = int(fp.min()) if len(fp) else -1
+        return b.append_column("fp_min", pa.array(fmin)).append_column(
+            "fp_count", pa.array(fcnt)
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1024, zero_copy_batch=True)

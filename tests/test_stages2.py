@@ -1,0 +1,191 @@
+"""Tests for simhash, textstats, substr and embed stages."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deduplicator_ray.stages.simhash import simhash64, simhash_signatures, simhash_pairs
+from deduplicator_ray.stages.substr import (
+    longest_common_substring,
+    longest_repeated_substring,
+    pair_common_substrings,
+    self_similarity,
+)
+from deduplicator_ray.stages.textstats import (
+    LangId,
+    fingerprints,
+    quality_metrics,
+    token_counts,
+    winnow_fingerprints,
+)
+from deduplicator_ray.stages.embed import (
+    cosine_topk,
+    embedding_dup_pairs,
+    hyperplane_bucket,
+)
+
+
+class TestSimhash:
+    def test_identical_and_perturbed(self):
+        t = "the quick brown fox jumps over the lazy dog " * 10
+        a = simhash64(t)
+        assert a == simhash64(t)
+        b = simhash64(t + " extra token here")
+        ham = bin(a ^ b).count("1")
+        assert ham <= 8  # near-identical text -> small hamming
+        c = simhash64("completely different content about databases and sharding")
+        assert bin(a ^ c).count("1") > 10
+
+    def test_pairs_pipeline(self, ray_session):
+        import ray.data as rd
+
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+        pdf = pd.DataFrame(
+            {
+                "doc_key": np.arange(4, dtype=np.int64),
+                "text": [base, base + " tail", "unrelated words entirely " * 9, base],
+            }
+        )
+        sigs = simhash_signatures(rd.from_pandas(pdf))
+        pairs = simhash_pairs(sigs, max_hamming=3).to_pandas()
+        found = set(zip(pairs["a"], pairs["b"]))
+        assert (0, 3) in found  # identical docs
+        assert all((a, b) != (0, 2) for a, b in found)
+
+    def test_empty_text(self):
+        assert simhash64("") == 0
+        assert simhash64(None) == 0
+
+
+class TestTextstats:
+    def test_token_counts(self, ray_session):
+        import ray.data as rd
+
+        pdf = pd.DataFrame({"text": ["one two three", "", "don't stop", None]})
+        out = token_counts(rd.from_pandas(pdf)).to_pandas()
+        assert out["n_ws_tokens"].tolist() == [3, 0, 2, 0]
+        assert out["n_bpe_tokens"].tolist()[0] == 3
+        assert out["n_bpe_tokens"].tolist()[2] >= 3  # don ' t stop-ish
+
+    def test_quality_metrics(self, ray_session):
+        import ray.data as rd
+
+        pdf = pd.DataFrame({"text": ["Hello, World! 123", ""]})
+        out = quality_metrics(rd.from_pandas(pdf)).to_pandas()
+        r = out.iloc[0]
+        assert r["n_punct"] == 2 and r["n_digits"] == 3 and r["n_upper"] == 2
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert out.iloc[1]["quality_score"] == 0.0
+
+    def test_langid(self):
+        lid = LangId()
+        assert lid.detect("the cat sat on the mat and it was happy to be there") == "en"
+        assert lid.detect("der Hund ist mit den Kindern im Garten und das ist gut") == "de"
+        assert lid.detect("le chat est dans la maison et il est pour le moment") == "fr"
+        assert lid.detect("el perro es un animal que vive en la casa con su amo") == "es"
+        assert lid.detect("þetta er íslenska og það er gott að vera hér með þér í dag") == "is"
+        assert lid.detect("这是一个中文句子，用来测试语言识别功能。") == "zh"
+        assert lid.detect("") == "und"
+
+    def test_fingerprints(self, ray_session):
+        import ray.data as rd
+
+        t = "some repeated boilerplate text for fingerprinting tests " * 4
+        pdf = pd.DataFrame({"text": [t, t, "different content entirely here today"]})
+        out = fingerprints(rd.from_pandas(pdf)).to_pandas()
+        assert out["fp_min"].iloc[0] == out["fp_min"].iloc[1]  # identical docs
+        assert out["fp_count"].iloc[0] > 0
+        # deterministic
+        fp1 = winnow_fingerprints(t)
+        fp2 = winnow_fingerprints(t)
+        assert np.array_equal(fp1, fp2)
+
+
+class TestSubstr:
+    def test_self_similarity_stage(self, ray_session):
+        import ray.data as rd
+
+        pdf = pd.DataFrame(
+            {"text": ["nav nav nav unique middle nav nav nav", "abcdefg", ""]}
+        )
+        out = self_similarity(rd.from_pandas(pdf), min_len=3).to_pandas()
+        assert out["lrs_len"].iloc[0] >= 7  # "nav nav nav" repeats
+        assert out["lrs_len"].iloc[1] == 0
+        assert out["lrs_len"].iloc[2] == 0
+
+    def test_pair_lcs_stage(self, ray_session):
+        import ray.data as rd
+
+        corpus = pd.DataFrame(
+            {
+                "doc_key": np.arange(3, dtype=np.int64),
+                "text": [
+                    "HEADER common boilerplate block TRAILER one",
+                    "HEADER common boilerplate block TRAILER two",
+                    "nothing shared here",
+                ],
+            }
+        )
+        edges = pd.DataFrame({"a": [0], "b": [1]})
+        out = pair_common_substrings(
+            rd.from_pandas(edges), rd.from_pandas(corpus)
+        ).to_pandas()
+        assert len(out) == 1
+        assert out["lcs_len"].iloc[0] == len("HEADER common boilerplate block TRAILER ")
+        assert "boilerplate" in out["lcs_snippet"].iloc[0]
+
+
+class TestEmbed:
+    @pytest.fixture(scope="class")
+    def emb(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        pdf = t.to_pandas()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        return pdf, m
+
+    def test_cosine_topk_vs_numpy(self, ray_session, sf_dir, emb):
+        import ray.data as rd
+
+        pdf, m = emb
+        q = m[:2]
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        got = cosine_topk(ds, q, k=10).to_pandas()
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        scores = mn @ qn.T
+        for qi in range(2):
+            order = np.lexsort((pdf["vec_id"].to_numpy(), -scores[:, qi]))[:10]
+            want_ids = pdf["vec_id"].to_numpy()[order].tolist()
+            got_ids = got[got["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+            assert got_ids == want_ids
+
+    def test_dup_pairs_vs_numpy(self, ray_session, sf_dir, emb):
+        import ray.data as rd
+
+        pdf, m = emb
+        # test embeddings are near-orthogonal (max pairwise cosine ~0.48),
+        # so pick a threshold that yields a non-trivial pair set
+        thr = 0.35
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        got = embedding_dup_pairs(ds, thr).to_pandas()
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        s = mn @ mn.T
+        iu = np.triu_indices(len(m), k=1)
+        mask = s[iu] >= thr
+        ids = pdf["vec_id"].to_numpy()
+        want = set(zip(ids[iu[0][mask]].tolist(), ids[iu[1][mask]].tolist()))
+        assert len(want) > 0
+        assert set(zip(got["a"], got["b"])) == want
+
+    def test_hyperplane_bucket(self, ray_session, sf_dir):
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        out = hyperplane_bucket(ds).to_pandas()
+        assert out["hp_bucket"].between(0, 2**16 - 1).all()
+        out2 = hyperplane_bucket(rd.read_parquet(f"{sf_dir}/embeddings.parquet")).to_pandas()
+        assert out["hp_bucket"].tolist() == out2["hp_bucket"].tolist()  # deterministic
