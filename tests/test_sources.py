@@ -1,0 +1,116 @@
+"""crawl.log parser golden tests (fixtures ported from the reference's
+CrawlLogIteratorTest.java:29-38 — its only golden data) + multimodal
+plumbing tests."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pandas as pd
+import pytest
+
+from deduplicator_ray.sources.crawl_log import (
+    DEFAULT_REVISIT_REGEX,
+    parse_batch,
+    parse_line,
+    read_crawl_log,
+)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "crawl.log")
+
+
+@pytest.fixture(scope="module")
+def lines():
+    with open(GOLDEN) as f:
+        return f.read().splitlines()
+
+
+RX = re.compile(DEFAULT_REVISIT_REGEX)
+
+
+class TestParseLine:
+    def test_valid_without_annotation(self, lines):
+        r = parse_line(lines[0], RX)
+        assert r is not None
+        assert r["status"] == 200
+        assert r["url"] == "http://www.bok.hi.is/image.gif"
+        assert r["mime"] == "image/gif"
+        assert r["digest"] == "YA3G7O6TNMHXA5WWDSIZJDNXV56WDRCA"
+        assert str(r["warc_ts"]) == "2006-10-17 14:22:29"  # 17-digit -> iso
+        assert r["is_revisit"] is False
+
+    def test_valid_without_origin(self, lines):
+        r = parse_line(lines[1], RX)
+        assert r is not None and r["original_url"] is None
+
+    def test_valid_with_old_style_annotation(self, lines):
+        # 'duplicate:"ORIGIN",3t' doesn't match the new revisit marker
+        r = parse_line(lines[2], RX)
+        assert r is not None and r["is_revisit"] is False
+
+    def test_truncated_returns_none(self, lines):
+        assert parse_line(lines[3], RX) is None
+
+    def test_digest_prefix_preserved(self, lines):
+        r = parse_line(lines[4], RX)
+        assert r["digest"] == "sha1:YA3G7O6TNMHXA5WWDSIZJDNXV56WDRCA"
+
+    def test_revisit_with_json_extra_info(self, lines):
+        r = parse_line(lines[5], RX)
+        assert r["is_revisit"] is True
+        assert r["original_url"] == "http://example.com/orig"
+        assert str(r["original_ts"]) == "2022-06-01 10:00:00"
+        assert "identical-payload-digest" in r["revisit_profile"]
+
+    def test_custom_regex(self, lines):
+        rx = re.compile(r"^.*duplicate:.*$")
+        assert parse_line(lines[2], rx)["is_revisit"] is True
+
+    def test_short_line(self):
+        assert parse_line("short", RX) is None
+        assert parse_line(None, RX) is None
+
+
+def test_parse_batch_counts(lines):
+    t = parse_batch(lines)
+    assert t.num_rows == 5  # 6 lines, 1 truncated
+    assert sum(t["parse_dropped"].to_pylist()) == 1
+
+
+def test_read_crawl_log_dataset(ray_session):
+    ds = read_crawl_log(GOLDEN)
+    pdf = ds.to_pandas()
+    assert len(pdf) == 5
+    assert pdf["is_revisit"].sum() == 1
+
+
+class TestMultimodal:
+    def test_fake_decode_pipeline(self, ray_session):
+        import ray.data as rd
+
+        from deduplicator_ray.stages.multimodal import decode_images, synth_media
+
+        media = synth_media(32)
+        out = decode_images(rd.from_arrow(media)).to_pandas()
+        assert len(out) == 32
+        assert "payload" not in out.columns  # payload dropped on output
+        assert (out["payload_bytes"] > 0).all()
+        # deterministic features
+        out2 = decode_images(rd.from_arrow(synth_media(32))).to_pandas()
+        assert out["phash"].tolist() == out2["phash"].tolist()
+
+    def test_real_decoder_is_stubbed(self):
+        from deduplicator_ray.stages.multimodal import ImageDecoder
+
+        with pytest.raises(NotImplementedError):
+            ImageDecoder(decoder="real")
+
+    def test_frame_sample_plan(self):
+        import pyarrow as pa
+
+        from deduplicator_ray.stages.multimodal import frame_sample_plan
+
+        col = pa.chunked_array([pa.array([3000, 0, None], type=pa.int32())])
+        plan = frame_sample_plan(col, fps=1.0)
+        assert plan.to_pylist() == [[0, 1000, 2000], [], []]
