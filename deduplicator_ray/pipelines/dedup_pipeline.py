@@ -1,0 +1,166 @@
+"""End-to-end dedup pipeline + CLI (the ``ray job submit`` entry point).
+
+    python -m deduplicator_ray.pipelines.dedup_pipeline \
+        --corpus /path/corpus_parquet [--history /path/index_parquet] \
+        --out /tmp/dedup_out [--strategy DIGEST_ANY] [--near-dup] \
+        [--digest-mode sha1_html] [--force] [--num-cpus N]
+
+Stages (each a resumable checkpoint under --out, see state/checkpoint.py):
+
+    normalize   corpus -> +text +digest +url_canonical +content_bytes
+    index       history index table (passed through, or built from the
+                corpus when --build-index)
+    matches     exact-match annotations (J1-J4) + REPORT.json/REPORT.txt
+    edges       MinHash/LSH verified near-dup edges      (--near-dup)
+    clusters    connected-component assignments          (--near-dup)
+
+A rerun with the same config + inputs skips completed stages; changing
+config or inputs invalidates exactly the affected stages (config hash +
+input fingerprint are part of each manifest).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from deduplicator_ray.config import MinHashConfig, PipelineConfig, SearchStrategy
+from deduplicator_ray.state.checkpoint import StageCheckpoint, input_fingerprint, run_stage
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Ray-Data-native web dedup pipeline")
+    p.add_argument("--corpus", required=True, help="parquet file/dir: (url, warc_ts, html, text, lang)")
+    p.add_argument("--history", default=None, help="parquet index table (url, url_canonical, digest, date, ...)")
+    p.add_argument("--build-index", action="store_true",
+                   help="build the index from the corpus instead of matching against --history")
+    p.add_argument("--out", required=True, help="output/checkpoint root")
+    p.add_argument("--strategy", default="DIGEST_ANY", choices=[s.value for s in SearchStrategy])
+    p.add_argument("--digest-mode", default="sha1_html", choices=["sha1_html", "md5_text"])
+    p.add_argument("--within-batch", action="store_true")
+    p.add_argument("--near-dup", action="store_true", help="run MinHash/LSH clustering")
+    p.add_argument("--bands", type=int, default=32)
+    p.add_argument("--rows-per-band", type=int, default=4)
+    p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--force", action="store_true", help="ignore existing checkpoints")
+    p.add_argument("--num-cpus", type=int, default=None, help="only when this process owns ray.init")
+    return p
+
+
+def run(args) -> dict:
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines.neardup import cluster_near_duplicates, ensure_doc_key
+    from deduplicator_ray.stages.exact import (
+        match_shuffle,
+        render_report,
+        report_aggregates,
+    )
+    from deduplicator_ray.stages.exact import build_index as build_index_stage
+    from deduplicator_ray.stages.normalize import normalize
+
+    cfg = PipelineConfig(
+        strategy=SearchStrategy(args.strategy),
+        within_batch=args.within_batch,
+        minhash=MinHashConfig(
+            bands=args.bands,
+            rows_per_band=args.rows_per_band,
+            num_perms=args.bands * args.rows_per_band,
+            jaccard_threshold=args.jaccard,
+        ),
+    )
+    chash = cfg.config_hash() + ":" + args.digest_mode
+    fp_corpus = input_fingerprint(args.corpus)
+    out = args.out
+    os.makedirs(out, exist_ok=True)
+    results: dict = {"config_hash": chash}
+
+    # -- normalize ----------------------------------------------------------
+    ck_norm = StageCheckpoint(out, "normalize", config_hash=chash, input_fingerprint=fp_corpus)
+    norm_ds, m_norm, _ = run_stage(
+        ck_norm,
+        lambda: ensure_doc_key(
+            normalize(rd.read_parquet(args.corpus), cfg, digest_mode=args.digest_mode)
+        ),
+        force=args.force,
+    )
+    results["normalize"] = m_norm
+
+    # -- index --------------------------------------------------------------
+    if args.build_index:
+        ck_idx = StageCheckpoint(out, "index", config_hash=chash, input_fingerprint=fp_corpus)
+        index_ds, m_idx, _ = run_stage(
+            ck_idx, lambda: build_index_stage(norm_ds, cfg), force=args.force
+        )
+        results["index"] = m_idx
+    elif args.history:
+        index_ds = rd.read_parquet(args.history)
+    else:
+        index_ds = None
+
+    # -- exact matches + report --------------------------------------------
+    if index_ds is not None and not args.build_index:
+        fp_all = fp_corpus + ":" + input_fingerprint(args.history)
+        ck_m = StageCheckpoint(out, "matches", config_hash=chash, input_fingerprint=fp_all)
+
+        def build_matches():
+            cur = norm_ds.drop_columns([c for c in ["html", "text"] if c in norm_ds.schema().names])
+            return match_shuffle(cur, index_ds, cfg, id_cols=("doc_key",))
+
+        matches_ds, m_m, _ = run_stage(ck_m, build_matches, force=args.force)
+        results["matches"] = m_m
+        agg = report_aggregates(matches_ds)
+        results["report"] = agg
+        with open(os.path.join(out, "REPORT.json"), "w") as f:
+            json.dump(agg, f, indent=1)
+        with open(os.path.join(out, "REPORT.txt"), "w") as f:
+            f.write(render_report(agg) + "\n")
+
+    # -- near-dup clustering -------------------------------------------------
+    if args.near_dup:
+        ck_e = StageCheckpoint(out, "edges", config_hash=chash, input_fingerprint=fp_corpus)
+
+        def build_edges():
+            keyed = norm_ds.select_columns(["doc_key", "text"])
+            edges, _ = cluster_near_duplicates(keyed, cfg.minhash, distributed_cc=False)
+            return edges
+
+        edges_ds, m_e, _ = run_stage(ck_e, build_edges, force=args.force)
+        results["edges"] = m_e
+
+        ck_c = StageCheckpoint(out, "clusters", config_hash=chash, input_fingerprint=fp_corpus)
+
+        def build_clusters():
+            from deduplicator_ray.stages.cc import connected_components_driver
+
+            return rd.from_arrow(connected_components_driver(edges_ds))
+
+        clusters_ds, m_c, _ = run_stage(ck_c, build_clusters, force=args.force)
+        results["clusters"] = m_c
+
+    with open(os.path.join(out, "RESULTS.json"), "w") as f:
+        json.dump(results, f, indent=1, default=str)
+    return results
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR", **kw)
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+    try:
+        results = run(args)
+    finally:
+        ray.shutdown()
+    print(json.dumps({k: v for k, v in results.items() if k in ("report", "config_hash")}, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

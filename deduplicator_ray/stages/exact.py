@@ -269,10 +269,22 @@ class _BroadcastMatcher:
         self.cfg = cfg
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        cfg = self.cfg
-        out = batch.rename(columns={"warc_ts": "ts"})
-        out["src"] = 1
-        s = cfg.strategy
+        return resolve_with_best_tables(batch, self.d, self.u, self.c, self.cfg)
+
+
+def resolve_with_best_tables(batch: pd.DataFrame, d: pd.DataFrame, u: pd.DataFrame,
+                             c: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
+    """Resolve matches for a current-batch against pre-renamed best-row
+    lookup tables (d: digest -> url_m/ts_m/rid_m; u: (digest,url) ->
+    ts_e/rid_e; c: (digest,url_canonical) -> url_c/ts_c/rid_c).  Shared
+    by the broadcast matcher and the actor-index matcher."""
+    from types import SimpleNamespace
+
+    self = SimpleNamespace(d=d, u=u, c=c)  # keep the table aliases terse below
+    out = batch.rename(columns={"warc_ts": "ts"})
+    out["src"] = 1
+    s = cfg.strategy
+    if True:  # branch block kept at method indentation
         if s == SearchStrategy.URL_EXACT:
             m = out.merge(self.u, on=["digest", "url"], how="left")
             hit = m["ts_e"].notna()
