@@ -1,0 +1,232 @@
+"""Benchmark driver.
+
+    python bench.py              # one JSON line: headline seconds + per-query
+    python bench.py --scaling    # same pipeline at 8 and 32 CPUs in fresh
+                                 # processes; reports both + efficiency
+
+Input: $GRAFT_SF_DIR (default /root/testdata/sf0.1); parallelism:
+$RAY_GRAFT_CPUS (default 32).  The headline is the full dedup pipeline —
+captures derivation -> normalize-ish projection -> keep-latest index ->
+DIGEST_URL_PREFERRED match + report, plus MinHash/LSH/CC near-dup
+clustering — i.e. what a user of the reference would actually run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "8"))  # corpus expansion
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def bench_exact() -> dict:
+    """Captures corpus (documents x REPEAT) -> index build -> match ->
+    report aggregates."""
+    import pyarrow.compute as pc
+
+    from deduplicator_ray.config import PipelineConfig, SearchStrategy
+    from deduplicator_ray.sources.corpus import captures_dataset
+    from deduplicator_ray.stages.exact import build_index, match_shuffle, report_aggregates
+
+    t0 = time.time()
+    caps = captures_dataset(SF_DIR, repeat=REPEAT).materialize()
+    n_caps = caps.count()
+    t_gen = time.time() - t0
+
+    t0 = time.time()
+    hist = caps.filter(expr="crawl == 'history'")
+    cur = caps.filter(expr="crawl == 'current'").map_batches(
+        lambda b: b.append_column(
+            "content_bytes", pc.cast(pc.utf8_length(b["text"]), "int64")
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cfg = PipelineConfig(strategy=SearchStrategy.DIGEST_URL_PREFERRED)
+    index = build_index(hist, cfg)
+    matches = match_shuffle(cur, index, cfg, id_cols=("doc_id", "rep"))
+    agg = report_aggregates(matches)
+    t_match = time.time() - t0
+    return {
+        "sec": round(t_gen + t_match, 3),
+        "sec_generate": round(t_gen, 3),
+        "sec_match": round(t_match, 3),
+        "captures": n_caps,
+        "docs_per_sec": round(n_caps / max(1e-9, t_gen + t_match), 1),
+        "duplicates": agg["duplicates"],
+        "handled": agg["handled"],
+    }
+
+
+def bench_neardup() -> dict:
+    """documents x REPEAT tiles -> MinHash -> LSH -> verify -> CC."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from deduplicator_ray.config import MinHashConfig
+    from deduplicator_ray.pipelines.neardup import cluster_near_duplicates
+
+    t0 = time.time()
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+    def expand(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        pdf = b.to_pandas()
+        outs = []
+        for r in range(REPEAT):
+            d = pdf.copy()
+            d["doc_key"] = d["doc_id"] * REPEAT + r
+            if r:
+                d["text"] = d["text"] + f" tile marker {r}"
+            outs.append(d[["doc_key", "text"]])
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
+
+    corpus = docs.map_batches(expand, batch_format="pyarrow", batch_size=2048)
+    cfg = MinHashConfig(bands=32, rows_per_band=4)
+    edges, asg = cluster_near_duplicates(corpus, cfg)
+    n_edges = edges.count()
+    n_assigned = len(asg) if hasattr(asg, "__len__") else asg.count()
+    sec = time.time() - t0
+    n_docs = 0
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows * REPEAT
+    return {
+        "sec": round(sec, 3),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / max(1e-9, sec), 1),
+        "edges": n_edges,
+        "clustered_docs": n_assigned,
+    }
+
+
+def bench_text_analysis() -> dict:
+    """token counts + quality + langid + fingerprints over documents."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import (
+        fingerprints,
+        lang_id,
+        quality_metrics,
+        token_counts,
+    )
+
+    t0 = time.time()
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    ds = token_counts(ds)
+    ds = quality_metrics(ds)
+    ds = lang_id(ds)
+    ds = fingerprints(ds)
+    n = ds.count()
+    sec = time.time() - t0
+    return {"sec": round(sec, 3), "docs": n, "docs_per_sec": round(n / max(1e-9, sec), 1)}
+
+
+def bench_embed() -> dict:
+    """brute-force cosine top-10 for 8 query vectors."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import cosine_topk
+
+    t0 = time.time()
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    head = pq.read_table(f"{SF_DIR}/embeddings.parquet").slice(0, 8)
+    q = np.stack(head["embedding"].to_pylist())
+    out = cosine_topk(ds, q, k=10)
+    n = out.num_rows
+    sec = time.time() - t0
+    return {"sec": round(sec, 3), "results": n, "sec_per_query": round(sec / 8, 3)}
+
+
+def run_all() -> dict:
+    _init_ray()
+    # warm the page cache so we measure compute + shuffle, not cold reads
+    import pyarrow.parquet as pq
+
+    for t in ["documents", "embeddings"]:
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    queries = {}
+    queries["exact_match"] = bench_exact()
+    queries["neardup"] = bench_neardup()
+    queries["text_analysis"] = bench_text_analysis()
+    queries["embed_topk"] = bench_embed()
+    headline = round(sum(q["sec"] for q in queries.values()), 3)
+    return {
+        "metric": "end-to-end dedup pipeline seconds (exact+neardup+textstats+embed)",
+        "value": headline,
+        "unit": "sec",
+        "queries": {k: v["sec"] for k, v in queries.items()},
+        "detail": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "repeat": REPEAT,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    # efficiency: speedup achieved / speedup possible (1.0 = linear)
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (8 -> 32 cpus, same input)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_all()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

@@ -158,7 +158,9 @@ def captures_dataset(sf_dir: str, *, repeat: int = 1):
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
-    n_docs_hint = 10_000_000_000  # offset stride; keeps tiled doc_ids disjoint
+    # offset stride: keeps tiled doc_ids disjoint while ts_epoch
+    # (EPOCH0 + doc_id*100) stays inside datetime64[ns] range
+    n_docs_hint = 1_000_000
 
     def expand(batch: pa.Table) -> pa.Table:
         docs = batch.to_pandas()
