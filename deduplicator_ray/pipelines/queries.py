@@ -335,7 +335,9 @@ def q_events_window(sf_dir: str):
 
 def registry():
     """name -> (callable(sf_dir) -> Dataset, oracle_sql | None)."""
-    return {
+    from deduplicator_ray.pipelines.queries_ext import registry_ext
+
+    base = {
         "exact_match_digest_any": (
             lambda sf: _exact_match_query(sf, SearchStrategy.DIGEST_ANY),
             _sql_digest_any(),
@@ -376,3 +378,5 @@ def registry():
             "FROM events GROUP BY 1, 2",
         ),
     }
+    base.update(registry_ext())
+    return base

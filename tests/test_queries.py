@@ -1,0 +1,153 @@
+"""Driver-contract conformance for the training-data-pipeline queries
+(pipelines/queries_ext.py): oracle parity for the SQL-checked entries and
+semantic checks (dup-pair recall, pair symmetry) for the rows-only ones.
+"""
+
+from __future__ import annotations
+
+import collections
+import itertools
+
+import pandas as pd
+import pytest
+
+SQL_CHECKED = [
+    "dedup_exact_text",
+    "ngram_jaccard_pairs",
+    "embed_dup_pairs",
+    "embed_topk",
+    "token_stats",
+    "quality_stats",
+]
+
+TABLES = ["events", "documents", "embeddings"]
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == bool or str(df[c].dtype) == "boolean":
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_oracle_parity(ray_session, sf_dir, duck, name):
+    from deduplicator_ray.pipelines.queries_ext import registry_ext
+
+    fn, sql = registry_ext()[name]
+    got = _norm(_to_pandas(fn(sf_dir)))
+    want = _norm(duck.execute(sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestNearDupRecall:
+    """north_rule: dup-pair recall >= 0.99 vs the exact-Jaccard oracle at
+    the same shingle/signature config."""
+
+    def test_recall_vs_exact_jaccard(self, ray_session, sf_dir):
+        import pyarrow.parquet as pq
+
+        import ray.data as rd
+
+        from deduplicator_ray.config import MinHashConfig
+        from deduplicator_ray.pipelines.neardup import cluster_near_duplicates
+        import re
+
+        from deduplicator_ray.stages.minhash import shingle_hashes
+
+        token_re = re.compile(r"\w+", re.UNICODE)  # MinHasher.__init__'s tokenizer
+        cfg = MinHashConfig()
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ids = tbl["doc_id"].to_pylist()
+        texts = tbl["text"].to_pylist()
+
+        # exact-oracle ground truth on the SAME shingle definition
+        sets = [set(shingle_hashes(t, cfg.shingle_words, token_re).tolist()) for t in texts]
+        inv = collections.defaultdict(list)
+        for i, s in enumerate(sets):
+            for h in s:
+                inv[h].append(i)
+        co = collections.Counter()
+        for members in inv.values():
+            if 1 < len(members) <= 50:
+                for x, y in itertools.combinations(members, 2):
+                    co[(x, y)] += 1
+        truth = set()
+        for (i, j), inter in co.items():
+            union = len(sets[i]) + len(sets[j]) - inter
+            # margin above the LSH/estimator threshold: these pairs MUST
+            # be found for recall >= 0.99 at this config
+            if union and inter / union >= cfg.jaccard_threshold + 0.05:
+                truth.add((ids[i], ids[j]))
+        assert truth, "fixture should contain planted near-dup pairs"
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ds = ds.map_batches(
+            lambda b: b.rename_columns(["doc_key", "text"]), batch_format="pyarrow"
+        )
+        _edges, asg = cluster_near_duplicates(ds, cfg)
+        df = asg if isinstance(asg, pd.DataFrame) else asg.to_pandas()
+        cm = dict(zip(df["doc_key"], df["cluster_id"]))
+        found = sum(
+            1 for a, b in truth if cm.get(a) is not None and cm.get(a) == cm.get(b)
+        )
+        assert found / len(truth) >= 0.99
+
+
+class TestRowsOnly:
+    def test_simhash_pairs_sane(self, ray_session, sf_dir):
+        from deduplicator_ray.pipelines.queries_ext import q_simhash_dups
+
+        df = _to_pandas(q_simhash_dups(sf_dir))
+        assert set(["a", "b", "hamming"]) <= set(df.columns)
+        assert (df["a"] < df["b"]).all()
+        assert (df["hamming"] <= 3).all()
+
+    def test_self_similarity_rows(self, ray_session, sf_dir):
+        from deduplicator_ray.pipelines.queries_ext import q_self_similarity
+
+        df = _to_pandas(q_self_similarity(sf_dir))
+        assert len(df) == 500
+        assert (df["lrs_len"] >= 0).all()
+
+    def test_fingerprint_sketch(self, ray_session, sf_dir):
+        from deduplicator_ray.pipelines.queries_ext import q_fingerprint_sketch
+
+        df = _to_pandas(q_fingerprint_sketch(sf_dir))
+        assert len(df) == 500
+        assert (df["fp_count"] > 0).all()
+
+    def test_registry_names_unique_and_callable(self):
+        from deduplicator_ray.pipelines.queries import registry
+
+        reg = registry()
+        assert len(reg) >= 20
+        for name, (fn, sql) in reg.items():
+            assert callable(fn), name
+            assert sql is None or isinstance(sql, str), name
