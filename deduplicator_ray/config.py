@@ -59,6 +59,12 @@ class PipelineConfig:
     # --- execution ---
     batch_size: int = 4096
     salt_buckets: int = 16          # skew: sub-buckets for hub digests
+    # Hash-bucket count for the match/index shuffles. Keys are bucketed
+    # by hash(digest) % shuffle_buckets and each bucket is reduced by ONE
+    # vectorized pandas call (never per-key Python). Size it so a bucket
+    # (rows/buckets) fits a worker's heap; at cluster scale raise it to
+    # ~2-4x total cores.
+    shuffle_buckets: int = 64
     checkpoint_dir: str | None = None
 
     def config_hash(self) -> str:

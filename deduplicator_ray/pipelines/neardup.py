@@ -71,11 +71,16 @@ def cluster_near_duplicates(
     """
     cfg = cfg or MinHashConfig()
     ds = ensure_doc_key(corpus_ds, key_col=key_col)
-    # shed payload columns before anything wide: only key + text go on
-    sigs = signatures(ds.select_columns([key_col, text_col]), cfg, text_col=text_col)
-    bands = band_explode(sigs.select_columns([key_col, "minhash_sig"]), cfg, key_col=key_col)
+    # shed payload columns before anything wide: only key + text go on.
+    # Signatures are materialized ONCE (keys + num_perms*4 B/doc): they
+    # feed both the band explode and the verify join, and without pinning
+    # each consumer would recompute the shingling.
+    sigs = signatures(
+        ds.select_columns([key_col, text_col]), cfg, text_col=text_col
+    ).materialize()
+    bands = band_explode(sigs, cfg, key_col=key_col)
     pairs = candidate_pairs(bands, cfg, key_col=key_col)
-    edges = verified_edges(pairs, cfg)
+    edges = verified_edges(pairs, sigs, cfg, key_col=key_col).materialize()
     if distributed_cc:
         assignments = connected_components_distributed(edges)
     else:

@@ -47,16 +47,20 @@ def q_dedup_exact_text(sf_dir: str):
         digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in b["text"].to_pylist()]
         return pa.table({"doc_id": b["doc_id"], "digest": pa.array(digests, pa.string())})
 
-    ds = ds.map_batches(dig, batch_format="pyarrow", zero_copy_batch=True)
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    ds = hash_bucket(ds.map_batches(dig, batch_format="pyarrow", zero_copy_batch=True),
+                     "digest", 64)
 
     def mark(g):
-        canonical = int(g["doc_id"].min())
-        g = g.copy()
-        g["canonical_id"] = np.int64(canonical)
+        # one call per hash bucket; per-digest min via vectorized transform
+        g = g.drop(columns=["_part"]).copy()
+        canonical = g.groupby("digest")["doc_id"].transform("min").astype("int64")
+        g["canonical_id"] = canonical
         g["is_duplicate"] = g["doc_id"] != canonical
         return g[["doc_id", "digest", "canonical_id", "is_duplicate"]]
 
-    return ds.groupby("digest").map_groups(mark, batch_format="pandas")
+    return ds.groupby("_part").map_groups(mark, batch_format="pandas")
 
 
 _SQL_DEDUP_EXACT_TEXT = """

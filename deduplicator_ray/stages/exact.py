@@ -107,74 +107,89 @@ def _pick_best(hist: pd.DataFrame) -> pd.DataFrame:
     return hist.sort_values(["ts", "url", "record_id"], na_position="last", kind="mergesort")
 
 
-def _resolve_group(g: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
-    """One strategy-key group -> one output row per current row."""
-    cur = g[g["src"] == 1]
+def hash_bucket(ds, col: str, num_buckets: int, *, part_col: str = "_part"):
+    """Append a deterministic hash-bucket column for ``col``.
+
+    This is the engine's explicit partitioning primitive: a groupby on
+    ``part_col`` shuffles into exactly ``num_buckets`` groups, and the
+    reduce runs ONCE per bucket as a vectorized pandas call — never once
+    per key (per-key Python is the scalability cliff).  The hash is
+    pandas' siphash with a fixed key, stable across processes/nodes."""
+
+    def f(b: pa.Table) -> pa.Table:
+        s = b[col].to_pandas()
+        part = (pd.util.hash_pandas_object(s, index=False).to_numpy() % num_buckets).astype(
+            np.int32
+        )
+        return b.append_column(part_col, pa.array(part))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _best_tables(hist_sorted: pd.DataFrame):
+    """History (already ``_pick_best``-sorted) -> the three renamed
+    lookup tables ``resolve_with_best_tables`` consumes: per-digest,
+    per-(digest,url), per-(digest,url_canonical) best rows."""
+    d = hist_sorted.drop_duplicates("digest")[["digest", "url", "ts", "record_id"]].rename(
+        columns={"url": "url_m", "ts": "ts_m", "record_id": "rid_m"}
+    )
+    u = hist_sorted.drop_duplicates(["digest", "url"])[
+        ["digest", "url", "ts", "record_id"]
+    ].rename(columns={"ts": "ts_e", "record_id": "rid_e"})
+    c = hist_sorted.drop_duplicates(["digest", "url_canonical"])[
+        ["digest", "url_canonical", "url", "ts", "record_id"]
+    ].rename(columns={"url": "url_c", "ts": "ts_c", "record_id": "rid_c"})
+    return d, u, c
+
+
+def _resolve_partition(g: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
+    """One hash bucket (many strategy-key groups) -> one output row per
+    current row, fully vectorized (sort + drop_duplicates + merges)."""
+    g = g.drop(columns=["_part"])
+    cur = g[g["src"] == 1].reset_index(drop=True)
     if cur.empty:
         return _empty_out(g, cfg)
-    hist = _pick_best(g[g["src"] == 0])
+    hist = g[g["src"] == 0]
 
     if cfg.within_batch:
-        # intra-batch extension (§2.9): elect one original over hist ∪ cur;
-        # every other current row is a duplicate of it.
-        allr = pd.concat([hist, cur.sort_values(["ts", "url"], kind="mergesort")])
-        allr = allr.sort_values(["ts", "src", "url"], kind="mergesort")
-        orig = allr.iloc[0]
+        # intra-batch extension (§2.9): elect one original per key over
+        # hist ∪ cur; every other current row is a duplicate of it.
+        key = strategy_key(cfg.strategy)
+        allr = pd.concat([hist, cur], ignore_index=True).sort_values(
+            ["ts", "src", "url", "record_id"], na_position="last", kind="mergesort"
+        )
+        o = allr.drop_duplicates(key, keep="first")
+        orig = pd.DataFrame({k: o[k].values for k in key})
+        orig["o_ts"] = o["ts"].values
+        orig["o_src"] = o["src"].values
+        orig["o_url"] = o["url"].values
+        orig["o_rid"] = o["record_id"].values
+        m = cur.merge(orig, on=key, how="left")
+        is_orig = (
+            (m["ts"].values == m["o_ts"].values)
+            & (m["url"].values == m["o_url"].values)
+            & (m["o_src"].values == 1)
+        )
         out = cur.copy()
-        is_orig = (cur["ts"].values == orig["ts"]) & (cur["url"].values == orig["url"]) & (
-            orig["src"] == 1
-        )
         out["is_duplicate"] = ~is_orig
-        out["refers_to_url"] = np.where(is_orig, None, orig["url"])
+        out["refers_to_url"] = np.where(is_orig, None, m["o_url"].values)
         out["refers_to_date"] = pd.Series(
-            np.where(is_orig, np.datetime64("NaT"), orig["ts"]), index=cur.index
+            np.where(is_orig, np.datetime64("NaT"), m["o_ts"].values), index=out.index
         )
-        out["refers_to_record_id"] = np.where(is_orig, None, orig["record_id"])
+        out["refers_to_record_id"] = np.where(is_orig, None, m["o_rid"].values)
         return _finish(out, cfg)
 
-    out = cur.copy()
+    # snapshot semantics: strategy predicates via the same vectorized
+    # merge resolver the broadcast matcher uses, on bucket-local tables
     if hist.empty:
+        out = cur.copy()
         out["is_duplicate"] = False
         out["refers_to_url"] = None
         out["refers_to_date"] = pd.NaT
         out["refers_to_record_id"] = None
         return _finish(out, cfg)
-
-    if cfg.strategy == SearchStrategy.DIGEST_URL_PREFERRED:
-        # per-row preference: exact url > canonical url > any
-        first_any = hist.iloc[0]
-        by_url = hist.drop_duplicates("url").set_index("url")
-        by_can = hist.drop_duplicates("url_canonical").set_index("url_canonical")
-        m_url = out["url"].map(by_url["ts"]).notna()
-        m_can = out["url_canonical"].map(by_can["ts"]).notna() & cfg.include_canonical
-        ref_url = np.where(
-            m_url, out["url"], np.where(m_can, by_can["url"].reindex(out["url_canonical"]).values, first_any["url"])
-        )
-        ref_ts = np.where(
-            m_url,
-            by_url["ts"].reindex(out["url"]).values,
-            np.where(m_can, by_can["ts"].reindex(out["url_canonical"]).values, first_any["ts"]),
-        )
-        ref_rid = np.where(
-            m_url,
-            by_url["record_id"].reindex(out["url"]).values,
-            np.where(m_can, by_can["record_id"].reindex(out["url_canonical"]).values, first_any["record_id"]),
-        )
-        out["is_duplicate"] = True
-        out["refers_to_url"] = ref_url
-        out["refers_to_date"] = pd.Series(ref_ts, index=out.index)
-        out["refers_to_record_id"] = ref_rid
-    else:
-        # URL_EXACT / URL_CANONICAL: every history row in the group already
-        # satisfies the strategy predicate (the key encodes it);
-        # DIGEST_ANY: any hit is valid (manual.md:181-186). Deterministic
-        # choice: the earliest history row.
-        first_any = hist.iloc[0]
-        out["is_duplicate"] = True
-        out["refers_to_url"] = first_any["url"]
-        out["refers_to_date"] = first_any["ts"]
-        out["refers_to_record_id"] = first_any["record_id"]
-    return _finish(out, cfg)
+    d, u, c = _best_tables(_pick_best(hist))
+    return resolve_with_best_tables(cur, d, u, c, cfg)
 
 
 def _finish(out: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
@@ -211,21 +226,24 @@ def _empty_out(g: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
 
 
 def match_shuffle(current, history, cfg: PipelineConfig | None = None, *, id_cols: tuple[str, ...] = ()):
-    """Shuffle-mode matcher: union(history, current) -> groupby(strategy
-    key) -> vectorized per-group reduce. One output row per current row.
+    """Shuffle-mode matcher: union(history, current) -> hash-bucket on
+    digest -> one vectorized per-bucket reduce. One output row per
+    current row.
 
-    Partitioning: the shuffle key is the strategy key; hub digests form
-    large groups but the reduce is O(group) vectorized pandas, and the
+    Partitioning: every strategy key starts with ``digest``, so bucketing
+    on digest co-locates history and current for all four strategies; the
+    shuffle moves ``cfg.shuffle_buckets`` int-keyed groups (cheap sort),
+    and each bucket resolves ALL its keys with sort/drop_duplicates/merge
+    — no per-key Python.  Hub digests only grow a bucket linearly; the
     broadcast matcher exists for adversarial skew.
     """
     cfg = cfg or PipelineConfig()
     verify_strategy(history.schema(), cfg)
-    key = strategy_key(cfg.strategy)
     h = _conform(history, src=0, id_cols=id_cols, ts_col="date")
     c = _conform(current, src=1, id_cols=id_cols, ts_col="warc_ts")
-    both = h.union(c)
-    return both.groupby(key).map_groups(
-        lambda g: _resolve_group(g, cfg), batch_format="pandas"
+    both = hash_bucket(h.union(c), "digest", cfg.shuffle_buckets)
+    return both.groupby("_part").map_groups(
+        lambda g: _resolve_partition(g, cfg), batch_format="pandas"
     )
 
 
@@ -372,8 +390,11 @@ def build_index(ds, cfg: PipelineConfig | None = None):
         return b.drop_duplicates(key, keep="first")
 
     def final_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        # one call per hash bucket: winner per key via a single stable
+        # sort + drop_duplicates over the whole bucket
+        g = g.drop(columns=["_part"])
         g = g.sort_values(["warc_ts", "url"], ascending=[False, True], kind="mergesort")
-        return g.head(1)
+        return g.drop_duplicates(key, keep="first")
 
     def project(b: pd.DataFrame) -> pa.Table:
         n = len(b)
@@ -393,7 +414,8 @@ def build_index(ds, cfg: PipelineConfig | None = None):
         )
 
     ds = ds.map_batches(pre_reduce, batch_format="pandas", batch_size=cfg.batch_size)
-    ds = ds.groupby(key).map_groups(final_reduce, batch_format="pandas")
+    ds = hash_bucket(ds, "digest", cfg.shuffle_buckets)
+    ds = ds.groupby("_part").map_groups(final_reduce, batch_format="pandas")
     return ds.map_batches(project, batch_format="pandas", batch_size=cfg.batch_size)
 
 

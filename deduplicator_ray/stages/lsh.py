@@ -52,8 +52,12 @@ def _band_hash(band_rows: np.ndarray, band_idx: int) -> np.ndarray:
 
 
 def band_explode(sigs_ds, cfg: MinHashConfig | None = None, *, key_col: str = "doc_key"):
-    """(doc_key, minhash_sig) -> (band_bucket, doc_key, minhash_sig),
-    #bands rows per doc."""
+    """(doc_key, minhash_sig) -> (band_bucket, doc_key), #bands rows per
+    doc.  Signatures deliberately do NOT ride along: band rows and the
+    candidate pairs they produce are 16-byte rows, and signatures are
+    joined back only for the (deduplicated) verify step — at web scale
+    this is the difference between shuffling keys and shuffling the
+    entire signature corpus x bands."""
     cfg = cfg or MinHashConfig()
 
     def f(batch: pa.Table) -> pa.Table:
@@ -63,7 +67,6 @@ def band_explode(sigs_ds, cfg: MinHashConfig | None = None, *, key_col: str = "d
                 {
                     "band_bucket": pa.array([], type=pa.int64()),
                     key_col: pa.array([], type=pa.int64()),
-                    "minhash_sig": pa.array([], type=pa.binary()),
                 }
             )
         sig = _sig_matrix(batch["minhash_sig"], cfg.num_perms)
@@ -73,18 +76,35 @@ def band_explode(sigs_ds, cfg: MinHashConfig | None = None, *, key_col: str = "d
             buckets.append(_band_hash(band, bi))
         bucket_col = np.concatenate(buckets)
         keys = np.tile(np.asarray(batch[key_col]), cfg.bands)
-        sig_rep = pa.chunked_array([batch["minhash_sig"].combine_chunks()] * cfg.bands)
-        return pa.table({"band_bucket": bucket_col, key_col: keys, "minhash_sig": sig_rep})
+        return pa.table({"band_bucket": bucket_col, key_col: keys})
 
     return sigs_ds.map_batches(f, batch_format="pyarrow", batch_size=2048, zero_copy_batch=True)
 
 
 def _sig_matrix(col: pa.ChunkedArray | pa.Array, num_perms: int) -> np.ndarray:
-    """binary signature column -> (n, num_perms) uint32 matrix."""
+    """binary signature column -> (n, num_perms) uint32 matrix.
+
+    Zero-copy fast path: fixed-width, null-free binary arrays are
+    reinterpreted straight from the Arrow data buffer (no Python loop)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, num_perms), dtype=np.uint32)
+    width = num_perms * 4
+    if col.null_count == 0:
+        offsets = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset : col.offset + n + 1
+        ]
+        if offsets[-1] - offsets[0] == n * width:
+            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            return (
+                data[offsets[0] : offsets[0] + n * width]
+                .view("<u4")
+                .reshape(n, num_perms)
+            )
     blobs = col.to_pylist()
-    out = np.empty((len(blobs), num_perms), dtype=np.uint32)
+    out = np.empty((n, num_perms), dtype=np.uint32)
     for i, b in enumerate(blobs):
         out[i] = np.frombuffer(b, dtype="<u4")
     return out
@@ -95,139 +115,129 @@ def candidate_pairs(
     cfg: MinHashConfig | None = None,
     *,
     key_col: str = "doc_key",
-    num_partitions: int = 8,
+    num_partitions: int = 64,
 ):
-    """Band rows -> candidate pairs (a, b, sig_a, sig_b), a < b.
+    """Band rows (band_bucket, key) -> DISTINCT candidate pairs (a, b),
+    a < b — 16-byte rows end to end.
 
-    Small buckets: hash self-join on band_bucket. Mega buckets
-    (> cfg.max_band_group): star join around the bucket minimum.
-
-    ``bands_s`` (band rows restricted to non-singleton buckets) is
-    materialized deliberately: it is consumed by three downstream
-    branches (small / mega-min / mega-nonmin), and without pinning, each
-    branch would re-execute the stats join from scratch.  Its size is
-    bounded by collision rows only — docs that share a band bucket with
-    at least one other doc — a small fraction of the corpus for real
-    near-dup rates, not the full band table.
+    One hash-bucket shuffle on band_bucket co-locates every bucket's
+    rows; pair generation is then a single numpy pass per partition
+    (group boundaries -> repeat/offset index arithmetic), with mega
+    buckets (> cfg.max_band_group) degraded to a STAR around the bucket
+    minimum — O(n) edges that preserve connected-component connectivity
+    exactly while capping the O(n^2) hub-bucket blowup (empty pages,
+    boilerplate shells).  A second hash-bucket shuffle on (a, b) makes
+    the pairs globally distinct BEFORE any signature bytes are attached.
+    No per-key Python, no joins, no driver collection anywhere.
     """
     cfg = cfg or MinHashConfig()
-    from ray.data.aggregate import Count, Min
+    from deduplicator_ray.stages.exact import hash_bucket
 
     cap = cfg.max_band_group
-    stats = bands_ds.groupby("band_bucket").aggregate(
-        Count(alias_name="bucket_n"), Min(key_col, alias_name="bucket_min")
-    )
-    # prune singleton buckets before the join — they can't form pairs and
-    # are the overwhelming majority of buckets
-    stats = stats.map_batches(
-        lambda b: b.filter(pc.greater(b["bucket_n"], 1)), batch_format="pyarrow"
-    )
-    stats = stats.materialize()
-    if stats.count() == 0:
-        import ray.data as rd
+    bp = hash_bucket(bands_ds, "band_bucket", num_partitions)
 
-        return rd.from_arrow(_empty_pairs_table())
-    from deduplicator_ray.stages.joins import hash_join
+    def gen_pairs(g):
+        import pandas as pd
 
-    _BANDS_SCHEMA = {
-        "band_bucket": pa.int64(),
-        key_col: pa.int64(),
-        "minhash_sig": pa.binary(),
-        "bucket_n": pa.int64(),
-        "bucket_min": pa.int64(),
-    }
-    bands_s = hash_join(
-        bands_ds, stats, on=("band_bucket",), num_partitions=num_partitions,
-        out_schema=_BANDS_SCHEMA,
-    ).materialize()
-
-    def split_small(b: pa.Table) -> pa.Table:
-        return b.filter(pc.less_equal(b["bucket_n"], cap))
-
-    def split_mega_nonmin(b: pa.Table) -> pa.Table:
-        m = pc.and_(
-            pc.greater(b["bucket_n"], cap), pc.not_equal(b[key_col], b["bucket_min"])
-        )
-        return b.filter(m)
-
-    def split_mega_min(b: pa.Table) -> pa.Table:
-        m = pc.and_(
-            pc.greater(b["bucket_n"], cap), pc.equal(b[key_col], b["bucket_min"])
-        )
-        return b.filter(m).select(["band_bucket", key_col, "minhash_sig"])
-
-    small = bands_s.map_batches(split_small, batch_format="pyarrow", zero_copy_batch=True).materialize()
-    small_r = small.select_columns(["band_bucket", key_col, "minhash_sig"]).rename_columns(
-        {key_col: "b_key", "minhash_sig": "sig_b"}
-    )
-    pairs_small = hash_join(
-        small, small_r, on=("band_bucket",), num_partitions=num_partitions,
-        out_schema=dict(_BANDS_SCHEMA, b_key=pa.int64(), sig_b=pa.binary()),
-    )
-
-    def project_small(b: pa.Table) -> pa.Table:
-        ka = np.asarray(b[key_col], dtype=np.int64)
-        kb = np.asarray(b["b_key"], dtype=np.int64)
-        keep = ka < kb
-        t = b.filter(pa.array(keep))
-        return pa.table(
-            {
-                "a": t[key_col],
-                "b": t["b_key"],
-                "sig_a": t["minhash_sig"],
-                "sig_b": t["sig_b"],
-            }
+        if len(g) == 0:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        g = g.sort_values(["band_bucket", key_col], kind="mergesort")
+        bucket = g["band_bucket"].to_numpy()
+        keys = g[key_col].to_numpy(np.int64)
+        n = len(bucket)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = bucket[1:] != bucket[:-1]
+        gid = np.cumsum(new) - 1
+        start = np.flatnonzero(new)
+        counts = np.diff(np.append(start, n))
+        n_g = counts[gid]
+        pos = np.arange(n) - start[gid]
+        small = n_g <= cap
+        # small buckets: row at position p pairs with the n_g-1-p rows
+        # after it; mega buckets: only the first (minimum) row fans out
+        reps = np.where(small & (n_g > 1), n_g - 1 - pos, 0)
+        reps = np.where((~small) & (pos == 0), n_g - 1, reps)
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        a_idx = np.repeat(np.arange(n), reps)
+        cum = np.concatenate(([0], np.cumsum(reps)))
+        b_off = np.arange(total) - np.repeat(cum[:-1], reps) + 1
+        b_idx = a_idx + b_off
+        # keys ascend within a bucket, so a < b always holds
+        return pd.DataFrame({"a": keys[a_idx], "b": keys[b_idx]}).drop_duplicates(
+            ignore_index=True
         )
 
-    pairs_small = pairs_small.map_batches(project_small, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = bp.groupby("_part").map_groups(gen_pairs, batch_format="pandas")
 
-    mega_nonmin = bands_s.map_batches(
-        split_mega_nonmin, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    if mega_nonmin.count() == 0:
-        # no oversize buckets (the common case) — skip the star join, whose
-        # empty schema-less input Acero would reject anyway
-        return pairs_small
-    mega_min = bands_s.map_batches(split_mega_min, batch_format="pyarrow", zero_copy_batch=True)
-    mega_min_r = mega_min.rename_columns({key_col: "a_key", "minhash_sig": "sig_a0"})
-    pairs_mega = hash_join(
-        mega_nonmin, mega_min_r, on=("band_bucket",), num_partitions=num_partitions,
-        out_schema=dict(_BANDS_SCHEMA, a_key=pa.int64(), sig_a0=pa.binary()),
-    )
-
-    def project_mega(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "a": b["a_key"],
-                "b": b[key_col],
-                "sig_a": b["sig_a0"],
-                "sig_b": b["minhash_sig"],
-            }
+    # global distinct: same-pair rows from different bands hash together
+    def add_pair_part(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["a"], dtype=np.uint64)
+        bb = np.asarray(b["b"], dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = a * np.uint64(0x9E3779B97F4A7C15) + bb
+        return b.append_column(
+            "_part", pa.array((h % np.uint64(num_partitions)).astype(np.int32))
         )
 
-    pairs_mega = pairs_mega.map_batches(project_mega, batch_format="pyarrow", zero_copy_batch=True)
-    return pairs_small.union(pairs_mega)
+    pairs = pairs.map_batches(add_pair_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def dedupe(g):
+        return g.drop_duplicates(["a", "b"], ignore_index=True)[["a", "b"]]
+
+    return pairs.groupby("_part").map_groups(dedupe, batch_format="pandas")
 
 
 def _empty_pairs_table() -> pa.Table:
-    return pa.table(
-        {
-            "a": pa.array([], pa.int64()),
-            "b": pa.array([], pa.int64()),
-            "sig_a": pa.array([], pa.binary()),
-            "sig_b": pa.array([], pa.binary()),
-        }
+    return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+
+
+def attach_signatures(pairs_ds, sigs_ds, *, key_col: str = "doc_key",
+                      sig_col: str = "minhash_sig", num_partitions: int = 8):
+    """Distinct (a, b) pairs + signature table -> (a, b, sig_a, sig_b)
+    via two hash joins.  Signature bytes move once per unique pair side,
+    not once per band collision."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.joins import hash_join
+
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() == 0:
+        return rd.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "sig_a": pa.array([], pa.binary()), "sig_b": pa.array([], pa.binary())})
+        )
+    base = sigs_ds.select_columns([key_col, sig_col])
+
+    def _ren(nk: str, ns: str):
+        def g(t: pa.Table) -> pa.Table:
+            return pa.table({nk: t[key_col], ns: t[sig_col]})
+
+        return base.map_batches(g, batch_format="pyarrow", zero_copy_batch=True)
+
+    e = hash_join(
+        pairs_ds, _ren("a", "sig_a"), on=("a",), num_partitions=num_partitions,
+        out_schema={"a": pa.int64(), "b": pa.int64(), "sig_a": pa.binary()},
+    )
+    return hash_join(
+        e, _ren("b", "sig_b"), on=("b",), num_partitions=num_partitions,
+        out_schema={"a": pa.int64(), "b": pa.int64(), "sig_a": pa.binary(),
+                    "sig_b": pa.binary()},
     )
 
 
-def verified_edges(pairs_ds, cfg: MinHashConfig | None = None):
-    """Candidate pairs -> distinct verified edges (a, b, est_jaccard).
-
-    Verification runs FIRST (vectorized, stateless, drops sigs and failed
-    pairs), so only tiny (a, b, j) rows enter the distinct shuffle, which
-    is a native Max aggregation (no per-group Python)."""
+def verified_edges(pairs_ds, sigs_ds, cfg: MinHashConfig | None = None, *,
+                   key_col: str = "doc_key", num_partitions: int = 8):
+    """Distinct candidate pairs + signatures -> verified edges
+    (a, b, est_jaccard >= threshold), fully vectorized."""
     cfg = cfg or MinHashConfig()
-    from ray.data.aggregate import Max
+    withsigs = attach_signatures(
+        pairs_ds, sigs_ds, key_col=key_col, num_partitions=num_partitions
+    )
 
     def verify(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -244,8 +254,7 @@ def verified_edges(pairs_ds, cfg: MinHashConfig | None = None):
         t = b.filter(pa.array(keep))
         return pa.table({"a": t["a"], "b": t["b"], "est_jaccard": pa.array(j[keep])})
 
-    verified = pairs_ds.map_batches(verify, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
-    return verified.groupby(["a", "b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    return withsigs.map_batches(verify, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
 
 
 def exact_jaccard_edges(edges_ds, corpus_ds, cfg: MinHashConfig | None = None, *,

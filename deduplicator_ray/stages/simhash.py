@@ -109,10 +109,12 @@ def simhash_pairs(ds, *, key_col: str = "doc_key", max_hamming: int = 3,
 
     Banding guarantee: complete for max_hamming <= 3 (4 bands); larger
     radii may miss pairs that differ in all four chunks."""
-    from ray.data.aggregate import Min
+    from deduplicator_ray.stages.lsh import attach_signatures
 
-    bands = band_explode(ds.select_columns([key_col, "minhash_sig"]), SIMHASH_BAND_CFG, key_col=key_col)
+    sigs = ds.select_columns([key_col, "minhash_sig"]).materialize()
+    bands = band_explode(sigs, SIMHASH_BAND_CFG, key_col=key_col)
     pairs = candidate_pairs(bands, SIMHASH_BAND_CFG, key_col=key_col, num_partitions=num_partitions)
+    withsigs = attach_signatures(pairs, sigs, key_col=key_col, num_partitions=num_partitions)
 
     def verify(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -127,5 +129,4 @@ def simhash_pairs(ds, *, key_col: str = "doc_key", max_hamming: int = 3,
         t = b.filter(pa.array(keep))
         return pa.table({"a": t["a"], "b": t["b"], "hamming": pa.array(d[keep])})
 
-    verified = pairs.map_batches(verify, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
-    return verified.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return withsigs.map_batches(verify, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
