@@ -93,19 +93,31 @@ def bench_neardup() -> dict:
     docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
 
     def expand(b: pa.Table) -> pa.Table:
+        """Tile each doc REPEAT x with constant near-dup density: tiles
+        1-2 are near-dups of tile 0 (3-clique per doc); every other tile
+        mangles one word per 5-gram window, killing all shared shingles —
+        so corpus size scales linearly in REPEAT but edge count doesn't."""
         import pandas as pd
+
+        def mangle(t: str, r: int) -> str:
+            w = t.split()
+            for i in range(r % 5, len(w), 5):
+                w[i] = f"u{r}x{i}"
+            return " ".join(w)
 
         pdf = b.to_pandas()
         outs = []
         for r in range(REPEAT):
             d = pdf.copy()
             d["doc_key"] = d["doc_id"] * REPEAT + r
-            if r:
+            if r in (1, 2):
                 d["text"] = d["text"] + f" tile marker {r}"
+            elif r:
+                d["text"] = [mangle(t, r) for t in d["text"]]
             outs.append(d[["doc_key", "text"]])
         return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
 
-    corpus = docs.map_batches(expand, batch_format="pyarrow", batch_size=2048)
+    corpus = docs.map_batches(expand, batch_format="pyarrow", batch_size=128)
     cfg = MinHashConfig(bands=32, rows_per_band=4)
     edges, asg = cluster_near_duplicates(corpus, cfg)
     n_edges = edges.count()
@@ -194,6 +206,9 @@ def run_all() -> dict:
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling evidence needs a compute-bound job: quadruple the tiled
+        # corpus unless the caller pinned a repeat factor
+        env.setdefault("GRAFT_BENCH_REPEAT", "32")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

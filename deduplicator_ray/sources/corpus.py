@@ -178,7 +178,9 @@ def captures_dataset(sf_dir: str, *, repeat: int = 1):
             outs.append(pdf)
         return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
 
-    return ds.map_batches(expand, batch_format="pyarrow", batch_size=2048)
+    # small input batches -> enough expansion tasks to keep every core
+    # busy (each output block is batch_size x repeat x ~2.4 captures)
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=128)
 
 
 # ---------------------------------------------------------------------------

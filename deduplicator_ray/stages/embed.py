@@ -70,12 +70,15 @@ class _TopKScorer:
 
 def cosine_topk(ds, query_matrix: np.ndarray, k: int = 10, *,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                concurrency: int | tuple[int, int] = (2, 8)) -> pa.Table:
+                concurrency: int | tuple[int, int] | None = None) -> pa.Table:
     """Dataset with an embedding column -> Arrow table
     (query_id, vec_id, rank, cosine), rank 1..k per query, deterministic
     tie-break on vec_id."""
     import ray
 
+    from deduplicator_ray.util import auto_concurrency
+
+    concurrency = concurrency or auto_concurrency()
     q = _normalize(np.asarray(query_matrix, dtype=np.float64))
     q_ref = ray.put(q)
     partial = ds.map_batches(
@@ -119,7 +122,7 @@ class _DupScorer:
 
 def embedding_dup_pairs(ds, threshold: float = 0.95, *, id_col: str = "vec_id",
                         vec_col: str = "embedding", max_broadcast: int = 1_000_000,
-                        concurrency: int | tuple[int, int] = (2, 8)):
+                        concurrency: int | tuple[int, int] | None = None):
     """All pairs (a < b) with cosine >= threshold.
 
     Broadcast variant: the full normalized matrix is ray.put once
@@ -128,6 +131,9 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, *, id_col: str = "vec_id",
     with ``hyperplane_bucket`` and verify within buckets."""
     import ray
 
+    from deduplicator_ray.util import auto_concurrency
+
+    concurrency = concurrency or auto_concurrency()
     ref_tbl = ds.select_columns([id_col, vec_col]).to_pandas()
     if len(ref_tbl) > max_broadcast:
         raise ValueError(

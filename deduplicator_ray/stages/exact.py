@@ -339,11 +339,15 @@ def resolve_with_best_tables(batch: pd.DataFrame, d: pd.DataFrame, u: pd.DataFra
         return _finish(out, cfg)
 
 
-def match_broadcast(current, history, cfg: PipelineConfig | None = None, *, concurrency: int = 4):
+def match_broadcast(current, history, cfg: PipelineConfig | None = None, *,
+                    concurrency: int | tuple[int, int] | None = None):
     """Broadcast-mode matcher: no shuffle of the current stream at all."""
     import ray
 
+    from deduplicator_ray.util import auto_concurrency
+
     cfg = cfg or PipelineConfig()
+    concurrency = concurrency or auto_concurrency()
     verify_strategy(history.schema(), cfg)
     tables_ref = ray.put(_history_best_tables(history, cfg))
     return current.map_batches(
@@ -429,12 +433,33 @@ def report_aggregates(matches) -> dict:
     (DeDuplicator.report, :207-247): handled, duplicates, byte totals, and
     per-tier hits/bytes. Partial+final aggregation is Ray-native; only the
     tiny per-tier table reaches the driver."""
-    from ray.data.aggregate import Count, Sum
+    def partial(b: pa.Table) -> pa.Table:
+        # per-block combiner: <= #tiers rows leave each block, so the
+        # "shuffle" is a driver-side concat of tiny partials
+        df = pd.DataFrame(
+            {
+                "match_tier": b["match_tier"].to_pandas(),
+                "content_bytes": b["content_bytes"].to_pandas(),
+            }
+        )
+        g = (
+            df.groupby("match_tier", observed=True)["content_bytes"]
+            .agg(hits="count", bytes=lambda s: s.fillna(0).sum())
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "match_tier": pa.array(g["match_tier"], pa.string()),
+                "hits": pa.array(g["hits"].astype("int64")),
+                "bytes": pa.array(g["bytes"].astype("int64")),
+            }
+        )
 
     per_tier = (
-        matches.groupby("match_tier")
-        .aggregate(Count(alias_name="hits"), Sum("content_bytes", alias_name="bytes"))
+        matches.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()
+        .groupby("match_tier", as_index=False)
+        .agg(hits=("hits", "sum"), bytes=("bytes", "sum"))
     )
     if per_tier.empty:
         return {

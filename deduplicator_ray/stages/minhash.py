@@ -12,19 +12,17 @@ stateful stages on actor pools"):
   the batch are concatenated into one uint64 array; the 128 permutations
   are applied as one (P x S) modular-affine matrix; per-doc minima come
   from ``np.minimum.reduceat`` — no Python loop over permutations.
-- Shingle base hash = crc32 (deterministic across processes, C speed),
-  folded into the Mersenne prime 2^31-1 so the affine step fits uint64
-  without overflow.
+- Shingle base hash = vectorized siphash over the batch's concatenated
+  token array + a position-sensitive rolling combine, folded into the
+  Mersenne prime 2^31-1 so the affine step fits uint64 without overflow.
 
-Signatures are emitted as ``fixed_size_list<uint32, P>`` — zero-copy
-Arrow all the way to the LSH stage.
+Signatures are emitted as a binary column (4*P bytes/doc, little-endian
+uint32) built straight from buffers — zero-copy Arrow to the LSH stage.
 """
 
 from __future__ import annotations
 
 import re
-import zlib
-
 import numpy as np
 import pyarrow as pa
 
@@ -40,20 +38,46 @@ def _perm_tables(cfg: MinHashConfig) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def shingle_hashes(text: str, k: int, token_re: re.Pattern[str]) -> np.ndarray:
-    """Distinct crc32 hashes of the k-word shingles of ``text``."""
-    words = token_re.findall(text.lower())
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else []
-    else:
-        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    if not shingles:
+# positional mixing constants for the rolling k-word shingle combine
+_SHINGLE_COEF = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD,
+     0xC4CEB9FE1A85EC53, 0x2545F4914F6CDD1D], dtype=np.uint64,
+)
+
+
+def _word_hashes(words: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit word hashes (pandas siphash, fixed key —
+    deterministic across processes/nodes)."""
+    import pandas as pd
+
+    return pd.util.hash_array(words).astype(np.uint64)
+
+
+def _combine_shingles(wh: np.ndarray, k: int) -> np.ndarray:
+    """uint64 word hashes -> distinct k-shingle hashes in [0, P): a
+    position-sensitive multiply-xor combine, vectorized (k products over
+    the array, no Python per shingle)."""
+    n = len(wh)
+    if n == 0:
         return np.empty(0, dtype=np.uint64)
-    hs = np.fromiter(
-        (zlib.crc32(s.encode("utf-8")) for s in set(shingles)),
-        dtype=np.uint64,
-    )
-    return hs % _P
+    k = min(k, n)
+    with np.errstate(over="ignore"):
+        h = wh[: n - k + 1] * _SHINGLE_COEF[0]
+        for j in range(1, k):
+            h = h ^ (wh[j : n - k + 1 + j] * _SHINGLE_COEF[j % len(_SHINGLE_COEF)])
+    return np.unique(h % _P)
+
+
+def shingle_hashes(text: str, k: int, token_re: re.Pattern[str]) -> np.ndarray:
+    """Distinct 64-bit hashes of the k-word shingles of ``text``
+    (vectorized: C-regex tokenize, siphash word hashes, rolling combine).
+    Texts shorter than k words collapse to one all-words shingle."""
+    words = token_re.findall(text.lower())
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    wh = _word_hashes(np.asarray(words, dtype=object))
+    return _combine_shingles(wh, k)
 
 
 class MinHasher:
@@ -66,23 +90,57 @@ class MinHasher:
         self.text_col = text_col
 
     def signature_matrix(self, texts: list[str | None]) -> np.ndarray:
-        """(n_docs, num_perms) uint32 signature matrix."""
+        """(n_docs, num_perms) uint32 signature matrix.
+
+        Whole-batch vectorization: every doc's words are hashed in ONE
+        ``pd.util.hash_array`` call over the concatenated token array;
+        only the (cheap) k-term rolling combine runs per doc."""
         cfg = self.cfg
-        per_doc = [
-            shingle_hashes(t or "", cfg.shingle_words, self.token_re) for t in texts
-        ]
+        words_per_doc = [self.token_re.findall((t or "").lower()) for t in texts]
+        lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
+                           count=len(words_per_doc))
+        if lens.sum() == 0:
+            per_doc = [np.empty(0, dtype=np.uint64) for _ in texts]
+        else:
+            flat = np.empty(int(lens.sum()), dtype=object)
+            pos = 0
+            for w in words_per_doc:
+                flat[pos : pos + len(w)] = w
+                pos += len(w)
+            all_wh = _word_hashes(flat)
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            per_doc = [
+                _combine_shingles(all_wh[bounds[i] : bounds[i + 1]], cfg.shingle_words)
+                for i in range(len(texts))
+            ]
         counts = np.array([len(h) for h in per_doc], dtype=np.int64)
         n = len(per_doc)
         sigs = np.full((n, cfg.num_perms), int(_P), dtype=np.uint64)
-        nonempty = counts > 0
-        if nonempty.any():
-            all_h = np.concatenate([h for h in per_doc if len(h)]) if nonempty.any() else None
-            # (P x S) affine permutations in one shot; a*h+b < 2^62 fits uint64
-            A = (self.a[:, None] * all_h[None, :] + self.b[:, None]) % _P
-            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-            np.cumsum(counts[nonempty][:-1], out=offsets[1:])
-            mins = np.minimum.reduceat(A, offsets, axis=1)  # (P, n_nonempty)
-            sigs[nonempty] = mins.T
+        nonempty_idx = np.flatnonzero(counts > 0)
+        if len(nonempty_idx):
+            all_h = np.concatenate([per_doc[i] for i in nonempty_idx])
+            ne_counts = counts[nonempty_idx]
+            bounds2 = np.concatenate(([0], np.cumsum(ne_counts)))
+            # (P x S) affine permutations, evaluated in doc-aligned chunks
+            # so the temp matrix stays ~32 MB (one giant a*h+b%P temp set
+            # costs more in page faults than the arithmetic itself)
+            max_elems = 4_000_000
+            chunk_s = max(1, max_elems // cfg.num_perms)
+            doc_lo = 0
+            while doc_lo < len(nonempty_idx):
+                doc_hi = doc_lo
+                while (
+                    doc_hi < len(nonempty_idx)
+                    and bounds2[doc_hi + 1] - bounds2[doc_lo] <= chunk_s
+                ):
+                    doc_hi += 1
+                doc_hi = max(doc_hi, doc_lo + 1)  # a huge doc still goes alone
+                sub = all_h[bounds2[doc_lo] : bounds2[doc_hi]]
+                A = (self.a[:, None] * sub[None, :] + self.b[:, None]) % _P
+                offs = (bounds2[doc_lo:doc_hi] - bounds2[doc_lo]).astype(np.int64)
+                mins = np.minimum.reduceat(A, offs, axis=1)  # (P, docs_in_chunk)
+                sigs[nonempty_idx[doc_lo:doc_hi]] = mins.T
+                doc_lo = doc_hi
         return sigs.astype(np.uint32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -93,14 +151,22 @@ class MinHasher:
         # but not fixed_size_list ones
         blob = sigs.astype("<u4").tobytes()
         w = 4 * self.cfg.num_perms
-        sig_arr = pa.array([blob[i * w : (i + 1) * w] for i in range(len(texts))], type=pa.binary())
+        n = len(texts)
+        # build the binary array straight from buffers (no per-doc slices)
+        offsets = np.arange(n + 1, dtype=np.int32) * w
+        sig_arr = pa.BinaryArray.from_buffers(
+            pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)]
+        )
         return batch.append_column("minhash_sig", sig_arr)
 
 
 def signatures(ds, cfg: MinHashConfig | None = None, *, text_col: str = "text",
-               concurrency: int | tuple[int, int] = (2, 8), batch_size: int = 1024):
+               concurrency: int | tuple[int, int] | None = None, batch_size: int = 1024):
     """corpus Dataset -> Dataset with ``minhash_sig`` column (actor pool)."""
+    from deduplicator_ray.util import auto_concurrency
+
     cfg = cfg or MinHashConfig()
+    concurrency = concurrency or auto_concurrency()
     return ds.map_batches(
         MinHasher,
         fn_constructor_args=(cfg, text_col),

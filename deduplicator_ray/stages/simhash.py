@@ -14,8 +14,6 @@ Verification computes the exact Hamming distance (vectorized popcount).
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 
@@ -29,31 +27,50 @@ SIMHASH_BAND_CFG = MinHashConfig(
 
 
 def _token_hashes64(text: str) -> np.ndarray:
-    """64-bit per-token hashes: two salted crc32 halves (deterministic
-    across processes, C speed)."""
+    """Vectorized 64-bit per-token hashes (pandas siphash, fixed key)."""
+    import pandas as pd
+
     toks = text.lower().split()
     if not toks:
         return np.empty(0, dtype=np.uint64)
-    hi = np.fromiter((zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks))
-    lo = np.fromiter(
-        (zlib.crc32(t.encode(), 0x9E3779B9) for t in toks), dtype=np.uint64, count=len(toks)
+    return pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
+
+
+def _batch_simhash(texts: list[str | None]) -> np.ndarray:
+    """Whole-batch SimHash: one token-hash pass over the concatenated
+    token array, per-doc bit votes via ``np.add.reduceat``."""
+    import pandas as pd
+
+    toks_per = [(t or "").lower().split() for t in texts]
+    lens = np.fromiter((len(w) for w in toks_per), dtype=np.int64, count=len(toks_per))
+    sigs = np.zeros(len(texts), dtype=np.uint64)
+    total = int(lens.sum())
+    if total == 0:
+        return sigs
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for w in toks_per:
+        flat[pos : pos + len(w)] = w
+        pos += len(w)
+    h = pd.util.hash_array(flat).astype(np.uint64)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )  # (T, 64)
+    nonempty = np.flatnonzero(lens > 0)
+    offsets = np.concatenate(([0], np.cumsum(lens[nonempty][:-1])))
+    ones = np.add.reduceat(bits, offsets, axis=0)  # (n_nonempty, 64)
+    votes = 2 * ones - lens[nonempty][:, None]
+    pos_bits = (votes > 0).astype(np.uint64)  # (n_nonempty, 64)
+    packed = (pos_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
     )
-    return (hi << np.uint64(32)) | lo
+    sigs[nonempty] = packed
+    return sigs
 
 
 def simhash64(text: str | None) -> int:
     """64-bit SimHash of a text (0 for empty)."""
-    h = _token_hashes64(text or "")
-    if len(h) == 0:
-        return 0
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-        np.int64
-    )
-    votes = (2 * bits - 1).sum(axis=0)
-    sig = np.uint64(0)
-    for i in np.nonzero(votes > 0)[0]:
-        sig |= np.uint64(1) << np.uint64(i)
-    return int(sig)
+    return int(_batch_simhash([text])[0])
 
 
 class SimHasher:
@@ -65,7 +82,7 @@ class SimHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        sigs = np.fromiter((simhash64(t) for t in texts), dtype=np.uint64, count=len(texts))
+        sigs = _batch_simhash(texts)
         # 4 x 16-bit chunks widened to uint32, little-endian — the layout
         # lsh._sig_matrix / band_explode expect
         chunks = np.empty((len(texts), 4), dtype=np.uint32)
@@ -80,7 +97,10 @@ class SimHasher:
 
 
 def simhash_signatures(ds, *, text_col: str = "text",
-                       concurrency: int | tuple[int, int] = (2, 8), batch_size: int = 1024):
+                       concurrency: int | tuple[int, int] | None = None, batch_size: int = 1024):
+    from deduplicator_ray.util import auto_concurrency
+
+    concurrency = concurrency or auto_concurrency()
     return ds.map_batches(
         SimHasher,
         fn_constructor_args=(text_col,),

@@ -9,8 +9,6 @@ profiles and compiled regexes live in an actor (built once per worker).
 from __future__ import annotations
 
 import re
-import zlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -53,33 +51,35 @@ def token_counts(ds, *, text_col: str = "text"):
 def quality_metrics(ds, *, text_col: str = "text"):
     """Adds integer quality counters (SQL-mirrorable): n_chars, n_punct,
     n_digits, n_upper, n_spaces — plus a float ``quality_score`` in [0,1]
-    combining length, punctuation balance and word-length sanity."""
+    combining length, punctuation balance and word-length sanity.
+
+    Fully vectorized: counters are RE2 kernels
+    (``pc.count_substring_regex``); mean word length is derived as
+    (non-whitespace chars) / (whitespace-token count) — identical to the
+    mean over ``str.split()`` word lengths, without touching Python."""
 
     def f(b: pa.Table) -> pa.Table:
-        t = b[text_col]
-        n_chars = pc.cast(pc.utf8_length(t), pa.int64())
-        texts = t.to_pylist()
-        n = len(texts)
-        punct = np.zeros(n, dtype=np.int64)
-        digits = np.zeros(n, dtype=np.int64)
-        upper = np.zeros(n, dtype=np.int64)
-        spaces = np.zeros(n, dtype=np.int64)
-        score = np.zeros(n, dtype=np.float64)
-        for i, s in enumerate(texts):
-            if not s:
-                continue
-            punct[i] = sum(not c.isalnum() and not c.isspace() for c in s)
-            digits[i] = sum(c.isdigit() for c in s)
-            upper[i] = sum(c.isupper() for c in s)
-            spaces[i] = s.count(" ")
-            words = s.split()
-            mwl = float(np.mean([len(w) for w in words])) if words else 0.0
-            ln = len(s)
-            len_ok = min(1.0, ln / 200.0) * (1.0 if ln < 20000 else 0.5)
-            punct_ok = 1.0 - min(1.0, (punct[i] / max(1, ln)) * 4.0)
-            word_ok = 1.0 if 2.0 <= mwl <= 12.0 else 0.3
-            score[i] = round(len_ok * 0.4 + punct_ok * 0.3 + word_ok * 0.3, 6)
-        out = b.append_column("n_chars_q", n_chars)
+        t = pc.fill_null(b[text_col], "")
+
+        def cnt(pat: str) -> np.ndarray:
+            return pc.count_substring_regex(t, pat).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        n_chars = pc.utf8_length(t).to_numpy(zero_copy_only=False).astype(np.int64)
+        punct = cnt(r"[^\pL\pN\s]")
+        digits = cnt(r"\pN")
+        upper = cnt(r"\p{Lu}")
+        spaces = cnt(" ")
+        n_words = cnt(r"\S+")
+        n_ws = cnt(r"\s")
+        nonspace = n_chars - n_ws
+        mwl = np.where(n_words > 0, nonspace / np.maximum(1, n_words), 0.0)
+        len_ok = np.minimum(1.0, n_chars / 200.0) * np.where(n_chars < 20000, 1.0, 0.5)
+        punct_ok = 1.0 - np.minimum(1.0, (punct / np.maximum(1, n_chars)) * 4.0)
+        word_ok = np.where((mwl >= 2.0) & (mwl <= 12.0), 1.0, 0.3)
+        score = np.round(len_ok * 0.4 + punct_ok * 0.3 + word_ok * 0.3, 6)
+        empty = n_chars == 0
+        score = np.where(empty, 0.0, score)
+        out = b.append_column("n_chars_q", pa.array(n_chars))
         for name, arr in [
             ("n_punct", punct),
             ("n_digits", digits),
@@ -89,7 +89,7 @@ def quality_metrics(ds, *, text_col: str = "text"):
             out = out.append_column(name, pa.array(arr))
         return out.append_column("quality_score", pa.array(score))
 
-    return ds.map_batches(f, batch_format="pyarrow", batch_size=2048, zero_copy_batch=True)
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -138,7 +138,10 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
 
 
-def lang_id(ds, *, text_col: str = "text", concurrency: int | tuple[int, int] = (2, 8)):
+def lang_id(ds, *, text_col: str = "text", concurrency: int | tuple[int, int] | None = None):
+    from deduplicator_ray.util import auto_concurrency
+
+    concurrency = concurrency or auto_concurrency()
     return ds.map_batches(
         LangId,
         fn_constructor_args=(text_col,),
@@ -154,16 +157,25 @@ def lang_id(ds, *, text_col: str = "text", concurrency: int | tuple[int, int] = 
 # ---------------------------------------------------------------------------
 
 
+_WINNOW_BASE = np.uint64(0x100000001B3)  # FNV64 prime as the poly base
+_WINNOW_MASK = np.uint64((1 << 62) - 1)  # keep int64-positive
+
+
 def winnow_fingerprints(text: str, *, k: int = 8, window: int = 16) -> np.ndarray:
-    """Winnowing (Schleimer et al., SIGMOD'03): rolling k-gram crc32
-    hashes, minimum per sliding window, deduplicated. Deterministic."""
-    s = text or ""
+    """Winnowing (Schleimer et al., SIGMOD'03): rolling k-gram polynomial
+    hashes over the UTF-8 bytes, minimum per sliding window,
+    deduplicated.  Fully vectorized (k shift-multiply passes over one
+    byte array — no Python per gram). Deterministic across processes."""
+    s = (text or "").encode("utf-8")
     if len(s) < k:
         return np.empty(0, dtype=np.int64)
-    grams = np.fromiter(
-        (zlib.crc32(s[i : i + k].encode("utf-8")) for i in range(len(s) - k + 1)),
-        dtype=np.int64,
-    )
+    b = np.frombuffer(s, dtype=np.uint8).astype(np.uint64)
+    n = len(b) - k + 1
+    with np.errstate(over="ignore"):
+        grams = b[:n] + np.uint64(1)
+        for j in range(1, k):
+            grams = grams * _WINNOW_BASE + b[j : n + j]
+    grams = (grams & _WINNOW_MASK).astype(np.int64)
     if len(grams) <= window:
         return np.unique(grams[[int(np.argmin(grams))]])
     from numpy.lib.stride_tricks import sliding_window_view
