@@ -172,6 +172,10 @@ def captures_dataset(sf_dir: str, *, repeat: int = 1):
                 # perturb replicated text so tiles aren't global duplicates
                 d["text"] = d["text"] + f" tile{r}"
             pdf = _captures_pdf(d)
+            if r:
+                # undo the doc_id-stride leak into ts (keeps warc_ts inside
+                # datetime64[ns] at any repeat); tiles get a +r s offset
+                pdf["ts_epoch"] = pdf["ts_epoch"] - r * n_docs_hint * 100 + r
             pdf["digest"] = md5_hex_many(pdf["text"].tolist())
             pdf["url_canonical"] = canonicalize_many(pdf["url"].tolist())
             pdf["warc_ts"] = pd.to_datetime(pdf["ts_epoch"], unit="s")

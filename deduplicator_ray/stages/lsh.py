@@ -1,31 +1,35 @@
 """LSH band hashing -> candidate pairs -> signature-verified edges
 (north-star extension; SURVEY.md §7.2 step 5).
 
-Pipeline shape (ALL stages vectorized — no per-group Python):
+Pipeline shape (ALL stages vectorized — no per-key Python):
 
-    sigs (doc_key, minhash_sig)
-      -> band_explode:    one row per (band, doc) with a 64-bit band
-                          bucket hash (stateless map_batches)
-      -> bucket stats:    native Count/Min aggregation per bucket
-      -> self hash-join on band_bucket (small buckets)   \\  candidate
-         star join around min(doc_key) (mega buckets)    /   pairs
-      -> verify:          estimated Jaccard from the two signatures,
-                          vectorized per batch, drops sigs
-      -> distinct:        native Max aggregation on (a, b)
+    sigs (doc_key, minhash_sig)                       [materialized once]
+      -> band_explode:     one 16-byte (band_bucket, doc_key) row per
+                           band x doc (stateless map_batches)
+      -> candidate_pairs:  hash-bucket shuffle on band_bucket, then ONE
+                           numpy pass per partition generates all-pairs
+                           for small buckets / star edges for mega
+                           buckets; second hash-bucket shuffle on (a, b)
+                           makes pairs globally distinct
+      -> attach_signatures: two hash joins bring sig_a/sig_b to the
+                           (deduplicated) pairs only
+      -> verified_edges:   estimated Jaccard from the signature pair,
+                           vectorized, >= threshold kept
 
 Skew / scale notes (explicit per north_rule):
 - the band index is folded into the bucket hash, so the shuffle key space
   is bands x buckets — a natural salt;
 - a bucket larger than ``cfg.max_band_group`` (hub pages: empty docs,
-  boilerplate shells) would emit O(n^2) pairs from the self-join; such
-  buckets instead degrade to a STAR around the bucket's smallest doc_key
-  — O(n) pairs that preserve connected-component connectivity exactly,
-  at the cost of pair-level completeness inside that bucket (docs in one
-  bucket already share a full band, i.e. are near-identical w.h.p.);
-- signatures ride along the band rows (num_perms * 4 B each). That
-  multiplies signature bytes by #bands but keeps the pipeline a pure
-  stream (no extra join against a signature table); payload columns
-  (html/text) must NOT be carried into this stage (SURVEY.md §7.4).
+  boilerplate shells) would emit O(n^2) pairs; such buckets instead
+  degrade to a STAR around the bucket's smallest doc_key — O(n) pairs
+  that preserve connected-component connectivity exactly, at the cost of
+  pair-level completeness inside that bucket (docs in one bucket already
+  share a full band, i.e. are near-identical w.h.p.);
+- signature bytes NEVER enter the band/pair shuffles: band rows and
+  pairs are 16-byte rows, and signatures (num_perms * 4 B each) are
+  joined to unique pairs only — at web scale this is the difference
+  between shuffling keys and shuffling the signature corpus x bands;
+  payload columns (html/text) must NOT enter this stage (SURVEY.md §7.4).
 """
 
 from __future__ import annotations
@@ -197,10 +201,20 @@ def _empty_pairs_table() -> pa.Table:
 
 
 def attach_signatures(pairs_ds, sigs_ds, *, key_col: str = "doc_key",
-                      sig_col: str = "minhash_sig", num_partitions: int = 8):
-    """Distinct (a, b) pairs + signature table -> (a, b, sig_a, sig_b)
-    via two hash joins.  Signature bytes move once per unique pair side,
-    not once per band collision."""
+                      sig_col: str = "minhash_sig", num_partitions: int = 8,
+                      max_broadcast_keys: int = 20_000_000):
+    """Distinct (a, b) pairs + signature table -> (a, b, sig_a, sig_b).
+
+    Fast path (pair-key set fits a broadcast): ``ray.put`` the distinct
+    pair keys once, SEMI-JOIN-filter the signature stream down to only
+    the keys that appear in some pair (near-dup pairs are a tiny
+    fraction of the corpus), then hash-join small-with-small.  The full
+    signature corpus never enters a shuffle.
+
+    Beyond ``max_broadcast_keys`` (~160 MB of int64s) the semi-join
+    filter is skipped and the signatures flow through the hash join
+    directly — correct at any scale, just heavier."""
+    import ray
     import ray.data as rd
 
     from deduplicator_ray.stages.joins import hash_join
@@ -212,6 +226,24 @@ def attach_signatures(pairs_ds, sigs_ds, *, key_col: str = "doc_key",
                       "sig_a": pa.array([], pa.binary()), "sig_b": pa.array([], pa.binary())})
         )
     base = sigs_ds.select_columns([key_col, sig_col])
+
+    n_pairs = pairs_ds.count()
+    if 2 * n_pairs <= max_broadcast_keys:
+        keys_pdf = pairs_ds.to_pandas()
+        needed = np.unique(
+            np.concatenate([keys_pdf["a"].to_numpy(np.int64), keys_pdf["b"].to_numpy(np.int64)])
+        )
+        needed_ref = ray.put(needed)
+
+        def semi(t: pa.Table) -> pa.Table:
+            nd = ray.get(needed_ref)
+            k = np.asarray(t[key_col], dtype=np.int64)
+            # needed is sorted: membership via searchsorted
+            idx = np.searchsorted(nd, k)
+            idx[idx == len(nd)] = 0
+            return t.filter(pa.array(nd[idx] == k))
+
+        base = base.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
 
     def _ren(nk: str, ns: str):
         def g(t: pa.Table) -> pa.Table:

@@ -124,7 +124,7 @@ class MinHasher:
             # (P x S) affine permutations, evaluated in doc-aligned chunks
             # so the temp matrix stays ~32 MB (one giant a*h+b%P temp set
             # costs more in page faults than the arithmetic itself)
-            max_elems = 4_000_000
+            max_elems = 1_000_000
             chunk_s = max(1, max_elems // cfg.num_perms)
             doc_lo = 0
             while doc_lo < len(nonempty_idx):

@@ -3,17 +3,34 @@
 from __future__ import annotations
 
 
-def auto_concurrency(cap: int = 64, floor: int = 1) -> tuple[int, int]:
-    """Actor-pool sizing that follows the cluster: (floor, min(cap, CPUs)).
+def auto_concurrency(cap: int = 64, floor: int | None = None) -> tuple[int, int]:
+    """Actor-pool sizing that follows the cluster.
 
     Stages that default to a fixed pool (e.g. (2, 8)) silently serialize
     on bigger machines — the single biggest scaling-efficiency leak on a
     32-core node is a CPU-bound pool capped at 8 actors.  ``cap`` bounds
-    actor count for stages whose per-actor state is heavy."""
+    actor count for stages whose per-actor state is heavy.
+
+    The floor stays at 1: a pipeline can hold several actor-pool stages
+    at once, and a fixed-size pool (floor == max) can deadlock the
+    streaming executor when the pools' minimum CPU demand exceeds the
+    cluster (observed with two pools on a 4-CPU test cluster)."""
     try:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:  # pragma: no cover - defensive
         cpus = 8
-    return (floor, max(2, min(cap, cpus)))
+    hi = max(2, min(cap, cpus))
+    return (floor if floor is not None else 1, hi)
+
+
+def auto_partitions(minimum: int = 8) -> int:
+    """Hash-join/shuffle partition count that follows the cluster."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover - defensive
+        cpus = 8
+    return max(minimum, cpus)
