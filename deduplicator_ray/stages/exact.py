@@ -5,10 +5,14 @@ The reference's Lucene left-lookup-join (LuceneIndexSearcher.java:214-310)
 becomes, in Ray Data, either:
 
 - **shuffle mode** (default, both sides large): tag history and current
-  rows, union them, ``groupby(strategy key)``, and run one vectorized
-  per-group reduce that elects the match for every current row.  This is
-  the architecture the north_rule prescribes ("digest-match and
-  url+digest-match strategies as groupby-aggregate shuffles").
+  rows, union them, hash-bucket on ``digest`` (every strategy key starts
+  with it), and run ONE vectorized reduce per bucket — sort +
+  drop_duplicates builds the per-key best-history tables, pandas merges
+  elect the match for every current row.  Never per-key Python: the
+  bucket count is fixed (``cfg.shuffle_buckets``), so reduce overhead is
+  O(buckets), not O(distinct digests).  This is the architecture the
+  north_rule prescribes ("digest-match and url+digest-match strategies
+  as groupby-aggregate shuffles").
 
 - **broadcast mode** (history ≪ current): pre-reduce history to its
   per-key best rows, ``ray.put`` that table once, and resolve matches
