@@ -37,7 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="build the index from the corpus instead of matching against --history")
     p.add_argument("--out", required=True, help="output/checkpoint root")
     p.add_argument("--strategy", default="DIGEST_ANY", choices=[s.value for s in SearchStrategy])
-    p.add_argument("--digest-mode", default="sha1_html", choices=["sha1_html", "md5_text"])
+    p.add_argument("--digest-mode", default="auto",
+                   choices=["auto", "sha1_html", "md5_text"],
+                   help="auto: sha1 over html bytes when the corpus has an "
+                        "html column, else md5 over text")
     p.add_argument("--within-batch", action="store_true")
     p.add_argument("--near-dup", action="store_true", help="run MinHash/LSH clustering")
     p.add_argument("--bands", type=int, default=32)
@@ -70,6 +73,11 @@ def run(args) -> dict:
             jaccard_threshold=args.jaccard,
         ),
     )
+    if args.digest_mode == "auto":
+        import pyarrow.dataset as pads
+
+        names = pads.dataset(args.corpus).schema.names
+        args.digest_mode = "sha1_html" if "html" in names else "md5_text"
     chash = cfg.config_hash() + ":" + args.digest_mode
     fp_corpus = input_fingerprint(args.corpus)
     out = args.out

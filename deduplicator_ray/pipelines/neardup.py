@@ -37,6 +37,14 @@ def ensure_doc_key(ds, *, key_col: str = "doc_key"):
     def f(b: pa.Table) -> pa.Table:
         if key_col in b.column_names:
             return b
+        if "url" not in b.column_names:
+            # documents-style table: a unique int id column IS the key
+            for alt in ("doc_id", "id"):
+                if alt in b.column_names:
+                    return b.append_column(key_col, b[alt].cast(pa.int64()))
+            raise ValueError(
+                f"cannot derive {key_col}: need url+warc_ts or a doc_id/id column"
+            )
         urls = b["url"].to_pylist()
         ts = b["warc_ts"].cast(pa.int64()).to_pylist()
         keys = np.fromiter(

@@ -77,7 +77,7 @@ def _normalize_batch(batch: pa.Table, cfg: PipelineConfig, digest_mode: str) -> 
             raise ValueError(f"unknown digest_mode {digest_mode!r}")
         batch = batch.append_column("digest", pa.array(digests, type=pa.string()))
 
-    if "url_canonical" not in cols and cfg.include_canonical:
+    if "url_canonical" not in cols and cfg.include_canonical and "url" in cols:
         canon = canonicalize_many(batch["url"].to_pylist())
         batch = batch.append_column("url_canonical", pa.array(canon, type=pa.string()))
 
