@@ -384,6 +384,190 @@ def q_lang_id_pred(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# W1: gap-based sessionization (streaming window Ray Data lacks natively)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800
+
+
+def q_events_sessions(sf_dir: str):
+    """Per-user gap sessionization over the events stream: a new session
+    starts when the gap to the previous event exceeds 30 min.
+
+    Partitioning assumption (stated per the custom-operator contract):
+    all events of one user land in one hash bucket, so session boundaries
+    are computed from a complete per-user timeline; within a bucket the
+    whole computation is one vectorized pandas pass (sort + diff +
+    cumsum), never per-user Python."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+
+    def to_epoch(b: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(b["ts"].cast(pa.timestamp("us")), pa.int64()), 1_000_000)
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"], "tse": epoch})
+
+    ds = hash_bucket(ds.map_batches(to_epoch, batch_format="pyarrow", zero_copy_batch=True),
+                     "user_id", 32)
+
+    def sessionize(g):
+        import pandas as pd
+
+        g = g.drop(columns=["_part"]).sort_values(
+            ["user_id", "tse", "event_id"], kind="mergesort", ignore_index=True
+        )
+        uid = g["user_id"].to_numpy()
+        tse = g["tse"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = _SESSION_GAP_S + 1
+        gap[1:] = tse[1:] - tse[:-1]
+        brk = (new_user | (gap > _SESSION_GAP_S)).astype(np.int64)
+        # per-user session index: cumulative breaks minus the user's base
+        cum = np.cumsum(brk)
+        user_base = pd.Series(cum - brk).groupby(uid).transform("min").to_numpy()
+        g["session_idx"] = cum - user_base
+        out = (
+            g.groupby(["user_id", "session_idx"], as_index=False)
+            .agg(
+                n_events=("event_id", "size"),
+                start_epoch=("tse", "min"),
+                end_epoch=("tse", "max"),
+                first_event=("event_id", "min"),
+            )
+        )
+        return out.astype("int64")
+
+    return ds.groupby("_part").map_groups(sessionize, batch_format="pandas")
+
+
+_SQL_EVENTS_SESSIONS = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) // 1000 AS tse FROM events
+),
+b AS (
+  SELECT *, CASE WHEN lag(tse) OVER w IS NULL
+                   OR tse - lag(tse) OVER w > {_SESSION_GAP_S} THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tse, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM b
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       min(tse) AS start_epoch, max(tse) AS end_epoch,
+       min(event_id) AS first_event
+FROM s GROUP BY user_id, session_idx
+"""
+
+# ---------------------------------------------------------------------------
+# W2: as-of join (events -> most recent order of the same customer)
+# ---------------------------------------------------------------------------
+
+
+def q_orders_asof(sf_dir: str):
+    """As-of join: each event picks the latest order (by o_orderdate,
+    ties broken by highest o_orderkey) with o_custkey == user_id and
+    o_orderdate <= event ts.
+
+    Partitioning assumption: both sides hash-bucket on the join key, so
+    each bucket holds every order a bucket's events can match; the
+    per-bucket kernel is ``pd.merge_asof`` on the co-sorted frames."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def ev_conform(b: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(b["ts"].cast(pa.timestamp("us")), pa.int64()), 1_000_000)
+        n = b.num_rows
+        return pa.table(
+            {"key": b["user_id"], "event_id": b["event_id"], "ts_epoch": epoch,
+             "o_orderkey": pa.nulls(n, pa.int64()), "order_epoch": pa.nulls(n, pa.int64()),
+             "side": pa.array(np.full(n, 1, dtype=np.int8))}
+        )
+
+    def od_conform(b: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(b["o_orderdate"].cast(pa.timestamp("us")), pa.int64()), 1_000_000)
+        n = b.num_rows
+        return pa.table(
+            {"key": b["o_custkey"], "event_id": pa.nulls(n, pa.int64()),
+             "ts_epoch": pa.nulls(n, pa.int64()),
+             "o_orderkey": b["o_orderkey"], "order_epoch": epoch,
+             "side": pa.array(np.full(n, 0, dtype=np.int8))}
+        )
+
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    both = ev.map_batches(ev_conform, batch_format="pyarrow", zero_copy_batch=True).union(
+        od.map_batches(od_conform, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    both = hash_bucket(both, "key", 32)
+
+    def asof(g):
+        import pandas as pd
+
+        g = g.drop(columns=["_part"])
+        left = g[g["side"] == 1][["key", "event_id", "ts_epoch"]].astype("int64")
+        right = g[g["side"] == 0][["key", "o_orderkey", "order_epoch"]].astype("int64")
+        if left.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "ts_epoch": pd.Series([], dtype="int64"),
+                 "asof_orderkey": pd.Series([], dtype="float64"),
+                 "order_epoch": pd.Series([], dtype="float64")}
+            )
+        left = left.sort_values(["ts_epoch", "event_id"], kind="mergesort", ignore_index=True)
+        # merge_asof keeps the LAST right row at each (key, time): sorting
+        # by (order_epoch, o_orderkey) makes that the max orderkey
+        right = right.sort_values(["order_epoch", "o_orderkey"], kind="mergesort",
+                                  ignore_index=True)
+        m = pd.merge_asof(
+            left, right, left_on="ts_epoch", right_on="order_epoch", by="key",
+            direction="backward", allow_exact_matches=True,
+        )
+        return pd.DataFrame(
+            {"event_id": m["event_id"].astype("int64"),
+             "user_id": m["key"].astype("int64"),
+             "ts_epoch": m["ts_epoch"].astype("int64"),
+             "asof_orderkey": m["o_orderkey"].astype("float64"),
+             "order_epoch": m["order_epoch"].astype("float64")}
+        )
+
+    return both.groupby("_part").map_groups(asof, batch_format="pandas")
+
+
+_SQL_ORDERS_ASOF = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) // 1000 AS ts_epoch FROM events
+),
+o AS (
+  SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) // 1000 AS order_epoch FROM orders
+),
+ranked AS (
+  SELECT e.event_id, e.user_id, e.ts_epoch, o.o_orderkey, o.order_epoch,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.order_epoch DESC, o.o_orderkey DESC) AS rn
+  FROM e JOIN o ON o.o_custkey = e.user_id AND o.order_epoch <= e.ts_epoch
+)
+SELECT e.event_id, e.user_id, e.ts_epoch,
+       CAST(r.o_orderkey AS DOUBLE) AS asof_orderkey,
+       CAST(r.order_epoch AS DOUBLE) AS order_epoch
+FROM e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -397,6 +581,8 @@ def registry_ext():
         "embed_topk": (q_embed_topk, _SQL_EMB_TOPK),
         "token_stats": (q_token_stats, _SQL_TOKEN_STATS),
         "quality_stats": (q_quality_stats, _SQL_QUALITY_STATS),
+        "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
+        "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
         "neardup_clusters": (q_neardup_clusters, None),
         "simhash_dups": (q_simhash_dups, None),
         "self_similarity": (q_self_similarity, None),

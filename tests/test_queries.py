@@ -12,6 +12,8 @@ import pandas as pd
 import pytest
 
 SQL_CHECKED = [
+    "events_sessions",
+    "orders_asof",
     "dedup_exact_text",
     "ngram_jaccard_pairs",
     "embed_dup_pairs",
@@ -20,7 +22,7 @@ SQL_CHECKED = [
     "quality_stats",
 ]
 
-TABLES = ["events", "documents", "embeddings"]
+TABLES = ["events", "orders", "documents", "embeddings"]
 
 
 def _to_pandas(res):
