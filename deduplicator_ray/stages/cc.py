@@ -62,15 +62,19 @@ def connected_components_driver(edges_ds) -> "pa.Table":
     return pa.table({"doc_key": nodes, "cluster_id": labels})
 
 
-def connected_components_distributed(edges_ds, *, max_rounds: int = 10):
-    """Hash-min label propagation as repeated groupby-min shuffles.
+def connected_components_distributed(edges_ds, *, max_rounds: int = 10,
+                                     num_buckets: int = 64):
+    """Hash-min label propagation, one hash-bucket shuffle + vectorized
+    per-bucket reduce per round (no per-key Python, no Acero joins).
 
-    Per round: messages = (dst=v, label=l(u)) for every directed edge
-    (u, v) plus the self message (v, l(v)); new labels = min per dst.
-    Converged when no label changed (checked with a tiny aggregate).
+    Per round: co-locate edges (bucketed on src) with labels (bucketed on
+    doc_key); inside each bucket a pandas merge emits messages
+    (dst, label(src)); messages ∪ current labels re-bucket on doc_key and
+    a per-bucket groupby-min produces the new labels.  Converged when the
+    (monotone non-increasing) label sum stops changing — a cheap scalar
+    aggregate over the per-node rows.
     """
-    import ray.data as rd
-    from ray.data.aggregate import Min
+    from deduplicator_ray.stages.exact import hash_bucket
 
     def symmetrize(b: pa.Table) -> pa.Table:
         a = np.asarray(b["a"], dtype=np.int64)
@@ -83,42 +87,76 @@ def connected_components_distributed(edges_ds, *, max_rounds: int = 10):
         symmetrize, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()  # reused every round; edge set is the small side
 
+    def _min_per_key(msgs_ds):
+        """(doc_key, label) rows -> per-key min, one vectorized reduce
+        per hash bucket."""
+        bp = hash_bucket(msgs_ds, "doc_key", num_buckets)
+
+        def reduce_min(g):
+            g = g.drop(columns=["_part"])
+            out = g.groupby("doc_key", as_index=False)["label"].min()
+            return out.rename(columns={"label": "cluster_id"}).astype("int64")
+
+        return bp.groupby("_part").map_groups(reduce_min, batch_format="pandas").materialize()
+
     # initial labels: label(v) = min neighbor (including self)
     def init_msgs(b: pa.Table) -> pa.Table:
         src = np.asarray(b["src"], dtype=np.int64)
         dst = np.asarray(b["dst"], dtype=np.int64)
         return pa.table({"doc_key": dst, "label": np.minimum(src, dst)})
 
-    labels = (
+    labels = _min_per_key(
         edges.map_batches(init_msgs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("doc_key")
-        .aggregate(Min("label", alias_name="cluster_id"))
-        .materialize()
     )
 
     for _ in range(max_rounds):
-        lab_pdf = None
-        # messages: join labels to edges on src — labels are (shrinking)
-        # per-node rows; propagate via map_groups-free hash join
-        joined = edges.join(
-            labels.rename_columns({"doc_key": "src", "cluster_id": "label"}),
-            join_type="inner",
-            on=("src",),
-            num_partitions=max(2, edges.num_blocks() if hasattr(edges, "num_blocks") else 8),
+        # co-partition: edges keyed by src, labels keyed by doc_key
+        def edge_rows(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"key": b["src"], "dst": b["dst"],
+                 "label": pa.nulls(b.num_rows, pa.int64()),
+                 "side": pa.array(np.zeros(b.num_rows, dtype=np.int8))}
+            )
+
+        def label_rows(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"key": b["doc_key"], "dst": pa.nulls(b.num_rows, pa.int64()),
+                 "label": b["cluster_id"],
+                 "side": pa.array(np.ones(b.num_rows, dtype=np.int8))}
+            )
+
+        both = hash_bucket(
+            edges.map_batches(edge_rows, batch_format="pyarrow", zero_copy_batch=True).union(
+                labels.map_batches(label_rows, batch_format="pyarrow", zero_copy_batch=True)
+            ),
+            "key",
+            num_buckets,
         )
 
-        def msgs(b: pa.Table) -> pa.Table:
-            return pa.table({"doc_key": b["dst"], "label": b["label"]})
+        def propagate(g):
+            import pandas as pd
 
-        new_labels = (
-            joined.map_batches(msgs, batch_format="pyarrow")
-            .union(labels.rename_columns({"cluster_id": "label"}))
-            .groupby("doc_key")
-            .aggregate(Min("label", alias_name="cluster_id"))
-            .materialize()
+            e = g[g["side"] == 0][["key", "dst"]]
+            l = g[g["side"] == 1][["key", "label"]]
+            if e.empty or l.empty:
+                return pd.DataFrame({"doc_key": pd.Series([], dtype="int64"),
+                                     "label": pd.Series([], dtype="int64")})
+            m = e.merge(l, on="key", how="inner")
+            return pd.DataFrame(
+                {"doc_key": m["dst"].astype("int64"), "label": m["label"].astype("int64")}
+            )
+
+        msgs = both.groupby("_part").map_groups(propagate, batch_format="pandas")
+        new_labels = _min_per_key(
+            msgs.union(
+                labels.map_batches(
+                    lambda b: pa.table({"doc_key": b["doc_key"], "label": b["cluster_id"]}),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            )
         )
-        # convergence: compare sums of labels (monotone non-increasing per
-        # node, so equal sum <=> no change)
+        # convergence: label sums are monotone non-increasing per node
         old_sum = labels.sum("cluster_id")
         new_sum = new_labels.sum("cluster_id")
         labels = new_labels
