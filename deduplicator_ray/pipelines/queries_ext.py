@@ -358,6 +358,27 @@ def q_self_similarity(sf_dir: str):
     return out.select_columns(["doc_id", "lrs_len"])
 
 
+def q_pair_lcs(sf_dir: str):
+    """Suffix-array longest-common-substring over the near-dup candidate
+    pairs (north-star: boilerplate detection on LSH-bounded pairs, never
+    all-pairs). Emits (a, b, lcs_len)."""
+    import ray.data as rd
+
+    from deduplicator_ray.config import MinHashConfig
+    from deduplicator_ray.pipelines.neardup import cluster_near_duplicates
+    from deduplicator_ray.stages.substr import pair_common_substrings
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: pa.table({"doc_key": b["doc_id"], "text": b["text"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    edges, _asg = cluster_near_duplicates(ds, MinHashConfig())
+    out = pair_common_substrings(edges, ds)
+    return out.select_columns(["a", "b", "lcs_len"])
+
+
 def q_fingerprint_sketch(sf_dir: str):
     """Winnowing sketch summary per document (fp_count distinct window
     minima + fp_min)."""
@@ -584,6 +605,7 @@ def registry_ext():
         "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
         "neardup_clusters": (q_neardup_clusters, None),
+        "pair_lcs": (q_pair_lcs, None),
         "simhash_dups": (q_simhash_dups, None),
         "self_similarity": (q_self_similarity, None),
         "fingerprint_sketch": (q_fingerprint_sketch, None),
