@@ -21,8 +21,8 @@ import pyarrow as pa
 
 from deduplicator_ray.config import MinHashConfig
 from deduplicator_ray.stages.cc import (
+    connected_components_auto,
     connected_components_distributed,
-    connected_components_driver,
 )
 from deduplicator_ray.stages.lsh import band_explode, candidate_pairs, verified_edges
 from deduplicator_ray.stages.minhash import signatures
@@ -92,5 +92,7 @@ def cluster_near_duplicates(
     if distributed_cc:
         assignments = connected_components_distributed(edges)
     else:
-        assignments = connected_components_driver(edges)
+        # counted guard: driver union-find while edges stay collectable,
+        # automatic switch to distributed hash-min beyond the limit
+        assignments = connected_components_auto(edges)
     return edges, assignments

@@ -119,7 +119,24 @@ def parse_batch(lines: list[str], revisit_regex: str = DEFAULT_REVISIT_REGEX) ->
         [dropped] + [0] * (n - 1) if n else [], type=pa.int64()
     )
     if n == 0:
-        return pa.table({k: pa.array([], type=_SCHEMA.field(k).type) for k in _SCHEMA.names})
+        if dropped == 0:
+            return pa.table(
+                {k: pa.array([], type=_SCHEMA.field(k).type) for k in _SCHEMA.names}
+            )
+        # every line in the batch was malformed: keep the skipped-lines
+        # metric by emitting ONE metrics-only row (all record fields null,
+        # status 0 so record consumers' status>0 filter drops it)
+        return pa.table(
+            {
+                k: pa.array(
+                    [dropped] if k == "parse_dropped"
+                    else [0] if k == "status"
+                    else [None],
+                    type=_SCHEMA.field(k).type,
+                )
+                for k in _SCHEMA.names
+            }
+        )
     return pa.table(arrays)
 
 

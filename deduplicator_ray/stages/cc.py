@@ -27,42 +27,74 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _cc_labels(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized connected components over int64 edge arrays: compact the
+    node ids with ``np.unique``, then iterate min-label edge relaxation +
+    pointer jumping (each round is whole-array numpy — no per-edge Python).
+    Rounds needed ~ log(diameter).  Returns (nodes, cluster_label_per_node)
+    where the label is the component's minimum node id (deterministic)."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a):]
+    labels = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(labels[ai], labels[bi])
+        new = labels.copy()
+        np.minimum.at(new, ai, m)
+        np.minimum.at(new, bi, m)
+        new = np.minimum(new, new[new])  # pointer jumping halves chains
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    # full path compression to the component root
+    while True:
+        nl = labels[labels]
+        if np.array_equal(nl, labels):
+            break
+        labels = nl
+    # label is an index into the ascending-sorted nodes array, so the
+    # root index maps to the component's minimum doc_key
+    return nodes, nodes[labels]
+
+
 def _unionfind(a: np.ndarray, b: np.ndarray) -> dict[int, int]:
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
-
-    for x, y in zip(a.tolist(), b.tolist()):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            # keep the smaller id as root -> deterministic cluster ids
-            if rx < ry:
-                parent[ry] = rx
-            else:
-                parent[rx] = ry
-    return {x: find(x) for x in parent}
+    """Back-compat shim over ``_cc_labels``: node -> component root (the
+    component's minimum node id) for every node appearing in an edge."""
+    nodes, labels = _cc_labels(a, b)
+    return dict(zip(nodes.tolist(), labels.tolist()))
 
 
 def connected_components_driver(edges_ds) -> "pa.Table":
-    """Collect edges (small by construction) and union-find on the driver.
-    Returns an Arrow table (doc_key, cluster_id)."""
+    """Collect edges (small by construction) and run the vectorized
+    union-find on the driver. Returns an Arrow table (doc_key, cluster_id)."""
     pdf = edges_ds.select_columns(["a", "b"]).to_pandas()
     if len(pdf) == 0:
         return pa.table({"doc_key": pa.array([], type=pa.int64()),
                          "cluster_id": pa.array([], type=pa.int64())})
-    roots = _unionfind(pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64))
-    nodes = np.unique(np.concatenate([pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)]))
-    labels = np.array([roots.get(int(n), int(n)) for n in nodes], dtype=np.int64)
+    nodes, labels = _cc_labels(
+        pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)
+    )
     return pa.table({"doc_key": nodes, "cluster_id": labels})
 
 
-def connected_components_distributed(edges_ds, *, max_rounds: int = 10,
+# Above this many edges the driver path would materialize an edge table
+# that no longer counts as "small" (hundreds of MB of int64 pairs); the
+# distributed hash-min path takes over automatically.
+DRIVER_EDGE_LIMIT = 20_000_000
+
+
+def connected_components_auto(edges_ds, *, driver_edge_limit: int = DRIVER_EDGE_LIMIT,
+                              num_buckets: int = 64):
+    """Counted guard: edge sets small enough to collect run the driver
+    union-find (one numpy pass); boilerplate-heavy crawls whose verified
+    edge count exceeds ``driver_edge_limit`` switch to the distributed
+    hash-min propagation without the caller having to know."""
+    edges_ds = edges_ds.materialize()  # counted AND iterated — pin once
+    if edges_ds.count() <= driver_edge_limit:
+        return connected_components_driver(edges_ds)
+    return connected_components_distributed(edges_ds, num_buckets=num_buckets)
+
+
+def connected_components_distributed(edges_ds, *, max_rounds: int = 50,
                                      num_buckets: int = 64):
     """Hash-min label propagation, one hash-bucket shuffle + vectorized
     per-bucket reduce per round (no per-key Python, no Acero joins).
@@ -109,6 +141,7 @@ def connected_components_distributed(edges_ds, *, max_rounds: int = 10,
         edges.map_batches(init_msgs, batch_format="pyarrow", zero_copy_batch=True)
     )
 
+    converged = False
     for _ in range(max_rounds):
         # co-partition: edges keyed by src, labels keyed by doc_key
         def edge_rows(b: pa.Table) -> pa.Table:
@@ -161,5 +194,16 @@ def connected_components_distributed(edges_ds, *, max_rounds: int = 10,
         new_sum = new_labels.sum("cluster_id")
         labels = new_labels
         if old_sum == new_sum:
+            converged = True
             break
+    if not converged:
+        # hash-min needs ~component-diameter rounds; a chain-shaped graph
+        # (possible via star-degraded mega-buckets chained across LSH
+        # buckets) that exhausts the budget has WRONG labels — fail loudly
+        # rather than return silently-incorrect cluster ids
+        raise RuntimeError(
+            f"connected_components_distributed did not converge within "
+            f"{max_rounds} rounds; raise max_rounds (rounds needed ~= max "
+            f"component diameter)"
+        )
     return labels

@@ -169,9 +169,13 @@ def _resolve_partition(g: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
         orig["o_url"] = o["url"].values
         orig["o_rid"] = o["record_id"].values
         m = cur.merge(orig, on=key, how="left")
+        # record_id (the final sort tiebreak) is part of the equality, so
+        # exactly the ELECTED row is the original — two current rows tying
+        # on (ts, url) must not both claim originality
         is_orig = (
             (m["ts"].values == m["o_ts"].values)
             & (m["url"].values == m["o_url"].values)
+            & (m["record_id"].values == m["o_rid"].values)
             & (m["o_src"].values == 1)
         )
         out = cur.copy()
@@ -448,7 +452,10 @@ def report_aggregates(matches) -> dict:
         )
         g = (
             df.groupby("match_tier", observed=True)["content_bytes"]
-            .agg(hits="count", bytes=lambda s: s.fillna(0).sum())
+            # hits counts ROWS (size), not non-null values: the reference's
+            # 'Total handled' counter counts every record regardless of
+            # whether a content size is known (DeDuplicator.java:148-155)
+            .agg(hits="size", bytes=lambda s: s.fillna(0).sum())
             .reset_index()
         )
         return pa.table(

@@ -48,13 +48,15 @@ def _normalize_batch(batch: pa.Table, cfg: PipelineConfig, digest_mode: str) -> 
         batch = batch.filter(pc.invert(pc.match_substring(batch["url"], '"')))
 
     if batch.num_rows == 0:
+        # mirror EXACTLY the columns the non-empty path would add — a
+        # divergent empty-batch schema (e.g. url_canonical on a corpus
+        # with no url column) breaks downstream union/write
         out = batch
-        for name, typ in [
-            ("text", pa.large_string()),
-            ("digest", pa.string()),
-            ("url_canonical", pa.string()),
-            ("content_bytes", pa.int64()),
-        ]:
+        add = [("text", pa.large_string()), ("digest", pa.string())]
+        if cfg.include_canonical and "url" in cols:
+            add.append(("url_canonical", pa.string()))
+        add.append(("content_bytes", pa.int64()))
+        for name, typ in add:
             if name not in out.column_names:
                 out = out.append_column(name, pa.array([], type=typ))
         return out

@@ -195,6 +195,67 @@ def test_report_counts(ray_tables, corpus, sf_dir):
         assert agg["by_tier"].get(t, {}).get("hits", 0) == n, t
 
 
+def test_report_counts_rows_without_content_bytes(ray_session):
+    """handled counts ROWS (reference 'Total handled'), not non-null
+    content sizes — a current table without content_bytes still reports
+    every record."""
+    import ray.data as rd
+
+    cur = pd.DataFrame(
+        {
+            "url": ["a", "b"],
+            "url_canonical": ["a", "b"],
+            "digest": ["X", "Z"],
+            "warc_ts": pd.to_datetime([5, 6], unit="s"),
+        }
+    )
+    idx = pd.DataFrame(
+        {
+            "url": ["a0"],
+            "url_canonical": ["a0"],
+            "digest": ["X"],
+            "date": pd.to_datetime([1], unit="s").astype("datetime64[us]"),
+        }
+    )
+    cfg = PipelineConfig(strategy=SearchStrategy.DIGEST_ANY)
+    m = match_shuffle(rd.from_pandas(cur), rd.from_pandas(idx), cfg)
+    agg = report_aggregates(m)
+    assert agg["handled"] == 2
+    assert agg["duplicates"] == 1
+    assert agg["total_bytes"] == 0
+
+
+def test_within_batch_tie_elects_one_original(ray_session):
+    """Two current rows tying on (ts, url) within one strategy key: only
+    the elected row (record_id tiebreak) is the original."""
+    import ray.data as rd
+
+    cur = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "rep": [0, 0],
+            "url": ["a", "a"],
+            "url_canonical": ["a", "a"],
+            "digest": ["X", "X"],
+            "record_id": ["r1", "r2"],
+            "warc_ts": pd.to_datetime([1, 1], unit="s"),
+            "content_bytes": [10, 10],
+        }
+    )
+    empty_idx = rd.from_pandas(
+        pd.DataFrame({"url": pd.Series(dtype=str), "url_canonical": pd.Series(dtype=str),
+                      "digest": pd.Series(dtype=str), "date": pd.Series(dtype="datetime64[us]")})
+    )
+    cfg = PipelineConfig(within_batch=True)
+    got = (
+        match_shuffle(rd.from_pandas(cur), empty_idx, cfg, id_cols=("doc_id", "rep"))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["is_duplicate"].tolist() == [False, True]
+    assert got.loc[1, "refers_to_record_id"] == "r1"
+
+
 def test_verify_strategy():
     import pyarrow as pa
 

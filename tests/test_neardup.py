@@ -18,6 +18,7 @@ from deduplicator_ray.config import MinHashConfig
 from deduplicator_ray.sources.corpus import synth_corpus
 from deduplicator_ray.stages.cc import (
     _unionfind,
+    connected_components_auto,
     connected_components_distributed,
     connected_components_driver,
 )
@@ -122,6 +123,35 @@ def test_distributed_cc_equals_driver(ray_session, engine_result):
     a = asg_driver.sort_values("doc_key", ignore_index=True)
     b = asg_dist.sort_values("doc_key", ignore_index=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_distributed_cc_nonconvergence_raises(ray_session):
+    """A chain graph needs ~diameter hash-min rounds; an exhausted round
+    budget must raise, not return silently-wrong labels."""
+    import ray.data as rd
+
+    chain = pd.DataFrame({"a": np.arange(12, dtype=np.int64),
+                          "b": np.arange(1, 13, dtype=np.int64)})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_distributed(rd.from_pandas(chain), max_rounds=2)
+
+
+def test_cc_auto_guard_switches_paths(ray_session):
+    """Above the edge cap the auto wrapper must take the distributed path
+    and produce the same labels as the driver union-find."""
+    import ray.data as rd
+
+    edges = pd.DataFrame({"a": np.array([1, 2, 10], dtype=np.int64),
+                          "b": np.array([2, 3, 11], dtype=np.int64)})
+    ds = rd.from_pandas(edges)
+    small = connected_components_auto(ds, driver_edge_limit=100)
+    big = connected_components_auto(ds, driver_edge_limit=1)  # forces distributed
+    a = small.to_pandas() if hasattr(small, "to_pandas") else small
+    b = big.to_pandas() if hasattr(big, "to_pandas") else big
+    a = pd.DataFrame(a).sort_values("doc_key", ignore_index=True)
+    b = pd.DataFrame(b).sort_values("doc_key", ignore_index=True)
+    assert a["doc_key"].tolist() == b["doc_key"].tolist() == [1, 2, 3, 10, 11]
+    assert a["cluster_id"].tolist() == b["cluster_id"].tolist() == [1, 1, 1, 10, 10]
 
 
 def test_empty_corpus(ray_session):

@@ -78,6 +78,18 @@ def test_parse_batch_counts(lines):
     assert sum(t["parse_dropped"].to_pylist()) == 1
 
 
+def test_parse_batch_all_malformed_keeps_dropped_count():
+    """A batch whose every line is malformed must still surface its
+    parse_dropped count (metrics-only row, status 0, null fields)."""
+    t = parse_batch(["short", "x", "also way too short"])
+    assert t.num_rows == 1
+    assert t["parse_dropped"].to_pylist() == [3]
+    assert t["status"].to_pylist() == [0]  # status>0 filters drop the row
+    assert t["url"].to_pylist() == [None]
+    # empty batches with nothing dropped stay empty
+    assert parse_batch([]).num_rows == 0
+
+
 def test_read_crawl_log_dataset(ray_session):
     ds = read_crawl_log(GOLDEN)
     pdf = ds.to_pandas()
