@@ -76,6 +76,24 @@ def canonicalize_many(urls: Iterable[str | None]) -> list[str | None]:
     return out
 
 
+def canonicalize_arrow(arr):
+    """Vectorized canonicalization of an Arrow string array/chunked array:
+    the SAME ordered rule list as ``canonicalize``, run as chained RE2
+    kernels (``pc.replace_substring_regex``) over the whole column — no
+    Python per row.  Null-safe (Arrow kernels propagate nulls).
+
+    The rules are deliberately RE2-compatible (no lookarounds / backrefs),
+    so Python ``re``, DuckDB and Arrow RE2 agree byte-for-byte;
+    tests/test_functions.py diffs this against ``canonicalize`` per-URL.
+    """
+    import pyarrow.compute as pc
+
+    u = pc.utf8_lower(pc.utf8_trim_whitespace(arr))
+    for pat, rep in _RULES:
+        u = pc.replace_substring_regex(u, pat, rep)
+    return u
+
+
 def canonical_sql_expr(col: str) -> str:
     """DuckDB SQL expression computing exactly ``canonicalize(col)``.
 

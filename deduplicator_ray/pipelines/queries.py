@@ -279,53 +279,121 @@ SELECT doc_id, rep, url, {canonical_sql_expr('url')} AS url_canonical FROM captu
 
 
 def q_lang_counts(sf_dir: str):
+    """Low-cardinality count: per-block partial combine (<= #langs rows
+    leave each block) + driver-side final sum over the tiny partials —
+    NO shuffle at all (Ray's native sort-based aggregate measured ~50x
+    slower than this at scale; see BASELINE.md notes)."""
+    import pandas as pd
+
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
-    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("lang", as_index=False).size().rename(columns={"size": "n_docs"})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536).to_pandas()
+    out = parts.groupby("lang", as_index=False)["n_docs"].sum()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
 
 
 def q_doc_stats_by_source(sf_dir: str):
+    """Low-cardinality stats: per-block partial (count/sum/min/max per
+    source) + driver-side final combine of the tiny partials."""
+    import pandas as pd
+
     import ray.data as rd
-    from ray.data.aggregate import Count, Max, Min, Sum
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
-    return ds.groupby("source").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_chars", alias_name="sum_chars"),
-        Min("n_chars", alias_name="min_chars"),
-        Max("n_chars", alias_name="max_chars"),
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("source", as_index=False).agg(
+            n_docs=("n_chars", "size"),
+            sum_chars=("n_chars", "sum"),
+            min_chars=("n_chars", "min"),
+            max_chars=("n_chars", "max"),
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536).to_pandas()
+    out = parts.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"),
+        sum_chars=("sum_chars", "sum"),
+        min_chars=("min_chars", "min"),
+        max_chars=("max_chars", "max"),
     )
+    for c in ["n_docs", "sum_chars", "min_chars", "max_chars"]:
+        out[c] = out[c].astype("int64")
+    return out
 
 
 def q_top_longest(sf_dir: str):
+    """Top-10 by n_chars WITHOUT a global sort: per-block local top-10
+    (the only rows that can appear in the answer) + driver merge of
+    10 x n_blocks candidates — same shape as cosine_topk's prune."""
+    import pandas as pd
+
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
-    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(10)
+
+    parts = ds.map_batches(local_topk, batch_format="pandas", batch_size=65536).to_pandas()
+    return (
+        parts.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
 
 
 def q_events_window(sf_dir: str):
-    """Tumbling 1-hour windows per user over the events stream
-    (streaming-shaped workload per the ray guide; oracle = GROUP BY
-    epoch bucket)."""
+    """Tumbling 1-hour windows per user over the events stream.
+
+    High-cardinality aggregate ((user, window) keys grow with the data):
+    per-batch partial combine shrinks the shuffle to distinct keys per
+    batch, then ONE hash-bucket shuffle on user_id + a vectorized
+    per-bucket final reduce — the repo's hash_bucket pattern instead of
+    Ray's sort-based Aggregate."""
+    import pandas as pd
+
     import ray.data as rd
-    from ray.data.aggregate import Count, Max, Min
+
+    from deduplicator_ray.stages.exact import hash_bucket
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
 
-    def add_window(b: pa.Table) -> pa.Table:
+    def partial(b: pa.Table) -> pa.Table:
         epoch = pc.divide(pc.cast(b["ts"].cast(pa.timestamp("us")), pa.int64()), 1_000_000)
         win = pc.multiply(pc.divide(epoch, 3600), 3600)
-        return b.append_column("window_epoch", win)
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_pandas(),
+                "window_epoch": win.to_pandas(),
+                "event_id": b["event_id"].to_pandas(),
+            }
+        )
+        g = df.groupby(["user_id", "window_epoch"], as_index=False).agg(
+            n_events=("event_id", "size"),
+            first_event=("event_id", "min"),
+            last_event=("event_id", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby(["user_id", "window_epoch"]).aggregate(
-        Count(alias_name="n_events"),
-        Min("event_id", alias_name="first_event"),
-        Max("event_id", alias_name="last_event"),
-    )
+    ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536, zero_copy_batch=True)
+    ds = hash_bucket(ds, "user_id", 32)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        out = g.groupby(["user_id", "window_epoch"], as_index=False).agg(
+            n_events=("n_events", "sum"),
+            first_event=("first_event", "min"),
+            last_event=("last_event", "max"),
+        )
+        return out.astype("int64")
+
+    return ds.groupby("_part").map_groups(final, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -234,9 +234,8 @@ SELECT query_id, vec_id, rank FROM r WHERE rank <= {_TOPK_K}
 # T1/T2: token + quality counters (RE2 on both sides)
 # ---------------------------------------------------------------------------
 
-_WS_CLASS = r"[^ \t\n\r\f\v]+"
-# GPT-2-style pre-tokenizer, simplified; RE2-safe (no lookarounds)
-_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+from deduplicator_ray.stages.textstats import BPE_TOKEN_PAT as _BPE_PAT
+from deduplicator_ray.stages.textstats import WS_TOKEN_PAT as _WS_CLASS
 
 
 def q_token_stats(sf_dir: str):

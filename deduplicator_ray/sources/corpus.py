@@ -41,7 +41,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from deduplicator_ray.functions.canonical import canonicalize_many
+from deduplicator_ray.functions.canonical import canonicalize_arrow
 from deduplicator_ray.functions.digesting import md5_hex_many
 
 EPOCH0 = 1_700_000_000  # 2023-11-14T22:13:20Z
@@ -142,7 +142,9 @@ def captures_table(sf_dir: str) -> pa.Table:
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]).to_pandas()
     pdf = _captures_pdf(docs)
     pdf["digest"] = md5_hex_many(pdf["text"].tolist())
-    pdf["url_canonical"] = canonicalize_many(pdf["url"].tolist())
+    pdf["url_canonical"] = canonicalize_arrow(
+        pa.array(pdf["url"], type=pa.string())
+    ).to_numpy(zero_copy_only=False)
     pdf["warc_ts"] = pd.to_datetime(pdf["ts_epoch"], unit="s")
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
@@ -177,7 +179,9 @@ def captures_dataset(sf_dir: str, *, repeat: int = 1):
                 # datetime64[ns] at any repeat); tiles get a +r s offset
                 pdf["ts_epoch"] = pdf["ts_epoch"] - r * n_docs_hint * 100 + r
             pdf["digest"] = md5_hex_many(pdf["text"].tolist())
-            pdf["url_canonical"] = canonicalize_many(pdf["url"].tolist())
+            pdf["url_canonical"] = canonicalize_arrow(
+                pa.array(pdf["url"], type=pa.string())
+            ).to_numpy(zero_copy_only=False)
             pdf["warc_ts"] = pd.to_datetime(pdf["ts_epoch"], unit="s")
             outs.append(pdf)
         return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)

@@ -204,15 +204,14 @@ def _finish(out: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     """Post-hoc tier classification (DeDuplicator.java:194-205)."""
     dup = out["is_duplicate"].to_numpy(dtype=bool)
     same_url = out["refers_to_url"].values == out["url"].values
-    # canonical comparison needs the match's canonical form; for our data
-    # model refers_to_url canonicalizes identically iff the current row's
-    # canonical matches the original's — recompute cheaply:
-    from deduplicator_ray.functions.canonical import canonicalize_many
+    # canonical comparison needs the match's canonical form; recompute it
+    # with the vectorized Arrow kernel chain (null-safe: non-duplicates
+    # carry a null refers_to_url and compare unequal)
+    from deduplicator_ray.functions.canonical import canonicalize_arrow
 
-    ref_canon = np.asarray(
-        canonicalize_many([None if not d else u for d, u in zip(dup, out["refers_to_url"].tolist())]),
-        dtype=object,
-    )
+    ref_canon = canonicalize_arrow(
+        pa.array(out["refers_to_url"].tolist(), type=pa.string())
+    ).to_numpy(zero_copy_only=False)
     same_can = (ref_canon == out["url_canonical"].values) & cfg.include_canonical
     tier = np.where(
         ~dup,

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from deduplicator_ray.config import PipelineConfig
-from deduplicator_ray.functions.canonical import canonicalize_many
+from deduplicator_ray.functions.canonical import canonicalize_arrow
 from deduplicator_ray.functions.digesting import md5_hex_many, sha1_base32_many
 from deduplicator_ray.functions.textextract import extract_text_many
 
@@ -80,8 +80,8 @@ def _normalize_batch(batch: pa.Table, cfg: PipelineConfig, digest_mode: str) -> 
         batch = batch.append_column("digest", pa.array(digests, type=pa.string()))
 
     if "url_canonical" not in cols and cfg.include_canonical and "url" in cols:
-        canon = canonicalize_many(batch["url"].to_pylist())
-        batch = batch.append_column("url_canonical", pa.array(canon, type=pa.string()))
+        canon = canonicalize_arrow(batch["url"])  # chained RE2 kernels, no Python loop
+        batch = batch.append_column("url_canonical", pc.cast(canon, pa.string()))
 
     if "content_bytes" not in cols:
         if html is not None:

@@ -17,28 +17,24 @@ import pyarrow.compute as pc
 # token counting
 # ---------------------------------------------------------------------------
 
+# shared RE2 token patterns (same strings feed the DuckDB oracle mirrors
+# in pipelines/queries_ext.py — keep in lockstep)
+WS_TOKEN_PAT = r"[^ \t\n\r\f\v]+"
 # BPE-ish pre-tokenizer (GPT-2 style, simplified): contractions, words,
-# non-space punctuation runs
-_BPE_RE = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+")
+# non-space punctuation runs; RE2-safe (no lookarounds)
+BPE_TOKEN_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
 
 
 def token_counts(ds, *, text_col: str = "text"):
     """Adds ``n_ws_tokens`` (whitespace tokens; SQL-mirrorable) and
-    ``n_bpe_tokens`` (regex pre-tokenizer count)."""
+    ``n_bpe_tokens`` (regex pre-tokenizer count).  Both are RE2 kernels
+    (``pc.count_substring_regex``) over the whole column — no Python rows."""
 
     def f(b: pa.Table) -> pa.Table:
-        texts = b[text_col].to_pylist()
-        ws = np.fromiter(
-            (len(t.split()) if t else 0 for t in texts), dtype=np.int64, count=len(texts)
-        )
-        bpe = np.fromiter(
-            (len(_BPE_RE.findall(t)) if t else 0 for t in texts),
-            dtype=np.int64,
-            count=len(texts),
-        )
-        return b.append_column("n_ws_tokens", pa.array(ws)).append_column(
-            "n_bpe_tokens", pa.array(bpe)
-        )
+        t = pc.fill_null(b[text_col], "")
+        ws = pc.cast(pc.count_substring_regex(t, WS_TOKEN_PAT), pa.int64())
+        bpe = pc.cast(pc.count_substring_regex(t, BPE_TOKEN_PAT), pa.int64())
+        return b.append_column("n_ws_tokens", ws).append_column("n_bpe_tokens", bpe)
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
 

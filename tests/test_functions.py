@@ -8,6 +8,7 @@ import pytest
 from deduplicator_ray.functions.canonical import (
     canonical_sql_expr,
     canonicalize,
+    canonicalize_arrow,
     canonicalize_many,
 )
 from deduplicator_ray.functions.digesting import (
@@ -57,6 +58,17 @@ class TestCanonicalize:
 
     def test_many_matches_scalar(self):
         assert canonicalize_many(URLS) == [canonicalize(u) for u in URLS]
+
+    def test_arrow_kernel_matches_scalar(self):
+        """The vectorized RE2 kernel chain (the hot-path implementation)
+        must agree value-for-value with the Python reference impl."""
+        import pyarrow as pa
+
+        got = canonicalize_arrow(pa.array(URLS, type=pa.string())).to_pylist()
+        assert got == [canonicalize(u) for u in URLS]
+        # chunked arrays too (what map_batches actually hands over)
+        chunked = pa.chunked_array([URLS[:4], URLS[4:]], type=pa.string())
+        assert canonicalize_arrow(chunked).to_pylist() == got
 
     def test_sql_mirror_matches_python(self):
         """The DuckDB expression must agree value-for-value with Python —
