@@ -22,7 +22,6 @@ pytest covers their semantics against in-process oracles.
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pyarrow as pa
@@ -74,62 +73,27 @@ FROM documents
 # D2: n-gram Jaccard dedup (exact, lang-blocked; LSH is the scale path)
 # ---------------------------------------------------------------------------
 
-_WORD_RE = re.compile(r"[a-z0-9]+")
 _NGRAM_N = 3
 _JACCARD_NUM = 1  # threshold = _JACCARD_NUM / _JACCARD_DEN (integer compare)
 _JACCARD_DEN = 2
-
-
-def _gram_set(text: str) -> set[str]:
-    w = _WORD_RE.findall(text.lower())
-    return {" ".join(w[i : i + _NGRAM_N]) for i in range(len(w) - _NGRAM_N + 1)}
 
 
 def q_ngram_jaccard(sf_dir: str):
     """Pairs (doc_a < doc_b) within a ``lang`` block whose word-3-gram
     Jaccard is >= 0.5, with integer intersection/union sizes.
 
-    Exact variant for the oracle: all-pairs within the blocking key via
-    an inverted gram index (cost is O(co-occurring pairs), not O(n^2)).
-    At corpus scale the same verify runs behind MinHash/LSH candidates
-    (``neardup_clusters``); this query IS the verification kernel."""
+    Distributed prefix-filter pipeline (stages/jaccard.py): candidate
+    groups are (prefix-gram, lang) buckets — bounded by prefix-gram doc
+    frequency, never "all docs of one language" — and the prefix-filter
+    theorem guarantees the SAME pair set as the all-pairs SQL oracle."""
     import ray.data as rd
 
+    from deduplicator_ray.stages.jaccard import ngram_jaccard_pairs
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
-
-    def pairs(g):
-        import collections
-
-        import pandas as pd
-
-        ids = g["doc_id"].to_numpy()
-        gsets = [_gram_set(t) for t in g["text"]]
-        sizes = [len(s) for s in gsets]
-        # inverted index: only docs sharing >=1 gram ever meet
-        inv: dict[str, list[int]] = collections.defaultdict(list)
-        for i, s in enumerate(gsets):
-            for gm in s:
-                inv[gm].append(i)
-        co: dict[tuple[int, int], int] = collections.Counter()
-        for members in inv.values():
-            if len(members) < 2:
-                continue
-            for x in range(len(members)):
-                for y in range(x + 1, len(members)):
-                    co[(members[x], members[y])] += 1
-        rows = []
-        for (i, j), inter in co.items():
-            union = sizes[i] + sizes[j] - inter
-            if _JACCARD_DEN * inter >= _JACCARD_NUM * union and union > 0:
-                a, b = int(ids[i]), int(ids[j])
-                if a > b:
-                    a, b = b, a
-                rows.append((a, b, inter, union))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "n_inter", "n_union"]).astype(
-            "int64"
-        )
-
-    return ds.groupby("lang").map_groups(pairs, batch_format="pandas")
+    return ngram_jaccard_pairs(
+        ds, num=_JACCARD_NUM, den=_JACCARD_DEN, ngram=_NGRAM_N
+    )
 
 
 _SQL_NGRAM_JACCARD = f"""

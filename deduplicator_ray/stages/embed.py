@@ -20,10 +20,16 @@ import pyarrow as pa
 
 
 def _matrix(col, dim: int | None = None) -> np.ndarray:
-    """list<float> column -> (n, d) float64 matrix."""
+    """list<float> (or tensor-extension) column -> (n, d) float64 matrix."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     arr = col
+    if isinstance(arr, pa.ExtensionArray):
+        # Ray's ArrowTensorArray (from_pandas over ndarray cells)
+        v = arr.to_numpy(zero_copy_only=False)
+        if v.dtype == object:
+            return np.stack(v).astype(np.float64)
+        return np.asarray(v, dtype=np.float64).reshape(len(arr), -1)
     values = np.asarray(arr.flatten(), dtype=np.float64)
     n = len(arr)
     d = dim or (len(values) // max(1, n))
@@ -125,21 +131,22 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, *, id_col: str = "vec_id",
                         concurrency: int | tuple[int, int] | None = None):
     """All pairs (a < b) with cosine >= threshold.
 
-    Broadcast variant: the full normalized matrix is ray.put once
-    (guarded by ``max_broadcast`` rows) and every batch matmuls against
-    it — embarrassingly parallel, no shuffle. Beyond the guard, bucket
-    with ``hyperplane_bucket`` and verify within buckets."""
+    Broadcast variant (corpus row count <= ``max_broadcast``): the full
+    normalized matrix is ray.put once and every batch matmuls against it
+    — embarrassingly parallel, no shuffle. Beyond the guard the pipeline
+    automatically switches to banded hyperplane LSH + exact-cosine verify
+    (``embedding_dup_pairs_bucketed``) — candidate recall is tunable via
+    the banding config and pytest-gated at >= 0.99."""
     import ray
 
     from deduplicator_ray.util import auto_concurrency
 
     concurrency = concurrency or auto_concurrency()
-    ref_tbl = ds.select_columns([id_col, vec_col]).to_pandas()
-    if len(ref_tbl) > max_broadcast:
-        raise ValueError(
-            f"corpus too large to broadcast ({len(ref_tbl)} > {max_broadcast}); "
-            "use hyperplane_bucket + per-bucket verification"
+    if ds.count() > max_broadcast:  # metadata count — no materialization
+        return embedding_dup_pairs_bucketed(
+            ds, threshold, id_col=id_col, vec_col=vec_col
         )
+    ref_tbl = ds.select_columns([id_col, vec_col]).to_pandas()
     ids = ref_tbl[id_col].to_numpy(np.int64)
     m = _normalize(np.stack(ref_tbl[vec_col].to_numpy()).astype(np.float64))
     ref = ray.put((ids, m))
@@ -151,6 +158,122 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, *, id_col: str = "vec_id",
         concurrency=concurrency,
         zero_copy_batch=True,
     )
+
+
+def _blob_matrix(col, *, dtype="<f8") -> np.ndarray:
+    """Fixed-width binary column of serialized vectors -> (n, d) matrix,
+    decoded straight from the Arrow buffers (mirror of lsh._sig_matrix)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    itemsize = np.dtype(dtype).itemsize
+    offsets = np.frombuffer(col.buffers()[1], dtype=np.int32)[col.offset: col.offset + n + 1]
+    width = (offsets[1] - offsets[0]) // itemsize
+    if col.null_count == 0 and offsets[-1] - offsets[0] == n * width * itemsize:
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        return (
+            data[offsets[0]: offsets[0] + n * width * itemsize]
+            .view(dtype)
+            .reshape(n, width)
+            .astype(np.float64, copy=False)
+        )
+    blobs = col.to_pylist()
+    return np.stack([np.frombuffer(b, dtype=dtype) for b in blobs]).astype(np.float64)
+
+
+def _vec_blob_table(b: pa.Table, id_col: str, vec_col: str) -> pa.Table:
+    """(id, list<float>) batch -> (id, vecblob) with the NORMALIZED float64
+    vector serialized to a fixed-width binary blob (joins/shuffles move
+    binary payloads; Acero can't move fixed_size_list)."""
+    m = _normalize(_matrix(b[vec_col]))
+    n, d = m.shape
+    blob = m.astype("<f8").tobytes()
+    offsets = np.arange(n + 1, dtype=np.int32) * (8 * d)
+    arr = pa.BinaryArray.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)]
+    )
+    return pa.table({id_col: b[id_col], "vecblob": arr})
+
+
+def embedding_dup_pairs_bucketed(ds, threshold: float, *, id_col: str = "vec_id",
+                                 vec_col: str = "embedding", n_tables: int = 32,
+                                 planes_per_table: int = 4, seed: int = 42,
+                                 num_partitions: int = 64):
+    """Scale path for embedding near-dup: banded sign-random-projection
+    LSH (Charikar, STOC'02) + exact-cosine verification.
+
+    Shape mirrors the MinHash/LSH pipeline exactly:
+      vectors -> (band_bucket, id) rows (one per hash table; the table
+      index is folded into the bucket hash = natural salt)
+      -> candidate_pairs (hash-bucket shuffle, vectorized pair gen, mega
+         buckets degrade to stars, global pair dedupe)
+      -> attach_signatures joins the serialized vectors to the DISTINCT
+         pairs only (vector bytes never ride the band shuffle)
+      -> exact float64 cosine >= threshold filter.
+
+    Recall: a pair at cosine c collides in one table w.p.
+    p = (1 - arccos(c)/pi)^planes_per_table and overall
+    1 - (1-p)^n_tables; the defaults give >= 0.99 for c >= 0.4
+    (pytest-gated in tests/test_stages2.py). Output pairs are exact
+    (verified), so precision is 1 by construction."""
+    from deduplicator_ray.config import MinHashConfig
+    from deduplicator_ray.stages.lsh import attach_signatures, candidate_pairs
+
+    base = ds.map_batches(
+        lambda b: _vec_blob_table(b, id_col, vec_col),
+        batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
+    ).materialize()  # feeds both the band explode and the verify join
+
+    state: dict = {"planes": None}
+
+    def bands(b: pa.Table) -> pa.Table:
+        m = _blob_matrix(b["vecblob"])
+        n = len(m)
+        if n == 0:
+            return pa.table({"band_bucket": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64())})
+        if state["planes"] is None or state["planes"].shape[1] != m.shape[1]:
+            rng = np.random.default_rng(seed)
+            state["planes"] = rng.standard_normal(
+                (n_tables * planes_per_table, m.shape[1])
+            )
+        signs = (m @ state["planes"].T) > 0  # (n, tables*planes)
+        buckets = []
+        weights = (np.uint64(1) << np.arange(planes_per_table, dtype=np.uint64))
+        for t in range(n_tables):
+            pat = signs[:, t * planes_per_table: (t + 1) * planes_per_table]
+            code = (pat.astype(np.uint64) * weights[None, :]).sum(axis=1)
+            # fold the table index in (same mixing as lsh._band_hash seeds)
+            with np.errstate(over="ignore"):
+                salt = np.uint64((t * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+                h = (code ^ salt) * np.uint64(0x100000001B3)
+            buckets.append(h.astype(np.int64))
+        return pa.table(
+            {"band_bucket": np.concatenate(buckets),
+             id_col: np.tile(np.asarray(b[id_col], dtype=np.int64), n_tables)}
+        )
+
+    band_rows = base.map_batches(bands, batch_format="pyarrow", batch_size=4096,
+                                 zero_copy_batch=True)
+    pairs = candidate_pairs(band_rows, MinHashConfig(), key_col=id_col,
+                            num_partitions=num_partitions)
+    withvecs = attach_signatures(pairs, base, key_col=id_col, sig_col="vecblob")
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        ma = _blob_matrix(b["sig_a"])
+        mb = _blob_matrix(b["sig_b"])
+        cos = np.einsum("ij,ij->i", ma, mb)
+        keep = cos >= threshold
+        t = b.filter(pa.array(keep))
+        return pa.table({"a": t["a"], "b": t["b"], "cosine": pa.array(cos[keep])})
+
+    return withvecs.map_batches(verify, batch_format="pyarrow", batch_size=4096,
+                                zero_copy_batch=True)
 
 
 def hyperplane_bucket(ds, *, n_planes: int = 16, seed: int = 42,

@@ -120,6 +120,7 @@ def candidate_pairs(
     *,
     key_col: str = "doc_key",
     num_partitions: int = 64,
+    overflow: str = "star",
 ):
     """Band rows (band_bucket, key) -> DISTINCT candidate pairs (a, b),
     a < b — 16-byte rows end to end.
@@ -133,6 +134,11 @@ def candidate_pairs(
     boilerplate shells).  A second hash-bucket shuffle on (a, b) makes
     the pairs globally distinct BEFORE any signature bytes are attached.
     No per-key Python, no joins, no driver collection anywhere.
+
+    ``overflow`` controls mega-bucket handling: "star" (default) degrades
+    to star edges; "error" raises instead — for callers that need
+    pair-level completeness (e.g. exact prefix-filter Jaccard) and must
+    not silently lose pairs.
     """
     cfg = cfg or MinHashConfig()
     from deduplicator_ray.stages.exact import hash_bucket
@@ -159,6 +165,12 @@ def candidate_pairs(
         n_g = counts[gid]
         pos = np.arange(n) - start[gid]
         small = n_g <= cap
+        if overflow == "error" and not small.all():
+            raise ValueError(
+                f"candidate bucket exceeds max_band_group={cap} "
+                f"(largest: {int(n_g.max())} rows) and overflow='error'; "
+                "use frequency-ordered prefixes or raise the cap"
+            )
         # small buckets: row at position p pairs with the n_g-1-p rows
         # after it; mega buckets: only the first (minimum) row fans out
         reps = np.where(small & (n_g > 1), n_g - 1 - pos, 0)

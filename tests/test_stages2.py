@@ -181,6 +181,54 @@ class TestEmbed:
         assert len(want) > 0
         assert set(zip(got["a"], got["b"])) == want
 
+    def test_bucketed_path_recall(self, ray_session):
+        """Past the broadcast guard the automatic banded-LSH path must
+        recover >= 0.99 of the true threshold pairs (and, being
+        exact-verified, emit no false positives)."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(7)
+        n_base, dim, thr = 600, 32, 0.8
+        base = rng.standard_normal((n_base, dim))
+        # plant near-dup partners for a third of the vectors: cosine ~0.95
+        partners = base[:200] + 0.3 * rng.standard_normal((200, dim))
+        m = np.concatenate([base, partners])
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(len(m), dtype=np.int64), "embedding": list(m)}
+        )
+        ds = rd.from_pandas(pdf)
+        # max_broadcast=0 forces the bucketed scale path
+        got = embedding_dup_pairs(ds, thr, max_broadcast=0).to_pandas()
+        found = set(zip(got["a"].tolist(), got["b"].tolist()))
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        s = mn @ mn.T
+        iu = np.triu_indices(len(m), k=1)
+        mask = s[iu] >= thr
+        want = set(zip(iu[0][mask].tolist(), iu[1][mask].tolist()))
+        assert len(want) >= 150
+        assert found <= want  # exact verify -> no false positives
+        recall = len(found & want) / len(want)
+        assert recall >= 0.99, f"recall {recall}: {len(found)}/{len(want)}"
+
+    def test_bucketed_equals_broadcast_on_sf(self, ray_session, sf_dir, emb):
+        """On the sf embeddings both paths must agree pair-for-pair at a
+        threshold where banding recall is ~1."""
+        import ray.data as rd
+
+        from deduplicator_ray.stages.embed import embedding_dup_pairs_bucketed
+
+        thr = 0.35
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        broad = embedding_dup_pairs(ds, thr).to_pandas()
+        # n_tables=64 pushes banding recall to ~0.9999 even at the
+        # threshold boundary, so the small sf pair set matches exactly
+        buck = embedding_dup_pairs_bucketed(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"), thr, n_tables=64
+        ).to_pandas()
+        want = set(zip(broad["a"].tolist(), broad["b"].tolist()))
+        got = set(zip(buck["a"].tolist(), buck["b"].tolist()))
+        assert got == want
+
     def test_hyperplane_bucket(self, ray_session, sf_dir):
         import ray.data as rd
 
