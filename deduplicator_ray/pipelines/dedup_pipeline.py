@@ -31,7 +31,13 @@ from deduplicator_ray.state.checkpoint import StageCheckpoint, input_fingerprint
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Ray-Data-native web dedup pipeline")
-    p.add_argument("--corpus", required=True, help="parquet file/dir: (url, warc_ts, html, text, lang)")
+    p.add_argument("--corpus", required=True, help="corpus file/dir (see --corpus-format)")
+    p.add_argument("--corpus-format", default="parquet",
+                   help="registered source reading --corpus: parquet (url, warc_ts, "
+                        "html, text, lang), warc (dir/file of .warc[.gz]), crawl_log "
+                        "(Heritrix crawl.log) — sources.register_source adds more")
+    p.add_argument("--include-etag", action="store_true",
+                   help="carry the ETag column into the index (reference -e flag)")
     p.add_argument("--history", default=None, help="parquet index table (url, url_canonical, digest, date, ...)")
     p.add_argument("--build-index", action="store_true",
                    help="build the index from the corpus instead of matching against --history")
@@ -41,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "sha1_html", "md5_text"],
                    help="auto: sha1 over html bytes when the corpus has an "
                         "html column, else md5 over text")
+    p.add_argument("--mime-filter", default="^text/.*",
+                   help="mime regex filter (reference -m; blacklist unless --whitelist)")
+    p.add_argument("--whitelist", action="store_true",
+                   help="make --mime-filter a whitelist (reference -w)")
     p.add_argument("--within-batch", action="store_true")
     p.add_argument("--near-dup", action="store_true", help="run MinHash/LSH clustering")
     p.add_argument("--bands", type=int, default=32)
@@ -63,9 +73,15 @@ def run(args) -> dict:
     from deduplicator_ray.stages.exact import build_index as build_index_stage
     from deduplicator_ray.stages.normalize import normalize
 
+    from deduplicator_ray.sources import get_source
+    from deduplicator_ray.stages.normalize import skip_counters
+
     cfg = PipelineConfig(
         strategy=SearchStrategy(args.strategy),
         within_batch=args.within_batch,
+        include_etag=args.include_etag,
+        mime_filter=args.mime_filter,
+        mime_whitelist=args.whitelist,
         minhash=MinHashConfig(
             bands=args.bands,
             rows_per_band=args.rows_per_band,
@@ -73,27 +89,41 @@ def run(args) -> dict:
             jaccard_threshold=args.jaccard,
         ),
     )
+    corpus_format = getattr(args, "corpus_format", "parquet")
+    read_corpus = get_source(corpus_format)
     if args.digest_mode == "auto":
-        import pyarrow.dataset as pads
+        if corpus_format == "parquet":
+            import pyarrow.dataset as pads
 
-        names = pads.dataset(args.corpus).schema.names
-        args.digest_mode = "sha1_html" if "html" in names else "md5_text"
-    chash = cfg.config_hash() + ":" + args.digest_mode
+            names = pads.dataset(args.corpus).schema.names
+        else:
+            names = read_corpus(args.corpus).schema().names
+        if "html" in names:
+            args.digest_mode = "sha1_html"
+        elif "digest" in names:
+            args.digest_mode = "md5_text"  # unused: rows carry their digest
+        else:
+            args.digest_mode = "md5_text"
+    chash = cfg.config_hash() + ":" + args.digest_mode + ":" + corpus_format
     fp_corpus = input_fingerprint(args.corpus)
     out = args.out
     os.makedirs(out, exist_ok=True)
     results: dict = {"config_hash": chash}
 
     # -- normalize ----------------------------------------------------------
+    side = "index" if args.build_index else "crawl"
     ck_norm = StageCheckpoint(out, "normalize", config_hash=chash, input_fingerprint=fp_corpus)
     norm_ds, m_norm, _ = run_stage(
         ck_norm,
         lambda: ensure_doc_key(
-            normalize(rd.read_parquet(args.corpus), cfg, digest_mode=args.digest_mode)
+            normalize(read_corpus(args.corpus), cfg, digest_mode=args.digest_mode,
+                      side=side)
         ),
         force=args.force,
     )
     results["normalize"] = m_norm
+    # A3 run counters (IndexBuilder.java:131-133,174-178 parity)
+    results["counters"] = skip_counters(read_corpus(args.corpus), cfg, side=side)
 
     # -- index --------------------------------------------------------------
     if args.build_index:
@@ -119,6 +149,7 @@ def run(args) -> dict:
         matches_ds, m_m, _ = run_stage(ck_m, build_matches, force=args.force)
         results["matches"] = m_m
         agg = report_aggregates(matches_ds)
+        agg["counters"] = results["counters"]  # A3: skipped / unresolved
         results["report"] = agg
         with open(os.path.join(out, "REPORT.json"), "w") as f:
             json.dump(agg, f, indent=1)

@@ -552,6 +552,117 @@ FROM e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
 """
 
 # ---------------------------------------------------------------------------
+# S2/S3 + M11/M12: WARC ingest round-trip (oracle-checked)
+# ---------------------------------------------------------------------------
+
+_WARC_N_DOCS = 200
+_WARC_EPOCH0 = 1_700_000_000
+_PROFILE_IDENTICAL = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+_PROFILE_NOT_MODIFIED = "http://netpreserve.org/warc/1.0/revisit/server-not-modified"
+
+
+def q_warc_roundtrip(sf_dir: str):
+    """Synthesize a deterministic WARC file from the documents table
+    (response + revisit records with HTTP blocks), read it back through
+    the WARC source, and emit the parsed rows — exercising url filtering,
+    HTTP status/Content-Type/ETag extraction, revisit demap and the
+    ETag-nulling rule (WarcFileIterator.java:109-154) end to end.  The
+    oracle recomputes every expected row directly from ``documents``."""
+    import datetime as _dt
+    import hashlib as _hl
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.sources.warc import read_warc, write_warc
+
+    docs = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+    )
+    docs = docs[docs["doc_id"] < _WARC_N_DOCS].sort_values("doc_id")
+    records = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        doc_id = int(doc_id)
+        iso = _dt.datetime.fromtimestamp(
+            _WARC_EPOCH0 + doc_id, _dt.timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        url = f"https://warc.example/d/{doc_id}"
+        rec = {
+            "url": url,
+            "date": iso,
+            "digest": "md5:" + _hl.md5(text.encode("utf-8")).hexdigest(),
+            "record_id": f"<urn:uuid:{doc_id}>",
+            "http_status": 200,
+            "mime": "text/html",
+            "etag": f'W/"{doc_id}"',
+            "payload": text.encode("utf-8"),
+        }
+        if doc_id % 5 == 0 and doc_id > 0:
+            rec.update(
+                type="revisit",
+                refers_to_url=url,
+                refers_to_date=_dt.datetime.fromtimestamp(
+                    _WARC_EPOCH0 + doc_id - 1000, _dt.timezone.utc
+                ).strftime("%Y-%m-%dT%H:%M:%SZ"),
+                # every other revisit is server-not-modified: its ETag
+                # survives; identical-payload revisits get it nulled
+                profile=_PROFILE_NOT_MODIFIED if doc_id % 10 == 0 else _PROFILE_IDENTICAL,
+                payload=b"",
+            )
+        else:
+            rec["type"] = "response"
+        records.append(rec)
+    # a skipped record type + a non-http url prove the filters
+    records.append({"type": "metadata", "url": "https://warc.example/meta",
+                    "date": "2023-11-14T22:13:20Z", "payload": b"x"})
+    records.append({"type": "response", "url": "dns:warc.example",
+                    "date": "2023-11-14T22:13:20Z"})
+    out_dir = "/tmp/graft_warc"
+    _os.makedirs(out_dir, exist_ok=True)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    path = write_warc(f"{out_dir}/roundtrip_{tag}.warc.gz", records)
+
+    ds = read_warc(path)
+
+    def project(b: pa.Table) -> pa.Table:
+        def epoch(col):
+            return pc.divide(pc.cast(b[col].cast(pa.timestamp("us")), pa.int64()), 1_000_000)
+
+        return pa.table(
+            {
+                "url": b["url"],
+                "ts_epoch": epoch("warc_ts"),
+                "status": pc.cast(b["status"], pa.int64()),
+                "mime": b["mime"],
+                "digest": b["digest"],
+                "etag": b["etag"],
+                "is_revisit": b["is_revisit"],
+                "original_url": b["original_url"],
+                "original_epoch": epoch("original_ts"),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SQL_WARC_ROUNDTRIP = f"""
+SELECT 'https://warc.example/d/' || doc_id AS url,
+       CAST({_WARC_EPOCH0} + doc_id AS BIGINT) AS ts_epoch,
+       CAST(200 AS BIGINT) AS status,
+       'text/html' AS mime,
+       'md5:' || md5(text) AS digest,
+       CASE WHEN doc_id % 5 = 0 AND doc_id > 0 AND doc_id % 10 <> 0
+            THEN NULL ELSE 'W/"' || doc_id || '"' END AS etag,
+       doc_id % 5 = 0 AND doc_id > 0 AS is_revisit,
+       CASE WHEN doc_id % 5 = 0 AND doc_id > 0
+            THEN 'https://warc.example/d/' || doc_id END AS original_url,
+       CASE WHEN doc_id % 5 = 0 AND doc_id > 0
+            THEN CAST({_WARC_EPOCH0} + doc_id - 1000 AS BIGINT) END AS original_epoch
+FROM documents WHERE doc_id < {_WARC_N_DOCS}
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -565,6 +676,7 @@ def registry_ext():
         "embed_topk": (q_embed_topk, _SQL_EMB_TOPK),
         "token_stats": (q_token_stats, _SQL_TOKEN_STATS),
         "quality_stats": (q_quality_stats, _SQL_QUALITY_STATS),
+        "warc_roundtrip": (q_warc_roundtrip, _SQL_WARC_ROUNDTRIP),
         "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
         "neardup_clusters": (q_neardup_clusters, None),

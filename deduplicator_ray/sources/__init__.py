@@ -1,7 +1,53 @@
-"""Sources: corpus generation/derivation and crawl.log parsing.
+"""Sources: corpus generation/derivation, WARC parsing and crawl.log
+parsing.
 
 The reference's pluggable ``CrawlDataIterator`` sources
-(CrawlDataIterator.java:27-67, WarcIterator, CrawlLogIterator) map to
-callables returning a ``ray.data.Dataset`` with the corpus schema; see
-SURVEY.md §2.1 / §2.10.
+(CrawlDataIterator.java:27-67, reflective class loading in
+IndexingLauncher.java:137) map to REGISTERED callables
+``f(source_path) -> ray.data.Dataset`` with the corpus schema; see
+SURVEY.md §2.1 / §2.10.  ``register_source`` is the extension point a
+user of the reference's ``--iterator`` flag would reach for.
 """
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+
+def _parquet_source(path: str):
+    import ray.data as rd
+
+    return rd.read_parquet(path)
+
+
+def _warc_source(path: str):
+    from deduplicator_ray.sources.warc import read_warc
+
+    return read_warc(path)
+
+
+def _crawl_log_source(path: str):
+    from deduplicator_ray.sources.crawl_log import read_crawl_log
+
+    return read_crawl_log(path)
+
+
+_SOURCES: dict[str, Callable] = {
+    "parquet": _parquet_source,
+    "warc": _warc_source,        # WarcIterator / WarcFileIterator
+    "crawl_log": _crawl_log_source,  # CrawlLogIterator
+}
+
+
+def register_source(name: str, fn: Callable) -> None:
+    """Register a corpus source: ``fn(path) -> ray.data.Dataset``."""
+    _SOURCES[name] = fn
+
+
+def get_source(name: str) -> Callable:
+    try:
+        return _SOURCES[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown source {name!r}; registered: {sorted(_SOURCES)}"
+        ) from None

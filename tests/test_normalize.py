@@ -9,7 +9,7 @@ import pyarrow as pa
 import pytest
 
 from deduplicator_ray.config import PipelineConfig
-from deduplicator_ray.stages.normalize import _normalize_batch, normalize
+from deduplicator_ray.stages.normalize import _normalize_batch, normalize, skip_counters
 
 
 def _mk(rows: dict) -> pa.Table:
@@ -58,6 +58,73 @@ def test_empty_batch_schema_matches_nonempty_path():
     s4 = _normalize_batch(emptied2, cfg, "md5_text").schema
     assert s3.names == s4.names
     assert "url_canonical" not in s4.names
+
+
+def test_index_side_requires_exactly_200():
+    """IndexBuilder.java:147-152: only statusCode == 200 is indexed; the
+    crawl side accepts any 2xx (DeDuplicator.java:123-141)."""
+    t = _mk({"url": ["a", "b"], "status": [200, 206], "text": ["x", "y"]})
+    crawl = _normalize_batch(t, PipelineConfig(), "md5_text", side="crawl")
+    index = _normalize_batch(t, PipelineConfig(), "md5_text", side="index")
+    assert crawl["url"].to_pylist() == ["a", "b"]
+    assert index["url"].to_pylist() == ["a"]
+
+
+def test_206_matched_but_not_indexed(ray_session):
+    """End-to-end pin: a 206 current capture still matches against the
+    index, but a 206 history capture is never indexed."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.exact import build_index, match_shuffle
+
+    hist = pd.DataFrame(
+        {"url": ["h1", "h2"], "status": [200, 206], "text": ["A", "B"],
+         "warc_ts": pd.to_datetime([1, 2], unit="s")}
+    )
+    cur = pd.DataFrame(
+        {"url": ["c1", "c2"], "status": [206, 206], "text": ["A", "B"],
+         "warc_ts": pd.to_datetime([5, 6], unit="s")}
+    )
+    cfg = PipelineConfig()
+    idx = build_index(
+        normalize(rd.from_pandas(hist), cfg, digest_mode="md5_text", side="index"), cfg
+    )
+    assert idx.count() == 1  # only the 200 history row
+    got = (
+        match_shuffle(
+            normalize(rd.from_pandas(cur), cfg, digest_mode="md5_text", side="crawl"),
+            idx, cfg,
+        )
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    assert got["url"].tolist() == ["c1", "c2"]
+    assert got["is_duplicate"].tolist() == [True, False]
+
+
+def test_skip_counters(ray_session):
+    import ray.data as rd
+
+    pdf = pd.DataFrame(
+        {
+            "url": ["a", "b", 'bad"url', "c", "d"],
+            "status": [200, 404, 200, 206, 200],
+            "mime": ["text/html", "text/html", "text/html", "text/html", "image/png"],
+            "text": ["1", "2", "3", "4", "5"],
+            "is_revisit": [False, False, False, True, False],
+            "original_url": [None] * 5,
+            "original_ts": pd.Series([None] * 5, dtype="datetime64[us]"),
+        }
+    )
+    cfg = PipelineConfig(mime_filter="^image/.*")  # blacklist images
+    c = skip_counters(rd.from_pandas(pdf), cfg, side="crawl")
+    assert c["status_skipped"] == 1       # 404
+    assert c["mime_skipped"] == 1         # image/png (blacklist)
+    assert c["url_skipped"] == 1          # quoted url
+    assert c["unresolved_revisit"] == 1   # revisit without originals
+    assert c["handled"] == 5
+    c_idx = skip_counters(rd.from_pandas(pdf), cfg, side="index")
+    assert c_idx["status_skipped"] == 2   # 404 + 206
 
 
 def test_normalize_dataset_end_to_end(ray_session):
