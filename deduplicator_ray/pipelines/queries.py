@@ -404,6 +404,7 @@ def q_events_window(sf_dir: str):
 def registry():
     """name -> (callable(sf_dir) -> Dataset, oracle_sql | None)."""
     from deduplicator_ray.pipelines.queries_ext import registry_ext
+    from deduplicator_ray.pipelines.queries_rel import registry_rel
 
     base = {
         "exact_match_digest_any": (
@@ -447,4 +448,5 @@ def registry():
         ),
     }
     base.update(registry_ext())
+    base.update(registry_rel())
     return base

@@ -1,0 +1,258 @@
+"""Relational / windowed operators over the TPC-H-ish tables — range
+join, grouped top-k, host stats, and a TPC-H-Q1-style aggregate — each as
+a hash-bucket-partitioned Ray pipeline with a value-exact SQL oracle.
+
+These close the "custom operators Ray Data lacks" list (range join,
+windowed/grouped rank) alongside sessionization and the as-of join in
+queries_ext.py, using the same two building blocks everywhere:
+per-batch partial combine (shrink before any shuffle) and ONE
+hash-bucket shuffle + vectorized per-bucket reduce (never per-key
+Python).  All oracle-compared aggregates are integers — no float drift.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# R1: range join — events within [o_orderdate, o_orderdate + 7d) per order
+# ---------------------------------------------------------------------------
+
+_RANGE_WINDOW_S = 7 * 24 * 3600
+
+
+def q_orders_range_join(sf_dir: str):
+    """For every order: how many of the customer's events fall in the
+    7 days from the order date.
+
+    Partitioning: both sides hash-bucket on the customer key, so each
+    bucket holds every event a bucket's orders can match; the per-bucket
+    kernel sorts the events ONCE on a (user, ts) composite key and
+    answers all orders via two vectorized ``searchsorted`` calls —
+    O((E+O) log E) per bucket, no per-order Python, no row explosion."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def ev_conform(b: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(b["ts"].cast(pa.timestamp("us")), pa.int64()), 1_000_000)
+        n = b.num_rows
+        return pa.table(
+            {"key": b["user_id"], "tse": epoch,
+             "o_orderkey": pa.nulls(n, pa.int64()),
+             "side": pa.array(np.ones(n, dtype=np.int8))}
+        )
+
+    def od_conform(b: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(b["o_orderdate"].cast(pa.timestamp("us")), pa.int64()), 1_000_000)
+        n = b.num_rows
+        return pa.table(
+            {"key": b["o_custkey"], "tse": epoch,
+             "o_orderkey": b["o_orderkey"],
+             "side": pa.array(np.zeros(n, dtype=np.int8))}
+        )
+
+    both = ev.map_batches(ev_conform, batch_format="pyarrow", zero_copy_batch=True).union(
+        od.map_batches(od_conform, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    both = hash_bucket(both, "key", 32)
+
+    # composite (user, ts) key: ts_epoch < 2^34 and user_id * 2^34 stays
+    # far inside int64, so one sorted array answers per-user time ranges
+    _SHIFT = np.int64(1) << np.int64(34)
+
+    def ranged(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        ev_g = g[g["side"] == 1]
+        od_g = g[g["side"] == 0]
+        if od_g.empty:
+            return pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                                 "o_custkey": pd.Series([], dtype="int64"),
+                                 "order_epoch": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64")})
+        ekeys = np.sort(
+            ev_g["key"].to_numpy(np.int64) * _SHIFT + ev_g["tse"].to_numpy(np.int64)
+        )
+        ouid = od_g["key"].to_numpy(np.int64)
+        otse = od_g["tse"].to_numpy(np.int64)
+        lo = np.searchsorted(ekeys, ouid * _SHIFT + otse, side="left")
+        hi = np.searchsorted(ekeys, ouid * _SHIFT + otse + _RANGE_WINDOW_S, side="left")
+        return pd.DataFrame(
+            {"o_orderkey": od_g["o_orderkey"].to_numpy(np.int64),
+             "o_custkey": ouid, "order_epoch": otse,
+             "n_events": (hi - lo).astype(np.int64)}
+        )
+
+    return both.groupby("_part").map_groups(ranged, batch_format="pandas")
+
+
+_SQL_ORDERS_RANGE_JOIN = f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) // 1000 AS tse FROM events
+),
+o AS (
+  SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) // 1000 AS order_epoch
+  FROM orders
+)
+SELECT o.o_orderkey, o.o_custkey, o.order_epoch,
+       CAST(count(e.tse) AS BIGINT) AS n_events
+FROM o LEFT JOIN e
+  ON e.user_id = o.o_custkey
+ AND e.tse >= o.order_epoch AND e.tse < o.order_epoch + {_RANGE_WINDOW_S}
+GROUP BY o.o_orderkey, o.o_custkey, o.order_epoch
+"""
+
+# ---------------------------------------------------------------------------
+# R2: grouped top-k (window rank) — top 3 longest docs per source
+# ---------------------------------------------------------------------------
+
+_GROUP_TOPK = 3
+
+
+def q_grouped_topk(sf_dir: str):
+    """row_number()-style rank: the top 3 docs by (n_chars desc, doc_id)
+    within each source.  Per-batch partial top-3 per group (only
+    3 x #groups rows leave any block), tiny driver-side final merge."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return b.groupby("source", sort=False).head(_GROUP_TOPK)
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536).to_pandas()
+    parts = parts.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+    out = parts.groupby("source", sort=False).head(_GROUP_TOPK).copy()
+    out["rk"] = out.groupby("source").cumcount() + 1
+    return out.sort_values(["source", "rk"], ignore_index=True)[
+        ["source", "doc_id", "n_chars", "rk"]
+    ].astype({"rk": "int64"})
+
+
+_SQL_GROUPED_TOPK = f"""
+SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+) WHERE rk <= {_GROUP_TOPK}
+"""
+
+# ---------------------------------------------------------------------------
+# R3: host stats — RE2 host extraction over the captures corpus
+# ---------------------------------------------------------------------------
+
+# named group: pyarrow's extract_regex requires one; RE2/DuckDB treat it
+# as capture group 1, so the SAME pattern string feeds both sides
+_HOST_PAT = r"^https?://(?P<host>[^/]+)"
+
+
+def q_host_stats(sf_dir: str):
+    """Capture counts per url host (crawl-frequency profile): RE2 host
+    extraction (same pattern string both sides), per-batch partial
+    combine, tiny driver-side final sum."""
+    from deduplicator_ray.sources.corpus import captures_dataset
+
+    caps = captures_dataset(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["url"], _HOST_PAT)
+        host = pc.struct_field(m, "host")
+        hist = pc.equal(b["crawl"], "history")
+        df = pd.DataFrame({"host": host.to_pandas(), "is_hist": hist.to_pandas()})
+        g = df.groupby("host", as_index=False).agg(
+            n_captures=("is_hist", "size"), n_history=("is_hist", "sum")
+        )
+        g["n_history"] = g["n_history"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = caps.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = parts.groupby("host", as_index=False).agg(
+        n_captures=("n_captures", "sum"), n_history=("n_history", "sum")
+    )
+    out["n_current"] = (out["n_captures"] - out["n_history"]).astype("int64")
+    return out.astype({"n_captures": "int64", "n_history": "int64"})
+
+
+def _sql_host_stats() -> str:
+    from deduplicator_ray.sources.corpus import CAPTURES_CTE
+
+    return f"""
+WITH {CAPTURES_CTE}
+SELECT regexp_extract(url, '{_HOST_PAT}', 1) AS host,
+       count(*) AS n_captures,
+       CAST(sum(CASE WHEN crawl = 'history' THEN 1 ELSE 0 END) AS BIGINT) AS n_history,
+       CAST(sum(CASE WHEN crawl = 'current' THEN 1 ELSE 0 END) AS BIGINT) AS n_current
+FROM captures GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# R4: TPC-H-Q1-style pricing summary (integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_agg(sf_dir: str):
+    """Pricing summary per (returnflag, linestatus): row counts plus
+    integer-exact quantity / price-cents sums.  Per-batch partial
+    combine -> <= #flag-status pairs rows per block -> driver final sum
+    (the aggregate cardinality is tiny and data-independent)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"].to_pandas(),
+                "l_linestatus": b["l_linestatus"].to_pandas(),
+                "qty": b["l_quantity"].to_pandas().round().astype("int64"),
+                "cents": (b["l_extendedprice"].to_pandas() * 100).round().astype("int64"),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n_rows=("qty", "size"), sum_qty=("qty", "sum"), sum_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536,
+                           zero_copy_batch=True).to_pandas()
+    out = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        n_rows=("n_rows", "sum"), sum_qty=("sum_qty", "sum"), sum_cents=("sum_cents", "sum")
+    )
+    for c in ["n_rows", "sum_qty", "sum_cents"]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def registry_rel():
+    return {
+        "orders_range_join": (q_orders_range_join, _SQL_ORDERS_RANGE_JOIN),
+        "grouped_topk": (q_grouped_topk, _SQL_GROUPED_TOPK),
+        "host_stats": (q_host_stats, _sql_host_stats()),
+        "lineitem_agg": (q_lineitem_agg, _SQL_LINEITEM_AGG),
+    }

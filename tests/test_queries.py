@@ -22,7 +22,14 @@ SQL_CHECKED = [
     "quality_stats",
 ]
 
-TABLES = ["events", "orders", "documents", "embeddings"]
+SQL_CHECKED_REL = [
+    "orders_range_join",
+    "grouped_topk",
+    "host_stats",
+    "lineitem_agg",
+]
+
+TABLES = ["events", "orders", "lineitem", "documents", "embeddings"]
 
 
 def _to_pandas(res):
@@ -65,6 +72,27 @@ def test_oracle_parity(ray_session, sf_dir, duck, name):
     want = _norm(duck.execute(sql).df())
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED_REL)
+def test_oracle_parity_rel(ray_session, sf_dir, duck, name):
+    from deduplicator_ray.pipelines.queries_rel import registry_rel
+
+    fn, sql = registry_rel()[name]
+    got = _norm(_to_pandas(fn(sf_dir)))
+    want = _norm(duck.execute(sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_oracle_parity_warc_roundtrip(ray_session, sf_dir, duck):
+    from deduplicator_ray.pipelines.queries_ext import registry_ext
+
+    fn, sql = registry_ext()["warc_roundtrip"]
+    got = _norm(_to_pandas(fn(sf_dir)))
+    want = _norm(duck.execute(sql).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
