@@ -169,6 +169,9 @@ def bench_text_analysis() -> dict:
             outs.append(d)
         return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
 
+    # materialize after tile: the parquet read yields few blocks, and
+    # without the re-blocking the whole fused chain runs at read-task
+    # parallelism (measured 2.5x slower than the materialized variant)
     ds = ds.map_batches(tile, batch_format="pyarrow", batch_size=128).materialize()
     ds = token_counts(ds)
     ds = quality_metrics(ds)

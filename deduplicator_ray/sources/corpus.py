@@ -166,29 +166,34 @@ def captures_dataset(sf_dir: str, *, repeat: int = 1):
 
     def expand(batch: pa.Table) -> pa.Table:
         docs = batch.to_pandas()
-        outs = []
+        tiles = []
         for r in range(repeat):
-            d = docs.copy()
+            d = docs if r == 0 else docs.copy()
             if r:
                 d["doc_id"] = d["doc_id"] + r * n_docs_hint
                 # perturb replicated text so tiles aren't global duplicates
                 d["text"] = d["text"] + f" tile{r}"
-            pdf = _captures_pdf(d)
-            if r:
-                # undo the doc_id-stride leak into ts (keeps warc_ts inside
-                # datetime64[ns] at any repeat); tiles get a +r s offset
-                pdf["ts_epoch"] = pdf["ts_epoch"] - r * n_docs_hint * 100 + r
-            pdf["digest"] = md5_hex_many(pdf["text"].tolist())
-            pdf["url_canonical"] = canonicalize_arrow(
-                pa.array(pdf["url"], type=pa.string())
-            ).to_numpy(zero_copy_only=False)
-            pdf["warc_ts"] = pd.to_datetime(pdf["ts_epoch"], unit="s")
-            outs.append(pdf)
-        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
+            tiles.append(d)
+        # ONE _captures_pdf over all tiles: its pandas per-call overhead
+        # (~250 column ops) amortizes over batch x repeat rows instead of
+        # being paid once per tile (measured 8x per-row cost at x16 rows)
+        pdf = _captures_pdf(pd.concat(tiles, ignore_index=True))
+        # undo the doc_id-stride leak into ts (keeps warc_ts inside
+        # datetime64[ns] at any repeat); tile r gets a +r s offset
+        r_of = (pdf["doc_id"] // n_docs_hint).to_numpy()
+        pdf["ts_epoch"] = pdf["ts_epoch"] - r_of * (n_docs_hint * 100) + r_of
+        pdf["digest"] = md5_hex_many(pdf["text"].tolist())
+        pdf["url_canonical"] = canonicalize_arrow(
+            pa.array(pdf["url"], type=pa.string())
+        ).to_numpy(zero_copy_only=False)
+        pdf["warc_ts"] = pd.to_datetime(pdf["ts_epoch"], unit="s")
+        return pa.Table.from_pandas(pdf, preserve_index=False)
 
-    # small input batches -> enough expansion tasks to keep every core
-    # busy (each output block is batch_size x repeat x ~2.4 captures)
-    return ds.map_batches(expand, batch_format="pyarrow", batch_size=128)
+    # batch size targets ~4k doc-tiles (~10k captures) per output block
+    # regardless of the tiling factor: large enough to amortize the
+    # per-call pandas overhead, small enough for dozens of parallel tasks
+    bs = max(32, min(2048, 4096 // max(1, repeat)))
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=bs)
 
 
 # ---------------------------------------------------------------------------

@@ -275,10 +275,67 @@ def attach_signatures(pairs_ds, sigs_ds, *, key_col: str = "doc_key",
 
 
 def verified_edges(pairs_ds, sigs_ds, cfg: MinHashConfig | None = None, *,
-                   key_col: str = "doc_key", num_partitions: int = 8):
+                   key_col: str = "doc_key", num_partitions: int = 8,
+                   max_driver_pairs: int = 500_000):
     """Distinct candidate pairs + signatures -> verified edges
-    (a, b, est_jaccard >= threshold), fully vectorized."""
+    (a, b, est_jaccard >= threshold), fully vectorized.
+
+    Fast path: when the pair set is small (<= ``max_driver_pairs``, the
+    realistic LSH regime at bench scale), the signature stream is
+    semi-filtered to the pair keys (a streaming pass; only <= 2 x pairs
+    rows ever reach the driver) and the whole verify is ONE searchsorted
+    lookup + one (n_pairs, num_perms) equality reduction — no joins, no
+    shuffle.  Beyond the guard the join-based ``attach_signatures`` path
+    handles web-scale pair sets."""
+    import ray
+    import ray.data as rd
+
     cfg = cfg or MinHashConfig()
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs <= max_driver_pairs:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "est_jaccard": pa.array([], pa.float64())})
+        if n_pairs == 0:
+            return rd.from_arrow(empty)
+        pdf = pairs_ds.to_pandas()
+        a = pdf["a"].to_numpy(np.int64)
+        b = pdf["b"].to_numpy(np.int64)
+        needed = np.unique(np.concatenate([a, b]))
+        needed_ref = ray.put(needed)
+
+        def semi(t: pa.Table) -> pa.Table:
+            nd = ray.get(needed_ref)
+            k = np.asarray(t[key_col], dtype=np.int64)
+            idx = np.searchsorted(nd, k)
+            idx[idx == len(nd)] = 0
+            return t.filter(pa.array(nd[idx] == k))
+
+        kept = (
+            sigs_ds.select_columns([key_col, "minhash_sig"])
+            .map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+        )  # <= 2 * n_pairs rows by construction
+        keys = kept[key_col].to_numpy(np.int64)
+        order = np.argsort(keys)
+        keys = keys[order]
+        sig = np.stack(
+            [np.frombuffer(s, dtype="<u4") for s in kept["minhash_sig"].to_numpy()[order]]
+        ) if len(kept) else np.empty((0, cfg.num_perms), np.uint32)
+        ia = np.searchsorted(keys, a)
+        ib = np.searchsorted(keys, b)
+        ok = (ia < len(keys)) & (ib < len(keys))
+        ia = np.clip(ia, 0, max(0, len(keys) - 1))
+        ib = np.clip(ib, 0, max(0, len(keys) - 1))
+        ok &= (keys[ia] == a) & (keys[ib] == b)
+        j = np.zeros(len(a), dtype=np.float64)
+        j[ok] = (sig[ia[ok]] == sig[ib[ok]]).mean(axis=1)
+        keep = ok & (j >= cfg.jaccard_threshold)
+        return rd.from_arrow(
+            pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                      "est_jaccard": pa.array(j[keep])})
+        )
+
     withsigs = attach_signatures(
         pairs_ds, sigs_ds, key_col=key_col, num_partitions=num_partitions
     )

@@ -134,18 +134,23 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
 
 
-def lang_id(ds, *, text_col: str = "text", concurrency: int | tuple[int, int] | None = None):
-    from deduplicator_ray.util import auto_concurrency
+_LANGID_CACHE: dict[str, LangId] = {}
 
-    concurrency = concurrency or auto_concurrency()
-    return ds.map_batches(
-        LangId,
-        fn_constructor_args=(text_col,),
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=concurrency,
-        zero_copy_batch=True,
-    )
+
+def lang_id(ds, *, text_col: str = "text"):
+    """Task-pool stage with per-PROCESS cached state: LangId's state (a
+    compiled regex + frozen stopword sets) is microseconds to build, so an
+    actor pool buys nothing but spin-up latency — Ray reuses worker
+    processes across tasks, and the module-level cache gives the same
+    build-once-per-worker behavior without actor scheduling."""
+
+    def f(b: pa.Table) -> pa.Table:
+        li = _LANGID_CACHE.get(text_col)
+        if li is None:
+            li = _LANGID_CACHE.setdefault(text_col, LangId(text_col))
+        return li(b)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=2048, zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

@@ -112,6 +112,24 @@ def test_mega_bucket_star_preserves_connectivity(ray_session, corpus, oracle):
     assert all(len(ls) == 1 for ls in comp_labels.values())
 
 
+def test_verified_edges_paths_agree(ray_session, corpus):
+    """The driver-merge fast path and the join-based scale path must
+    produce identical edge sets."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.lsh import band_explode, candidate_pairs, verified_edges
+    from deduplicator_ray.stages.minhash import signatures
+
+    ds = rd.from_pandas(corpus[["doc_key", "text"]])
+    sigs = signatures(ds, CFG).materialize()
+    pairs = candidate_pairs(band_explode(sigs, CFG), CFG).materialize()
+    fast = verified_edges(pairs, sigs, CFG).to_pandas()
+    joined = verified_edges(pairs, sigs, CFG, max_driver_pairs=0).to_pandas()
+    f = set(zip(fast["a"], fast["b"]))
+    j = set(zip(joined["a"], joined["b"]))
+    assert f == j and len(f) > 0
+
+
 def test_distributed_cc_equals_driver(ray_session, engine_result):
     import ray.data as rd
 
