@@ -50,6 +50,12 @@ class PipelineConfig:
     include_canonical: bool = True  # 'canonicalize-url'
     include_etag: bool = False      # 'include-etag' / -e
     index_digest_scheme: bool = False  # 'index-digest-scheme'
+    # crawl-side twin of index_digest_scheme (LuceneIndexSearcher.java:
+    # 217-220 useDigestScheme): False = strip any 'algo:' prefix on BOTH
+    # sides at match time, so an index built with schemes still matches a
+    # current crawl without them (and vice versa); True = query with the
+    # scheme-qualified digest verbatim.
+    use_digest_scheme: bool = False
     mime_filter: str = "^text/.*"   # IndexingLauncher.java:101-102 default
     mime_whitelist: bool = False    # blacklist by default (-w flips)
     # --- semantics flags (SURVEY.md §2.9) ---

@@ -34,6 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from deduplicator_ray.config import PipelineConfig, SearchStrategy
 from deduplicator_ray.schema import (
@@ -79,15 +80,24 @@ def verify_strategy(history_schema: pa.Schema, cfg: PipelineConfig) -> None:
         raise ValueError(f"strategy {cfg.strategy.value} needs history column '{need}'")
 
 
-def _conform(ds, *, src: int, id_cols: tuple[str, ...], ts_col: str):
+def _conform(ds, *, src: int, id_cols: tuple[str, ...], ts_col: str,
+             strip_digest_scheme: bool = False):
     """Project either side to the union schema; id passthrough columns are
-    nulled on the history side."""
+    nulled on the history side.  ``strip_digest_scheme`` applies the
+    last-colon strip (M6) on the match key, mirroring the searcher's
+    digest-vs-digestWithScheme choice (LuceneIndexSearcher.java:217-220)
+    — without it, an index built with 'sha1:' prefixes silently never
+    matches a current crawl without them."""
 
     def f(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         cols: dict[str, pa.Array | pa.ChunkedArray] = {}
         names = set(batch.column_names)
-        cols["digest"] = batch["digest"]
+        if strip_digest_scheme:
+            # greedy ^.*: == strip up to the LAST ':' (strip_scheme rule)
+            cols["digest"] = pc.replace_substring_regex(batch["digest"], r"^.*:", "")
+        else:
+            cols["digest"] = batch["digest"]
         cols["url"] = batch["url"] if "url" in names else pa.nulls(n, pa.string())
         cols["url_canonical"] = (
             batch["url_canonical"] if "url_canonical" in names else pa.nulls(n, pa.string())
@@ -246,8 +256,9 @@ def match_shuffle(current, history, cfg: PipelineConfig | None = None, *, id_col
     """
     cfg = cfg or PipelineConfig()
     verify_strategy(history.schema(), cfg)
-    h = _conform(history, src=0, id_cols=id_cols, ts_col="date")
-    c = _conform(current, src=1, id_cols=id_cols, ts_col="warc_ts")
+    strip = not cfg.use_digest_scheme
+    h = _conform(history, src=0, id_cols=id_cols, ts_col="date", strip_digest_scheme=strip)
+    c = _conform(current, src=1, id_cols=id_cols, ts_col="warc_ts", strip_digest_scheme=strip)
     both = hash_bucket(h.union(c), "digest", cfg.shuffle_buckets)
     return both.groupby("_part").map_groups(
         lambda g: _resolve_partition(g, cfg), batch_format="pandas"
@@ -262,6 +273,8 @@ def _history_best_tables(history, cfg: PipelineConfig, max_rows: int = 5_000_000
     if len(pdf) > max_rows:
         raise ValueError(f"history too large to broadcast ({len(pdf)} rows > {max_rows}); use match_shuffle")
     pdf = pdf.rename(columns={"date": "ts", "original_record_id": "record_id"})
+    if not cfg.use_digest_scheme:
+        pdf["digest"] = pdf["digest"].str.replace(r"^.*:", "", regex=True)
     for c in ["url", "url_canonical", "ts", "record_id"]:
         if c not in pdf.columns:
             pdf[c] = None
@@ -294,6 +307,10 @@ class _BroadcastMatcher:
         self.cfg = cfg
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if not self.cfg.use_digest_scheme:
+            batch = batch.assign(
+                digest=batch["digest"].str.replace(r"^.*:", "", regex=True)
+            )
         return resolve_with_best_tables(batch, self.d, self.u, self.c, self.cfg)
 
 

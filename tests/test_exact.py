@@ -256,6 +256,39 @@ def test_within_batch_tie_elects_one_original(ray_session):
     assert got.loc[1, "refers_to_record_id"] == "r1"
 
 
+def test_digest_scheme_mismatch_still_matches(ray_session):
+    """History indexed WITH 'sha1:' prefixes vs a current crawl without
+    them (or vice versa): the default strip-at-match rule
+    (LuceneIndexSearcher.java:217-220) still finds the duplicates;
+    use_digest_scheme=True queries verbatim and finds nothing."""
+    import ray.data as rd
+
+    idx = pd.DataFrame(
+        {"url": ["h"], "url_canonical": ["h"], "digest": ["sha1:ABC"],
+         "date": pd.to_datetime([1], unit="s").astype("datetime64[us]")}
+    )
+    cur = pd.DataFrame(
+        {"url": ["c"], "url_canonical": ["c"], "digest": ["ABC"],
+         "warc_ts": pd.to_datetime([5], unit="s")}
+    )
+    for a, b in [(idx, cur), (
+        idx.assign(digest=["ABC"]), cur.assign(digest=["sha1:ABC"])
+    )]:
+        got = match_shuffle(
+            rd.from_pandas(b), rd.from_pandas(a), PipelineConfig()
+        ).to_pandas()
+        assert got["is_duplicate"].tolist() == [True]
+        bc = match_broadcast(
+            rd.from_pandas(b), rd.from_pandas(a), PipelineConfig()
+        ).to_pandas()
+        assert bc["is_duplicate"].tolist() == [True]
+    strict = match_shuffle(
+        rd.from_pandas(cur), rd.from_pandas(idx),
+        PipelineConfig(use_digest_scheme=True),
+    ).to_pandas()
+    assert strict["is_duplicate"].tolist() == [False]
+
+
 def test_verify_strategy():
     import pyarrow as pa
 

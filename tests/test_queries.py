@@ -173,6 +173,29 @@ class TestRowsOnly:
         assert len(df) == 500
         assert (df["fp_count"] > 0).all()
 
+    # Committed golden value-hashes (computed from the deterministic
+    # kernels at sf0.001): pins the rows-only queries' exact outputs so a
+    # refactor can't silently change their semantics.
+    GOLDEN = {
+        "self_similarity": ("36a0a817506d51c3", ["doc_id", "lrs_len"]),
+        "fingerprint_sketch": ("5a1f3d3ae733b732", ["doc_id", "fp_min", "fp_count"]),
+        "simhash_dups": ("40c487692c50745c", ["a", "b", "hamming"]),
+    }
+
+    @pytest.mark.parametrize("name", sorted(GOLDEN))
+    def test_golden_value_hash(self, ray_session, name):
+        import hashlib
+
+        from deduplicator_ray.pipelines.queries import registry
+
+        want, cols = self.GOLDEN[name]
+        df = _to_pandas(registry()[name][0]("/root/testdata/sf0.001"))
+        df = df.sort_values(cols, ignore_index=True)
+        blob = "\n".join(
+            "\x1f".join(str(v) for v in row) for row in df[cols].itertuples(index=False)
+        )
+        assert hashlib.sha1(blob.encode()).hexdigest()[:16] == want
+
     def test_registry_names_unique_and_callable(self):
         from deduplicator_ray.pipelines.queries import registry
 
