@@ -183,7 +183,9 @@ def bench_text_analysis() -> dict:
 
 
 def bench_embed() -> dict:
-    """brute-force cosine top-10 for 8 query vectors."""
+    """brute-force cosine top-10; query count scales with REPEAT so the
+    phase carries real parallel work in scaling mode (at the default
+    REPEAT=8 this is the original 8-query workload)."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -191,14 +193,19 @@ def bench_embed() -> dict:
 
     from deduplicator_ray.stages.embed import cosine_topk
 
+    n_q = max(8, REPEAT)
     t0 = time.time()
     ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
-    head = pq.read_table(f"{SF_DIR}/embeddings.parquet").slice(0, 8)
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    head = tbl.slice(0, min(n_q, tbl.num_rows))
     q = np.stack(head["embedding"].to_pylist())
+    if len(q) < n_q:  # tile with tiny deterministic perturbations
+        reps = -(-n_q // len(q))
+        q = np.concatenate([q * (1 + 1e-6 * r) for r in range(reps)])[:n_q]
     out = cosine_topk(ds, q, k=10)
     n = out.num_rows
     sec = time.time() - t0
-    return {"sec": round(sec, 3), "results": n, "sec_per_query": round(sec / 8, 3)}
+    return {"sec": round(sec, 3), "results": n, "sec_per_query": round(sec / n_q, 4)}
 
 
 def run_all() -> dict:

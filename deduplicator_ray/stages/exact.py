@@ -404,6 +404,10 @@ def build_index(ds, cfg: PipelineConfig | None = None):
     """
     cfg = cfg or PipelineConfig()
     key = ["url", "digest"] if cfg.index_url else ["digest"]
+    # only what the final projection reads may enter the shuffle — payload
+    # columns (text/html) riding the index build would multiply shuffle
+    # volume ~10x for nothing (SURVEY.md §7.4 rule)
+    _PROJ_COLS = ["url", "url_canonical", "digest", "warc_ts", "etag", "record_id"]
 
     def pre_reduce(b: pd.DataFrame) -> pd.DataFrame:
         # M7 revisit remap when the columns exist
@@ -414,6 +418,7 @@ def build_index(ds, cfg: PipelineConfig | None = None):
             rev = b["is_revisit"].fillna(False).astype(bool)
             b.loc[rev, "url"] = b.loc[rev, "original_url"]
             b.loc[rev, "warc_ts"] = b.loc[rev, "original_ts"]
+        b = b[[c for c in _PROJ_COLS if c in b.columns]]
         b = b.sort_values(["warc_ts", "url"], ascending=[False, True], kind="mergesort")
         return b.drop_duplicates(key, keep="first")
 

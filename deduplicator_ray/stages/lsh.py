@@ -213,7 +213,7 @@ def _empty_pairs_table() -> pa.Table:
 
 
 def attach_signatures(pairs_ds, sigs_ds, *, key_col: str = "doc_key",
-                      sig_col: str = "minhash_sig", num_partitions: int = 8,
+                      sig_col: str = "minhash_sig", num_partitions: int | None = None,
                       max_broadcast_keys: int = 20_000_000):
     """Distinct (a, b) pairs + signature table -> (a, b, sig_a, sig_b).
 
@@ -230,7 +230,9 @@ def attach_signatures(pairs_ds, sigs_ds, *, key_col: str = "doc_key",
     import ray.data as rd
 
     from deduplicator_ray.stages.joins import hash_join
+    from deduplicator_ray.util import auto_partitions
 
+    num_partitions = num_partitions or auto_partitions()
     pairs_ds = pairs_ds.materialize()
     if pairs_ds.count() == 0:
         return rd.from_arrow(
@@ -275,7 +277,7 @@ def attach_signatures(pairs_ds, sigs_ds, *, key_col: str = "doc_key",
 
 
 def verified_edges(pairs_ds, sigs_ds, cfg: MinHashConfig | None = None, *,
-                   key_col: str = "doc_key", num_partitions: int = 8,
+                   key_col: str = "doc_key", num_partitions: int | None = None,
                    max_driver_pairs: int = 500_000):
     """Distinct candidate pairs + signatures -> verified edges
     (a, b, est_jaccard >= threshold), fully vectorized.
@@ -290,6 +292,9 @@ def verified_edges(pairs_ds, sigs_ds, cfg: MinHashConfig | None = None, *,
     import ray
     import ray.data as rd
 
+    from deduplicator_ray.util import auto_partitions
+
+    num_partitions = num_partitions or auto_partitions()
     cfg = cfg or MinHashConfig()
     pairs_ds = pairs_ds.materialize()
     n_pairs = pairs_ds.count()
@@ -360,7 +365,7 @@ def verified_edges(pairs_ds, sigs_ds, cfg: MinHashConfig | None = None, *,
 
 def exact_jaccard_edges(edges_ds, corpus_ds, cfg: MinHashConfig | None = None, *,
                         key_col: str = "doc_key", text_col: str = "text",
-                        num_partitions: int = 8):
+                        num_partitions: int | None = None):
     """n-gram Jaccard dedup: re-verify (or independently score) candidate
     pairs with the EXACT word-shingle Jaccard (set intersection over
     union), not the signature estimate.  Texts are attached to the small
@@ -371,7 +376,9 @@ def exact_jaccard_edges(edges_ds, corpus_ds, cfg: MinHashConfig | None = None, *
     import re as _re
 
     from deduplicator_ray.stages.minhash import shingle_hashes
+    from deduplicator_ray.util import auto_partitions
 
+    num_partitions = num_partitions or auto_partitions()
     cfg = cfg or MinHashConfig()
     texts = corpus_ds.select_columns([key_col, text_col])
 
