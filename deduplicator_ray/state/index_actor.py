@@ -105,7 +105,7 @@ class ShardedDigestIndex:
     """Driver-side handle: builds shards from a history Dataset and a
     bloom filter over all digests."""
 
-    def __init__(self, history_ds, n_shards: int = 4):
+    def __init__(self, history_ds, n_shards: int = 4, *, strip_digest_scheme: bool = True):
         self.n_shards = n_shards
         self.shards = [DigestIndexShard.remote() for _ in range(n_shards)]
         cols = [c for c in ["digest", "url", "url_canonical", "date", "original_record_id"]
@@ -117,6 +117,10 @@ class ShardedDigestIndex:
             batch_size=65536, batch_format="pandas"
         ):
             pdf = batch.rename(columns={"date": "ts", "original_record_id": "record_id"})
+            if strip_digest_scheme:
+                # match-time scheme conformance, same rule as the shuffle/
+                # broadcast matchers (LuceneIndexSearcher.java:217-220)
+                pdf["digest"] = pdf["digest"].str.replace(r"^.*:", "", regex=True)
             for c in ["url", "url_canonical", "ts", "record_id"]:
                 if c not in pdf.columns:
                     pdf[c] = None
@@ -148,6 +152,10 @@ class _ActorMatcher:
         self.bloom_skipped = 0
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if not self.cfg.use_digest_scheme:
+            batch = batch.assign(
+                digest=batch["digest"].str.replace(r"^.*:", "", regex=True)
+            )
         digests = batch["digest"].tolist()
         maybe = self.bloom.contains_many(digests)
         self.bloom_skipped += int((~maybe).sum())
