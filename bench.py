@@ -262,10 +262,13 @@ def run_scaling() -> dict:
     # biases whichever level hits the loaded window; alternating them
     # exposes both levels to similar conditions and best-of-N picks each
     # level's least-interfered run
-    runs_lo, runs_hi = [], []
+    runs_lo, runs_hi, loads = [], [], []
     for _ in range(trials):
+        loads.append(round(os.getloadavg()[0], 1))
         runs_lo.append(run_once(lo))
+        loads.append(round(os.getloadavg()[0], 1))
         runs_hi.append(run_once(hi))
+    loads.append(round(os.getloadavg()[0], 1))
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
@@ -286,6 +289,9 @@ def run_scaling() -> dict:
         f"queries_{hi}": r_hi["queries"],
         "repeat": int(os.environ.get("GRAFT_BENCH_REPEAT", "256")),
         "sf": SF_DIR,
+        # ambient 1-min load sampled before each leg (shared host; other
+        # tenants' load swings are the dominant noise source)
+        "loadavg_before_legs": loads,
     }
 
 

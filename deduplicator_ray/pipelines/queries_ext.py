@@ -177,6 +177,27 @@ def q_embed_topk(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def q_embed_topk_ivf(sf_dir: str):
+    """ANN scale path: IVF coarse-quantized top-k (k-means lists +
+    n_probe probing) — approximate by design, so rows-only here; pytest
+    gates recall vs the exact brute-force baseline."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import ivf_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtbl = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .filter(pc.less(pc.field("vec_id"), _TOPK_NQ))
+        .sort_by("vec_id")
+    )
+    q = np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)
+    out = ivf_topk(ds, q, k=_TOPK_K, n_lists=16, n_probe=6)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
 _SQL_EMB_TOPK = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {_TOPK_NQ}
@@ -679,6 +700,7 @@ def registry_ext():
         "warc_roundtrip": (q_warc_roundtrip, _SQL_WARC_ROUNDTRIP),
         "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
+        "embed_topk_ivf": (q_embed_topk_ivf, None),
         "neardup_clusters": (q_neardup_clusters, None),
         "pair_lcs": (q_pair_lcs, None),
         "simhash_dups": (q_simhash_dups, None),

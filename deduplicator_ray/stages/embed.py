@@ -276,6 +276,98 @@ def embedding_dup_pairs_bucketed(ds, threshold: float, *, id_col: str = "vec_id"
                                 zero_copy_batch=True)
 
 
+def _kmeans_fit(sample: np.ndarray, k: int, *, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Plain Lloyd's k-means on a driver-side sample -> (k, d) normalized
+    centroids.  Deterministic (seeded init, fixed iteration count)."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample)
+    k = min(k, len(sample))
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_topk(ds, query_matrix: np.ndarray, k: int = 10, *,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_lists: int = 64, n_probe: int = 8, train_sample: int = 10_000,
+             concurrency: int | tuple[int, int] | None = None) -> pa.Table:
+    """IVF-style ANN top-k — the similarity-search scale path.
+
+    Index: k-means coarse quantizer trained on a driver-side sample
+    (bounded by ``train_sample``), centroids broadcast via ``ray.put``;
+    every batch assigns its vectors to their nearest centroid (one
+    matmul).  Search: each query probes only its ``n_probe`` nearest
+    centroid lists; per batch, vectors are scored ONLY against the
+    queries probing their list (mask from one small matmul), then pruned
+    to the local top-k — same partial/merge shape as ``cosine_topk`` but
+    touching ~n_probe/n_lists of the score work.  Exact recall is not
+    guaranteed (pytest gates it against brute force on planted data);
+    ``cosine_topk`` remains the exact baseline."""
+    import ray
+
+    from deduplicator_ray.util import auto_concurrency
+
+    concurrency = concurrency or auto_concurrency()
+    q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    sample = ds.select_columns([vec_col]).limit(train_sample).to_pandas()
+    m_sample = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    centroids = _kmeans_fit(m_sample, n_lists)
+    # per-query probe set -> boolean (n_lists, n_queries) probe mask
+    probe_order = np.argsort(-(q @ centroids.T), axis=1)[:, : min(n_probe, len(centroids))]
+    probe_mask = np.zeros((len(centroids), len(q)), dtype=bool)
+    for qi, lists in enumerate(probe_order):
+        probe_mask[lists, qi] = True
+    ref = ray.put((centroids, q, probe_mask))
+
+    class _IvfScorer:
+        def __init__(self):
+            self.centroids, self.q, self.mask = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col], dtype=np.int64)
+            m = _normalize(_matrix(batch[vec_col], self.q.shape[1]))
+            lists = np.argmax(m @ self.centroids.T, axis=1)  # coarse assign
+            scores = m @ self.q.T  # (n, q)
+            allowed = self.mask[lists]  # (n, q): query probes this row's list
+            scores = np.where(allowed, scores, -np.inf)
+            kk = min(self.k, len(ids))
+            out_q, out_id, out_s = [], [], []
+            for qi in range(self.q.shape[0]):
+                s = scores[:, qi]
+                top = np.argpartition(-s, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+                keep = s[top] > -np.inf
+                out_q.append(np.full(int(keep.sum()), qi, dtype=np.int64))
+                out_id.append(ids[top][keep])
+                out_s.append(s[top][keep])
+            return pa.table(
+                {"query_id": np.concatenate(out_q) if out_q else np.array([], np.int64),
+                 "vec_id": np.concatenate(out_id) if out_id else np.array([], np.int64),
+                 "cosine": np.concatenate(out_s) if out_s else np.array([], np.float64)}
+            )
+
+    partial = ds.map_batches(
+        _IvfScorer,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+    pdf = partial.to_pandas()
+    pdf = pdf.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+    pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        pdf[["query_id", "vec_id", "rank", "cosine"]], preserve_index=False
+    )
+
+
 def hyperplane_bucket(ds, *, n_planes: int = 16, seed: int = 42,
                       vec_col: str = "embedding"):
     """Scale path for embedding dedup / ANN: sign-random-projection LSH.

@@ -229,6 +229,32 @@ class TestEmbed:
         got = set(zip(buck["a"].tolist(), buck["b"].tolist()))
         assert got == want
 
+    def test_ivf_topk_full_probe_is_exact(self, ray_session, sf_dir, emb):
+        """Probing every list must reproduce the exact brute-force
+        ranking; fewer probes must keep high top-10 recall."""
+        import ray.data as rd
+
+        from deduplicator_ray.stages.embed import ivf_topk
+
+        pdf, m = emb
+        q = m[:4]
+        exact = cosine_topk(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=10
+        ).to_pandas()
+        full = ivf_topk(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=10,
+            n_lists=8, n_probe=8,
+        ).to_pandas()
+        assert full[["query_id", "vec_id", "rank"]].values.tolist() == \
+            exact[["query_id", "vec_id", "rank"]].values.tolist()
+        approx = ivf_topk(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=10,
+            n_lists=8, n_probe=4,
+        ).to_pandas()
+        want = set(map(tuple, exact[["query_id", "vec_id"]].values.tolist()))
+        got = set(map(tuple, approx[["query_id", "vec_id"]].values.tolist()))
+        assert len(got & want) / len(want) >= 0.7  # half the lists probed
+
     def test_hyperplane_bucket(self, ray_session, sf_dir):
         import ray.data as rd
 
