@@ -245,12 +245,77 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 # ---------------------------------------------------------------------------
+# R5: hopping-window aggregate (overlapping windows — streaming op Ray
+# Data has no native form for)
+# ---------------------------------------------------------------------------
+
+_HOP_S = 900          # 15-min hop
+_HOP_WINDOW_S = 3600  # 1-h window -> every event lands in exactly 4 windows
+
+
+def q_events_hopping(sf_dir: str):
+    """Per-user hopping-window event counts (window 1 h, hop 15 min).
+
+    The explode is vectorized (np.repeat over the batch, window/hop
+    windows per event — a constant factor, not a join), then the same
+    partial-combine + hash-bucket final reduce as the tumbling-window
+    query.  Partitioning assumption: all of one user's rows share a
+    bucket."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    k = _HOP_WINDOW_S // _HOP_S  # windows per event
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+
+    def explode_and_combine(b: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(b["ts"].cast(pa.timestamp("us")), pa.int64()), 1_000_000)
+        tse = epoch.to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        base = tse // _HOP_S
+        offs = np.arange(k, dtype=np.int64)
+        win = ((np.repeat(base, k) - np.tile(offs, len(tse))) * _HOP_S).astype(np.int64)
+        df = pd.DataFrame(
+            {"user_id": np.repeat(uid, k), "window_epoch": win}
+        )
+        g = df.groupby(["user_id", "window_epoch"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n_events"}), preserve_index=False
+        )
+
+    ds = ds.map_batches(explode_and_combine, batch_format="pyarrow", batch_size=65536,
+                        zero_copy_batch=True)
+    ds = hash_bucket(ds, "user_id", 32)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        out = g.groupby(["user_id", "window_epoch"], as_index=False)["n_events"].sum()
+        return out.astype("int64")
+
+    return ds.groupby("_part").map_groups(final, batch_format="pandas")
+
+
+_SQL_EVENTS_HOPPING = f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) // 1000 AS tse FROM events
+),
+x AS (
+  SELECT user_id, ((tse // {_HOP_S}) - k.k) * {_HOP_S} AS window_epoch
+  FROM e CROSS JOIN (SELECT unnest(range({_HOP_WINDOW_S // _HOP_S})) AS k) k
+)
+SELECT user_id, window_epoch, count(*) AS n_events
+FROM x GROUP BY user_id, window_epoch
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 
 def registry_rel():
     return {
+        "events_hopping": (q_events_hopping, _SQL_EVENTS_HOPPING),
         "orders_range_join": (q_orders_range_join, _SQL_ORDERS_RANGE_JOIN),
         "grouped_topk": (q_grouped_topk, _SQL_GROUPED_TOPK),
         "host_stats": (q_host_stats, _sql_host_stats()),

@@ -23,6 +23,7 @@ SQL_CHECKED = [
 ]
 
 SQL_CHECKED_REL = [
+    "events_hopping",
     "orders_range_join",
     "grouped_topk",
     "host_stats",
