@@ -375,6 +375,48 @@ def q_fingerprint_sketch(sf_dir: str):
     return out.select_columns(["doc_id", "fp_min", "fp_count"])
 
 
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing end-to-end: deterministic synthetic media
+    table -> kind-routed actor-pool stages (image decode, audio features,
+    video frame sampling + resize plan), payloads dropped before the
+    union.  Rows-only (the fake kernels are pytest-pinned); the point is
+    the Ray-side schema/batch/actor plumbing, exercised for every kind."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.multimodal import (
+        decode_images,
+        extract_audio_features,
+        resize_plan,
+        sample_frames,
+        synth_media,
+    )
+
+    media = rd.from_arrow(synth_media(96))
+    imgs = decode_images(media.filter(expr="kind == 'image'"))
+    auds = extract_audio_features(media.filter(expr="kind == 'audio'"))
+    vids = sample_frames(resize_plan(media.filter(expr="kind == 'video'")))
+
+    def img_row(b: pa.Table) -> pa.Table:
+        return pa.table({"media_id": b["media_id"], "kind": pa.array(["image"] * b.num_rows),
+                         "feature": pc.cast(b["phash"], pa.int64())})
+
+    def aud_row(b: pa.Table) -> pa.Table:
+        return pa.table({"media_id": b["media_id"], "kind": pa.array(["audio"] * b.num_rows),
+                         "feature": pc.cast(b["n_windows"], pa.int64())})
+
+    def vid_row(b: pa.Table) -> pa.Table:
+        n_frames = pc.list_value_length(b["frame_ts_ms"])
+        return pa.table({"media_id": b["media_id"], "kind": pa.array(["video"] * b.num_rows),
+                         "feature": pc.cast(n_frames, pa.int64())})
+
+    out = (
+        imgs.map_batches(img_row, batch_format="pyarrow", zero_copy_batch=True)
+        .union(auds.map_batches(aud_row, batch_format="pyarrow", zero_copy_batch=True))
+        .union(vids.map_batches(vid_row, batch_format="pyarrow", zero_copy_batch=True))
+    )
+    return out
+
+
 def q_lang_id_pred(sf_dir: str):
     """Heuristic language ID vs the table's labeled lang: confusion
     counts (pred, label, n)."""
@@ -707,4 +749,5 @@ def registry_ext():
         "self_similarity": (q_self_similarity, None),
         "fingerprint_sketch": (q_fingerprint_sketch, None),
         "lang_id_pred": (q_lang_id_pred, None),
+        "media_features": (q_media_features, None),
     }

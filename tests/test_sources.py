@@ -112,6 +112,45 @@ class TestMultimodal:
         out2 = decode_images(rd.from_arrow(synth_media(32))).to_pandas()
         assert out["phash"].tolist() == out2["phash"].tolist()
 
+    def test_audio_features(self, ray_session):
+        import ray.data as rd
+
+        from deduplicator_ray.stages.multimodal import extract_audio_features, synth_media
+
+        out = extract_audio_features(rd.from_arrow(synth_media(30))).to_pandas()
+        assert len(out) == 30
+        assert "payload" not in out.columns
+        assert (out["n_windows"] == 8).all()
+        # deterministic energy profiles
+        out2 = extract_audio_features(rd.from_arrow(synth_media(30))).to_pandas()
+        assert out["energy"].apply(tuple).tolist() == out2["energy"].apply(tuple).tolist()
+
+    def test_resize_plan_and_frame_sampling(self, ray_session):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from deduplicator_ray.stages.multimodal import resize_plan, sample_frames
+
+        media = pa.table(
+            {"media_id": pa.array([1, 2, 3], pa.int64()),
+             "width": pa.array([640, 100, 0], pa.int32()),
+             "height": pa.array([480, 400, 0], pa.int32()),
+             "duration_ms": pa.array([2500, 0, None], pa.int32())}
+        )
+        out = sample_frames(resize_plan(rd.from_arrow(media), max_side=256)).to_pandas()
+        out = out.sort_values("media_id", ignore_index=True)
+        assert out.loc[0, "target_width"] == 256 and out.loc[0, "target_height"] == 192
+        assert out.loc[1, "target_width"] == 64 and out.loc[1, "target_height"] == 256
+        assert list(out.loc[0, "frame_ts_ms"]) == [0, 1000, 2000]
+        assert list(out.loc[1, "frame_ts_ms"]) == []
+
+    def test_audio_real_decoder_is_stubbed(self):
+        from deduplicator_ray.stages.multimodal import AudioFeatureExtractor
+
+        with pytest.raises(NotImplementedError):
+            AudioFeatureExtractor(decoder="real")
+
     def test_real_decoder_is_stubbed(self):
         from deduplicator_ray.stages.multimodal import ImageDecoder
 
