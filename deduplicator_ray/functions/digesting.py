@@ -54,6 +54,23 @@ def strip_scheme(digest: str | None) -> str | None:
     return digest[i + 1 :] if i >= 0 else digest
 
 
+# vectorized twins of strip_scheme — ONE place owns the last-colon rule
+# (greedy ^.*: == strip up to the LAST ':', matching lastIndexOf above)
+_SCHEME_RE = r"^.*:"
+
+
+def strip_scheme_arrow(col):
+    """Arrow string array/chunked array -> scheme-stripped digests."""
+    import pyarrow.compute as pc
+
+    return pc.replace_substring_regex(col, _SCHEME_RE, "")
+
+
+def strip_scheme_series(s):
+    """pandas Series -> scheme-stripped digests."""
+    return s.str.replace(_SCHEME_RE, "", regex=True)
+
+
 def md5_hex(text: str | None) -> str | None:
     """Hex MD5 of a unicode string's UTF-8 bytes (oracle-parity digest;
     matches DuckDB ``md5(col)``)."""

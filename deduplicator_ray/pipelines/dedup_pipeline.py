@@ -122,8 +122,23 @@ def run(args) -> dict:
         force=args.force,
     )
     results["normalize"] = m_norm
-    # A3 run counters (IndexBuilder.java:131-133,174-178 parity)
-    results["counters"] = skip_counters(read_corpus(args.corpus), cfg, side=side)
+    # A3 run counters (IndexBuilder.java:131-133,174-178 parity) — cached
+    # beside the normalize checkpoint so a resumed run doesn't pay a
+    # second full corpus pass just to re-sum a handful of ints
+    counters_path = os.path.join(out, "normalize", "_counters.json")
+    counters_key = {"config_hash": chash, "input_fingerprint": fp_corpus}
+    counters = None
+    if not args.force and os.path.exists(counters_path):
+        with open(counters_path) as f:
+            cached = json.load(f)
+        if cached.get("key") == counters_key:
+            counters = cached["counters"]
+    if counters is None:
+        counters = skip_counters(read_corpus(args.corpus), cfg, side=side)
+        os.makedirs(os.path.dirname(counters_path), exist_ok=True)
+        with open(counters_path, "w") as f:
+            json.dump({"key": counters_key, "counters": counters}, f)
+    results["counters"] = counters
 
     # -- index --------------------------------------------------------------
     if args.build_index:

@@ -166,7 +166,9 @@ def q_host_stats(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         m = pc.extract_regex(b["url"], _HOST_PAT)
-        host = pc.struct_field(m, "host")
+        # non-matching urls: DuckDB's regexp_extract yields '' and GROUP BY
+        # keeps them — mirror that instead of dropping the null group
+        host = pc.fill_null(pc.struct_field(m, "host"), "")
         hist = pc.equal(b["crawl"], "history")
         df = pd.DataFrame({"host": host.to_pandas(), "is_hist": hist.to_pandas()})
         g = df.groupby("host", as_index=False).agg(

@@ -39,7 +39,10 @@ import pyarrow as pa
 
 from deduplicator_ray.functions.timestamps import iso_to_datetime
 
-WARC_FILE_REGEX = r"^.*\.warc(.gz)?$"  # WarcIterator.java:29, verbatim
+# WarcIterator.java:29 spells this "^.*\.warc(.gz)?$" with the gz dot
+# UNescaped (so "x.warcagz" would match there) — we deliberately escape
+# it; the reference's looser match is a latent bug, not a semantic.
+WARC_FILE_REGEX = r"^.*\.warc(\.gz)?$"
 _WARC_FILE_RE = re.compile(WARC_FILE_REGEX)
 
 # WARCConstants.PROFILE_REVISIT_NOT_MODIFIED (warc 1.0); suffix-matched so
@@ -262,6 +265,10 @@ def write_warc(path: str, records: list[dict], *, compress: bool | None = None) 
     if compress:
         # mtime pinned -> byte-identical output for identical input
         data = gzip.compress(data, mtime=0)
-    with open(path, "wb") as f:
+    # atomic publish: concurrent writers/readers of the same fixture path
+    # (parallel pytest, driver gate) must never observe a truncated file
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
         f.write(data)
+    os.replace(tmp, path)
     return path

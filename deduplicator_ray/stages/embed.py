@@ -142,7 +142,10 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, *, id_col: str = "vec_id",
     from deduplicator_ray.util import auto_concurrency
 
     concurrency = concurrency or auto_concurrency()
-    if ds.count() > max_broadcast:  # metadata count — no materialization
+    # pin once: for transformed inputs, count() would otherwise execute
+    # the upstream chain and the collect below would execute it AGAIN
+    ds = ds.materialize()
+    if ds.count() > max_broadcast:
         return embedding_dup_pairs_bucketed(
             ds, threshold, id_col=id_col, vec_col=vec_col
         )

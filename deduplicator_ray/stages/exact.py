@@ -94,8 +94,9 @@ def _conform(ds, *, src: int, id_cols: tuple[str, ...], ts_col: str,
         cols: dict[str, pa.Array | pa.ChunkedArray] = {}
         names = set(batch.column_names)
         if strip_digest_scheme:
-            # greedy ^.*: == strip up to the LAST ':' (strip_scheme rule)
-            cols["digest"] = pc.replace_substring_regex(batch["digest"], r"^.*:", "")
+            from deduplicator_ray.functions.digesting import strip_scheme_arrow
+
+            cols["digest"] = strip_scheme_arrow(batch["digest"])
         else:
             cols["digest"] = batch["digest"]
         cols["url"] = batch["url"] if "url" in names else pa.nulls(n, pa.string())
@@ -274,7 +275,9 @@ def _history_best_tables(history, cfg: PipelineConfig, max_rows: int = 5_000_000
         raise ValueError(f"history too large to broadcast ({len(pdf)} rows > {max_rows}); use match_shuffle")
     pdf = pdf.rename(columns={"date": "ts", "original_record_id": "record_id"})
     if not cfg.use_digest_scheme:
-        pdf["digest"] = pdf["digest"].str.replace(r"^.*:", "", regex=True)
+        from deduplicator_ray.functions.digesting import strip_scheme_series
+
+        pdf["digest"] = strip_scheme_series(pdf["digest"])
     for c in ["url", "url_canonical", "ts", "record_id"]:
         if c not in pdf.columns:
             pdf[c] = None
@@ -308,9 +311,9 @@ class _BroadcastMatcher:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if not self.cfg.use_digest_scheme:
-            batch = batch.assign(
-                digest=batch["digest"].str.replace(r"^.*:", "", regex=True)
-            )
+            from deduplicator_ray.functions.digesting import strip_scheme_series
+
+            batch = batch.assign(digest=strip_scheme_series(batch["digest"]))
         return resolve_with_best_tables(batch, self.d, self.u, self.c, self.cfg)
 
 

@@ -321,12 +321,15 @@ def verified_edges(pairs_ds, sigs_ds, cfg: MinHashConfig | None = None, *,
             .map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
             .to_pandas()
         )  # <= 2 * n_pairs rows by construction
+        if len(kept) == 0:
+            # none of the pair keys exist in the signature table
+            return rd.from_arrow(empty)
         keys = kept[key_col].to_numpy(np.int64)
         order = np.argsort(keys)
         keys = keys[order]
         sig = np.stack(
             [np.frombuffer(s, dtype="<u4") for s in kept["minhash_sig"].to_numpy()[order]]
-        ) if len(kept) else np.empty((0, cfg.num_perms), np.uint32)
+        )
         ia = np.searchsorted(keys, a)
         ib = np.searchsorted(keys, b)
         ok = (ia < len(keys)) & (ib < len(keys))

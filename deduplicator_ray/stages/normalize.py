@@ -157,10 +157,21 @@ def skip_counters(ds, cfg: PipelineConfig | None = None, *, side: str = "crawl")
     IndexBuilder.java:174-178).  One cheap streaming pass of per-batch
     partial counts; only a handful of ints reach the driver."""
     cfg = cfg or PipelineConfig()
-    keys = ["status_skipped", "mime_skipped", "url_skipped", "unresolved_revisit", "handled"]
+    keys = ["status_skipped", "mime_skipped", "url_skipped", "unresolved_revisit",
+            "parse_dropped", "handled"]
 
     def partial(b: pa.Table) -> pa.Table:
         counts = dict.fromkeys(keys, 0)
+        if "parse_dropped" in b.column_names:
+            counts["parse_dropped"] = pc.sum(b["parse_dropped"]).as_py() or 0
+            if "url" in b.column_names:
+                # exclude metrics-only rows (all-malformed crawl.log
+                # batches emit one: url null, parse_dropped > 0) — they
+                # are not records and must not inflate handled/skipped
+                metrics = pc.and_(
+                    pc.is_null(b["url"]), pc.greater(b["parse_dropped"], 0)
+                )
+                b = b.filter(pc.invert(metrics))
         n0 = b.num_rows
         b = _apply_filters(b, cfg, side, counts)
         if "is_revisit" in b.column_names:

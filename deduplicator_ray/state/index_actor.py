@@ -107,6 +107,9 @@ class ShardedDigestIndex:
 
     def __init__(self, history_ds, n_shards: int = 4, *, strip_digest_scheme: bool = True):
         self.n_shards = n_shards
+        # the matcher must conform lookups to HOW THIS INDEX was built —
+        # recorded here so mismatched configs can't silently zero out hits
+        self.strip_digest_scheme = strip_digest_scheme
         self.shards = [DigestIndexShard.remote() for _ in range(n_shards)]
         cols = [c for c in ["digest", "url", "url_canonical", "date", "original_record_id"]
                 if c in history_ds.schema().names]
@@ -120,7 +123,9 @@ class ShardedDigestIndex:
             if strip_digest_scheme:
                 # match-time scheme conformance, same rule as the shuffle/
                 # broadcast matchers (LuceneIndexSearcher.java:217-220)
-                pdf["digest"] = pdf["digest"].str.replace(r"^.*:", "", regex=True)
+                from deduplicator_ray.functions.digesting import strip_scheme_series
+
+                pdf["digest"] = strip_scheme_series(pdf["digest"])
             for c in ["url", "url_canonical", "ts", "record_id"]:
                 if c not in pdf.columns:
                     pdf[c] = None
@@ -145,17 +150,20 @@ class _ActorMatcher:
     """map_batches actor: bloom precheck, then shard fan-out + local
     resolve (same semantics as the broadcast matcher)."""
 
-    def __init__(self, shards, bloom_ref, cfg: PipelineConfig):
+    def __init__(self, shards, bloom_ref, cfg: PipelineConfig, strip_digest_scheme: bool):
         self.shards = shards
         self.bloom: BloomFilter = ray.get(bloom_ref)
         self.cfg = cfg
+        # follow the INDEX's convention, not cfg: the index decides what
+        # form its digests are stored in
+        self.strip = strip_digest_scheme
         self.bloom_skipped = 0
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if not self.cfg.use_digest_scheme:
-            batch = batch.assign(
-                digest=batch["digest"].str.replace(r"^.*:", "", regex=True)
-            )
+        if self.strip:
+            from deduplicator_ray.functions.digesting import strip_scheme_series
+
+            batch = batch.assign(digest=strip_scheme_series(batch["digest"]))
         digests = batch["digest"].tolist()
         maybe = self.bloom.contains_many(digests)
         self.bloom_skipped += int((~maybe).sum())
@@ -184,7 +192,8 @@ def match_actor_index(current, index: ShardedDigestIndex, cfg: PipelineConfig | 
     cfg = cfg or PipelineConfig()
     return current.map_batches(
         _ActorMatcher,
-        fn_constructor_args=(index.shard_refs, index.bloom_ref, cfg),
+        fn_constructor_args=(index.shard_refs, index.bloom_ref, cfg,
+                             getattr(index, "strip_digest_scheme", True)),
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -127,6 +127,55 @@ def test_skip_counters(ray_session):
     assert c_idx["status_skipped"] == 2   # 404 + 206
 
 
+def test_skip_counters_ignore_metrics_only_rows(ray_session):
+    """The all-malformed crawl.log metrics row must feed parse_dropped —
+    and must NOT count as a handled or status-skipped record."""
+    import ray.data as rd
+
+    from deduplicator_ray.sources.crawl_log import parse_batch
+
+    t = parse_batch(["short", "bad"])  # 1 metrics-only row, 2 dropped lines
+    c = skip_counters(rd.from_arrow(t), PipelineConfig(), side="crawl")
+    assert c["parse_dropped"] == 2
+    assert c["handled"] == 0
+    assert c["status_skipped"] == 0
+
+
+def test_actor_index_verbatim_scheme_mode(ray_session):
+    """ShardedDigestIndex built with strip_digest_scheme=False stores
+    digests verbatim, and the matcher follows the INDEX's convention —
+    scheme-qualified lookups hit, bare ones miss."""
+    import ray.data as rd
+
+    from deduplicator_ray.state.index_actor import ShardedDigestIndex, match_actor_index
+
+    idx_pdf = pd.DataFrame(
+        {"url": ["h"], "url_canonical": ["h"], "digest": ["sha1:ABC"],
+         "date": pd.to_datetime([1], unit="s").astype("datetime64[us]")}
+    )
+    idx = ShardedDigestIndex(rd.from_pandas(idx_pdf), n_shards=2,
+                             strip_digest_scheme=False)
+    cur = pd.DataFrame(
+        {"url": ["a", "b"], "url_canonical": ["a", "b"],
+         "digest": ["sha1:ABC", "ABC"],
+         "warc_ts": pd.to_datetime([5, 6], unit="s")}
+    )
+    got = (
+        match_actor_index(rd.from_pandas(cur), idx, PipelineConfig(use_digest_scheme=True))
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    assert got["is_duplicate"].tolist() == [True, False]
+    # default-built (stripped) index matches either digest form
+    idx2 = ShardedDigestIndex(rd.from_pandas(idx_pdf), n_shards=2)
+    got2 = (
+        match_actor_index(rd.from_pandas(cur), idx2, PipelineConfig())
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    assert got2["is_duplicate"].tolist() == [True, True]
+
+
 def test_normalize_dataset_end_to_end(ray_session):
     import ray.data as rd
 
