@@ -49,7 +49,7 @@ def bench_exact() -> dict:
 
     from deduplicator_ray.config import PipelineConfig, SearchStrategy
     from deduplicator_ray.sources.corpus import captures_dataset
-    from deduplicator_ray.stages.exact import build_index, match_shuffle, report_aggregates
+    from deduplicator_ray.stages.exact import match_shuffle, report_aggregates
 
     t0 = time.time()
     caps = captures_dataset(SF_DIR, repeat=REPEAT).materialize()
@@ -66,8 +66,11 @@ def bench_exact() -> dict:
         zero_copy_batch=True,
     )
     cfg = PipelineConfig(strategy=SearchStrategy.DIGEST_URL_PREFERRED)
-    index = build_index(hist, cfg)
-    matches = match_shuffle(cur, index, cfg, id_cols=("doc_id", "rep"))
+    # fused path: the keep-latest index build folds into the match
+    # reduce — one digest shuffle instead of two (oracle-checked equal
+    # to the two-stage build_index -> match pipeline)
+    matches = match_shuffle(cur, hist, cfg, id_cols=("doc_id", "rep"),
+                            history_is_raw=True)
     agg = report_aggregates(matches)
     t_match = time.time() - t0
     return {

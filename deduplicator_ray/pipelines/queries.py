@@ -84,6 +84,27 @@ def _exact_match_query(sf_dir: str, strategy: SearchStrategy):
     return _matches_to_output(m)
 
 
+def _exact_match_fused(sf_dir: str):
+    """Single-shuffle variant: raw history + keep-latest upsert fused
+    into the match reduce (history_is_raw=True).  Must equal the
+    two-stage build_index -> match pipeline value-for-value — the oracle
+    is the SAME SQL as exact_match_digest_any."""
+    caps = captures_dataset(sf_dir)
+
+    def hist_part(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["crawl"], "history"))
+
+    def cur_part(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["crawl"], "current"))
+        return t.append_column("content_bytes", pc.cast(pc.utf8_length(t["text"]), pa.int64()))
+
+    hist = caps.map_batches(hist_part, batch_format="pyarrow", zero_copy_batch=True)
+    cur = caps.map_batches(cur_part, batch_format="pyarrow", zero_copy_batch=True)
+    cfg = PipelineConfig(strategy=SearchStrategy.DIGEST_ANY)
+    m = match_shuffle(cur, hist, cfg, id_cols=("doc_id", "rep"), history_is_raw=True)
+    return _matches_to_output(m)
+
+
 # SQL building blocks -------------------------------------------------------
 
 _IDX_SQL = """
@@ -423,6 +444,7 @@ def registry():
             lambda sf: _exact_match_query(sf, SearchStrategy.DIGEST_URL_PREFERRED),
             _sql_digest_url_preferred(),
         ),
+        "exact_match_fused": (_exact_match_fused, _sql_digest_any()),
         "index_build": (q_index_build, _sql_index_build()),
         "dup_report": (q_dup_report, _sql_dup_report()),
         "canonical_urls": (q_canonical_urls, _sql_canonical_urls()),

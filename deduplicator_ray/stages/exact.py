@@ -81,7 +81,7 @@ def verify_strategy(history_schema: pa.Schema, cfg: PipelineConfig) -> None:
 
 
 def _conform(ds, *, src: int, id_cols: tuple[str, ...], ts_col: str,
-             strip_digest_scheme: bool = False):
+             strip_digest_scheme: bool = False, rid_col: str | None = None):
     """Project either side to the union schema; id passthrough columns are
     nulled on the history side.  ``strip_digest_scheme`` applies the
     last-colon strip (M6) on the match key, mirroring the searcher's
@@ -104,7 +104,7 @@ def _conform(ds, *, src: int, id_cols: tuple[str, ...], ts_col: str,
             batch["url_canonical"] if "url_canonical" in names else pa.nulls(n, pa.string())
         )
         cols["ts"] = batch[ts_col].cast(pa.timestamp("us")) if ts_col in names else pa.nulls(n, pa.timestamp("us"))
-        rid = "original_record_id" if src == 0 else "record_id"
+        rid = rid_col or ("original_record_id" if src == 0 else "record_id")
         cols["record_id"] = batch[rid] if rid in names else pa.nulls(n, pa.string())
         cols["content_bytes"] = (
             batch["content_bytes"].cast(pa.int64()) if "content_bytes" in names else pa.nulls(n, pa.int64())
@@ -157,7 +157,8 @@ def _best_tables(hist_sorted: pd.DataFrame):
     return d, u, c
 
 
-def _resolve_partition(g: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
+def _resolve_partition(g: pd.DataFrame, cfg: PipelineConfig,
+                       history_is_raw: bool = False) -> pd.DataFrame:
     """One hash bucket (many strategy-key groups) -> one output row per
     current row, fully vectorized (sort + drop_duplicates + merges)."""
     g = g.drop(columns=["_part"])
@@ -165,6 +166,14 @@ def _resolve_partition(g: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     if cur.empty:
         return _empty_out(g, cfg)
     hist = g[g["src"] == 0]
+    if history_is_raw and not hist.empty:
+        # fused keep-latest upsert (A4) inside the match bucket: every
+        # history row of a digest lives in this bucket, so the index
+        # build's distinct-on-(url,digest)-newest-wins reduces locally —
+        # one shuffle for index build + match instead of two
+        key = ["url", "digest"] if cfg.index_url else ["digest"]
+        hist = hist.sort_values(["ts", "url"], ascending=[False, True], kind="mergesort")
+        hist = hist.drop_duplicates(key, keep="first")
 
     if cfg.within_batch:
         # intra-batch extension (§2.9): elect one original per key over
@@ -243,7 +252,8 @@ def _empty_out(g: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     return out.drop(columns=["src"])
 
 
-def match_shuffle(current, history, cfg: PipelineConfig | None = None, *, id_cols: tuple[str, ...] = ()):
+def match_shuffle(current, history, cfg: PipelineConfig | None = None, *,
+                  id_cols: tuple[str, ...] = (), history_is_raw: bool = False):
     """Shuffle-mode matcher: union(history, current) -> hash-bucket on
     digest -> one vectorized per-bucket reduce. One output row per
     current row.
@@ -254,15 +264,25 @@ def match_shuffle(current, history, cfg: PipelineConfig | None = None, *, id_col
     and each bucket resolves ALL its keys with sort/drop_duplicates/merge
     — no per-key Python.  Hub digests only grow a bucket linearly; the
     broadcast matcher exists for adversarial skew.
+
+    ``history_is_raw=True`` fuses the A4 keep-latest index build into the
+    match reduce: ``history`` is the raw normalized history crawl (not a
+    pre-built index), and each bucket first reduces it to the per-key
+    newest rows — ONE shuffle does index build + match.  Limitation: the
+    fused path applies no M7 revisit remap (revisit-bearing corpora
+    should go through ``build_index`` explicitly).
     """
     cfg = cfg or PipelineConfig()
     verify_strategy(history.schema(), cfg)
     strip = not cfg.use_digest_scheme
-    h = _conform(history, src=0, id_cols=id_cols, ts_col="date", strip_digest_scheme=strip)
+    h = _conform(history, src=0, id_cols=id_cols,
+                 ts_col="warc_ts" if history_is_raw else "date",
+                 rid_col="record_id" if history_is_raw else None,
+                 strip_digest_scheme=strip)
     c = _conform(current, src=1, id_cols=id_cols, ts_col="warc_ts", strip_digest_scheme=strip)
     both = hash_bucket(h.union(c), "digest", cfg.shuffle_buckets)
     return both.groupby("_part").map_groups(
-        lambda g: _resolve_partition(g, cfg), batch_format="pandas"
+        lambda g: _resolve_partition(g, cfg, history_is_raw), batch_format="pandas"
     )
 
 
