@@ -219,8 +219,13 @@ def q_lineitem_agg(sf_dir: str):
             {
                 "l_returnflag": b["l_returnflag"].to_pandas(),
                 "l_linestatus": b["l_linestatus"].to_pandas(),
-                "qty": b["l_quantity"].to_pandas().round().astype("int64"),
-                "cents": (b["l_extendedprice"].to_pandas() * 100).round().astype("int64"),
+                # half-AWAY-from-zero rounding to mirror DuckDB's round()
+                # (pandas .round() is banker's half-even; a value landing
+                # exactly on .5 would diverge from the oracle).  TPC-H
+                # quantities/prices are non-negative, so floor(x+0.5) is
+                # exactly half-away-from-zero here.
+                "qty": np.floor(b["l_quantity"].to_pandas() + 0.5).astype("int64"),
+                "cents": np.floor(b["l_extendedprice"].to_pandas() * 100 + 0.5).astype("int64"),
             }
         )
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(

@@ -128,15 +128,21 @@ class _DupScorer:
 
 def embedding_dup_pairs(ds, threshold: float = 0.95, *, id_col: str = "vec_id",
                         vec_col: str = "embedding", max_broadcast: int = 1_000_000,
+                        allow_approximate: bool = True,
                         concurrency: int | tuple[int, int] | None = None):
     """All pairs (a < b) with cosine >= threshold.
 
     Broadcast variant (corpus row count <= ``max_broadcast``): the full
     normalized matrix is ray.put once and every batch matmuls against it
     — embarrassingly parallel, no shuffle. Beyond the guard the pipeline
-    automatically switches to banded hyperplane LSH + exact-cosine verify
-    (``embedding_dup_pairs_bucketed``) — candidate recall is tunable via
-    the banding config and pytest-gated at >= 0.99."""
+    switches to banded hyperplane LSH + exact-cosine verify
+    (``embedding_dup_pairs_bucketed``): output pairs stay exact
+    (precision 1), but candidate RECALL is probabilistic (>= 0.99 at the
+    default banding, pytest-gated) — a loud warning marks the switch, the
+    LSH path runs with ``overflow='error'`` so mega-buckets can never
+    silently drop pairs on top of the banding miss rate, and callers that
+    need the strict all-pairs contract pass ``allow_approximate=False``
+    to get a hard error instead."""
     import ray
 
     from deduplicator_ray.util import auto_concurrency
@@ -145,9 +151,26 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, *, id_col: str = "vec_id",
     # pin once: for transformed inputs, count() would otherwise execute
     # the upstream chain and the collect below would execute it AGAIN
     ds = ds.materialize()
-    if ds.count() > max_broadcast:
+    n = ds.count()
+    if n > max_broadcast:
+        if not allow_approximate:
+            raise ValueError(
+                f"corpus has {n} rows > max_broadcast={max_broadcast} and "
+                "allow_approximate=False: the exact broadcast all-pairs path "
+                "cannot hold the full matrix; raise max_broadcast or opt into "
+                "the banded-LSH path (allow_approximate=True, recall >= 0.99)"
+            )
+        import warnings
+
+        warnings.warn(
+            f"embedding_dup_pairs: corpus ({n} rows) exceeds max_broadcast="
+            f"{max_broadcast}; switching to banded hyperplane-LSH + exact-"
+            "cosine verify — pair recall is ~0.99+, no longer exhaustive "
+            "(pass allow_approximate=False to forbid this)",
+            stacklevel=2,
+        )
         return embedding_dup_pairs_bucketed(
-            ds, threshold, id_col=id_col, vec_col=vec_col
+            ds, threshold, id_col=id_col, vec_col=vec_col, overflow="error"
         )
     ref_tbl = ds.select_columns([id_col, vec_col]).to_pandas()
     ids = ref_tbl[id_col].to_numpy(np.int64)
@@ -161,6 +184,21 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, *, id_col: str = "vec_id",
         concurrency=concurrency,
         zero_copy_batch=True,
     )
+
+
+# Per-process hyperplane cache (same pattern as minhash.signatures' task
+# pool: worker processes are reused, so the seeded RNG work runs once per
+# process instead of once per task; outputs are identical either way).
+_PLANE_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
+
+
+def _hyperplanes(seed: int, n_planes: int, dim: int) -> np.ndarray:
+    key = (seed, n_planes, dim)
+    planes = _PLANE_CACHE.get(key)
+    if planes is None:
+        planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+        _PLANE_CACHE[key] = planes
+    return planes
 
 
 def _blob_matrix(col, *, dtype="<f8") -> np.ndarray:
@@ -203,7 +241,7 @@ def _vec_blob_table(b: pa.Table, id_col: str, vec_col: str) -> pa.Table:
 def embedding_dup_pairs_bucketed(ds, threshold: float, *, id_col: str = "vec_id",
                                  vec_col: str = "embedding", n_tables: int = 32,
                                  planes_per_table: int = 4, seed: int = 42,
-                                 num_partitions: int = 64):
+                                 num_partitions: int = 64, overflow: str = "star"):
     """Scale path for embedding near-dup: banded sign-random-projection
     LSH (Charikar, STOC'02) + exact-cosine verification.
 
@@ -229,20 +267,14 @@ def embedding_dup_pairs_bucketed(ds, threshold: float, *, id_col: str = "vec_id"
         batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
     ).materialize()  # feeds both the band explode and the verify join
 
-    state: dict = {"planes": None}
-
     def bands(b: pa.Table) -> pa.Table:
         m = _blob_matrix(b["vecblob"])
         n = len(m)
         if n == 0:
             return pa.table({"band_bucket": pa.array([], pa.int64()),
                              id_col: pa.array([], pa.int64())})
-        if state["planes"] is None or state["planes"].shape[1] != m.shape[1]:
-            rng = np.random.default_rng(seed)
-            state["planes"] = rng.standard_normal(
-                (n_tables * planes_per_table, m.shape[1])
-            )
-        signs = (m @ state["planes"].T) > 0  # (n, tables*planes)
+        planes = _hyperplanes(seed, n_tables * planes_per_table, m.shape[1])
+        signs = (m @ planes.T) > 0  # (n, tables*planes)
         buckets = []
         weights = (np.uint64(1) << np.arange(planes_per_table, dtype=np.uint64))
         for t in range(n_tables):
@@ -261,7 +293,7 @@ def embedding_dup_pairs_bucketed(ds, threshold: float, *, id_col: str = "vec_id"
     band_rows = base.map_batches(bands, batch_format="pyarrow", batch_size=4096,
                                  zero_copy_batch=True)
     pairs = candidate_pairs(band_rows, MinHashConfig(), key_col=id_col,
-                            num_partitions=num_partitions)
+                            num_partitions=num_partitions, overflow=overflow)
     withvecs = attach_signatures(pairs, base, key_col=id_col, sig_col="vecblob")
 
     def verify(b: pa.Table) -> pa.Table:
@@ -378,14 +410,10 @@ def hyperplane_bucket(ds, *, n_planes: int = 16, seed: int = 42,
     embedding against a fixed random hyperplane set. Cosine-close vectors
     collide w.h.p.; group/join on hp_bucket, verify within buckets."""
 
-    state = {"planes": None}
-
     def f(b: pa.Table) -> pa.Table:
         m = _normalize(_matrix(b[vec_col]))
-        if state["planes"] is None or state["planes"].shape[1] != m.shape[1]:
-            rng = np.random.default_rng(seed)
-            state["planes"] = rng.standard_normal((n_planes, m.shape[1]))
-        signs = (m @ state["planes"].T) > 0  # (n, n_planes)
+        planes = _hyperplanes(seed, n_planes, m.shape[1])
+        signs = (m @ planes.T) > 0  # (n, n_planes)
         bucket = np.zeros(len(m), dtype=np.int64)
         for i in range(n_planes):
             bucket |= signs[:, i].astype(np.int64) << i

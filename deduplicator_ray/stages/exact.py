@@ -117,6 +117,13 @@ def _conform(ds, *, src: int, id_cols: tuple[str, ...], ts_col: str,
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _upsert_sort(df: pd.DataFrame) -> list[str]:
+    """Keep-latest election order: newest first, then url, then record_id
+    ascending when present — fully deterministic under (ts, url) ties
+    regardless of block arrival order."""
+    return ["warc_ts", "url"] + (["record_id"] if "record_id" in df.columns else [])
+
+
 def _pick_best(hist: pd.DataFrame) -> pd.DataFrame:
     """Sort history deterministically: earliest date, then url, record id."""
     return hist.sort_values(["ts", "url", "record_id"], na_position="last", kind="mergesort")
@@ -172,7 +179,12 @@ def _resolve_partition(g: pd.DataFrame, cfg: PipelineConfig,
         # build's distinct-on-(url,digest)-newest-wins reduces locally —
         # one shuffle for index build + match instead of two
         key = ["url", "digest"] if cfg.index_url else ["digest"]
-        hist = hist.sort_values(["ts", "url"], ascending=[False, True], kind="mergesort")
+        # record_id last: on an exact (ts, url) tie the election must not
+        # depend on block arrival order (fused and two-stage paths, and
+        # repeated runs, have to elect the same original)
+        hist = hist.sort_values(
+            ["ts", "url", "record_id"], ascending=[False, True, True], kind="mergesort"
+        )
         hist = hist.drop_duplicates(key, keep="first")
 
     if cfg.within_batch:
@@ -442,14 +454,16 @@ def build_index(ds, cfg: PipelineConfig | None = None):
             b.loc[rev, "url"] = b.loc[rev, "original_url"]
             b.loc[rev, "warc_ts"] = b.loc[rev, "original_ts"]
         b = b[[c for c in _PROJ_COLS if c in b.columns]]
-        b = b.sort_values(["warc_ts", "url"], ascending=[False, True], kind="mergesort")
+        b = b.sort_values(_upsert_sort(b), ascending=[False, True, True][: len(_upsert_sort(b))],
+                          kind="mergesort")
         return b.drop_duplicates(key, keep="first")
 
     def final_reduce(g: pd.DataFrame) -> pd.DataFrame:
         # one call per hash bucket: winner per key via a single stable
         # sort + drop_duplicates over the whole bucket
         g = g.drop(columns=["_part"])
-        g = g.sort_values(["warc_ts", "url"], ascending=[False, True], kind="mergesort")
+        g = g.sort_values(_upsert_sort(g), ascending=[False, True, True][: len(_upsert_sort(g))],
+                          kind="mergesort")
         return g.drop_duplicates(key, keep="first")
 
     def project(b: pd.DataFrame) -> pa.Table:

@@ -176,9 +176,13 @@ def skip_counters(ds, cfg: PipelineConfig | None = None, *, side: str = "crawl")
         b = _apply_filters(b, cfg, side, counts)
         if "is_revisit" in b.column_names:
             rev = pc.fill_null(b["is_revisit"], False)
+            # both columns must exist AND be non-null; a corpus carrying
+            # original_url without original_ts counts as unresolved (and
+            # must not KeyError the counters pass)
+            has_both = {"original_url", "original_ts"} <= set(b.column_names)
             resolved = pc.and_(
                 pc.is_valid(b["original_url"]), pc.is_valid(b["original_ts"])
-            ) if "original_url" in b.column_names else pa.array([False] * b.num_rows)
+            ) if has_both else pa.array([False] * b.num_rows)
             unresolved = pc.and_(rev, pc.invert(resolved))
             counts["unresolved_revisit"] = pc.sum(unresolved).as_py() or 0
         counts["handled"] = n0
