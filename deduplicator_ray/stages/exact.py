@@ -81,18 +81,50 @@ def verify_strategy(history_schema: pa.Schema, cfg: PipelineConfig) -> None:
 
 
 def _conform(ds, *, src: int, id_cols: tuple[str, ...], ts_col: str,
-             strip_digest_scheme: bool = False, rid_col: str | None = None):
+             strip_digest_scheme: bool = False, rid_col: str | None = None,
+             remap_revisits: bool = False):
     """Project either side to the union schema; id passthrough columns are
     nulled on the history side.  ``strip_digest_scheme`` applies the
     last-colon strip (M6) on the match key, mirroring the searcher's
     digest-vs-digestWithScheme choice (LuceneIndexSearcher.java:217-220)
     — without it, an index built with 'sha1:' prefixes silently never
-    matches a current crawl without them."""
+    matches a current crawl without them.
+
+    ``remap_revisits`` applies the M7 revisit remap (IndexBuilder.java:
+    174-178) on a RAW history side before projection: unresolved revisits
+    are dropped, resolved ones take their original's url + timestamp —
+    exactly what ``build_index.pre_reduce`` does, so the fused
+    single-shuffle matcher equals the two-stage build_index -> match
+    pipeline on revisit-bearing (WARC / crawl.log) corpora too."""
 
     def f(batch: pa.Table) -> pa.Table:
+        names = set(batch.column_names)
+        if remap_revisits and "is_revisit" in names:
+            rev = pc.fill_null(pc.cast(batch["is_revisit"], pa.bool_()), False)
+            if {"original_url", "original_ts"} <= names:
+                resolved = pc.and_(
+                    pc.is_valid(batch["original_url"]), pc.is_valid(batch["original_ts"])
+                )
+            else:
+                resolved = pa.array(np.zeros(batch.num_rows, dtype=bool))
+            batch = batch.filter(pc.or_(pc.invert(rev), resolved))
+            if batch.num_rows and {"original_url", "original_ts"} <= names:
+                rev = pc.fill_null(pc.cast(batch["is_revisit"], pa.bool_()), False)
+                batch = batch.set_column(
+                    batch.column_names.index("url"), "url",
+                    pc.if_else(rev, batch["original_url"], batch["url"]),
+                )
+                if ts_col in names:
+                    batch = batch.set_column(
+                        batch.column_names.index(ts_col), ts_col,
+                        pc.if_else(
+                            rev,
+                            batch["original_ts"].cast(batch[ts_col].type),
+                            batch[ts_col],
+                        ),
+                    )
         n = batch.num_rows
         cols: dict[str, pa.Array | pa.ChunkedArray] = {}
-        names = set(batch.column_names)
         if strip_digest_scheme:
             from deduplicator_ray.functions.digesting import strip_scheme_arrow
 
@@ -280,9 +312,11 @@ def match_shuffle(current, history, cfg: PipelineConfig | None = None, *,
     ``history_is_raw=True`` fuses the A4 keep-latest index build into the
     match reduce: ``history`` is the raw normalized history crawl (not a
     pre-built index), and each bucket first reduces it to the per-key
-    newest rows — ONE shuffle does index build + match.  Limitation: the
-    fused path applies no M7 revisit remap (revisit-bearing corpora
-    should go through ``build_index`` explicitly).
+    newest rows — ONE shuffle does index build + match.  The M7 revisit
+    remap runs inside ``_conform`` on the raw history side, so
+    revisit-bearing (WARC / crawl.log) corpora take this path too and
+    match the two-stage ``build_index`` -> match pipeline exactly
+    (pytest-pinned in tests/test_exact.py).
     """
     cfg = cfg or PipelineConfig()
     verify_strategy(history.schema(), cfg)
@@ -290,7 +324,8 @@ def match_shuffle(current, history, cfg: PipelineConfig | None = None, *,
     h = _conform(history, src=0, id_cols=id_cols,
                  ts_col="warc_ts" if history_is_raw else "date",
                  rid_col="record_id" if history_is_raw else None,
-                 strip_digest_scheme=strip)
+                 strip_digest_scheme=strip,
+                 remap_revisits=history_is_raw)
     c = _conform(current, src=1, id_cols=id_cols, ts_col="warc_ts", strip_digest_scheme=strip)
     both = hash_bucket(h.union(c), "digest", cfg.shuffle_buckets)
     return both.groupby("_part").map_groups(

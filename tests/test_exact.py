@@ -332,3 +332,77 @@ def test_within_batch_mode(ray_session):
     cfg2 = PipelineConfig(within_batch=False)
     got2 = match_shuffle(rd.from_pandas(cur), empty_idx, cfg2, id_cols=("doc_id",)).to_pandas()
     assert (~got2["is_duplicate"]).all()
+
+
+def test_fused_equals_two_stage_on_revisit_history(ray_session):
+    """M7 on the fused path: a raw history with revisit records (resolved
+    AND unresolved) must produce the same matches through
+    match_shuffle(history_is_raw=True) as through the explicit
+    build_index -> match_shuffle pipeline."""
+    import ray.data as rd
+
+    ts = pd.Timestamp("2023-01-01")
+    hist = pd.DataFrame(
+        [
+            # plain capture
+            {"url": "https://a.example/p1", "digest": "d1", "warc_ts": ts,
+             "record_id": "r1", "is_revisit": False, "original_url": None,
+             "original_ts": None},
+            # resolved revisit: must remap to the original's url+ts
+            {"url": "https://a.example/p1", "digest": "d2",
+             "warc_ts": ts + pd.Timedelta(days=9), "record_id": "r2",
+             "is_revisit": True, "original_url": "https://orig.example/first",
+             "original_ts": ts - pd.Timedelta(days=30)},
+            # unresolved revisit: must be dropped entirely
+            {"url": "https://a.example/p3", "digest": "d3",
+             "warc_ts": ts + pd.Timedelta(days=2), "record_id": "r3",
+             "is_revisit": True, "original_url": None, "original_ts": None},
+            # newer plain capture of the same (url, digest): keep-latest
+            {"url": "https://b.example/p4", "digest": "d4", "warc_ts": ts,
+             "record_id": "r4", "is_revisit": False, "original_url": None,
+             "original_ts": None},
+            {"url": "https://b.example/p4", "digest": "d4",
+             "warc_ts": ts + pd.Timedelta(days=5), "record_id": "r5",
+             "is_revisit": False, "original_url": None, "original_ts": None},
+        ]
+    )
+    hist["url_canonical"] = hist["url"].map(canonicalize)
+    cur = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "rep": [0, 0, 0, 0],
+            "url": ["https://a.example/p1", "https://x.example/q",
+                    "https://a.example/p3", "https://b.example/p4"],
+            "digest": ["d1", "d2", "d3", "d4"],
+            "warc_ts": [ts + pd.Timedelta(days=100)] * 4,
+        }
+    )
+    cur["url_canonical"] = cur["url"].map(canonicalize)
+    cur["content_bytes"] = 10
+
+    for strategy in STRATEGIES:
+        cfg = PipelineConfig(strategy=strategy)
+        hist_ds = rd.from_pandas(hist)
+        cur_ds = rd.from_pandas(cur)
+        fused = (
+            match_shuffle(cur_ds, hist_ds, cfg, id_cols=("doc_id", "rep"),
+                          history_is_raw=True)
+            .to_pandas().sort_values(["doc_id", "rep"], ignore_index=True)
+        )
+        index_ds = build_index(rd.from_pandas(hist), cfg)
+        two = (
+            match_shuffle(rd.from_pandas(cur), index_ds, cfg,
+                          id_cols=("doc_id", "rep"))
+            .to_pandas().sort_values(["doc_id", "rep"], ignore_index=True)
+        )
+        for col in ["is_duplicate", "match_tier", "refers_to_url", "refers_to_date"]:
+            assert fused[col].tolist() == two[col].tolist(), f"{strategy}: {col}"
+        # semantics spot-checks (not just path equality):
+        by_doc = dict(zip(fused["doc_id"], fused["refers_to_url"]))
+        # d2's only history row is the resolved revisit -> original's url
+        # (its current url differs, so only the digest strategies hit)
+        if strategy in (SearchStrategy.DIGEST_ANY, SearchStrategy.DIGEST_URL_PREFERRED):
+            assert fused.loc[fused.doc_id == 2, "is_duplicate"].item()
+            assert by_doc[2] == "https://orig.example/first"
+        # d3's only history row was an unresolved revisit -> no match
+        assert not fused.loc[fused.doc_id == 3, "is_duplicate"].item()
