@@ -291,11 +291,84 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+_NEARDUP_NGRAM = 5      # word shingle width (north_rule / FIXTURES.md §5)
+_NEARDUP_NUM = 4        # Jaccard threshold 4/5 = 0.8, integer-exact
+_NEARDUP_DEN = 5
+
+
 def q_neardup_clusters(sf_dir: str):
-    """MinHash -> LSH banding -> verified edges -> connected components
-    over ``documents``; cluster id = min doc_id in the cluster.
-    Deterministic at fixed MinHashConfig; recall vs the exact-Jaccard
-    oracle is pytest-gated (tests/test_neardup.py)."""
+    """North-star output: near-duplicate cluster assignments over
+    ``documents`` — connected components of the EXACT 5-word-shingle
+    Jaccard >= 0.8 graph; cluster id = min doc_id in the cluster.
+
+    Pair generation is the provably-complete prefix-filter pipeline
+    (stages/jaccard.py), so this output is deterministic and matches the
+    all-pairs SQL oracle value-for-value (the recursive-CTE CC mirror).
+    The MinHash -> LSH scale path (``neardup_clusters_minhash``) is
+    recall-gated >= 0.99 against THIS definition in tests/test_queries.py
+    — exactly the north_rule's acceptance criterion."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.cc import connected_components_auto
+    from deduplicator_ray.stages.jaccard import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(
+        ds, num=_NEARDUP_NUM, den=_NEARDUP_DEN, ngram=_NEARDUP_NGRAM, lang_col=None
+    )
+    edges = pairs.map_batches(
+        lambda b: pa.table({"a": b["doc_a"], "b": b["doc_b"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    asg = connected_components_auto(edges)
+    df = asg.to_pandas() if hasattr(asg, "to_pandas") else asg
+    return df.sort_values("doc_key").reset_index(drop=True)
+
+
+# The SQL mirror: all-pairs exact 5-gram Jaccard + connected components
+# via a recursive min-label transitive closure.  `reach` enumerates every
+# (node, reachable-node) pair over the symmetrized edge set (UNION gives
+# set semantics, so the recursion terminates on cycles); the final group
+# by takes the minimum reachable id — identical to stages/cc.py labels.
+_SQL_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {_NEARDUP_NGRAM}
+              THEN list_distinct(list_transform(range(1, len(w) - {_NEARDUP_NGRAM - 2}),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+              ELSE [] END AS g
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.g, b.g)) > 0
+    AND {_NEARDUP_DEN} * len(list_intersect(a.g, b.g))
+        >= {_NEARDUP_NUM} * (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT rr.node, e.b FROM reach rr JOIN edges e ON rr.r = e.a
+)
+SELECT node AS doc_key, least(node, min(r)) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_key
+"""
+
+
+def q_neardup_clusters_minhash(sf_dir: str):
+    """The SCALE path for the north-star output: MinHash signatures ->
+    LSH banding -> signature-verified edges -> connected components.
+    Deterministic at fixed MinHashConfig; dup-pair recall and cluster
+    agreement vs the exact definition (``neardup_clusters``) are
+    pytest-gated >= 0.99 (tests/test_queries.py)."""
     import pandas as pd
 
     import ray.data as rd
@@ -743,7 +816,8 @@ def registry_ext():
         "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
         "embed_topk_ivf": (q_embed_topk_ivf, None),
-        "neardup_clusters": (q_neardup_clusters, None),
+        "neardup_clusters": (q_neardup_clusters, _SQL_NEARDUP_CLUSTERS),
+        "neardup_clusters_minhash": (q_neardup_clusters_minhash, None),
         "pair_lcs": (q_pair_lcs, None),
         "simhash_dups": (q_simhash_dups, None),
         "self_similarity": (q_self_similarity, None),

@@ -12,6 +12,7 @@ import pandas as pd
 import pytest
 
 SQL_CHECKED = [
+    "neardup_clusters",
     "events_sessions",
     "orders_asof",
     "dedup_exact_text",
@@ -147,6 +148,40 @@ class TestNearDupRecall:
         cm = dict(zip(df["doc_key"], df["cluster_id"]))
         found = sum(
             1 for a, b in truth if cm.get(a) is not None and cm.get(a) == cm.get(b)
+        )
+        assert found / len(truth) >= 0.99
+
+
+class TestNearDupScalePath:
+    """north_rule acceptance: the MinHash->LSH->CC scale path must agree
+    with the exact 5-gram-Jaccard>=0.8 cluster definition — dup-pair
+    recall >= 0.99 and cluster-membership agreement on recalled pairs."""
+
+    def test_minhash_agrees_with_exact(self, ray_session, sf_dir):
+        from deduplicator_ray.pipelines.queries_ext import (
+            q_neardup_clusters,
+            q_neardup_clusters_minhash,
+        )
+
+        exact = _to_pandas(q_neardup_clusters(sf_dir))
+        approx = _to_pandas(q_neardup_clusters_minhash(sf_dir))
+        exact_cm = dict(zip(exact["doc_key"], exact["cluster_id"]))
+        approx_cm = dict(zip(approx["doc_key"], approx["cluster_id"]))
+
+        # ground-truth dup pairs = same exact cluster
+        by_cluster = collections.defaultdict(list)
+        for k, c in exact_cm.items():
+            by_cluster[c].append(k)
+        truth = set()
+        for members in by_cluster.values():
+            for a, b in itertools.combinations(sorted(members), 2):
+                truth.add((a, b))
+        assert truth, "fixture should contain exact near-dup clusters"
+
+        found = sum(
+            1
+            for a, b in truth
+            if approx_cm.get(a) is not None and approx_cm.get(a) == approx_cm.get(b)
         )
         assert found / len(truth) >= 0.99
 
