@@ -64,7 +64,20 @@ class PipelineConfig:
     minhash: MinHashConfig = field(default_factory=MinHashConfig)
     # --- execution ---
     batch_size: int = 4096
+    # --- hot-key skew handling (match shuffle) ---
+    # A hub digest (e.g. the empty document: every crawl has thousands of
+    # captures of "") lands all its rows in ONE hash bucket, making one
+    # reduce task the straggler that caps shuffle scalability.  The match
+    # shuffle samples digest frequencies on a bounded row prefix; a key
+    # is HOT when its sampled count exceeds BOTH hot_key_min_count and a
+    # bucket's average share of the sample (count * shuffle_buckets >=
+    # sampled rows).  A hot key's CURRENT rows spread over salt_buckets
+    # consecutive buckets while its (per-key small) history best-rows
+    # are replicated into each — output is row-for-row identical to the
+    # unsalted shuffle (pytest-pinned).
     salt_buckets: int = 16          # skew: sub-buckets for hub digests
+    hot_key_min_count: int = 5_000  # floor: never salt below this sampled count
+    hot_key_sample_rows: int = 1_000_000  # detection scan bound (0 = full scan)
     # Hash-bucket count for the match/index shuffles. Keys are bucketed
     # by hash(digest) % shuffle_buckets and each bucket is reduced by ONE
     # vectorized pandas call (never per-key Python). Size it so a bucket

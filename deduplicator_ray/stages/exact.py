@@ -98,55 +98,234 @@ def _conform(ds, *, src: int, id_cols: tuple[str, ...], ts_col: str,
     pipeline on revisit-bearing (WARC / crawl.log) corpora too."""
 
     def f(batch: pa.Table) -> pa.Table:
-        names = set(batch.column_names)
-        if remap_revisits and "is_revisit" in names:
-            rev = pc.fill_null(pc.cast(batch["is_revisit"], pa.bool_()), False)
-            if {"original_url", "original_ts"} <= names:
-                resolved = pc.and_(
-                    pc.is_valid(batch["original_url"]), pc.is_valid(batch["original_ts"])
-                )
-            else:
-                resolved = pa.array(np.zeros(batch.num_rows, dtype=bool))
-            batch = batch.filter(pc.or_(pc.invert(rev), resolved))
-            if batch.num_rows and {"original_url", "original_ts"} <= names:
-                rev = pc.fill_null(pc.cast(batch["is_revisit"], pa.bool_()), False)
-                batch = batch.set_column(
-                    batch.column_names.index("url"), "url",
-                    pc.if_else(rev, batch["original_url"], batch["url"]),
-                )
-                if ts_col in names:
-                    batch = batch.set_column(
-                        batch.column_names.index(ts_col), ts_col,
-                        pc.if_else(
-                            rev,
-                            batch["original_ts"].cast(batch[ts_col].type),
-                            batch[ts_col],
-                        ),
-                    )
-        n = batch.num_rows
-        cols: dict[str, pa.Array | pa.ChunkedArray] = {}
-        if strip_digest_scheme:
-            from deduplicator_ray.functions.digesting import strip_scheme_arrow
-
-            cols["digest"] = strip_scheme_arrow(batch["digest"])
-        else:
-            cols["digest"] = batch["digest"]
-        cols["url"] = batch["url"] if "url" in names else pa.nulls(n, pa.string())
-        cols["url_canonical"] = (
-            batch["url_canonical"] if "url_canonical" in names else pa.nulls(n, pa.string())
-        )
-        cols["ts"] = batch[ts_col].cast(pa.timestamp("us")) if ts_col in names else pa.nulls(n, pa.timestamp("us"))
-        rid = rid_col or ("original_record_id" if src == 0 else "record_id")
-        cols["record_id"] = batch[rid] if rid in names else pa.nulls(n, pa.string())
-        cols["content_bytes"] = (
-            batch["content_bytes"].cast(pa.int64()) if "content_bytes" in names else pa.nulls(n, pa.int64())
-        )
-        cols["src"] = pa.array(np.full(n, src, dtype=np.int8))
-        for c in id_cols:
-            cols[c] = batch[c] if src == 1 and c in names else pa.nulls(n, pa.int64())
-        return pa.table(cols)
+        return _conform_table(batch, src=src, id_cols=id_cols, ts_col=ts_col,
+                              strip_digest_scheme=strip_digest_scheme,
+                              rid_col=rid_col, remap_revisits=remap_revisits)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _conform_table(batch: pa.Table, *, src: int, id_cols: tuple[str, ...],
+                   ts_col: str, strip_digest_scheme: bool = False,
+                   rid_col: str | None = None,
+                   remap_revisits: bool = False) -> pa.Table:
+    """Table-level conform kernel shared by ``_conform`` (one side per
+    dataset) and ``conform_tagged`` (both sides in one pass)."""
+    names = set(batch.column_names)
+    if remap_revisits and "is_revisit" in names:
+        rev = pc.fill_null(pc.cast(batch["is_revisit"], pa.bool_()), False)
+        if {"original_url", "original_ts"} <= names:
+            resolved = pc.and_(
+                pc.is_valid(batch["original_url"]), pc.is_valid(batch["original_ts"])
+            )
+        else:
+            resolved = pa.array(np.zeros(batch.num_rows, dtype=bool))
+        batch = batch.filter(pc.or_(pc.invert(rev), resolved))
+        if batch.num_rows and {"original_url", "original_ts"} <= names:
+            rev = pc.fill_null(pc.cast(batch["is_revisit"], pa.bool_()), False)
+            batch = batch.set_column(
+                batch.column_names.index("url"), "url",
+                pc.if_else(rev, batch["original_url"], batch["url"]),
+            )
+            if ts_col in names:
+                batch = batch.set_column(
+                    batch.column_names.index(ts_col), ts_col,
+                    pc.if_else(
+                        rev,
+                        batch["original_ts"].cast(batch[ts_col].type),
+                        batch[ts_col],
+                    ),
+                )
+    n = batch.num_rows
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+    if strip_digest_scheme:
+        from deduplicator_ray.functions.digesting import strip_scheme_arrow
+
+        cols["digest"] = strip_scheme_arrow(batch["digest"])
+    else:
+        cols["digest"] = batch["digest"]
+    cols["url"] = batch["url"] if "url" in names else pa.nulls(n, pa.string())
+    cols["url_canonical"] = (
+        batch["url_canonical"] if "url_canonical" in names else pa.nulls(n, pa.string())
+    )
+    cols["ts"] = batch[ts_col].cast(pa.timestamp("us")) if ts_col in names else pa.nulls(n, pa.timestamp("us"))
+    rid = rid_col or ("original_record_id" if src == 0 else "record_id")
+    cols["record_id"] = batch[rid] if rid in names else pa.nulls(n, pa.string())
+    cols["content_bytes"] = (
+        batch["content_bytes"].cast(pa.int64()) if "content_bytes" in names else pa.nulls(n, pa.int64())
+    )
+    cols["src"] = pa.array(np.full(n, src, dtype=np.int8))
+    for c in id_cols:
+        cols[c] = batch[c] if src == 1 and c in names else pa.nulls(n, pa.int64())
+    return pa.table(cols)
+
+
+def conform_tagged(ds, *, history_col: str, history_value,
+                   id_cols: tuple[str, ...] = (), ts_col: str = "warc_ts",
+                   strip_digest_scheme: bool = False,
+                   remap_revisits: bool = False):
+    """Single-pass conform for a corpus whose rows carry their own side
+    tag (e.g. a ``crawl`` column with 'history'/'current'): each batch is
+    split by the tag and both halves are conformed in ONE scan.  The
+    two-dataset path (``_conform`` x2 + union) reads and filters the
+    source twice; on a pre-written corpus this halves the read work
+    feeding the match shuffle."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch[history_col], history_value)
+        hist = _conform_table(
+            batch.filter(mask), src=0, id_cols=id_cols, ts_col=ts_col,
+            strip_digest_scheme=strip_digest_scheme, rid_col="record_id",
+            remap_revisits=remap_revisits,
+        )
+        cur = _conform_table(
+            batch.filter(pc.invert(mask)), src=1, id_cols=id_cols,
+            ts_col=ts_col, strip_digest_scheme=strip_digest_scheme,
+        )
+        return pa.concat_tables([hist, cur], promote_options="default")
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def match_shuffle_tagged(tagged, cfg: PipelineConfig | None = None, *,
+                         history_col: str = "crawl", history_value="history",
+                         id_cols: tuple[str, ...] = ()):
+    """Fused matcher over a SELF-TAGGED corpus: one read, one conform
+    pass, one digest shuffle.  Semantically identical to
+    ``match_shuffle(current, history, history_is_raw=True)`` where the
+    sides are ``tagged`` filtered by ``history_col`` (pytest-pinned);
+    use it when both crawls live in one table — the separate-dataset
+    path scans the source once per side."""
+    cfg = cfg or PipelineConfig()
+    verify_strategy(tagged.schema(), cfg)
+    strip = not cfg.use_digest_scheme
+    both = conform_tagged(
+        tagged, history_col=history_col, history_value=history_value,
+        id_cols=id_cols, strip_digest_scheme=strip,
+        remap_revisits=True,
+    )
+    hot = _match_hot_keys(tagged, cfg, strip,
+                          skip_col=history_col, skip_value=history_value)
+    both = hash_bucket_salted(both, "digest", cfg.shuffle_buckets,
+                              hot, cfg.salt_buckets)
+    return both.groupby("_part").map_groups(
+        lambda g: _resolve_partition(g, cfg, True), batch_format="pandas"
+    )
+
+
+def find_hot_keys(ds, col: str, *, num_buckets: int, min_count: int = 5_000,
+                  strip_digest_scheme: bool = False,
+                  skip_col: str | None = None, skip_value=None,
+                  sample_rows: int = 1_000_000) -> frozenset:
+    """Approximate hub-key detection: per-block value_counts partials
+    (top 64 per block) combined on the driver.  A key is hot when its
+    sampled count reaches BOTH ``min_count`` (small-corpus floor) and a
+    bucket's average share of the sampled rows (count * num_buckets >=
+    sampled rows) — i.e. the key alone would fill a whole reduce bucket.
+    Approximation is safe — salting is a performance measure, never a
+    correctness one.
+
+    ``sample_rows`` bounds the scan to a prefix of that many rows,
+    making detection O(1) in corpus size (a hub key is by definition a
+    large fraction of rows, so a million-row prefix sees it).  Caveat: a
+    hub concentrated entirely OUTSIDE the prefix (input sorted by the
+    key) is missed — that only costs speed, never correctness; pass 0
+    for a full scan.
+
+    ``skip_col``/``skip_value`` drop rows (e.g. the history side of a
+    tagged corpus) before counting: salting targets CURRENT-side hubs —
+    replicating a history-hot key would grow the shuffle instead of
+    splitting a straggler."""
+    cols = [col] + ([skip_col] if skip_col else [])
+    if sample_rows:
+        ds = ds.limit(sample_rows)
+
+    def partial(b: pa.Table) -> pa.Table:
+        rows = b.num_rows
+        if skip_col is not None:
+            b = b.filter(pc.invert(pc.equal(b[skip_col], skip_value)))
+        s = b[col].to_pandas()
+        if strip_digest_scheme:
+            from deduplicator_ray.functions.digesting import strip_scheme_series
+
+            s = strip_scheme_series(s)
+        vc = s.value_counts()
+        vc = vc[vc >= 8].head(64)  # below this a key cannot plausibly be hot
+        # one dedicated null-key counter row per block carries the block's
+        # sampled-row count exactly (keys never sum into it and blocks
+        # with equal sizes never collapse)
+        return pa.table({
+            "k": pa.array(list(vc.index.astype(str)) + [None], type=pa.string()),
+            "n": pa.array(list(vc.to_numpy().astype("int64")) + [0], type=pa.int64()),
+            "rows": pa.array([0] * len(vc) + [rows], type=pa.int64()),
+        })
+
+    t = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if t.empty:
+        return frozenset()
+    n_s = int(t["rows"].sum())
+    agg = t.dropna(subset=["k"]).groupby("k")["n"].sum()
+    bar = max(min_count, n_s // max(1, num_buckets))
+    return frozenset(agg[agg >= bar].index)
+
+
+def hash_bucket_salted(ds, col: str, num_buckets: int, hot_keys: frozenset,
+                       salt: int, *, part_col: str = "_part",
+                       coalesce_rows: int | None = 65536):
+    """Hash-bucket with hub-key salting over a CONFORMED union stream
+    (``src`` column present: 0 = history, 1 = current).
+
+    Non-hot keys bucket as ``hash_bucket`` does.  For a hot key with base
+    bucket b: current rows scatter over buckets (b+j) % P for a
+    deterministic within-block j in [0, salt); history rows are
+    REPLICATED into all ``salt`` buckets.  Every salted bucket therefore
+    holds the full history for the key, so each current row resolves
+    exactly as in the unsalted shuffle and appears exactly once in the
+    output — the straggler reduce simply becomes ``salt`` parallel ones.
+
+    Cost model at scale: the extra shuffle volume is salt x (history rows
+    of hot keys) — hub keys are almost always payload-light duplicates
+    (empty docs, error pages) whose per-key history collapses to a few
+    best rows, so replication is cheap relative to splitting a
+    multi-hundred-thousand-row reduce."""
+    if not hot_keys:
+        return hash_bucket(ds, col, num_buckets, part_col=part_col,
+                           coalesce_rows=coalesce_rows)
+    S = max(1, min(salt, num_buckets))
+
+    def f(b: pa.Table) -> pa.Table:
+        s = b[col].to_pandas()
+        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        part = (h % np.uint64(num_buckets)).astype(np.int64)
+        hot = s.isin(hot_keys).to_numpy()
+        if not hot.any():
+            return b.append_column(part_col, pa.array(part.astype(np.int32)))
+        src = b["src"].to_pandas().to_numpy()
+        cur_hot = hot & (src == 1)
+        # deterministic within-block salt: row position mod S
+        j = np.arange(len(s), dtype=np.int64) % S
+        part[cur_hot] = (part[cur_hot] + j[cur_hot]) % num_buckets
+        b = b.append_column(part_col, pa.array(part.astype(np.int32)))
+        hist_hot = hot & (src == 0)
+        if not hist_hot.any():
+            return b
+        out = [b]
+        idx = np.flatnonzero(hist_hot)
+        hist_tbl = b.take(pa.array(idx))
+        base = part[idx]
+        for jj in range(1, S):
+            rep = hist_tbl.set_column(
+                hist_tbl.column_names.index(part_col), part_col,
+                pa.array(((base + jj) % num_buckets).astype(np.int32)),
+            )
+            out.append(rep)
+        return pa.concat_tables(out, promote_options="default")
+
+    return _arrow_blocks(ds, coalesce_rows).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=coalesce_rows
+    )
 
 
 def _upsert_sort(df: pd.DataFrame) -> list[str]:
@@ -161,14 +340,23 @@ def _pick_best(hist: pd.DataFrame) -> pd.DataFrame:
     return hist.sort_values(["ts", "url", "record_id"], na_position="last", kind="mergesort")
 
 
-def hash_bucket(ds, col: str, num_buckets: int, *, part_col: str = "_part"):
+def hash_bucket(ds, col: str, num_buckets: int, *, part_col: str = "_part",
+                coalesce_rows: int | None = 65536):
     """Append a deterministic hash-bucket column for ``col``.
 
     This is the engine's explicit partitioning primitive: a groupby on
     ``part_col`` shuffles into exactly ``num_buckets`` groups, and the
     reduce runs ONCE per bucket as a vectorized pandas call — never once
     per key (per-key Python is the scalability cliff).  The hash is
-    pandas' siphash with a fixed key, stable across processes/nodes."""
+    pandas' siphash with a fixed key, stable across processes/nodes.
+
+    ``coalesce_rows`` bundles small upstream blocks into ~that many rows
+    per task, so the sort-shuffle behind the downstream groupby sees FEW
+    LARGE blocks.  Ray 2.49's sort creates O(blocks_in x partitions)
+    intermediate objects; feeding it 128+ tiny blocks costs seconds of
+    driver-side metadata handling regardless of data volume (measured
+    2.8x on the exact-match phase).  Pass ``None`` to preserve upstream
+    block boundaries."""
 
     def f(b: pa.Table) -> pa.Table:
         s = b[col].to_pandas()
@@ -177,7 +365,22 @@ def hash_bucket(ds, col: str, num_buckets: int, *, part_col: str = "_part"):
         )
         return b.append_column(part_col, pa.array(part))
 
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return _arrow_blocks(ds, coalesce_rows).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=coalesce_rows
+    )
+
+
+def _arrow_blocks(ds, coalesce_rows):
+    """Normalize block TYPE to Arrow ahead of a coalescing map_batches.
+    Ray 2.49's batcher asserts when a ``batch_size``-ed batch spans mixed
+    pandas/Arrow blocks (delegating_block_builder.py) — e.g. a union of a
+    pandas ``map_groups`` output with an Arrow read.  The per-block
+    identity pass (no batch_size) converts each block individually and
+    fuses with the downstream coalescing pass into one task, so it costs
+    no extra scheduling round and is zero-copy for already-Arrow blocks."""
+    if coalesce_rows is None:
+        return ds
+    return ds.map_batches(lambda b: b, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _best_tables(hist_sorted: pd.DataFrame):
@@ -270,12 +473,20 @@ def _finish(out: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     same_url = out["refers_to_url"].values == out["url"].values
     # canonical comparison needs the match's canonical form; recompute it
     # with the vectorized Arrow kernel chain (null-safe: non-duplicates
-    # carry a null refers_to_url and compare unequal)
+    # carry a null refers_to_url and compare unequal).  Duplicates refer
+    # to FEW originals, so canonicalize only the distinct refer urls and
+    # scatter — on a hub-digest bucket this cuts the regex chain from
+    # O(rows) to O(distinct originals)
     from deduplicator_ray.functions.canonical import canonicalize_arrow
 
-    ref_canon = canonicalize_arrow(
-        pa.array(out["refers_to_url"].tolist(), type=pa.string())
-    ).to_numpy(zero_copy_only=False)
+    codes, uniques = pd.factorize(out["refers_to_url"], use_na_sentinel=True)
+    if len(uniques) == 0:
+        ref_canon = np.full(len(out), None, dtype=object)
+    else:
+        canon_u = canonicalize_arrow(
+            pa.array(uniques, type=pa.string())
+        ).to_numpy(zero_copy_only=False)
+        ref_canon = np.where(codes >= 0, canon_u[np.clip(codes, 0, None)], None)
     same_can = (ref_canon == out["url_canonical"].values) & cfg.include_canonical
     tier = np.where(
         ~dup,
@@ -327,10 +538,26 @@ def match_shuffle(current, history, cfg: PipelineConfig | None = None, *,
                  strip_digest_scheme=strip,
                  remap_revisits=history_is_raw)
     c = _conform(current, src=1, id_cols=id_cols, ts_col="warc_ts", strip_digest_scheme=strip)
-    both = hash_bucket(h.union(c), "digest", cfg.shuffle_buckets)
+    hot = _match_hot_keys(current, cfg, strip)
+    both = hash_bucket_salted(h.union(c), "digest", cfg.shuffle_buckets,
+                              hot, cfg.salt_buckets)
     return both.groupby("_part").map_groups(
         lambda g: _resolve_partition(g, cfg, history_is_raw), batch_format="pandas"
     )
+
+
+def _match_hot_keys(current, cfg: PipelineConfig, strip: bool,
+                    skip_col: str | None = None, skip_value=None) -> frozenset:
+    """Hub-digest set for the match shuffle (empty when salting is off or
+    the semantics forbid it: within_batch elects originals AMONG current
+    rows of a key, so splitting them would change the election)."""
+    if cfg.within_batch or cfg.salt_buckets <= 1 or cfg.hot_key_min_count <= 0:
+        return frozenset()
+    return find_hot_keys(current, "digest", num_buckets=cfg.shuffle_buckets,
+                         min_count=cfg.hot_key_min_count,
+                         strip_digest_scheme=strip,
+                         skip_col=skip_col, skip_value=skip_value,
+                         sample_rows=cfg.hot_key_sample_rows)
 
 
 def _history_best_tables(history, cfg: PipelineConfig, max_rows: int = 5_000_000):

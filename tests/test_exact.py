@@ -406,3 +406,155 @@ def test_fused_equals_two_stage_on_revisit_history(ray_session):
             assert by_doc[2] == "https://orig.example/first"
         # d3's only history row was an unresolved revisit -> no match
         assert not fused.loc[fused.doc_id == 3, "is_duplicate"].item()
+
+
+# ---------------------------------------------------------------------------
+# hub-key salting + tagged single-pass matcher
+# ---------------------------------------------------------------------------
+
+
+def _hub_corpus():
+    """A corpus with one hub digest ('HUB': 600 current rows + 3 history
+    rows) and a long tail of singleton digests, tagged with a 'crawl'
+    column so the same frame drives both the separate-dataset and the
+    tagged single-pass paths."""
+    ts = pd.Timestamp("2023-06-01")
+    rows = []
+    for i in range(600):
+        rows.append({"crawl": "current", "doc_id": i, "rep": 0,
+                     "url": f"https://hub.example/{i % 7}", "digest": "HUB",
+                     "warc_ts": ts + pd.Timedelta(seconds=i)})
+    for i in range(200):
+        rows.append({"crawl": "current", "doc_id": 1000 + i, "rep": 0,
+                     "url": f"https://tail.example/{i}", "digest": f"T{i}",
+                     "warc_ts": ts + pd.Timedelta(seconds=i)})
+    for j in range(3):
+        rows.append({"crawl": "history", "doc_id": -1, "rep": 0,
+                     "url": f"https://hub.example/{j}", "digest": "HUB",
+                     "warc_ts": ts - pd.Timedelta(days=j + 1)})
+    for i in range(0, 200, 2):  # half the tail digests have history
+        rows.append({"crawl": "history", "doc_id": -1, "rep": 0,
+                     "url": f"https://tail.example/{i}", "digest": f"T{i}",
+                     "warc_ts": ts - pd.Timedelta(days=1)})
+    pdf = pd.DataFrame(rows)
+    pdf["url_canonical"] = pdf["url"].map(canonicalize)
+    pdf["record_id"] = "r" + pdf.index.astype(str)
+    pdf["content_bytes"] = 10
+    return pdf
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_salted_shuffle_equals_unsalted(ray_session, strategy):
+    """Hub-digest salting is a pure performance measure: with the
+    detection floor forced low enough to salt 'HUB', the matcher output
+    is row-for-row identical to the unsalted shuffle."""
+    import ray.data as rd
+
+    pdf = _hub_corpus()
+    hist = pdf[pdf.crawl == "history"].drop(columns=["crawl"])
+    cur = pdf[pdf.crawl == "current"].drop(columns=["crawl"])
+
+    base_cfg = dict(strategy=strategy, shuffle_buckets=8)
+    plain = PipelineConfig(**base_cfg, salt_buckets=1)
+    salted = PipelineConfig(**base_cfg, salt_buckets=4, hot_key_min_count=100,
+                            hot_key_sample_rows=0)
+
+    from deduplicator_ray.stages.exact import find_hot_keys
+
+    hot = find_hot_keys(rd.from_pandas(cur), "digest", num_buckets=8,
+                        min_count=100, sample_rows=0)
+    assert hot == frozenset({"HUB"})
+
+    outs = []
+    for cfg in (plain, salted):
+        outs.append(
+            match_shuffle(rd.from_pandas(cur), rd.from_pandas(hist), cfg,
+                          id_cols=("doc_id", "rep"), history_is_raw=True)
+            .to_pandas().sort_values(["doc_id", "rep"], ignore_index=True)
+        )
+    a, b = outs
+    assert len(a) == len(b) == len(cur)
+    for col in ["doc_id", "is_duplicate", "match_tier", "refers_to_url",
+                "refers_to_date", "refers_to_record_id"]:
+        assert a[col].tolist() == b[col].tolist(), f"{strategy}: {col}"
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_tagged_matcher_equals_separate(ray_session, strategy):
+    """match_shuffle_tagged (one read, one conform pass) must equal the
+    two-dataset fused path on the same tagged corpus — including with
+    salting active on the hub digest."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.exact import match_shuffle_tagged
+
+    pdf = _hub_corpus()
+    hist = pdf[pdf.crawl == "history"].drop(columns=["crawl"])
+    cur = pdf[pdf.crawl == "current"].drop(columns=["crawl"])
+    cfg = PipelineConfig(strategy=strategy, shuffle_buckets=8, salt_buckets=4,
+                         hot_key_min_count=100, hot_key_sample_rows=0)
+
+    tagged = (
+        match_shuffle_tagged(rd.from_pandas(pdf), cfg, id_cols=("doc_id", "rep"))
+        .to_pandas().sort_values(["doc_id", "rep"], ignore_index=True)
+    )
+    sep = (
+        match_shuffle(rd.from_pandas(cur), rd.from_pandas(hist), cfg,
+                      id_cols=("doc_id", "rep"), history_is_raw=True)
+        .to_pandas().sort_values(["doc_id", "rep"], ignore_index=True)
+    )
+    assert len(tagged) == len(cur)
+    for col in ["doc_id", "is_duplicate", "match_tier", "refers_to_url",
+                "refers_to_date", "refers_to_record_id"]:
+        assert tagged[col].tolist() == sep[col].tolist(), f"{strategy}: {col}"
+
+
+def test_tagged_matcher_remaps_revisits(ray_session):
+    """The tagged path applies the M7 revisit remap on the history side
+    (conform_tagged passes remap_revisits=True)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.exact import match_shuffle_tagged
+
+    ts = pd.Timestamp("2023-01-01")
+    pdf = pd.DataFrame([
+        {"crawl": "history", "url": "https://a.example/p", "digest": "d2",
+         "warc_ts": ts, "record_id": "r1", "is_revisit": True,
+         "original_url": "https://orig.example/first",
+         "original_ts": ts - pd.Timedelta(days=30)},
+        {"crawl": "current", "url": "https://x.example/q", "digest": "d2",
+         "warc_ts": ts + pd.Timedelta(days=10), "record_id": "r2",
+         "is_revisit": False, "original_url": None, "original_ts": None},
+    ])
+    pdf["url_canonical"] = pdf["url"].map(canonicalize)
+    pdf["content_bytes"] = 10
+    got = match_shuffle_tagged(
+        rd.from_pandas(pdf), PipelineConfig(strategy=SearchStrategy.DIGEST_ANY)
+    ).to_pandas()
+    assert got["is_duplicate"].tolist() == [True]
+    assert got["refers_to_url"].tolist() == ["https://orig.example/first"]
+
+
+def test_find_hot_keys_detection(ray_session):
+    """Detection respects the min_count floor, the bucket-share bar, and
+    skip_col filtering."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.exact import find_hot_keys
+
+    pdf = _hub_corpus()
+    ds = rd.from_pandas(pdf)
+    # history rows excluded via skip_col: 600 HUB rows remain -> hot
+    hot = find_hot_keys(ds, "digest", num_buckets=8, min_count=100,
+                        skip_col="crawl", skip_value="history", sample_rows=0)
+    assert hot == frozenset({"HUB"})
+    # floor above the hub count -> nothing is hot
+    assert find_hot_keys(ds, "digest", num_buckets=8, min_count=10_000,
+                         sample_rows=0) == frozenset()
+    # bucket-share bar: with 2 buckets the sampled corpus (~1100 rows)
+    # requires ~550 rows per key; the 603 HUB rows still qualify, the
+    # tail never does
+    hot2 = find_hot_keys(ds, "digest", num_buckets=2, min_count=10, sample_rows=0)
+    assert hot2 == frozenset({"HUB"})
+    tails = find_hot_keys(ds, "digest", num_buckets=8, min_count=10, sample_rows=0)
+    assert "T0" not in tails
