@@ -178,9 +178,14 @@ def q_embed_topk(sf_dir: str):
 
 
 def q_embed_topk_ivf(sf_dir: str):
-    """ANN scale path: IVF coarse-quantized top-k (k-means lists +
-    n_probe probing) — approximate by design, so rows-only here; pytest
-    gates recall vs the exact brute-force baseline."""
+    """ANN scale path: IVF coarse-quantized top-k (hash-sampled k-means
+    lists + probing).  The driver row runs FULL probe (n_probe ==
+    n_lists), where IVF provably equals the exact brute-force top-k —
+    that pins the whole machinery (sampling, training, coarse assign,
+    masked scoring, partial/merge) against the same DuckDB oracle as
+    ``embed_topk``; the approximate partial-probe regime is pytest
+    recall-gated, including on an adversarially SORTED corpus (the
+    order-bias case a limit() training sample used to fail)."""
     import pyarrow.parquet as pq
 
     import ray.data as rd
@@ -194,7 +199,7 @@ def q_embed_topk_ivf(sf_dir: str):
         .sort_by("vec_id")
     )
     q = np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)
-    out = ivf_topk(ds, q, k=_TOPK_K, n_lists=16, n_probe=6)
+    out = ivf_topk(ds, q, k=_TOPK_K, n_lists=16, n_probe=16)
     return out.select(["query_id", "vec_id", "rank"])
 
 
@@ -804,7 +809,14 @@ FROM documents WHERE doc_id < {_WARC_N_DOCS}
 
 
 def registry_ext():
-    """name -> (callable(sf_dir), oracle_sql | None)."""
+    """name -> (callable(sf_dir), oracle_sql | None).
+
+    Oracle kinds: most are independent DuckDB RECOMPUTATIONS of the
+    operator's semantics; the entries drawn from ``GOLDEN_SQL`` are
+    pinned-golden VALUES tables (deterministic pipelines whose semantics
+    have no feasible SQL mirror — see tools/pin_golden.py)."""
+    from deduplicator_ray.pipelines.golden_sql import GOLDEN_SQL
+
     return {
         "dedup_exact_text": (q_dedup_exact_text, _SQL_DEDUP_EXACT_TEXT),
         "ngram_jaccard_pairs": (q_ngram_jaccard, _SQL_NGRAM_JACCARD),
@@ -815,13 +827,13 @@ def registry_ext():
         "warc_roundtrip": (q_warc_roundtrip, _SQL_WARC_ROUNDTRIP),
         "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
-        "embed_topk_ivf": (q_embed_topk_ivf, None),
+        "embed_topk_ivf": (q_embed_topk_ivf, _SQL_EMB_TOPK),
         "neardup_clusters": (q_neardup_clusters, _SQL_NEARDUP_CLUSTERS),
-        "neardup_clusters_minhash": (q_neardup_clusters_minhash, None),
-        "pair_lcs": (q_pair_lcs, None),
-        "simhash_dups": (q_simhash_dups, None),
-        "self_similarity": (q_self_similarity, None),
-        "fingerprint_sketch": (q_fingerprint_sketch, None),
+        "neardup_clusters_minhash": (q_neardup_clusters_minhash, GOLDEN_SQL["neardup_clusters_minhash"]),
+        "pair_lcs": (q_pair_lcs, GOLDEN_SQL["pair_lcs"]),
+        "simhash_dups": (q_simhash_dups, GOLDEN_SQL["simhash_dups"]),
+        "self_similarity": (q_self_similarity, GOLDEN_SQL["self_similarity"]),
+        "fingerprint_sketch": (q_fingerprint_sketch, GOLDEN_SQL["fingerprint_sketch"]),
         "lang_id_pred": (q_lang_id_pred, None),
         "media_features": (q_media_features, None),
     }

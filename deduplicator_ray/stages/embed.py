@@ -311,6 +311,38 @@ def embedding_dup_pairs_bucketed(ds, threshold: float, *, id_col: str = "vec_id"
                                 zero_copy_batch=True)
 
 
+def _hash_sample(ds, id_col: str, vec_col: str, n_rows: int,
+                 oversample: int = 4) -> np.ndarray:
+    """Uniform, deterministic, input-order-independent sample of
+    ``n_rows`` vectors: keep rows whose siphash(id) falls under an
+    oversampled threshold, then trim to the ``n_rows`` smallest hashes.
+    A ``limit(n)`` sample is the FIRST n rows — on a sorted/clustered
+    corpus that biases the k-means quantizer to one region and silently
+    degrades partial-probe recall; hashing the id decouples the sample
+    from physical order.  One bounded extra scan of (id, vec)."""
+    import pandas as pd
+
+    total = ds.count()
+    if total <= n_rows:
+        pdf = ds.select_columns([vec_col]).to_pandas()
+        return np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    frac = min(1.0, oversample * n_rows / total)
+    thresh = np.uint64(min((1 << 64) - 1, int(frac * float(1 << 64))))
+
+    def samp(b: pa.Table) -> pa.Table:
+        ids = pd.Series(np.asarray(b[id_col], dtype=np.int64))
+        h = pd.util.hash_pandas_object(ids, index=False).to_numpy()
+        keep = h < thresh
+        t = b.select([vec_col]).filter(pa.array(keep))
+        return t.append_column("_h", pa.array(h[keep], type=pa.uint64()))
+
+    pdf = ds.select_columns([id_col, vec_col]).map_batches(
+        samp, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
+    ).to_pandas()
+    pdf = pdf.sort_values("_h", kind="mergesort").head(n_rows)
+    return np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+
+
 def _kmeans_fit(sample: np.ndarray, k: int, *, iters: int = 10, seed: int = 42) -> np.ndarray:
     """Plain Lloyd's k-means on a driver-side sample -> (k, d) normalized
     centroids.  Deterministic (seeded init, fixed iteration count)."""
@@ -350,8 +382,7 @@ def ivf_topk(ds, query_matrix: np.ndarray, k: int = 10, *,
 
     concurrency = concurrency or auto_concurrency()
     q = _normalize(np.asarray(query_matrix, dtype=np.float64))
-    sample = ds.select_columns([vec_col]).limit(train_sample).to_pandas()
-    m_sample = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    m_sample = _hash_sample(ds, id_col, vec_col, train_sample)
     centroids = _kmeans_fit(m_sample, n_lists)
     # per-query probe set -> boolean (n_lists, n_queries) probe mask
     probe_order = np.argsort(-(q @ centroids.T), axis=1)[:, : min(n_probe, len(centroids))]

@@ -255,6 +255,37 @@ class TestEmbed:
         got = set(map(tuple, approx[["query_id", "vec_id"]].values.tolist()))
         assert len(got & want) / len(want) >= 0.7  # half the lists probed
 
+    def test_ivf_recall_on_sorted_corpus(self, ray_session):
+        """Adversarial input ORDER: a cluster-sorted corpus with a
+        training sample smaller than the first cluster.  A first-N
+        (limit) sample would train the quantizer on one cluster and
+        collapse partial-probe recall; the hash-based sample must keep
+        it high."""
+        import ray.data as rd
+
+        from deduplicator_ray.stages.embed import ivf_topk
+
+        rng = np.random.default_rng(11)
+        n_clusters, per_cluster, dim = 12, 120, 24
+        centers = rng.standard_normal((n_clusters, dim)) * 4
+        vecs = np.concatenate([
+            centers[c] + 0.3 * rng.standard_normal((per_cluster, dim))
+            for c in range(n_clusters)
+        ])  # SORTED by cluster: rows 0..119 are cluster 0, etc.
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(len(vecs), dtype=np.int64), "embedding": list(vecs)}
+        )
+        q = vecs[::per_cluster][:6]  # one query per of the first 6 clusters
+        exact = cosine_topk(rd.from_pandas(pdf), q, k=10).to_pandas()
+        approx = ivf_topk(
+            rd.from_pandas(pdf), q, k=10, n_lists=12, n_probe=4,
+            train_sample=100,  # < one cluster: limit() would see cluster 0 only
+        ).to_pandas()
+        want = set(map(tuple, exact[["query_id", "vec_id"]].values.tolist()))
+        got = set(map(tuple, approx[["query_id", "vec_id"]].values.tolist()))
+        recall = len(got & want) / len(want)
+        assert recall >= 0.9, f"recall {recall}"
+
     def test_hyperplane_bucket(self, ray_session, sf_dir):
         import ray.data as rd
 
