@@ -83,7 +83,35 @@ def prepare_corpora() -> float:
         ).repartition(n_files).write_parquet(_cache_dir("text"))
         _mark_done("text")
 
+    if not _cache_ready("embed"):
+        vecs = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        vecs.map_batches(
+            _embed_tile, batch_format="pyarrow", batch_size=256
+        ).repartition(n_files).write_parquet(_cache_dir("embed"))
+        _mark_done("embed")
+
     return round(time.time() - t0, 3)
+
+
+def _embed_tile(b):
+    """Tile the embedding corpus REPEAT x (ids offset, deterministic
+    direction jitter) so the top-k phase carries real parallel matmul
+    work — the raw sf table is ~2000 rows = ONE batch = one task."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    pdf = b.to_pandas()
+    base = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    n_base = 2_000_000  # id stride > any sf table's row count
+    outs = []
+    for r in range(REPEAT):
+        jit = 1.0 + 0.001 * ((pdf["vec_id"].to_numpy()[:, None] * 31 + r * 17) % 7)
+        outs.append(pd.DataFrame({
+            "vec_id": pdf["vec_id"].to_numpy() + np.int64(r) * n_base,
+            "embedding": list(base * jit),
+        }))
+    return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
 
 
 def _neardup_expand(b):
@@ -242,15 +270,15 @@ def bench_embed() -> dict:
 
     from deduplicator_ray.stages.embed import cosine_topk
 
-    n_q = max(8, REPEAT)
+    n_q = 64
     t0 = time.time()
-    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    # pre-tiled corpus (REPEAT x the sf table): the raw table is ~2000
+    # rows = one batch = one task; the tiled read gives every CPU real
+    # matmul work so the phase exercises scaling, not driver setup
+    ds = rd.read_parquet(_cache_dir("embed"))
     tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet")
     head = tbl.slice(0, min(n_q, tbl.num_rows))
     q = np.stack(head["embedding"].to_pylist())
-    if len(q) < n_q:  # tile with tiny deterministic perturbations
-        reps = -(-n_q // len(q))
-        q = np.concatenate([q * (1 + 1e-6 * r) for r in range(reps)])[:n_q]
     out = cosine_topk(ds, q, k=10)
     n = out.num_rows
     sec = time.time() - t0
@@ -275,7 +303,7 @@ def run_all() -> dict:
 
     for t in ["documents", "embeddings"]:
         pq.read_table(f"{SF_DIR}/{t}.parquet")
-    for kind in ["captures", "neardup", "text"]:
+    for kind in ["captures", "neardup", "text", "embed"]:
         _warm_cache_dir(_cache_dir(kind))
 
     queries = {}
@@ -366,8 +394,114 @@ def run_scaling() -> dict:
     }
 
 
+def _probe_cpu_worker(args):
+    """Cache-resident work: repeated small matmul (64x64 float64 = 32 KiB
+    working set, fits L1/L2) — no DRAM traffic, so per-worker time should
+    be FLAT as workers are added if cpu scheduling scales."""
+    reps, = args
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((64, 64))
+    t0 = time.time()
+    for _ in range(reps):
+        a @ a
+    return time.time() - t0
+
+
+def _probe_bw_worker(args):
+    """Stream work: sum over a 256 MiB float64 array — pure DRAM read
+    bandwidth; aggregate GB/s across workers exposes the shared-box
+    memory ceiling that a multi-node cluster scales with node count."""
+    reps, mb = args
+    import numpy as np
+
+    x = np.ones((mb * 1024 * 1024) // 8, dtype=np.float64)
+    x.sum()  # fault pages in (untimed)
+    t0 = time.time()
+    for _ in range(reps):
+        x.sum()
+    dt = time.time() - t0
+    return (reps * mb / 1024.0) / dt  # GB/s per worker
+
+
+def run_probe() -> dict:
+    """Controlled hardware experiment for the scaling decomposition:
+    identical per-worker jobs at 4 vs 16 concurrent processes (no Ray).
+    If cpu-probe per-worker time is flat while bandwidth-probe aggregate
+    GB/s saturates, the strong-scaling deficit of shuffle-/decode-heavy
+    phases on ONE box is a shared-memory-bus artifact, not an engine
+    serialization — a real 4x-node cluster multiplies the bus."""
+    from multiprocessing import Pool
+
+    out: dict = {"metric": "hardware scaling probes (4 vs 16 workers, no Ray)"}
+    for nproc in (4, 16):
+        with Pool(nproc) as p:
+            per = p.map(_probe_cpu_worker, [(4000,)] * nproc)
+        out[f"cpu_probe_{nproc}"] = {
+            "per_worker_sec_mean": round(sum(per) / len(per), 3),
+            "per_worker_sec_max": round(max(per), 3),
+        }
+    for nproc in (4, 16):
+        with Pool(nproc) as p:
+            gbps = p.map(_probe_bw_worker, [(20, 256)] * nproc)
+        out[f"bw_probe_{nproc}"] = {
+            "aggregate_gbps": round(sum(gbps), 1),
+            "per_worker_gbps_mean": round(sum(gbps) / len(gbps), 2),
+        }
+    cpu_ratio = (out["cpu_probe_16"]["per_worker_sec_mean"]
+                 / max(1e-9, out["cpu_probe_4"]["per_worker_sec_mean"]))
+    bw_ratio = (out["bw_probe_16"]["aggregate_gbps"]
+                / max(1e-9, out["bw_probe_4"]["aggregate_gbps"]))
+    out["cpu_per_worker_slowdown_16_over_4"] = round(cpu_ratio, 3)
+    out["bw_aggregate_scaling_16_over_4"] = round(bw_ratio, 3)
+    # a 100%-bandwidth-bound stage's best possible 4->16 strong-scaling
+    # efficiency on this box; compute-bound stages approach 1/cpu_ratio
+    out["max_strong_eff_bandwidth_bound"] = round(bw_ratio / 4.0, 3)
+    out["max_strong_eff_compute_bound"] = round(1.0 / cpu_ratio, 3)
+    return out
+
+
+def run_weak_scaling() -> dict:
+    """Constant-work-per-cpu experiment (the controlled companion to
+    --scaling): 4 cpus on a repeat=64 corpus vs 16 cpus on repeat=256 —
+    IDEAL distributed behavior keeps wall time flat.  Fixed per-run
+    overhead favors the BIG leg here (amortized over 4x work), so a
+    16-cpu leg that is still slower than the 4-cpu leg isolates shared-
+    resource contention (memory bus / object store), not scheduling."""
+    base = dict(os.environ)
+
+    def leg(ncpu: int, repeat: int) -> dict:
+        env = dict(base, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_REPEAT=str(repeat))
+        for args in ([sys.executable, os.path.abspath(__file__), "--prepare-only"],
+                     [sys.executable, os.path.abspath(__file__)]):
+            outp = subprocess.run(args, env=env, capture_output=True, text=True,
+                                  check=True,
+                                  cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(outp.strip().splitlines()[-1])
+
+    lo = leg(4, 64)
+    hi = leg(16, 256)
+    return {
+        "metric": "weak scaling (constant work per cpu: 4cpu/repeat64 vs 16cpu/repeat256)",
+        "sec_4cpu_r64": lo["value"],
+        "sec_16cpu_r256": hi["value"],
+        "weak_efficiency": round(lo["value"] / max(1e-9, hi["value"]), 3),
+        "queries_4cpu_r64": lo["queries"],
+        "queries_16cpu_r256": hi["queries"],
+        "per_phase_weak_eff": {
+            k: round(lo["queries"][k] / max(1e-9, hi["queries"][k]), 3)
+            for k in lo["queries"]
+        },
+        "loadavg": round(os.getloadavg()[0], 1),
+    }
+
+
 if __name__ == "__main__":
-    if "--prepare-only" in sys.argv:
+    if "--probe" in sys.argv:
+        print(json.dumps(run_probe()))
+    elif "--weak" in sys.argv:
+        print(json.dumps(run_weak_scaling()))
+    elif "--prepare-only" in sys.argv:
         _init_ray()
         sec = prepare_corpora()
         import ray

@@ -47,10 +47,22 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "sha1_html", "md5_text"],
                    help="auto: sha1 over html bytes when the corpus has an "
                         "html column, else md5 over text")
+    p.add_argument("--config", default=None,
+                   help="properties file layered UNDER the flags (reference "
+                        "deduplicator.properties precedence: defaults < file "
+                        "< explicit flags; keys per IndexingLauncher.java:35-43)")
     p.add_argument("--mime-filter", default="^text/.*",
                    help="mime regex filter (reference -m; blacklist unless --whitelist)")
     p.add_argument("--whitelist", action="store_true",
                    help="make --mime-filter a whitelist (reference -w)")
+    p.add_argument("--no-index-url", dest="index_url", action="store_false",
+                   help="index digests only, no URL field (reference -u)")
+    p.add_argument("--no-canonical", dest="include_canonical", action="store_false",
+                   help="skip canonical-URL indexing/matching (reference -s)")
+    p.add_argument("--index-digest-scheme", dest="use_digest_scheme", action="store_true",
+                   help="keep 'sha1:' style prefixes in indexed/queried digests "
+                        "(reference deduplicator.indexdigestscheme)")
+    p.set_defaults(index_url=True, include_canonical=True, use_digest_scheme=False)
     p.add_argument("--within-batch", action="store_true")
     p.add_argument("--near-dup", action="store_true", help="run MinHash/LSH clustering")
     p.add_argument("--bands", type=int, default=32)
@@ -66,6 +78,7 @@ def run(args) -> dict:
 
     from deduplicator_ray.pipelines.neardup import cluster_near_duplicates, ensure_doc_key
     from deduplicator_ray.stages.exact import (
+        index_info,
         match_shuffle,
         render_report,
         report_aggregates,
@@ -76,12 +89,19 @@ def run(args) -> dict:
     from deduplicator_ray.sources import get_source
     from deduplicator_ray.stages.normalize import skip_counters
 
+    # reference coupling rule (IndexingLauncher.java:123-125): canonical
+    # indexing requires the URL field
+    if not args.index_url:
+        args.include_canonical = False
     cfg = PipelineConfig(
         strategy=SearchStrategy(args.strategy),
         within_batch=args.within_batch,
         include_etag=args.include_etag,
         mime_filter=args.mime_filter,
         mime_whitelist=args.whitelist,
+        index_url=args.index_url,
+        include_canonical=args.include_canonical,
+        use_digest_scheme=args.use_digest_scheme,
         minhash=MinHashConfig(
             bands=args.bands,
             rows_per_band=args.rows_per_band,
@@ -165,6 +185,17 @@ def run(args) -> dict:
         results["matches"] = m_m
         agg = report_aggregates(matches_ds)
         agg["counters"] = results["counters"]  # A3: skipped / unresolved
+        # lookup-timing + index-info report parity (DeDuplicator.java:
+        # 235-243): match-stage wall time amortized per handled record,
+        # and the Index.getInfo() block
+        if agg["handled"] and m_m.get("wall_s"):
+            agg["lookup"] = {
+                "avg_ms": round(m_m["wall_s"] * 1000.0 / agg["handled"], 4),
+                "wall_s": m_m["wall_s"],
+            }
+        agg["index_info"] = index_info(
+            index_ds, cfg, records=results.get("index", {}).get("total_rows")
+        )
         results["report"] = agg
         with open(os.path.join(out, "REPORT.json"), "w") as f:
             json.dump(agg, f, indent=1)
@@ -199,7 +230,24 @@ def run(args) -> dict:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    import sys
+
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    parser = build_parser()
+    # properties-then-flags precedence (IndexingLauncher.java:95-125):
+    # pre-scan for --config, fold the file's values in as parser DEFAULTS,
+    # then parse the full argv so explicit flags override the file
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", default=None)
+    pre_args, _ = pre.parse_known_args(argv)
+    if pre_args.config:
+        from deduplicator_ray.config_file import file_defaults
+
+        dests, unknown = file_defaults(pre_args.config)
+        for key in unknown:
+            print(f"[config] ignoring unknown property {key}", file=sys.stderr)
+        parser.set_defaults(**dests)
+    args = parser.parse_args(argv)
     import ray
 
     if not ray.is_initialized():

@@ -42,57 +42,64 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-class _TopKScorer:
-    """Actor-pool stage holding the broadcast (normalized) query matrix."""
+# Per-process broadcast cache (task-pool pattern, see minhash.signatures):
+# worker processes are reused across tasks, so each worker fetches the
+# query/centroid broadcast from the object store ONCE — a stateful actor
+# pool would add ramp-up/queueing cost for the same effect (measured on
+# MinHash: task pool 2.6x faster at fixed cpus).
+_BCAST_CACHE: dict[bytes, object] = {}
 
-    def __init__(self, q_ref, k: int, id_col: str, vec_col: str):
-        import ray
 
-        self.q = ray.get(q_ref)  # (n_queries, d), already normalized
-        self.k = k
-        self.id_col = id_col
-        self.vec_col = vec_col
+def _bcast(ref):
+    import ray
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[self.id_col], dtype=np.int64)
-        m = _normalize(_matrix(batch[self.vec_col], self.q.shape[1]))
-        scores = m @ self.q.T  # (n, q)
-        k = min(self.k, len(ids))
-        out_q, out_id, out_s = [], [], []
-        for qi in range(self.q.shape[0]):
-            s = scores[:, qi]
-            top = np.argpartition(-s, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
-            out_q.append(np.full(len(top), qi, dtype=np.int64))
-            out_id.append(ids[top])
-            out_s.append(s[top])
-        return pa.table(
-            {
-                "query_id": np.concatenate(out_q),
-                "vec_id": np.concatenate(out_id),
-                "cosine": np.concatenate(out_s),
-            }
-        )
+    key = ref.binary()
+    val = _BCAST_CACHE.get(key)
+    if val is None:
+        val = ray.get(ref)
+        _BCAST_CACHE[key] = val
+    return val
+
+
+def _local_topk(scores: np.ndarray, ids: np.ndarray, k: int):
+    """(n, q) score matrix -> per-query local top-k (one vectorized
+    argpartition over the whole matrix, no per-query Python loop).
+    Returns (query_id, vec_id, score) 1-D arrays."""
+    n, nq = scores.shape
+    kk = min(k, n)
+    if kk < n:
+        top = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (k, q)
+    else:
+        top = np.broadcast_to(np.arange(n)[:, None], (n, nq))
+    qi = np.broadcast_to(np.arange(nq, dtype=np.int64)[None, :], top.shape)
+    s = np.take_along_axis(scores, top, axis=0)
+    return qi.ravel(), ids[top.ravel()], s.ravel()
+
+
+def _topk_score_batch(batch: pa.Table, q_ref, k: int, id_col: str,
+                      vec_col: str) -> pa.Table:
+    q = _bcast(q_ref)  # (n_queries, d), already normalized
+    ids = np.asarray(batch[id_col], dtype=np.int64)
+    m = _normalize(_matrix(batch[vec_col], q.shape[1]))
+    out_q, out_id, out_s = _local_topk(m @ q.T, ids, k)
+    return pa.table({"query_id": out_q, "vec_id": out_id, "cosine": out_s})
 
 
 def cosine_topk(ds, query_matrix: np.ndarray, k: int = 10, *,
-                id_col: str = "vec_id", vec_col: str = "embedding",
-                concurrency: int | tuple[int, int] | None = None) -> pa.Table:
+                id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
     """Dataset with an embedding column -> Arrow table
     (query_id, vec_id, rank, cosine), rank 1..k per query, deterministic
-    tie-break on vec_id."""
+    tie-break on vec_id.  Task-pool stage (per-process broadcast cache),
+    so concurrency follows the streaming executor's cpu budget."""
     import ray
 
-    from deduplicator_ray.util import auto_concurrency
-
-    concurrency = concurrency or auto_concurrency()
     q = _normalize(np.asarray(query_matrix, dtype=np.float64))
     q_ref = ray.put(q)
     partial = ds.map_batches(
-        _TopKScorer,
-        fn_constructor_args=(q_ref, k, id_col, vec_col),
+        _topk_score_batch,
+        fn_kwargs={"q_ref": q_ref, "k": k, "id_col": id_col, "vec_col": vec_col},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency,
         zero_copy_batch=True,
     )
     pdf = partial.to_pandas()  # k x n_blocks x n_queries rows — small
@@ -360,10 +367,25 @@ def _kmeans_fit(sample: np.ndarray, k: int, *, iters: int = 10, seed: int = 42) 
     return centroids
 
 
+def _ivf_score_batch(batch: pa.Table, ref, k: int, id_col: str,
+                     vec_col: str) -> pa.Table:
+    """Task-pool IVF scorer: coarse-assign the batch, score only against
+    queries probing each row's list (mask), vectorized local top-k."""
+    centroids, q, mask = _bcast(ref)
+    ids = np.asarray(batch[id_col], dtype=np.int64)
+    m = _normalize(_matrix(batch[vec_col], q.shape[1]))
+    lists = np.argmax(m @ centroids.T, axis=1)  # coarse assign
+    scores = np.where(mask[lists], m @ q.T, -np.inf)  # (n, q)
+    out_q, out_id, out_s = _local_topk(scores, ids, k)
+    keep = out_s > -np.inf
+    return pa.table({"query_id": out_q[keep], "vec_id": out_id[keep],
+                     "cosine": out_s[keep]})
+
+
 def ivf_topk(ds, query_matrix: np.ndarray, k: int = 10, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_lists: int = 64, n_probe: int = 8, train_sample: int = 10_000,
-             concurrency: int | tuple[int, int] | None = None) -> pa.Table:
+             n_lists: int = 64, n_probe: int = 8,
+             train_sample: int = 10_000) -> pa.Table:
     """IVF-style ANN top-k — the similarity-search scale path.
 
     Index: k-means coarse quantizer trained on a driver-side sample
@@ -378,9 +400,6 @@ def ivf_topk(ds, query_matrix: np.ndarray, k: int = 10, *,
     ``cosine_topk`` remains the exact baseline."""
     import ray
 
-    from deduplicator_ray.util import auto_concurrency
-
-    concurrency = concurrency or auto_concurrency()
     q = _normalize(np.asarray(query_matrix, dtype=np.float64))
     m_sample = _hash_sample(ds, id_col, vec_col, train_sample)
     centroids = _kmeans_fit(m_sample, n_lists)
@@ -390,39 +409,11 @@ def ivf_topk(ds, query_matrix: np.ndarray, k: int = 10, *,
     for qi, lists in enumerate(probe_order):
         probe_mask[lists, qi] = True
     ref = ray.put((centroids, q, probe_mask))
-
-    class _IvfScorer:
-        def __init__(self):
-            self.centroids, self.q, self.mask = ray.get(ref)
-            self.k = k
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch[id_col], dtype=np.int64)
-            m = _normalize(_matrix(batch[vec_col], self.q.shape[1]))
-            lists = np.argmax(m @ self.centroids.T, axis=1)  # coarse assign
-            scores = m @ self.q.T  # (n, q)
-            allowed = self.mask[lists]  # (n, q): query probes this row's list
-            scores = np.where(allowed, scores, -np.inf)
-            kk = min(self.k, len(ids))
-            out_q, out_id, out_s = [], [], []
-            for qi in range(self.q.shape[0]):
-                s = scores[:, qi]
-                top = np.argpartition(-s, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
-                keep = s[top] > -np.inf
-                out_q.append(np.full(int(keep.sum()), qi, dtype=np.int64))
-                out_id.append(ids[top][keep])
-                out_s.append(s[top][keep])
-            return pa.table(
-                {"query_id": np.concatenate(out_q) if out_q else np.array([], np.int64),
-                 "vec_id": np.concatenate(out_id) if out_id else np.array([], np.int64),
-                 "cosine": np.concatenate(out_s) if out_s else np.array([], np.float64)}
-            )
-
     partial = ds.map_batches(
-        _IvfScorer,
+        _ivf_score_batch,
+        fn_kwargs={"ref": ref, "k": k, "id_col": id_col, "vec_col": vec_col},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency,
         zero_copy_batch=True,
     )
     pdf = partial.to_pandas()

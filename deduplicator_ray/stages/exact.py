@@ -835,4 +835,71 @@ def render_report(agg: dict) -> str:
         f"    Canonical URL:   {t.get(MATCH_TIER_CANONICAL, {}).get('hits', 0)}",
         f"    Digest only:     {t.get(MATCH_TIER_DIGEST, {}).get('hits', 0)}",
     ]
+    # lookup-timing parity (DeDuplicator.java:235-239).  The reference's
+    # number is single-threaded per-record lookup latency; the batch-engine
+    # analog is match-stage wall time amortized per handled record (all
+    # workers in parallel), which is the figure an operator actually
+    # budgets with.  "Last" is the reference's most-recent-lookup probe —
+    # reported only when a caller measured a per-batch figure to report.
+    lk = agg.get("lookup") or {}
+    if agg["handled"] > 0 and "avg_ms" in lk:
+        lines.append(f"  Average lookup time: {lk['avg_ms']:.3f} ms")
+        if "last_ms" in lk:
+            lines.append(f"  Last lookup time:    {lk['last_ms']:.3f} ms")
+    info = agg.get("index_info")
+    if info:
+        lines += ["", "Index:", render_index_info(info)]
+    return "\n".join(lines)
+
+
+def index_info(index, cfg: PipelineConfig, *, records: int | None = None) -> dict:
+    """``Index.getInfo()`` parity (LuceneIndexSearcher.java:312-339): what
+    the index holds and how it will be searched.  ``index`` is either the
+    index Dataset/table or a ``ShardedDigestIndex`` (actor mode, which
+    also surfaces bloom-filter stats); pass ``records`` to skip the
+    count when the caller already knows it (e.g. a checkpoint manifest)."""
+    info: dict = {
+        "searcher": f"{__name__}.match",
+        "url_indexed": bool(cfg.index_url),
+        "digest_indexed": True,
+        "canonical_available": bool(cfg.include_canonical),
+        "search_strategy": cfg.strategy.value,
+        "digest_includes_scheme": bool(cfg.use_digest_scheme),
+    }
+    shards = getattr(index, "shards", None)
+    if shards is not None:  # ShardedDigestIndex
+        stats = index.stats()
+        info["records"] = sum(s["rows"] for s in stats)
+        info["distinct_digests"] = sum(s["digests"] for s in stats)
+        import ray as _ray
+
+        bloom = _ray.get(index.bloom_ref)
+        info["bloom_bits"] = int(bloom.m)
+    elif records is not None:
+        info["records"] = int(records)
+    elif index is not None:
+        info["records"] = int(
+            index.count() if hasattr(index, "count") else index.num_rows
+        )
+    return info
+
+
+def render_index_info(info: dict) -> str:
+    """Text block mirroring LuceneIndexSearcher.getInfo()'s line items."""
+    lines = [
+        info.get("searcher", f"{__name__}.match"),
+        f" URL indexed: {str(info['url_indexed']).lower()}",
+        f" Digest indexed: {str(info['digest_indexed']).lower()}",
+        f" Canonical URL available: {str(info['canonical_available']).lower()}",
+        f" Search strategy: {info['search_strategy']}",
+        f" Digest in index includes hashing algorithm: {str(info['digest_includes_scheme']).lower()}",
+    ]
+    if "records" in info:
+        lines.append(f" Records in index: {info['records']}")
+    if "distinct_digests" in info:
+        lines.append(f" Distinct digests: {info['distinct_digests']}")
+    if "bloom_bits" in info:
+        lines.append(f" BloomFilter size: {info['bloom_bits']}")
+    if "bloom_hits" in info:
+        lines.append(f" BloomFilter hits: {info['bloom_hits']}")
     return "\n".join(lines)

@@ -78,3 +78,99 @@ def test_warc_index_build_then_match(ray_session, tmp_path):
     with open(os.path.join(out2, "REPORT.json")) as f:
         rep = json.load(f)
     assert rep["counters"]["handled"] == 20
+
+
+def test_properties_file_precedence(tmp_path):
+    """Reference config layering (IndexingLauncher.java:45-73,95-125):
+    defaults < properties file < explicit CLI flags, with the reference's
+    key names and boolean rule."""
+    from deduplicator_ray.pipelines.dedup_pipeline import main as cli_main
+
+    props = tmp_path / "deduplicator.properties"
+    props.write_text(
+        "# comment\n"
+        "deduplicator.mime=^image/.*\n"
+        "deduplicator.whitelist=TRUE\n"
+        "deduplicator.etag=true\n"
+        "deduplicator.indexurl=false\n"
+        "deduplicator.indexdigestscheme=yes\n"   # not 'true' -> false
+        "deduplicator.crawldataiterator=is.landsbokasafn.deduplicator.indexer.WarcIterator\n"
+        "deduplicator.unknownkey=1\n"
+    )
+
+    import argparse
+
+    from deduplicator_ray.config_file import file_defaults
+
+    dests, unknown = file_defaults(str(props))
+    assert dests == {
+        "mime_filter": "^image/.*",
+        "whitelist": True,
+        "include_etag": True,
+        "index_url": False,
+        "use_digest_scheme": False,  # reference bool rule: only 'true' is true
+        "corpus_format": "warc",     # java class name -> registered source
+    }
+    assert unknown == ["deduplicator.unknownkey"]
+
+    # file values land as parser defaults; explicit flags override them
+    parser = build_parser()
+    parser.set_defaults(**dests)
+    a = parser.parse_args(["--corpus", "c", "--out", "o"])
+    assert a.mime_filter == "^image/.*" and a.whitelist and a.include_etag
+    assert a.index_url is False and a.corpus_format == "warc"
+    b = parser.parse_args(["--corpus", "c", "--out", "o",
+                           "--mime-filter", "^text/.*"])
+    assert b.mime_filter == "^text/.*"          # flag beats file
+    assert b.whitelist                          # file beats built-in default
+
+
+def test_report_timing_and_index_info_lines():
+    """Report parity: lookup-timing lines (DeDuplicator.java:235-239) and
+    the Index.getInfo() block (LuceneIndexSearcher.java:312-339)."""
+    from deduplicator_ray.config import PipelineConfig, SearchStrategy
+    from deduplicator_ray.stages.exact import index_info, render_report
+
+    cfg = PipelineConfig(strategy=SearchStrategy.DIGEST_URL_PREFERRED)
+    agg = {
+        "handled": 100, "duplicates": 40, "total_bytes": 1000,
+        "duplicate_bytes": 400,
+        "by_tier": {"exact_url": {"hits": 30, "bytes": 300}},
+        "lookup": {"avg_ms": 1.234, "last_ms": 0.5},
+        "index_info": index_info(None, cfg, records=77),
+    }
+    txt = render_report(agg)
+    assert "Average lookup time: 1.234 ms" in txt
+    assert "Last lookup time:    0.500 ms" in txt
+    assert "Index:" in txt
+    assert " Records in index: 77" in txt
+    assert " URL indexed: true" in txt
+    assert " Search strategy: DIGEST_URL_PREFERRED" in txt
+    assert " Digest in index includes hashing algorithm: false" in txt
+    # no timing lines when nothing was measured
+    agg2 = dict(agg, lookup={}, index_info=None)
+    txt2 = render_report(agg2)
+    assert "lookup time" not in txt2 and "Index:" not in txt2
+
+
+def test_index_info_sharded(ray_session):
+    """Actor-mode index surfaces record/digest counts + bloom size."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.stages.exact import index_info
+    from deduplicator_ray.state.index_actor import ShardedDigestIndex
+
+    hist = pd.DataFrame({
+        "url": [f"https://h.example/{i}" for i in range(30)],
+        "url_canonical": [f"h.example/{i}" for i in range(30)],
+        "digest": [f"D{i % 10}" for i in range(30)],
+        "date": pd.to_datetime(range(30), unit="s").astype("datetime64[us]"),
+        "record_id": [f"r{i}" for i in range(30)],
+    })
+    idx = ShardedDigestIndex(rd.from_pandas(hist), n_shards=2)
+    info = index_info(idx, PipelineConfig())
+    assert info["distinct_digests"] == 10
+    assert info["bloom_bits"] > 0
+    assert info["records"] > 0
