@@ -63,7 +63,7 @@ def prepare_corpora() -> float:
             b = b.append_column(
                 "content_bytes", pc.cast(pc.utf8_length(b["text"]), "int64")
             )
-            return b.drop_columns(["text", "lang"])
+            return b.drop_columns(["text", "lang"]).replace_schema_metadata(None)
 
         caps = caps.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
         caps.repartition(n_files).write_parquet(_cache_dir("captures"))
@@ -85,9 +85,13 @@ def prepare_corpora() -> float:
 
     if not _cache_ready("embed"):
         vecs = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        # fewer, larger files than the row-heavy corpora: the vector
+        # table is ~0.5 GiB and Ray's parquet-metadata resolution is a
+        # fixed DRIVER cost per file (measured 2.6 s for 128 files —
+        # pure serial overhead the 16-cpu scaling leg can't hide)
         vecs.map_batches(
             _embed_tile, batch_format="pyarrow", batch_size=256
-        ).repartition(n_files).write_parquet(_cache_dir("embed"))
+        ).repartition(32).write_parquet(_cache_dir("embed"))
         _mark_done("embed")
 
     return round(time.time() - t0, 3)
@@ -96,22 +100,29 @@ def prepare_corpora() -> float:
 def _embed_tile(b):
     """Tile the embedding corpus REPEAT x (ids offset, deterministic
     direction jitter) so the top-k phase carries real parallel matmul
-    work — the raw sf table is ~2000 rows = ONE batch = one task."""
+    work — the raw sf table is ~2000 rows = ONE batch = one task.
+    Arrow-native output with NO schema metadata: pandas metadata dicts
+    are unhashable and break Ray's per-block schema dedup (one warning +
+    re-serialized schema per task)."""
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
 
-    pdf = b.to_pandas()
-    base = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    from deduplicator_ray.stages.embed import _matrix
+
+    ids = np.asarray(b["vec_id"], dtype=np.int64)
+    base = _matrix(b["embedding"])
+    n, d = base.shape
+    reps = REPEAT * 4  # denser than the row corpora: vectors are cheap
+    # to store but each carries d-dim matmul work, and the phase must be
+    # compute-dominated (not setup-dominated) to measure scaling
     n_base = 2_000_000  # id stride > any sf table's row count
-    outs = []
-    for r in range(REPEAT):
-        jit = 1.0 + 0.001 * ((pdf["vec_id"].to_numpy()[:, None] * 31 + r * 17) % 7)
-        outs.append(pd.DataFrame({
-            "vec_id": pdf["vec_id"].to_numpy() + np.int64(r) * n_base,
-            "embedding": list(base * jit),
-        }))
-    return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
+    out_ids = np.concatenate(
+        [ids + np.int64(r) * n_base for r in range(reps)]
+    )
+    jits = [1.0 + 0.001 * ((ids[:, None] * 31 + r * 17) % 7) for r in range(reps)]
+    mat = np.concatenate([base * j for j in jits])
+    emb = pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel(), type=pa.float64()), d)
+    return pa.table({"vec_id": out_ids, "embedding": emb})
 
 
 def _neardup_expand(b):
@@ -138,7 +149,8 @@ def _neardup_expand(b):
         elif r:
             d["text"] = [mangle(t, r) for t in d["text"]]
         outs.append(d[["doc_key", "text"]])
-    return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
+    t = pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
+    return t.replace_schema_metadata(None)  # pandas metadata breaks schema dedup
 
 
 def _text_tile(b):
@@ -151,7 +163,8 @@ def _text_tile(b):
         d = pdf.copy()
         d["doc_id"] = d["doc_id"] * REPEAT + r
         outs.append(d)
-    return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
+    t = pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
+    return t.replace_schema_metadata(None)  # pandas metadata breaks schema dedup
 
 
 def _init_ray():
@@ -270,16 +283,21 @@ def bench_embed() -> dict:
 
     from deduplicator_ray.stages.embed import cosine_topk
 
-    n_q = 64
+    n_q = 256
     t0 = time.time()
-    # pre-tiled corpus (REPEAT x the sf table): the raw table is ~2000
+    # pre-tiled corpus (4xREPEAT x the sf table): the raw table is ~2000
     # rows = one batch = one task; the tiled read gives every CPU real
-    # matmul work so the phase exercises scaling, not driver setup
+    # matmul work so the phase exercises scaling, not driver setup.
+    # batch_size 32768 at d=64: ~16 MiB matrices per task — real dgemm
+    # work per task instead of scheduling overhead
     ds = rd.read_parquet(_cache_dir("embed"))
     tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet")
     head = tbl.slice(0, min(n_q, tbl.num_rows))
     q = np.stack(head["embedding"].to_pylist())
-    out = cosine_topk(ds, q, k=10)
+    if len(q) < n_q:  # tile with tiny deterministic perturbations
+        reps = -(-n_q // len(q))
+        q = np.concatenate([q * (1 + 1e-6 * r) for r in range(reps)])[:n_q]
+    out = cosine_topk(ds, q, k=10, batch_size=32768)
     n = out.num_rows
     sec = time.time() - t0
     return {"sec": round(sec, 3), "results": n, "sec_per_query": round(sec / n_q, 4)}

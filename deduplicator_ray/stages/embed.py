@@ -61,36 +61,110 @@ def _bcast(ref):
     return val
 
 
-def _local_topk(scores: np.ndarray, ids: np.ndarray, k: int):
-    """(n, q) score matrix -> per-query local top-k (one vectorized
-    argpartition over the whole matrix, no per-query Python loop).
-    Returns (query_id, vec_id, score) 1-D arrays."""
-    n, nq = scores.shape
-    kk = min(k, n)
-    if kk < n:
-        top = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (k, q)
-    else:
-        top = np.broadcast_to(np.arange(n)[:, None], (n, nq))
-    qi = np.broadcast_to(np.arange(nq, dtype=np.int64)[None, :], top.shape)
-    s = np.take_along_axis(scores, top, axis=0)
-    return qi.ravel(), ids[top.ravel()], s.ravel()
+# Per-process grow-only scratch arenas.  The score kernels reuse ONE
+# float64 buffer per role across tasks instead of letting numpy allocate
+# a fresh multi-MB region per call: glibc services those via mmap/munmap,
+# and on hosts with a slow or serialized page-fault path (lazily faulted
+# VM memory — this sandbox; also cold NUMA pages on real clusters) the
+# first-touch faults dominate the kernel at high concurrency (measured
+# here: per-process fault bandwidth collapses ~20x at 16 concurrent
+# workers).  Worker processes are reused across tasks, so the arena is
+# paid once per process.
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, shape: tuple[int, ...]) -> np.ndarray:
+    need = 1
+    for s in shape:
+        need *= int(s)
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.size < need:
+        buf = np.empty(need, dtype=np.float64)
+        _SCRATCH[name] = buf
+    return buf[:need].reshape(shape)
+
+
+def _normalize_into(m: np.ndarray, out: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return np.divide(m, norms, out=out)
+
+
+# 256 queries x 2048 corpus rows x 8 B = 4 MiB score tile — L3-resident,
+# so the dgemm output never streams to DRAM (the full q @ m.T for a 32k
+# batch is 64 MiB and memory-bound; blocked evaluation is the FAISS
+# brute-force pattern and is bitwise-identical on the kept candidates)
+_TOPK_CHUNK = 2048
+
+
+def _topk_per_query(qi: np.ndarray, vid: np.ndarray, s: np.ndarray, k: int):
+    """Candidate triples -> top-k per query with the same deterministic
+    tie-break as the driver merge (score desc, vec_id asc)."""
+    order = np.lexsort((vid, -s, qi))
+    qi, vid, s = qi[order], vid[order], s[order]
+    starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
+    counts = np.diff(np.r_[starts, len(qi)])
+    ranks = np.arange(len(qi)) - np.repeat(starts, counts)
+    keep = ranks < k
+    return qi[keep], vid[keep], s[keep]
+
+
+def _chunked_topk(q: np.ndarray, m: np.ndarray, ids: np.ndarray, k: int,
+                  masked_rows=None):
+    """Blocked brute-force top-k: score (n_queries x chunk) tiles into a
+    reused scratch buffer, keep each tile's per-query top-k (kth-from-top
+    argpartition — no negated copy of the score matrix), then merge the
+    k x n_chunks candidates per query.  ``masked_rows``, if given, is a
+    callable chunk-slice -> (n_queries, chunk_len) bool of DISALLOWED
+    scores (IVF probe masking): masked entries are set to -inf in place."""
+    nq, n = len(q), len(m)
+    if n == 0 or nq == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), np.empty(0, dtype=np.float64)
+    outs_q, outs_i, outs_s = [], [], []
+    arange_q = np.arange(nq, dtype=np.int64)
+    for s0 in range(0, n, _TOPK_CHUNK):
+        s1 = min(n, s0 + _TOPK_CHUNK)
+        nc = s1 - s0
+        tile = _scratch("score_tile", (nq, nc))
+        np.dot(q, m[s0:s1].T, out=tile)
+        if masked_rows is not None:
+            tile[masked_rows(s0, s1)] = -np.inf
+        kk = min(k, nc)
+        if kk < nc:
+            idx = np.argpartition(tile, nc - kk, axis=1)[:, nc - kk:]
+            vals = np.take_along_axis(tile, idx, axis=1)
+        else:
+            idx = np.broadcast_to(np.arange(nc), (nq, nc))
+            vals = tile.copy()  # tile is reused next iteration
+        outs_q.append(np.repeat(arange_q, idx.shape[1]))
+        outs_i.append(ids[s0 + idx.ravel()])
+        outs_s.append(vals.ravel())
+    return _topk_per_query(
+        np.concatenate(outs_q), np.concatenate(outs_i), np.concatenate(outs_s), k
+    )
 
 
 def _topk_score_batch(batch: pa.Table, q_ref, k: int, id_col: str,
                       vec_col: str) -> pa.Table:
     q = _bcast(q_ref)  # (n_queries, d), already normalized
     ids = np.asarray(batch[id_col], dtype=np.int64)
-    m = _normalize(_matrix(batch[vec_col], q.shape[1]))
-    out_q, out_id, out_s = _local_topk(m @ q.T, ids, k)
+    raw = _matrix(batch[vec_col], q.shape[1])
+    m = _normalize_into(raw, _scratch("corpus", raw.shape))
+    out_q, out_id, out_s = _chunked_topk(q, m, ids, k)
     return pa.table({"query_id": out_q, "vec_id": out_id, "cosine": out_s})
 
 
 def cosine_topk(ds, query_matrix: np.ndarray, k: int = 10, *,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                batch_size: int = 4096) -> pa.Table:
     """Dataset with an embedding column -> Arrow table
     (query_id, vec_id, rank, cosine), rank 1..k per query, deterministic
     tie-break on vec_id.  Task-pool stage (per-process broadcast cache),
-    so concurrency follows the streaming executor's cpu budget."""
+    so concurrency follows the streaming executor's cpu budget.  Raise
+    ``batch_size`` for small-dim corpora (bigger matmuls per task, fewer
+    partial rows to the driver merge); keep it modest at high dim so
+    batch x d x 8 B stays in the worker heap."""
     import ray
 
     q = _normalize(np.asarray(query_matrix, dtype=np.float64))
@@ -99,7 +173,7 @@ def cosine_topk(ds, query_matrix: np.ndarray, k: int = 10, *,
         _topk_score_batch,
         fn_kwargs={"q_ref": q_ref, "k": k, "id_col": id_col, "vec_col": vec_col},
         batch_format="pyarrow",
-        batch_size=4096,
+        batch_size=batch_size,
         zero_copy_batch=True,
     )
     pdf = partial.to_pandas()  # k x n_blocks x n_queries rows — small
@@ -373,10 +447,14 @@ def _ivf_score_batch(batch: pa.Table, ref, k: int, id_col: str,
     queries probing each row's list (mask), vectorized local top-k."""
     centroids, q, mask = _bcast(ref)
     ids = np.asarray(batch[id_col], dtype=np.int64)
-    m = _normalize(_matrix(batch[vec_col], q.shape[1]))
-    lists = np.argmax(m @ centroids.T, axis=1)  # coarse assign
-    scores = np.where(mask[lists], m @ q.T, -np.inf)  # (n, q)
-    out_q, out_id, out_s = _local_topk(scores, ids, k)
+    raw = _matrix(batch[vec_col], q.shape[1])
+    m = _normalize_into(raw, _scratch("corpus", raw.shape))
+    coarse = _scratch("coarse", (len(m), len(centroids)))
+    lists = np.argmax(np.dot(m, centroids.T, out=coarse), axis=1)
+    # rows NOT probed by a query score -inf (mask is (n_lists, n_queries))
+    out_q, out_id, out_s = _chunked_topk(
+        q, m, ids, k, masked_rows=lambda s0, s1: ~mask[lists[s0:s1]].T
+    )
     keep = out_s > -np.inf
     return pa.table({"query_id": out_q[keep], "vec_id": out_id[keep],
                      "cosine": out_s[keep]})
