@@ -32,7 +32,15 @@ def _cache_dir(kind: str) -> str:
 
 
 def _cache_ready(kind: str) -> bool:
-    return os.path.exists(os.path.join(_cache_dir(kind), "_DONE"))
+    if os.path.exists(os.path.join(_cache_dir(kind), "_DONE")):
+        return True
+    # crash safety: an interrupted prepare leaves partial parquet files;
+    # a rerun would APPEND a second copy (Ray never truncates) and then
+    # mark _DONE over a silently duplicated corpus — start clean instead
+    import shutil
+
+    shutil.rmtree(_cache_dir(kind), ignore_errors=True)
+    return False
 
 
 def _mark_done(kind: str) -> None:

@@ -42,11 +42,13 @@ def parse_properties(text: str) -> dict[str, str]:
         line = raw.strip()
         if not line or line[0] in "#!":
             continue
-        for sep in ("=", ":"):
-            if sep in line:
-                k, _, v = line.partition(sep)
-                out[k.strip()] = v.strip()
-                break
+        # java.util.Properties splits at the FIRST unescaped '=' OR ':',
+        # whichever comes first — trying '=' before ':' would mis-split a
+        # "key: value" line whose value contains '='
+        cuts = [i for i in (line.find("="), line.find(":")) if i >= 0]
+        if cuts:
+            i = min(cuts)
+            out[line[:i].strip()] = line[i + 1:].strip()
     return out
 
 

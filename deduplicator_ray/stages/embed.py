@@ -57,6 +57,11 @@ def _bcast(ref):
     val = _BCAST_CACHE.get(key)
     if val is None:
         val = ray.get(ref)
+        # keep-last eviction: one live broadcast per worker process.  An
+        # unbounded cache would pin every query/centroid matrix (and its
+        # plasma buffer — the numpy view is zero-copy) for the worker's
+        # lifetime, growing RSS monotonically across repeated top-k calls
+        _BCAST_CACHE.clear()
         _BCAST_CACHE[key] = val
     return val
 

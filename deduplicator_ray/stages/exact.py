@@ -172,7 +172,10 @@ def conform_tagged(ds, *, history_col: str, history_value,
     feeding the match shuffle."""
 
     def f(batch: pa.Table) -> pa.Table:
-        mask = pc.equal(batch[history_col], history_value)
+        # null tags are NOT history (fill_null, or Arrow's filter would
+        # drop null-masked rows from BOTH halves and the record would
+        # silently vanish from the match output)
+        mask = pc.fill_null(pc.equal(batch[history_col], history_value), False)
         hist = _conform_table(
             batch.filter(mask), src=0, id_cols=id_cols, ts_col=ts_col,
             strip_digest_scheme=strip_digest_scheme, rid_col="record_id",
@@ -328,11 +331,15 @@ def hash_bucket_salted(ds, col: str, num_buckets: int, hot_keys: frozenset,
     )
 
 
-def _upsert_sort(df: pd.DataFrame) -> list[str]:
-    """Keep-latest election order: newest first, then url, then record_id
-    ascending when present — fully deterministic under (ts, url) ties
-    regardless of block arrival order."""
-    return ["warc_ts", "url"] + (["record_id"] if "record_id" in df.columns else [])
+def _upsert_sort(df: pd.DataFrame) -> tuple[list[str], list[bool]]:
+    """Keep-latest election order: newest first (warc_ts desc), then url,
+    then record_id ascending — fully deterministic under (ts, url) ties
+    regardless of block arrival order.  Only columns actually present
+    participate (a documents-style corpus has no url or warc_ts at all);
+    returns (keys, ascending) so the flags stay aligned with the keys."""
+    spec = [("warc_ts", False), ("url", True), ("record_id", True)]
+    present = [(k, asc) for k, asc in spec if k in df.columns]
+    return [k for k, _ in present], [asc for _, asc in present]
 
 
 def _pick_best(hist: pd.DataFrame) -> pd.DataFrame:
@@ -707,26 +714,37 @@ def build_index(ds, cfg: PipelineConfig | None = None):
     _PROJ_COLS = ["url", "url_canonical", "digest", "warc_ts", "etag", "record_id"]
 
     def pre_reduce(b: pd.DataFrame) -> pd.DataFrame:
-        # M7 revisit remap when the columns exist
+        # M7 revisit remap when the columns exist; a corpus carrying
+        # is_revisit WITHOUT resolved originals (no original_url/_ts
+        # columns) treats every revisit as unresolved and drops it —
+        # same rule as _conform_table and skip_counters
         if "is_revisit" in b.columns:
             rev = b["is_revisit"].fillna(False).astype(bool)
-            resolved = rev & b["original_url"].notna() & b["original_ts"].notna()
+            if {"original_url", "original_ts"} <= set(b.columns):
+                resolved = rev & b["original_url"].notna() & b["original_ts"].notna()
+            else:
+                resolved = pd.Series(False, index=b.index)
             b = b[~rev | resolved].copy()
-            rev = b["is_revisit"].fillna(False).astype(bool)
-            b.loc[rev, "url"] = b.loc[rev, "original_url"]
-            b.loc[rev, "warc_ts"] = b.loc[rev, "original_ts"]
+            if {"original_url", "original_ts"} <= set(b.columns):
+                rev = b["is_revisit"].fillna(False).astype(bool)
+                b.loc[rev, "url"] = b.loc[rev, "original_url"]
+                b.loc[rev, "warc_ts"] = b.loc[rev, "original_ts"]
         b = b[[c for c in _PROJ_COLS if c in b.columns]]
-        b = b.sort_values(_upsert_sort(b), ascending=[False, True, True][: len(_upsert_sort(b))],
-                          kind="mergesort")
-        return b.drop_duplicates(key, keep="first")
+        keys, asc = _upsert_sort(b)
+        if keys:
+            b = b.sort_values(keys, ascending=asc, kind="mergesort")
+        return b.drop_duplicates([c for c in key if c in b.columns] or ["digest"],
+                                 keep="first")
 
     def final_reduce(g: pd.DataFrame) -> pd.DataFrame:
         # one call per hash bucket: winner per key via a single stable
         # sort + drop_duplicates over the whole bucket
         g = g.drop(columns=["_part"])
-        g = g.sort_values(_upsert_sort(g), ascending=[False, True, True][: len(_upsert_sort(g))],
-                          kind="mergesort")
-        return g.drop_duplicates(key, keep="first")
+        keys, asc = _upsert_sort(g)
+        if keys:
+            g = g.sort_values(keys, ascending=asc, kind="mergesort")
+        return g.drop_duplicates([c for c in key if c in g.columns] or ["digest"],
+                                 keep="first")
 
     def project(b: pd.DataFrame) -> pa.Table:
         n = len(b)
@@ -734,12 +752,17 @@ def build_index(ds, cfg: PipelineConfig | None = None):
         def col(name: str, present: bool):
             return pa.array(b[name] if present else [None] * n, type=pa.string())
 
+        date = (
+            pa.array(b["warc_ts"]).cast(pa.timestamp("us"))
+            if "warc_ts" in b.columns
+            else pa.nulls(n, pa.timestamp("us"))
+        )
         return pa.table(
             {
-                "url": col("url", True),
+                "url": col("url", "url" in b.columns),
                 "url_canonical": col("url_canonical", "url_canonical" in b.columns),
                 "digest": col("digest", True),
-                "date": pa.array(b["warc_ts"]).cast(pa.timestamp("us")),
+                "date": date,
                 "etag": col("etag", "etag" in b.columns and cfg.include_etag),
                 "original_record_id": col("record_id", "record_id" in b.columns),
             }

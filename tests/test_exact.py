@@ -558,3 +558,67 @@ def test_find_hot_keys_detection(ray_session):
     assert hot2 == frozenset({"HUB"})
     tails = find_hot_keys(ds, "digest", num_buckets=8, min_count=10, sample_rows=0)
     assert "T0" not in tails
+
+
+def test_tagged_matcher_null_tag_rows_are_current(ray_session):
+    """Rows whose tag column is NULL must be treated as current, not
+    silently dropped from both halves (Arrow's filter drops null-masked
+    rows from a mask AND its inversion)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.exact import match_shuffle_tagged
+
+    ts = pd.Timestamp("2023-01-01")
+    pdf = pd.DataFrame([
+        {"crawl": "history", "url": "https://a.example/p", "digest": "d1",
+         "warc_ts": ts, "record_id": "r1"},
+        {"crawl": None, "url": "https://b.example/q", "digest": "d1",
+         "warc_ts": ts + pd.Timedelta(days=1), "record_id": "r2"},
+        {"crawl": "current", "url": "https://c.example/r", "digest": "d9",
+         "warc_ts": ts + pd.Timedelta(days=2), "record_id": "r3"},
+    ])
+    pdf["url_canonical"] = pdf["url"].map(canonicalize)
+    pdf["content_bytes"] = 10
+    got = match_shuffle_tagged(
+        rd.from_pandas(pdf), PipelineConfig(strategy=SearchStrategy.DIGEST_ANY)
+    ).to_pandas().sort_values("url", ignore_index=True)
+    # both non-history rows survive as current; the null-tag one matches d1
+    assert got["url"].tolist() == ["https://b.example/q", "https://c.example/r"]
+    assert got["is_duplicate"].tolist() == [True, False]
+
+
+def test_build_index_revisit_without_original_columns(ray_session):
+    """A corpus carrying is_revisit but NO original_url/original_ts
+    columns must not crash build_index: every revisit is unresolved and
+    dropped (same rule as _conform_table / skip_counters)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.exact import build_index
+
+    ts = pd.Timestamp("2023-01-01")
+    pdf = pd.DataFrame([
+        {"url": "https://a.example/p", "digest": "d1", "warc_ts": ts,
+         "record_id": "r1", "is_revisit": False},
+        {"url": "https://a.example/rev", "digest": "d1", "warc_ts": ts,
+         "record_id": "r2", "is_revisit": True},
+    ])
+    pdf["url_canonical"] = pdf["url"].map(canonicalize)
+    idx = build_index(rd.from_pandas(pdf), PipelineConfig()).to_pandas()
+    assert idx["url"].tolist() == ["https://a.example/p"]
+
+
+def test_build_index_documents_corpus_no_url_no_ts(ray_session):
+    """build_index over a documents-style corpus (digest only — no url,
+    no warc_ts): distinct on digest, null url/date columns, no crash
+    (exercised by the CLI --build-index path on documents.parquet)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.exact import build_index
+
+    pdf = pd.DataFrame({
+        "doc_key": [1, 2, 3, 4],
+        "digest": ["d1", "d2", "d1", "d3"],
+    })
+    idx = build_index(rd.from_pandas(pdf), PipelineConfig()).to_pandas()
+    assert sorted(idx["digest"].tolist()) == ["d1", "d2", "d3"]
+    assert idx["url"].isna().all() and idx["date"].isna().all()

@@ -174,3 +174,20 @@ def test_index_info_sharded(ray_session):
     assert info["distinct_digests"] == 10
     assert info["bloom_bits"] > 0
     assert info["records"] > 0
+
+
+def test_parse_properties_first_separator_wins():
+    """java.util.Properties splits at the FIRST '=' or ':' — a colon-
+    separated line whose value contains '=' must not be split at the '='."""
+    from deduplicator_ray.config_file import parse_properties
+
+    props = parse_properties(
+        "deduplicator.mime: ^text/(html|x=y)\n"
+        "deduplicator.etag=true\n"
+        "a:b=c\n"
+        "# comment=ignored\n"
+    )
+    assert props["deduplicator.mime"] == "^text/(html|x=y)"
+    assert props["deduplicator.etag"] == "true"
+    assert props["a"] == "b=c"
+    assert "# comment" not in props

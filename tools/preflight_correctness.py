@@ -33,24 +33,37 @@ def _value_hash(df) -> str:
     import numpy as np
     import pandas as pd
 
+    # canonicalize FIRST (floats rounded to 6, -0.0 -> 0.0, datetimes to
+    # int us, nullable ints stringified), THEN sort rows by the canonical
+    # values — sorting on full-precision strings while hashing rounded
+    # values would order float-rounding twins differently on the two
+    # sides and report a spurious mismatch
     cols = sorted(df.columns)
-    df = df[cols]
-    # canonical row order: sort by all columns (stringified for mixed types)
-    key = df.astype(str)
-    df = df.iloc[key.sort_values(cols).index].reset_index(drop=True)
-    h = hashlib.sha256()
+    canon = {}
     for c in cols:
         s = df[c]
         if pd.api.types.is_float_dtype(s):
-            vals = np.round(s.to_numpy(dtype=np.float64), 6)
-            vals[vals == 0.0] = 0.0  # -0.0 -> 0.0
-            h.update(vals.tobytes())
+            v = np.round(s.to_numpy(dtype=np.float64), 6)
+            v[v == 0.0] = 0.0
+            canon[c] = v
         elif pd.api.types.is_datetime64_any_dtype(s):
-            h.update(s.astype("datetime64[us]").astype("int64").to_numpy().tobytes())
+            canon[c] = s.astype("datetime64[us]").astype("int64").to_numpy()
         elif pd.api.types.is_integer_dtype(s):
-            h.update(s.to_numpy(dtype=np.int64).tobytes())
+            if s.isna().any():  # nullable Int64 with NA: int64 cast raises
+                canon[c] = s.astype(str).to_numpy()
+            else:
+                canon[c] = s.to_numpy(dtype=np.int64)
         else:
-            h.update("\x1f".join(s.astype(str).tolist()).encode())
+            canon[c] = s.astype(str).to_numpy()
+    cd = pd.DataFrame(canon)
+    cd = cd.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    h = hashlib.sha256()
+    for c in cols:
+        arr = cd[c].to_numpy()
+        if arr.dtype == object:
+            h.update("\x1f".join(map(str, arr)).encode())
+        else:
+            h.update(np.ascontiguousarray(arr).tobytes())
     return h.hexdigest()[:16]
 
 
