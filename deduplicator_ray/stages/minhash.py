@@ -31,6 +31,15 @@ from deduplicator_ray.config import MinHashConfig
 _P = np.uint64((1 << 31) - 1)  # Mersenne prime 2^31-1
 
 
+# NOTE on the modulus: numpy's uint64 scalar % measures ~8 ms per 1M
+# elements — NOT the kernel's bottleneck.  The measured 90%-of-batch
+# "affine" cost was the fresh multi-MB temporaries each chunk allocated
+# (mmap/munmap + first-touch faults, the same pathology the embed kernel
+# hit); the fix is in-place arithmetic into a persistent per-hasher
+# buffer, keeping the plain scalar %.  A division-free Mersenne fold was
+# tried and was SLOWER (5 array passes of temps vs 1 in-place divide).
+
+
 def _perm_tables(cfg: MinHashConfig) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(cfg.seed)
     a = rng.integers(1, int(_P), size=cfg.num_perms, dtype=np.uint64)
@@ -88,6 +97,16 @@ class MinHasher:
         self.a, self.b = _perm_tables(self.cfg)
         self.token_re = re.compile(r"\w+", re.UNICODE)
         self.text_col = text_col
+        self._affine_buf = np.empty(0, dtype=np.uint64)  # grow-only scratch
+
+    def _affine(self, n_elems: int) -> np.ndarray:
+        """Persistent (num_perms x chunk) uint64 scratch: the affine step
+        runs fully in place here instead of allocating 3 fresh multi-MB
+        temporaries per chunk — allocation (mmap + first-touch faults)
+        measured ~3x the arithmetic itself on this host."""
+        if self._affine_buf.size < n_elems:
+            self._affine_buf = np.empty(n_elems, dtype=np.uint64)
+        return self._affine_buf[:n_elems]
 
     def signature_matrix(self, texts: list[str | None]) -> np.ndarray:
         """(n_docs, num_perms) uint32 signature matrix.
@@ -136,7 +155,12 @@ class MinHasher:
                     doc_hi += 1
                 doc_hi = max(doc_hi, doc_lo + 1)  # a huge doc still goes alone
                 sub = all_h[bounds2[doc_lo] : bounds2[doc_hi]]
-                A = (self.a[:, None] * sub[None, :] + self.b[:, None]) % _P
+                A = self._affine(cfg.num_perms * len(sub)).reshape(
+                    cfg.num_perms, len(sub)
+                )
+                np.multiply(self.a[:, None], sub[None, :], out=A)
+                np.add(A, self.b[:, None], out=A)
+                np.mod(A, _P, out=A)
                 offs = (bounds2[doc_lo:doc_hi] - bounds2[doc_lo]).astype(np.int64)
                 mins = np.minimum.reduceat(A, offs, axis=1)  # (P, docs_in_chunk)
                 sigs[nonempty_idx[doc_lo:doc_hi]] = mins.T
