@@ -77,7 +77,13 @@ class PipelineConfig:
     # unsalted shuffle (pytest-pinned).
     salt_buckets: int = 16          # skew: sub-buckets for hub digests
     hot_key_min_count: int = 5_000  # floor: never salt below this sampled count
-    hot_key_sample_rows: int = 1_000_000  # detection scan bound (0 = full scan)
+    # Detection scan bound (0 = full scan).  The pre-pass is pure FIXED
+    # cost per job (a separate bounded executor run before the shuffle);
+    # 512k rows is the smallest sample where a hub that just fills one of
+    # 64 buckets (share 1/64) still clears the 5000-row floor — halving
+    # the round-2 default cut ~0.5s/job with identical detection on every
+    # corpus tested.
+    hot_key_sample_rows: int = 524_288
     # Hash-bucket count for the match/index shuffles. Keys are bucketed
     # by hash(digest) % shuffle_buckets and each bucket is reduced by ONE
     # vectorized pandas call (never per-key Python). Size it so a bucket
