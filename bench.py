@@ -337,8 +337,10 @@ def bench_embed() -> dict:
     # batch_size 32768 at d=64: ~16 MiB matrices per task — real dgemm
     # work per task instead of scheduling overhead
     ds = rd.read_parquet(_cache_dir("embed"))
-    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet")
-    head = tbl.slice(0, min(n_q, tbl.num_rows))
+    # stream only the query rows (a full driver-side read of the table is
+    # a fixed cost both scaling legs pay; the queries are 256 rows)
+    pf = pq.ParquetFile(f"{SF_DIR}/embeddings.parquet")
+    head = next(pf.iter_batches(batch_size=n_q))
     q = np.stack(head["embedding"].to_pylist())
     if len(q) < n_q:  # tile with tiny deterministic perturbations
         reps = -(-n_q // len(q))

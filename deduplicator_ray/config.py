@@ -103,5 +103,9 @@ class PipelineConfig:
         run only reuses partitions produced under the identical config."""
         d = asdict(self)
         d["strategy"] = self.strategy.value
+        # hot_keys is pinned performance-only (salting never changes the
+        # output — tests/test_exact.py), so refreshed table statistics
+        # must NOT invalidate resumable stage checkpoints
+        d.pop("hot_keys", None)
         blob = json.dumps(d, sort_keys=True, default=str).encode()
         return hashlib.sha1(blob).hexdigest()[:16]

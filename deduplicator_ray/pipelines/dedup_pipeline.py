@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep 'sha1:' style prefixes in indexed/queried digests "
                         "(reference deduplicator.indexdigestscheme)")
     p.set_defaults(index_url=True, include_canonical=True, use_digest_scheme=False)
+    p.add_argument("--stats-file", default=None,
+                   help="ingest-time table-statistics JSON ({'hot_digests': "
+                        "[...]}) — skips the per-job hub-key sampling pass; "
+                        "a '_stats.json' sidecar inside a parquet --corpus "
+                        "dir is picked up automatically (performance-only: "
+                        "salting never changes the output)")
     p.add_argument("--within-batch", action="store_true")
     p.add_argument("--near-dup", action="store_true", help="run MinHash/LSH clustering")
     p.add_argument("--bands", type=int, default=32)
@@ -71,6 +77,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--force", action="store_true", help="ignore existing checkpoints")
     p.add_argument("--num-cpus", type=int, default=None, help="only when this process owns ray.init")
     return p
+
+
+def resolve_table_stats(corpus: str | None, stats_file: str | None):
+    """Ingest-time hub statistics for ``PipelineConfig.hot_keys``: the
+    explicit ``--stats-file``, else the conventional ``_stats.json``
+    sidecar a parquet ingest writes next to the corpus (underscore prefix
+    = ignored by parquet directory readers).  Returns None (per-job
+    sampling detection) when neither exists.  Performance-only either
+    way: salting never changes the match output (pytest-pinned)."""
+    path = stats_file
+    if path is None and corpus and os.path.isdir(corpus):
+        cand = os.path.join(corpus, "_stats.json")
+        path = cand if os.path.exists(cand) else None
+    if not path:
+        return None
+    with open(path) as f:
+        return tuple(sorted(json.load(f).get("hot_digests", [])))
 
 
 def run(args) -> dict:
@@ -94,6 +117,7 @@ def run(args) -> dict:
     if not args.index_url:
         args.include_canonical = False
     cfg = PipelineConfig(
+        hot_keys=resolve_table_stats(args.corpus, getattr(args, "stats_file", None)),
         strategy=SearchStrategy(args.strategy),
         within_batch=args.within_batch,
         include_etag=args.include_etag,

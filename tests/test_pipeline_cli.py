@@ -125,6 +125,30 @@ def test_properties_file_precedence(tmp_path):
     assert b.whitelist                          # file beats built-in default
 
 
+def test_resolve_table_stats(tmp_path):
+    """--stats-file beats the sidecar; sidecar auto-discovered in a
+    parquet corpus dir; neither -> None (per-job sampling detection);
+    and hot_keys never perturbs the checkpoint config hash (salting is
+    performance-only, so refreshed stats must not invalidate stages)."""
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines.dedup_pipeline import resolve_table_stats
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    assert resolve_table_stats(str(corpus), None) is None
+    (corpus / "_stats.json").write_text(json.dumps({"hot_digests": ["B", "A"]}))
+    assert resolve_table_stats(str(corpus), None) == ("A", "B")
+    explicit = tmp_path / "other.json"
+    explicit.write_text(json.dumps({"hot_digests": ["Z"]}))
+    assert resolve_table_stats(str(corpus), str(explicit)) == ("Z",)
+    # a file corpus (not a dir) has no sidecar convention
+    assert resolve_table_stats(str(explicit), None) is None
+
+    h0 = PipelineConfig().config_hash()
+    h1 = PipelineConfig(hot_keys=("A", "B")).config_hash()
+    assert h0 == h1
+
+
 def test_report_timing_and_index_info_lines():
     """Report parity: lookup-timing lines (DeDuplicator.java:235-239) and
     the Index.getInfo() block (LuceneIndexSearcher.java:312-339)."""
