@@ -808,6 +808,82 @@ FROM documents WHERE doc_id < {_WARC_N_DOCS}
 # ---------------------------------------------------------------------------
 
 
+def q_chunk_dedup(sf_dir: str):
+    """C4-style global chunk dedup over documents (stages/sentdedup.py):
+    keep the globally-first occurrence of every 10-word chunk, rebuild
+    each doc from its kept chunks."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import chunk_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_dedup(ds, words_per_chunk=10, num_buckets=32)
+
+
+# Exact SQL recomputation of chunk_dedup's semantics.  The parallel
+# unnest pair is DuckDB's ordinality idiom (WITH ORDINALITY is
+# unimplemented in 1.0); chunk = 10 consecutive words; rn=1 marks the
+# globally-first occurrence ordered by (doc_id, chunk ordinal).
+_SQL_CHUNK_DEDUP = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+  FROM documents
+), ch AS (
+  SELECT doc_id, CAST((ord - 1) // 10 AS BIGINT) AS ord_c,
+         string_agg(word, ' ' ORDER BY ord) AS chunk
+  FROM w GROUP BY doc_id, ord_c
+), r AS (
+  SELECT doc_id, ord_c, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ord_c) AS rn
+  FROM ch
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY ord_c),
+                '') AS text_dedup,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS removed_chunks
+FROM r GROUP BY doc_id
+"""
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition metrics per document
+    (stages/sentdedup.py:repetition_stats)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import repetition_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_stats(ds)
+
+
+_SQL_REPETITION_STATS = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+  FROM documents
+), wc AS (
+  SELECT doc_id, word, count(*) AS n FROM w GROUP BY doc_id, word
+), ws AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(n) AS BIGINT) AS top_word_n
+  FROM wc GROUP BY doc_id
+), bc AS (
+  SELECT doc_id, CAST(max(n) AS BIGINT) AS top_bigram_n FROM (
+    SELECT a.doc_id, a.word || ' ' || b.word AS bg, count(*) AS n
+    FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+    GROUP BY a.doc_id, bg
+  ) GROUP BY doc_id
+)
+SELECT ws.doc_id, ws.n_words, ws.n_distinct, ws.top_word_n,
+       COALESCE(bc.top_bigram_n, 0) AS top_bigram_n
+FROM ws LEFT JOIN bc ON ws.doc_id = bc.doc_id
+"""
+
+
 def registry_ext():
     """name -> (callable(sf_dir), oracle_sql | None).
 
@@ -836,4 +912,6 @@ def registry_ext():
         "fingerprint_sketch": (q_fingerprint_sketch, GOLDEN_SQL["fingerprint_sketch"]),
         "lang_id_pred": (q_lang_id_pred, None),
         "media_features": (q_media_features, None),
+        "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
+        "repetition_stats": (q_repetition_stats, _SQL_REPETITION_STATS),
     }

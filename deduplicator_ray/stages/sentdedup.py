@@ -1,0 +1,230 @@
+"""C4-style global chunk-level dedup + Gopher-style repetition metrics.
+
+The C4 pipeline (Raffel et al. 2020, "Exploring the Limits of Transfer
+Learning", §2.2) removes every repeated three-sentence span from the
+corpus, keeping one global occurrence.  The corpus here is unpunctuated
+text, so the dedup unit is the exact analog for it: NON-OVERLAPPING
+``w``-word chunks.  Semantics (exactly what the DuckDB oracle computes):
+
+- split each document on single spaces; group words into chunks of ``w``
+  (last chunk may be short);
+- a chunk occurrence is kept iff it is the GLOBALLY FIRST occurrence of
+  that chunk string, ordered by (doc id, chunk ordinal);
+- each document is rebuilt from its kept chunks in order, joined by a
+  single space (round-trips byte-exact when nothing was removed).
+
+Distributed shape (100 TB): chunk text NEVER rides a shuffle.  The
+explode stage emits 26 bytes/chunk (doc id, ordinal, two independent
+64-bit siphashes = one 128-bit key); the dedup shuffle buckets on the
+hash; the rebuild co-partitions the (tiny) removal list with the
+documents by doc id and re-chunks locally.  Collision caveat: equality
+is on the 128-bit hash, not the string — at 10^12 chunks the collision
+probability is ~10^-14 (birthday bound), and the driver oracle pins
+exactness at test scale.
+
+Gopher repetition metrics (Rae et al. 2021, appendix A1.1) are per-doc
+map-only: word/bigram frequency concentration signals boilerplate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# independent 16-byte sip keys -> two independent 64-bit hashes = 128 bits
+_HK1 = "chunkdedup_hash1"
+_HK2 = "chunkdedup_hash2"
+
+
+def _chunk_frame(doc_ids: np.ndarray, text: pa.Array, w: int):
+    """Vectorized chunker: (doc_id array, string array) -> pandas frame
+    (doc_id, ord, chunk) — Arrow split + offset arithmetic, no per-row
+    Python."""
+    words = pc.split_pattern(text, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy()  # len n_docs+1
+    flat = words.values
+    n_words = np.diff(offsets)
+    counts = -(-n_words // w)  # ceil; a doc always yields >=1 chunk
+    # (split of "" is [""] so n_words >= 1 and counts >= 1 — every doc
+    # appears in the chunk frame, mirroring DuckDB string_split)
+    total = int(counts.sum())
+    doc_idx = np.repeat(np.arange(len(counts)), counts)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    starts = offsets[:-1][doc_idx] + w * intra
+    bounds = np.append(starts, offsets[-1]).astype(np.int32)
+    chunks = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(bounds), flat), " "
+    )
+    return pd.DataFrame({
+        "doc_id": doc_ids[doc_idx],
+        "ord": intra,
+        "chunk": chunks.to_pandas(),
+    })
+
+
+def _hash_chunks(s: pd.Series):
+    h1 = pd.util.hash_pandas_object(s, index=False, hash_key=_HK1).to_numpy()
+    h2 = pd.util.hash_pandas_object(s, index=False, hash_key=_HK2).to_numpy()
+    return h1, h2
+
+
+def chunk_dedup(ds, *, words_per_chunk: int = 10, num_buckets: int = 64,
+                id_col: str = "doc_id", text_col: str = "text"):
+    """Global keep-first dedup of ``words_per_chunk``-word chunks.
+
+    Returns a Dataset (doc_id, text_dedup, removed_chunks) with one row
+    per input document.  Three stages, two hash shuffles, text bytes only
+    in the map-local explode/rebuild kernels:
+
+    1. explode: doc -> (doc_id, ord, h1, h2) per chunk (26 B/row);
+    2. dedup shuffle on h1: per bucket, sort (h1, h2, doc_id, ord) and
+       emit every NON-first occurrence as removed (same 128-bit key
+       always lands in the same bucket, so keep-first is global);
+    3. rebuild: removals co-partitioned with the documents on doc_id;
+       per bucket re-chunk locally, anti-join removals, re-join chunks.
+    """
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        f = _chunk_frame(ids, b[text_col].combine_chunks(), words_per_chunk)
+        h1, h2 = _hash_chunks(f["chunk"])
+        return pa.table({
+            "doc_id": pa.array(f["doc_id"].to_numpy()),
+            "ord": pa.array(f["ord"].to_numpy()),
+            "h1": pa.array(h1),
+            "h2": pa.array(h2),
+        })
+
+    chunks = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    chunks = hash_bucket(chunks, "h1", num_buckets)
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h1", "h2", "doc_id", "ord"], kind="mergesort")
+        rem = g[g.duplicated(["h1", "h2"], keep="first")]
+        return rem[["doc_id", "ord"]].reset_index(drop=True)
+
+    removed = chunks.groupby("_part").map_groups(mark, batch_format="pandas")
+
+    # co-partition documents + removal list on doc_id (asof-join pattern)
+    def doc_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "doc_id": pc.cast(b[id_col], pa.int64()),
+            "ord": pa.nulls(n, pa.int64()),
+            "text": b[text_col],
+            "src": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def rem_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "ord": pc.cast(b["ord"], pa.int64()),
+            "text": pa.nulls(n, pa.string()),
+            "src": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    both = ds.map_batches(doc_side, batch_format="pyarrow", zero_copy_batch=True).union(
+        removed.map_batches(rem_side, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    from deduplicator_ray.stages.exact import hash_bucket as hb
+
+    both = hb(both, "doc_id", num_buckets)
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["src"] == 0]
+        if docs.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "text_dedup": pd.Series(dtype="object"),
+                "removed_chunks": pd.Series(dtype="int64"),
+            })
+        rem = g[g["src"] == 1][["doc_id", "ord"]]
+        f = _chunk_frame(
+            docs["doc_id"].to_numpy(np.int64),
+            pa.array(docs["text"], type=pa.string()),
+            words_per_chunk,
+        )
+        f = f.merge(rem.assign(_rm=1), on=["doc_id", "ord"], how="left")
+        kept = f[f["_rm"].isna()]
+        out = (
+            kept.sort_values(["doc_id", "ord"], kind="mergesort")
+            .groupby("doc_id", sort=True)["chunk"]
+            .agg(" ".join)
+            .rename("text_dedup")
+            .reset_index()
+        )
+        # docs whose every chunk was removed rebuild to the empty string
+        out = (
+            pd.DataFrame({"doc_id": np.sort(docs["doc_id"].unique())})
+            .merge(out, on="doc_id", how="left")
+        )
+        out["text_dedup"] = out["text_dedup"].fillna("")
+        n_rm = rem.groupby("doc_id").size().rename("removed_chunks").reset_index()
+        out = out.merge(n_rm, on="doc_id", how="left")
+        out["removed_chunks"] = out["removed_chunks"].fillna(0).astype("int64")
+        return out
+
+    return both.groupby("_part").map_groups(rebuild, batch_format="pandas")
+
+
+def repetition_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style per-document repetition metrics (map-only):
+    n_words, n_distinct words, count of the most frequent word, count of
+    the most frequent word bigram.  High top-word/bigram concentration
+    flags boilerplate and low-quality repetition (Rae et al. 2021 A1.1)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        if not len(ids):
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_words": pa.array([], type=pa.int64()),
+                "n_distinct": pa.array([], type=pa.int64()),
+                "top_word_n": pa.array([], type=pa.int64()),
+                "top_bigram_n": pa.array([], type=pa.int64()),
+            })
+        words = pc.split_pattern(b[text_col].combine_chunks(), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy()
+        n_words = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(len(ids)), n_words)
+        flat = words.values.to_pandas()
+        codes, _ = pd.factorize(flat, sort=False)
+        wf = pd.DataFrame({"d": doc_idx, "c": codes})
+        per = wf.groupby(["d", "c"], sort=False).size()
+        agg = per.groupby(level=0).agg(["count", "max"])
+        # bigrams: adjacent word pairs within a doc (vectorized over the
+        # flat code array; pairs spanning a doc boundary are masked out)
+        big = codes[:-1].astype(np.int64) * (codes.max() + 1) + codes[1:]
+        same_doc = doc_idx[:-1] == doc_idx[1:]
+        bf = pd.DataFrame({"d": doc_idx[:-1][same_doc], "c": big[same_doc]})
+        if len(bf):
+            btop = bf.groupby(["d", "c"], sort=False).size().groupby(level=0).max()
+        else:
+            btop = pd.Series(dtype="int64")
+        top_bi = np.zeros(len(ids), dtype=np.int64)
+        if len(btop):
+            top_bi[btop.index.to_numpy()] = btop.to_numpy()
+        out = pa.table({
+            "doc_id": pa.array(ids),
+            "n_words": pa.array(n_words.astype(np.int64)),
+            "n_distinct": pa.array(
+                agg["count"].reindex(range(len(ids)), fill_value=0).to_numpy(np.int64)
+            ),
+            "top_word_n": pa.array(
+                agg["max"].reindex(range(len(ids)), fill_value=0).to_numpy(np.int64)
+            ),
+            "top_bigram_n": pa.array(top_bi),
+        })
+        return out
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

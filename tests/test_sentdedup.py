@@ -1,0 +1,105 @@
+"""chunk_dedup (C4-style global chunk dedup) + repetition_stats (Gopher
+A1.1 metrics) vs brute-force mirrors of the documented semantics."""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deduplicator_ray.stages.sentdedup import chunk_dedup, repetition_stats
+
+W = 10
+
+
+def _chunks(text: str, w: int = W) -> list[str]:
+    words = text.split(" ")
+    return [" ".join(words[i:i + w]) for i in range(0, len(words), w)]
+
+
+def _brute_dedup(docs: dict[int, str], w: int = W) -> pd.DataFrame:
+    seen: set[str] = set()
+    rows = []
+    for doc_id in sorted(docs):
+        kept, removed = [], 0
+        for ch in _chunks(docs[doc_id], w):
+            if ch in seen:
+                removed += 1
+            else:
+                seen.add(ch)
+                kept.append(ch)
+        rows.append({"doc_id": doc_id, "text_dedup": " ".join(kept),
+                     "removed_chunks": removed})
+    return pd.DataFrame(rows)
+
+
+def _mk_docs(rng: np.random.Generator, n: int = 40) -> dict[int, str]:
+    vocab = [f"w{i}" for i in range(30)]
+    docs = {}
+    for i in range(n):
+        nw = int(rng.integers(1, 45))
+        docs[i] = " ".join(rng.choice(vocab, nw))
+    # planted duplications
+    docs[n] = docs[0]                                   # full copy
+    docs[n + 1] = docs[1] + " " + docs[2]               # concatenation
+    shared = " ".join(f"s{j}" for j in range(W))        # one exact chunk,
+    docs[n + 2] = shared + " tailA tailB"               # twice, aligned
+    docs[n + 3] = shared + " other words here"
+    return docs
+
+
+def test_chunk_dedup_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    docs = _mk_docs(rng)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": [docs[k] for k in docs]}
+    ))
+    got = (chunk_dedup(ds, words_per_chunk=W, num_buckets=8)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    want = _brute_dedup(docs).sort_values("doc_id", ignore_index=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["removed_chunks"].tolist() == want["removed_chunks"].tolist()
+    assert got["text_dedup"].tolist() == want["text_dedup"].tolist()
+    # planted expectations really fired
+    assert want.loc[want.doc_id == len(docs) - 4, "removed_chunks"].iloc[0] > 0
+    assert (want.loc[want.doc_id == len(docs) - 4, "text_dedup"].iloc[0] == "")
+
+
+def test_chunk_dedup_unique_roundtrip(ray_session):
+    """No duplicate chunks -> byte-exact round trip (split/join inverse)."""
+    import ray.data as rd
+
+    docs = {i: " ".join(f"u{i}_{j}" for j in range(1 + (i * 7) % 23))
+            for i in range(30)}
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": [docs[k] for k in docs]}
+    ))
+    got = (chunk_dedup(ds, words_per_chunk=W, num_buckets=4)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert got["text_dedup"].tolist() == [docs[k] for k in sorted(docs)]
+    assert got["removed_chunks"].sum() == 0
+
+
+def test_repetition_stats_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    docs = _mk_docs(rng, n=25)
+    docs[999] = "solo"  # single word: no bigrams -> top_bigram_n == 0
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": [docs[k] for k in docs]}
+    ))
+    got = (repetition_stats(ds).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    for _, row in got.iterrows():
+        words = docs[row.doc_id].split(" ")
+        wc = collections.Counter(words)
+        bc = collections.Counter(zip(words, words[1:]))
+        assert row.n_words == len(words)
+        assert row.n_distinct == len(wc)
+        assert row.top_word_n == max(wc.values())
+        assert row.top_bigram_n == (max(bc.values()) if bc else 0)
