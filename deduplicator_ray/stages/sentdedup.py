@@ -75,19 +75,24 @@ def _hash_chunks(s: pd.Series):
 
 
 def chunk_dedup(ds, *, words_per_chunk: int = 10, num_buckets: int = 64,
-                id_col: str = "doc_id", text_col: str = "text"):
+                id_col: str = "doc_id", text_col: str = "text",
+                max_broadcast: int = 2_000_000):
     """Global keep-first dedup of ``words_per_chunk``-word chunks.
 
     Returns a Dataset (doc_id, text_dedup, removed_chunks) with one row
-    per input document.  Three stages, two hash shuffles, text bytes only
-    in the map-local explode/rebuild kernels:
+    per input document.  Three stages, ONE hash shuffle in the common
+    case, text bytes only in the map-local explode/rebuild kernels:
 
     1. explode: doc -> (doc_id, ord, h1, h2) per chunk (26 B/row);
     2. dedup shuffle on h1: per bucket, sort (h1, h2, doc_id, ord) and
        emit every NON-first occurrence as removed (same 128-bit key
        always lands in the same bucket, so keep-first is global);
-    3. rebuild: removals co-partitioned with the documents on doc_id;
-       per bucket re-chunk locally, anti-join removals, re-join chunks.
+    3. rebuild — the removal list is normally tiny relative to the
+       corpus (the duplicate fraction), so up to ``max_broadcast`` rows
+       it is ``ray.put`` once and every rebuild task anti-joins it
+       map-side: DOCUMENT TEXT NEVER RIDES A SHUFFLE.  Beyond the cap,
+       fall back to co-partitioning removals with the documents on
+       doc_id (one corpus shuffle) and rebuilding per bucket.
     """
     from deduplicator_ray.stages.exact import hash_bucket
 
@@ -110,7 +115,33 @@ def chunk_dedup(ds, *, words_per_chunk: int = 10, num_buckets: int = 64,
         rem = g[g.duplicated(["h1", "h2"], keep="first")]
         return rem[["doc_id", "ord"]].reset_index(drop=True)
 
-    removed = chunks.groupby("_part").map_groups(mark, batch_format="pandas")
+    # materialize the (tiny) removal list once: it feeds a count (the
+    # broadcast-vs-shuffle switch) and then one rebuild path; without the
+    # pin each consumer would recompute the whole dedup shuffle
+    removed = chunks.groupby("_part").map_groups(
+        mark, batch_format="pandas"
+    ).materialize()
+
+    if removed.count() <= max_broadcast:
+        import ray
+
+        rem_pdf = removed.to_pandas()
+        if "doc_id" not in rem_pdf.columns:  # zero removals: schema is lost
+            rem_pdf = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                    "ord": pd.Series(dtype="int64")})
+        rem_ref = ray.put(rem_pdf)
+
+        def rebuild_bcast(b: pa.Table) -> pa.Table:
+            rem = ray.get(rem_ref)
+            out = _rebuild_docs(
+                b[id_col].to_numpy().astype(np.int64),
+                b[text_col].combine_chunks(),
+                rem, words_per_chunk,
+            )
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return ds.map_batches(rebuild_bcast, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
     # co-partition documents + removal list on doc_id (asof-join pattern)
     def doc_side(b: pa.Table) -> pa.Table:
@@ -141,38 +172,54 @@ def chunk_dedup(ds, *, words_per_chunk: int = 10, num_buckets: int = 64,
     def rebuild(g: pd.DataFrame) -> pd.DataFrame:
         docs = g[g["src"] == 0]
         if docs.empty:
-            return pd.DataFrame({
-                "doc_id": pd.Series(dtype="int64"),
-                "text_dedup": pd.Series(dtype="object"),
-                "removed_chunks": pd.Series(dtype="int64"),
-            })
+            return _EMPTY_REBUILD.copy()
         rem = g[g["src"] == 1][["doc_id", "ord"]]
-        f = _chunk_frame(
+        return _rebuild_docs(
             docs["doc_id"].to_numpy(np.int64),
             pa.array(docs["text"], type=pa.string()),
-            words_per_chunk,
+            rem, words_per_chunk,
         )
-        f = f.merge(rem.assign(_rm=1), on=["doc_id", "ord"], how="left")
-        kept = f[f["_rm"].isna()]
-        out = (
-            kept.sort_values(["doc_id", "ord"], kind="mergesort")
-            .groupby("doc_id", sort=True)["chunk"]
-            .agg(" ".join)
-            .rename("text_dedup")
-            .reset_index()
-        )
-        # docs whose every chunk was removed rebuild to the empty string
-        out = (
-            pd.DataFrame({"doc_id": np.sort(docs["doc_id"].unique())})
-            .merge(out, on="doc_id", how="left")
-        )
-        out["text_dedup"] = out["text_dedup"].fillna("")
-        n_rm = rem.groupby("doc_id").size().rename("removed_chunks").reset_index()
-        out = out.merge(n_rm, on="doc_id", how="left")
-        out["removed_chunks"] = out["removed_chunks"].fillna(0).astype("int64")
-        return out
 
     return both.groupby("_part").map_groups(rebuild, batch_format="pandas")
+
+
+_EMPTY_REBUILD = pd.DataFrame({
+    "doc_id": pd.Series(dtype="int64"),
+    "text_dedup": pd.Series(dtype="object"),
+    "removed_chunks": pd.Series(dtype="int64"),
+})
+
+
+def _rebuild_docs(doc_ids: np.ndarray, text: pa.Array, rem: pd.DataFrame,
+                  w: int) -> pd.DataFrame:
+    """Shared rebuild kernel: re-chunk these docs, drop removed (doc_id,
+    ord) pairs, re-join kept chunks.  ``rem`` may cover docs outside this
+    batch (broadcast path) — the merge restricts it."""
+    if not len(doc_ids):
+        return _EMPTY_REBUILD.copy()
+    f = _chunk_frame(doc_ids, text, w)
+    f = f.merge(rem.assign(_rm=1), on=["doc_id", "ord"], how="left")
+    kept = f[f["_rm"].isna()]
+    out = (
+        kept.sort_values(["doc_id", "ord"], kind="mergesort")
+        .groupby("doc_id", sort=True)["chunk"]
+        .agg(" ".join)
+        .rename("text_dedup")
+        .reset_index()
+    )
+    # docs whose every chunk was removed rebuild to the empty string
+    out = (
+        pd.DataFrame({"doc_id": np.sort(np.unique(doc_ids))})
+        .merge(out, on="doc_id", how="left")
+    )
+    out["text_dedup"] = out["text_dedup"].fillna("")
+    n_rm = (
+        f[f["_rm"].notna()].groupby("doc_id").size()
+        .rename("removed_chunks").reset_index()
+    )
+    out = out.merge(n_rm, on="doc_id", how="left")
+    out["removed_chunks"] = out["removed_chunks"].fillna(0).astype("int64")
+    return out
 
 
 def repetition_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):

@@ -84,6 +84,22 @@ def test_chunk_dedup_unique_roundtrip(ray_session):
     assert got["removed_chunks"].sum() == 0
 
 
+def test_chunk_dedup_shuffle_path_equals_broadcast(ray_session):
+    """max_broadcast=0 forces the co-partition rebuild; output must be
+    row-identical to the broadcast map-side rebuild (default path)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    docs = _mk_docs(rng, n=30)
+    pdf = pd.DataFrame({"doc_id": list(docs), "text": [docs[k] for k in docs]})
+    a = (chunk_dedup(rd.from_pandas(pdf), words_per_chunk=W, num_buckets=8)
+         .to_pandas().sort_values("doc_id", ignore_index=True))
+    b = (chunk_dedup(rd.from_pandas(pdf), words_per_chunk=W, num_buckets=8,
+                     max_broadcast=0)
+         .to_pandas().sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_repetition_stats_matches_bruteforce(ray_session):
     import ray.data as rd
 
