@@ -884,6 +884,61 @@ FROM ws LEFT JOIN bc ON ws.doc_id = bc.doc_id
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/sentdedup.py:decontaminate):
+    docs with doc_id % 20 == 0 play the held-out benchmark; every other
+    doc is flagged when it shares any 8-word n-gram with them."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import decontaminate
+
+    def side(keep_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b["doc_id"].to_numpy() % 20 == 0  # pyarrow has no mod kernel
+            return b.filter(pa.array(m if keep_bench else ~m))
+        return f
+
+    read = lambda: rd.read_parquet(  # noqa: E731 - two independent scans
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bench = read().map_batches(side(True), batch_format="pyarrow",
+                               zero_copy_batch=True)
+    train = read().map_batches(side(False), batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return decontaminate(train, bench, ngram=8)
+
+
+_SQL_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY ord
+           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS gram,
+         count(*) OVER (PARTITION BY doc_id ORDER BY ord
+           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS glen
+  FROM w
+), gg AS (
+  SELECT doc_id, gram FROM g WHERE glen = 8
+), bench AS (
+  SELECT DISTINCT gram FROM gg WHERE doc_id % 20 = 0
+), hits AS (
+  SELECT t.doc_id, count(*) AS n_hits
+  FROM gg t JOIN bench b USING (gram)
+  WHERE t.doc_id % 20 <> 0
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 20 <> 0
+"""
+
+
 def registry_ext():
     """name -> (callable(sf_dir), oracle_sql | None).
 
@@ -914,4 +969,5 @@ def registry_ext():
         "media_features": (q_media_features, None),
         "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
         "repetition_stats": (q_repetition_stats, _SQL_REPETITION_STATS),
+        "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
     }

@@ -222,6 +222,112 @@ def _rebuild_docs(doc_ids: np.ndarray, text: pa.Array, rem: pd.DataFrame,
     return out
 
 
+def _word_hashes(text: pa.Array):
+    """Per-word 64-bit hashes + doc offsets, vectorized.  Stable across
+    batches/processes (fixed sip key), so window combines of these are a
+    consistent n-gram fingerprint corpus-wide."""
+    words = pc.split_pattern(text, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy()
+    h = pd.util.hash_pandas_object(
+        words.values.to_pandas(), index=False, hash_key=_HK1
+    ).to_numpy()
+    return h, offsets
+
+
+def _ngram_hashes(h: np.ndarray, offsets: np.ndarray, n: int):
+    """Overlapping n-gram fingerprints from word hashes: a fixed-weight
+    polynomial combine over each length-n window (position j weighted by
+    R^(n-1-j), odd R so the map is a bijection per slot).  Returns
+    (gram_hash uint64, doc_index int64) for every window that fits
+    entirely inside one document."""
+    R = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+    n_words = np.diff(offsets)
+    total = len(h)
+    if total == 0 or n <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    acc = np.zeros(total - n + 1 if total >= n else 0, dtype=np.uint64)
+    if not len(acc):
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    for j in range(n):  # n is small (8): n vectorized passes
+        acc *= R
+        acc += h[j:j + len(acc)]
+    # keep only windows fully inside one doc: window starting at global
+    # position p is valid iff p+n <= end-offset of p's doc
+    doc_idx = np.repeat(np.arange(len(n_words)), n_words)[:len(acc)]
+    ends = offsets[1:][doc_idx]
+    starts = np.arange(len(acc), dtype=np.int64)
+    valid = starts + n <= ends
+    return acc[valid], doc_idx[valid]
+
+
+def decontaminate(docs_ds, bench_ds, *, ngram: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  max_bench_grams: int = 50_000_000):
+    """Benchmark decontamination (GPT-3 appx C / PaLM style): flag every
+    training document sharing at least one ``ngram``-word n-gram with the
+    benchmark corpus.
+
+    Shape for 100 TB: the benchmark side is SMALL by definition (eval
+    sets), so its distinct n-gram fingerprints are collected once,
+    sorted, and ``ray.put`` — the training corpus is then a single
+    map-only scan (np.searchsorted membership per batch), no shuffle at
+    all.  ``max_bench_grams`` guards the driver collect (64-bit
+    fingerprints -> 8 B each).  Fingerprints are fixed-key sip hashes of
+    words combined with a fixed-weight polynomial: equal n-grams always
+    collide, unequal ones collide with ~2^-64 probability (the driver
+    oracle pins exact-string semantics at test scale).
+
+    Returns (doc_id, n_hits, contaminated) per training doc, where
+    ``n_hits`` counts contaminated n-gram OCCURRENCES in the doc.
+    """
+    import ray
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        h, offs = _word_hashes(b[text_col].combine_chunks())
+        grams, _ = _ngram_hashes(h, offs, ngram)
+        return pa.table({"g": pa.array(np.unique(grams))})
+
+    gset = (
+        bench_ds.map_batches(bench_grams, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .to_pandas()["g"].to_numpy()
+    )
+    if len(gset) > max_bench_grams:
+        raise ValueError(
+            f"benchmark side has {len(gset)} distinct {ngram}-grams > "
+            f"max_bench_grams={max_bench_grams}; decontamination expects "
+            "a small benchmark corpus (raise the cap deliberately)"
+        )
+    gset = np.unique(gset)  # sorted + cross-block distinct
+    gref = ray.put(gset)
+
+    def scan(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        if not len(ids):
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_hits": pa.array([], type=pa.int64()),
+                             "contaminated": pa.array([], type=pa.bool_())})
+        g = ray.get(gref)
+        h, offs = _word_hashes(b[text_col].combine_chunks())
+        grams, doc_idx = _ngram_hashes(h, offs, ngram)
+        if len(grams):
+            pos = np.searchsorted(g, grams)
+            hit = (pos < len(g)) & (g[np.minimum(pos, len(g) - 1)] == grams)
+            n_hits = np.bincount(doc_idx[hit], minlength=len(ids)).astype(np.int64)
+        else:
+            n_hits = np.zeros(len(ids), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_hits": pa.array(n_hits),
+            "contaminated": pa.array(n_hits > 0),
+        })
+
+    return docs_ds.map_batches(scan, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 def repetition_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     """Gopher-style per-document repetition metrics (map-only):
     n_words, n_distinct words, count of the most frequent word, count of

@@ -100,6 +100,45 @@ def test_chunk_dedup_shuffle_path_equals_broadcast(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_decontaminate_matches_bruteforce(ray_session):
+    """Hash-fingerprint membership must agree with exact-string n-gram
+    overlap (the DuckDB oracle's semantics) on planted contamination."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import decontaminate
+
+    N = 8
+    rng = np.random.default_rng(5)
+    docs = _mk_docs(rng, n=30)
+    secret = " ".join(f"k{j}" for j in range(N + 3))
+    docs[100] = "prefix " + secret + " suffix words"       # bench doc
+    docs[101] = "other " + secret                          # contaminated
+    docs[103] = secret + " " + secret                      # multi-hit
+    bench_ids = {i for i in docs if i % 2 == 0}
+
+    def grams(t):
+        w = t.split(" ")
+        return [" ".join(w[i:i + N]) for i in range(len(w) - N + 1)]
+
+    bench_set = set()
+    for i in bench_ids:
+        bench_set.update(grams(docs[i]))
+    want = {}
+    for i in sorted(set(docs) - bench_ids):
+        hits = sum(g in bench_set for g in grams(docs[i]))
+        want[i] = hits
+
+    pdf = pd.DataFrame({"doc_id": list(docs), "text": [docs[k] for k in docs]})
+    bench = rd.from_pandas(pdf[pdf.doc_id.isin(bench_ids)])
+    train = rd.from_pandas(pdf[~pdf.doc_id.isin(bench_ids)])
+    got = (decontaminate(train, bench, ngram=N)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert got["doc_id"].tolist() == sorted(want)
+    assert got["n_hits"].tolist() == [want[i] for i in sorted(want)]
+    assert got["contaminated"].tolist() == [want[i] > 0 for i in sorted(want)]
+    assert want[101] > 0 and want[103] > want[101]  # plants actually fired
+
+
 def test_repetition_stats_matches_bruteforce(ray_session):
     import ray.data as rd
 
