@@ -134,91 +134,23 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
 
 
-# RE2 mirror of LangId.word_re ([^\W\d_]+ = Python isalnum minus decimal
-# digits minus underscore): letters plus non-decimal numerics.  \p{Mn}
-# marks are excluded by both (not alnum in Python, not \pL in RE2).
-_LANG_TOKEN_PAT = r"[\pL\p{Nl}\p{No}]+"
-_LANG_SPLIT_PAT = r"[^\pL\p{Nl}\p{No}]+"
-_CJK_PAT = r"[\x{4E00}-\x{9FFF}]"
-_LANG_ORDER = list(_PROFILES)  # dict order = detect()'s tie order
-_PROFILE_ARRS = {lang: pa.array(sorted(p)) for lang, p in _PROFILES.items()}
-
-
-def _batch_lang_id(col) -> pa.Array:
-    """Whole-batch mirror of ``LangId.detect`` (pytest-gated equal on the
-    test corpora): Arrow RE2 kernels for the sample slice, CJK ratio and
-    word count; stopword hits via ONE tokenize + ``pc.is_in`` per
-    language; numpy picks the best rate with detect()'s exact tie order
-    and 0.04 confidence floor — no per-row Python."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    n = len(col)
-    if n == 0:
-        return pa.array([], type=pa.string())
-    sample = pc.utf8_slice_codeunits(pc.fill_null(col, ""), 0, 2000)
-    s_len = pc.utf8_length(sample).to_numpy(zero_copy_only=False).astype(np.int64)
-    cjk = (
-        pc.count_substring_regex(sample, _CJK_PAT)
-        .to_numpy(zero_copy_only=False)
-        .astype(np.int64)
-    )
-    spaces = (
-        pc.count_substring(sample, " ").to_numpy(zero_copy_only=False).astype(np.int64)
-    )
-    is_zh = cjk > 0.2 * np.maximum(1, s_len - spaces)
-    low = pc.utf8_lower(sample)
-    # tokenize once; split fragments are the findall tokens plus empty
-    # boundary fragments — empties are not in any profile (never a hit)
-    # and n_words is the per-doc count of NON-empty fragments, so the
-    # split replaces a second (expensive) unicode-class regex pass
-    toks = pc.split_pattern_regex(low, _LANG_SPLIT_PAT)
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    flat = pc.list_flatten(toks)
-    tok_offsets = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
-        toks.offset : toks.offset + n + 1
-    ].astype(np.int64)
-    counts = np.diff(tok_offsets)
-    starts = tok_offsets[:-1] - tok_offsets[0]
-    nonempty = (
-        pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64) > 0
-    ).astype(np.int64)
-    n_words = np.zeros(n, dtype=np.int64)
-    nz0 = counts > 0
-    if nz0.any():
-        n_words[nz0] = np.add.reduceat(nonempty, starts[nz0])
-    rates = np.zeros((len(_LANG_ORDER), n))
-    denom = np.maximum(1, n_words)
-    nz = counts > 0
-    for li, lang in enumerate(_LANG_ORDER):
-        hit = (
-            pc.is_in(flat, value_set=_PROFILE_ARRS[lang])
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        sums = np.zeros(n, dtype=np.int64)
-        if nz.any():
-            sums[nz] = np.add.reduceat(hit, starts[nz])
-        rates[li] = sums / denom
-    best_idx = np.argmax(rates, axis=0)  # first max = detect()'s tie order
-    best_rate = rates[best_idx, np.arange(n)]
-    langs = np.array(_LANG_ORDER, dtype=object)[best_idx]
-    out = np.where(
-        is_zh, "zh", np.where((n_words > 0) & (best_rate > 0.04), langs, "und")
-    )
-    return pa.array(out, type=pa.string())
+_LANGID_CACHE: dict[str, LangId] = {}
 
 
 def lang_id(ds, *, text_col: str = "text"):
-    """Vectorized heuristic language ID (adds ``lang_pred``): Arrow RE2
-    kernels + one ``pc.is_in`` per language profile, no per-row Python.
-    ``LangId`` remains the row-at-a-time reference implementation the
-    batch path is pytest-gated against."""
+    """Task-pool stage with per-PROCESS cached state: LangId's state (a
+    compiled regex + frozen stopword sets) is microseconds to build, so an
+    actor pool buys nothing but spin-up latency — Ray reuses worker
+    processes across tasks, and the module-level cache gives the same
+    build-once-per-worker behavior without actor scheduling."""
 
     def f(b: pa.Table) -> pa.Table:
-        return b.append_column("lang_pred", _batch_lang_id(b[text_col]))
+        li = _LANGID_CACHE.get(text_col)
+        if li is None:
+            li = _LANGID_CACHE.setdefault(text_col, LangId(text_col))
+        return li(b)
 
-    return ds.map_batches(f, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=2048, zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -253,152 +185,21 @@ def winnow_fingerprints(text: str, *, k: int = 8, window: int = 16) -> np.ndarra
     return np.unique(mins)
 
 
-# Per-process grow-only scratch arenas (same pattern as embed._scratch /
-# MinHasher._affine_buf): the winnow kernel's big arrays are written in
-# place here instead of allocating fresh multi-MB temporaries per batch —
-# mmap churn + first-touch faults dominate under worker concurrency on
-# hosts with a slow page-fault path.
-_TS_SCRATCH: dict[str, np.ndarray] = {}
-
-
-def _ts_scratch(name: str, n: int, dtype=np.uint64) -> np.ndarray:
-    buf = _TS_SCRATCH.get(name)
-    if buf is None or buf.size < n or buf.dtype != np.dtype(dtype):
-        buf = np.empty(n, dtype=dtype)
-        _TS_SCRATCH[name] = buf
-    return buf[:n]
-
-
-def _sliding_min(x: np.ndarray, w: int) -> np.ndarray:
-    """Sliding-window minimum via sparse-table doubling: log2(w) pairwise
-    ``np.minimum`` passes instead of a w-stride reduction (measured ~4x
-    for w=16 on 1M-element arrays).  Exact for any 1 <= w <= len(x).
-    Ping-pongs between two scratch buffers — no fresh allocations."""
-    n = len(x)
-    a = _ts_scratch("w_sm_a", n, x.dtype)
-    b = _ts_scratch("w_sm_b", n, x.dtype)
-    t = 1
-    cur, nxt = x, a
-    cur_len = n
-    while t * 2 <= w:
-        np.minimum(cur[: cur_len - t], cur[t:cur_len], out=nxt[: cur_len - t])
-        cur_len -= t
-        cur, nxt = nxt, (b if nxt is a else a)
-        t *= 2
-    n_out = n - w + 1
-    out = nxt[:n_out]
-    np.minimum(cur[:n_out], cur[w - t : w - t + n_out], out=out)
-    return out
-
-
-def _range_mask(total: int, starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
-    """Boolean mask of length ``total`` that is True on each half-open
-    range [starts[i], starts[i]+counts[i]) — one delta/cumsum pass, no
-    per-range Python."""
-    delta = np.zeros(total + 1, dtype=np.int32)
-    np.add.at(delta, starts, 1)
-    np.add.at(delta, starts + counts, -1)
-    return np.cumsum(delta[:-1]) > 0
-
-
-def _batch_winnow(col, k: int, window: int) -> tuple[np.ndarray, np.ndarray]:
-    """Whole-batch winnowing -> (fp_min, fp_count) per doc, byte-exact
-    with ``winnow_fingerprints`` (pytest-asserted) but with NO per-doc
-    Python: the Arrow string column's data buffer IS the concatenated
-    UTF-8 bytes, so the rolling k-gram hash runs once over the batch,
-    cross-doc grams are masked out, the sliding-window minima come from
-    ONE ``sliding_window_view`` pass, and per-doc reductions are
-    reduceat/bincount.  Per-doc numpy-call overhead measured ~50us/doc
-    (12 calls on ~300-byte arrays); this is ~30x less per doc."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    n = len(col)
-    fmin = np.full(n, -1, dtype=np.int64)
-    fcnt = np.zeros(n, dtype=np.int64)
-    if n == 0:
-        return fmin, fcnt
-    offsets = np.frombuffer(col.buffers()[1], dtype=np.int32)[
-        col.offset : col.offset + n + 1
-    ].astype(np.int64)
-    buf = col.buffers()[2]
-    data = (
-        np.frombuffer(buf, dtype=np.uint8)[offsets[0] : offsets[-1]]
-        if buf is not None
-        else np.empty(0, dtype=np.uint8)
-    )
-    offsets = offsets - offsets[0]
-    blen = np.diff(offsets)
-    total = len(data)
-    if total < k:
-        return fmin, fcnt
-    # rolling k-gram polynomial over the WHOLE buffer (same recurrence as
-    # winnow_fingerprints), computed IN PLACE in a per-process scratch
-    # arena.  No packing step: a window starting inside doc i's valid
-    # gram range [off_i, off_i + cnt_i - window] touches only doc-i
-    # grams, so cross-doc grams are excluded by the per-doc slice bounds
-    # alone and never need masking out.
-    m = total - k + 1
-    b64 = _ts_scratch("w_b64", total)
-    np.copyto(b64, data)
-    g = _ts_scratch("w_grams", m + 1)  # +1: sentinel slot for reduceat
-    gm = g[:m]
-    np.add(b64[:m], np.uint64(1), out=gm)
-    with np.errstate(over="ignore"):
-        for j in range(1, k):
-            np.multiply(gm, _WINNOW_BASE, out=gm)
-            np.add(gm, b64[j : m + j], out=gm)
-    np.bitwise_and(gm, _WINNOW_MASK, out=gm)
-    g[m] = _WINNOW_MASK  # sentinel (only ever inside inter-doc gaps)
-    gi = g[: m + 1].view(np.int64)  # values <= 2^62-1: same bits
-    cnt = np.maximum(0, blen - k + 1)  # valid grams per doc
-    nz = np.flatnonzero(cnt > 0)
-    if len(nz) == 0:
-        return fmin, fcnt
-    # fp_min: every gram is covered by some window, so the min fingerprint
-    # is the doc's gram minimum — one interleaved reduceat (segment ends
-    # never collide with the next start: docs are k-1 gram positions
-    # apart, and the sentinel slot keeps the last end index in range)
-    s_nz = offsets[:-1][nz]
-    inter = np.empty(2 * len(nz), dtype=np.int64)
-    inter[0::2] = s_nz
-    inter[1::2] = s_nz + cnt[nz]
-    fmin[nz] = np.minimum.reduceat(gi, inter)[0::2]
-    # fp_count: docs with cnt <= window emit exactly one fingerprint; the
-    # rest need the distinct count of their sliding-window minima
-    fcnt[nz] = 1
-    slid = nz[cnt[nz] > window]
-    if len(slid):
-        mins_all = _sliding_min(gi[:m], window)
-        w_cnt = cnt[slid] - window + 1
-        wmask = _range_mask(len(mins_all), offsets[:-1][slid], w_cnt)
-        vals = mins_all[wmask]
-        ids = np.repeat(np.arange(len(slid)), w_cnt)
-        # adjacent window minima repeat ~(window-1)/window of the time;
-        # dropping adjacent duplicates first (distinct-count invariant)
-        # shrinks the sort ~window-fold
-        keep = np.concatenate(
-            ([True], (vals[1:] != vals[:-1]) | (ids[1:] != ids[:-1]))
-        )
-        vals, ids = vals[keep], ids[keep]
-        order = np.lexsort((vals, ids))
-        ids_s, vals_s = ids[order], vals[order]
-        new = np.concatenate(
-            ([True], (ids_s[1:] != ids_s[:-1]) | (vals_s[1:] != vals_s[:-1]))
-        )
-        fcnt[slid] = np.bincount(ids_s, weights=new, minlength=len(slid)).astype(
-            np.int64
-        )
-    return fmin, fcnt
-
-
 def fingerprints(ds, *, text_col: str = "text", k: int = 8, window: int = 16):
     """Adds ``fp_min`` (the smallest winnow fingerprint, an int64 doc
     sketch) and ``fp_count`` (number of distinct window minima)."""
 
     def f(b: pa.Table) -> pa.Table:
-        fmin, fcnt = _batch_winnow(pc.fill_null(b[text_col], ""), k, window)
+        texts = b[text_col].to_pylist()
+        n = len(texts)
+        fmin = np.zeros(n, dtype=np.int64)
+        fcnt = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            fp = winnow_fingerprints(t or "", k=k, window=window)
+            fcnt[i] = len(fp)
+            fmin[i] = int(fp.min()) if len(fp) else -1
         return b.append_column("fp_min", pa.array(fmin)).append_column(
             "fp_count", pa.array(fcnt)
         )
 
-    return ds.map_batches(f, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1024, zero_copy_batch=True)

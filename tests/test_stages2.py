@@ -294,62 +294,3 @@ class TestEmbed:
         assert out["hp_bucket"].between(0, 2**16 - 1).all()
         out2 = hyperplane_bucket(rd.read_parquet(f"{sf_dir}/embeddings.parquet")).to_pandas()
         assert out["hp_bucket"].tolist() == out2["hp_bucket"].tolist()  # deterministic
-
-
-def test_batch_winnow_equals_per_doc():
-    """The whole-batch winnowing kernel must be byte-exact with the
-    per-doc reference on adversarial + random texts (fp_min, fp_count)."""
-    import random
-
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from deduplicator_ray.stages.textstats import _batch_winnow, winnow_fingerprints
-
-    cases = ["", "a", "abcdefg", "abcdefgh", "x" * 23, "x" * 24, None,
-             "hello world " * 3, "ünïcödé tëxt " * 5, "一二三四五" * 3, "ab" * 500]
-    random.seed(0)
-    words = ["the", "cat", "sat", "on", "mat", "ray", "xyzzy"]
-    for _ in range(300):
-        cases.append(" ".join(random.choices(words, k=random.randint(0, 80))))
-    col = pc.fill_null(pa.array(cases, type=pa.string()), "")
-    fmin, fcnt = _batch_winnow(col, 8, 16)
-    for i, t in enumerate(cases):
-        fp = winnow_fingerprints(t or "", k=8, window=16)
-        assert fcnt[i] == len(fp), (i, t)
-        assert fmin[i] == (int(fp.min()) if len(fp) else -1), (i, t)
-    # sliced (non-zero offset) arrays take the same buffer fast path
-    sl = pa.array([c or "" for c in cases] * 2).slice(5, 200)
-    fmin2, fcnt2 = _batch_winnow(sl, 8, 16)
-    for i, t in enumerate(sl.to_pylist()):
-        fp = winnow_fingerprints(t, k=8, window=16)
-        assert fcnt2[i] == len(fp) and fmin2[i] == (int(fp.min()) if len(fp) else -1)
-
-
-def test_batch_lang_id_equals_detect():
-    """The vectorized lang-id path must agree with LangId.detect exactly
-    (tie order, 0.04 floor, CJK rule, empty/None handling)."""
-    import random
-
-    import pyarrow as pa
-
-    from deduplicator_ray.stages.textstats import LangId, _batch_lang_id
-
-    li = LangId()
-    cases = ["", None, "the cat and the dog of the house", "  padded  ",
-             "der hund und die katze ist im haus von den",
-             "le chat et les chiens de la maison est pour que",
-             "og að því er um við sem fyrir það til en ekki",
-             "一二三四五六七八九十" * 10, "mixed 一二三 the and of to in is",
-             "12345 67890 !!!", "don't stop the music", "Ⅻ Ⅻ the and of"]
-    random.seed(2)
-    en = "the and of to in is was for on that with as it".split()
-    de = "der die das und ist von zu mit den im".split()
-    other = "zzz qqq www eee rrr".split()
-    for _ in range(1000):
-        pool = random.choice([en, de, other, en + other, de + en])
-        cases.append(" ".join(random.choices(pool, k=random.randint(0, 60))))
-    got = _batch_lang_id(pa.array(cases, type=pa.string())).to_pylist()
-    want = [li.detect(c) for c in cases]
-    assert got == want
