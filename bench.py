@@ -361,6 +361,33 @@ def _warm_cache_dir(path: str) -> None:
                         pass
 
 
+def _warm_workers() -> None:
+    """Spawn and warm the Ray worker pool (untimed).  A real cluster runs
+    LONG-LIVED workers; in a fresh local session the first timed phase
+    would otherwise pay NUM_CPUS process spawns plus a numpy/pandas/
+    pyarrow import per worker (measured: the first phase of a cold run is
+    3-4x its steady-state time).  The brief sleep keeps all tasks
+    resident at once so the full pool actually spawns instead of a few
+    workers being reused."""
+    import ray.data as rd
+
+    def touch(b):
+        import time as _t
+
+        import pandas  # noqa: F401 - import warm per worker process
+        import pyarrow.compute  # noqa: F401
+
+        from deduplicator_ray.stages import exact, minhash, textstats  # noqa: F401
+
+        _t.sleep(0.2)
+        return b
+
+    n = NUM_CPUS
+    rd.range(n, override_num_blocks=n).map_batches(
+        touch, batch_size=1, num_cpus=1
+    ).materialize()
+
+
 def run_all() -> dict:
     _init_ray()
     sec_prepare = prepare_corpora()
@@ -371,6 +398,7 @@ def run_all() -> dict:
         pq.read_table(f"{SF_DIR}/{t}.parquet")
     for kind in ["captures", "neardup", "text", "embed"]:
         _warm_cache_dir(_cache_dir(kind))
+    _warm_workers()
 
     queries = {}
     queries["exact_match"] = bench_exact()

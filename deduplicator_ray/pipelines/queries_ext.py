@@ -965,8 +965,8 @@ def registry_ext():
         "simhash_dups": (q_simhash_dups, GOLDEN_SQL["simhash_dups"]),
         "self_similarity": (q_self_similarity, GOLDEN_SQL["self_similarity"]),
         "fingerprint_sketch": (q_fingerprint_sketch, GOLDEN_SQL["fingerprint_sketch"]),
-        "lang_id_pred": (q_lang_id_pred, None),
-        "media_features": (q_media_features, None),
+        "lang_id_pred": (q_lang_id_pred, GOLDEN_SQL["lang_id_pred"]),
+        "media_features": (q_media_features, GOLDEN_SQL["media_features"]),
         "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
         "repetition_stats": (q_repetition_stats, _SQL_REPETITION_STATS),
         "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
