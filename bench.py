@@ -71,11 +71,17 @@ def _captures_stats() -> tuple:
         rd.read_parquet(_cache_dir("captures"), columns=["digest", "crawl"]),
         "digest", num_buckets=cfg.shuffle_buckets,
         min_count=cfg.hot_key_min_count,
+        # same key bytes as the bench cfg's match-time detection
+        # (use_digest_scheme=False -> stripped; identity on bare md5)
+        strip_digest_scheme=not cfg.use_digest_scheme,
         skip_col="crawl", skip_value="history",
         sample_rows=cfg.hot_key_sample_rows,
     )
+    # same sidecar schema as pipelines/analyze.py writes
     with open(path, "w") as f:
-        _json.dump({"hot_digests": sorted(hot)}, f)
+        _json.dump({"column": "digest", "hot_digests": sorted(hot),
+                    "sample_rows": cfg.hot_key_sample_rows,
+                    "digest_scheme_stripped": not cfg.use_digest_scheme}, f)
     return tuple(sorted(hot))
 
 
@@ -338,10 +344,18 @@ def bench_embed() -> dict:
     # work per task instead of scheduling overhead
     ds = rd.read_parquet(_cache_dir("embed"))
     # stream only the query rows (a full driver-side read of the table is
-    # a fixed cost both scaling legs pay; the queries are 256 rows)
+    # a fixed cost both scaling legs pay; the queries are 256 rows) —
+    # accumulate batches: pyarrow batches never span row groups, so one
+    # next() could return fewer than n_q real rows
     pf = pq.ParquetFile(f"{SF_DIR}/embeddings.parquet")
-    head = next(pf.iter_batches(batch_size=n_q))
-    q = np.stack(head["embedding"].to_pylist())
+    vecs = []
+    got = 0
+    for rb in pf.iter_batches(batch_size=n_q):
+        vecs.extend(rb["embedding"].to_pylist())
+        got += rb.num_rows
+        if got >= n_q:
+            break
+    q = np.stack(vecs[:n_q])
     if len(q) < n_q:  # tile with tiny deterministic perturbations
         reps = -(-n_q // len(q))
         q = np.concatenate([q * (1 + 1e-6 * r) for r in range(reps)])[:n_q]

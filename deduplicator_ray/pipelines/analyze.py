@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="key column to profile for hub values")
     p.add_argument("--sample-rows", type=int, default=None,
                    help="bound the scan (default: PipelineConfig default; 0 = full scan)")
+    p.add_argument("--keep-digest-scheme", action="store_true",
+                   help="profile digests WITH their 'sha1:' style prefixes "
+                        "(matches pipelines run with --index-digest-scheme; "
+                        "default strips, matching the pipeline default)")
     p.add_argument("--out", default=None, help="stats JSON path")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only when this process owns ray.init")
@@ -57,10 +61,15 @@ def run(args) -> dict:
                 f"column '{args.column}' not in corpus schema {ds.schema().names}"
             )
     sample = cfg.hot_key_sample_rows if args.sample_rows is None else args.sample_rows
+    # match-time detection strips 'sha1:' style prefixes unless the
+    # pipeline runs with use_digest_scheme — stats must hash the SAME key
+    # bytes or the salted shuffle never recognizes its hot keys
+    strip = args.column == "digest" and not args.keep_digest_scheme
     hot = find_hot_keys(
         ds, args.column,
         num_buckets=cfg.shuffle_buckets,
         min_count=cfg.hot_key_min_count,
+        strip_digest_scheme=strip,
         sample_rows=sample,
     )
     out = args.out
@@ -70,7 +79,7 @@ def run(args) -> dict:
         else:
             out = "stats.json"
     stats = {"column": args.column, "hot_digests": sorted(hot),
-             "sample_rows": sample}
+             "sample_rows": sample, "digest_scheme_stripped": strip}
     with open(out, "w") as f:
         json.dump(stats, f)
     return {"out": out, **stats}

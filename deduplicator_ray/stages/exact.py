@@ -569,12 +569,12 @@ def _match_hot_keys(current, cfg: PipelineConfig, strip: bool,
     corpus is written and reused by every job over it — the per-job
     sampling pass is the fallback for stats-less inputs.  Salting is
     purely a performance measure, so stale stats can only cost speed."""
-    if cfg.within_batch or cfg.salt_buckets <= 1:
+    if cfg.within_batch or cfg.salt_buckets <= 1 or cfg.hot_key_min_count <= 0:
+        # hot_key_min_count <= 0 is the explicit salting OFF switch and
+        # must beat an auto-discovered stats sidecar
         return frozenset()
     if cfg.hot_keys is not None:
         return frozenset(cfg.hot_keys)
-    if cfg.hot_key_min_count <= 0:
-        return frozenset()
     return find_hot_keys(current, "digest", num_buckets=cfg.shuffle_buckets,
                          min_count=cfg.hot_key_min_count,
                          strip_digest_scheme=strip,

@@ -41,8 +41,10 @@ _HK2 = "chunkdedup_hash2"
 def _chunk_frame(doc_ids: np.ndarray, text: pa.Array, w: int):
     """Vectorized chunker: (doc_id array, string array) -> pandas frame
     (doc_id, ord, chunk) — Arrow split + offset arithmetic, no per-row
-    Python."""
-    words = pc.split_pattern(text, " ")
+    Python.  Null text is treated as "" (one empty word), matching the
+    codebase's null-text convention; corpora with null text therefore
+    keep one row per doc here while a SQL unnest would drop them."""
+    words = pc.split_pattern(pc.fill_null(text, ""), " ")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
     offsets = words.offsets.to_numpy()  # len n_docs+1
@@ -165,9 +167,7 @@ def chunk_dedup(ds, *, words_per_chunk: int = 10, num_buckets: int = 64,
     both = ds.map_batches(doc_side, batch_format="pyarrow", zero_copy_batch=True).union(
         removed.map_batches(rem_side, batch_format="pyarrow", zero_copy_batch=True)
     )
-    from deduplicator_ray.stages.exact import hash_bucket as hb
-
-    both = hb(both, "doc_id", num_buckets)
+    both = hash_bucket(both, "doc_id", num_buckets)
 
     def rebuild(g: pd.DataFrame) -> pd.DataFrame:
         docs = g[g["src"] == 0]
@@ -225,8 +225,8 @@ def _rebuild_docs(doc_ids: np.ndarray, text: pa.Array, rem: pd.DataFrame,
 def _word_hashes(text: pa.Array):
     """Per-word 64-bit hashes + doc offsets, vectorized.  Stable across
     batches/processes (fixed sip key), so window combines of these are a
-    consistent n-gram fingerprint corpus-wide."""
-    words = pc.split_pattern(text, " ")
+    consistent n-gram fingerprint corpus-wide.  Null text counts as ""."""
+    words = pc.split_pattern(pc.fill_null(text, ""), " ")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
     offsets = words.offsets.to_numpy()
@@ -289,18 +289,17 @@ def decontaminate(docs_ds, bench_ds, *, ngram: int = 8,
         grams, _ = _ngram_hashes(h, offs, ngram)
         return pa.table({"g": pa.array(np.unique(grams))})
 
-    gset = (
-        bench_ds.map_batches(bench_grams, batch_format="pyarrow",
-                             zero_copy_batch=True)
-        .to_pandas()["g"].to_numpy()
-    )
+    gpdf = bench_ds.map_batches(bench_grams, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+    # an all-short / empty benchmark loses its schema through to_pandas
+    raw = gpdf["g"].to_numpy() if "g" in gpdf.columns else np.empty(0, np.uint64)
+    gset = np.unique(raw)  # sorted + cross-block distinct (dedup BEFORE the cap)
     if len(gset) > max_bench_grams:
         raise ValueError(
             f"benchmark side has {len(gset)} distinct {ngram}-grams > "
             f"max_bench_grams={max_bench_grams}; decontamination expects "
             "a small benchmark corpus (raise the cap deliberately)"
         )
-    gset = np.unique(gset)  # sorted + cross-block distinct
     gref = ray.put(gset)
 
     def scan(b: pa.Table) -> pa.Table:
@@ -312,7 +311,7 @@ def decontaminate(docs_ds, bench_ds, *, ngram: int = 8,
         g = ray.get(gref)
         h, offs = _word_hashes(b[text_col].combine_chunks())
         grams, doc_idx = _ngram_hashes(h, offs, ngram)
-        if len(grams):
+        if len(grams) and len(g):
             pos = np.searchsorted(g, grams)
             hit = (pos < len(g)) & (g[np.minimum(pos, len(g) - 1)] == grams)
             n_hits = np.bincount(doc_idx[hit], minlength=len(ids)).astype(np.int64)
@@ -344,7 +343,9 @@ def repetition_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
                 "top_word_n": pa.array([], type=pa.int64()),
                 "top_bigram_n": pa.array([], type=pa.int64()),
             })
-        words = pc.split_pattern(b[text_col].combine_chunks(), " ")
+        words = pc.split_pattern(
+            pc.fill_null(b[text_col].combine_chunks(), ""), " "
+        )
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
         offsets = words.offsets.to_numpy()

@@ -520,6 +520,18 @@ def test_precomputed_hot_keys_equal_detection(ray_session):
         assert outs["detected"][col].tolist() == outs["clean"][col].tolist(), col
 
 
+def test_hot_key_off_switch_beats_stats():
+    """hot_key_min_count <= 0 is the explicit salting OFF switch and must
+    win over precomputed stats (an auto-discovered sidecar must not
+    silently re-enable salting a user disabled)."""
+    from deduplicator_ray.stages.exact import _match_hot_keys
+
+    cfg = PipelineConfig(hot_key_min_count=0, hot_keys=("HUB",))
+    assert _match_hot_keys(None, cfg, strip=False) == frozenset()
+    cfg2 = PipelineConfig(hot_keys=("HUB",))
+    assert _match_hot_keys(None, cfg2, strip=False) == frozenset({"HUB"})
+
+
 @pytest.mark.parametrize("strategy", STRATEGIES)
 def test_tagged_matcher_equals_separate(ray_session, strategy):
     """match_shuffle_tagged (one read, one conform pass) must equal the

@@ -139,6 +139,45 @@ def test_decontaminate_matches_bruteforce(ray_session):
     assert want[101] > 0 and want[103] > want[101]  # plants actually fired
 
 
+def test_decontaminate_empty_benchmark(ray_session):
+    """A benchmark with zero n-grams (empty, or every doc shorter than
+    the n-gram) must yield all n_hits=0, not an IndexError."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import decontaminate
+
+    train = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "text": [" ".join(f"x{i}" for i in range(20)),
+                                    "short doc"]}
+    ))
+    bench = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [9], "text": ["only three words"]}  # < 8 words: no grams
+    ))
+    got = decontaminate(train, bench, ngram=8).to_pandas()
+    assert got["n_hits"].tolist() == [0, 0]
+    assert got["contaminated"].tolist() == [False, False]
+
+
+def test_null_text_handling(ray_session):
+    """Null text counts as '' everywhere (crash regression: factorize on
+    an all-null batch made codes.max() reduce over an empty array)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import repetition_stats
+
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "text": pd.array([None, "a b a", None], dtype="string")})
+    ds = rd.from_pandas(pdf)
+    rep = repetition_stats(ds).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert rep["n_words"].tolist() == [1, 3, 1]  # "" splits to one empty word
+    assert rep["top_word_n"].tolist() == [1, 2, 1]
+    ded = (chunk_dedup(ds, words_per_chunk=2, num_buckets=4)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert ded["doc_id"].tolist() == [1, 2, 3]  # null-text docs keep a row
+    # the two null docs share the "" chunk: second occurrence removed
+    assert ded["removed_chunks"].tolist() == [0, 0, 1]
+
+
 def test_repetition_stats_matches_bruteforce(ray_session):
     import ray.data as rd
 
