@@ -62,6 +62,115 @@ def ensure_doc_key(ds, *, key_col: str = "doc_key"):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def incremental_neardup(
+    new_ds,
+    old_ds,
+    cfg: MinHashConfig | None = None,
+    *,
+    key_col: str = "doc_key",
+    text_col: str = "text",
+    old_is_signatures: bool = False,
+    num_buckets: int = 32,
+):
+    """Dedup a NEW crawl against an EXISTING corpus (snapshot-over-
+    snapshot dedup): returns (doc_key, dup_of, est_jaccard) with ONE row
+    per new doc that near-duplicates an old doc — its best old match
+    (highest estimated Jaccard, smallest old key on ties).
+
+    This is the incremental workflow the snapshot pipeline can't express:
+    new-vs-new and old-vs-old pairs are explicitly NOT candidates, only
+    the cross join matters.  Shape: both sides' signatures are parity-
+    tagged (old key k -> 2k, new -> 2k+1; keys are non-negative int64 by
+    construction so 2k+1 never overflows) and ride the SAME band-explode
+    -> candidate-pairs -> verify machinery as the snapshot pipeline;
+    same-side pairs are dropped by a parity test on the 16-byte pair
+    stream before any signature bytes attach.  ``old_is_signatures=True``
+    skips re-shingling a corpus whose (doc_key, minhash_sig) table was
+    persisted at its own ingest — the production path: signatures are
+    computed once per snapshot, ever.
+
+    Recall caveat (same as the snapshot pipeline): banding is
+    probabilistic and mega-bucket star degradation can skip a direct
+    cross pair; recall >= 0.99 at the configured threshold is pytest-
+    gated.  Output is deterministic (seeded permutations, total
+    tie-break)."""
+    import ray.data as rd  # noqa: F401  (parity with sibling pipeline imports)
+
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    cfg = cfg or MinHashConfig()
+
+    def tagger(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            k = b[key_col].to_numpy().astype(np.int64)
+            tagged = (k.astype(np.uint64) * np.uint64(2) + np.uint64(side)).view(
+                np.int64
+            )
+            return b.set_column(
+                b.column_names.index(key_col), key_col, pa.array(tagged)
+            )
+        return f
+
+    def side_sigs(ds, side: int, is_sigs: bool):
+        if not is_sigs:
+            ds = signatures(
+                ensure_doc_key(ds, key_col=key_col).select_columns(
+                    [key_col, text_col]
+                ),
+                cfg, text_col=text_col,
+            )
+        return ds.map_batches(tagger(side), batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # one pinned signature table feeds both the band explode and the
+    # verify join (same justification as the snapshot pipeline)
+    sigs = side_sigs(old_ds, 0, old_is_signatures).union(
+        side_sigs(new_ds, 1, False)
+    ).materialize()
+
+    from deduplicator_ray.stages.lsh import band_explode as _bands
+    from deduplicator_ray.stages.lsh import candidate_pairs as _pairs
+    from deduplicator_ray.stages.lsh import verified_edges as _verify
+
+    pairs = _pairs(_bands(sigs, cfg, key_col=key_col), cfg, key_col=key_col)
+
+    def cross_only(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy().astype(np.int64)
+        bb = b["b"].to_numpy().astype(np.int64)
+        return b.filter(pa.array(((a ^ bb) & 1) == 1))
+
+    pairs = pairs.map_batches(cross_only, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    edges = _verify(pairs, sigs, cfg, key_col=key_col)
+
+    def decode(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy().astype(np.int64)
+        bb = b["b"].to_numpy().astype(np.int64)
+        a_new = (a & 1) == 1
+        new_k = np.where(a_new, a, bb) >> 1
+        old_k = np.where(a_new, bb, a) >> 1
+        return pa.table({
+            "doc_key": pa.array(new_k.astype(np.int64)),
+            "dup_of": pa.array(old_k.astype(np.int64)),
+            "est_jaccard": b["est_jaccard"],
+        })
+
+    decoded = edges.map_batches(decode, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    bucketed = hash_bucket(decoded, "doc_key", num_buckets)
+
+    def best(g):
+        import pandas as pd  # noqa: F811
+
+        g = g.sort_values(["doc_key", "est_jaccard", "dup_of"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.drop_duplicates("doc_key", ignore_index=True)[
+            ["doc_key", "dup_of", "est_jaccard"]
+        ]
+
+    return bucketed.groupby("_part").map_groups(best, batch_format="pandas")
+
+
 def cluster_near_duplicates(
     corpus_ds,
     cfg: MinHashConfig | None = None,

@@ -939,6 +939,45 @@ WHERE d.doc_id % 20 <> 0
 """
 
 
+def q_incremental_neardup(sf_dir: str):
+    """Snapshot-over-snapshot dedup (pipelines/neardup.py:
+    incremental_neardup): docs with doc_id % 5 == 0 play the existing
+    corpus, the rest the new crawl; one row per new doc near-duplicating
+    an old doc, with its best match and the integer count of agreeing
+    MinHash permutations (n_agree = est_jaccard * num_perms, exact)."""
+    import ray.data as rd
+
+    from deduplicator_ray.config import MinHashConfig
+    from deduplicator_ray.pipelines.neardup import incremental_neardup
+
+    def side(keep_old: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b["doc_id"].to_numpy() % 5 == 0
+            return b.filter(pa.array(m if keep_old else ~m))
+        return f
+
+    read = lambda: rd.read_parquet(  # noqa: E731 - two independent scans
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    old = read().map_batches(side(True), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    new = read().map_batches(side(False), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    cfg = MinHashConfig()
+    out = incremental_neardup(new, old, cfg)
+
+    def to_int(b: pa.Table) -> pa.Table:
+        j = b["est_jaccard"].to_numpy()
+        n_agree = np.rint(j * cfg.num_perms).astype(np.int64)
+        return pa.table({
+            "doc_key": b["doc_key"],
+            "dup_of": b["dup_of"],
+            "n_agree": pa.array(n_agree),
+        })
+
+    return out.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def registry_ext():
     """name -> (callable(sf_dir), oracle_sql | None).
 
@@ -970,4 +1009,6 @@ def registry_ext():
         "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
         "repetition_stats": (q_repetition_stats, _SQL_REPETITION_STATS),
         "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
+        "incremental_neardup": (q_incremental_neardup,
+                                GOLDEN_SQL.get("incremental_neardup")),
     }

@@ -198,3 +198,79 @@ def test_ensure_doc_key(ray_session):
     # deterministic across calls
     keyed2 = ensure_doc_key(rd.from_pandas(pdf)).to_pandas()
     assert keyed["doc_key"].tolist() == keyed2["doc_key"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# incremental (snapshot-over-snapshot) dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_neardup_vs_oracle(ray_session, corpus, oracle):
+    """Split the synthetic corpus old/new; incremental_neardup must find
+    >= 99% of the oracle's CROSS (old x new) pairs' new docs, report only
+    cross matches, and pick each new doc's best old match (max estimated
+    Jaccard, min old key on ties) — same estimator, same config."""
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines.neardup import incremental_neardup
+    from deduplicator_ray.stages.minhash import MinHasher
+
+    old_mask = corpus["doc_key"] % 3 == 0
+    old_pdf = corpus[old_mask][["doc_key", "text"]]
+    new_pdf = corpus[~old_mask][["doc_key", "text"]]
+
+    got = (
+        incremental_neardup(rd.from_pandas(new_pdf), rd.from_pandas(old_pdf), CFG)
+        .to_pandas().sort_values("doc_key", ignore_index=True)
+    )
+    # outputs reference the correct sides only
+    assert (got["doc_key"] % 3 != 0).all()
+    assert (got["dup_of"] % 3 == 0).all()
+
+    # oracle: all-pairs estimated Jaccard, cross pairs only, best per new
+    mh = MinHasher(CFG)
+    sigs = mh.signature_matrix(corpus["text"].tolist())
+    keys = corpus["doc_key"].to_numpy()
+    old_idx = np.flatnonzero(old_mask.to_numpy())
+    new_idx = np.flatnonzero(~old_mask.to_numpy())
+    eq = (sigs[new_idx][:, None, :] == sigs[old_idx][None, :, :]).mean(axis=2)
+    want = {}
+    for i, ni in enumerate(new_idx):
+        m = eq[i] >= CFG.jaccard_threshold
+        if m.any():
+            j = eq[i][m]
+            cand_keys = keys[old_idx][m]
+            order = np.lexsort((cand_keys, -j))
+            want[int(keys[ni])] = (int(cand_keys[order[0]]), float(j[order[0]]))
+    assert want, "oracle found no cross near-dups; corpus split is degenerate"
+
+    got_map = {int(r.doc_key): (int(r.dup_of), float(r.est_jaccard))
+               for r in got.itertuples()}
+    missing = set(want) - set(got_map)
+    recall = 1 - len(missing) / len(want)
+    assert recall >= 0.99, f"recall {recall}: missing {sorted(missing)[:5]}"
+    # found rows are exact: same best match + same estimate
+    for k, (dup, j) in got_map.items():
+        assert k in want, f"new doc {k} reported but not an oracle dup"
+        assert (dup, round(j, 9)) == (want[k][0], round(want[k][1], 9)), k
+
+
+def test_incremental_neardup_precomputed_signatures(ray_session, corpus):
+    """old_is_signatures=True over a persisted (doc_key, minhash_sig)
+    table must equal the from-text path row for row."""
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines.neardup import incremental_neardup
+    from deduplicator_ray.stages.minhash import signatures
+
+    old_mask = corpus["doc_key"] % 3 == 0
+    old_pdf = corpus[old_mask][["doc_key", "text"]]
+    new_pdf = corpus[~old_mask][["doc_key", "text"]]
+    old_sigs = signatures(rd.from_pandas(old_pdf), CFG).materialize()
+
+    a = (incremental_neardup(rd.from_pandas(new_pdf), rd.from_pandas(old_pdf), CFG)
+         .to_pandas().sort_values("doc_key", ignore_index=True))
+    b = (incremental_neardup(rd.from_pandas(new_pdf), old_sigs, CFG,
+                             old_is_signatures=True)
+         .to_pandas().sort_values("doc_key", ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)
