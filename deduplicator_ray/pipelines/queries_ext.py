@@ -978,6 +978,146 @@ def q_incremental_neardup(sf_dir: str):
     return out.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_SPAN_NGRAM = 8
+
+
+def q_span_dedup(sf_dir: str):
+    """ExactSubstr-style duplicated-span removal over ``documents``
+    (stages/sentdedup.py:span_dedup): every word covered by a
+    non-globally-first occurrence of an 8-word window is removed."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import span_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return span_dedup(ds, ngram=_SPAN_NGRAM, num_buckets=32)
+
+
+# Exact SQL recomputation of span_dedup: overlapping windows via the
+# window-frame string_agg idiom (glen filter keeps only full windows),
+# keep-first per gram string by (doc_id, position), covered words via the
+# interval join, rebuild via ordered string_agg of uncovered words.
+_SQL_SPAN_DEDUP = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+  FROM documents
+), g AS (
+  SELECT doc_id, ord,
+         string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY ord
+           ROWS BETWEEN CURRENT ROW AND {_SPAN_NGRAM - 1} FOLLOWING) AS gram,
+         count(*) OVER (PARTITION BY doc_id ORDER BY ord
+           ROWS BETWEEN CURRENT ROW AND {_SPAN_NGRAM - 1} FOLLOWING) AS glen
+  FROM w
+), occ AS (
+  SELECT doc_id, ord,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, ord) AS rn
+  FROM g WHERE glen = {_SPAN_NGRAM}
+), cov AS (
+  SELECT DISTINCT w.doc_id, w.ord
+  FROM w JOIN occ m ON w.doc_id = m.doc_id
+       AND w.ord BETWEEN m.ord AND m.ord + {_SPAN_NGRAM - 1}
+  WHERE m.rn > 1
+)
+SELECT w.doc_id,
+       COALESCE(string_agg(CASE WHEN c.ord IS NULL THEN w.word END,
+                           ' ' ORDER BY w.ord), '') AS text_dedup,
+       CAST(count(c.ord) AS BIGINT) AS removed_words
+FROM w LEFT JOIN cov c ON w.doc_id = c.doc_id AND w.ord = c.ord
+GROUP BY w.doc_id
+"""
+
+_HH_MIN_PPM = 1000
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact corpus heavy words (count >= 0.1% of all words) via the
+    two-pass Misra-Gries candidates + exact-verify shape
+    (stages/freq.py:heavy_hitters) — no full-vocabulary shuffle."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import heavy_hitters
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return heavy_hitters(ds, min_ppm=_HH_MIN_PPM, num_buckets=16)
+
+
+_SQL_HEAVY_HITTERS = f"""
+WITH w AS (
+  SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS word FROM documents
+), tot AS (SELECT count(*) AS nt FROM w)
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM w, tot GROUP BY word, nt
+HAVING count(*) * 1000000 >= nt * {_HH_MIN_PPM}
+"""
+
+
+def q_length_quantiles(sf_dir: str):
+    """Exact per-language length quantiles off a bounded-domain histogram
+    (stages/freq.py:length_quantiles) — no sort shuffle, no sampling."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import length_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    return length_quantiles(ds, group_col="lang", value_col="n_chars",
+                            qs=(25, 50, 90))
+
+
+_SQL_LENGTH_QUANTILES = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90
+FROM documents GROUP BY lang
+"""
+
+
+def q_neardup_keep(sf_dir: str):
+    """The cleaned-corpus selection — keep ONE representative per
+    near-duplicate cluster (the min doc_id), flag every other member for
+    removal; singletons keep.  Clusters are the exact-Jaccard north-star
+    definition (q_neardup_clusters).  The duplicate-id set is small by
+    construction (only clustered non-representatives), so it broadcasts
+    once and the corpus pass is map-only."""
+    import ray
+
+    import ray.data as rd
+
+    asg = q_neardup_clusters(sf_dir)  # pandas (doc_key, cluster_id)
+    dup_ids = np.sort(
+        asg.loc[asg["doc_key"] != asg["cluster_id"], "doc_key"].to_numpy(np.int64)
+    )
+    dup_ref = ray.put(dup_ids)
+
+    def flag(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        dups = ray.get(dup_ref)
+        pos = np.searchsorted(dups, ids)
+        is_dup = (pos < len(dups)) & (dups[np.minimum(pos, max(len(dups) - 1, 0))] == ids) \
+            if len(dups) else np.zeros(len(ids), dtype=bool)
+        return pa.table({"doc_id": pa.array(ids), "keep": pa.array(~is_dup)})
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# keep = not a clustered non-representative, derived from the SAME
+# recursive-CTE cluster assignment the north-star oracle uses (the final
+# SELECT of _SQL_NEARDUP_CLUSTERS becomes an `asg` CTE here).
+_SQL_NEARDUP_KEEP = _SQL_NEARDUP_CLUSTERS.replace(
+    ")\nSELECT node AS doc_key, least(node, min(r)) AS cluster_id\n"
+    "FROM reach GROUP BY node ORDER BY doc_key",
+    "),\nasg AS (\n"
+    "  SELECT node AS doc_key, least(node, min(r)) AS cluster_id\n"
+    "  FROM reach GROUP BY node\n"
+    ")\n"
+    "SELECT d.doc_id, COALESCE(a.cluster_id = d.doc_id, TRUE) AS keep\n"
+    "FROM documents d LEFT JOIN asg a ON d.doc_id = a.doc_key",
+)
+assert "asg AS" in _SQL_NEARDUP_KEEP  # the replace target must keep matching
+
+
 def registry_ext():
     """name -> (callable(sf_dir), oracle_sql | None).
 
@@ -1011,4 +1151,8 @@ def registry_ext():
         "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
         "incremental_neardup": (q_incremental_neardup,
                                 GOLDEN_SQL.get("incremental_neardup")),
+        "span_dedup": (q_span_dedup, _SQL_SPAN_DEDUP),
+        "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
+        "length_quantiles": (q_length_quantiles, _SQL_LENGTH_QUANTILES),
+        "neardup_keep": (q_neardup_keep, _SQL_NEARDUP_KEEP),
     }

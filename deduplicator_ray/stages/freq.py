@@ -1,0 +1,170 @@
+"""Corpus-frequency operators with sketch-bounded shuffles.
+
+``heavy_hitters``: EXACT corpus-level heavy words without ever shuffling
+the full vocabulary — a two-pass mergeable Misra-Gries summary (Agarwal
+et al. 2012, "Mergeable Summaries", §3; Misra & Gries 1982) proposes a
+provably-complete candidate superset, then a broadcast second pass
+counts only the candidates exactly.  At 100 TB the vocabulary of a web
+corpus is O(10^9) distinct tokens; a naive groupby ships every one of
+them through an all-to-all exchange, while this shape ships at most
+``sketch_size`` rows per input block plus the (tiny) candidate counts.
+
+``length_quantiles``: exact distributed quantiles over a BOUNDED-DOMAIN
+integer column (document lengths): per-block (group, value) partial
+counts collapse the data to a histogram whose size is |groups| x
+|distinct values| — independent of row count — so quantiles are read off
+cumulative counts exactly, no sort shuffle, no approximation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# row tags inside the pass-1 sketch stream
+_TAG_WORD = 0   # (word, clipped count)
+_TAG_ERR = 1    # per-block truncation threshold t  (sum = global bound E)
+_TAG_TOTAL = 2  # per-block word count              (sum = global N)
+
+
+def _flat_words(text: pa.Array) -> pd.Series:
+    words = pc.split_pattern(pc.fill_null(text, ""), " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    return words.values.to_pandas()
+
+
+def heavy_hitters(ds, *, min_ppm: int = 1000, sketch_size: int = 4096,
+                  num_buckets: int = 16, text_col: str = "text"):
+    """All words whose global occurrence count is >= ``min_ppm`` parts
+    per million of the total word count, with EXACT counts — computed
+    without a full-vocabulary shuffle.  Returns a Dataset (word, n).
+
+    Pass 1 (sketch): each block's word counts are Misra-Gries truncated
+    (subtract the (sketch_size+1)-th largest count, clip at zero) so at
+    most ``sketch_size`` (word, clipped-count) rows leave the block,
+    plus two scalar rows: the truncation threshold t (the block's error
+    bound) and the block's total word count.  Summed sketches undercount
+    any word by at most E = sum(t); candidates = words whose summed
+    clipped count >= threshold - E, a PROVABLY COMPLETE superset of the
+    true heavy hitters (threshold = ceil(N * min_ppm / 1e6), N from the
+    summed total rows).
+
+    Pass 2 (verify): the candidate list — bounded by the sketch, small
+    by construction — is ``ray.put`` once; a map-only scan counts ONLY
+    candidate words per block, and one tiny shuffle sums those partials.
+    The output is therefore exact, not approximate: the sketch only
+    proposes, the count pass disposes.
+    """
+    import ray
+
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    def sketch(b: pa.Table) -> pa.Table:
+        flat = _flat_words(b[text_col].combine_chunks())
+        vc = flat.value_counts()
+        t = 0
+        if len(vc) > sketch_size:
+            t = int(vc.iloc[sketch_size])
+            vc = vc - t
+            vc = vc[vc > 0]
+        words = vc.index.to_numpy(object)
+        cnts = vc.to_numpy(np.int64)
+        return pa.table({
+            "word": pa.array(np.append(words, [None, None]), type=pa.string()),
+            "cnt": pa.array(np.append(cnts, [t, len(flat)])),
+            "tag": pa.array(np.append(
+                np.full(len(words), _TAG_WORD, dtype=np.int8),
+                np.array([_TAG_ERR, _TAG_TOTAL], dtype=np.int8),
+            )),
+        })
+
+    merged = hash_bucket(
+        ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True),
+        "word", num_buckets,
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["tag", "word"], sort=False, dropna=False)["cnt"]
+               .sum().reset_index())
+        return out[["word", "cnt", "tag"]]
+
+    # the merged sketch is small by construction (<= sketch_size rows per
+    # input block, pre-combined per bucket above) — driver collect is the
+    # point where the candidate threshold needs ALL blocks' error terms
+    sk = merged.groupby("_part").map_groups(
+        combine, batch_format="pandas"
+    ).to_pandas()
+    n_total = int(sk.loc[sk["tag"] == _TAG_TOTAL, "cnt"].sum())
+    err = int(sk.loc[sk["tag"] == _TAG_ERR, "cnt"].sum())
+    threshold = -(-n_total * min_ppm // 1_000_000)  # ceil
+    wordrows = sk[sk["tag"] == _TAG_WORD]
+    cand = wordrows.loc[
+        wordrows["cnt"] >= threshold - err, "word"
+    ].to_numpy(object)
+    cand_ref = ray.put(pd.Index(cand))
+
+    def exact(b: pa.Table) -> pa.Table:
+        flat = _flat_words(b[text_col].combine_chunks())
+        vc = flat.value_counts()
+        vc = vc[vc.index.isin(ray.get(cand_ref))]
+        return pa.table({
+            "word": pa.array(vc.index.to_numpy(object), type=pa.string()),
+            "n": pa.array(vc.to_numpy(np.int64)),
+        })
+
+    counted = hash_bucket(
+        ds.map_batches(exact, batch_format="pyarrow", zero_copy_batch=True),
+        "word", num_buckets,
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("word", sort=False)["n"].sum().reset_index()
+        return out[out["n"] >= threshold].reset_index(drop=True)
+
+    return counted.groupby("_part").map_groups(final, batch_format="pandas")
+
+
+def length_quantiles(ds, *, group_col: str = "lang",
+                     value_col: str = "n_chars",
+                     qs: tuple[int, ...] = (25, 50, 90)):
+    """Exact per-group quantiles of a bounded-domain integer column.
+
+    Shape: map-only partial count of (group, value) per block — the
+    histogram, whose size is |groups| x |distinct values| regardless of
+    row count — then one tiny shuffle to merge, then quantiles read off
+    cumulative counts at the driver.  Matches DuckDB ``quantile_disc``
+    exactly: the q-quantile of n sorted values is element ceil(q*n)-1
+    (0-based); ``qs`` are integer percents so the index arithmetic stays
+    in integers (no float-ceil hazard).
+
+    Returns a pandas DataFrame (group, n, p<q>...) sorted by group.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": b[group_col].to_pandas(),
+            "v": b[value_col].to_pandas(),
+        })
+        out = df.groupby(["g", "v"], sort=False, dropna=False).size()
+        out = out.rename("c").reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby(["g", "v"], sort=True, dropna=False)["c"].sum().reset_index()
+    )
+    rows = []
+    for g, sub in hist.groupby("g", sort=True, dropna=False):
+        vals = sub["v"].to_numpy()          # sorted: outer groupby sorts v
+        cum = np.cumsum(sub["c"].to_numpy(np.int64))
+        n = int(cum[-1])
+        row = {group_col: g, "n": n}
+        for q in qs:
+            idx = -(-q * n // 100) - 1      # ceil(q/100 * n) - 1, integer-exact
+            row[f"p{q}"] = int(vals[np.searchsorted(cum, idx + 1)])
+        rows.append(row)
+    cols = [group_col, "n"] + [f"p{q}" for q in qs]
+    return pd.DataFrame(rows, columns=cols)

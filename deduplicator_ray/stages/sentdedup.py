@@ -262,6 +262,219 @@ def _ngram_hashes(h: np.ndarray, offsets: np.ndarray, n: int):
     return acc[valid], doc_idx[valid]
 
 
+def _ngram_occurrences(text: pa.Array, n: int):
+    """Overlapping ``n``-word-gram occurrences with within-doc positions:
+    (h1 uint64, h2 uint64, doc_index int64, pos int64) for every window
+    that fits entirely inside one document.  h1/h2 are two INDEPENDENT
+    fixed-weight polynomial combines over per-word sip hashes with
+    independent keys — together a 128-bit gram fingerprint (equal grams
+    always collide; unequal collide at ~2^-128, same rigor as
+    chunk_dedup).  ``pos`` is the 0-based word index of the window start
+    inside its document.  Null text counts as ""."""
+    R = np.uint64(0x9E3779B97F4A7C15)
+    words = pc.split_pattern(pc.fill_null(text, ""), " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy()
+    flat = words.values.to_pandas()
+    total = len(flat)
+    empty = (np.empty(0, np.uint64), np.empty(0, np.uint64),
+             np.empty(0, np.int64), np.empty(0, np.int64))
+    if total < n or n <= 0:
+        return empty
+    h1 = pd.util.hash_pandas_object(flat, index=False, hash_key=_HK1).to_numpy()
+    h2 = pd.util.hash_pandas_object(flat, index=False, hash_key=_HK2).to_numpy()
+
+    def comb(h: np.ndarray) -> np.ndarray:
+        acc = np.zeros(total - n + 1, dtype=np.uint64)
+        for j in range(n):  # n vectorized passes, no per-row Python
+            acc *= R
+            acc += h[j:j + len(acc)]
+        return acc
+
+    g1, g2 = comb(h1), comb(h2)
+    n_words = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(len(n_words)), n_words)[:len(g1)]
+    starts = np.arange(len(g1), dtype=np.int64)
+    valid = starts + n <= offsets[1:][doc_idx]
+    pos = starts - offsets[:-1][doc_idx]
+    return g1[valid], g2[valid], doc_idx[valid], pos[valid]
+
+
+def span_dedup(ds, *, ngram: int = 8, num_buckets: int = 64,
+               id_col: str = "doc_id", text_col: str = "text",
+               max_broadcast: int = 2_000_000):
+    """ExactSubstr-style duplicated-SPAN removal (the word-granular
+    analog of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", §ExactSubstr): unlike ``chunk_dedup``'s
+    non-overlapping chunks, windows slide over EVERY word position, so a
+    shared span is caught at any alignment.  Semantics (exactly what the
+    DuckDB oracle computes):
+
+    - overlapping ``ngram``-word windows at every word position of every
+      document (windows that fit entirely inside the doc);
+    - a window occurrence is DUPLICATED unless it is the globally-first
+      occurrence of its gram string, ordered by (doc id, position);
+    - every word covered by at least one duplicated occurrence is
+      removed; each doc is rebuilt from its kept words joined by ' '.
+
+    The globally-first copy of a repeated span therefore survives intact
+    while every later copy loses the whole span (including within-doc
+    repetition).  Returns (doc_id, text_dedup, removed_words), one row
+    per input document.
+
+    Distributed shape (100 TB), mirroring ``chunk_dedup``: gram text
+    never rides a shuffle — the explode emits 32 B/window (doc id, pos,
+    128-bit hash); keep-first runs per hash bucket (same 128-bit key
+    always lands in one bucket, so first-occurrence election is global);
+    the removal list (duplicated occurrences only) is broadcast up to
+    ``max_broadcast`` rows so document text never shuffles, with a
+    co-partition-on-doc_id fallback beyond the cap.
+    """
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        g1, g2, didx, pos = _ngram_occurrences(
+            b[text_col].combine_chunks(), ngram
+        )
+        return pa.table({
+            "doc_id": pa.array(ids[didx] if len(didx) else
+                               np.empty(0, np.int64)),
+            "pos": pa.array(pos),
+            "h1": pa.array(g1),
+            "h2": pa.array(g2),
+        })
+
+    occ = hash_bucket(
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        "h1", num_buckets,
+    )
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h1", "h2", "doc_id", "pos"], kind="mergesort")
+        rem = g[g.duplicated(["h1", "h2"], keep="first")]
+        return rem[["doc_id", "pos"]].reset_index(drop=True)
+
+    # materialized once: feeds the broadcast-vs-shuffle count and one
+    # rebuild path (same justification as chunk_dedup)
+    removed = occ.groupby("_part").map_groups(
+        mark, batch_format="pandas"
+    ).materialize()
+
+    if removed.count() <= max_broadcast:
+        import ray
+
+        rem_pdf = removed.to_pandas()
+        if "doc_id" not in rem_pdf.columns:  # zero removals: schema is lost
+            rem_pdf = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                    "pos": pd.Series(dtype="int64")})
+        rem_ref = ray.put(rem_pdf)
+
+        def rebuild_bcast(b: pa.Table) -> pa.Table:
+            out = _rebuild_span_docs(
+                b[id_col].to_numpy().astype(np.int64),
+                b[text_col].combine_chunks(),
+                ray.get(rem_ref), ngram,
+            )
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return ds.map_batches(rebuild_bcast, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # co-partition documents + removal list on doc_id (chunk_dedup shape)
+    def doc_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "doc_id": pc.cast(b[id_col], pa.int64()),
+            "pos": pa.nulls(n, pa.int64()),
+            "text": b[text_col],
+            "src": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def rem_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "pos": pc.cast(b["pos"], pa.int64()),
+            "text": pa.nulls(n, pa.string()),
+            "src": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    both = ds.map_batches(doc_side, batch_format="pyarrow",
+                          zero_copy_batch=True).union(
+        removed.map_batches(rem_side, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    )
+    both = hash_bucket(both, "doc_id", num_buckets)
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["src"] == 0]
+        if docs.empty:
+            return _EMPTY_SPAN_REBUILD.copy()
+        rem = g[g["src"] == 1][["doc_id", "pos"]]
+        return _rebuild_span_docs(
+            docs["doc_id"].to_numpy(np.int64),
+            pa.array(docs["text"], type=pa.string()),
+            rem, ngram,
+        )
+
+    return both.groupby("_part").map_groups(rebuild, batch_format="pandas")
+
+
+_EMPTY_SPAN_REBUILD = pd.DataFrame({
+    "doc_id": pd.Series(dtype="int64"),
+    "text_dedup": pd.Series(dtype="object"),
+    "removed_words": pd.Series(dtype="int64"),
+})
+
+
+def _rebuild_span_docs(doc_ids: np.ndarray, text: pa.Array,
+                       rem: pd.DataFrame, n: int) -> pd.DataFrame:
+    """Span-rebuild kernel: re-split these docs to words, mark every word
+    covered by a removed window [pos, pos+n), re-join the kept words.
+    ``rem`` may cover docs outside this batch (broadcast path) — the
+    membership filter restricts it.  Fully vectorized: interval cover via
+    a +1/-1 delta array + cumsum, per-doc re-join via list offsets."""
+    if not len(doc_ids):
+        return _EMPTY_SPAN_REBUILD.copy()
+    words = pc.split_pattern(pc.fill_null(text, ""), " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy().astype(np.int64)
+    n_words = np.diff(offsets)
+    total = int(offsets[-1])
+    pos_of = pd.Series(np.arange(len(doc_ids)), index=doc_ids)
+    r = rem[rem["doc_id"].isin(pos_of.index)]
+    delta = np.zeros(total + 1, dtype=np.int64)
+    if len(r):
+        di = pos_of.loc[r["doc_id"]].to_numpy()
+        p = r["pos"].to_numpy(np.int64)
+        starts = offsets[:-1][di] + p
+        ends = offsets[:-1][di] + np.minimum(p + n, n_words[di])
+        np.add.at(delta, starts, 1)
+        np.add.at(delta, ends, -1)
+    covered = np.cumsum(delta[:-1]) > 0
+    doc_idx = np.repeat(np.arange(len(doc_ids)), n_words)
+    kept = ~covered
+    flat_kept = words.values.filter(pa.array(kept))
+    kept_counts = np.bincount(doc_idx[kept], minlength=len(doc_ids))
+    new_off = np.zeros(len(doc_ids) + 1, dtype=np.int64)
+    np.cumsum(kept_counts, out=new_off[1:])
+    text_dedup = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(new_off, type=pa.int32()),
+                                 flat_kept), " "
+    )
+    removed_words = np.bincount(
+        doc_idx[covered], minlength=len(doc_ids)
+    ).astype(np.int64)
+    return pd.DataFrame({
+        "doc_id": doc_ids,
+        "text_dedup": text_dedup.to_pandas(),
+        "removed_words": removed_words,
+    })
+
+
 def decontaminate(docs_ds, bench_ds, *, ngram: int = 8,
                   id_col: str = "doc_id", text_col: str = "text",
                   max_bench_grams: int = 50_000_000):

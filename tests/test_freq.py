@@ -1,0 +1,149 @@
+"""span_dedup (ExactSubstr-style overlapping-span removal), heavy_hitters
+(Misra-Gries candidates + exact verify) and length_quantiles (histogram
+quantiles) vs brute-force mirrors of the documented semantics."""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pandas as pd
+
+from deduplicator_ray.stages.freq import heavy_hitters, length_quantiles
+from deduplicator_ray.stages.sentdedup import span_dedup
+
+N = 8
+
+
+def _brute_span_dedup(docs: dict[int, str], n: int = N) -> pd.DataFrame:
+    """Reference implementation straight off the docstring: globally-first
+    occurrence per gram string by (doc_id, pos); later occurrences mark
+    their whole window for removal."""
+    first: set[tuple[str, ...]] = set()
+    marked: dict[int, set[int]] = {d: set() for d in docs}
+    for doc_id in sorted(docs):
+        words = docs[doc_id].split(" ")
+        for pos in range(max(0, len(words) - n + 1)):
+            gram = tuple(words[pos:pos + n])
+            if gram in first:
+                marked[doc_id].update(range(pos, pos + n))
+            else:
+                first.add(gram)
+    rows = []
+    for doc_id in sorted(docs):
+        words = docs[doc_id].split(" ")
+        kept = [w for i, w in enumerate(words) if i not in marked[doc_id]]
+        rows.append({"doc_id": doc_id, "text_dedup": " ".join(kept),
+                     "removed_words": len(marked[doc_id])})
+    return pd.DataFrame(rows)
+
+
+def _mk_docs(rng: np.random.Generator, n_docs: int = 40) -> dict[int, str]:
+    vocab = [f"w{i}" for i in range(25)]
+    docs = {}
+    for i in range(n_docs):
+        nw = int(rng.integers(1, 40))
+        docs[i] = " ".join(rng.choice(vocab, nw))
+    span = " ".join(f"s{j}" for j in range(12))          # 12-word span
+    docs[n_docs] = "pre amble " + span + " post fix"     # shared, offset 2
+    docs[n_docs + 1] = span + " completely different tail here"
+    docs[n_docs + 2] = docs[0]                           # full copy
+    docs[n_docs + 3] = span + " " + span                 # self-repeat
+    docs[n_docs + 4] = ""                                # empty
+    return docs
+
+
+def test_span_dedup_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    docs = _mk_docs(rng)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": [docs[k] for k in docs]}
+    ))
+    got = (span_dedup(ds, ngram=N, num_buckets=4).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = _brute_span_dedup(docs)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the planted cross-doc span really was removed from the later doc
+    assert int(got.loc[got["doc_id"] == len(docs) - 4, "removed_words"].iloc[0]) >= 12
+
+
+def test_span_dedup_shuffle_path_equals_broadcast(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    docs = _mk_docs(rng, n_docs=25)
+    pdf = pd.DataFrame({"doc_id": list(docs), "text": [docs[k] for k in docs]})
+    a = (span_dedup(rd.from_pandas(pdf), ngram=N, num_buckets=4)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (span_dedup(rd.from_pandas(pdf), ngram=N, num_buckets=4, max_broadcast=0)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_span_dedup_unique_roundtrip(ray_session):
+    import ray.data as rd
+
+    docs = {i: " ".join(f"u{i}x{j}" for j in range(20)) for i in range(10)}
+    pdf = pd.DataFrame({"doc_id": list(docs), "text": [docs[k] for k in docs]})
+    got = (span_dedup(rd.from_pandas(pdf), ngram=N, num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (got["removed_words"] == 0).all()
+    assert list(got["text_dedup"]) == [docs[k] for k in sorted(docs)]
+
+
+def _brute_heavy(texts: list[str], min_ppm: int) -> pd.DataFrame:
+    cnt = collections.Counter()
+    for t in texts:
+        cnt.update((t or "").split(" "))
+    total = sum(cnt.values())
+    thr = -(-total * min_ppm // 1_000_000)
+    rows = [(w, c) for w, c in cnt.items() if c >= thr]
+    return (pd.DataFrame(rows, columns=["word", "n"])
+            .sort_values("word").reset_index(drop=True))
+
+
+def test_heavy_hitters_exact_even_with_tiny_sketch(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    # zipf-ish: head words dominate, long tail of rare words
+    head = [f"h{i}" for i in range(10)]
+    tail = [f"t{i}" for i in range(500)]
+    texts = []
+    for _ in range(120):
+        nw = int(rng.integers(20, 60))
+        ws = list(rng.choice(head, nw // 2)) + list(rng.choice(tail, nw - nw // 2))
+        rng.shuffle(ws)
+        texts.append(" ".join(ws))
+    ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(6)
+    # sketch_size=16 << vocab: truncation is exercised hard, result must
+    # STILL be exact — the sketch only proposes candidates
+    got = (heavy_hitters(ds, min_ppm=5000, sketch_size=16, num_buckets=4)
+           .to_pandas().sort_values("word").reset_index(drop=True))
+    want = _brute_heavy(texts, 5000)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(want) > 0  # the test actually asserts something
+
+
+def test_length_quantiles_matches_sorted_pick(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "lang": rng.choice(["en", "de", "zh"], 500),
+        "n_chars": rng.integers(1, 300, 500),
+    })
+    got = length_quantiles(rd.from_pandas(pdf).repartition(5),
+                           qs=(25, 50, 90)).reset_index(drop=True)
+    rows = []
+    for g, sub in pdf.groupby("lang"):
+        v = np.sort(sub["n_chars"].to_numpy())
+        n = len(v)
+        row = {"lang": g, "n": n}
+        for q in (25, 50, 90):
+            row[f"p{q}"] = int(v[-(-q * n // 100) - 1])
+        rows.append(row)
+    want = pd.DataFrame(rows)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -21,6 +21,10 @@ SQL_CHECKED = [
     "embed_topk",
     "token_stats",
     "quality_stats",
+    "span_dedup",
+    "heavy_hitters",
+    "length_quantiles",
+    "neardup_keep",
 ]
 
 SQL_CHECKED_REL = [
