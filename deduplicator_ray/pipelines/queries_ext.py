@@ -1073,6 +1073,64 @@ FROM documents GROUP BY lang
 """
 
 
+_GOPHER_MIN_WORDS = 40      # the synthetic docs run 10-100 words
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_EXTRA_STOPS = frozenset({"a"})  # the corpus generator's article
+
+
+def _gopher_stoplist() -> frozenset:
+    from deduplicator_ray.stages.textstats import GOPHER_STOPWORDS
+
+    return GOPHER_STOPWORDS | _GOPHER_EXTRA_STOPS
+
+
+def q_gopher_filter(sf_dir: str):
+    """Gopher-rule composite quality filter (stages/textstats.py:
+    gopher_filter): per-doc keep/drop + first failing rule.  Thresholds
+    are corpus-appropriate (min_words=40, stoplist extended with the
+    generator's article 'a') so the output exercises keeps AND several
+    distinct drop reasons; the operator's defaults stay at Gopher's."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import gopher_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return gopher_filter(ds, min_words=_GOPHER_MIN_WORDS,
+                         max_words=_GOPHER_MAX_WORDS,
+                         stopwords=_gopher_stoplist())
+
+
+def _sql_gopher_filter() -> str:
+    stop_sql = ", ".join(f"'{w}'" for w in sorted(_gopher_stoplist()))
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS word
+  FROM documents
+), wc AS (
+  SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word
+), per AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(sum(c * len(word)) AS BIGINT) AS nonspace,
+         CAST(COALESCE(sum(c) FILTER (WHERE regexp_matches(word, '[A-Za-z]')), 0) AS BIGINT) AS n_alpha,
+         CAST(count(*) FILTER (WHERE word IN ({stop_sql})) AS BIGINT) AS n_stop,
+         CAST(max(c) AS BIGINT) AS top_word
+  FROM wc GROUP BY doc_id
+)
+SELECT doc_id, fail_reason IS NULL AS keep, fail_reason FROM (
+  SELECT doc_id,
+         CASE WHEN n_words < {_GOPHER_MIN_WORDS} THEN 'too_few_words'
+              WHEN n_words > {_GOPHER_MAX_WORDS} THEN 'too_many_words'
+              WHEN nonspace < 3 * n_words OR nonspace > 10 * n_words THEN 'word_length'
+              WHEN 5 * n_alpha < 4 * n_words THEN 'non_alpha'
+              WHEN n_stop < 2 THEN 'stopwords'
+              WHEN 5 * top_word > n_words THEN 'repetition'
+         END AS fail_reason
+  FROM per
+)
+"""
+
+
 def q_neardup_keep(sf_dir: str):
     """The cleaned-corpus selection — keep ONE representative per
     near-duplicate cluster (the min doc_id), flag every other member for
@@ -1155,4 +1213,5 @@ def registry_ext():
         "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
         "length_quantiles": (q_length_quantiles, _SQL_LENGTH_QUANTILES),
         "neardup_keep": (q_neardup_keep, _SQL_NEARDUP_KEEP),
+        "gopher_filter": (q_gopher_filter, _sql_gopher_filter()),
     }

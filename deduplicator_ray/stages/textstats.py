@@ -154,6 +154,102 @@ def lang_id(ds, *, text_col: str = "text"):
 
 
 # ---------------------------------------------------------------------------
+# Gopher-rule composite quality filter
+# ---------------------------------------------------------------------------
+
+# the stopword list the filter checks against: union of the language
+# profiles above (single source of truth — the DuckDB oracle mirror in
+# pipelines/queries_ext.py interpolates THIS set, sorted)
+GOPHER_STOPWORDS: frozenset[str] = frozenset().union(*_PROFILES.values())
+
+# rule names in evaluation order (first failure wins)
+GOPHER_RULES = ("too_few_words", "too_many_words", "word_length",
+                "non_alpha", "stopwords", "repetition")
+
+
+def gopher_filter(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                  min_words: int = 50, max_words: int = 100_000,
+                  stopwords: frozenset[str] = GOPHER_STOPWORDS,
+                  min_stop: int = 2):
+    """Composite document-quality filter after Gopher (Rae et al. 2021,
+    appendix A1.1), map-only and fully SQL-mirrorable: every rule is an
+    integer comparison over per-word aggregates (no float ratios), so the
+    DuckDB oracle reproduces it bit-exactly.
+
+    Rules, in order (first failing rule is reported):
+    - ``too_few_words`` / ``too_many_words``: word count outside
+      [min_words, max_words] (words = single-space split, like the dedup
+      stages; Gopher's 50..100k defaults);
+    - ``word_length``: mean word length outside [3, 10] chars, checked as
+      3*n_words <= total_word_chars <= 10*n_words;
+    - ``non_alpha``: fewer than 80% of words contain an alphabetic
+      character (5*n_alpha_words < 4*n_words);
+    - ``stopwords``: fewer than ``min_stop`` DISTINCT stopwords from the
+      ``stopwords`` list present (default: ``GOPHER_STOPWORDS``);
+    - ``repetition``: the most frequent word covers more than 20% of the
+      doc (5*top_word_count > n_words) — the word-level analog of
+      Gopher's duplicate-line fractions for unpunctuated corpora.
+
+    Returns (doc_id, keep, fail_reason) — ``fail_reason`` null when kept.
+    """
+    import pandas as pd
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        n = len(ids)
+        if not n:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "keep": pa.array([], type=pa.bool_()),
+                             "fail_reason": pa.array([], type=pa.string())})
+        words = pc.split_pattern(pc.fill_null(b[text_col].combine_chunks(), ""), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy()
+        n_words = np.diff(offsets).astype(np.int64)
+        flat = words.values
+        doc_idx = np.repeat(np.arange(n), n_words)
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonspace = np.bincount(doc_idx, weights=wlen, minlength=n).astype(np.int64)
+        alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+            zero_copy_only=False
+        )
+        n_alpha = np.bincount(doc_idx[alpha], minlength=n).astype(np.int64)
+        fw = flat.to_pandas()
+        is_stop = fw.isin(stopwords).to_numpy()
+        sdf = pd.DataFrame({"d": doc_idx[is_stop], "w": fw[is_stop]})
+        n_stop = np.zeros(n, dtype=np.int64)
+        if len(sdf):
+            per = sdf.drop_duplicates().groupby("d").size()
+            n_stop[per.index.to_numpy()] = per.to_numpy()
+        codes, _ = pd.factorize(fw, sort=False)
+        per_wc = pd.DataFrame({"d": doc_idx, "c": codes}).groupby(
+            ["d", "c"], sort=False
+        ).size().groupby(level=0).max()
+        top_word = np.zeros(n, dtype=np.int64)
+        top_word[per_wc.index.to_numpy()] = per_wc.to_numpy()
+
+        reason = np.full(n, None, dtype=object)
+        checks = [
+            ("too_few_words", n_words < min_words),
+            ("too_many_words", n_words > max_words),
+            ("word_length", (nonspace < 3 * n_words) | (nonspace > 10 * n_words)),
+            ("non_alpha", 5 * n_alpha < 4 * n_words),
+            ("stopwords", n_stop < min_stop),
+            ("repetition", 5 * top_word > n_words),
+        ]
+        for name, bad in checks:
+            hit = bad & (reason == None)  # noqa: E711 - elementwise
+            reason[hit] = name
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "keep": pa.array(reason == None),  # noqa: E711
+            "fail_reason": pa.array(reason, type=pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting (winnowing)
 # ---------------------------------------------------------------------------
 

@@ -127,6 +127,63 @@ def test_heavy_hitters_exact_even_with_tiny_sketch(ray_session):
     assert len(want) > 0  # the test actually asserts something
 
 
+def _brute_gopher(docs: dict[int, str], *, min_words: int, stops: frozenset,
+                  min_stop: int = 2) -> pd.DataFrame:
+    import re
+
+    rows = []
+    for doc_id in sorted(docs):
+        words = (docs[doc_id] or "").split(" ")
+        nw = len(words)
+        nonspace = sum(len(w) for w in words)
+        n_alpha = sum(1 for w in words if re.search("[A-Za-z]", w))
+        n_stop = len({w for w in words if w in stops})
+        top = max(collections.Counter(words).values())
+        reason = None
+        if nw < min_words:
+            reason = "too_few_words"
+        elif nw > 100_000:
+            reason = "too_many_words"
+        elif nonspace < 3 * nw or nonspace > 10 * nw:
+            reason = "word_length"
+        elif 5 * n_alpha < 4 * nw:
+            reason = "non_alpha"
+        elif n_stop < min_stop:
+            reason = "stopwords"
+        elif 5 * top > nw:
+            reason = "repetition"
+        rows.append({"doc_id": doc_id, "keep": reason is None,
+                     "fail_reason": reason})
+    return pd.DataFrame(rows)
+
+
+def test_gopher_filter_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import gopher_filter
+
+    rng = np.random.default_rng(17)
+    stops = frozenset({"the", "and", "of"})
+    vocab = [f"w{i}" for i in range(40)] + ["the", "and", "of", "99", "!!"]
+    docs = {}
+    for i in range(60):
+        nw = int(rng.integers(3, 30))
+        docs[i] = " ".join(rng.choice(vocab, nw))
+    docs[60] = "and " + " ".join(["the"] * 11)            # repetition (stops ok)
+    docs[61] = " ".join(["aaaaaaaaaaaaaaaa"] * 10)        # word_length
+    docs[62] = " ".join(["123", "456", "789"] * 5)        # non_alpha (len ok)
+    docs[63] = ""                                         # empty
+    docs[64] = "the and " + " ".join(f"word{j}" for j in range(20))  # keeper
+    pdf = pd.DataFrame({"doc_id": list(docs), "text": [docs[k] for k in docs]})
+    got = (gopher_filter(rd.from_pandas(pdf), min_words=5, stopwords=stops)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = _brute_gopher(docs, min_words=5, stops=stops)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert set(got["fail_reason"].dropna()) >= {"too_few_words", "word_length",
+                                                "non_alpha", "repetition"}
+    assert bool(got.loc[got["doc_id"] == 64, "keep"].iloc[0])
+
+
 def test_length_quantiles_matches_sorted_pick(ray_session):
     import ray.data as rd
 

@@ -25,6 +25,7 @@ SQL_CHECKED = [
     "heavy_hitters",
     "length_quantiles",
     "neardup_keep",
+    "gopher_filter",
 ]
 
 SQL_CHECKED_REL = [
