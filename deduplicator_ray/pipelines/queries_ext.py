@@ -1131,6 +1131,35 @@ SELECT doc_id, fail_reason IS NULL AS keep, fail_reason FROM (
 """
 
 
+_SHUFFLE_SEED = 42
+
+
+def q_corpus_shuffle(sf_dir: str):
+    """Deterministic global training shuffle (stages/shuffle.py:
+    deterministic_shuffle): a seeded exact permutation of the corpus via
+    order-preserving key-range buckets — distributed rank with no global
+    sort shuffle and no per-row Python."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import deterministic_shuffle
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return deterministic_shuffle(ds, seed=_SHUFFLE_SEED, num_buckets=64)
+
+
+def _sql_corpus_shuffle() -> str:
+    from deduplicator_ray.stages.shuffle import SHUFFLE_MULT
+
+    # HUGEINT arithmetic reproduces numpy uint64 wraparound bit-exactly
+    return f"""
+SELECT doc_id, CAST(row_number() OVER (
+  ORDER BY (CAST(doc_id AS HUGEINT) + {_SHUFFLE_SEED}) * {SHUFFLE_MULT}
+           % 18446744073709551616
+) - 1 AS BIGINT) AS position
+FROM documents
+"""
+
+
 def q_neardup_keep(sf_dir: str):
     """The cleaned-corpus selection — keep ONE representative per
     near-duplicate cluster (the min doc_id), flag every other member for
@@ -1214,4 +1243,5 @@ def registry_ext():
         "length_quantiles": (q_length_quantiles, _SQL_LENGTH_QUANTILES),
         "neardup_keep": (q_neardup_keep, _SQL_NEARDUP_KEEP),
         "gopher_filter": (q_gopher_filter, _sql_gopher_filter()),
+        "corpus_shuffle": (q_corpus_shuffle, _sql_corpus_shuffle()),
     }

@@ -1,0 +1,99 @@
+"""Deterministic global corpus shuffle — the "shuffle before training"
+operator: assign every document a stable pseudo-random global POSITION,
+reproducible across runs/workers/cluster sizes.
+
+Key design: position = global rank of a multiplicative-Weyl key
+``key = (doc_id + seed) * C  mod 2^64`` (odd C, so the map is a
+bijection — distinct docs never collide, the permutation is exact, and
+both numpy uint64 wraparound and DuckDB HUGEINT arithmetic reproduce it
+bit-for-bit — no per-row Python hashing anywhere).
+
+Distributed rank WITHOUT a global sort shuffle: the top byte of the key
+is an ORDER-PRESERVING bucket (every key in bucket b sorts before every
+key in bucket b+1), so
+  1. one map pass emits (doc_id, key, bucket) — 17 B/row;
+  2. bucket row-counts (256 tiny rows) collect to the driver and prefix-
+     sum into offsets, broadcast back;
+  3. each bucket independently sorts its keys and adds its offset —
+     rank = offset[bucket] + local rank.
+Wall-clock is one small-row shuffle + embarrassingly-parallel per-bucket
+sorts; document payloads never move.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# golden-ratio odd multiplier (same constant family as the n-gram
+# combiner); odd => bijective mod 2^64
+SHUFFLE_MULT = 0x9E3779B97F4A7C15
+
+
+def shuffle_key(doc_ids: np.ndarray, seed: int) -> np.ndarray:
+    """uint64 Weyl key; vectorized, overflow-wrapping by construction."""
+    with np.errstate(over="ignore"):
+        return (doc_ids.astype(np.uint64) + np.uint64(seed)) * np.uint64(
+            SHUFFLE_MULT
+        )
+
+
+def deterministic_shuffle(ds, *, seed: int = 0, id_col: str = "doc_id",
+                          num_buckets: int = 256):
+    """(doc_id, position) — a seeded global permutation of the corpus.
+
+    ``num_buckets`` must divide 256 ranges evenly; buckets are the top
+    bits of the key so concatenating buckets in bucket order IS the
+    sorted order (order-preserving partitioning — the same property a
+    range-partitioned sort relies on, but the ranges are known a priori
+    because keys are uniform by construction).
+    """
+    from deduplicator_ray.stages.exact import hash_bucket  # noqa: F401 (pattern parity)
+
+    if not (2 <= num_buckets <= 65536) or (num_buckets & (num_buckets - 1)):
+        raise ValueError("num_buckets must be a power of two in [2, 65536]")
+    shift = np.uint64(64 - int(num_buckets).bit_length() + 1)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        k = shuffle_key(ids, seed)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "key": pa.array(k),
+            "_part": pa.array((k >> shift).astype(np.int32)),
+        })
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    # tiny: one row per (block, bucket)
+    def count_parts(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b["_part"].to_numpy(), return_counts=True)
+        return pa.table({"_part": pa.array(u.astype(np.int32)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    counts = keyed_ds.map_batches(
+        count_parts, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    per_bucket = counts.groupby("_part")["c"].sum()
+    full = np.zeros(num_buckets, dtype=np.int64)
+    full[per_bucket.index.to_numpy()] = per_bucket.to_numpy()
+    offsets = np.zeros(num_buckets, dtype=np.int64)
+    np.cumsum(full[:-1], out=offsets[1:])
+
+    import ray
+
+    off_ref = ray.put(offsets)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["_part"].iloc[0])
+        keys = g["key"].to_numpy(np.uint64)
+        order = np.argsort(keys, kind="stable")  # keys are distinct (bijection)
+        pos = np.empty(len(keys), dtype=np.int64)
+        pos[order] = ray.get(off_ref)[part] + np.arange(len(keys), dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "position": pos,
+        })
+
+    return keyed_ds.groupby("_part").map_groups(rank, batch_format="pandas")

@@ -184,6 +184,38 @@ def test_gopher_filter_matches_bruteforce(ray_session):
     assert bool(got.loc[got["doc_id"] == 64, "keep"].iloc[0])
 
 
+def test_deterministic_shuffle_is_seeded_permutation(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import (
+        deterministic_shuffle,
+        shuffle_key,
+    )
+
+    ids = np.array([0, 1, 5, 7, 100, 2**40, 12345, 9, 8, 77], dtype=np.int64)
+    pdf = pd.DataFrame({"doc_id": ids})
+    got = (deterministic_shuffle(rd.from_pandas(pdf).repartition(3), seed=7,
+                                 num_buckets=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # brute force: rank of the Weyl key
+    keys = shuffle_key(ids, 7)
+    want = pd.DataFrame({"doc_id": np.sort(ids)})
+    rank = np.empty(len(ids), dtype=np.int64)
+    rank[np.argsort(keys, kind="stable")] = np.arange(len(ids))
+    want["position"] = rank[np.argsort(ids, kind="stable")]
+    pd.testing.assert_frame_equal(got, want)
+    # a permutation: every position exactly once
+    assert sorted(got["position"]) == list(range(len(ids)))
+    # different seed -> different permutation (overwhelmingly)
+    got2 = (deterministic_shuffle(rd.from_pandas(pdf), seed=8, num_buckets=8)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert not got2["position"].equals(got["position"])
+    # same seed reproduces bit-exactly at a different bucket count
+    got3 = (deterministic_shuffle(rd.from_pandas(pdf), seed=7, num_buckets=32)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got3, got)
+
+
 def test_length_quantiles_matches_sorted_pick(ray_session):
     import ray.data as rd
 

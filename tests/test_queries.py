@@ -26,6 +26,7 @@ SQL_CHECKED = [
     "length_quantiles",
     "neardup_keep",
     "gopher_filter",
+    "corpus_shuffle",
 ]
 
 SQL_CHECKED_REL = [
