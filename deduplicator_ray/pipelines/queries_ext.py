@@ -999,8 +999,8 @@ def q_span_dedup(sf_dir: str):
 # interval join, rebuild via ordered string_agg of uncovered words.
 _SQL_SPAN_DEDUP = f"""
 WITH w AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-         unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS word,
+         unnest(range(1, len(string_split(COALESCE(text, ''), ' ')) + 1)) AS ord
   FROM documents
 ), g AS (
   SELECT doc_id, ord,
@@ -1064,8 +1064,10 @@ def q_length_quantiles(sf_dir: str):
                             qs=(25, 50, 90))
 
 
+# count(n_chars) (non-null), matching quantile_disc's null handling and
+# length_quantiles' notna filter
 _SQL_LENGTH_QUANTILES = """
-SELECT lang, CAST(count(*) AS BIGINT) AS n,
+SELECT lang, CAST(count(n_chars) AS BIGINT) AS n,
        CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
        CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
        CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90
@@ -1101,7 +1103,9 @@ def q_gopher_filter(sf_dir: str):
 
 
 def _sql_gopher_filter() -> str:
-    stop_sql = ", ".join(f"'{w}'" for w in sorted(_gopher_stoplist()))
+    stop_sql = ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(_gopher_stoplist())
+    )
     return f"""
 WITH w AS (
   SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS word

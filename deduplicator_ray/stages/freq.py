@@ -57,6 +57,16 @@ def heavy_hitters(ds, *, min_ppm: int = 1000, sketch_size: int = 4096,
     candidate words per block, and one tiny shuffle sums those partials.
     The output is therefore exact, not approximate: the sketch only
     proposes, the count pass disposes.
+
+    Completeness precondition: the candidate superset is provably
+    complete only while ``threshold > E`` — a word truncated to zero in
+    EVERY block never reaches the merged sketch, and MG only bounds its
+    global undercount by E, so when E >= threshold such a word could be
+    a true heavy hitter.  When that happens (sketch too small for the
+    block count / threshold combination) this function AUTO-FALLS-BACK
+    to exact counting of all words (one full-vocabulary shuffle): always
+    correct, just no longer sketch-bounded.  Size ``sketch_size`` >
+    1e6/min_ppm per expected block count to stay on the sketch path.
     """
     import ray
 
@@ -100,16 +110,33 @@ def heavy_hitters(ds, *, min_ppm: int = 1000, sketch_size: int = 4096,
     n_total = int(sk.loc[sk["tag"] == _TAG_TOTAL, "cnt"].sum())
     err = int(sk.loc[sk["tag"] == _TAG_ERR, "cnt"].sum())
     threshold = -(-n_total * min_ppm // 1_000_000)  # ceil
-    wordrows = sk[sk["tag"] == _TAG_WORD]
-    cand = wordrows.loc[
-        wordrows["cnt"] >= threshold - err, "word"
-    ].to_numpy(object)
-    cand_ref = ray.put(pd.Index(cand))
+    sketch_complete = threshold > err or n_total == 0
+    if sketch_complete:
+        wordrows = sk[sk["tag"] == _TAG_WORD]
+        cand = wordrows.loc[
+            wordrows["cnt"] >= threshold - err, "word"
+        ].to_numpy(object)
+        cand_ref = ray.put(pd.Index(cand))
+    else:
+        # a word clipped to zero in every block is invisible to the merged
+        # sketch yet could still reach `threshold` globally when
+        # err >= threshold — the candidate pass cannot be trusted, count
+        # everything (correct, unbounded shuffle; see docstring)
+        import warnings
+
+        warnings.warn(
+            f"heavy_hitters: summed MG error {err} >= threshold {threshold}; "
+            "sketch completeness not guaranteed — falling back to exact "
+            "full-vocabulary counting (raise sketch_size to avoid this)",
+            stacklevel=2,
+        )
+        cand_ref = None
 
     def exact(b: pa.Table) -> pa.Table:
         flat = _flat_words(b[text_col].combine_chunks())
         vc = flat.value_counts()
-        vc = vc[vc.index.isin(ray.get(cand_ref))]
+        if cand_ref is not None:
+            vc = vc[vc.index.isin(ray.get(cand_ref))]
         return pa.table({
             "word": pa.array(vc.index.to_numpy(object), type=pa.string()),
             "n": pa.array(vc.to_numpy(np.int64)),
@@ -140,13 +167,17 @@ def length_quantiles(ds, *, group_col: str = "lang",
     (0-based); ``qs`` are integer percents so the index arithmetic stays
     in integers (no float-ceil hazard).
 
-    Returns a pandas DataFrame (group, n, p<q>...) sorted by group.
+    NULL values are ignored, exactly as ``quantile_disc`` ignores them
+    (``n`` counts non-null values; a group whose values are all null
+    contributes no row).  Returns a pandas DataFrame
+    (group, n, p<q>...) sorted by group.
     """
     def partial(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({
             "g": b[group_col].to_pandas(),
             "v": b[value_col].to_pandas(),
         })
+        df = df[df["v"].notna()]
         out = df.groupby(["g", "v"], sort=False, dropna=False).size()
         out = out.rename("c").reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)

@@ -43,20 +43,28 @@ def deterministic_shuffle(ds, *, seed: int = 0, id_col: str = "doc_id",
                           num_buckets: int = 256):
     """(doc_id, position) — a seeded global permutation of the corpus.
 
-    ``num_buckets`` must divide 256 ranges evenly; buckets are the top
-    bits of the key so concatenating buckets in bucket order IS the
-    sorted order (order-preserving partitioning — the same property a
-    range-partitioned sort relies on, but the ranges are known a priori
-    because keys are uniform by construction).
-    """
-    from deduplicator_ray.stages.exact import hash_bucket  # noqa: F401 (pattern parity)
+    ``num_buckets`` must be a power of two in [2, 65536]: buckets are the
+    top log2(num_buckets) bits of the key, so concatenating buckets in
+    bucket order IS the sorted order (order-preserving partitioning — the
+    same property a range-partitioned sort relies on, but the ranges are
+    known a priori because keys are uniform by construction).
 
+    ``doc_id`` and ``seed`` must be non-negative: numpy's int64->uint64
+    wrap and DuckDB's HUGEINT ``%`` disagree on negatives, which would
+    break the oracle bit-parity (enforced at runtime).
+    """
     if not (2 <= num_buckets <= 65536) or (num_buckets & (num_buckets - 1)):
         raise ValueError("num_buckets must be a power of two in [2, 65536]")
+    if seed < 0:
+        raise ValueError("seed must be non-negative")
     shift = np.uint64(64 - int(num_buckets).bit_length() + 1)
 
     def keyed(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy().astype(np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError(
+                "deterministic_shuffle requires non-negative doc ids"
+            )
         k = shuffle_key(ids, seed)
         return pa.table({
             "doc_id": pa.array(ids),

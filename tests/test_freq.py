@@ -184,6 +184,26 @@ def test_gopher_filter_matches_bruteforce(ray_session):
     assert bool(got.loc[got["doc_id"] == 64, "keep"].iloc[0])
 
 
+def test_heavy_hitters_fallback_when_sketch_cannot_guarantee(ray_session):
+    """A word truncated to zero in EVERY block is invisible to the merged
+    sketch; when summed error >= threshold the operator must fall back to
+    exact counting rather than silently dropping it."""
+    import warnings
+
+    import ray.data as rd
+
+    texts = [" ".join(["z1"] * 10 + ["w"] * 5),
+             " ".join(["z2"] * 10 + ["w"] * 5)]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # the documented fallback warning
+        got = (heavy_hitters(ds, min_ppm=1000, sketch_size=1, num_buckets=2)
+               .to_pandas().sort_values("word").reset_index(drop=True))
+    want = _brute_heavy(texts, 1000)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert "w" in set(got["word"])  # the sketch-invisible heavy hitter
+
+
 def test_deterministic_shuffle_is_seeded_permutation(ray_session):
     import ray.data as rd
 
