@@ -1,0 +1,326 @@
+"""End-to-end training-corpus CLEANING pipeline + CLI — the LLM-data
+composition the dedup engine exists for:
+
+    python -m deduplicator_ray.pipelines.clean_pipeline \
+        --corpus /path/docs_parquet --out /tmp/clean_out \
+        [--min-words 50] [--span-ngram 8] [--jaccard 0.8] [--seed 0] \
+        [--no-filter] [--no-neardup] [--no-span] [--force]
+
+Stages (each a resumable checkpoint under --out, see state/checkpoint.py;
+a rerun with the same config + input skips completed stages):
+
+    filtered    Gopher-rule quality filter (stages/textstats.gopher_filter,
+                annotate mode) — drops failing docs, keeps a reason census
+    survivors   near-duplicate removal: MinHash -> LSH -> CC clusters
+                (pipelines/neardup.cluster_near_duplicates), keep ONE
+                representative per cluster (the min doc_key)
+    spandedup   ExactSubstr-style duplicated-span removal inside the
+                survivors (stages/sentdedup.span_dedup)
+    shuffled    deterministic global training shuffle: every doc gets a
+                seeded exact permutation position
+                (stages/shuffle.deterministic_shuffle); the stage output
+                IS the cleaned corpus (doc_key, text, position), written
+                as partitioned parquet
+
+REPORT.json records the per-stage funnel (docs in/out, drop reasons,
+near-dup clusters collapsed, span words removed) — the cleaning analog
+of the exact pipeline's dedup report.
+
+Scale shape: every stage is the already-audited distributed operator —
+the only driver-side materializations are the near-dup assignment table
+(clustered docs only) and the 6-row reason census; duplicate-id removal
+broadcasts the id set up to --max-broadcast and falls back to a
+co-partitioned anti-join beyond it, so document text never rides a
+shuffle outside the span-dedup rebuild's own co-partition fallback.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from deduplicator_ray.config import MinHashConfig
+from deduplicator_ray.state.checkpoint import (
+    StageCheckpoint,
+    input_fingerprint,
+    run_stage,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Ray-Data-native corpus cleaning")
+    p.add_argument("--corpus", required=True,
+                   help="parquet docs table: (doc_id|url+warc_ts, text)")
+    p.add_argument("--out", required=True, help="output/checkpoint root")
+    p.add_argument("--min-words", type=int, default=50)
+    p.add_argument("--max-words", type=int, default=100_000)
+    p.add_argument("--min-stop", type=int, default=2)
+    p.add_argument("--extra-stopwords", default="",
+                   help="comma-separated corpus-specific additions to the "
+                        "Gopher stoplist (e.g. 'a' for the synthetic corpus)")
+    p.add_argument("--span-ngram", type=int, default=8)
+    p.add_argument("--bands", type=int, default=32)
+    p.add_argument("--rows-per-band", type=int, default=4)
+    p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-broadcast", type=int, default=2_000_000)
+    p.add_argument("--no-filter", dest="do_filter", action="store_false")
+    p.add_argument("--no-neardup", dest="do_neardup", action="store_false")
+    p.add_argument("--no-span", dest="do_span", action="store_false")
+    p.set_defaults(do_filter=True, do_neardup=True, do_span=True)
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="only when this process owns ray.init")
+    return p
+
+
+def drop_ids(ds, ids: np.ndarray, *, key_col: str = "doc_key",
+             max_broadcast: int = 2_000_000, num_buckets: int = 64):
+    """Anti-join: remove rows whose ``key_col`` is in ``ids``.
+
+    Small id sets (the common case — near-dup non-representatives are a
+    corpus-dependent minority) broadcast once via ``ray.put`` and every
+    task filters map-side; beyond ``max_broadcast`` the ids co-partition
+    with the data on the key (one shuffle of the data, tags only for the
+    id side)."""
+    import ray
+
+    ids = np.sort(np.asarray(ids, dtype=np.int64))
+    if len(ids) <= max_broadcast:
+        ref = ray.put(ids)
+
+        def f(b: pa.Table) -> pa.Table:
+            k = b[key_col].to_numpy().astype(np.int64)
+            drop = ray.get(ref)
+            if not len(drop) or not len(k):
+                return b
+            pos = np.searchsorted(drop, k)
+            hit = (pos < len(drop)) & (drop[np.minimum(pos, len(drop) - 1)] == k)
+            return b.filter(pa.array(~hit))
+
+        return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    id_ds = rd.from_arrow(pa.table({key_col: pa.array(ids)}))
+
+    def tag(src: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "_src", pa.array(np.full(b.num_rows, src, dtype=np.int8))
+            )
+        return f
+
+    both = ds.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        id_ds.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    both = hash_bucket(both, key_col, num_buckets)
+
+    def anti(g):
+        drop = set(g.loc[g["_src"] == 1, key_col])
+        keep = g[(g["_src"] == 0) & ~g[key_col].isin(drop)]
+        return keep.drop(columns=["_src", "_part"])
+
+    return both.groupby("_part").map_groups(anti, batch_format="pandas")
+
+
+def _reason_census(flt_ds) -> dict:
+    """6-distinct-value histogram via per-block partial counts."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = b["fail_reason"].to_pandas().value_counts(dropna=True)
+        return pa.table({
+            "reason": pa.array(vc.index.to_numpy(object), type=pa.string()),
+            "c": pa.array(vc.to_numpy(np.int64)),
+        })
+
+    pdf = flt_ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    if "reason" not in pdf.columns:
+        return {}
+    out = pdf.groupby("reason")["c"].sum().sort_index()
+    return {str(k): int(v) for k, v in out.items()}
+
+
+def run(args) -> dict:
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines.neardup import (
+        cluster_near_duplicates,
+        ensure_doc_key,
+    )
+    from deduplicator_ray.stages.sentdedup import span_dedup
+    from deduplicator_ray.stages.shuffle import deterministic_shuffle
+    from deduplicator_ray.stages.textstats import gopher_filter
+
+    mh = MinHashConfig(bands=args.bands, rows_per_band=args.rows_per_band,
+                       num_perms=args.bands * args.rows_per_band,
+                       jaccard_threshold=args.jaccard)
+    chash = "|".join(str(x) for x in (
+        "clean1", args.min_words, args.max_words, args.min_stop,
+        args.span_ngram, args.bands, args.rows_per_band, args.jaccard,
+        args.seed, args.do_filter, args.do_neardup, args.do_span,
+        ",".join(sorted(w for w in args.extra_stopwords.split(",") if w)),
+    ))
+    fp = input_fingerprint(args.corpus)
+    out = args.out
+    os.makedirs(out, exist_ok=True)
+    report: dict = {"config_hash": chash}
+
+    base = ensure_doc_key(rd.read_parquet(args.corpus))
+    cols = [c for c in ("doc_key", "text") if c in base.schema().names]
+    base = base.select_columns(cols)
+    report["input_docs"] = base.count()
+
+    # -- stage 1: quality filter ---------------------------------------
+    if args.do_filter:
+        ck = StageCheckpoint(out, "filtered", config_hash=chash,
+                             input_fingerprint=fp)
+
+        from deduplicator_ray.stages.textstats import GOPHER_STOPWORDS
+
+        stoplist = GOPHER_STOPWORDS | frozenset(
+            w for w in args.extra_stopwords.split(",") if w
+        )
+
+        def build_filtered():
+            flt = gopher_filter(base, id_col="doc_key",
+                                min_words=args.min_words,
+                                max_words=args.max_words,
+                                min_stop=args.min_stop,
+                                stopwords=stoplist,
+                                output="annotate")
+            return flt
+
+        flt_ds, m, skipped = run_stage(ck, build_filtered, force=args.force)
+        census_path = os.path.join(out, "filtered", "_census.json")
+        if skipped and os.path.exists(census_path):
+            with open(census_path) as f:
+                report["drop_reasons"] = json.load(f)
+        else:
+            report["drop_reasons"] = _reason_census(flt_ds)
+            with open(census_path, "w") as f:
+                json.dump(report["drop_reasons"], f)
+        def keep_only(b: pa.Table) -> pa.Table:
+            kept = b.filter(b["keep"].combine_chunks())
+            return kept.select(["doc_key", "text"])
+
+        docs = flt_ds.map_batches(keep_only, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        # keep the survivor count cheap: census already counted the drops
+        report["after_filter"] = report["input_docs"] - sum(
+            report["drop_reasons"].values()
+        )
+    else:
+        docs = base
+        report["after_filter"] = report["input_docs"]
+
+    # -- stage 2: near-dup keep-one --------------------------------------
+    if args.do_neardup:
+        ck = StageCheckpoint(out, "survivors", config_hash=chash,
+                             input_fingerprint=fp)
+
+        def build_survivors():
+            _edges, asg = cluster_near_duplicates(docs, mh)
+            import pandas as pd
+
+            pdf = asg if isinstance(asg, pd.DataFrame) else asg.to_pandas()
+            dup_ids = pdf.loc[
+                pdf["doc_key"] != pdf["cluster_id"], "doc_key"
+            ].to_numpy(np.int64)
+            report["neardup_clustered"] = int(len(pdf))
+            report["neardup_removed"] = int(len(dup_ids))
+            return drop_ids(docs, dup_ids, max_broadcast=args.max_broadcast)
+
+        docs, m, skipped = run_stage(ck, build_survivors, force=args.force)
+        report["after_neardup"] = m["total_rows"]
+        if skipped:
+            report.setdefault(
+                "neardup_removed", report["after_filter"] - m["total_rows"]
+            )
+    else:
+        report["after_neardup"] = report["after_filter"]
+
+    # -- stage 3: duplicated-span removal --------------------------------
+    if args.do_span:
+        ck = StageCheckpoint(out, "spandedup", config_hash=chash,
+                             input_fingerprint=fp)
+
+        def build_span():
+            sd = span_dedup(docs, ngram=args.span_ngram,
+                            max_broadcast=args.max_broadcast,
+                            id_col="doc_key")
+
+            def rename(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    "doc_key": b["doc_id"],
+                    "text": b["text_dedup"],
+                    "removed_words": b["removed_words"],
+                })
+
+            return sd.map_batches(rename, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+        docs, m, _ = run_stage(ck, build_span, force=args.force)
+        sums = docs.map_batches(
+            lambda b: pa.table({"s": pa.array(
+                [b["removed_words"].to_numpy().sum()], type=pa.int64()
+            )}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).to_pandas()
+        report["span_words_removed"] = (
+            int(sums["s"].sum()) if "s" in sums.columns else 0
+        )
+        docs = docs.select_columns(["doc_key", "text"])
+
+    # -- stage 4: deterministic shuffle + final output --------------------
+    ck = StageCheckpoint(out, "shuffled", config_hash=chash,
+                         input_fingerprint=fp)
+
+    def build_shuffled():
+        from deduplicator_ray.stages.joins import hash_join
+        from deduplicator_ray.util import auto_partitions
+
+        pos = deterministic_shuffle(docs, seed=args.seed, id_col="doc_key")
+        pos = pos.map_batches(
+            lambda b: pa.table({"doc_key": b["doc_id"],
+                                "position": b["position"]}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        return hash_join(
+            docs, pos, on=("doc_key",), num_partitions=auto_partitions(),
+            out_schema={"doc_key": pa.int64(), "text": pa.string(),
+                        "position": pa.int64()},
+        )
+
+    final_ds, m, _ = run_stage(ck, build_shuffled, force=args.force)
+    report["output_docs"] = m["total_rows"]
+    report["output_dir"] = os.path.join(out, "shuffled", "data")
+
+    with open(os.path.join(out, "REPORT.json"), "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True)
+    return report
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    import ray
+
+    if not ray.is_initialized():  # the driver may own the session
+        kw = {"include_dashboard": False}
+        if args.num_cpus:
+            kw["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kw)
+    return run(args)
+
+
+if __name__ == "__main__":
+    r = main()
+    print(json.dumps(r, indent=2, sort_keys=True))

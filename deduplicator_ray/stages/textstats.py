@@ -170,7 +170,7 @@ GOPHER_RULES = ("too_few_words", "too_many_words", "word_length",
 def gopher_filter(ds, *, id_col: str = "doc_id", text_col: str = "text",
                   min_words: int = 50, max_words: int = 100_000,
                   stopwords: frozenset[str] = GOPHER_STOPWORDS,
-                  min_stop: int = 2):
+                  min_stop: int = 2, output: str = "project"):
     """Composite document-quality filter after Gopher (Rae et al. 2021,
     appendix A1.1), map-only and fully SQL-mirrorable: every rule is an
     integer comparison over per-word aggregates (no float ratios), so the
@@ -190,17 +190,27 @@ def gopher_filter(ds, *, id_col: str = "doc_id", text_col: str = "text",
       doc (5*top_word_count > n_words) — the word-level analog of
       Gopher's duplicate-line fractions for unpunctuated corpora.
 
-    Returns (doc_id, keep, fail_reason) — ``fail_reason`` null when kept.
+    ``output="project"`` returns (doc_id, keep, fail_reason) —
+    ``fail_reason`` null when kept; ``output="annotate"`` keeps the input
+    columns and appends keep/fail_reason (for in-pipeline filtering).
     """
     import pandas as pd
+
+    if output not in ("project", "annotate"):
+        raise ValueError("output must be 'project' or 'annotate'")
 
     def f(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy().astype(np.int64)
         n = len(ids)
         if not n:
+            empty_keep = pa.array([], type=pa.bool_())
+            empty_reason = pa.array([], type=pa.string())
+            if output == "annotate":
+                return b.append_column("keep", empty_keep).append_column(
+                    "fail_reason", empty_reason)
             return pa.table({"doc_id": pa.array([], type=pa.int64()),
-                             "keep": pa.array([], type=pa.bool_()),
-                             "fail_reason": pa.array([], type=pa.string())})
+                             "keep": empty_keep,
+                             "fail_reason": empty_reason})
         words = pc.split_pattern(pc.fill_null(b[text_col].combine_chunks(), ""), " ")
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
@@ -240,10 +250,15 @@ def gopher_filter(ds, *, id_col: str = "doc_id", text_col: str = "text",
         for name, bad in checks:
             hit = bad & (reason == None)  # noqa: E711 - elementwise
             reason[hit] = name
+        keep_arr = pa.array(reason == None)  # noqa: E711
+        reason_arr = pa.array(reason, type=pa.string())
+        if output == "annotate":
+            return b.append_column("keep", keep_arr).append_column(
+                "fail_reason", reason_arr)
         return pa.table({
             "doc_id": pa.array(ids),
-            "keep": pa.array(reason == None),  # noqa: E711
-            "fail_reason": pa.array(reason, type=pa.string()),
+            "keep": keep_arr,
+            "fail_reason": reason_arr,
         })
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,85 @@
+"""End-to-end corpus-cleaning CLI tests (pipelines/clean_pipeline.py):
+funnel correctness, output permutation, stage resume, and the drop_ids
+broadcast/co-partition path equivalence."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from deduplicator_ray.pipelines.clean_pipeline import build_parser, drop_ids, run
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(out, extra=()):
+    args = build_parser().parse_args([
+        "--corpus", f"{SF}/documents.parquet", "--out", str(out),
+        "--min-words", "40", "--extra-stopwords", "a", *extra,
+    ])
+    return run(args)
+
+
+def test_clean_pipeline_end_to_end(ray_session, tmp_path):
+    out = tmp_path / "clean"
+    rep = _run(out)
+    # funnel: monotone non-increasing, all stages accounted for
+    assert rep["input_docs"] == 500
+    assert rep["after_filter"] == rep["input_docs"] - sum(
+        rep["drop_reasons"].values()
+    )
+    assert rep["after_neardup"] == rep["after_filter"] - rep["neardup_removed"]
+    assert rep["output_docs"] == rep["after_neardup"]
+    assert rep["neardup_removed"] > 0  # the corpus plants near-dups
+
+    # the written output IS the cleaned corpus with a permutation position
+    files = [os.path.join(rep["output_dir"], f)
+             for f in os.listdir(rep["output_dir"]) if f.endswith(".parquet")]
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    assert sorted(df.columns) == ["doc_key", "position", "text"]
+    assert len(df) == rep["output_docs"]
+    assert sorted(df["position"]) == list(range(len(df)))  # exact permutation
+    assert df["doc_key"].is_unique
+
+    # REPORT.json persisted
+    with open(out / "REPORT.json") as f:
+        assert json.load(f)["output_docs"] == rep["output_docs"]
+
+
+def test_clean_pipeline_resume_skips_stages(ray_session, tmp_path, capsys):
+    out = tmp_path / "clean"
+    first = _run(out)
+    capsys.readouterr()
+    second = _run(out)
+    logs = capsys.readouterr().out
+    assert logs.count("[resume]") == 4  # all four stages skipped
+    assert second["output_docs"] == first["output_docs"]
+    assert second["drop_reasons"] == first["drop_reasons"]
+
+
+def test_clean_pipeline_span_catches_spans_without_neardup(ray_session, tmp_path):
+    rep = _run(tmp_path / "c1", extra=("--no-neardup",))
+    # near-dup docs stay in, so their shared spans must be span-deduped
+    assert rep["after_neardup"] == rep["after_filter"]
+    assert rep["span_words_removed"] > 0
+
+
+def test_drop_ids_paths_agree(ray_session):
+    import ray.data as rd
+
+    pdf = pd.DataFrame({"doc_key": np.arange(100, dtype=np.int64),
+                        "text": [f"t{i}" for i in range(100)]})
+    ids = np.array([3, 7, 50, 99], dtype=np.int64)
+    ds = rd.from_pandas(pdf).repartition(4)
+    a = (drop_ids(ds, ids, max_broadcast=1000).to_pandas()
+         .sort_values("doc_key").reset_index(drop=True))
+    b = (drop_ids(ds, ids, max_broadcast=0).to_pandas()
+         .sort_values("doc_key").reset_index(drop=True))
+    want = (pdf[~pdf["doc_key"].isin(ids)]
+            .sort_values("doc_key").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, want)
+    pd.testing.assert_frame_equal(b[["doc_key", "text"]], want)
