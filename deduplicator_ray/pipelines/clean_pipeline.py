@@ -174,10 +174,17 @@ def run(args) -> dict:
     os.makedirs(out, exist_ok=True)
     report: dict = {"config_hash": chash}
 
-    base = ensure_doc_key(rd.read_parquet(args.corpus))
-    cols = [c for c in ("doc_key", "text") if c in base.schema().names]
-    base = base.select_columns(cols)
-    report["input_docs"] = base.count()
+    # prune at the read: only the key-bearing columns + text leave storage
+    import pyarrow.dataset as pads
+
+    names = pads.dataset(args.corpus).schema.names
+    want = [c for c in ("doc_key", "doc_id", "id", "url", "warc_ts", "text")
+            if c in names]
+    raw = rd.read_parquet(args.corpus, columns=want)
+    # metadata-fast count on the untransformed read (ensure_doc_key would
+    # force a full corpus pass just to count inputs)
+    report["input_docs"] = raw.count()
+    base = ensure_doc_key(raw).select_columns(["doc_key", "text"])
 
     # -- stage 1: quality filter ---------------------------------------
     if args.do_filter:
@@ -285,8 +292,7 @@ def run(args) -> dict:
                          input_fingerprint=fp)
 
     def build_shuffled():
-        from deduplicator_ray.stages.joins import hash_join
-        from deduplicator_ray.util import auto_partitions
+        import ray
 
         pos = deterministic_shuffle(docs, seed=args.seed, id_col="doc_key")
         pos = pos.map_batches(
@@ -294,6 +300,31 @@ def run(args) -> dict:
                                 "position": b["position"]}),
             batch_format="pyarrow", zero_copy_batch=True,
         )
+        # the position table is 16 B/doc — broadcast-attach up to the cap
+        # (one corpus pass, no join); beyond it, co-partition join fallback
+        pos_pdf = None
+        if report["after_neardup"] <= args.max_broadcast:
+            pos_pdf = pos.to_pandas().sort_values("doc_key")
+        if pos_pdf is not None:
+            ids_ref = ray.put(pos_pdf["doc_key"].to_numpy(np.int64))
+            pos_ref = ray.put(pos_pdf["position"].to_numpy(np.int64))
+
+            def attach(b: pa.Table) -> pa.Table:
+                k = b["doc_key"].to_numpy().astype(np.int64)
+                ids, p = ray.get(ids_ref), ray.get(pos_ref)
+                idx = np.searchsorted(ids, k)
+                return pa.table({
+                    "doc_key": pa.array(k),
+                    "text": b["text"],
+                    "position": pa.array(p[idx]),
+                })
+
+            return docs.map_batches(attach, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+        from deduplicator_ray.stages.joins import hash_join
+        from deduplicator_ray.util import auto_partitions
+
         return hash_join(
             docs, pos, on=("doc_key",), num_partitions=auto_partitions(),
             out_schema={"doc_key": pa.int64(), "text": pa.string(),
