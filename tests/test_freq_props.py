@@ -1,0 +1,118 @@
+"""Property-based tests for the pure vectorized kernels behind span dedup
+(_ngram_occurrences, _rebuild_span_docs), the shuffle key, and the
+quantile index arithmetic — hypothesis hunts offset/boundary cases
+(empty docs, repeated spaces, windows straddling doc boundaries, ties)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from deduplicator_ray.stages.sentdedup import (
+    _ngram_occurrences,
+    _rebuild_span_docs,
+)
+from deduplicator_ray.stages.shuffle import shuffle_key
+
+word = st.text(alphabet="abc", min_size=0, max_size=3)
+doc = st.lists(word, min_size=1, max_size=30).map(" ".join)
+docs_strategy = st.lists(doc, min_size=1, max_size=12)
+n_strategy = st.integers(min_value=1, max_value=5)
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs_strategy, n_strategy)
+def test_ngram_occurrences_match_python_windows(docs, n):
+    g1, g2, didx, pos = _ngram_occurrences(pa.array(docs, type=pa.string()), n)
+    # occurrence positions == every in-doc window, in order
+    want = []
+    for i, t in enumerate(docs):
+        nw = len(t.split(" "))
+        want.extend((i, p) for p in range(nw - n + 1))
+    assert list(zip(didx.tolist(), pos.tolist())) == want
+    # hash equality == gram string equality on this tiny alphabet
+    grams = {}
+    for (i, p), a, b in zip(want, g1.tolist(), g2.tolist()):
+        gram = " ".join(docs[i].split(" ")[p:p + n])
+        grams.setdefault((a, b), set()).add(gram)
+    assert all(len(v) == 1 for v in grams.values())  # no 128-bit collision
+    # same string -> same hash (injectivity of the map gram -> (h1,h2))
+    by_gram = {}
+    for (i, p), a, b in zip(want, g1.tolist(), g2.tolist()):
+        gram = " ".join(docs[i].split(" ")[p:p + n])
+        by_gram.setdefault(gram, set()).add((a, b))
+    assert all(len(v) == 1 for v in by_gram.values())
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs_strategy, n_strategy)
+def test_span_rebuild_roundtrip_no_removals(docs, n):
+    ids = np.arange(len(docs), dtype=np.int64)
+    rem = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                        "pos": pd.Series(dtype="int64")})
+    out = _rebuild_span_docs(ids, pa.array(docs, type=pa.string()), rem, n)
+    assert out["doc_id"].tolist() == list(range(len(docs)))
+    assert out["text_dedup"].tolist() == docs
+    assert out["removed_words"].sum() == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs_strategy, n_strategy, st.data())
+def test_span_rebuild_removal_accounting(docs, n, data):
+    """For any removal set: removed_words + words(text_dedup) == n_words,
+    and the kept words are exactly the uncovered positions in order."""
+    ids = np.arange(len(docs), dtype=np.int64)
+    rem_rows = []
+    for i, t in enumerate(docs):
+        nw = len(t.split(" "))
+        if nw >= n:
+            k = data.draw(st.integers(min_value=0, max_value=min(3, nw - n + 1)))
+            ps = data.draw(st.lists(
+                st.integers(min_value=0, max_value=nw - n),
+                min_size=k, max_size=k, unique=True,
+            ))
+            rem_rows.extend((i, p) for p in ps)
+    rem = pd.DataFrame(rem_rows, columns=["doc_id", "pos"]).astype("int64") \
+        if rem_rows else pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                       "pos": pd.Series(dtype="int64")})
+    out = _rebuild_span_docs(ids, pa.array(docs, type=pa.string()), rem, n)
+    for i, t in enumerate(docs):
+        words = t.split(" ")
+        covered = set()
+        for _, r in rem[rem["doc_id"] == i].iterrows():
+            covered.update(range(int(r["pos"]), min(int(r["pos"]) + n, len(words))))
+        kept = [w for j, w in enumerate(words) if j not in covered]
+        row = out[out["doc_id"] == i].iloc[0]
+        assert row["text_dedup"] == " ".join(kept)
+        assert int(row["removed_words"]) == len(covered)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1,
+                max_size=50, unique=True),
+       st.integers(min_value=0, max_value=2**31))
+def test_shuffle_key_bijective_and_seeded(ids, seed):
+    a = shuffle_key(np.array(ids, dtype=np.int64), seed)
+    assert len(np.unique(a)) == len(ids)  # bijection: distinct ids -> distinct keys
+    b = shuffle_key(np.array(ids, dtype=np.int64), seed)
+    assert np.array_equal(a, b)  # deterministic
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+                max_size=200),
+       st.sampled_from([25, 50, 90]))
+def test_quantile_index_matches_duckdb_rule(vals, q):
+    """idx = ceil(q/100 * n) - 1 into the sorted values — the exact
+    quantile_disc rule length_quantiles implements."""
+    v = np.sort(np.array(vals, dtype=np.int64))
+    n = len(v)
+    idx = -(-q * n // 100) - 1
+    assert 0 <= idx < n
+    # cumulative-count pick (the histogram path) equals direct indexing
+    uniq, cnt = np.unique(v, return_counts=True)
+    cum = np.cumsum(cnt)
+    assert uniq[np.searchsorted(cum, idx + 1)] == v[idx]
