@@ -163,16 +163,54 @@ def run(args) -> dict:
     mh = MinHashConfig(bands=args.bands, rows_per_band=args.rows_per_band,
                        num_perms=args.bands * args.rows_per_band,
                        jaccard_threshold=args.jaccard)
-    chash = "|".join(str(x) for x in (
-        "clean1", args.min_words, args.max_words, args.min_stop,
-        args.span_ngram, args.bands, args.rows_per_band, args.jaccard,
-        args.seed, args.do_filter, args.do_neardup, args.do_span,
-        ",".join(sorted(w for w in args.extra_stopwords.split(",") if w)),
+    # CHAINED per-stage config hashes: each stage's hash covers its own
+    # knobs plus everything upstream, so changing a late knob (e.g.
+    # --seed) invalidates ONLY that stage — a reshuffle of an
+    # already-cleaned corpus resumes past filter/neardup/span instead of
+    # recomputing them (at 100 TB that is the difference between minutes
+    # and days)
+    stops = ",".join(sorted(w for w in args.extra_stopwords.split(",") if w))
+    h_filter = "|".join(str(x) for x in (
+        "clean2-filter", args.do_filter, args.min_words, args.max_words,
+        args.min_stop, stops,
     ))
+    h_neardup = "|".join(str(x) for x in (
+        h_filter, "neardup", args.do_neardup, args.bands,
+        args.rows_per_band, args.jaccard,
+    ))
+    h_span = "|".join(str(x) for x in (
+        h_neardup, "span", args.do_span, args.span_ngram,
+    ))
+    h_shuffle = "|".join(str(x) for x in (h_span, "shuffle", args.seed))
     fp = input_fingerprint(args.corpus)
     out = args.out
     os.makedirs(out, exist_ok=True)
-    report: dict = {"config_hash": chash}
+    report: dict = {
+        "config_hash": h_shuffle,
+        # keys a consumer can rely on regardless of resume/skip paths
+        "drop_reasons": {},
+        "neardup_clustered": None,
+        "neardup_removed": 0,
+        "span_words_removed": 0,
+        "span_docs_dropped": 0,
+    }
+
+    def sidecar(stage: str, chash: str, compute):
+        """Stage-stats persistence keyed like the checkpoint itself: a
+        resumed run reads the value instead of re-scanning the corpus; a
+        stale key (config/input changed) recomputes."""
+        path = os.path.join(out, stage, "_stats.json")
+        key = {"config_hash": chash, "input_fingerprint": fp}
+        if os.path.exists(path):
+            with open(path) as f:
+                c = json.load(f)
+            if c.get("key") == key:
+                return c["value"], True
+        v = compute()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"key": key, "value": v}, f)
+        return v, False
 
     # prune at the read: only the key-bearing columns + text leave storage
     import pyarrow.dataset as pads
@@ -188,7 +226,7 @@ def run(args) -> dict:
 
     # -- stage 1: quality filter ---------------------------------------
     if args.do_filter:
-        ck = StageCheckpoint(out, "filtered", config_hash=chash,
+        ck = StageCheckpoint(out, "filtered", config_hash=h_filter,
                              input_fingerprint=fp)
 
         from deduplicator_ray.stages.textstats import GOPHER_STOPWORDS
@@ -207,14 +245,10 @@ def run(args) -> dict:
             return flt
 
         flt_ds, m, skipped = run_stage(ck, build_filtered, force=args.force)
-        census_path = os.path.join(out, "filtered", "_census.json")
-        if skipped and os.path.exists(census_path):
-            with open(census_path) as f:
-                report["drop_reasons"] = json.load(f)
-        else:
-            report["drop_reasons"] = _reason_census(flt_ds)
-            with open(census_path, "w") as f:
-                json.dump(report["drop_reasons"], f)
+        report["drop_reasons"], _ = sidecar(
+            "filtered", h_filter, lambda: _reason_census(flt_ds)
+        )
+
         def keep_only(b: pa.Table) -> pa.Table:
             kept = b.filter(b["keep"].combine_chunks())
             return kept.select(["doc_key", "text"])
@@ -231,8 +265,9 @@ def run(args) -> dict:
 
     # -- stage 2: near-dup keep-one --------------------------------------
     if args.do_neardup:
-        ck = StageCheckpoint(out, "survivors", config_hash=chash,
+        ck = StageCheckpoint(out, "survivors", config_hash=h_neardup,
                              input_fingerprint=fp)
+        nd_stats: dict = {}
 
         def build_survivors():
             _edges, asg = cluster_near_duplicates(docs, mh)
@@ -242,22 +277,28 @@ def run(args) -> dict:
             dup_ids = pdf.loc[
                 pdf["doc_key"] != pdf["cluster_id"], "doc_key"
             ].to_numpy(np.int64)
-            report["neardup_clustered"] = int(len(pdf))
-            report["neardup_removed"] = int(len(dup_ids))
+            nd_stats["clustered"] = int(len(pdf))
+            nd_stats["removed"] = int(len(dup_ids))
             return drop_ids(docs, dup_ids, max_broadcast=args.max_broadcast)
 
         docs, m, skipped = run_stage(ck, build_survivors, force=args.force)
         report["after_neardup"] = m["total_rows"]
-        if skipped:
-            report.setdefault(
-                "neardup_removed", report["after_filter"] - m["total_rows"]
+        if nd_stats:  # fresh build: persist the stats beside the stage
+            stats, _ = sidecar("survivors", h_neardup, lambda: nd_stats)
+        else:  # resumed: read them back (or derive what is derivable)
+            stats, from_cache = sidecar(
+                "survivors", h_neardup,
+                lambda: {"clustered": None,
+                         "removed": report["after_filter"] - m["total_rows"]},
             )
+        report["neardup_clustered"] = stats["clustered"]
+        report["neardup_removed"] = stats["removed"]
     else:
         report["after_neardup"] = report["after_filter"]
 
     # -- stage 3: duplicated-span removal --------------------------------
     if args.do_span:
-        ck = StageCheckpoint(out, "spandedup", config_hash=chash,
+        ck = StageCheckpoint(out, "spandedup", config_hash=h_span,
                              input_fingerprint=fp)
 
         def build_span():
@@ -266,29 +307,47 @@ def run(args) -> dict:
                             id_col="doc_key")
 
             def rename(b: pa.Table) -> pa.Table:
-                return pa.table({
+                t = pa.table({
                     "doc_key": b["doc_id"],
                     "text": b["text_dedup"],
                     "removed_words": b["removed_words"],
                 })
+                # a doc whose EVERY word sat in duplicated spans rebuilds
+                # to "" — drop it from the training corpus (an untouched,
+                # originally-empty doc has removed_words == 0 and stays)
+                import pyarrow.compute as pc
+
+                keep = pc.or_(pc.equal(t["removed_words"], 0),
+                              pc.not_equal(t["text"], ""))
+                return t.filter(keep)
 
             return sd.map_batches(rename, batch_format="pyarrow",
                                   zero_copy_batch=True)
 
         docs, m, _ = run_stage(ck, build_span, force=args.force)
-        sums = docs.map_batches(
-            lambda b: pa.table({"s": pa.array(
-                [b["removed_words"].to_numpy().sum()], type=pa.int64()
-            )}),
-            batch_format="pyarrow", zero_copy_batch=True,
-        ).to_pandas()
-        report["span_words_removed"] = (
-            int(sums["s"].sum()) if "s" in sums.columns else 0
-        )
+
+        def span_stats():
+            sums = docs.map_batches(
+                lambda b: pa.table({"s": pa.array(
+                    [b["removed_words"].to_numpy().sum()], type=pa.int64()
+                )}),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ).to_pandas()
+            return {
+                "words_removed": int(sums["s"].sum()) if "s" in sums.columns else 0,
+                "docs_dropped": report["after_neardup"] - m["total_rows"],
+            }
+
+        stats, _ = sidecar("spandedup", h_span, span_stats)
+        report["span_words_removed"] = stats["words_removed"]
+        report["span_docs_dropped"] = stats["docs_dropped"]
+        report["after_span"] = m["total_rows"]
         docs = docs.select_columns(["doc_key", "text"])
+    else:
+        report["after_span"] = report["after_neardup"]
 
     # -- stage 4: deterministic shuffle + final output --------------------
-    ck = StageCheckpoint(out, "shuffled", config_hash=chash,
+    ck = StageCheckpoint(out, "shuffled", config_hash=h_shuffle,
                          input_fingerprint=fp)
 
     def build_shuffled():
@@ -303,7 +362,7 @@ def run(args) -> dict:
         # the position table is 16 B/doc — broadcast-attach up to the cap
         # (one corpus pass, no join); beyond it, co-partition join fallback
         pos_pdf = None
-        if report["after_neardup"] <= args.max_broadcast:
+        if report["after_span"] <= args.max_broadcast:
             pos_pdf = pos.to_pandas().sort_values("doc_key")
         if pos_pdf is not None:
             ids_ref = ray.put(pos_pdf["doc_key"].to_numpy(np.int64))

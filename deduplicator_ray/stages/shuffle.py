@@ -96,7 +96,19 @@ def deterministic_shuffle(ds, *, seed: int = 0, id_col: str = "doc_id",
     def rank(g: pd.DataFrame) -> pd.DataFrame:
         part = int(g["_part"].iloc[0])
         keys = g["key"].to_numpy(np.uint64)
-        order = np.argsort(keys, kind="stable")  # keys are distinct (bijection)
+        order = np.argsort(keys, kind="stable")
+        # the key map is bijective, so equal keys == equal doc ids; a
+        # duplicate id would make downstream position-attach joins emit
+        # corrupt rows — fail loudly here, where detection is free
+        # (adjacent equality in the already-sorted bucket)
+        srt = keys[order]
+        if len(srt) > 1 and np.any(srt[1:] == srt[:-1]):
+            dup = g["doc_id"].to_numpy(np.int64)[order][
+                1:][srt[1:] == srt[:-1]][0]
+            raise ValueError(
+                f"deterministic_shuffle: duplicate doc id {dup} — ids must "
+                "be unique (dedupe the corpus or re-key before shuffling)"
+            )
         pos = np.empty(len(keys), dtype=np.int64)
         pos[order] = ray.get(off_ref)[part] + np.arange(len(keys), dtype=np.int64)
         return pd.DataFrame({

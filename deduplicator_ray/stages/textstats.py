@@ -200,8 +200,9 @@ def gopher_filter(ds, *, id_col: str = "doc_id", text_col: str = "text",
         raise ValueError("output must be 'project' or 'annotate'")
 
     def f(b: pa.Table) -> pa.Table:
-        ids = b[id_col].to_numpy().astype(np.int64)
-        n = len(ids)
+        # annotate mode never emits ids, so it has no int64-id
+        # precondition (raw url-keyed corpora pass through untouched)
+        n = b.num_rows
         if not n:
             empty_keep = pa.array([], type=pa.bool_())
             empty_reason = pa.array([], type=pa.string())
@@ -256,7 +257,7 @@ def gopher_filter(ds, *, id_col: str = "doc_id", text_col: str = "text",
             return b.append_column("keep", keep_arr).append_column(
                 "fail_reason", reason_arr)
         return pa.table({
-            "doc_id": pa.array(ids),
+            "doc_id": pa.array(b[id_col].to_numpy().astype(np.int64)),
             "keep": keep_arr,
             "fail_reason": reason_arr,
         })

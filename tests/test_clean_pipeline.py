@@ -33,7 +33,8 @@ def test_clean_pipeline_end_to_end(ray_session, tmp_path):
         rep["drop_reasons"].values()
     )
     assert rep["after_neardup"] == rep["after_filter"] - rep["neardup_removed"]
-    assert rep["output_docs"] == rep["after_neardup"]
+    assert rep["after_span"] == rep["after_neardup"] - rep["span_docs_dropped"]
+    assert rep["output_docs"] == rep["after_span"]
     assert rep["neardup_removed"] > 0  # the corpus plants near-dups
 
     # the written output IS the cleaned corpus with a permutation position
@@ -59,6 +60,19 @@ def test_clean_pipeline_resume_skips_stages(ray_session, tmp_path, capsys):
     assert logs.count("[resume]") == 4  # all four stages skipped
     assert second["output_docs"] == first["output_docs"]
     assert second["drop_reasons"] == first["drop_reasons"]
+
+
+def test_clean_pipeline_seed_change_resumes_upstream(ray_session, tmp_path, capsys):
+    """Chained per-stage hashes: changing only --seed must reshuffle
+    WITHOUT recomputing filter/neardup/span."""
+    out = tmp_path / "clean"
+    first = _run(out)
+    capsys.readouterr()
+    second = _run(out, extra=("--seed", "7"))
+    logs = capsys.readouterr().out
+    assert logs.count("[resume]") == 3      # filter, survivors, spandedup
+    assert "[stage] 'shuffled'" in logs     # only the shuffle re-ran
+    assert second["output_docs"] == first["output_docs"]
 
 
 def test_clean_pipeline_span_catches_spans_without_neardup(ray_session, tmp_path):

@@ -236,6 +236,19 @@ def test_deterministic_shuffle_is_seeded_permutation(ray_session):
     pd.testing.assert_frame_equal(got3, got)
 
 
+def test_deterministic_shuffle_rejects_duplicate_ids(ray_session):
+    import pytest
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import deterministic_shuffle
+
+    pdf = pd.DataFrame({"doc_id": [1, 2, 2, 3]})
+    with pytest.raises(Exception, match="duplicate doc id"):
+        deterministic_shuffle(rd.from_pandas(pdf), seed=0,
+                              num_buckets=8).materialize()
+
+
 def test_length_quantiles_matches_sorted_pick(ray_session):
     import ray.data as rd
 
