@@ -54,7 +54,10 @@ from deduplicator_ray.state.checkpoint import (
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Ray-Data-native corpus cleaning")
     p.add_argument("--corpus", required=True,
-                   help="parquet docs table: (doc_id|url+warc_ts, text)")
+                   help="docs table: (doc_id|url+warc_ts, text)")
+    p.add_argument("--corpus-format", default="parquet",
+                   help="registered source reading --corpus (parquet, "
+                        "jsonl, warc, crawl_log, ...)")
     p.add_argument("--out", required=True, help="output/checkpoint root")
     p.add_argument("--min-words", type=int, default=50)
     p.add_argument("--max-words", type=int, default=100_000)
@@ -171,7 +174,8 @@ def run(args) -> dict:
     # and days)
     stops = ",".join(sorted(w for w in args.extra_stopwords.split(",") if w))
     h_filter = "|".join(str(x) for x in (
-        "clean2-filter", args.do_filter, args.min_words, args.max_words,
+        "clean2-filter", getattr(args, "corpus_format", "parquet"),
+        args.do_filter, args.min_words, args.max_words,
         args.min_stop, stops,
     ))
     h_neardup = "|".join(str(x) for x in (
@@ -212,13 +216,19 @@ def run(args) -> dict:
             json.dump({"key": key, "value": v}, f)
         return v, False
 
-    # prune at the read: only the key-bearing columns + text leave storage
-    import pyarrow.dataset as pads
+    corpus_format = getattr(args, "corpus_format", "parquet")
+    if corpus_format == "parquet":
+        # prune at the read: only key-bearing columns + text leave storage
+        import pyarrow.dataset as pads
 
-    names = pads.dataset(args.corpus).schema.names
-    want = [c for c in ("doc_key", "doc_id", "id", "url", "warc_ts", "text")
-            if c in names]
-    raw = rd.read_parquet(args.corpus, columns=want)
+        names = pads.dataset(args.corpus).schema.names
+        want = [c for c in ("doc_key", "doc_id", "id", "url", "warc_ts",
+                            "text") if c in names]
+        raw = rd.read_parquet(args.corpus, columns=want)
+    else:
+        from deduplicator_ray.sources import get_source
+
+        raw = get_source(corpus_format)(args.corpus)
     # metadata-fast count on the untransformed read (ensure_doc_key would
     # force a full corpus pass just to count inputs)
     report["input_docs"] = raw.count()

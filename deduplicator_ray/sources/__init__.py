@@ -32,10 +32,35 @@ def _crawl_log_source(path: str):
     return read_crawl_log(path)
 
 
+def _jsonl_source(path: str):
+    """JSON-lines corpus (the common interchange format for web-text
+    dumps): one JSON object per line with the corpus columns (url,
+    warc_ts, text, ...).  ``read_json`` handles .jsonl/.json and gzip
+    transparently and streams per-file like the other sources; timestamp
+    strings are normalized to Arrow timestamps when present."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_json(path, file_extensions=["jsonl", "json", "gz"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        if "warc_ts" in b.column_names and pa.types.is_string(
+            b.schema.field("warc_ts").type
+        ):
+            ts = pc.strptime(b["warc_ts"], format="%Y-%m-%dT%H:%M:%SZ",
+                             unit="us")
+            b = b.set_column(b.column_names.index("warc_ts"), "warc_ts", ts)
+        return b
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
 _SOURCES: dict[str, Callable] = {
     "parquet": _parquet_source,
     "warc": _warc_source,        # WarcIterator / WarcFileIterator
     "crawl_log": _crawl_log_source,  # CrawlLogIterator
+    "jsonl": _jsonl_source,      # JSON-lines web-text dumps
 }
 
 

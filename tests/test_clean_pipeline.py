@@ -82,6 +82,27 @@ def test_clean_pipeline_span_catches_spans_without_neardup(ray_session, tmp_path
     assert rep["span_words_removed"] > 0
 
 
+def test_clean_pipeline_jsonl_source_matches_parquet(ray_session, tmp_path):
+    """The jsonl registered source feeds the same pipeline to the same
+    funnel as the parquet read of the same rows."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    jl = tmp_path / "docs.jsonl"
+    with open(jl, "w") as f:
+        for row in tbl.to_pylist():
+            f.write(json.dumps(row) + "\n")
+    rep_j = run(build_parser().parse_args([
+        "--corpus", str(jl), "--corpus-format", "jsonl",
+        "--out", str(tmp_path / "cj"), "--min-words", "40",
+        "--extra-stopwords", "a",
+    ]))
+    rep_p = _run(tmp_path / "cp")
+    for k in ("input_docs", "after_filter", "after_neardup", "output_docs",
+              "drop_reasons"):
+        assert rep_j[k] == rep_p[k]
+
+
 def test_drop_ids_paths_agree(ray_session):
     import ray.data as rd
 
