@@ -1164,6 +1164,59 @@ FROM documents
 """
 
 
+def q_redact_pii(sf_dir: str):
+    """PII redaction (stages/textstats.py:redact_pii).  The synthetic
+    corpus carries no PII, so every doc_id % 3 == 0 row is augmented with
+    a deterministic e-mail + IPv4 literal — the SAME expression on both
+    sides — before redaction, proving the scrub on real matches while the
+    other rows prove the no-op path."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import redact_pii
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        suffix = pc.binary_join_element_wise(
+            " contact user", pc.cast(b["doc_id"], pa.string()),
+            "@example.com from 10.0.0.",
+            pa.array((ids % 250).astype(str), type=pa.string()), "",
+        )
+        base = pc.fill_null(b["text"], "")
+        aug = pc.binary_join_element_wise(base, suffix, "")
+        t = pc.if_else(pa.array(ids % 3 == 0), aug, base)
+        return pa.table({"doc_id": b["doc_id"], "text": t})
+
+    out = redact_pii(
+        ds.map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return out.select_columns(["doc_id", "text_redacted", "n_emails", "n_ips"])
+
+
+def _sql_redact_pii() -> str:
+    from deduplicator_ray.stages.textstats import PII_EMAIL_PAT, PII_IP_PAT
+
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN COALESCE(text, '') || ' contact user' || doc_id ||
+                   '@example.com from 10.0.0.' || (doc_id % 250)
+              ELSE COALESCE(text, '') END AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(t, '{PII_EMAIL_PAT}', '<EMAIL>', 'g'),
+                      '{PII_IP_PAT}', '<IP>', 'g') AS text_redacted,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL_PAT}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(
+            regexp_replace(t, '{PII_EMAIL_PAT}', '<EMAIL>', 'g'),
+            '{PII_IP_PAT}')) AS BIGINT) AS n_ips
+FROM aug
+"""
+
+
 def q_neardup_keep(sf_dir: str):
     """The cleaned-corpus selection — keep ONE representative per
     near-duplicate cluster (the min doc_id), flag every other member for
@@ -1248,4 +1301,5 @@ def registry_ext():
         "neardup_keep": (q_neardup_keep, _SQL_NEARDUP_KEEP),
         "gopher_filter": (q_gopher_filter, _sql_gopher_filter()),
         "corpus_shuffle": (q_corpus_shuffle, _sql_corpus_shuffle()),
+        "redact_pii": (q_redact_pii, _sql_redact_pii()),
     }

@@ -154,6 +154,42 @@ def lang_id(ds, *, text_col: str = "text"):
 
 
 # ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# RE2 on BOTH sides (pyarrow replace/count kernels and DuckDB
+# regexp_replace/regexp_extract_all are all RE2) — keep these strings in
+# lockstep with the SQL mirror in pipelines/queries_ext.py
+PII_EMAIL_PAT = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IP_PAT = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(ds, *, text_col: str = "text"):
+    """Training-data PII scrub, map-only and fully vectorized: replaces
+    e-mail addresses with ``<EMAIL>`` and IPv4 literals with ``<IP>``
+    (emails first, so a dotted host inside an address never half-matches
+    as an IP), and counts the replacements per document.
+
+    Adds ``text_redacted``, ``n_emails``, ``n_ips``.  Whole-column RE2
+    kernels — no per-row Python; at 100 TB this is a pure scan stage
+    with zero shuffle."""
+
+    def f(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b[text_col], "")
+        n_emails = pc.cast(pc.count_substring_regex(t, PII_EMAIL_PAT),
+                           pa.int64())
+        red = pc.replace_substring_regex(t, PII_EMAIL_PAT, "<EMAIL>")
+        n_ips = pc.cast(pc.count_substring_regex(red, PII_IP_PAT), pa.int64())
+        red = pc.replace_substring_regex(red, PII_IP_PAT, "<IP>")
+        return (b.append_column("text_redacted", red)
+                 .append_column("n_emails", n_emails)
+                 .append_column("n_ips", n_ips))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=4096,
+                          zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # Gopher-rule composite quality filter
 # ---------------------------------------------------------------------------
 

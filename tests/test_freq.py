@@ -249,6 +249,29 @@ def test_deterministic_shuffle_rejects_duplicate_ids(ray_session):
                               num_buckets=8).materialize()
 
 
+def test_redact_pii_replaces_and_counts(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import redact_pii
+
+    pdf = pd.DataFrame({"text": [
+        "write to alice.b+tag@sub.example.org or 192.168.0.1 today",
+        "no pii at all",
+        "two mails x@y.io z@w.co and ips 8.8.8.8 1.1.1.1",
+        None,
+        "version 1.2.3 is not an ip, nor is 1.2.3.4.5 fully safe",
+    ]})
+    got = redact_pii(rd.from_pandas(pdf)).to_pandas()
+    assert got["text_redacted"].tolist()[0] == \
+        "write to <EMAIL> or <IP> today"
+    assert got["text_redacted"].tolist()[1] == "no pii at all"
+    assert got["text_redacted"].tolist()[2] == \
+        "two mails <EMAIL> <EMAIL> and ips <IP> <IP>"
+    assert got["text_redacted"].tolist()[3] == ""
+    assert got["n_emails"].tolist() == [1, 0, 2, 0, 0]
+    assert got["n_ips"].tolist()[:4] == [1, 0, 2, 0]
+
+
 def test_length_quantiles_matches_sorted_pick(ray_session):
     import ray.data as rd
 

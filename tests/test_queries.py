@@ -27,6 +27,7 @@ SQL_CHECKED = [
     "neardup_keep",
     "gopher_filter",
     "corpus_shuffle",
+    "redact_pii",
 ]
 
 SQL_CHECKED_REL = [
