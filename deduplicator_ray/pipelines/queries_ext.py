@@ -1164,6 +1164,44 @@ FROM documents
 """
 
 
+_SPLIT_W = 32
+_SPLIT_S = 24  # overlapping windows (stride < width), the packing case
+
+
+def q_split_documents(sf_dir: str):
+    """Context-window packing (stages/sentdedup.py:split_documents):
+    32-word samples every 24 words, final window reaching the last word."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import split_documents
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return split_documents(ds, words_per_chunk=_SPLIT_W, stride=_SPLIT_S)
+
+
+# window starts p (0-based): p % stride == 0 AND (p == 0 OR p < n-w+stride)
+# — i.e. stop once a window reaches the last word (docstring rule)
+_SQL_SPLIT_DOCUMENTS = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS word,
+         unnest(range(1, len(string_split(COALESCE(text, ''), ' ')) + 1)) AS ord,
+         len(string_split(COALESCE(text, ''), ' ')) AS nw
+  FROM documents
+), starts AS (
+  SELECT doc_id, ord - 1 AS p, nw FROM w
+  WHERE (ord - 1) % {_SPLIT_S} = 0
+    AND (ord = 1 OR ord - 1 < nw - {_SPLIT_W} + {_SPLIT_S})
+)
+SELECT s.doc_id,
+       CAST(s.p / {_SPLIT_S} AS BIGINT) AS chunk_ord,
+       string_agg(w.word, ' ' ORDER BY w.ord) AS chunk,
+       CAST(count(*) AS BIGINT) AS n_words
+FROM starts s JOIN w ON w.doc_id = s.doc_id
+     AND w.ord BETWEEN s.p + 1 AND s.p + {_SPLIT_W}
+GROUP BY s.doc_id, s.p
+"""
+
+
 def q_redact_pii(sf_dir: str):
     """PII redaction (stages/textstats.py:redact_pii).  The synthetic
     corpus carries no PII, so every doc_id % 3 == 0 row is augmented with
@@ -1302,4 +1340,5 @@ def registry_ext():
         "gopher_filter": (q_gopher_filter, _sql_gopher_filter()),
         "corpus_shuffle": (q_corpus_shuffle, _sql_corpus_shuffle()),
         "redact_pii": (q_redact_pii, _sql_redact_pii()),
+        "split_documents": (q_split_documents, _SQL_SPLIT_DOCUMENTS),
     }

@@ -222,6 +222,72 @@ def _rebuild_docs(doc_ids: np.ndarray, text: pa.Array, rem: pd.DataFrame,
     return out
 
 
+def split_documents(ds, *, words_per_chunk: int = 64, stride: int | None = None,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Split documents into fixed-size training samples: a window of
+    ``words_per_chunk`` words starting every ``stride`` words (default:
+    non-overlapping, stride == words_per_chunk; stride < words_per_chunk
+    gives the overlapping windows context-window packing uses).  The last
+    window of a doc may be short; every doc yields at least one window
+    (splitting "" gives the one-empty-word doc, like the dedup stages).
+
+    Windows stop once the doc is covered: a doc with n words yields
+    ceil((n - w)/stride) + 1 windows (1 when n <= w) — the final window
+    always reaches the last word and no window is a pure suffix of an
+    earlier one.
+
+    Map-only and fully vectorized: window starts come from offset
+    arithmetic; overlapping windows gather through one ``pc.take`` and
+    re-join via list offsets — no per-row Python.  Returns
+    (doc_id, chunk_ord, chunk, n_words) with one row per window.
+    """
+    w = int(words_per_chunk)
+    s = int(stride) if stride is not None else w
+    if w < 1 or s < 1:
+        raise ValueError("words_per_chunk and stride must be >= 1")
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        words = pc.split_pattern(pc.fill_null(b[text_col].combine_chunks(), ""), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy().astype(np.int64)
+        n_words = np.diff(offsets)
+        counts = np.where(
+            n_words <= w, 1, -(-(n_words - w) // s) + 1
+        ).astype(np.int64)  # >= 1 per doc: split("") = [""]
+        total = int(counts.sum())
+        doc_idx = np.repeat(np.arange(len(ids)), counts)
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        starts = offsets[:-1][doc_idx] + s * intra
+        ends = np.minimum(starts + w, offsets[1:][doc_idx])
+        lens = ends - starts
+        # gather each window's words explicitly (windows may overlap, so
+        # a shared-boundary ListArray over the flat values cannot express
+        # them) — one take + one join, still zero per-row Python
+        gath_off = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(lens, out=gath_off[1:])
+        idx = np.repeat(starts, lens) + (
+            np.arange(int(gath_off[-1]), dtype=np.int64)
+            - np.repeat(gath_off[:-1], lens)
+        )
+        taken = pc.take(words.values, pa.array(idx))
+        chunks = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(gath_off, type=pa.int32()), taken),
+            " ",
+        )
+        return pa.table({
+            "doc_id": pa.array(ids[doc_idx]),
+            "chunk_ord": pa.array(intra),
+            "chunk": chunks,
+            "n_words": pa.array(lens.astype(np.int64)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _word_hashes(text: pa.Array):
     """Per-word 64-bit hashes + doc offsets, vectorized.  Stable across
     batches/processes (fixed sip key), so window combines of these are a

@@ -249,6 +249,45 @@ def test_deterministic_shuffle_rejects_duplicate_ids(ray_session):
                               num_buckets=8).materialize()
 
 
+def _brute_split(docs: dict[int, str], w: int, s: int):
+    rows = []
+    for doc_id in sorted(docs):
+        words = docs[doc_id].split(" ")
+        n = len(words)
+        count = 1 if n <= w else -(-(n - w) // s) + 1
+        for i in range(count):
+            win = words[i * s: i * s + w]
+            rows.append({"doc_id": doc_id, "chunk_ord": i,
+                         "chunk": " ".join(win), "n_words": len(win)})
+    return pd.DataFrame(rows)
+
+
+def test_split_documents_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import split_documents
+
+    rng = np.random.default_rng(23)
+    docs = {i: " ".join(f"w{int(x)}" for x in rng.integers(0, 30, int(rng.integers(1, 60))))
+            for i in range(40)}
+    docs[40] = ""                      # empty doc -> one empty window
+    docs[41] = "single"                # n < w
+    docs[42] = " ".join(["x"] * 32)    # n == w exactly -> one window
+    docs[43] = " ".join(["y"] * 33)    # n == w+1 -> two windows
+    pdf = pd.DataFrame({"doc_id": list(docs), "text": [docs[k] for k in docs]})
+    for w, s in [(32, 24), (8, 8), (8, 3)]:
+        got = (split_documents(rd.from_pandas(pdf), words_per_chunk=w, stride=s)
+               .to_pandas().sort_values(["doc_id", "chunk_ord"])
+               .reset_index(drop=True))
+        want = _brute_split(docs, w, s)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # overlap property: with stride < width, consecutive windows share words
+    got = (split_documents(rd.from_pandas(pdf), words_per_chunk=8, stride=3)
+           .to_pandas())
+    g = got[got["doc_id"] == 42].sort_values("chunk_ord")
+    assert len(g) > 1 and all(g["n_words"].iloc[:-1] == 8)
+
+
 def test_redact_pii_replaces_and_counts(ray_session):
     import ray.data as rd
 

@@ -28,6 +28,7 @@ SQL_CHECKED = [
     "gopher_filter",
     "corpus_shuffle",
     "redact_pii",
+    "split_documents",
 ]
 
 SQL_CHECKED_REL = [
