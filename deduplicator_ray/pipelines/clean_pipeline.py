@@ -56,8 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--corpus", required=True,
                    help="docs table: (doc_id|url+warc_ts, text)")
     p.add_argument("--corpus-format", default="parquet",
-                   help="registered source reading --corpus (parquet, "
-                        "jsonl, warc, crawl_log, ...)")
+                   help="registered source reading --corpus; must yield a "
+                        "text column (parquet, jsonl — warc/crawl_log "
+                        "corpora carry no extracted text: run "
+                        "dedup_pipeline's normalize first)")
     p.add_argument("--out", required=True, help="output/checkpoint root")
     p.add_argument("--min-words", type=int, default=50)
     p.add_argument("--max-words", type=int, default=100_000)
@@ -173,8 +175,11 @@ def run(args) -> dict:
     # recomputing them (at 100 TB that is the difference between minutes
     # and days)
     stops = ",".join(sorted(w for w in args.extra_stopwords.split(",") if w))
+    fmt = getattr(args, "corpus_format", "parquet")
     h_filter = "|".join(str(x) for x in (
-        "clean2-filter", getattr(args, "corpus_format", "parquet"),
+        # the format marker appears only when non-default so checkpoints
+        # written before the knob existed stay valid
+        "clean2-filter", *((fmt,) if fmt != "parquet" else ()),
         args.do_filter, args.min_words, args.max_words,
         args.min_stop, stops,
     ))
@@ -216,8 +221,7 @@ def run(args) -> dict:
             json.dump({"key": key, "value": v}, f)
         return v, False
 
-    corpus_format = getattr(args, "corpus_format", "parquet")
-    if corpus_format == "parquet":
+    if fmt == "parquet":
         # prune at the read: only key-bearing columns + text leave storage
         import pyarrow.dataset as pads
 
@@ -225,13 +229,25 @@ def run(args) -> dict:
         want = [c for c in ("doc_key", "doc_id", "id", "url", "warc_ts",
                             "text") if c in names]
         raw = rd.read_parquet(args.corpus, columns=want)
+        # metadata-fast count on the untransformed read (ensure_doc_key
+        # would force a full corpus pass just to count inputs)
+        report["input_docs"] = raw.count()
     else:
         from deduplicator_ray.sources import get_source
 
-        raw = get_source(corpus_format)(args.corpus)
-    # metadata-fast count on the untransformed read (ensure_doc_key would
-    # force a full corpus pass just to count inputs)
-    report["input_docs"] = raw.count()
+        raw = get_source(fmt)(args.corpus)
+        names = raw.schema().names
+        # no row-count metadata for non-parquet: defer the count to the
+        # filter-stage manifest (it writes every input row annotated)
+        # instead of paying a dedicated full parse pass
+        report["input_docs"] = None
+    if "text" not in names:
+        raise ValueError(
+            f"--corpus-format {fmt}: source yields no 'text' column "
+            f"(schema: {names}); the clean pipeline needs extracted text — "
+            "for warc/crawl_log corpora run dedup_pipeline's normalize "
+            "stage first and feed its parquet output here"
+        )
     base = ensure_doc_key(raw).select_columns(["doc_key", "text"])
 
     # -- stage 1: quality filter ---------------------------------------
@@ -255,6 +271,8 @@ def run(args) -> dict:
             return flt
 
         flt_ds, m, skipped = run_stage(ck, build_filtered, force=args.force)
+        if report["input_docs"] is None:  # non-parquet: the annotated
+            report["input_docs"] = m["total_rows"]  # checkpoint IS the count
         report["drop_reasons"], _ = sidecar(
             "filtered", h_filter, lambda: _reason_census(flt_ds)
         )
@@ -271,6 +289,8 @@ def run(args) -> dict:
         )
     else:
         docs = base
+        if report["input_docs"] is None:  # non-parquet, no filter stage to
+            report["input_docs"] = base.count()  # piggyback on: pay one pass
         report["after_filter"] = report["input_docs"]
 
     # -- stage 2: near-dup keep-one --------------------------------------

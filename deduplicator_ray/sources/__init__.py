@@ -39,18 +39,27 @@ def _jsonl_source(path: str):
     transparently and streams per-file like the other sources; timestamp
     strings are normalized to Arrow timestamps when present."""
     import pyarrow as pa
-    import pyarrow.compute as pc
     import ray.data as rd
 
     ds = rd.read_json(path, file_extensions=["jsonl", "json", "gz"])
 
     def norm(b: pa.Table) -> pa.Table:
-        if "warc_ts" in b.column_names and pa.types.is_string(
-            b.schema.field("warc_ts").type
-        ):
-            ts = pc.strptime(b["warc_ts"], format="%Y-%m-%dT%H:%M:%SZ",
-                             unit="us")
-            b = b.set_column(b.column_names.index("warc_ts"), "warc_ts", ts)
+        if "warc_ts" not in b.column_names:
+            return b
+        t = b.schema.field("warc_ts").type
+        us = pa.timestamp("us", tz=getattr(t, "tz", None))
+        if pa.types.is_timestamp(t) and t != us:
+            # Arrow's JSON reader infers ISO-Z strings as timestamp[s];
+            # every other source carries timestamp[us] — normalize so
+            # url|warc_ts doc keys hash identically across formats
+            b = b.set_column(b.column_names.index("warc_ts"), "warc_ts",
+                             b["warc_ts"].cast(us))
+        elif pa.types.is_string(t):
+            # Arrow's string->timestamp cast accepts the ISO-8601 family
+            # (Z suffix, offsets, fractional seconds), unlike a
+            # single-format strptime
+            b = b.set_column(b.column_names.index("warc_ts"), "warc_ts",
+                             b["warc_ts"].cast(pa.timestamp("us")))
         return b
 
     return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)

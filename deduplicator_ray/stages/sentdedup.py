@@ -239,12 +239,17 @@ def split_documents(ds, *, words_per_chunk: int = 64, stride: int | None = None,
     Map-only and fully vectorized: window starts come from offset
     arithmetic; overlapping windows gather through one ``pc.take`` and
     re-join via list offsets — no per-row Python.  Returns
-    (doc_id, chunk_ord, chunk, n_words) with one row per window.
+    (<id_col>, chunk_ord, chunk, n_words) with one row per window.
     """
     w = int(words_per_chunk)
     s = int(stride) if stride is not None else w
     if w < 1 or s < 1:
         raise ValueError("words_per_chunk and stride must be >= 1")
+    if s > w:
+        raise ValueError(
+            "stride > words_per_chunk would skip words between windows; "
+            "packing requires stride <= words_per_chunk"
+        )
 
     def f(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy().astype(np.int64)
@@ -274,12 +279,16 @@ def split_documents(ds, *, words_per_chunk: int = 64, stride: int | None = None,
             - np.repeat(gath_off[:-1], lens)
         )
         taken = pc.take(words.values, pa.array(idx))
+        # int64 offsets: overlap inflates the gather by w/stride, so a
+        # block of long docs can exceed int32 list-offset range
         chunks = pc.binary_join(
-            pa.ListArray.from_arrays(pa.array(gath_off, type=pa.int32()), taken),
+            pa.LargeListArray.from_arrays(
+                pa.array(gath_off, type=pa.int64()), taken
+            ),
             " ",
         )
         return pa.table({
-            "doc_id": pa.array(ids[doc_idx]),
+            id_col: pa.array(ids[doc_idx]),
             "chunk_ord": pa.array(intra),
             "chunk": chunks,
             "n_words": pa.array(lens.astype(np.int64)),

@@ -103,6 +103,54 @@ def test_clean_pipeline_jsonl_source_matches_parquet(ray_session, tmp_path):
         assert rep_j[k] == rep_p[k]
 
 
+def test_jsonl_warc_ts_keys_match_parquet(ray_session, tmp_path):
+    """Arrow's JSON reader infers ISO-Z strings as timestamp[s]; the jsonl
+    source must normalize to timestamp[us] so url|warc_ts doc keys hash
+    identically across formats (else cross-format dedup silently finds
+    nothing)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.pipelines.neardup import ensure_doc_key
+    from deduplicator_ray.sources import get_source
+
+    rows = [{"url": f"https://ex.org/{i}",
+             "warc_ts": f"2013-01-01T00:00:0{i}Z",
+             "text": f"doc {i}"} for i in range(5)]
+    jl = tmp_path / "d.jsonl"
+    with open(jl, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    pqf = tmp_path / "d.parquet"
+    tbl = pa.table({
+        "url": [r["url"] for r in rows],
+        "warc_ts": pa.array(
+            [pd.Timestamp(r["warc_ts"]) for r in rows],
+            type=pa.timestamp("us", tz="UTC"),
+        ),
+        "text": [r["text"] for r in rows],
+    })
+    pq.write_table(tbl, pqf)
+
+    import ray.data as rd
+
+    kj = ensure_doc_key(get_source("jsonl")(str(jl))).to_pandas()
+    kp = ensure_doc_key(rd.read_parquet(str(pqf))).to_pandas()
+    assert sorted(kj["doc_key"]) == sorted(kp["doc_key"])
+
+
+def test_split_documents_rejects_gapped_stride(ray_session):
+    import pytest
+
+    from deduplicator_ray.stages.sentdedup import split_documents
+
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["a b c d"]}))
+    with pytest.raises(ValueError, match="stride"):
+        split_documents(ds, words_per_chunk=2, stride=5)
+
+
 def test_drop_ids_paths_agree(ray_session):
     import ray.data as rd
 
