@@ -178,7 +178,9 @@ def run(args) -> dict:
     fmt = getattr(args, "corpus_format", "parquet")
     h_filter = "|".join(str(x) for x in (
         # the format marker appears only when non-default so checkpoints
-        # written before the knob existed stay valid
+        # written before the knob existed stay valid (checkpoints written
+        # by the brief intermediate revision that always embedded the
+        # marker take a one-time recompute)
         "clean2-filter", *((fmt,) if fmt != "parquet" else ()),
         args.do_filter, args.min_words, args.max_words,
         args.min_stop, stops,

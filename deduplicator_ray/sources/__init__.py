@@ -54,12 +54,17 @@ def _jsonl_source(path: str):
             # url|warc_ts doc keys hash identically across formats
             b = b.set_column(b.column_names.index("warc_ts"), "warc_ts",
                              b["warc_ts"].cast(us))
-        elif pa.types.is_string(t):
-            # Arrow's string->timestamp cast accepts the ISO-8601 family
-            # (Z suffix, offsets, fractional seconds), unlike a
-            # single-format strptime
-            b = b.set_column(b.column_names.index("warc_ts"), "warc_ts",
-                             b["warc_ts"].cast(pa.timestamp("us")))
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            # strings reach here when inference bailed (fractional
+            # seconds, mixed values).  Arrow refuses to cast a
+            # zone-suffixed string to a NAIVE timestamp, so try naive
+            # first (plain ISO) and fall back to tz-aware for the
+            # Z/offset family; epoch-micros are identical either way.
+            try:
+                ts = b["warc_ts"].cast(pa.timestamp("us"))
+            except pa.ArrowInvalid:
+                ts = b["warc_ts"].cast(pa.timestamp("us", tz="UTC"))
+            b = b.set_column(b.column_names.index("warc_ts"), "warc_ts", ts)
         return b
 
     return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)

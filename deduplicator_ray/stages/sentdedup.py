@@ -278,14 +278,23 @@ def split_documents(ds, *, words_per_chunk: int = 64, stride: int | None = None,
             np.arange(int(gath_off[-1]), dtype=np.int64)
             - np.repeat(gath_off[:-1], lens)
         )
-        taken = pc.take(words.values, pa.array(idx))
-        # int64 offsets: overlap inflates the gather by w/stride, so a
-        # block of long docs can exceed int32 list-offset range
+        # string VALUE offsets (bytes) hit int32 range long before list
+        # offsets (element counts) do, so the value side is large_string
+        # end-to-end; pyarrow's only large-output binary_join kernel is
+        # (list<large_string>, large_string-scalar), so the list offsets
+        # stay int32 — guarded (2^31 gathered words/batch is far beyond
+        # any sane block; bytes were the realistic ceiling)
+        if gath_off[-1] >= 2**31:
+            raise ValueError(
+                "split_documents: >2^31 gathered words in one batch; "
+                "lower batch_size/stride inflation"
+            )
+        flat = words.values.cast(pa.large_string())
+        taken = pc.take(flat, pa.array(idx))
         chunks = pc.binary_join(
-            pa.LargeListArray.from_arrays(
-                pa.array(gath_off, type=pa.int64()), taken
-            ),
-            " ",
+            pa.ListArray.from_arrays(pa.array(gath_off, type=pa.int32()),
+                                     taken),
+            pa.scalar(" ", type=pa.large_string()),
         )
         return pa.table({
             id_col: pa.array(ids[doc_idx]),

@@ -138,6 +138,19 @@ def test_jsonl_warc_ts_keys_match_parquet(ray_session, tmp_path):
     kp = ensure_doc_key(rd.read_parquet(str(pqf))).to_pandas()
     assert sorted(kj["doc_key"]) == sorted(kp["doc_key"])
 
+    # fractional-second Z strings defeat Arrow's timestamp inference (the
+    # column arrives as string) — the string branch must parse them too
+    jl2 = tmp_path / "d2.jsonl"
+    with open(jl2, "w") as f:
+        for i, r in enumerate(rows):
+            r2 = dict(r, warc_ts=r["warc_ts"].replace("Z", f".{i}00Z"))
+            f.write(json.dumps(r2) + "\n")
+    got = get_source("jsonl")(str(jl2)).to_pandas()
+    import pyarrow as pa2
+
+    assert str(got["warc_ts"].dtype).startswith("datetime64")
+    assert got["warc_ts"].iloc[1].microsecond == 100_000
+
 
 def test_split_documents_rejects_gapped_stride(ray_session):
     import pytest
