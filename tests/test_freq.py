@@ -331,3 +331,16 @@ def test_length_quantiles_matches_sorted_pick(ray_session):
         rows.append(row)
     want = pd.DataFrame(rows)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_length_quantiles_ignores_nulls(ray_session):
+    import ray.data as rd
+
+    pdf = pd.DataFrame({
+        "lang": ["en"] * 6,
+        "n_chars": pd.array([10, None, 20, 30, None, 40], dtype="Int64"),
+    })
+    got = length_quantiles(rd.from_pandas(pdf), qs=(50,)).reset_index(drop=True)
+    # 4 non-null values; p50 = ceil(0.5*4)-1 = idx 1 -> 20
+    assert got["n"].tolist() == [4]
+    assert got["p50"].tolist() == [20]
