@@ -1202,6 +1202,50 @@ GROUP BY s.doc_id, s.p
 """
 
 
+def q_corpus_overlap(sf_dir: str):
+    """Corpus-overlap aggregate (stages/sentdedup.py:corpus_overlap):
+    even-doc_id docs play snapshot A, odd docs snapshot B; distinct
+    8-word grams per side + intersection size."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import corpus_overlap
+
+    def side(keep_even: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b["doc_id"].to_numpy() % 2 == 0
+            return b.filter(pa.array(m if keep_even else ~m))
+        return f
+
+    read = lambda: rd.read_parquet(  # noqa: E731 - two independent scans
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    a = read().map_batches(side(True), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    b = read().map_batches(side(False), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return corpus_overlap(a, b, ngram=8)
+
+
+_SQL_CORPUS_OVERLAP = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS word,
+         unnest(range(1, len(string_split(COALESCE(text, ''), ' ')) + 1)) AS ord
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY ord
+           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS gram,
+         count(*) OVER (PARTITION BY doc_id ORDER BY ord
+           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS glen
+  FROM w
+), a AS (SELECT DISTINCT gram FROM g WHERE glen = 8 AND doc_id % 2 = 0),
+   b AS (SELECT DISTINCT gram FROM g WHERE glen = 8 AND doc_id % 2 = 1)
+SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_grams_a,
+       CAST((SELECT count(*) FROM b) AS BIGINT) AS n_grams_b,
+       CAST((SELECT count(*) FROM a JOIN b USING (gram)) AS BIGINT) AS n_common
+"""
+
+
 def q_redact_pii(sf_dir: str):
     """PII redaction (stages/textstats.py:redact_pii).  The synthetic
     corpus carries no PII, so every doc_id % 3 == 0 row is augmented with
@@ -1341,4 +1385,5 @@ def registry_ext():
         "corpus_shuffle": (q_corpus_shuffle, _sql_corpus_shuffle()),
         "redact_pii": (q_redact_pii, _sql_redact_pii()),
         "split_documents": (q_split_documents, _SQL_SPLIT_DOCUMENTS),
+        "corpus_overlap": (q_corpus_overlap, _SQL_CORPUS_OVERLAP),
     }

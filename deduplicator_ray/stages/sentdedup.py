@@ -624,6 +624,66 @@ def decontaminate(docs_ds, bench_ds, *, ngram: int = 8,
                                zero_copy_batch=True)
 
 
+def corpus_overlap(ds_a, ds_b, *, ngram: int = 8, num_buckets: int = 32,
+                   text_col: str = "text"):
+    """Corpus-level overlap between two snapshots: the number of DISTINCT
+    ``ngram``-word grams in each side and in their intersection — the
+    aggregate a crawl operator reads before deciding whether a new
+    snapshot is worth deduplicating against an old one (containment =
+    n_common / n_grams_b).
+
+    Distributed shape: each side explodes to 128-bit gram fingerprints
+    (within-batch deduped first, so repeated boilerplate never inflates
+    the shuffle), both streams co-partition on one hash bucket, and each
+    bucket contributes distinct/intersection partial counts — gram text
+    never rides the shuffle, the result is three integers.
+
+    Returns a one-row pandas DataFrame (n_grams_a, n_grams_b, n_common).
+    """
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    def explode(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            g1, g2, _, _ = _ngram_occurrences(
+                b[text_col].combine_chunks(), ngram
+            )
+            # within-batch dedup before anything wide
+            u = np.unique(np.stack([g1, g2], axis=1), axis=0) if len(g1) \
+                else np.empty((0, 2), np.uint64)
+            n = len(u)
+            return pa.table({
+                "h1": pa.array(u[:, 0]),
+                "h2": pa.array(u[:, 1]),
+                "side": pa.array(np.full(n, side, dtype=np.int8)),
+            })
+        return f
+
+    both = ds_a.map_batches(explode(0), batch_format="pyarrow",
+                            zero_copy_batch=True).union(
+        ds_b.map_batches(explode(1), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    )
+    both = hash_bucket(both, "h1", num_buckets)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.drop_duplicates(["h1", "h2", "side"]).groupby(
+            ["h1", "h2"], sort=False
+        )["side"].agg(["count", "min"])
+        n_both = int((per["count"] == 2).sum())
+        n_a = int(((per["count"] == 2) | (per["min"] == 0)).sum())
+        n_b = int(((per["count"] == 2) | (per["min"] == 1)).sum())
+        return pd.DataFrame({"n_grams_a": [n_a], "n_grams_b": [n_b],
+                             "n_common": [n_both]})
+
+    parts = both.groupby("_part").map_groups(
+        partial, batch_format="pandas"
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"n_grams_a": [0], "n_grams_b": [0],
+                             "n_common": [0]})
+    return parts.sum().to_frame().T.astype("int64")
+
+
 def repetition_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     """Gopher-style per-document repetition metrics (map-only):
     n_words, n_distinct words, count of the most frequent word, count of

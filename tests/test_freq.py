@@ -344,3 +344,35 @@ def test_length_quantiles_ignores_nulls(ray_session):
     # 4 non-null values; p50 = ceil(0.5*4)-1 = idx 1 -> 20
     assert got["n"].tolist() == [4]
     assert got["p50"].tolist() == [20]
+
+
+def test_corpus_overlap_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import corpus_overlap
+
+    rng = np.random.default_rng(29)
+    vocab = [f"w{i}" for i in range(12)]
+    mk = lambda n: " ".join(rng.choice(vocab, n))  # noqa: E731
+    a_docs = [mk(int(rng.integers(8, 30))) for _ in range(15)]
+    b_docs = [mk(int(rng.integers(8, 30))) for _ in range(15)]
+    b_docs.append(a_docs[0])  # guarantee overlap
+    n = 5
+
+    def grams(docs):
+        out = set()
+        for t in docs:
+            ws = t.split(" ")
+            out.update(tuple(ws[i:i + n]) for i in range(len(ws) - n + 1))
+        return out
+
+    ga, gb = grams(a_docs), grams(b_docs)
+    got = corpus_overlap(
+        rd.from_pandas(pd.DataFrame({"text": a_docs})).repartition(3),
+        rd.from_pandas(pd.DataFrame({"text": b_docs})).repartition(3),
+        ngram=n, num_buckets=4,
+    )
+    assert got["n_grams_a"].iloc[0] == len(ga)
+    assert got["n_grams_b"].iloc[0] == len(gb)
+    assert got["n_common"].iloc[0] == len(ga & gb)
+    assert len(ga & gb) > 0

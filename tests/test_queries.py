@@ -29,6 +29,7 @@ SQL_CHECKED = [
     "corpus_shuffle",
     "redact_pii",
     "split_documents",
+    "corpus_overlap",
 ]
 
 SQL_CHECKED_REL = [
