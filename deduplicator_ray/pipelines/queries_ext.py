@@ -1164,6 +1164,40 @@ FROM documents
 """
 
 
+_SAMPLE_SEED = 77
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 1.0}
+_SAMPLE_DEFAULT = 0.125
+
+
+def q_corpus_sample(sf_dir: str):
+    """Deterministic stratified sampling (stages/shuffle.py:
+    stratified_sample): per-language Bernoulli rates via the bijective
+    Weyl key — map-only, zero shuffle, bit-reproducible."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import stratified_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return stratified_sample(ds, _SAMPLE_RATES, seed=_SAMPLE_SEED,
+                             group_col="lang",
+                             default_rate=_SAMPLE_DEFAULT)
+
+
+def _sql_corpus_sample() -> str:
+    from deduplicator_ray.stages.shuffle import sample_sql_predicate
+
+    cases = " ".join(
+        f"WHEN '{g}' THEN {sample_sql_predicate(r, _SAMPLE_SEED)}"
+        for g, r in _SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE CASE lang {cases}
+  ELSE {sample_sql_predicate(_SAMPLE_DEFAULT, _SAMPLE_SEED)} END
+"""
+
+
 _SPLIT_W = 32
 _SPLIT_S = 24  # overlapping windows (stride < width), the packing case
 
@@ -1386,4 +1420,5 @@ def registry_ext():
         "redact_pii": (q_redact_pii, _sql_redact_pii()),
         "split_documents": (q_split_documents, _SQL_SPLIT_DOCUMENTS),
         "corpus_overlap": (q_corpus_overlap, _SQL_CORPUS_OVERLAP),
+        "corpus_sample": (q_corpus_sample, _sql_corpus_sample()),
     }

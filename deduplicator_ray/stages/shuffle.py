@@ -39,6 +39,77 @@ def shuffle_key(doc_ids: np.ndarray, seed: int) -> np.ndarray:
         )
 
 
+def stratified_sample(ds, rates, *, seed: int = 0, id_col: str = "doc_id",
+                      group_col: str | None = None,
+                      default_rate: float = 0.0):
+    """Deterministic (seeded) Bernoulli sample, optionally stratified by
+    ``group_col`` — the "subsample each language/source at its own rate"
+    operator a data-mixing recipe runs before training.
+
+    A doc is kept iff ``shuffle_key(doc_id, seed) < rate * 2^64``.  The
+    key is the same bijective multiplicative-Weyl map the global shuffle
+    uses, so the decision is map-only (ZERO shuffle, streams at read
+    speed), reproducible across runs/workers/cluster sizes, and exactly
+    mirrorable in SQL via HUGEINT arithmetic.  Different seeds give
+    independent samples; the same seed gives nested samples (rate 0.1 is
+    a subset of rate 0.2 — handy for scaling-law ladders).
+
+    ``rates``: a float (uniform rate) or dict ``{group_value: rate}``
+    applied via ``group_col`` with ``default_rate`` for unlisted groups.
+    ``doc_id`` and ``seed`` must be non-negative (same bit-parity rule as
+    ``deterministic_shuffle``).
+    """
+    if seed < 0:
+        raise ValueError("seed must be non-negative")
+    if isinstance(rates, dict) and group_col is None:
+        raise ValueError("per-group rates require group_col")
+
+    def thr(rate: float) -> int:
+        if not (0.0 <= rate <= 1.0):
+            raise ValueError(f"rate {rate} outside [0, 1]")
+        return int(rate * 2**64)  # == 2^64 means keep-all (keys < 2^64)
+
+    if isinstance(rates, dict):
+        # group value -> small code; code -> (threshold, full-keep) lookup
+        # tables so the per-batch work is one .map + two fancy indexes.
+        groups = list(rates)
+        code_of = {g: i for i, g in enumerate(groups)}
+        t_all = [thr(rates[g]) for g in groups] + [thr(default_rate)]
+        full_lut = np.array([t >= 2**64 for t in t_all])
+        t_lut = np.array([min(t, 2**64 - 1) for t in t_all], dtype=np.uint64)
+        default_code = len(groups)
+    else:
+        uniform_t = thr(rates)
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("stratified_sample requires non-negative ids")
+        k = shuffle_key(ids, seed)
+        if isinstance(rates, dict):
+            codes = b[group_col].to_pandas().map(code_of).fillna(
+                default_code
+            ).to_numpy(np.int64)
+            mask = full_lut[codes] | (k < t_lut[codes])
+        elif uniform_t >= 2**64:
+            mask = np.ones(len(ids), dtype=bool)
+        else:
+            mask = k < np.uint64(uniform_t)
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_sql_predicate(rate: float, seed: int) -> str:
+    """The DuckDB predicate that reproduces ``stratified_sample`` for one
+    rate, bit-for-bit (HUGEINT % 2^64 == numpy uint64 wraparound)."""
+    if rate >= 1.0:
+        return "TRUE"
+    t = int(rate * 2**64)
+    return (f"(CAST(doc_id AS HUGEINT) + {seed}) * {SHUFFLE_MULT} "
+            f"% 18446744073709551616 < {t}")
+
+
 def deterministic_shuffle(ds, *, seed: int = 0, id_col: str = "doc_id",
                           num_buckets: int = 256):
     """(doc_id, position) — a seeded global permutation of the corpus.

@@ -376,3 +376,60 @@ def test_corpus_overlap_matches_bruteforce(ray_session):
     assert got["n_grams_b"].iloc[0] == len(gb)
     assert got["n_common"].iloc[0] == len(ga & gb)
     assert len(ga & gb) > 0
+
+
+def test_stratified_sample_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import (
+        shuffle_key,
+        stratified_sample,
+    )
+
+    n = 4000
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": np.array(["en", "de", "zh", "fr"])[np.arange(n) % 4],
+    })
+    rates = {"en": 0.5, "de": 0.25, "zh": 1.0}
+    got = (stratified_sample(rd.from_pandas(pdf).repartition(4), rates,
+                             seed=77, group_col="lang", default_rate=0.125)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    keys = shuffle_key(pdf["doc_id"].to_numpy(), 77)
+    t = pdf["lang"].map(rates).fillna(0.125).to_numpy(np.float64)
+    want_mask = np.array([
+        r >= 1.0 or int(k) < int(r * 2**64) for k, r in zip(keys, t)
+    ])
+    want = pdf[want_mask].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # rate-1.0 group fully kept; rates roughly honored elsewhere
+    assert (got["lang"] == "zh").sum() == n // 4
+    en = (got["lang"] == "en").sum() / (n / 4)
+    assert 0.42 < en < 0.58
+    # nested property: lower rate with the same seed is a subset
+    sub = (stratified_sample(rd.from_pandas(pdf), 0.1, seed=77)
+           .to_pandas()["doc_id"])
+    sup = (stratified_sample(rd.from_pandas(pdf), 0.3, seed=77)
+           .to_pandas()["doc_id"])
+    assert set(sub).issubset(set(sup))
+
+
+def test_stratified_sample_rejects_bad_args(ray_session):
+    import pytest
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import stratified_sample
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "lang": ["en", "de"]})
+    with pytest.raises(ValueError, match="group_col"):
+        stratified_sample(rd.from_pandas(pdf), {"en": 0.5})
+    with pytest.raises(ValueError, match="outside"):
+        stratified_sample(rd.from_pandas(pdf), 1.5)
+    with pytest.raises(ValueError, match="non-negative"):
+        stratified_sample(rd.from_pandas(pdf), {"en": 0.5}, seed=-1,
+                          group_col="lang")
+    neg = pd.DataFrame({"doc_id": [-1, 2], "lang": ["en", "de"]})
+    with pytest.raises(Exception, match="non-negative"):
+        stratified_sample(rd.from_pandas(neg), 0.5).materialize()

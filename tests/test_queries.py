@@ -30,6 +30,7 @@ SQL_CHECKED = [
     "redact_pii",
     "split_documents",
     "corpus_overlap",
+    "corpus_sample",
 ]
 
 SQL_CHECKED_REL = [
