@@ -1198,6 +1198,47 @@ WHERE CASE lang {cases}
 """
 
 
+_PACK_SEED = 99
+_PACK_LEN = 256
+
+
+def q_pack_sequences(sf_dir: str):
+    """Fixed-capacity sequence packing (stages/shuffle.py:pack_sequences):
+    concat-then-chunk over the deterministic-shuffle order — global token
+    cumsum with NO global sort shuffle."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import pack_sequences
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return pack_sequences(ds, seq_len=_PACK_LEN, seed=_PACK_SEED,
+                          num_buckets=64)
+
+
+def _sql_pack_sequences() -> str:
+    from deduplicator_ray.stages.shuffle import SHUFFLE_MULT
+
+    return f"""
+SELECT doc_id, n_tokens,
+       CAST(cum // {_PACK_LEN} AS BIGINT) AS seq_id,
+       CAST(cum % {_PACK_LEN} AS BIGINT) AS seq_offset
+FROM (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY key
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM (
+    SELECT doc_id,
+           CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT)
+             AS n_tokens,
+           (CAST(doc_id AS HUGEINT) + {_PACK_SEED}) * {SHUFFLE_MULT}
+             % 18446744073709551616 AS key
+    FROM documents
+  )
+)
+"""
+
+
 _SPLIT_W = 32
 _SPLIT_S = 24  # overlapping windows (stride < width), the packing case
 
@@ -1421,4 +1462,5 @@ def registry_ext():
         "split_documents": (q_split_documents, _SQL_SPLIT_DOCUMENTS),
         "corpus_overlap": (q_corpus_overlap, _SQL_CORPUS_OVERLAP),
         "corpus_sample": (q_corpus_sample, _sql_corpus_sample()),
+        "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
     }

@@ -110,6 +110,35 @@ def sample_sql_predicate(rate: float, seed: int) -> str:
             f"% 18446744073709551616 < {t}")
 
 
+def _bucket_offsets(keyed_ds, num_buckets: int,
+                    val_col: str | None = None) -> np.ndarray:
+    """Exclusive prefix sums of a per-bucket quantity (row count, or the
+    sum of ``val_col``) — the tiny driver-side step of the distributed
+    rank/cumsum: one row per (block, bucket) travels, never data."""
+    def per_block(b: pa.Table) -> pa.Table:
+        parts = b["_part"].to_numpy()
+        if val_col is None:
+            u, c = np.unique(parts, return_counts=True)
+            c = c.astype(np.int64)
+        else:
+            u, inv = np.unique(parts, return_inverse=True)
+            c = np.zeros(len(u), dtype=np.int64)
+            np.add.at(c, inv, b[val_col].to_numpy().astype(np.int64))
+        return pa.table({"_part": pa.array(u.astype(np.int32)),
+                         "c": pa.array(c)})
+
+    counts = keyed_ds.map_batches(
+        per_block, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    full = np.zeros(num_buckets, dtype=np.int64)
+    if len(counts):
+        per_bucket = counts.groupby("_part")["c"].sum()
+        full[per_bucket.index.to_numpy()] = per_bucket.to_numpy()
+    offsets = np.zeros(num_buckets, dtype=np.int64)
+    np.cumsum(full[:-1], out=offsets[1:])
+    return offsets
+
+
 def deterministic_shuffle(ds, *, seed: int = 0, id_col: str = "doc_id",
                           num_buckets: int = 256):
     """(doc_id, position) — a seeded global permutation of the corpus.
@@ -145,20 +174,7 @@ def deterministic_shuffle(ds, *, seed: int = 0, id_col: str = "doc_id",
 
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
-    # tiny: one row per (block, bucket)
-    def count_parts(b: pa.Table) -> pa.Table:
-        u, c = np.unique(b["_part"].to_numpy(), return_counts=True)
-        return pa.table({"_part": pa.array(u.astype(np.int32)),
-                         "c": pa.array(c.astype(np.int64))})
-
-    counts = keyed_ds.map_batches(
-        count_parts, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    per_bucket = counts.groupby("_part")["c"].sum()
-    full = np.zeros(num_buckets, dtype=np.int64)
-    full[per_bucket.index.to_numpy()] = per_bucket.to_numpy()
-    offsets = np.zeros(num_buckets, dtype=np.int64)
-    np.cumsum(full[:-1], out=offsets[1:])
+    offsets = _bucket_offsets(keyed_ds, num_buckets)
 
     import ray
 
@@ -188,3 +204,90 @@ def deterministic_shuffle(ds, *, seed: int = 0, id_col: str = "doc_id",
         })
 
     return keyed_ds.groupby("_part").map_groups(rank, batch_format="pandas")
+
+
+def pack_sequences(ds, *, seq_len: int, seed: int = 0,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   num_buckets: int = 256):
+    """Pack the corpus into fixed-capacity training sequences: documents
+    are laid out in deterministic-shuffle order as one concatenated token
+    stream and chunked every ``seq_len`` tokens; each doc is assigned the
+    sequence its FIRST token lands in, plus its offset inside it (a doc
+    longer than the remaining room spans into the next sequence — the
+    standard concat-then-chunk packing; ``n_tokens`` is emitted so a
+    writer can carry the spill).
+
+    Tokens = whitespace-separated words (``count(' ') + 1`` over the
+    null-coalesced text — exactly DuckDB's ``len(string_split(text, ' '))``,
+    so the oracle is integer-exact).
+
+    Distributed shape — same as ``deterministic_shuffle``, a global
+    CUMSUM without a global sort shuffle: order-preserving key-range
+    buckets, per-bucket token totals prefix-summed on the driver
+    (num_buckets tiny rows), then each bucket independently sorts and
+    cumsums locally.  Document payloads never move; the one wide op is
+    the groupby on ``_part``, carrying 25 B/row.
+
+    Returns (doc_id, n_tokens, seq_id, seq_offset).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    if not (2 <= num_buckets <= 65536) or (num_buckets & (num_buckets - 1)):
+        raise ValueError("num_buckets must be a power of two in [2, 65536]")
+    if seed < 0:
+        raise ValueError("seed must be non-negative")
+    shift = np.uint64(64 - int(num_buckets).bit_length() + 1)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = b[id_col].to_numpy().astype(np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("pack_sequences requires non-negative doc ids")
+        k = shuffle_key(ids, seed)
+        ntok = pc.add(pc.count_substring(
+            pc.coalesce(b[text_col], pa.scalar("", b[text_col].type)), " "
+        ), 1)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "key": pa.array(k),
+            "n_tokens": pc.cast(ntok, pa.int64()),
+            "_part": pa.array((k >> shift).astype(np.int32)),
+        })
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    offsets = _bucket_offsets(keyed_ds, num_buckets, "n_tokens")
+
+    import ray
+
+    off_ref = ray.put(offsets)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["_part"].iloc[0])
+        keys = g["key"].to_numpy(np.uint64)
+        order = np.argsort(keys, kind="stable")
+        srt = keys[order]
+        if len(srt) > 1 and np.any(srt[1:] == srt[:-1]):
+            dup = g["doc_id"].to_numpy(np.int64)[order][
+                1:][srt[1:] == srt[:-1]][0]
+            raise ValueError(
+                f"pack_sequences: duplicate doc id {dup} — ids must be "
+                "unique (dedupe the corpus or re-key before packing)"
+            )
+        ntok = g["n_tokens"].to_numpy(np.int64)[order]
+        start = np.empty(len(ntok), dtype=np.int64)
+        base = ray.get(off_ref)[part]
+        np.cumsum(ntok[:-1], out=start[1:])
+        start[0] = 0
+        start += base
+        out = np.empty(len(ntok), dtype=np.int64)
+        out[order] = start
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_tokens": g["n_tokens"].to_numpy(np.int64),
+            "seq_id": out // seq_len,
+            "seq_offset": out % seq_len,
+        })
+
+    return keyed_ds.groupby("_part").map_groups(assign, batch_format="pandas")

@@ -433,3 +433,57 @@ def test_stratified_sample_rejects_bad_args(ray_session):
     neg = pd.DataFrame({"doc_id": [-1, 2], "lang": ["en", "de"]})
     with pytest.raises(Exception, match="non-negative"):
         stratified_sample(rd.from_pandas(neg), 0.5).materialize()
+
+
+def test_pack_sequences_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import pack_sequences, shuffle_key
+
+    rng = np.random.default_rng(31)
+    n = 200
+    texts = [" ".join(f"w{j}" for j in range(int(rng.integers(1, 40))))
+             for _ in range(n)]
+    texts[5] = ""          # empty text still counts 1 token (split semantics)
+    pdf = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                        "text": texts})
+    L = 64
+    got = (pack_sequences(rd.from_pandas(pdf).repartition(5), seq_len=L,
+                          seed=9, num_buckets=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # brute force: sort by key, running token offset
+    ntok = np.array([t.count(" ") + 1 for t in texts], dtype=np.int64)
+    order = np.argsort(shuffle_key(pdf["doc_id"].to_numpy(), 9))
+    start = np.zeros(n, dtype=np.int64)
+    start[order[1:]] = np.cumsum(ntok[order])[:-1]
+    want = pd.DataFrame({
+        "doc_id": pdf["doc_id"], "n_tokens": ntok,
+        "seq_id": start // L, "seq_offset": start % L,
+    })
+    pd.testing.assert_frame_equal(got, want)
+    # packing invariants: sequence ids are dense from 0; every doc fits
+    # the stream (total tokens == last start + last n_tokens)
+    total = ntok.sum()
+    assert got["seq_id"].max() == (total - ntok[order[-1]]) // L
+    assert (got["seq_offset"] < L).all()
+    # reproducible at a different bucket count
+    got2 = (pack_sequences(rd.from_pandas(pdf), seq_len=L, seed=9,
+                           num_buckets=32)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2, got)
+
+
+def test_pack_sequences_rejects_bad_args(ray_session):
+    import pytest
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import pack_sequences
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"]})
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(rd.from_pandas(pdf), seq_len=0)
+    with pytest.raises(Exception, match="duplicate doc id"):
+        pack_sequences(rd.from_pandas(pd.DataFrame(
+            {"doc_id": [1, 1], "text": ["a", "b"]})), seq_len=8).materialize()

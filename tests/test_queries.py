@@ -31,6 +31,7 @@ SQL_CHECKED = [
     "split_documents",
     "corpus_overlap",
     "corpus_sample",
+    "pack_sequences",
 ]
 
 SQL_CHECKED_REL = [
