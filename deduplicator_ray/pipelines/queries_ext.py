@@ -1198,6 +1198,38 @@ WHERE CASE lang {cases}
 """
 
 
+_CAP_SEED = 55
+_CAP_N = 7
+
+
+def q_cap_per_group(sf_dir: str):
+    """Per-source document cap (stages/freq.py:cap_per_group): keep at
+    most N seeded-random docs per source — the hub-domain damper."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import cap_per_group
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return cap_per_group(ds, group_col="source", max_per_group=_CAP_N,
+                         seed=_CAP_SEED, num_buckets=16)
+
+
+def _sql_cap_per_group() -> str:
+    from deduplicator_ray.stages.shuffle import SHUFFLE_MULT
+
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, row_number() OVER (
+    PARTITION BY source
+    ORDER BY (CAST(doc_id AS HUGEINT) + {_CAP_SEED}) * {SHUFFLE_MULT}
+             % 18446744073709551616
+  ) AS rn
+  FROM documents
+) WHERE rn <= {_CAP_N}
+"""
+
+
 _PACK_SEED = 99
 _PACK_LEN = 256
 
@@ -1463,4 +1495,5 @@ def registry_ext():
         "corpus_overlap": (q_corpus_overlap, _SQL_CORPUS_OVERLAP),
         "corpus_sample": (q_corpus_sample, _sql_corpus_sample()),
         "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
+        "cap_per_group": (q_cap_per_group, _sql_cap_per_group()),
     }

@@ -199,3 +199,60 @@ def length_quantiles(ds, *, group_col: str = "lang",
         rows.append(row)
     cols = [group_col, "n"] + [f"p{q}" for q in qs]
     return pd.DataFrame(rows, columns=cols)
+
+
+def cap_per_group(ds, *, group_col: str, max_per_group: int,
+                  id_col: str = "doc_id", seed: int = 0,
+                  num_buckets: int = 64):
+    """Per-group document cap — "keep at most N random docs per host",
+    the hub-domain damper a web corpus runs before training (hub sites
+    contribute millions of near-identical pages; capping them is the
+    cheapest diversity lever after dedup).
+
+    Priority is the bijective Weyl shuffle key, so the N survivors are a
+    SEEDED UNIFORM SAMPLE of each group (not the N lowest ids), stable
+    across runs/cluster sizes, and the SQL mirror (row_number over the
+    HUGEINT key order) is bit-exact.
+
+    Distributed shape: a within-batch partial cap first — each block
+    forwards at most N rows per group it sees, so the one shuffle carries
+    O(N x groups_per_block x blocks) rows no matter how hot a hub is —
+    then a hash-bucket groupby applies the exact cap per group.
+
+    Returns (id_col, group_col) of the kept rows.
+    """
+    from deduplicator_ray.stages.exact import hash_bucket
+    from deduplicator_ray.stages.shuffle import shuffle_key
+
+    if max_per_group <= 0:
+        raise ValueError("max_per_group must be positive")
+    if seed < 0:
+        raise ValueError("seed must be non-negative")
+
+    def partial_cap(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("cap_per_group requires non-negative ids")
+        df = pd.DataFrame({
+            id_col: ids,
+            group_col: b[group_col].to_pandas(),
+            "_key": shuffle_key(ids, seed),
+        })
+        kept = df.sort_values("_key", kind="stable").groupby(
+            group_col, sort=False
+        ).head(max_per_group)
+        return pa.Table.from_pandas(
+            kept, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    pre = ds.map_batches(partial_cap, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    pre = hash_bucket(pre, group_col, num_buckets)
+
+    def final_cap(g: pd.DataFrame) -> pd.DataFrame:
+        kept = g.sort_values("_key", kind="stable").groupby(
+            group_col, sort=False
+        ).head(max_per_group)
+        return kept[[id_col, group_col]].reset_index(drop=True)
+
+    return pre.groupby("_part").map_groups(final_cap, batch_format="pandas")

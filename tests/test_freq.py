@@ -487,3 +487,45 @@ def test_pack_sequences_rejects_bad_args(ray_session):
     with pytest.raises(Exception, match="duplicate doc id"):
         pack_sequences(rd.from_pandas(pd.DataFrame(
             {"doc_id": [1, 1], "text": ["a", "b"]})), seq_len=8).materialize()
+
+
+def test_cap_per_group_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import cap_per_group
+    from deduplicator_ray.stages.shuffle import shuffle_key
+
+    rng = np.random.default_rng(13)
+    n = 600
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": rng.choice(["hub", "s1", "s2", "tiny"],
+                             p=[0.7, 0.15, 0.12, 0.03], size=n),
+    })
+    got = (cap_per_group(rd.from_pandas(pdf).repartition(6),
+                         group_col="source", max_per_group=5, seed=3,
+                         num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    keys = shuffle_key(pdf["doc_id"].to_numpy(), 3)
+    want = (pdf.assign(_k=keys).sort_values("_k").groupby("source")
+            .head(5)[["doc_id", "source"]]
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # the hub is capped, the tiny group survives whole
+    assert (got["source"] == "hub").sum() == 5
+    tiny_n = (pdf["source"] == "tiny").sum()
+    assert (got["source"] == "tiny").sum() == min(5, tiny_n)
+
+
+def test_cap_per_group_rejects_bad_args(ray_session):
+    import pytest
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import cap_per_group
+
+    pdf = pd.DataFrame({"doc_id": [1], "source": ["a"]})
+    with pytest.raises(ValueError, match="positive"):
+        cap_per_group(rd.from_pandas(pdf), group_col="source",
+                      max_per_group=0)

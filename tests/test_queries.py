@@ -32,6 +32,7 @@ SQL_CHECKED = [
     "corpus_overlap",
     "corpus_sample",
     "pack_sequences",
+    "cap_per_group",
 ]
 
 SQL_CHECKED_REL = [
