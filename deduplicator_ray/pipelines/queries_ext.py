@@ -1198,6 +1198,47 @@ WHERE CASE lang {cases}
 """
 
 
+_BUDGET_SEED = 21
+_BUDGETS = {"en": 6000, "de": 2500, "zh": 1500}
+_BUDGET_DEFAULT = 800
+
+
+def q_token_budget(sf_dir: str):
+    """Per-language token-budget selection (stages/shuffle.py:
+    token_budget_select): fill each language's token budget with a
+    seeded-random prefix of the shuffle order."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import token_budget_select
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return token_budget_select(ds, _BUDGETS, seed=_BUDGET_SEED,
+                               default_budget=_BUDGET_DEFAULT,
+                               num_buckets=64)
+
+
+def _sql_token_budget() -> str:
+    from deduplicator_ray.stages.shuffle import SHUFFLE_MULT
+
+    cases = " ".join(f"WHEN '{g}' THEN {b}" for g, b in _BUDGETS.items())
+    return f"""
+SELECT doc_id, lang, n_tokens FROM (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY key
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (
+    SELECT doc_id, lang,
+           CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT)
+             AS n_tokens,
+           (CAST(doc_id AS HUGEINT) + {_BUDGET_SEED}) * {SHUFFLE_MULT}
+             % 18446744073709551616 AS key
+    FROM documents
+  )
+) WHERE cum <= CASE lang {cases} ELSE {_BUDGET_DEFAULT} END
+"""
+
+
 _CAP_SEED = 55
 _CAP_N = 7
 
@@ -1496,4 +1537,5 @@ def registry_ext():
         "corpus_sample": (q_corpus_sample, _sql_corpus_sample()),
         "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
         "cap_per_group": (q_cap_per_group, _sql_cap_per_group()),
+        "token_budget": (q_token_budget, _sql_token_budget()),
     }

@@ -291,3 +291,115 @@ def pack_sequences(ds, *, seq_len: int, seed: int = 0,
         })
 
     return keyed_ds.groupby("_part").map_groups(assign, batch_format="pandas")
+
+
+def token_budget_select(ds, budgets, *, seed: int = 0,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        group_col: str = "lang", default_budget: int = 0,
+                        num_buckets: int = 256):
+    """Fill a per-group TOKEN budget with a seeded-random document sample
+    — the data-mixing selector ("take 300B tokens of English, 50B of
+    German, ...") a training recipe runs after cleaning.
+
+    Docs are ordered per group by the bijective Weyl key (a seeded
+    uniform order) and kept while the group's running token total stays
+    within budget; token counts are monotone, so the kept set is a PREFIX
+    of the group's ordered stream — deterministic, nested across budgets
+    at one seed, and exactly SQL-mirrorable (window cumsum over the
+    HUGEINT key order).
+
+    Distributed shape — per-group global cumsum with no sort shuffle:
+    order-preserving key-range buckets; per-(group, bucket) token totals
+    (a |groups| x num_buckets matrix of tiny rows) prefix-sum on the
+    driver; each bucket then sorts its own rows and cumsums locally.
+    ``budgets`` is a dict ``{group_value: max_tokens}`` with
+    ``default_budget`` for unlisted groups (0 = drop them).
+
+    Returns (id_col, group_col, n_tokens) of the kept docs.
+    """
+    if not (2 <= num_buckets <= 65536) or (num_buckets & (num_buckets - 1)):
+        raise ValueError("num_buckets must be a power of two in [2, 65536]")
+    if seed < 0:
+        raise ValueError("seed must be non-negative")
+    if any(v < 0 for v in budgets.values()) or default_budget < 0:
+        raise ValueError("budgets must be non-negative")
+    shift = np.uint64(64 - int(num_buckets).bit_length() + 1)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = b[id_col].to_numpy().astype(np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("token_budget_select requires non-negative ids")
+        k = shuffle_key(ids, seed)
+        ntok = pc.add(pc.count_substring(
+            pc.coalesce(b[text_col], pa.scalar("", b[text_col].type)), " "
+        ), 1)
+        return pa.table({
+            id_col: pa.array(ids),
+            group_col: b[group_col],
+            "key": pa.array(k),
+            "n_tokens": pc.cast(ntok, pa.int64()),
+            "_part": pa.array((k >> shift).astype(np.int32)),
+        })
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    # tiny rows: one per (block, group, bucket)
+    def per_block(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": b[group_col].to_pandas(),
+            "_part": b["_part"].to_numpy(),
+            "n": b["n_tokens"].to_numpy(),
+        })
+        agg = df.groupby(["g", "_part"], sort=False)["n"].sum().reset_index()
+        return pa.Table.from_pandas(
+            agg, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    totals = keyed_ds.map_batches(
+        per_block, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    offsets: dict = {}
+    if len(totals):
+        per = totals.groupby(["g", "_part"])["n"].sum()
+        for g, sub in per.groupby(level=0):
+            parts = sub.index.get_level_values(1).to_numpy()
+            order = np.argsort(parts)
+            cum = np.zeros(len(parts), dtype=np.int64)
+            np.cumsum(sub.to_numpy()[order][:-1], out=cum[1:])
+            for p, c in zip(parts[order], cum):
+                offsets[(g, int(p))] = int(c)
+
+    import ray
+
+    off_ref = ray.put(offsets)
+    budget_ref = ray.put(dict(budgets))
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["_part"].iloc[0])
+        off = ray.get(off_ref)
+        buds = ray.get(budget_ref)
+        df = g.sort_values("key", kind="stable")
+        cum = df.groupby(group_col, sort=False)["n_tokens"].cumsum()
+        off_part = {gv: v for (gv, p), v in off.items() if p == part}
+        base = df[group_col].map(off_part).fillna(0).to_numpy(np.int64)
+        limit = df[group_col].map(buds).fillna(
+            default_budget
+        ).to_numpy(np.int64)
+        keep = (cum.to_numpy() + base) <= limit
+        out = df.loc[keep, [id_col, group_col, "n_tokens"]].sort_values(
+            id_col
+        )
+        # hand back Arrow with an EXPLICIT schema: a fully-filtered
+        # bucket would otherwise infer `null` for the group column (and
+        # empty object-dtype pandas trips Ray's block size estimator)
+        return pa.table({
+            id_col: pa.array(out[id_col].to_numpy(np.int64)),
+            group_col: pa.array(out[group_col].astype(object),
+                                type=pa.string()),
+            "n_tokens": pa.array(out["n_tokens"].to_numpy(np.int64)),
+        })
+
+    return keyed_ds.groupby("_part").map_groups(select, batch_format="pandas")

@@ -529,3 +529,43 @@ def test_cap_per_group_rejects_bad_args(ray_session):
     with pytest.raises(ValueError, match="positive"):
         cap_per_group(rd.from_pandas(pdf), group_col="source",
                       max_per_group=0)
+
+
+def test_token_budget_select_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import (
+        shuffle_key,
+        token_budget_select,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 500
+    texts = [" ".join("w" for _ in range(int(rng.integers(1, 30))))
+             for _ in range(n)]
+    langs = np.array(["en", "de", "xx"])[np.arange(n) % 3]
+    pdf = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                        "text": texts, "lang": langs})
+    budgets = {"en": 400, "de": 150}
+    got = (token_budget_select(rd.from_pandas(pdf).repartition(5), budgets,
+                               seed=4, default_budget=60, num_buckets=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # brute force: per lang, order by key, keep while inclusive cumsum fits
+    ntok = np.array([t.count(" ") + 1 for t in texts], dtype=np.int64)
+    keys = shuffle_key(pdf["doc_id"].to_numpy(), 4)
+    bf = pdf.assign(n_tokens=ntok, _k=keys).sort_values("_k")
+    bf["cum"] = bf.groupby("lang")["n_tokens"].cumsum()
+    lim = bf["lang"].map(budgets).fillna(60)
+    want = (bf[bf["cum"] <= lim][["doc_id", "lang", "n_tokens"]]
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # budgets honored and reasonably filled
+    used = got.groupby("lang")["n_tokens"].sum()
+    assert used["en"] <= 400 and used["en"] > 300
+    assert used["de"] <= 150 and used["xx"] <= 60
+    # prefix/nesting property: a smaller budget selects a subset
+    got2 = (token_budget_select(rd.from_pandas(pdf), {"en": 200}, seed=4,
+                                default_budget=0, num_buckets=8)
+            .to_pandas())
+    assert set(got2["doc_id"]) <= set(got[got["lang"] == "en"]["doc_id"])

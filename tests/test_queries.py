@@ -33,6 +33,7 @@ SQL_CHECKED = [
     "corpus_sample",
     "pack_sequences",
     "cap_per_group",
+    "token_budget",
 ]
 
 SQL_CHECKED_REL = [
