@@ -1271,6 +1271,40 @@ SELECT doc_id, source FROM (
 """
 
 
+_TERMS_K = 4
+
+
+def q_distinctive_terms(sf_dir: str):
+    """Per-doc keyword extraction (stages/freq.py:distinctive_terms):
+    integer-exact tf-idf-style rank (tf DESC, df ASC, term ASC), top k
+    per doc — candidate-pruned tf shuffle + exact partial-df rows."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import distinctive_terms
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return distinctive_terms(ds, k=_TERMS_K, num_buckets=32)
+
+
+_SQL_DISTINCTIVE_TERMS = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+)
+SELECT doc_id, term, tf, df, rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+  FROM tf JOIN df USING (term)
+) WHERE rank <= {_TERMS_K}
+"""
+
+
 _PACK_SEED = 99
 _PACK_LEN = 256
 
@@ -1538,4 +1572,5 @@ def registry_ext():
         "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
         "cap_per_group": (q_cap_per_group, _sql_cap_per_group()),
         "token_budget": (q_token_budget, _sql_token_budget()),
+        "distinctive_terms": (q_distinctive_terms, _SQL_DISTINCTIVE_TERMS),
     }

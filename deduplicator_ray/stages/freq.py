@@ -256,3 +256,108 @@ def cap_per_group(ds, *, group_col: str, max_per_group: int,
         return kept[[id_col, group_col]].reset_index(drop=True)
 
     return pre.groupby("_part").map_groups(final_cap, batch_format="pandas")
+
+
+def distinctive_terms(ds, *, k: int = 5, id_col: str = "doc_id",
+                      text_col: str = "text", num_buckets: int = 64):
+    """Per-document keyword extraction, tf-idf style but INTEGER-EXACT:
+    each doc's top-``k`` terms ranked by (tf DESC, df ASC, term ASC) —
+    frequent in the doc, rare in the corpus.  Ranking by raw tf-idf
+    floats would make the result depend on libm rounding; this
+    lexicographic rank preserves the "high tf, low df wins" intent while
+    keeping the DuckDB oracle bit-exact.
+
+    Distributed shape (two bounded shuffles, no broadcast of the
+    vocabulary):
+      1. explode (doc, term, tf) once, vectorized, then PRUNE each doc's
+         tf rows to its tf-top-k WITH ties — sound because tf is the
+         primary sort key, so a term below the doc's k-th largest tf can
+         never reach rank <= k regardless of its df.  The shuffled tf
+         volume is therefore ~k rows per doc, not every doc-term pair;
+      2. per-block PARTIAL document-frequency rows (term, partial_df)
+         over the UNPRUNED vocabulary — df stays exact; the extra volume
+         is one row per distinct (block, term), bounded by block vocab;
+      3. co-partition both streams on the term hash; each bucket sums df
+         and attaches it to its surviving tf rows;
+      4. re-bucket by doc and keep the top k per doc.
+
+    Returns (doc_id, term, tf, df, rank), rank in [1, k].
+    """
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def explode(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.coalesce(b[text_col], pa.scalar("", b[text_col].type)), " "
+        )
+        flat = words.combine_chunks()
+        lens = np.diff(flat.offsets.to_numpy())
+        ids = np.repeat(b[id_col].to_numpy().astype(np.int64), lens)
+        df = pd.DataFrame({"doc_id": ids,
+                           "term": flat.flatten().to_pandas()})
+        tf = df.groupby(["doc_id", "term"], sort=False).size().reset_index(
+            name="tf"
+        )
+        # partial df: this block's distinct docs per term (pre-prune)
+        pdf = tf.groupby("term", sort=False).size().reset_index(name="tf")
+        # prune tf rows to each doc's top-k-by-tf WITH boundary ties
+        tf = tf.sort_values(["doc_id", "tf"], ascending=[True, False],
+                            kind="stable")
+        pos = tf.groupby("doc_id", sort=False).cumcount()
+        thr = tf.loc[pos == k - 1].set_index("doc_id")["tf"]
+        thr_all = tf["doc_id"].map(thr)
+        tf = tf[thr_all.isna() | (tf["tf"] >= thr_all)]
+        out = pd.concat([
+            tf.assign(src=np.int8(1)),
+            pdf.assign(doc_id=np.int64(-1), src=np.int8(0))[
+                ["doc_id", "term", "tf", "src"]],
+        ], ignore_index=True)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "term": pa.array(out["term"].astype(object), type=pa.string()),
+            "tf": pa.array(out["tf"].to_numpy(np.int64)),
+            "src": pa.array(out["src"].to_numpy(np.int8)),
+        })
+
+    exploded = hash_bucket(
+        ds.map_batches(explode, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "term", num_buckets,
+    )
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        df_rows = g[g["src"] == 0]
+        dfs = df_rows.groupby("term", sort=False)["tf"].sum()
+        tf_rows = g[g["src"] == 1]
+        return pd.DataFrame({
+            "doc_id": tf_rows["doc_id"].to_numpy(np.int64),
+            "term": tf_rows["term"].to_numpy(),
+            "tf": tf_rows["tf"].to_numpy(np.int64),
+            "df": tf_rows["term"].map(dfs).to_numpy(np.int64),
+        })
+
+    with_df = hash_bucket(
+        exploded.groupby("_part").map_groups(attach_df,
+                                             batch_format="pandas"),
+        "doc_id", num_buckets,
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tf", "df", "term"],
+                          ascending=[False, True, True], kind="stable")
+        top = g.groupby("doc_id", sort=False).head(k).copy()
+        top["rank"] = top.groupby("doc_id", sort=False).cumcount() + 1
+        out = top[["doc_id", "term", "tf", "df", "rank"]].sort_values(
+            ["doc_id", "rank"]
+        )
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "term": pa.array(out["term"].astype(object), type=pa.string()),
+            "tf": pa.array(out["tf"].to_numpy(np.int64)),
+            "df": pa.array(out["df"].to_numpy(np.int64)),
+            "rank": pa.array(out["rank"].to_numpy(np.int64)),
+        })
+
+    return with_df.groupby("_part").map_groups(topk, batch_format="pandas")

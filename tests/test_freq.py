@@ -569,3 +569,57 @@ def test_token_budget_select_matches_bruteforce(ray_session):
                                 default_budget=0, num_buckets=8)
             .to_pandas())
     assert set(got2["doc_id"]) <= set(got[got["lang"] == "en"]["doc_id"])
+
+
+def test_distinctive_terms_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import distinctive_terms
+
+    rng = np.random.default_rng(29)
+    vocab = [f"w{i}" for i in range(40)]
+    n = 120
+    texts = [
+        " ".join(rng.choice(vocab[: int(rng.integers(3, 40))],
+                            size=int(rng.integers(1, 60))))
+        for _ in range(n - 2)
+    ] + ["", "solo"]  # empty text and a one-word doc
+    pdf = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                        "text": texts})
+    k = 4
+    got = (distinctive_terms(rd.from_pandas(pdf).repartition(7), k=k,
+                             num_buckets=8)
+           .to_pandas().sort_values(["doc_id", "rank"])
+           .reset_index(drop=True))
+
+    # brute force: explode, tf per (doc, term), df per term, rank
+    rows = []
+    for d, t in zip(pdf["doc_id"], pdf["text"]):
+        for w in t.split(" "):
+            rows.append((d, w))
+    ex = pd.DataFrame(rows, columns=["doc_id", "term"])
+    tf = ex.groupby(["doc_id", "term"]).size().reset_index(name="tf")
+    df = tf.groupby("term").size().reset_index(name="df")
+    j = tf.merge(df, on="term").sort_values(
+        ["doc_id", "tf", "df", "term"], ascending=[True, False, True, True],
+        kind="stable")
+    j["rank"] = j.groupby("doc_id").cumcount() + 1
+    want = (j[j["rank"] <= k]
+            .astype({"tf": np.int64, "df": np.int64, "rank": np.int64})
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, want[["doc_id", "term", "tf", "df", "rank"]])
+    # every doc appears (empty text yields the "" term)
+    assert set(got["doc_id"]) == set(pdf["doc_id"])
+
+
+def test_distinctive_terms_rejects_bad_k(ray_session):
+    import pytest
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import distinctive_terms
+
+    pdf = pd.DataFrame({"doc_id": [1], "text": ["a"]})
+    with pytest.raises(ValueError, match="positive"):
+        distinctive_terms(rd.from_pandas(pdf), k=0)

@@ -34,6 +34,7 @@ SQL_CHECKED = [
     "pack_sequences",
     "cap_per_group",
     "token_budget",
+    "distinctive_terms",
 ]
 
 SQL_CHECKED_REL = [
