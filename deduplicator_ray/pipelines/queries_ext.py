@@ -146,6 +146,41 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       >= {_EMB_DUP_THRESHOLD}
 """
 
+def q_embed_dedup_keep(sf_dir: str):
+    """SemDeDup-style semantic dedup (stages/embed.py:
+    embedding_dedup_keep): connected components over the cosine >=
+    threshold graph, keep the min vec_id per component; singletons keep.
+    Returns (vec_id, keep) for every embedding row."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import embedding_dedup_keep
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return embedding_dedup_keep(ds, threshold=_EMB_DUP_THRESHOLD)
+
+
+_SQL_EMB_DEDUP_KEEP = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= {_EMB_DUP_THRESHOLD}
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT rr.node, e.b FROM reach rr JOIN edges e ON rr.r = e.a
+),
+asg AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
+)
+SELECT v.vec_id, COALESCE(a.cluster_id = v.vec_id, TRUE) AS keep
+FROM embeddings v LEFT JOIN asg a ON v.vec_id = a.node
+"""
+
+
 # ---------------------------------------------------------------------------
 # D4: similarity search — brute-force cosine top-k
 # ---------------------------------------------------------------------------
@@ -1573,4 +1608,5 @@ def registry_ext():
         "cap_per_group": (q_cap_per_group, _sql_cap_per_group()),
         "token_budget": (q_token_budget, _sql_token_budget()),
         "distinctive_terms": (q_distinctive_terms, _SQL_DISTINCTIVE_TERMS),
+        "embed_dedup_keep": (q_embed_dedup_keep, _SQL_EMB_DEDUP_KEEP),
     }

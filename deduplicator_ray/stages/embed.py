@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _matrix(col, dim: int | None = None) -> np.ndarray:
@@ -525,3 +526,103 @@ def hyperplane_bucket(ds, *, n_planes: int = 16, seed: int = 42,
         return b.append_column("hp_bucket", pa.array(bucket))
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
+
+
+def embedding_dedup_keep(ds, threshold: float = 0.95, *, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         max_broadcast_removals: int = 50_000_000,
+                         num_buckets: int = 64):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540
+    — simplified: the dup graph comes from a cosine threshold rather than
+    k-means cluster interiors): connect every pair with cosine >=
+    ``threshold`` (``embedding_dup_pairs``), take connected components,
+    keep ONE representative per component (the min id — deterministic);
+    singletons keep.  Returns (id_col, keep:bool) for every input row.
+
+    Scale shape: the removal id set is bounded by the number of clustered
+    non-representatives.  Up to ``max_broadcast_removals`` it is sorted,
+    ``ray.put`` ONCE, and the corpus pass is a map-only searchsorted —
+    no shuffle touches the vectors.  Beyond that (a corpus that is
+    mostly duplicates) the flag switches to a hash-bucket co-partition
+    of (corpus ids, removal ids) — still key-only traffic; embedding
+    payloads never enter any shuffle in either path.
+    """
+    import ray
+
+    from deduplicator_ray.stages.cc import connected_components_auto
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    pairs = embedding_dup_pairs(ds, threshold, id_col=id_col, vec_col=vec_col)
+    edges = pairs.map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["b"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    asg = connected_components_auto(edges)
+    if hasattr(asg, "to_pandas"):  # driver path returns pa.Table
+        apdf = asg.to_pandas()
+        removals = np.sort(apdf.loc[apdf["doc_key"] != apdf["cluster_id"],
+                                    "doc_key"].to_numpy(np.int64))
+        n_removals = len(removals)
+    else:  # distributed Dataset path: count before deciding how to ship
+        rem_ds = asg.map_batches(
+            lambda b: pa.table({"id": pc.filter(
+                b["doc_key"], pc.not_equal(b["doc_key"], b["cluster_id"]))}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+        n_removals = rem_ds.count()
+        removals = None
+
+    ids_only = ds.select_columns([id_col])
+
+    if n_removals <= max_broadcast_removals:
+        if removals is None:
+            removals = np.sort(rem_ds.to_pandas()["id"].to_numpy(np.int64))
+        ref = ray.put(removals)
+
+        def flag(b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy().astype(np.int64)
+            rem = ray.get(ref)
+            if len(rem):
+                pos = np.searchsorted(rem, ids)
+                is_dup = (pos < len(rem)) & (rem[np.minimum(pos, len(rem) - 1)] == ids)
+            else:
+                is_dup = np.zeros(len(ids), dtype=bool)
+            return pa.table({id_col: pa.array(ids), "keep": pa.array(~is_dup)})
+
+        return ids_only.map_batches(flag, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    # co-partition fallback: tag removal ids (src=0) and corpus ids (src=1)
+    if removals is not None:  # driver CC path: lift the array into a Dataset
+        import ray.data as rd
+
+        rem_ds = rd.from_arrow(pa.table({"id": pa.array(removals,
+                                                        type=pa.int64())}))
+
+    def tag(src):
+        def f(b: pa.Table) -> pa.Table:
+            col = b["id"] if src == 0 else b[id_col]
+            n = len(col)
+            return pa.table({id_col: col.cast(pa.int64()),
+                             "src": pa.array(np.full(n, src, dtype=np.int8))})
+        return f
+
+    union = ids_only.map_batches(tag(1), batch_format="pyarrow",
+                                 zero_copy_batch=True).union(
+        rem_ds.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def reduce_flag(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        rem = np.sort(g.loc[g["src"] == 0, id_col].to_numpy(np.int64))
+        cur = g.loc[g["src"] == 1, id_col].to_numpy(np.int64)
+        if len(rem):
+            pos = np.searchsorted(rem, cur)
+            is_dup = (pos < len(rem)) & (rem[np.minimum(pos, len(rem) - 1)] == cur)
+        else:
+            is_dup = np.zeros(len(cur), dtype=bool)
+        return pd.DataFrame({id_col: cur, "keep": ~is_dup})
+
+    return hash_bucket(union, id_col, num_buckets).groupby("_part").map_groups(
+        reduce_flag, batch_format="pandas")

@@ -35,6 +35,7 @@ SQL_CHECKED = [
     "cap_per_group",
     "token_budget",
     "distinctive_terms",
+    "embed_dedup_keep",
 ]
 
 SQL_CHECKED_REL = [

@@ -294,3 +294,65 @@ class TestEmbed:
         assert out["hp_bucket"].between(0, 2**16 - 1).all()
         out2 = hyperplane_bucket(rd.read_parquet(f"{sf_dir}/embeddings.parquet")).to_pandas()
         assert out["hp_bucket"].tolist() == out2["hp_bucket"].tolist()  # deterministic
+
+
+class TestEmbedDedupKeep:
+    @pytest.fixture
+    def emb(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        pdf = t.to_pandas()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        return pdf, m
+
+    def _want(self, pdf, m, thr):
+        # brute force: cosine graph -> CC -> keep min vec_id per component
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        s = mn @ mn.T
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        parent = {int(i): int(i) for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        iu = np.triu_indices(len(m), k=1)
+        for i, j in zip(iu[0][s[iu] >= thr], iu[1][s[iu] >= thr]):
+            a, b = find(int(ids[i])), find(int(ids[j]))
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        keep = {int(i): find(int(i)) == int(i) for i in ids}
+        return keep
+
+    def test_broadcast_path_vs_bruteforce(self, ray_session, sf_dir, emb):
+        import ray.data as rd
+
+        from deduplicator_ray.stages.embed import embedding_dedup_keep
+
+        pdf, m = emb
+        thr = 0.35
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        got = embedding_dedup_keep(ds, thr).to_pandas()
+        want = self._want(pdf, m, thr)
+        assert len(got) == len(pdf)
+        assert {int(r.vec_id): bool(r.keep) for r in got.itertuples()} == want
+        assert (~got["keep"]).sum() > 0  # the threshold yields real dups
+
+    def test_copartition_path_agrees(self, ray_session, sf_dir, emb):
+        import ray.data as rd
+
+        from deduplicator_ray.stages.embed import embedding_dedup_keep
+
+        pdf, m = emb
+        thr = 0.35
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        got = (embedding_dedup_keep(ds, thr, max_broadcast_removals=0,
+                                    num_buckets=4)
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        want = self._want(pdf, m, thr)
+        assert {int(r.vec_id): bool(r.keep) for r in got.itertuples()} == want
