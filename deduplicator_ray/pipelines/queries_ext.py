@@ -1087,6 +1087,38 @@ HAVING count(*) * 1000000 >= nt * {_HH_MIN_PPM}
 """
 
 
+def q_unigram_logloss(sf_dir: str):
+    """CCNet-style LM quality score (stages/textstats.py:
+    unigram_logloss): per-doc mean NLL under an add-one-smoothed unigram
+    model; vocabulary = the corpus's exact heavy hitters at
+    {_HH_MIN_PPM} ppm (sketch-bounded two-pass, broadcast once)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import unigram_logloss
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return unigram_logloss(ds, min_ppm=_HH_MIN_PPM, num_buckets=16)
+
+
+_SQL_UNIGRAM_LOGLOSS = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS w
+  FROM documents
+), tot AS (SELECT count(*) AS nt FROM ex),
+cnt AS (SELECT w, count(*) AS c FROM ex GROUP BY w),
+voc AS (
+  SELECT w, c FROM cnt, tot WHERE c * 1000000 >= nt * {_HH_MIN_PPM}
+),
+s AS (SELECT (SELECT nt FROM tot) AS n, (SELECT count(*) FROM voc) AS v)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       -avg(ln((COALESCE(voc.c, 0) + 1.0) / (s.n + s.v + 1))) AS logloss
+FROM ex e LEFT JOIN voc ON e.w = voc.w, s
+GROUP BY e.doc_id
+"""
+
+
 def q_length_quantiles(sf_dir: str):
     """Exact per-language length quantiles off a bounded-domain histogram
     (stages/freq.py:length_quantiles) — no sort shuffle, no sampling."""
@@ -1609,4 +1641,5 @@ def registry_ext():
         "token_budget": (q_token_budget, _sql_token_budget()),
         "distinctive_terms": (q_distinctive_terms, _SQL_DISTINCTIVE_TERMS),
         "embed_dedup_keep": (q_embed_dedup_keep, _SQL_EMB_DEDUP_KEEP),
+        "unigram_logloss": (q_unigram_logloss, _SQL_UNIGRAM_LOGLOSS),
     }

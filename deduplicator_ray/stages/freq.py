@@ -37,7 +37,8 @@ def _flat_words(text: pa.Array) -> pd.Series:
 
 
 def heavy_hitters(ds, *, min_ppm: int = 1000, sketch_size: int = 4096,
-                  num_buckets: int = 16, text_col: str = "text"):
+                  num_buckets: int = 16, text_col: str = "text",
+                  return_total: bool = False):
     """All words whose global occurrence count is >= ``min_ppm`` parts
     per million of the total word count, with EXACT counts — computed
     without a full-vocabulary shuffle.  Returns a Dataset (word, n).
@@ -151,7 +152,13 @@ def heavy_hitters(ds, *, min_ppm: int = 1000, sketch_size: int = 4096,
         out = g.groupby("word", sort=False)["n"].sum().reset_index()
         return out[out["n"] >= threshold].reset_index(drop=True)
 
-    return counted.groupby("_part").map_groups(final, batch_format="pandas")
+    hits = counted.groupby("_part").map_groups(final, batch_format="pandas")
+    if return_total:
+        # n_total was already paid for by the sketch pass — callers that
+        # need the corpus token count (e.g. LM smoothing denominators)
+        # get it without another full text scan
+        return hits, n_total
+    return hits
 
 
 def length_quantiles(ds, *, group_col: str = "lang",

@@ -351,3 +351,69 @@ def fingerprints(ds, *, text_col: str = "text", k: int = 8, window: int = 16):
         )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=1024, zero_copy_batch=True)
+
+
+def unigram_logloss(ds, *, min_ppm: int = 1000, id_col: str = "doc_id",
+                    text_col: str = "text", sketch_size: int = 4096,
+                    num_buckets: int = 16):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020,
+    arXiv:1911.00359 scores pages with a pretrained KenLM; here the
+    unigram LM is trained on the corpus itself in the same job, which
+    keeps the operator self-contained and the oracle exact): per-doc
+    mean negative log-likelihood under an add-one-smoothed unigram model
+    whose vocabulary is the corpus's EXACT heavy hitters (count >=
+    ``min_ppm`` ppm of all tokens).  In-vocab token probability is
+    (c+1)/(N+V+1); out-of-vocabulary tokens share the unseen mass
+    1/(N+V+1), with N = corpus token count, V = vocabulary size.
+
+    Scale shape: vocabulary selection reuses the sketch-bounded two-pass
+    ``heavy_hitters`` (no full-vocabulary shuffle; N rides along free),
+    the (word, log-prob) table is bounded by 1e6/min_ppm entries and is
+    ``ray.put`` ONCE, and scoring is a single map-only pass (hash-table
+    token lookup + per-doc ``reduceat``) — no shuffle at all.
+
+    Returns (id_col, n_tokens, logloss); every doc scores (empty/null
+    text tokenizes to the single token '').
+    """
+    import pandas as pd
+    import ray
+
+    from deduplicator_ray.stages.freq import heavy_hitters
+
+    vocab_ds, n_total = heavy_hitters(
+        ds, min_ppm=min_ppm, sketch_size=sketch_size,
+        num_buckets=num_buckets, text_col=text_col, return_total=True,
+    )
+    vdf = vocab_ds.to_pandas()
+    V = len(vdf)
+    denom = float(n_total + V + 1)
+    vocab_idx = pd.Index(vdf["word"].to_numpy(object))
+    logp = np.log((vdf["n"].to_numpy(np.int64) + 1.0) / denom)
+    log_oov = float(np.log(1.0 / denom))
+    ref = ray.put((vocab_idx, logp))
+
+    def score(b: pa.Table) -> pa.Table:
+        vocab, lp_vocab = ray.get(ref)
+        text = pc.coalesce(b[text_col], pa.scalar("", b[text_col].type))
+        lists = pc.split_pattern(text, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offsets = lists.offsets.to_numpy()
+        offsets = offsets - offsets[0]  # flatten() is slice-relative
+        lens = np.diff(offsets).astype(np.int64)
+        toks = lists.flatten().to_pandas().to_numpy(object)
+        if len(toks) and len(vocab):
+            hit = vocab.get_indexer(toks)  # hash lookup, -1 = OOV
+            lp = np.where(hit >= 0, lp_vocab[np.maximum(hit, 0)], log_oov)
+        else:
+            lp = np.full(len(toks), log_oov)
+        # every doc has >= 1 token, so reduceat sees no empty segments
+        sums = (np.add.reduceat(lp, offsets[:-1])
+                if len(toks) else np.zeros(0))
+        return pa.table({
+            id_col: b[id_col],
+            "n_tokens": pa.array(lens),
+            "logloss": pa.array((-sums / lens).astype(np.float64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

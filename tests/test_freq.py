@@ -623,3 +623,67 @@ def test_distinctive_terms_rejects_bad_k(ray_session):
     pdf = pd.DataFrame({"doc_id": [1], "text": ["a"]})
     with pytest.raises(ValueError, match="positive"):
         distinctive_terms(rd.from_pandas(pdf), k=0)
+
+
+def test_unigram_logloss_matches_bruteforce(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import unigram_logloss
+
+    rng = np.random.default_rng(31)
+    # zipf-ish corpus: a few very common words, a long tail, empty doc
+    vocab = [f"t{i}" for i in range(60)]
+    p = 1.0 / np.arange(1, 61)
+    p /= p.sum()
+    n = 150
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(1, 50)), p=p))
+        for _ in range(n - 1)
+    ] + [""]
+    pdf = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                        "text": texts})
+    min_ppm = 20_000  # 2% of tokens — a real vocab/OOV split
+    got = (unigram_logloss(rd.from_pandas(pdf).repartition(6),
+                           min_ppm=min_ppm, num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    toks = [t.split(" ") for t in texts]
+    cnt = collections.Counter(w for ws in toks for w in ws)
+    N = sum(cnt.values())
+    thr = -(-N * min_ppm // 1_000_000)
+    voc = {w: c for w, c in cnt.items() if c >= thr}
+    assert 0 < len(voc) < len(cnt)  # both vocab and OOV paths exercised
+    D = N + len(voc) + 1
+    want_ll = np.array([
+        -np.mean([np.log((voc.get(w, 0) + 1.0) / D) for w in ws])
+        for ws in toks
+    ])
+    assert (got["n_tokens"].to_numpy() ==
+            np.array([len(ws) for ws in toks])).all()
+    np.testing.assert_allclose(got["logloss"].to_numpy(), want_ll,
+                               rtol=1e-12)
+    # common-word docs must score lower loss than rare-word docs
+    lo = " ".join(["t0"] * 10)
+    hi = " ".join([f"t{i}" for i in range(50, 60)])
+    pdf2 = pd.DataFrame({"doc_id": [0, 1], "text": [lo, hi]})
+    both = pd.concat([pdf, pdf2.assign(doc_id=[1000, 1001])],
+                     ignore_index=True)
+    g2 = (unigram_logloss(rd.from_pandas(both), min_ppm=min_ppm,
+                          num_buckets=4)
+          .to_pandas().set_index("doc_id"))
+    assert g2.loc[1000, "logloss"] < g2.loc[1001, "logloss"]
+
+
+def test_heavy_hitters_return_total(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import heavy_hitters
+
+    pdf = pd.DataFrame({"text": ["a a b", "a c", ""]})
+    hits, n_total = heavy_hitters(rd.from_pandas(pdf), min_ppm=1,
+                                  num_buckets=2, return_total=True)
+    assert n_total == 6  # 3 + 2 + 1 ('' splits to [''])
+    got = hits.to_pandas().set_index("word")["n"].to_dict()
+    assert got == {"a": 3, "b": 1, "c": 1, "": 1}

@@ -36,6 +36,7 @@ SQL_CHECKED = [
     "token_budget",
     "distinctive_terms",
     "embed_dedup_keep",
+    "unigram_logloss",
 ]
 
 SQL_CHECKED_REL = [
