@@ -1338,6 +1338,37 @@ SELECT doc_id, source FROM (
 """
 
 
+_IDX_MAX_POSTINGS = 390
+
+
+def q_inverted_index(sf_dir: str):
+    """Term -> posting-list index (stages/freq.py:inverted_index):
+    exact df per term, comma-joined ascending postings, hub terms past
+    {_IDX_MAX_POSTINGS} docs get NULL postings (skew guard, df stays
+    exact)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import inverted_index
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return inverted_index(ds, num_buckets=32,
+                          max_postings=_IDX_MAX_POSTINGS)
+
+
+_SQL_INVERTED_INDEX = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term
+  FROM documents
+), d AS (SELECT DISTINCT doc_id, term FROM ex)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CASE WHEN count(*) <= {_IDX_MAX_POSTINGS}
+            THEN string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+       END AS postings
+FROM d GROUP BY term
+"""
+
+
 _TERMS_K = 4
 
 
@@ -1642,4 +1673,5 @@ def registry_ext():
         "distinctive_terms": (q_distinctive_terms, _SQL_DISTINCTIVE_TERMS),
         "embed_dedup_keep": (q_embed_dedup_keep, _SQL_EMB_DEDUP_KEEP),
         "unigram_logloss": (q_unigram_logloss, _SQL_UNIGRAM_LOGLOSS),
+        "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
     }

@@ -368,3 +368,60 @@ def distinctive_terms(ds, *, k: int = 5, id_col: str = "doc_id",
         })
 
     return with_df.groupby("_part").map_groups(topk, batch_format="pandas")
+
+
+def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                   num_buckets: int = 64, max_postings: int = 10_000):
+    """Term -> posting-list index over the corpus — the Ray-native
+    analogue of the reference's Lucene index build
+    (deduplicator/.../DigestIndexer.java builds url/digest postings;
+    this is the same structure at word granularity, as a TABLE).
+
+    Returns (term, df, postings): df = exact document frequency,
+    postings = comma-joined doc ids ascending — or NULL when df exceeds
+    ``max_postings``.  The cap is the hub-term skew guard: a stopword's
+    posting list at web scale is millions of ids that no consumer reads
+    as one row; df stays exact for every term either way, so cap
+    overruns are visible, not silent.
+
+    Shape: per-block distinct (doc, term) explode (vectorized), ONE
+    term-hash shuffle of key-only rows, per-bucket vectorized reduce.
+    """
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    if max_postings <= 0:
+        raise ValueError("max_postings must be positive")
+
+    def explode(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.coalesce(b[text_col], pa.scalar("", b[text_col].type)), " "
+        )
+        flat = words.combine_chunks()
+        lens = np.diff(flat.offsets.to_numpy())
+        ids = np.repeat(b[id_col].to_numpy().astype(np.int64), lens)
+        df = pd.DataFrame({"doc_id": ids,
+                           "term": flat.flatten().to_pandas()})
+        df = df.drop_duplicates(["doc_id", "term"])
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "term": pa.array(df["term"].astype(object), type=pa.string()),
+        })
+
+    pairs = hash_bucket(
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        "term", num_buckets,
+    )
+
+    def reduce(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["term", "doc_id"], kind="stable")
+        counts = g.groupby("term", sort=False)["doc_id"].size()
+        post = (g.assign(s=g["doc_id"].astype(str))
+                .groupby("term", sort=False)["s"].agg(",".join))
+        post[counts > max_postings] = None
+        return pa.table({
+            "term": pa.array(counts.index.to_numpy(object), type=pa.string()),
+            "df": pa.array(counts.to_numpy(np.int64)),
+            "postings": pa.array(post.to_numpy(object), type=pa.string()),
+        })
+
+    return pairs.groupby("_part").map_groups(reduce, batch_format="pandas")

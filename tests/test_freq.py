@@ -687,3 +687,54 @@ def test_heavy_hitters_return_total(ray_session):
     assert n_total == 6  # 3 + 2 + 1 ('' splits to [''])
     got = hits.to_pandas().set_index("word")["n"].to_dict()
     assert got == {"a": 3, "b": 1, "c": 1, "": 1}
+
+
+def test_inverted_index_matches_bruteforce(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import inverted_index
+
+    rng = np.random.default_rng(37)
+    vocab = [f"w{i}" for i in range(15)]
+    n = 80
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(1, 20))))
+        for _ in range(n - 1)
+    ] + [""]
+    pdf = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                        "text": texts})
+    cap = 30  # common words exceed it, rare ones don't
+    got = (inverted_index(rd.from_pandas(pdf).repartition(5),
+                          num_buckets=4, max_postings=cap)
+           .to_pandas().sort_values("term").reset_index(drop=True))
+
+    posting = collections.defaultdict(set)
+    for d, t in zip(pdf["doc_id"], pdf["text"]):
+        for w in t.split(" "):
+            posting[w].add(int(d))
+    assert set(got["term"]) == set(posting)
+    capped = uncapped = 0
+    for r in got.itertuples():
+        want = sorted(posting[r.term])
+        assert r.df == len(want)
+        if len(want) > cap:
+            assert r.postings is None
+            capped += 1
+        else:
+            assert r.postings == ",".join(str(i) for i in want)
+            uncapped += 1
+    assert capped > 0 and uncapped > 0  # both branches exercised
+
+
+def test_inverted_index_rejects_bad_cap(ray_session):
+    import pytest
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import inverted_index
+
+    pdf = pd.DataFrame({"doc_id": [1], "text": ["a"]})
+    with pytest.raises(ValueError, match="positive"):
+        inverted_index(rd.from_pandas(pdf), max_postings=0)

@@ -37,6 +37,7 @@ SQL_CHECKED = [
     "distinctive_terms",
     "embed_dedup_keep",
     "unigram_logloss",
+    "inverted_index",
 ]
 
 SQL_CHECKED_REL = [
