@@ -119,6 +119,55 @@ WHERE len(list_intersect(a.g, b.g)) > 0
       >= {_JACCARD_NUM} * (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
 """
 
+_CONT_NUM, _CONT_DEN, _CONT_STOP_DF = 7, 10, 5
+
+
+def q_ngram_containment(sf_dir: str):
+    """Asymmetric near-dup (stages/jaccard.py:ngram_containment_pairs):
+    containment |A∩B|/min >= {_CONT_NUM}/{_CONT_DEN} over rare distinct
+    {_NGRAM_N}-grams (df <= {_CONT_STOP_DF}) — quote/wrapper detection
+    Jaccard misses."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.jaccard import ngram_containment_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ngram_containment_pairs(ds, num=_CONT_NUM, den=_CONT_DEN,
+                                   ngram=_NGRAM_N, stop_df=_CONT_STOP_DF)
+
+
+_SQL_NGRAM_CONTAINMENT = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {_NGRAM_N}
+              THEN list_distinct(list_transform(range(1, len(w) - {_NGRAM_N - 2}),
+                                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [] END AS g
+  FROM toks
+),
+eg AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+df AS (SELECT gram, count(*) AS c FROM eg GROUP BY gram),
+rare AS (SELECT doc_id, gram FROM eg JOIN df USING (gram)
+         WHERE c <= {_CONT_STOP_DF}),
+sz AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+          FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT inter.a AS doc_a, inter.b AS doc_b,
+       i AS n_inter, least(sa.n, sb.n) AS n_min
+FROM inter
+JOIN sz sa ON sa.doc_id = inter.a
+JOIN sz sb ON sb.doc_id = inter.b
+WHERE {_CONT_DEN} * i >= {_CONT_NUM} * least(sa.n, sb.n)
+"""
+
+
 # ---------------------------------------------------------------------------
 # D3: embedding-cosine near-dup pairs
 # ---------------------------------------------------------------------------
@@ -1674,4 +1723,6 @@ def registry_ext():
         "embed_dedup_keep": (q_embed_dedup_keep, _SQL_EMB_DEDUP_KEEP),
         "unigram_logloss": (q_unigram_logloss, _SQL_UNIGRAM_LOGLOSS),
         "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
+        "ngram_containment_pairs": (q_ngram_containment,
+                                    _SQL_NGRAM_CONTAINMENT),
     }

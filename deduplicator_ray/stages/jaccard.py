@@ -138,3 +138,137 @@ def ngram_jaccard_pairs(ds, *, num: int = 1, den: int = 2, ngram: int = 3,
 
     return withsigs.map_batches(verify, batch_format="pyarrow", batch_size=4096,
                                 zero_copy_batch=True)
+
+
+def ngram_containment_pairs(ds, *, num: int = 7, den: int = 10,
+                            ngram: int = 3, stop_df: int = 50,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            num_partitions: int = 64,
+                            max_group: int = 100_000):
+    """Exact ASYMMETRIC near-dup pairs — containment C(A,B) =
+    |A∩B| / min(|A|,|B|) >= num/den over each doc's RARE distinct word
+    n-grams (corpus document frequency <= ``stop_df``).  Containment
+    catches what Jaccard misses: a short page quoted inside a long one,
+    boilerplate wrappers around syndicated bodies (Broder 1997's
+    containment, SIGMOD overlap-join family).
+
+    Why rare grams are part of the SEMANTICS, not an approximation: the
+    Jaccard prefix filter does not carry over to containment (the
+    overlap bound depends on the SMALLER set, so a qualifying shared
+    gram need not sit in any fixed prefix of the larger one) — a
+    complete candidate generator must co-locate every shared gram, and a
+    stopword-like gram present in k docs generates O(k^2) candidates.
+    Restricting the gram universe to df <= stop_df makes that k bounded
+    BY DEFINITION, keeps the operator exact and oracle-checkable for the
+    stated semantics, and mirrors standard practice (drop boilerplate
+    shingles before containment comparison).  Returns
+    (doc_a, doc_b, n_inter, n_min) with den*n_inter >= num*n_min > 0.
+
+    Shape: gram blobs materialized once; df pass = hash-bucket count of
+    per-block distinct gram partials; heavy grams (df > stop_df, few by
+    construction at a sane stop_df) broadcast ONCE; rare-gram explode ->
+    candidate_pairs (overflow='error'; per-gram group <= stop_df) ->
+    semi-join signature attach -> vectorized verify.
+    """
+    import ray
+
+    from deduplicator_ray.config import MinHashConfig
+    from deduplicator_ray.stages.exact import hash_bucket
+    from deduplicator_ray.stages.lsh import attach_signatures, candidate_pairs
+
+    if not (0 < num <= den):
+        raise ValueError("need 0 < num <= den")
+    if stop_df < 2:
+        raise ValueError("stop_df < 2 would drop every shared gram")
+
+    def grams_table(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        per_doc = [_gram_hashes(t, ngram) for t in texts]
+        nrows = len(texts)
+        sizes = np.fromiter((len(g) for g in per_doc), dtype=np.int64, count=nrows)
+        blob = b"".join(g.astype("<u8").tobytes() for g in per_doc)
+        offsets = np.concatenate(([0], np.cumsum(sizes * 8))).astype(np.int32)
+        arr = pa.BinaryArray.from_buffers(
+            pa.binary(), nrows, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)]
+        )
+        return pa.table({id_col: b[id_col], "gramblob": arr})
+
+    sigs = ds.select_columns([id_col, text_col]).map_batches(
+        grams_table, batch_format="pyarrow", batch_size=1024, zero_copy_batch=True
+    ).materialize()  # feeds the df pass, the explode AND the verify join
+
+    # pass 1: exact document frequency per gram (per-block partials, one
+    # key-only shuffle; gram blobs already hold DISTINCT grams per doc)
+    def df_partial(b: pa.Table) -> pa.Table:
+        gs = [np.frombuffer(blob, dtype="<u8") for blob in b["gramblob"].to_pylist()]
+        allg = np.concatenate(gs) if gs else np.empty(0, dtype=np.uint64)
+        uniq, cnt = np.unique(allg, return_counts=True)
+        return pa.table({"gram": pa.array(uniq.astype(np.int64)),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    counted = hash_bucket(
+        sigs.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "gram", num_partitions,
+    )
+
+    def df_heavy(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("gram", sort=False)["c"].sum()
+        heavy = s[s > stop_df]
+        return pd.DataFrame({"gram": heavy.index.to_numpy(np.int64)})
+
+    heavy = np.sort(
+        counted.groupby("_part").map_groups(df_heavy, batch_format="pandas")
+        .to_pandas()["gram"].to_numpy(np.int64).astype(np.uint64)
+    )
+    heavy_ref = ray.put(heavy)
+
+    def rare_of(blob: bytes, stop: np.ndarray) -> np.ndarray:
+        g = np.frombuffer(blob, dtype="<u8")
+        if len(stop) == 0 or len(g) == 0:
+            return g
+        pos = np.searchsorted(stop, g)
+        hit = (pos < len(stop)) & (stop[np.minimum(pos, len(stop) - 1)] == g)
+        return g[~hit]
+
+    def rare_explode(b: pa.Table) -> pa.Table:
+        stop = ray.get(heavy_ref)
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        out_bucket, out_id = [], []
+        for i, blob in enumerate(b["gramblob"].to_pylist()):
+            g = rare_of(blob, stop)
+            if len(g) == 0:
+                continue
+            with np.errstate(over="ignore"):
+                bucket = (g * np.uint64(0x9E3779B97F4A7C15)).astype(np.int64)
+            out_bucket.append(bucket)
+            out_id.append(np.full(len(g), ids[i], dtype=np.int64))
+        if not out_bucket:
+            return pa.table({"band_bucket": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64())})
+        return pa.table({"band_bucket": np.concatenate(out_bucket),
+                         id_col: np.concatenate(out_id)})
+
+    bands = sigs.map_batches(rare_explode, batch_format="pyarrow",
+                             batch_size=1024, zero_copy_batch=True)
+    pairs = candidate_pairs(bands, MinHashConfig(max_band_group=max_group),
+                            key_col=id_col, num_partitions=num_partitions,
+                            overflow="error")
+    withsigs = attach_signatures(pairs, sigs, key_col=id_col, sig_col="gramblob")
+
+    def verify(b: pa.Table) -> pa.Table:
+        stop = ray.get(heavy_ref)
+        n = b.num_rows
+        ia = np.zeros(n, dtype=np.int64)
+        im = np.zeros(n, dtype=np.int64)
+        for i, (ba, bb) in enumerate(zip(b["sig_a"].to_pylist(), b["sig_b"].to_pylist())):
+            ga = rare_of(ba, stop)
+            gb = rare_of(bb, stop)
+            ia[i] = len(np.intersect1d(ga, gb, assume_unique=True))
+            im[i] = min(len(ga), len(gb))
+        keep = (ia > 0) & (den * ia >= num * im)
+        t = b.filter(pa.array(keep))
+        return pa.table({"doc_a": t["a"], "doc_b": t["b"],
+                         "n_inter": pa.array(ia[keep]), "n_min": pa.array(im[keep])})
+
+    return withsigs.map_batches(verify, batch_format="pyarrow", batch_size=4096,
+                                zero_copy_batch=True)

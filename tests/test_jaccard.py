@@ -4,6 +4,8 @@ failure instead of silent O(n^2)."""
 
 from __future__ import annotations
 
+import collections
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -102,3 +104,64 @@ def test_short_and_empty_texts(ray_session):
     )
     got = ngram_jaccard_pairs(rd.from_pandas(pdf)).to_pandas()
     assert len(got) == 0  # <3-word docs have no grams; no pairs
+
+
+def test_containment_pairs_vs_bruteforce(ray_session):
+    import itertools
+    import re as _re
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.jaccard import ngram_containment_pairs
+
+    rng = np.random.default_rng(41)
+    vocab = [f"v{i}" for i in range(200)]
+    boiler = "site nav footer"  # appears in EVERY doc -> df > stop_df
+    docs = []
+    for i in range(30):
+        body = " ".join(rng.choice(vocab, size=25))
+        docs.append(f"{boiler} {body}")
+    # plant: doc 30 is a short quote fully contained in doc 5's text
+    quote = " ".join(docs[5].split()[8:16])
+    docs.append(f"{boiler} {quote}")
+    pdf = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                        "text": docs})
+    num, den, ngram, stop_df = 7, 10, 3, 5
+
+    got = (ngram_containment_pairs(rd.from_pandas(pdf).repartition(4),
+                                   num=num, den=den, ngram=ngram,
+                                   stop_df=stop_df, num_partitions=8)
+           .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+    # brute force on string grams
+    def gramset(t):
+        w = _re.findall(r"[a-z0-9]+", t.lower())
+        return {" ".join(w[i:i + ngram]) for i in range(len(w) - ngram + 1)}
+
+    gs = [gramset(t) for t in docs]
+    dfc = collections.Counter(g for s in gs for g in s)
+    rare = [{g for g in s if dfc[g] <= stop_df} for s in gs]
+    want = []
+    for a, b in itertools.combinations(range(len(docs)), 2):
+        i = len(rare[a] & rare[b])
+        m = min(len(rare[a]), len(rare[b]))
+        if i > 0 and den * i >= num * m:
+            want.append((a, b, i, m))
+    wdf = pd.DataFrame(want, columns=["doc_a", "doc_b", "n_inter", "n_min"])
+    pd.testing.assert_frame_equal(
+        got, wdf.astype(got.dtypes.to_dict()).sort_values(
+            ["doc_a", "doc_b"]).reset_index(drop=True))
+    # the planted quote pair is found, and the boilerplate alone isn't a pair
+    assert ((got["doc_a"] == 5) & (got["doc_b"] == 30)).any()
+
+
+def test_containment_rejects_bad_args(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.jaccard import ngram_containment_pairs
+
+    pdf = pd.DataFrame({"doc_id": [1], "text": ["a b c d"]})
+    with pytest.raises(ValueError, match="stop_df"):
+        ngram_containment_pairs(rd.from_pandas(pdf), stop_df=1)
+    with pytest.raises(ValueError, match="num"):
+        ngram_containment_pairs(rd.from_pandas(pdf), num=0)

@@ -38,6 +38,7 @@ SQL_CHECKED = [
     "embed_dedup_keep",
     "unigram_logloss",
     "inverted_index",
+    "ngram_containment_pairs",
 ]
 
 SQL_CHECKED_REL = [
