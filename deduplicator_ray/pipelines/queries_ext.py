@@ -1355,6 +1355,43 @@ SELECT doc_id, lang, n_tokens FROM (
 """
 
 
+_ILV_SEED = 123
+
+
+def q_interleave_sources(sf_dir: str):
+    """Anti-clumping training order (stages/shuffle.py:
+    interleave_by_group): round-robin across sources — round r holds the
+    r-th seeded-random doc of every surviving source; two key-only
+    order-preserving-bucket rankings, no global sort shuffle."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import interleave_by_group
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return interleave_by_group(ds, group_col="source", seed=_ILV_SEED,
+                               num_buckets=64, round_buckets=64)
+
+
+def _sql_interleave_sources() -> str:
+    from deduplicator_ray.stages.shuffle import SHUFFLE_MULT
+
+    return f"""
+SELECT doc_id, source,
+       CAST(row_number() OVER (ORDER BY r, key) - 1 AS BIGINT) AS position
+FROM (
+  SELECT doc_id, source, key,
+         row_number() OVER (PARTITION BY source ORDER BY key) - 1 AS r
+  FROM (
+    SELECT doc_id, source,
+           (CAST(doc_id AS HUGEINT) + {_ILV_SEED}) * {SHUFFLE_MULT}
+             % 18446744073709551616 AS key
+    FROM documents
+  )
+)
+"""
+
+
 _CAP_SEED = 55
 _CAP_N = 7
 
@@ -1725,4 +1762,6 @@ def registry_ext():
         "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
         "ngram_containment_pairs": (q_ngram_containment,
                                     _SQL_NGRAM_CONTAINMENT),
+        "interleave_sources": (q_interleave_sources,
+                               _sql_interleave_sources()),
     }

@@ -403,3 +403,141 @@ def token_budget_select(ds, budgets, *, seed: int = 0,
         })
 
     return keyed_ds.groupby("_part").map_groups(select, batch_format="pandas")
+
+
+def interleave_by_group(ds, *, group_col: str = "source", seed: int = 0,
+                        id_col: str = "doc_id", num_buckets: int = 256,
+                        round_buckets: int = 256):
+    """(doc_id, group, position) — the anti-clumping training order:
+    round-robin across groups so no long same-source runs reach the
+    trainer.  Round 0 holds one seeded-random doc from EVERY group, then
+    round 1, and so on; within a round docs order by their shuffle key.
+    Exactly: position = rank of (r, key) where r = rank of key WITHIN
+    the doc's group and key is the bijective Weyl map — both ranks
+    deterministic, so the order is reproducible across runs/cluster
+    sizes and bit-mirrorable in SQL (two nested row_numbers).
+
+    Distributed WITHOUT a global sort and WITHOUT co-locating any group:
+      1. within-group rank r: the ``deterministic_shuffle`` trick run
+         per group — key-top-bits buckets are order-preserving, so
+         per-(group, bucket) counts (tiny: |groups| x num_buckets rows,
+         driver prefix-sum, broadcast once) turn each bucket's local
+         sort into the exact global within-group rank.  Hub groups
+         spread over all buckets instead of landing on one worker.
+      2. global rank of (r, key): bucket by min(r, round_buckets-1) —
+         monotone in r, hence order-preserving — same counts/offsets
+         trick, local sort by (r, key).
+    Two key-only shuffles; payloads never move.  Partitioning
+    assumption: the distinct-group count is driver-small (sources/langs,
+    not urls) — the offsets table is |groups| x num_buckets int64s.
+
+    Tail behavior is inherent to round-robin: once short groups exhaust,
+    late rounds hold only the biggest group's docs (a run).  Consumers
+    that need a balanced TAIL should cap with ``cap_per_group`` first.
+    """
+    import ray
+
+    if not (2 <= num_buckets <= 65536) or (num_buckets & (num_buckets - 1)):
+        raise ValueError("num_buckets must be a power of two in [2, 65536]")
+    if round_buckets < 2:
+        raise ValueError("round_buckets must be >= 2")
+    if seed < 0:
+        raise ValueError("seed must be non-negative")
+    shift = np.uint64(64 - int(num_buckets).bit_length() + 1)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("interleave_by_group requires non-negative ids")
+        k = shuffle_key(ids, seed)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "grp": b[group_col],
+            "key": pa.array(k),
+            "_part": pa.array((k >> shift).astype(np.int32)),
+        })
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    # per-(group, key-bucket) counts -> per-group exclusive prefix sums
+    def gcounts(b: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame({"p": b["_part"].to_numpy(),
+                            "g": b["grp"].to_pandas()})
+        c = pdf.groupby(["g", "p"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+    cdf = (keyed_ds.map_batches(gcounts, batch_format="pyarrow",
+                                zero_copy_batch=True)
+           .to_pandas().groupby(["g", "p"])["n"].sum())
+    goffs: dict = {}
+    for g in cdf.index.get_level_values(0).unique():
+        full = np.zeros(num_buckets, dtype=np.int64)
+        s = cdf.loc[g]
+        full[s.index.to_numpy()] = s.to_numpy()
+        offs = np.zeros(num_buckets, dtype=np.int64)
+        np.cumsum(full[:-1], out=offs[1:])
+        goffs[g] = offs
+    goffs_ref = ray.put(goffs)
+
+    rshift_cap = round_buckets - 1
+
+    def within_rank(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["_part"].iloc[0])
+        offs = ray.get(goffs_ref)
+        g = g.sort_values(["grp", "key"], kind="stable")
+        keys = g["key"].to_numpy(np.uint64)
+        dup = np.flatnonzero(keys[1:] == keys[:-1])
+        if len(dup):
+            raise ValueError(
+                f"interleave_by_group: duplicate doc id "
+                f"{int(g['doc_id'].to_numpy()[dup[0]])} — ids must be unique"
+            )
+        local = g.groupby("grp", sort=False).cumcount().to_numpy(np.int64)
+        codes, uniques = pd.factorize(g["grp"], sort=False)
+        base_arr = np.fromiter((offs[x][part] for x in uniques),
+                               dtype=np.int64, count=len(uniques))
+        r = base_arr[codes] + local
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "grp": g["grp"].to_numpy(),
+            "key": g["key"].to_numpy(np.uint64),
+            "r": r,
+            "_part2": np.minimum(r, rshift_cap).astype(np.int32),
+        })
+
+    ranked = keyed_ds.groupby("_part").map_groups(
+        within_rank, batch_format="pandas"
+    ).materialize()
+
+    # global offsets over the (monotone-in-r) round buckets
+    def rcounts(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b["_part2"].to_numpy(), return_counts=True)
+        return pa.table({"p": pa.array(u.astype(np.int32)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    rdf = (ranked.map_batches(rcounts, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+           .groupby("p")["n"].sum())
+    full = np.zeros(round_buckets, dtype=np.int64)
+    if len(rdf):
+        full[rdf.index.to_numpy()] = rdf.to_numpy()
+    roffs = np.zeros(round_buckets, dtype=np.int64)
+    np.cumsum(full[:-1], out=roffs[1:])
+    roffs_ref = ray.put(roffs)
+
+    def final_rank(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["_part2"].iloc[0])
+        order = np.lexsort((g["key"].to_numpy(np.uint64),
+                            g["r"].to_numpy(np.int64)))
+        pos = np.empty(len(g), dtype=np.int64)
+        pos[order] = ray.get(roffs_ref)[part] + np.arange(len(g),
+                                                          dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            group_col: g["grp"].to_numpy(),
+            "position": pos,
+        })
+
+    return ranked.groupby("_part2").map_groups(final_rank,
+                                               batch_format="pandas")

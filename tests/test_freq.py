@@ -738,3 +738,53 @@ def test_inverted_index_rejects_bad_cap(ray_session):
     pdf = pd.DataFrame({"doc_id": [1], "text": ["a"]})
     with pytest.raises(ValueError, match="positive"):
         inverted_index(rd.from_pandas(pdf), max_postings=0)
+
+
+def test_interleave_by_group_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import (
+        interleave_by_group,
+        shuffle_key,
+    )
+
+    rng = np.random.default_rng(43)
+    n = 400
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": rng.choice(["big", "mid", "s3", "tiny"],
+                             p=[0.6, 0.25, 0.12, 0.03], size=n),
+    })
+    got = (interleave_by_group(rd.from_pandas(pdf).repartition(6),
+                               group_col="source", seed=9,
+                               num_buckets=16, round_buckets=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    keys = shuffle_key(pdf["doc_id"].to_numpy(), 9)
+    bf = pdf.assign(key=keys)
+    bf["r"] = bf.sort_values("key").groupby("source").cumcount()
+    bf = bf.sort_values(["r", "key"]).reset_index(drop=True)
+    bf["position"] = np.arange(len(bf), dtype=np.int64)
+    want = (bf[["doc_id", "source", "position"]]
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # interleaving property: every group appears in the first |groups| rows
+    head = bf.head(bf["source"].nunique())
+    assert set(head["source"]) == set(pdf["source"])
+
+
+def test_interleave_by_group_rejects_bad_args(ray_session):
+    import pytest
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import interleave_by_group
+
+    pdf = pd.DataFrame({"doc_id": [1], "source": ["a"]})
+    with pytest.raises(ValueError, match="power of two"):
+        interleave_by_group(rd.from_pandas(pdf), num_buckets=100)
+    with pytest.raises(ValueError, match="round_buckets"):
+        interleave_by_group(rd.from_pandas(pdf), round_buckets=1)
+    with pytest.raises(Exception, match="duplicate doc id"):
+        interleave_by_group(rd.from_pandas(pd.DataFrame(
+            {"doc_id": [1, 1], "source": ["a", "b"]}))).materialize()

@@ -39,6 +39,7 @@ SQL_CHECKED = [
     "unigram_logloss",
     "inverted_index",
     "ngram_containment_pairs",
+    "interleave_sources",
 ]
 
 SQL_CHECKED_REL = [
