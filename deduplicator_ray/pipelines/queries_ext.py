@@ -1355,6 +1355,29 @@ SELECT doc_id, lang, n_tokens FROM (
 """
 
 
+_SPLIT_SEED = 31
+_SPLIT_FRACTIONS = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test assignment (stages/shuffle.py:
+    split_assign): Weyl-key interval per doc — map-only, zero shuffle,
+    consistent with stratified_sample at the same seed."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import split_assign
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return split_assign(ds, _SPLIT_FRACTIONS, seed=_SPLIT_SEED)
+
+
+def _sql_split_assign() -> str:
+    from deduplicator_ray.stages.shuffle import split_sql_expr
+
+    return (f"SELECT doc_id, {split_sql_expr(_SPLIT_FRACTIONS, _SPLIT_SEED)}"
+            f" AS split FROM documents")
+
+
 _ILV_SEED = 123
 
 
@@ -1764,4 +1787,5 @@ def registry_ext():
                                     _SQL_NGRAM_CONTAINMENT),
         "interleave_sources": (q_interleave_sources,
                                _sql_interleave_sources()),
+        "split_assign": (q_split_assign, _sql_split_assign()),
     }

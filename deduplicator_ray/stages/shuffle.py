@@ -541,3 +541,57 @@ def interleave_by_group(ds, *, group_col: str = "source", seed: int = 0,
 
     return ranked.groupby("_part2").map_groups(final_rank,
                                                batch_format="pandas")
+
+
+def split_assign(ds, fractions, *, seed: int = 0, id_col: str = "doc_id"):
+    """(doc_id, split) — deterministic train/val/test assignment: the
+    doc's Weyl key, as a fraction of 2^64, lands in one of the
+    consecutive ``fractions`` intervals.  Map-only (ZERO shuffle),
+    reproducible across runs/workers/cluster sizes, exactly mirrorable
+    in SQL, and CONSISTENT with ``stratified_sample`` at the same seed
+    (a 10% sample drawn with that seed stays inside the same splits).
+
+    ``fractions``: ordered dict/list of (name, fraction); fractions must
+    sum to 1 (the last interval absorbs the remainder exactly — cut
+    points are computed as cumulative int thresholds so no float
+    accumulation can leave a key unassigned).
+    """
+    items = list(fractions.items()) if isinstance(fractions, dict) else list(fractions)
+    if not items:
+        raise ValueError("fractions must be non-empty")
+    fr = [f for _, f in items]
+    if any(f < 0 for f in fr) or abs(sum(fr) - 1.0) > 1e-9:
+        raise ValueError("fractions must be non-negative and sum to 1")
+    if seed < 0:
+        raise ValueError("seed must be non-negative")
+    names = np.array([n for n, _ in items], dtype=object)
+    cuts = np.array(
+        [int(sum(fr[: i + 1]) * 2**64) for i in range(len(fr) - 1)],
+        dtype=np.uint64,
+    )  # len-1 interior cut points; the last interval runs to 2^64
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("split_assign requires non-negative ids")
+        k = shuffle_key(ids, seed)
+        idx = np.searchsorted(cuts, k, side="right")
+        return pa.table({
+            id_col: pa.array(ids),
+            "split": pa.array(names[idx], type=pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def split_sql_expr(fractions, seed: int, id_col: str = "doc_id") -> str:
+    """The DuckDB CASE expression reproducing ``split_assign`` bit-for-bit."""
+    items = list(fractions.items()) if isinstance(fractions, dict) else list(fractions)
+    fr = [f for _, f in items]
+    key = (f"(CAST({id_col} AS HUGEINT) + {seed}) * {SHUFFLE_MULT} "
+           f"% 18446744073709551616")
+    clauses = []
+    for i in range(len(items) - 1):
+        cut = int(sum(fr[: i + 1]) * 2**64)
+        clauses.append(f"WHEN {key} < {cut} THEN '{items[i][0]}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{items[-1][0]}' END"

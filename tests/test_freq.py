@@ -788,3 +788,48 @@ def test_interleave_by_group_rejects_bad_args(ray_session):
     with pytest.raises(Exception, match="duplicate doc id"):
         interleave_by_group(rd.from_pandas(pd.DataFrame(
             {"doc_id": [1, 1], "source": ["a", "b"]}))).materialize()
+
+
+def test_split_assign_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import (
+        shuffle_key,
+        split_assign,
+        stratified_sample,
+    )
+
+    n = 2000
+    pdf = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
+    fr = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    got = (split_assign(rd.from_pandas(pdf).repartition(5), fr, seed=6)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    k = shuffle_key(pdf["doc_id"].to_numpy(), 6)
+    cuts = np.array([int(0.8 * 2**64), int(0.9 * 2**64)], dtype=np.uint64)
+    names = np.array(["train", "val", "test"], dtype=object)
+    want = names[np.searchsorted(cuts, k, side="right")]
+    assert (got["split"].to_numpy() == want).all()
+    # every split non-empty, counts near fractions
+    vc = got["split"].value_counts()
+    assert set(vc.index) == {"train", "val", "test"}
+    assert abs(vc["train"] / n - 0.8) < 0.05
+    # consistency with stratified_sample at the same seed: an 0.8-rate
+    # sample is EXACTLY the train split
+    samp = (stratified_sample(rd.from_pandas(pdf), 0.8, seed=6)
+            .to_pandas()["doc_id"].to_numpy())
+    assert set(samp) == set(got.loc[got["split"] == "train", "doc_id"])
+
+
+def test_split_assign_rejects_bad_fractions(ray_session):
+    import pytest
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import split_assign
+
+    pdf = pd.DataFrame({"doc_id": [1]})
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(rd.from_pandas(pdf), [("a", 0.5), ("b", 0.4)])
+    with pytest.raises(ValueError, match="non-empty"):
+        split_assign(rd.from_pandas(pdf), [])

@@ -40,6 +40,7 @@ SQL_CHECKED = [
     "inverted_index",
     "ngram_containment_pairs",
     "interleave_sources",
+    "split_assign",
 ]
 
 SQL_CHECKED_REL = [
