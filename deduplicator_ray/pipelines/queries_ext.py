@@ -1717,6 +1717,79 @@ def q_neardup_keep(sf_dir: str):
     return docs.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_neardup_keep_best(sf_dir: str):
+    """Quality-aware cleaned-corpus selection: per near-dup cluster keep
+    the LONGEST member (n_chars DESC, doc_id ASC tie-break) — the copy a
+    curator would keep — instead of an arbitrary representative;
+    singletons keep.  Clusters are the exact north-star definition
+    (q_neardup_clusters).  Clustered docs are a small set by
+    construction: their (doc_id, n_chars) rows broadcast once, election
+    happens driver-side, and the corpus pass is map-only."""
+    import ray
+
+    import ray.data as rd
+
+    asg = q_neardup_clusters(sf_dir)  # pandas (doc_key, cluster_id)
+    clustered = np.sort(asg["doc_key"].to_numpy(np.int64))
+    cl_ref = ray.put(clustered)
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        cl = ray.get(cl_ref)
+        pos = np.searchsorted(cl, ids)
+        hit = (pos < len(cl)) & (cl[np.minimum(pos, max(len(cl) - 1, 0))] == ids) \
+            if len(cl) else np.zeros(len(ids), dtype=bool)
+        return b.filter(pa.array(hit))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    quality = docs.map_batches(pick, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    j = asg.merge(quality, left_on="doc_key", right_on="doc_id")
+    j = j.sort_values(["cluster_id", "n_chars", "doc_key"],
+                      ascending=[True, False, True], kind="stable")
+    best = j.groupby("cluster_id", sort=False).head(1)["doc_key"]
+    removals = np.sort(np.setdiff1d(clustered, best.to_numpy(np.int64)))
+    rem_ref = ray.put(removals)
+
+    def flag(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        rem = ray.get(rem_ref)
+        if len(rem):
+            pos = np.searchsorted(rem, ids)
+            is_dup = (pos < len(rem)) & (rem[np.minimum(pos, len(rem) - 1)] == ids)
+        else:
+            is_dup = np.zeros(len(ids), dtype=bool)
+        return pa.table({"doc_id": pa.array(ids), "keep": pa.array(~is_dup)})
+
+    ids_only = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    return ids_only.map_batches(flag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+_SQL_NEARDUP_KEEP_BEST = _SQL_NEARDUP_CLUSTERS.replace(
+    ")\nSELECT node AS doc_key, least(node, min(r)) AS cluster_id\n"
+    "FROM reach GROUP BY node ORDER BY doc_key",
+    "),\nasg AS (\n"
+    "  SELECT node AS doc_key, least(node, min(r)) AS cluster_id\n"
+    "  FROM reach GROUP BY node\n"
+    "),\nbest AS (\n"
+    "  SELECT cluster_id, doc_key AS best_id FROM (\n"
+    "    SELECT a.cluster_id, a.doc_key,\n"
+    "           row_number() OVER (PARTITION BY a.cluster_id\n"
+    "             ORDER BY d.n_chars DESC, a.doc_key ASC) AS rn\n"
+    "    FROM asg a JOIN documents d ON d.doc_id = a.doc_key\n"
+    "  ) WHERE rn = 1\n"
+    ")\n"
+    "SELECT d.doc_id, COALESCE(d.doc_id = b.best_id, TRUE) AS keep\n"
+    "FROM documents d\n"
+    "LEFT JOIN asg a ON d.doc_id = a.doc_key\n"
+    "LEFT JOIN best b ON a.cluster_id = b.cluster_id",
+)
+assert "best AS" in _SQL_NEARDUP_KEEP_BEST  # replace target must keep matching
+
+
 # keep = not a clustered non-representative, derived from the SAME
 # recursive-CTE cluster assignment the north-star oracle uses (the final
 # SELECT of _SQL_NEARDUP_CLUSTERS becomes an `asg` CTE here).
@@ -1788,4 +1861,6 @@ def registry_ext():
         "interleave_sources": (q_interleave_sources,
                                _sql_interleave_sources()),
         "split_assign": (q_split_assign, _sql_split_assign()),
+        "neardup_keep_best": (q_neardup_keep_best,
+                              _SQL_NEARDUP_KEEP_BEST),
     }

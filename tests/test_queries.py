@@ -41,6 +41,7 @@ SQL_CHECKED = [
     "ngram_containment_pairs",
     "interleave_sources",
     "split_assign",
+    "neardup_keep_best",
 ]
 
 SQL_CHECKED_REL = [
