@@ -105,6 +105,14 @@ def keep_ids(ds, ids: np.ndarray, *, key_col: str = "doc_id",
     (the mirror of clean_pipeline.drop_ids)."""
     import ray
 
+    if not isinstance(ids, np.ndarray):  # a Dataset of ids: decide how to
+        ids = ids.materialize()          # ship WITHOUT an unconditional
+        n_ids = ids.count()              # driver collection
+        if n_ids <= max_broadcast:
+            ids = ids.to_pandas()[key_col].to_numpy(np.int64)
+        else:
+            return _keep_ids_copartition(ds, ids, key_col=key_col,
+                                         num_buckets=num_buckets)
     ids = np.sort(np.asarray(ids, dtype=np.int64))
     if len(ids) <= max_broadcast:
         ref = ray.put(ids)
@@ -124,9 +132,18 @@ def keep_ids(ds, ids: np.ndarray, *, key_col: str = "doc_id",
 
     import ray.data as rd
 
+    id_ds = rd.from_arrow(pa.table({key_col: pa.array(ids)}))
+    return _keep_ids_copartition(ds, id_ds, key_col=key_col,
+                                 num_buckets=num_buckets)
+
+
+def _keep_ids_copartition(ds, id_ds, *, key_col: str, num_buckets: int):
+    """Semi-join by hash-bucket co-partition: one key shuffle of both
+    sides, Arrow-native per-bucket reduce; the id side never touches the
+    driver."""
     from deduplicator_ray.stages.exact import hash_bucket
 
-    id_ds = rd.from_arrow(pa.table({key_col: pa.array(ids)}))
+    id_ds = id_ds.select_columns([key_col])
 
     def tag(src: int):
         def f(b: pa.Table) -> pa.Table:
@@ -162,15 +179,21 @@ def keep_ids(ds, ids: np.ndarray, *, key_col: str = "doc_id",
 
 
 def _pack_by_position(ds, *, seq_len: int, n_docs: int,
+                      group_col: str | None = None,
                       num_buckets: int = 256):
     """Token packing over the INTERLEAVED order: same bucketed global
     cumsum as ``pack_sequences`` (stages/shuffle.py) but keyed on the
     dense ``position`` column — bucket = position * B // n_docs is
     order-preserving because positions are a 0..n-1 permutation.
-    Input needs (position, n_tokens); appends (seq_id, seq_offset)."""
-    import ray
 
-    from deduplicator_ray.stages.shuffle import _bucket_offsets
+    With ``group_col`` (the split label) the cumsum runs PER GROUP —
+    per-(group, bucket) token totals prefix-sum on the driver, the same
+    trick interleave_by_group uses — so sequences never straddle a
+    train/val/test boundary and each group numbers its sequences from 0.
+    Input needs (position, n_tokens[, group_col]); appends
+    (seq_id, seq_offset)."""
+    import pandas as pd
+    import ray
 
     if n_docs <= 0:
         return ds.map_batches(
@@ -188,24 +211,48 @@ def _pack_by_position(ds, *, seq_len: int, n_docs: int,
 
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
-    offsets = _bucket_offsets(keyed_ds, B, "n_tokens")
-    off_ref = ray.put(offsets)
+
+    # per-(group, bucket) token totals -> per-group exclusive prefix sums
+    def gcounts(b: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame({
+            "p": b["_part"].to_numpy(),
+            "g": (b[group_col].to_pandas() if group_col
+                  else np.zeros(b.num_rows, dtype=np.int8)),
+            "n": b["n_tokens"].to_numpy(),
+        })
+        c = pdf.groupby(["g", "p"], sort=False)["n"].sum().reset_index()
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+    cdf = (keyed_ds.map_batches(gcounts, batch_format="pyarrow",
+                                zero_copy_batch=True)
+           .to_pandas().groupby(["g", "p"])["n"].sum())
+    goffs: dict = {}
+    for g in cdf.index.get_level_values(0).unique():
+        full = np.zeros(B, dtype=np.int64)
+        s = cdf.loc[g]
+        full[s.index.to_numpy()] = s.to_numpy()
+        offs = np.zeros(B, dtype=np.int64)
+        np.cumsum(full[:-1], out=offs[1:])
+        goffs[g] = offs
+    off_ref = ray.put(goffs)
 
     def assign(g):
-        import pandas as pd
-
         part = int(g["_part"].iloc[0])
-        order = np.argsort(g["position"].to_numpy(np.int64), kind="stable")
-        ntok = g["n_tokens"].to_numpy(np.int64)[order]
-        start = np.empty(len(ntok), dtype=np.int64)
-        np.cumsum(ntok[:-1], out=start[1:])
-        start[0] = 0
-        start += ray.get(off_ref)[part]
-        out = np.empty(len(ntok), dtype=np.int64)
-        out[order] = start
+        offs = ray.get(off_ref)
+        g = g.sort_values("position", kind="stable")
+        grp = (g[group_col] if group_col
+               else pd.Series(np.zeros(len(g), dtype=np.int8), index=g.index))
+        ntok = g["n_tokens"].to_numpy(np.int64)
+        # per-group running start within the bucket + per-group base
+        cum = pd.Series(ntok, index=g.index).groupby(
+            grp.to_numpy(), sort=False).cumsum().to_numpy(np.int64) - ntok
+        codes, uniques = pd.factorize(grp, sort=False)
+        base = np.fromiter((offs[x][part] for x in uniques),
+                           dtype=np.int64, count=len(uniques))[codes]
+        start = base + cum
         res = g.drop(columns=["_part"]).copy()
-        res["seq_id"] = out // seq_len
-        res["seq_offset"] = out % seq_len
+        res["seq_id"] = start // seq_len
+        res["seq_offset"] = start % seq_len
         return pd.DataFrame(res)
 
     return keyed_ds.groupby("_part").map_groups(assign, batch_format="pandas")
@@ -225,9 +272,12 @@ def run(args) -> dict:
         token_budget_select,
     )
 
+    from deduplicator_ray.stages.shuffle import split_cuts
+
     rates = _parse_kv(args.rates, float)
     budgets = _parse_kv(args.budgets, int)
     splits = list(_parse_kv(args.splits, float).items())
+    split_cuts(splits)  # validate BEFORE any stage burns compute
     if args.seq_len <= 0:
         raise ValueError("--seq-len must be positive")
 
@@ -304,8 +354,10 @@ def run(args) -> dict:
                 budgets, seed=args.seed_budget,
                 default_budget=args.default_budget,
             )
-            ids = sel.to_pandas()["doc_id"].to_numpy(np.int64)
-            return keep_ids(docs, ids, max_broadcast=args.max_broadcast)
+            # the budget-selected set can be MOST of the corpus (generous
+            # budgets) — hand keep_ids the Dataset so it only collects to
+            # the driver when the count fits --max-broadcast
+            return keep_ids(docs, sel, max_broadcast=args.max_broadcast)
 
         docs, m = stage("budgeted", h_budget, build_budgeted)
         report["after_budget"] = m["total_rows"]
@@ -360,28 +412,32 @@ def run(args) -> dict:
 
         ordered = ordered.map_batches(with_ntok, batch_format="pyarrow",
                                       zero_copy_batch=True)
-        packed = _pack_by_position(ordered, seq_len=args.seq_len,
-                                   n_docs=n_docs)
-        # split is a pure key function of doc_id — computed map-side with
-        # the same arithmetic split_assign pins (no join, no extra pass)
-        from deduplicator_ray.stages.shuffle import shuffle_key
-
-        fr = [f for _, f in splits]
-        names = np.array([nm for nm, _ in splits], dtype=object)
-        cuts = np.array(
-            [int(sum(fr[: i + 1]) * 2**64) for i in range(len(fr) - 1)],
-            dtype=np.uint64,
+        # split BEFORE packing, then pack per split: sequences must never
+        # straddle a train/val/test boundary (a consumer reconstructing
+        # split=='train' sequences by (seq_id, seq_offset) would otherwise
+        # see token-range holes and cross-split seq_id sharing).  Split is
+        # a pure key function of doc_id — computed map-side with the SAME
+        # validated arithmetic split_assign pins (shuffle.split_cuts).
+        from deduplicator_ray.stages.shuffle import (
+            shuffle_key,
+            split_cuts,
+            split_index,
         )
+
+        split_names, cuts = split_cuts(splits)
+        names = np.array(split_names, dtype=object)
 
         def add_split(b: pa.Table) -> pa.Table:
             k = shuffle_key(b["doc_id"].to_numpy().astype(np.int64),
                             args.seed_split)
-            idx = np.searchsorted(cuts, k, side="right")
-            return b.append_column("split",
-                                   pa.array(names[idx], type=pa.string()))
+            return b.append_column(
+                "split", pa.array(names[split_index(k, cuts)],
+                                  type=pa.string()))
 
-        return packed.map_batches(add_split, batch_format="pyarrow",
-                                  zero_copy_batch=True)
+        labeled = ordered.map_batches(add_split, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+        return _pack_by_position(labeled, seq_len=args.seq_len,
+                                 n_docs=n_docs, group_col="split")
 
     final_ds, m = stage("mixed", h_mixed, build_mixed)
     report["output_docs"] = m["total_rows"]

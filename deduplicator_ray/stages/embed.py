@@ -558,7 +558,9 @@ def embedding_dedup_keep(ds, threshold: float = 0.95, *, id_col: str = "vec_id",
         batch_format="pyarrow", zero_copy_batch=True,
     )
     asg = connected_components_auto(edges)
-    if hasattr(asg, "to_pandas"):  # driver path returns pa.Table
+    # NOTE: Ray Datasets also expose .to_pandas(), so hasattr can't
+    # distinguish the driver-path pa.Table from the distributed path
+    if isinstance(asg, pa.Table):  # driver CC path
         apdf = asg.to_pandas()
         removals = np.sort(apdf.loc[apdf["doc_key"] != apdf["cluster_id"],
                                     "doc_key"].to_numpy(np.int64))

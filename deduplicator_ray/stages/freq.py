@@ -415,9 +415,14 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
     def reduce(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["term", "doc_id"], kind="stable")
         counts = g.groupby("term", sort=False)["doc_id"].size()
-        post = (g.assign(s=g["doc_id"].astype(str))
+        # hub terms are capped to NULL — don't materialize their multi-MB
+        # posting strings just to discard them
+        keep_terms = counts.index[counts.to_numpy() <= max_postings]
+        gk = g[g["term"].isin(keep_terms)]
+        post = (gk.assign(s=gk["doc_id"].astype(str))
                 .groupby("term", sort=False)["s"].agg(",".join))
-        post[counts > max_postings] = None
+        post = post.reindex(counts.index).astype(object)
+        post = post.where(pd.notna(post), None)
         return pa.table({
             "term": pa.array(counts.index.to_numpy(object), type=pa.string()),
             "df": pa.array(counts.to_numpy(np.int64)),

@@ -487,11 +487,16 @@ def interleave_by_group(ds, *, group_col: str = "source", seed: int = 0,
         offs = ray.get(goffs_ref)
         g = g.sort_values(["grp", "key"], kind="stable")
         keys = g["key"].to_numpy(np.uint64)
-        dup = np.flatnonzero(keys[1:] == keys[:-1])
+        # duplicate detection must run on KEY order — in (grp, key) order
+        # a duplicate id in two different groups is not adjacent
+        ks = np.sort(keys)
+        dup = np.flatnonzero(ks[1:] == ks[:-1])
         if len(dup):
+            bad = ks[dup[0]]
             raise ValueError(
                 f"interleave_by_group: duplicate doc id "
-                f"{int(g['doc_id'].to_numpy()[dup[0]])} — ids must be unique"
+                f"{int(g['doc_id'].to_numpy()[keys == bad][0])} — ids must "
+                "be unique"
             )
         local = g.groupby("grp", sort=False).cumcount().to_numpy(np.int64)
         codes, uniques = pd.factorize(g["grp"], sort=False)
@@ -556,26 +561,17 @@ def split_assign(ds, fractions, *, seed: int = 0, id_col: str = "doc_id"):
     points are computed as cumulative int thresholds so no float
     accumulation can leave a key unassigned).
     """
-    items = list(fractions.items()) if isinstance(fractions, dict) else list(fractions)
-    if not items:
-        raise ValueError("fractions must be non-empty")
-    fr = [f for _, f in items]
-    if any(f < 0 for f in fr) or abs(sum(fr) - 1.0) > 1e-9:
-        raise ValueError("fractions must be non-negative and sum to 1")
     if seed < 0:
         raise ValueError("seed must be non-negative")
-    names = np.array([n for n, _ in items], dtype=object)
-    cuts = np.array(
-        [int(sum(fr[: i + 1]) * 2**64) for i in range(len(fr) - 1)],
-        dtype=np.uint64,
-    )  # len-1 interior cut points; the last interval runs to 2^64
+    names, cuts = split_cuts(fractions)
+    names = np.array(names, dtype=object)
 
     def assign(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy().astype(np.int64)
         if len(ids) and ids.min() < 0:
             raise ValueError("split_assign requires non-negative ids")
         k = shuffle_key(ids, seed)
-        idx = np.searchsorted(cuts, k, side="right")
+        idx = split_index(k, cuts)
         return pa.table({
             id_col: pa.array(ids),
             "split": pa.array(names[idx], type=pa.string()),
@@ -584,14 +580,42 @@ def split_assign(ds, fractions, *, seed: int = 0, id_col: str = "doc_id"):
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def split_cuts(fractions) -> tuple[list, list]:
+    """Validate split fractions and return (names, interior cut points as
+    PYTHON ints).  Cuts may legitimately equal 2^64 (a trailing zero
+    fraction), which does not fit uint64 — that's why they stay Python
+    ints; route keys with ``split_index``.  Shared by ``split_assign``,
+    ``split_sql_expr`` and the mix pipeline so validation can't drift."""
+    items = list(fractions.items()) if isinstance(fractions, dict) else list(fractions)
+    if not items:
+        raise ValueError("fractions must be non-empty")
+    fr = [f for _, f in items]
+    if any(f < 0 for f in fr) or abs(sum(fr) - 1.0) > 1e-9:
+        raise ValueError("fractions must be non-negative and sum to 1")
+    names = [n for n, _ in items]
+    cuts = [int(sum(fr[: i + 1]) * 2**64) for i in range(len(fr) - 1)]
+    return names, cuts
+
+
+def split_index(k: np.ndarray, cuts: list) -> np.ndarray:
+    """Interval index per uint64 key: idx = #cuts <= key.  A handful of
+    vectorized compares (cuts is tiny) instead of searchsorted, because a
+    cut of exactly 2^64 overflows uint64 — such a cut compares False for
+    every key, exactly matching the SQL ``key < 2^64`` always-true CASE
+    arm that precedes it."""
+    idx = np.zeros(len(k), dtype=np.int64)
+    for cut in cuts:
+        if cut >= 2**64:
+            continue  # no key reaches it: later intervals get nothing
+        idx += (k >= np.uint64(cut)).astype(np.int64)
+    return idx
+
+
 def split_sql_expr(fractions, seed: int, id_col: str = "doc_id") -> str:
     """The DuckDB CASE expression reproducing ``split_assign`` bit-for-bit."""
-    items = list(fractions.items()) if isinstance(fractions, dict) else list(fractions)
-    fr = [f for _, f in items]
+    names, cuts = split_cuts(fractions)
     key = (f"(CAST({id_col} AS HUGEINT) + {seed}) * {SHUFFLE_MULT} "
            f"% 18446744073709551616")
-    clauses = []
-    for i in range(len(items) - 1):
-        cut = int(sum(fr[: i + 1]) * 2**64)
-        clauses.append(f"WHEN {key} < {cut} THEN '{items[i][0]}'")
-    return "CASE " + " ".join(clauses) + f" ELSE '{items[-1][0]}' END"
+    clauses = [f"WHEN {key} < {cut} THEN '{names[i]}'"
+               for i, cut in enumerate(cuts)]
+    return "CASE " + " ".join(clauses) + f" ELSE '{names[-1]}' END"

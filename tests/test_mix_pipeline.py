@@ -59,15 +59,17 @@ def _brute(seq_len=64):
     df["_r"] = df.sort_values("_ko").groupby("source").cumcount()
     df = df.sort_values(["_r", "_ko"]).reset_index(drop=True)
     df["position"] = np.arange(len(df), dtype=np.int64)
-    # pack over position order
-    start = np.concatenate(([0], np.cumsum(df["n_tokens"].to_numpy())[:-1]))
-    df["seq_id"] = start // seq_len
-    df["seq_offset"] = start % seq_len
-    # split
+    # split FIRST, then pack within each split over position order (a
+    # sequence must never straddle a train/val/test boundary)
     ks = shuffle_key(df["doc_id"].to_numpy(), 3)
     cuts = np.array([int(0.8 * 2**64), int(0.9 * 2**64)], dtype=np.uint64)
     names = np.array(["train", "val", "test"], dtype=object)
     df["split"] = names[np.searchsorted(cuts, ks, side="right")]
+    df = df.sort_values("position")
+    cum = df.groupby("split", sort=False)["n_tokens"].cumsum().to_numpy()
+    start = cum - df["n_tokens"].to_numpy()
+    df["seq_id"] = start // seq_len
+    df["seq_offset"] = start % seq_len
     return df[["doc_id", "lang", "source", "text", "n_tokens",
                "position", "seq_id", "seq_offset", "split"]]
 
@@ -128,3 +130,74 @@ def test_keep_ids_paths_agree(ray_session):
             .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, want)
     pd.testing.assert_frame_equal(b, want)
+
+
+def test_mix_pipeline_sequences_never_straddle_splits(ray_session, tmp_path):
+    rep = _run(tmp_path / "mix")
+    got = _read_out(rep)
+    # each (split, seq_id) pair must be token-contiguous within its split:
+    # per split, consecutive docs in position order chain offsets exactly
+    for split, g in got.groupby("split"):
+        g = g.sort_values("position")
+        start = g["seq_id"].to_numpy() * 64 + g["seq_offset"].to_numpy()
+        want = np.concatenate(([0], np.cumsum(g["n_tokens"].to_numpy())[:-1]))
+        assert (start == want).all(), split
+        assert g["seq_id"].iloc[0] == 0  # each split numbers from 0
+
+
+def test_mix_pipeline_rejects_bad_splits(ray_session, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        _run(tmp_path / "mix", extra=("--splits", "train=0.9,val=0.05"))
+
+
+def test_split_assign_trailing_zero_fraction(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import split_assign
+
+    pdf = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64)})
+    got = (split_assign(rd.from_pandas(pdf),
+                        [("train", 1.0), ("test", 0.0)], seed=2)
+           .to_pandas())
+    assert (got["split"] == "train").all()  # no OverflowError, no 'test'
+
+
+def test_interleave_duplicate_id_across_groups_detected(ray_session):
+    import pytest
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import interleave_by_group
+
+    # same doc_id in two different groups, with enough same-group rows
+    # that the duplicates are NOT adjacent in (grp, key) order
+    pdf = pd.DataFrame({
+        "doc_id": np.concatenate([np.arange(300, dtype=np.int64),
+                                  np.array([7], dtype=np.int64)]),
+        "source": ["a"] * 300 + ["b"],
+    })
+    with pytest.raises(Exception, match="duplicate doc id"):
+        interleave_by_group(rd.from_pandas(pdf), group_col="source",
+                            num_buckets=4).materialize()
+
+
+def test_keep_ids_dataset_side_no_driver_collect(ray_session):
+    import ray.data as rd
+
+    pdf = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64),
+                        "x": np.arange(100) * 3})
+    id_ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([2, 5, 99], dtype=np.int64)}))
+    # Dataset id side, forced past the broadcast cap -> co-partition path
+    got = (keep_ids(rd.from_pandas(pdf).repartition(3), id_ds,
+                    max_broadcast=0, num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = (pdf[pdf["doc_id"].isin([2, 5, 99])]
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # and under the cap it matches too
+    got2 = (keep_ids(rd.from_pandas(pdf).repartition(3), id_ds)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2, want)
