@@ -1447,6 +1447,32 @@ SELECT doc_id, source FROM (
 """
 
 
+def q_vocabulary_stats(sf_dir: str):
+    """Per-source vocabulary stats (stages/freq.py:vocabulary_stats):
+    exact distinct-word count, token count, integer TTR ppm — distinct
+    counted via one word-hash shuffle of 8-byte marker rows."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import vocabulary_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    return vocabulary_stats(ds, group_col="source", num_buckets=16)
+
+
+_SQL_VOCABULARY_STATS = """
+WITH ex AS (
+  SELECT source, unnest(string_split(COALESCE(text, ''), ' ')) AS w
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_distinct,
+       CAST(count(DISTINCT w) * 1000000 // count(*) AS BIGINT) AS ttr_ppm
+FROM ex GROUP BY source
+"""
+
+
 _IDX_MAX_POSTINGS = 390
 
 
@@ -1863,4 +1889,6 @@ def registry_ext():
         "split_assign": (q_split_assign, _sql_split_assign()),
         "neardup_keep_best": (q_neardup_keep_best,
                               _SQL_NEARDUP_KEEP_BEST),
+        "vocabulary_stats": (q_vocabulary_stats,
+                             _SQL_VOCABULARY_STATS),
     }

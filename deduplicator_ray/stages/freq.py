@@ -430,3 +430,89 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return pairs.groupby("_part").map_groups(reduce, batch_format="pandas")
+
+
+def vocabulary_stats(ds, *, group_col: str = "source",
+                     text_col: str = "text", num_buckets: int = 64):
+    """Per-group corpus vocabulary statistics: EXACT distinct-word count,
+    total token count, and integer-exact type/token ratio in ppm —
+    the Zipf-health / vocabulary-growth diagnostic a data-mixing recipe
+    reads before choosing per-source rates (Heaps' law monitoring).
+
+    Shape: one pass emits per-block partials — distinct (group, word)
+    marker rows (bounded by block vocab x groups present) and per-group
+    token-count rows; ONE word-hash shuffle dedups markers across blocks
+    and counts distinct exactly (no count-distinct approximation); the
+    per-group reduce is a tiny second shuffle over |groups| x buckets
+    partial rows.  Word identity is the same siphash the jaccard/minhash
+    stages use — 8-byte rows through the wide shuffle, never strings.
+
+    Returns (group_col, n_tokens, n_distinct, ttr_ppm) with
+    ttr_ppm = n_distinct * 1_000_000 // n_tokens (0 for empty groups).
+    """
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    def partials(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.coalesce(b[text_col], pa.scalar("", b[text_col].type)), " "
+        )
+        flat = words.combine_chunks()
+        lens = np.diff(flat.offsets.to_numpy())
+        grp = b[group_col].to_pandas().to_numpy(object)
+        pdf = pd.DataFrame({
+            "g": np.repeat(grp, lens),
+            "w": pd.util.hash_array(
+                flat.flatten().to_pandas().to_numpy(object)
+            ).astype(np.int64),
+        })
+        d = pdf.drop_duplicates()
+        tcounts = pd.DataFrame({"g": grp, "n": lens}).groupby(
+            "g", sort=False)["n"].sum().reset_index()
+        return pa.table({
+            "g": pa.array(
+                np.concatenate([d["g"].to_numpy(object),
+                                tcounts["g"].to_numpy(object)]),
+                type=pa.string()),
+            "w": pa.array(np.concatenate([
+                d["w"].to_numpy(np.int64),
+                np.zeros(len(tcounts), dtype=np.int64)])),
+            "n": pa.array(np.concatenate([
+                np.zeros(len(d), dtype=np.int64),
+                tcounts["n"].to_numpy(np.int64)])),
+            "is_tok": pa.array(np.concatenate([
+                np.zeros(len(d), dtype=np.int8),
+                np.ones(len(tcounts), dtype=np.int8)])),
+        })
+
+    # shuffle on the word hash: every (group, word) marker for one word
+    # lands in one bucket, so cross-block dedup is a local drop_duplicates
+    marked = hash_bucket(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "w", num_buckets,
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        toks = g[g["is_tok"] == 1].groupby("g", sort=False)["n"].sum()
+        dist = (g[g["is_tok"] == 0].drop_duplicates(["g", "w"])
+                .groupby("g", sort=False).size())
+        idx = toks.index.union(dist.index)
+        return pd.DataFrame({
+            "g": idx.to_numpy(object),
+            "n_tokens": toks.reindex(idx, fill_value=0).to_numpy(np.int64),
+            "n_distinct": dist.reindex(idx, fill_value=0).to_numpy(np.int64),
+        })
+
+    partial2 = marked.groupby("_part").map_groups(per_bucket,
+                                                  batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("g", sort=False)[["n_tokens", "n_distinct"]].sum()
+        out = out.reset_index().rename(columns={"g": group_col})
+        nt = out["n_tokens"].to_numpy(np.int64)
+        nd = out["n_distinct"].to_numpy(np.int64)
+        out["ttr_ppm"] = np.where(nt > 0, nd * 1_000_000 // np.maximum(nt, 1), 0)
+        return out
+
+    return hash_bucket(partial2, "g", min(num_buckets, 16)).groupby(
+        "_part").map_groups(final, batch_format="pandas")

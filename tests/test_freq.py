@@ -833,3 +833,33 @@ def test_split_assign_rejects_bad_fractions(ray_session):
         split_assign(rd.from_pandas(pdf), [("a", 0.5), ("b", 0.4)])
     with pytest.raises(ValueError, match="non-empty"):
         split_assign(rd.from_pandas(pdf), [])
+
+
+def test_vocabulary_stats_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import vocabulary_stats
+
+    rng = np.random.default_rng(47)
+    vocab = [f"w{i}" for i in range(120)]
+    n = 200
+    pdf = pd.DataFrame({
+        "source": rng.choice(["a", "b", "c"], size=n),
+        "text": [" ".join(rng.choice(vocab,
+                                     size=int(rng.integers(1, 30))))
+                 for _ in range(n - 1)] + [""],
+    })
+    got = (vocabulary_stats(rd.from_pandas(pdf).repartition(7),
+                            group_col="source", num_buckets=4)
+           .to_pandas().sort_values("source").reset_index(drop=True))
+
+    rows = []
+    for g, sub in pdf.groupby("source"):
+        toks = [w for t in sub["text"] for w in t.split(" ")]
+        rows.append((g, len(toks), len(set(toks)),
+                     len(set(toks)) * 1_000_000 // len(toks)))
+    want = pd.DataFrame(rows, columns=["source", "n_tokens", "n_distinct",
+                                       "ttr_ppm"])
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # distinct < tokens for every group (repetition exists)
+    assert (got["n_distinct"] < got["n_tokens"]).all()

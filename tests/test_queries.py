@@ -42,6 +42,7 @@ SQL_CHECKED = [
     "interleave_sources",
     "split_assign",
     "neardup_keep_best",
+    "vocabulary_stats",
 ]
 
 SQL_CHECKED_REL = [
