@@ -537,6 +537,36 @@ def q_fingerprint_sketch(sf_dir: str):
     return out.select_columns(["doc_id", "fp_min", "fp_count"])
 
 
+def q_media_ppm_features(sf_dir: str):
+    """REAL image decode end to end (stages/multimodal.py decoder='ppm'):
+    deterministic valid binary-PPM payloads (plus planted corrupt ones)
+    through the actor-pool decode — pure-numpy P6 parse, 8x8
+    average-hash, channel-stats embedding.  Golden-pinned (the kernel has
+    no SQL mirror); corrupt payloads must emit zero features."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.multimodal import (
+        decode_images,
+        synth_ppm_media,
+    )
+
+    out = decode_images(rd.from_arrow(synth_ppm_media(48)), decoder="ppm")
+
+    def flat(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        m = np.asarray(emb.values).reshape(-1, 8)
+        return pa.table({
+            "media_id": b["media_id"],
+            "payload_bytes": b["payload_bytes"],
+            "phash": b["phash"],
+            # integer micros: the golden VALUES pin only takes int/str
+            "emb_mean_micro": pa.array(np.round(
+                m.mean(axis=1).astype(np.float64) * 1e6).astype(np.int64)),
+        })
+
+    return out.map_batches(flat, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing end-to-end: deterministic synthetic media
     table -> kind-routed actor-pool stages (image decode, audio features,
@@ -1860,6 +1890,8 @@ def registry_ext():
         "fingerprint_sketch": (q_fingerprint_sketch, GOLDEN_SQL["fingerprint_sketch"]),
         "lang_id_pred": (q_lang_id_pred, GOLDEN_SQL["lang_id_pred"]),
         "media_features": (q_media_features, GOLDEN_SQL["media_features"]),
+        "media_ppm_features": (q_media_ppm_features,
+                               GOLDEN_SQL.get("media_ppm_features")),
         "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
         "repetition_stats": (q_repetition_stats, _SQL_REPETITION_STATS),
         "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),

@@ -1,13 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata (training-data-pipeline extension).
 
-The decode kernels themselves are STUBBED — this container ships no
-image/audio libraries — but everything Ray-side is real and tested:
-schemas, actor-pool signatures, batch sizing for wide binary rows, and
-the output layout.  ``decoder="fake"`` provides a deterministic
-stand-in (content-hash-derived features) so pipelines exercise the full
-path; ``decoder="real"`` raises ``NotImplementedError`` at actor init,
-exactly where a Pillow/libav-backed implementation would load.
+The compressed-format decode kernels (JPEG/PNG, audio codecs) are
+STUBBED — this container ships no image/audio libraries — but
+``decoder="ppm"`` is a REAL no-dependency image path (pure-numpy
+binary-PPM parse + average-hash + channel-stats embedding), and
+everything Ray-side is real and tested: schemas, actor-pool signatures,
+batch sizing for wide binary rows, and the output layout.
+``decoder="fake"`` provides a deterministic stand-in
+(content-hash-derived features) for arbitrary binary; ``decoder="real"``
+raises ``NotImplementedError`` at actor init, exactly where a
+Pillow/libav-backed implementation would load.
 
 Memory note: binary payloads can be MBs/row — these stages default to a
 small ``batch_size`` (64) so batch x concurrency stays within worker
@@ -44,23 +47,100 @@ IMAGE_FEATURES_SCHEMA = pa.schema(
 )
 
 
+def decode_ppm(p: bytes) -> "np.ndarray | None":
+    """Minimal binary-PPM (P6, netpbm spec) parser in pure numpy — a REAL
+    decode kernel needing no image library: header tokens (magic, width,
+    height, maxval) with whitespace/#-comment handling, then the raw
+    interleaved RGB plane.  Returns (h, w, 3) uint8, or None when the
+    payload is not well-formed P6 (wrong magic, maxval > 255, truncated)."""
+    if not p.startswith(b"P6"):
+        return None
+    tokens, i = [], 2
+    while len(tokens) < 3 and i < len(p):
+        c = p[i:i + 1]
+        if c == b"#":
+            i = p.find(b"\n", i)
+            if i < 0:
+                return None
+            i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(p) and not p[j:j + 1].isspace():
+                j += 1
+            tokens.append(p[i:j])
+            i = j
+    if len(tokens) < 3 or i >= len(p):
+        return None
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or not (0 < maxval < 256):
+        return None
+    i += 1  # exactly one whitespace byte after maxval, per spec
+    data = p[i:i + w * h * 3]
+    if len(data) < w * h * 3:
+        return None
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary-PPM payload (test/synth helper)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8).tobytes()
+
+
+def _ppm_features(img: np.ndarray) -> tuple[int, np.ndarray]:
+    """Real image features off a decoded array: an 8x8 average-hash
+    (block-mean grayscale thresholded at its mean — the classic aHash)
+    and an 8-dim stats embedding (per-channel mean/std + log-dims)."""
+    h, w = img.shape[:2]
+    gray = img.astype(np.float32).mean(axis=2)
+    rb = (np.arange(9, dtype=np.int64) * h) // 8
+    cb = (np.arange(9, dtype=np.int64) * w) // 8
+    # block sums via two reduceat passes; block sizes from the boundaries
+    rows = np.add.reduceat(gray, rb[:8], axis=0)
+    blocks = np.add.reduceat(rows, cb[:8], axis=1)
+    area = (np.diff(rb)[:, None] * np.diff(cb)[None, :]).astype(np.float32)
+    np.maximum(area, 1.0, out=area)
+    bm = blocks / area
+    bits = (bm >= bm.mean()).reshape(-1)
+    phash = int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+    ch = img.reshape(-1, 3).astype(np.float32)
+    emb = np.concatenate([
+        ch.mean(axis=0) / 255.0,
+        ch.std(axis=0) / 255.0,
+        [np.log1p(w) / 16.0, np.log1p(h) / 16.0],
+    ]).astype(np.float32)
+    return phash, emb
+
+
 class ImageDecoder:
     """Actor-pool stage: decode + feature-extract an image payload column.
 
+    ``decoder="ppm"`` is a REAL pure-numpy decode path (binary PPM/P6 —
+    see ``decode_ppm``): parse, average-hash, channel-stats embedding;
+    undecodable payloads emit zero features (payload_bytes still real).
     ``decoder="real"`` is the integration point for a Pillow-backed
-    implementation (raises NotImplementedError here: the library is not
-    in this container). ``decoder="fake"`` derives deterministic features
-    from the payload bytes so the Ray plumbing is fully exercised.
+    JPEG/PNG implementation (raises NotImplementedError here: the library
+    is not in this container). ``decoder="fake"`` derives deterministic
+    features from the payload bytes so the Ray plumbing is fully
+    exercised on arbitrary binary.
     """
 
     def __init__(self, decoder: str = "fake", payload_col: str = "payload"):
         if decoder == "real":
             raise NotImplementedError(
-                "real image decoding needs Pillow/turbojpeg — not available "
-                "in this environment; use decoder='fake' for plumbing tests"
+                "real JPEG/PNG decoding needs Pillow/turbojpeg — not "
+                "available in this environment; decoder='ppm' is the real "
+                "no-dependency path, decoder='fake' the plumbing stand-in"
             )
-        if decoder != "fake":
+        if decoder not in ("fake", "ppm"):
             raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
         self.payload_col = payload_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -72,6 +152,11 @@ class ImageDecoder:
         for i, p in enumerate(payloads):
             p = p or b""
             nbytes[i] = len(p)
+            if self.decoder == "ppm":
+                img = decode_ppm(p)
+                if img is not None:
+                    phash[i], emb[i] = _ppm_features(img)
+                continue
             d = hashlib.blake2b(p, digest_size=16).digest()
             phash[i] = int.from_bytes(d[:8], "big", signed=True)
             emb[i] = np.frombuffer(d, dtype=np.uint8)[:8].astype(np.float32) / 255.0
@@ -240,3 +325,28 @@ def synth_media(n: int = 64, seed: int = 42) -> pa.Table:
             "duration_ms": pa.array([3000 if k == "video" else 0 for k in kinds], type=pa.int32()),
         }
     )
+
+
+def synth_ppm_media(n: int = 48, seed: int = 43) -> pa.Table:
+    """Deterministic VALID binary-PPM media table (plus a few corrupt
+    payloads) — drives the REAL ``decoder="ppm"`` path end to end with
+    no external data."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h = int(rng.integers(4, 40))
+        w = int(rng.integers(4, 40))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        p = encode_ppm(img)
+        if i % 12 == 11:  # corrupt a few: truncate past the header
+            p = p[: len(p) // 2]
+        rows.append((i, p, w, h))
+    return pa.table({
+        "media_id": pa.array(np.array([r[0] for r in rows], dtype=np.int64)),
+        "kind": pa.array(["image"] * n),
+        "payload": pa.array([r[1] for r in rows], type=pa.binary()),
+        "mime": pa.array(["image/x-portable-pixmap"] * n),
+        "width": pa.array([r[2] for r in rows], type=pa.int32()),
+        "height": pa.array([r[3] for r in rows], type=pa.int32()),
+        "duration_ms": pa.array([0] * n, type=pa.int32()),
+    })

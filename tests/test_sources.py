@@ -7,7 +7,9 @@ from __future__ import annotations
 import os
 import re
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from deduplicator_ray.sources.crawl_log import (
@@ -165,3 +167,68 @@ class TestMultimodal:
         col = pa.chunked_array([pa.array([3000, 0, None], type=pa.int32())])
         plan = frame_sample_plan(col, fps=1.0)
         assert plan.to_pylist() == [[0, 1000, 2000], [], []]
+
+
+class TestPpmDecode:
+    def _img(self, rng, h=20, w=31):
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def test_roundtrip_and_comment_header(self):
+        from deduplicator_ray.stages.multimodal import decode_ppm, encode_ppm
+
+        rng = np.random.default_rng(3)
+        img = self._img(rng)
+        assert (decode_ppm(encode_ppm(img)) == img).all()
+        # comments between header tokens are legal netpbm
+        p = encode_ppm(img)
+        commented = p.replace(b"P6\n", b"P6\n# a comment\n", 1)
+        assert (decode_ppm(commented) == img).all()
+
+    def test_malformed_payloads_return_none(self):
+        from deduplicator_ray.stages.multimodal import decode_ppm, encode_ppm
+
+        rng = np.random.default_rng(5)
+        p = encode_ppm(self._img(rng))
+        assert decode_ppm(b"") is None
+        assert decode_ppm(b"P5" + p[2:]) is None          # wrong magic
+        assert decode_ppm(p[: len(p) - 10]) is None       # truncated
+        assert decode_ppm(b"P6\n4 4\n65535\n" + b"x" * 96) is None  # 16-bit
+
+    def test_decode_images_ppm_matches_reference(self, ray_session):
+        import ray.data as rd
+
+        from deduplicator_ray.stages.multimodal import (
+            _ppm_features,
+            decode_images,
+            encode_ppm,
+        )
+
+        rng = np.random.default_rng(7)
+        imgs = [self._img(rng, h, w) for h, w in [(8, 8), (20, 31), (64, 48)]]
+        payloads = [encode_ppm(i) for i in imgs] + [b"not an image"]
+        t = pa.table({
+            "media_id": pa.array(np.arange(4, dtype=np.int64)),
+            "kind": pa.array(["image"] * 4),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["image/x-portable-pixmap"] * 4),
+            "width": pa.array([8, 31, 48, None], type=pa.int32()),
+            "height": pa.array([8, 20, 64, None], type=pa.int32()),
+            "duration_ms": pa.array([None] * 4, type=pa.int32()),
+        })
+        out = (decode_images(rd.from_arrow(t), decoder="ppm")
+               .to_pandas().sort_values("media_id").reset_index(drop=True))
+        for i, img in enumerate(imgs):
+            ph, emb = _ppm_features(img)
+            assert out.loc[i, "phash"] == ph
+            np.testing.assert_allclose(np.array(out.loc[i, "embedding"]),
+                                       emb, rtol=1e-6)
+            assert out.loc[i, "payload_bytes"] == len(payloads[i])
+        # undecodable payload: zero features, real byte count
+        assert out.loc[3, "phash"] == 0
+        assert out.loc[3, "payload_bytes"] == len(b"not an image")
+        # identical images hash identically; a brightness shift stays close
+        ph1, _ = _ppm_features(imgs[1])
+        ph2, _ = _ppm_features(np.clip(imgs[1].astype(np.int16) + 6,
+                                       0, 255).astype(np.uint8))
+        ham = bin(np.uint64(ph1 ^ ph2) & np.uint64(2**64 - 1)).count("1")
+        assert ham <= 12  # aHash is brightness-shift tolerant
