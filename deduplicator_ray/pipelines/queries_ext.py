@@ -1862,6 +1862,100 @@ _SQL_NEARDUP_KEEP = _SQL_NEARDUP_CLUSTERS.replace(
 assert "asg AS" in _SQL_NEARDUP_KEEP  # the replace target must keep matching
 
 
+_BM25_TERMS = ["dup", "scan", "join"]
+_BM25_K, _BM25_K1, _BM25_B = 15, 1.2, 0.75
+
+
+def q_bm25_topk(sf_dir: str):
+    """Free-text BM25 ranking (stages/lexical.py:bm25_topk) — the Ray
+    re-expression of Lucene's default ranked lookup
+    (deduplicator-heritrix/.../LuceneIndexSearcher.java scores hits):
+    top {_BM25_K} docs for the query {_BM25_TERMS}, Lucene idf variant,
+    partial-combined corpus stats + per-block local top-k (no shuffle)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.lexical import bm25_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bm25_topk(ds, _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
+
+
+_SQL_BM25_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT avg(dl) FROM dl)::DOUBLE AS avgdl),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
+tf AS (SELECT t.doc_id, t.term, count(*)::BIGINT AS tf
+       FROM toks t JOIN q USING (term) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+score AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+            ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM score ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+"""
+
+_TFIDF_THRESHOLD, _TFIDF_MAX_DF = 0.5, 1000
+
+
+def q_tfidf_cosine(sf_dir: str):
+    """tf-idf cosine near-dup pairs over word {_NGRAM_N}-gram shingles
+    (stages/lexical.py:tfidf_cosine_pairs): exact vector-space cosine
+    (Lucene ClassicSimilarity shape) with the df <= {_TFIDF_MAX_DF}
+    hub-gram guard; gram-partitioned postings shuffle + vectorized
+    triangular pair expansion, weights normalized map-side."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.lexical import tfidf_cosine_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return tfidf_cosine_pairs(ds, threshold=_TFIDF_THRESHOLD,
+                              ngram=_NGRAM_N, max_df=_TFIDF_MAX_DF)
+
+
+_SQL_TFIDF_COSINE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {_NGRAM_N}
+              THEN list_transform(range(1, len(w) - {_NGRAM_N - 2}),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE [] END AS g
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+tf AS (SELECT doc_id, gram, count(*)::BIGINT AS tf FROM ex GROUP BY 1, 2),
+df AS (SELECT gram, count(*)::BIGINT AS df FROM tf GROUP BY gram),
+n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+w AS (SELECT t.doc_id, t.gram, t.tf * ln(nd / df.df) AS w
+      FROM tf t JOIN df USING (gram) CROSS JOIN n
+      WHERE df.df <= {_TFIDF_MAX_DF}),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w GROUP BY doc_id),
+dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+         FROM w a JOIN w b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT d.doc_a, d.doc_b, d.dot / (na.nn * nb.nn) AS cosine
+FROM dots d JOIN nrm na ON d.doc_a = na.doc_id
+            JOIN nrm nb ON d.doc_b = nb.doc_id
+WHERE d.dot / (na.nn * nb.nn) >= {_TFIDF_THRESHOLD}
+"""
+
+
 def registry_ext():
     """name -> (callable(sf_dir), oracle_sql | None).
 
@@ -1923,4 +2017,6 @@ def registry_ext():
                               _SQL_NEARDUP_KEEP_BEST),
         "vocabulary_stats": (q_vocabulary_stats,
                              _SQL_VOCABULARY_STATS),
+        "bm25_topk": (q_bm25_topk, _SQL_BM25_TOPK),
+        "tfidf_cosine_pairs": (q_tfidf_cosine, _SQL_TFIDF_COSINE),
     }

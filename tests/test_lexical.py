@@ -1,0 +1,166 @@
+"""Unit tests for stages/lexical.py: the triangular pair decode, BM25
+edge cases, and tf-idf semantics (hub-gram guard, df=1 norm
+contribution).  Oracle parity at corpus scale is covered by
+tests/test_queries.py (bm25_topk / tfidf_cosine_pairs in SQL_CHECKED).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deduplicator_ray.stages.lexical import (
+    _tri_pair_indices,
+    bm25_topk,
+    tfidf_cosine_pairs,
+)
+
+
+class TestTriPairIndices:
+    @pytest.mark.parametrize("sizes", [
+        [0], [1], [2], [3], [5], [0, 0], [1, 1], [4, 0, 2, 1, 7],
+        [2, 3, 2], [100], [1, 63, 2, 0, 9],
+    ])
+    def test_matches_itertools(self, sizes):
+        gid, i, j = _tri_pair_indices(np.asarray(sizes, dtype=np.int64))
+        want = [
+            (g, a, b)
+            for g, s in enumerate(sizes)
+            for a, b in itertools.combinations(range(s), 2)
+        ]
+        got = list(zip(gid.tolist(), i.tolist(), j.tolist()))
+        assert got == want
+
+    def test_empty(self):
+        gid, i, j = _tri_pair_indices(np.asarray([], dtype=np.int64))
+        assert len(gid) == len(i) == len(j) == 0
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+class TestBM25:
+    def test_scores_and_order(self, ray_session):
+        # hand corpus: 'x' rare, 'y' common; doc 1 repeats x
+        ds = _docs_ds([
+            {"doc_id": 1, "text": "x x y a b"},
+            {"doc_id": 2, "text": "y a b c d e f g h i"},
+            {"doc_id": 3, "text": "a b c"},
+            {"doc_id": 4, "text": "x y"},
+        ])
+        out = bm25_topk(ds, ["x", "y"], k=10, k1=1.2, b=0.75)
+        assert list(out.columns) == ["doc_id", "score"]
+        assert set(out["doc_id"]) == {1, 2, 4}  # doc 3 has no query term
+        # brute-force reference
+        texts = {1: "x x y a b", 2: "y a b c d e f g h i", 3: "a b c",
+                 4: "x y"}
+        dls = {d: len(t.split(" ")) for d, t in texts.items()}
+        avgdl = sum(dls.values()) / 4
+        n = 4.0
+        want = {}
+        for d, t in texts.items():
+            toks = t.split(" ")
+            s = 0.0
+            for term in ("x", "y"):
+                tf = toks.count(term)
+                if tf == 0:
+                    continue
+                dft = sum(term in tt.split(" ") for tt in texts.values())
+                idf = np.log(1 + (n - dft + 0.5) / (dft + 0.5))
+                s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls[d] / avgdl))
+            if s > 0:
+                want[d] = s
+        got = dict(zip(out["doc_id"], out["score"]))
+        for d, s in want.items():
+            assert got[d] == pytest.approx(s, rel=1e-12)
+        # descending by score, ties (none here) by id
+        assert list(out["score"]) == sorted(out["score"], reverse=True)
+
+    def test_k_truncates(self, ray_session):
+        ds = _docs_ds([{"doc_id": i, "text": "x"} for i in range(10)])
+        out = bm25_topk(ds, ["x"], k=3)
+        # all scores identical -> tie-break on ascending doc_id
+        assert list(out["doc_id"]) == [0, 1, 2]
+
+    def test_no_candidates(self, ray_session):
+        ds = _docs_ds([{"doc_id": 1, "text": "a b"}])
+        out = bm25_topk(ds, ["zzz"], k=5)
+        assert len(out) == 0
+
+    def test_null_text_is_single_token(self, ray_session):
+        ds = _docs_ds([{"doc_id": 1, "text": None},
+                       {"doc_id": 2, "text": "q"}])
+        out = bm25_topk(ds, ["q"], k=5)
+        assert list(out["doc_id"]) == [2]
+
+    def test_rejects_bad_terms(self, ray_session):
+        ds = _docs_ds([{"doc_id": 1, "text": "a"}])
+        with pytest.raises(ValueError):
+            bm25_topk(ds, [])
+        with pytest.raises(ValueError):
+            bm25_topk(ds, ["a", "a"])
+        with pytest.raises(ValueError):
+            bm25_topk(ds, ["two words"])
+
+
+class TestTfidfCosine:
+    def test_exact_duplicates_score_one(self, ray_session):
+        ds = _docs_ds([
+            {"doc_id": 1, "text": "alpha beta gamma delta epsilon"},
+            {"doc_id": 2, "text": "alpha beta gamma delta epsilon"},
+            {"doc_id": 3, "text": "one two three four five"},
+        ])
+        out = tfidf_cosine_pairs(ds, threshold=0.9, ngram=3).to_pandas()
+        assert len(out) == 1
+        assert (int(out["doc_a"][0]), int(out["doc_b"][0])) == (1, 2)
+        assert out["cosine"][0] == pytest.approx(1.0)
+
+    def test_hub_gram_guard_drops_pairs(self, ray_session):
+        # the only shared gram sits in 3 of 4 docs (df=3 < N, so its
+        # idf is positive); max_df=2 evicts it from the space
+        rows = [{"doc_id": i, "text": f"common gram here tail{i}"}
+                for i in range(3)]
+        rows.append({"doc_id": 9, "text": "totally different words now"})
+        ds = _docs_ds(rows)
+        assert tfidf_cosine_pairs(ds, threshold=0.01, ngram=3,
+                                  max_df=2).to_pandas().empty
+        assert len(tfidf_cosine_pairs(ds, threshold=0.01, ngram=3,
+                                      max_df=3).to_pandas()) == 3
+
+    def test_df1_grams_dilute_norms(self, ray_session):
+        # docs share one gram but each carries a unique df=1 gram whose
+        # weight (idf = ln N) must stay in the norm
+        ds = _docs_ds([
+            {"doc_id": 1, "text": "s h a r e d uniq1 x1 y1"},
+            {"doc_id": 2, "text": "s h a r e d uniq2 x2 y2"},
+            # third doc keeps df(shared grams)=2 < N so idf stays > 0
+            {"doc_id": 3, "text": "unrelated filler content here"},
+        ])
+        out = tfidf_cosine_pairs(ds, threshold=0.0, ngram=3).to_pandas()
+        assert len(out) == 1
+        assert 0 < out["cosine"][0] < 1  # diluted: NOT a perfect match
+
+    def test_short_and_null_docs(self, ray_session):
+        ds = _docs_ds([
+            {"doc_id": 1, "text": "ab"},        # < ngram words
+            {"doc_id": 2, "text": None},
+            {"doc_id": 3, "text": "p q r s"},
+            {"doc_id": 4, "text": "p q r s"},
+        ])
+        out = tfidf_cosine_pairs(ds, threshold=0.5, ngram=3).to_pandas()
+        assert len(out) == 1
+        assert (int(out["doc_a"][0]), int(out["doc_b"][0])) == (3, 4)
+
+    def test_max_broadcast_guard(self, ray_session):
+        ds = _docs_ds([
+            {"doc_id": 1, "text": "a b c d"},
+            {"doc_id": 2, "text": "a b c d"},
+        ])
+        with pytest.raises(ValueError, match="max_broadcast"):
+            tfidf_cosine_pairs(ds, max_broadcast=1).to_pandas()

@@ -43,6 +43,8 @@ SQL_CHECKED = [
     "split_assign",
     "neardup_keep_best",
     "vocabulary_stats",
+    "bm25_topk",
+    "tfidf_cosine_pairs",
 ]
 
 SQL_CHECKED_REL = [
