@@ -127,12 +127,22 @@ def drop_ids(ds, ids: np.ndarray, *, key_col: str = "doc_key",
     )
     both = hash_bucket(both, key_col, num_buckets)
 
-    def anti(g):
-        drop = set(g.loc[g["_src"] == 1, key_col])
-        keep = g[(g["_src"] == 0) & ~g[key_col].isin(drop)]
-        return keep.drop(columns=["_src", "_part"])
+    def anti(g: pa.Table) -> pa.Table:
+        # Arrow-native reduce: the union null-pads the id rows' doc
+        # columns, and a pandas map_groups would promote int64 doc
+        # columns to float64 through those NaNs — Arrow keeps the types
+        src = g["_src"].to_numpy(zero_copy_only=False)
+        keys = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        drop = np.unique(keys[src == 1])
+        if len(drop):
+            pos = np.minimum(np.searchsorted(drop, keys), len(drop) - 1)
+            hit = drop[pos] == keys
+        else:
+            hit = np.zeros(len(keys), dtype=bool)
+        out = g.filter(pa.array((src == 0) & ~hit))
+        return out.drop_columns(["_src", "_part"])
 
-    return both.groupby("_part").map_groups(anti, batch_format="pandas")
+    return both.groupby("_part").map_groups(anti, batch_format="pyarrow")
 
 
 def _reason_census(flt_ds) -> dict:
@@ -393,6 +403,16 @@ def run(args) -> dict:
         )
         # the position table is 16 B/doc — broadcast-attach up to the cap
         # (one corpus pass, no join); beyond it, co-partition join fallback
+        if report["after_span"] == 0:
+            # an all-filtered corpus must still produce a (typed, empty)
+            # output — to_pandas() on an empty stream drops the schema
+            import ray.data as rd
+
+            return rd.from_arrow(pa.table({
+                "doc_key": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "position": pa.array([], pa.int64()),
+            }))
         pos_pdf = None
         if report["after_span"] <= args.max_broadcast:
             pos_pdf = pos.to_pandas().sort_values("doc_key")

@@ -179,3 +179,23 @@ def test_drop_ids_paths_agree(ray_session):
             .sort_values("doc_key").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, want)
     pd.testing.assert_frame_equal(b[["doc_key", "text"]], want)
+
+
+def test_drop_ids_copartition_keeps_int_dtypes(ray_session):
+    """The union null-pads the id rows' doc columns; the Arrow-native
+    anti reduce must NOT promote int64 payload columns to float64."""
+    import ray.data as rd
+
+    pdf = pd.DataFrame({
+        "doc_key": np.arange(20, dtype=np.int64),
+        "n_chars": np.arange(20, dtype=np.int64) * 10,
+    })
+    ids = np.array([1, 5], dtype=np.int64)
+    out = drop_ids(rd.from_pandas(pdf).repartition(2), ids,
+                   max_broadcast=0)
+    schema = out.schema()
+    got = dict(zip(schema.names, (str(t) for t in schema.types)))
+    assert got["n_chars"] == "int64", got
+    assert sorted(out.to_pandas()["doc_key"]) == [
+        k for k in range(20) if k not in (1, 5)
+    ]
