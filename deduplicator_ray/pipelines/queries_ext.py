@@ -1198,6 +1198,49 @@ GROUP BY e.doc_id
 """
 
 
+def q_bigram_logloss(sf_dir: str):
+    """Bigram LM quality score (stages/textstats.py:bigram_logloss):
+    per-doc mean -ln P(w_i | w_i-1) under an add-one-smoothed bigram
+    model over the heavy-hitter-mapped token stream (OOV collapses to
+    one symbol BEFORE counting, so the state space is (V+1)^2)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import bigram_logloss
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bigram_logloss(ds, min_ppm=_HH_MIN_PPM, num_buckets=16)
+
+
+# chr(1) stands in for the OOV symbol — whitespace-split tokens of the
+# corpus never contain control bytes
+_SQL_BIGRAM_LOGLOSS = f"""
+WITH ex AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents
+),
+pos AS (SELECT doc_id, unnest(w) AS tok,
+               unnest(range(1, len(w) + 1)) AS ord
+        FROM ex),
+tot AS (SELECT count(*) AS nt FROM pos),
+cnt1 AS (SELECT tok, count(*) AS c FROM pos GROUP BY tok),
+voc AS (SELECT tok FROM cnt1, tot WHERE c * 1000000 >= nt * {_HH_MIN_PPM}),
+vs AS (SELECT (SELECT count(*) FROM voc) + 1 AS vsz),
+mp AS (SELECT p.doc_id, p.ord,
+               CASE WHEN voc.tok IS NULL THEN chr(1) ELSE p.tok END AS m
+        FROM pos p LEFT JOIN voc ON p.tok = voc.tok),
+big AS (SELECT a.doc_id, a.m AS u, b.m AS v
+        FROM mp a JOIN mp b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+bc AS (SELECT u, v, count(*)::BIGINT AS c FROM big GROUP BY u, v),
+ctx AS (SELECT u, sum(c)::BIGINT AS cu FROM bc GROUP BY u),
+sc AS (SELECT big.doc_id, count(*)::BIGINT AS n_bigrams,
+               avg(-ln((bc.c + 1.0) / (ctx.cu + s.vsz))) AS logloss
+        FROM big JOIN bc USING (u, v) JOIN ctx USING (u) CROSS JOIN vs s
+        GROUP BY big.doc_id)
+SELECT d.doc_id, COALESCE(sc.n_bigrams, 0)::BIGINT AS n_bigrams, sc.logloss
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
 def q_length_quantiles(sf_dir: str):
     """Exact per-language length quantiles off a bounded-domain histogram
     (stages/freq.py:length_quantiles) — no sort shuffle, no sampling."""
@@ -2018,5 +2061,6 @@ def registry_ext():
         "vocabulary_stats": (q_vocabulary_stats,
                              _SQL_VOCABULARY_STATS),
         "bm25_topk": (q_bm25_topk, _SQL_BM25_TOPK),
+        "bigram_logloss": (q_bigram_logloss, _SQL_BIGRAM_LOGLOSS),
         "tfidf_cosine_pairs": (q_tfidf_cosine, _SQL_TFIDF_COSINE),
     }

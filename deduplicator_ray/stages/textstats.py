@@ -385,6 +385,11 @@ def unigram_logloss(ds, *, min_ppm: int = 1000, id_col: str = "doc_id",
         num_buckets=num_buckets, text_col=text_col, return_total=True,
     )
     vdf = vocab_ds.to_pandas()
+    if vdf.empty:  # empty vocab loses its schema through to_pandas()
+        import pandas as _pd
+
+        vdf = _pd.DataFrame({"word": _pd.Series([], dtype=object),
+                             "n": _pd.Series([], dtype="int64")})
     V = len(vdf)
     denom = float(n_total + V + 1)
     vocab_idx = pd.Index(vdf["word"].to_numpy(object))
@@ -414,6 +419,122 @@ def unigram_logloss(ds, *, min_ppm: int = 1000, id_col: str = "doc_id",
             id_col: b[id_col],
             "n_tokens": pa.array(lens),
             "logloss": pa.array((-sums / lens).astype(np.float64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bigram_logloss(ds, *, min_ppm: int = 1000, id_col: str = "doc_id",
+                   text_col: str = "text", sketch_size: int = 4096,
+                   num_buckets: int = 16):
+    """Bigram LM quality scoring — ``unigram_logloss``'s context-aware
+    sibling (CCNet, Wenzek et al. 2020, arXiv:1911.00359 uses a 5-gram
+    KenLM; a corpus-trained bigram is the first rung of that ladder and
+    keeps the oracle exact): per-doc mean -ln P(w_i | w_{i-1}) under an
+    add-one-smoothed bigram model over the vocabulary-mapped token
+    stream.  Tokens outside the exact heavy-hitter vocabulary (count >=
+    ``min_ppm`` ppm) collapse to a single OOV symbol BEFORE the bigram
+    counts, so the model's state space is (V+1)^2 regardless of corpus
+    size.  P(v | u) = (C(u,v) + 1) / (C(u,.) + V + 1); the model is
+    trained on the corpus being scored, so every scored bigram has an
+    observed count.
+
+    Scale shape: vocabulary rides the sketch-bounded ``heavy_hitters``
+    pass; bigram counts partial-combine inside each block (at most
+    min(block_bigrams, (V+1)^2) rows leave any block) and the summed
+    table — bounded by (V+1)^2, in practice its sparse support — is
+    ``ray.put`` ONCE as (sorted code, log-prob) arrays; scoring is one
+    map-only pass (searchsorted lookup + per-doc ``reduceat``).
+
+    Returns (id_col, n_bigrams, logloss); docs with < 2 tokens score
+    NULL (they have no bigram to predict).
+    """
+    import pandas as pd
+    import ray
+
+    from deduplicator_ray.stages.freq import heavy_hitters
+
+    vocab_ds, _n_total = heavy_hitters(
+        ds, min_ppm=min_ppm, sketch_size=sketch_size,
+        num_buckets=num_buckets, text_col=text_col, return_total=True,
+    )
+    vdf = vocab_ds.to_pandas()
+    if vdf.empty:  # empty vocab loses its schema through to_pandas()
+        import pandas as _pd
+
+        vdf = _pd.DataFrame({"word": _pd.Series([], dtype=object),
+                             "n": _pd.Series([], dtype="int64")})
+    V = len(vdf)
+    vocab_idx = pd.Index(vdf["word"].to_numpy(object))
+    width = np.uint64(V + 1)  # mapped-id range: 0..V-1 vocab, V = OOV
+    vref = ray.put(vocab_idx)
+
+    def _codes(b: pa.Table):
+        """Per-batch mapped bigram codes u*(V+1)+v and per-doc bigram
+        counts, excluding cross-doc positions."""
+        vocab = ray.get(vref)
+        text = pc.coalesce(b[text_col], pa.scalar("", b[text_col].type))
+        lists = pc.split_pattern(text, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offsets = lists.offsets.to_numpy()
+        offsets = offsets - offsets[0]  # flatten() is slice-relative
+        lens = np.diff(offsets).astype(np.int64)
+        toks = lists.flatten().to_pandas().to_numpy(object)
+        if len(toks) and V:
+            ids = vocab.get_indexer(toks).astype(np.int64)
+            ids[ids < 0] = V
+        else:
+            ids = np.full(len(toks), V, dtype=np.int64)
+        ids = ids.astype(np.uint64)
+        # every doc has >= 1 token, so position i pairs with i+1 unless
+        # i+1 starts the next doc
+        valid = np.ones(max(len(toks) - 1, 0), dtype=bool)
+        valid[offsets[1:-1] - 1] = False  # last token of each doc
+        with np.errstate(over="ignore"):
+            codes = (ids[:-1] * width + ids[1:])[valid]
+        n_big = np.maximum(lens - 1, 0)
+        return codes, n_big
+
+    def count_pass(b: pa.Table) -> pa.Table:
+        codes, _ = _codes(b)
+        u, c = np.unique(codes, return_counts=True)
+        return pa.table({"code": pa.array(u, pa.uint64()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    cdf = ds.map_batches(count_pass, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    if cdf.empty:  # no doc has 2 tokens; empty to_pandas drops schema
+        cdf = pd.DataFrame({"code": pd.Series([], dtype="uint64"),
+                            "c": pd.Series([], dtype="int64")})
+    cnt = cdf.groupby("code", sort=True)["c"].sum()
+    codes_sorted = cnt.index.to_numpy(np.uint64)
+    c_arr = cnt.to_numpy(np.int64)
+    # context marginals C(u,.) over the same mapped stream
+    cu = np.zeros(V + 1, dtype=np.int64)
+    np.add.at(cu, (codes_sorted // width).astype(np.int64), c_arr)
+    logp = np.log((c_arr + 1.0) / (cu[(codes_sorted // width).astype(np.int64)]
+                                   + float(V + 1)))
+    pref = ray.put((codes_sorted, logp))
+
+    def score(b: pa.Table) -> pa.Table:
+        table, lp = ray.get(pref)
+        codes, n_big = _codes(b)
+        if len(codes):
+            # trained on this corpus: every scored code is in the table
+            lpv = lp[np.searchsorted(table, codes)]
+        else:
+            lpv = np.zeros(0)
+        boundaries = np.concatenate(([0], np.cumsum(n_big)))[:-1]
+        has = n_big > 0
+        means = np.full(len(n_big), np.nan)
+        if len(lpv):
+            sums = np.add.reduceat(lpv, np.minimum(boundaries, len(lpv) - 1))
+            means[has] = -sums[has] / n_big[has]
+        return pa.table({
+            id_col: b[id_col],
+            "n_bigrams": pa.array(n_big),
+            "logloss": pa.array(means, pa.float64()),
         })
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

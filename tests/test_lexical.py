@@ -164,3 +164,59 @@ class TestTfidfCosine:
         ])
         with pytest.raises(ValueError, match="max_broadcast"):
             tfidf_cosine_pairs(ds, max_broadcast=1).to_pandas()
+
+
+class TestBigramLogloss:
+    def test_hand_computed(self, ray_session):
+        import numpy as np
+
+        from deduplicator_ray.stages.textstats import bigram_logloss
+
+        # min_ppm=0 -> every word is in-vocab; tiny corpus, check by hand
+        ds = _docs_ds([
+            {"doc_id": 1, "text": "a b a b"},
+            {"doc_id": 2, "text": "a b"},
+            {"doc_id": 3, "text": "c"},       # 1 token: no bigram
+        ])
+        out = (bigram_logloss(ds, min_ppm=0).to_pandas()
+               .sort_values("doc_id", ignore_index=True))
+        assert list(out["n_bigrams"]) == [3, 1, 0]
+        assert np.isnan(out["logloss"][2])
+        # corpus bigrams: (a,b)x3, (b,a)x1; V=3, V+1=4
+        # C(a,.)=3, C(b,.)=1; P(b|a)=(3+1)/(3+4)=4/7; P(a|b)=(1+1)/(1+4)=2/5
+        import math
+        p_ab, p_ba = 4 / 7, 2 / 5
+        want1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+        want2 = -math.log(p_ab)
+        assert out["logloss"][0] == pytest.approx(want1, rel=1e-12)
+        assert out["logloss"][1] == pytest.approx(want2, rel=1e-12)
+
+    def test_oov_collapse(self, ray_session):
+        from deduplicator_ray.stages.textstats import bigram_logloss
+
+        # min_ppm so high that NOTHING is in-vocab: all tokens collapse
+        # to OOV, every bigram is (OOV, OOV) -> all docs score equally
+        ds = _docs_ds([
+            {"doc_id": 1, "text": "x y z"},
+            {"doc_id": 2, "text": "p q r"},
+        ])
+        out = bigram_logloss(ds, min_ppm=1_000_000).to_pandas()
+        assert out["logloss"].nunique() == 1
+
+    def test_no_cross_doc_bigrams(self, ray_session):
+        import math
+
+        from deduplicator_ray.stages.textstats import bigram_logloss
+
+        # if the (b, a) bigram leaked across the doc boundary, C(b,.)
+        # would be nonzero and doc 1's score would change
+        ds = _docs_ds([
+            {"doc_id": 1, "text": "a b"},
+            {"doc_id": 2, "text": "a b"},
+        ])
+        out = (bigram_logloss(ds, min_ppm=0).to_pandas()
+               .sort_values("doc_id", ignore_index=True))
+        # V=2: only bigram is (a,b)x2 -> P(b|a)=(2+1)/(2+3)=3/5
+        want = -math.log(3 / 5)
+        assert out["logloss"][0] == pytest.approx(want, rel=1e-12)
+        assert out["logloss"][1] == pytest.approx(want, rel=1e-12)

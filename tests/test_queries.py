@@ -45,6 +45,7 @@ SQL_CHECKED = [
     "vocabulary_stats",
     "bm25_topk",
     "tfidf_cosine_pairs",
+    "bigram_logloss",
 ]
 
 SQL_CHECKED_REL = [
