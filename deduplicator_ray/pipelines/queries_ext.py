@@ -1999,6 +1999,60 @@ WHERE d.dot / (na.nn * nb.nn) >= {_TFIDF_THRESHOLD}
 """
 
 
+_KM_K, _KM_ITERS = 8, 3
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means assignments
+    (stages/embed.py:kmeans_assign): k={_KM_K}, {_KM_ITERS} rounds,
+    deterministic init (vectors of the k smallest ids), broadcast
+    centroids + per-block partial sums — zero shuffles."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import kmeans_assign
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return kmeans_assign(ds, k=_KM_K, iters=_KM_ITERS)
+
+
+def _sql_kmeans() -> str:
+    """Iterated-CTE mirror of kmeans_assign: the {_KM_ITERS} Lloyd
+    rounds written out as chained CTEs (assignment via correlated
+    nearest-centroid subquery ordered (distance, label), centroid
+    update via the parallel-unnest ordinality idiom, empty clusters
+    COALESCE to the previous round's centroid)."""
+    k, iters = _KM_K, _KM_ITERS
+    sql = f"""
+WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             FROM embeddings),
+ex AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS dim
+       FROM emb),
+cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS vec
+          FROM emb ORDER BY vec_id LIMIT {k})"""
+    prev = "cent0"
+    for i in range(1, iters + 1):
+        sql += f""",
+asg{i} AS (SELECT e.vec_id,
+                  (SELECT c.cl FROM {prev} c
+                   ORDER BY list_distance(e.v, c.vec), c.cl LIMIT 1) AS cl
+           FROM emb e),
+cagg{i} AS (SELECT a.cl, ex.dim, avg(ex.x) AS m
+            FROM asg{i} a JOIN ex ON a.vec_id = ex.vec_id
+            GROUP BY a.cl, ex.dim),
+cent{i} AS (SELECT p.cl, COALESCE(n.vec, p.vec) AS vec
+            FROM {prev} p LEFT JOIN
+                 (SELECT cl, list(m ORDER BY dim) AS vec
+                  FROM cagg{i} GROUP BY cl) n USING (cl))"""
+        prev = f"cent{i}"
+    sql += f"""
+SELECT e.vec_id,
+       (SELECT c.cl FROM {prev} c
+        ORDER BY list_distance(e.v, c.vec), c.cl LIMIT 1)::BIGINT AS cluster
+FROM emb e"""
+    return sql
+
+
 def registry_ext():
     """name -> (callable(sf_dir), oracle_sql | None).
 
@@ -2062,5 +2116,6 @@ def registry_ext():
                              _SQL_VOCABULARY_STATS),
         "bm25_topk": (q_bm25_topk, _SQL_BM25_TOPK),
         "bigram_logloss": (q_bigram_logloss, _SQL_BIGRAM_LOGLOSS),
+        "kmeans_clusters": (q_kmeans, _sql_kmeans()),
         "tfidf_cosine_pairs": (q_tfidf_cosine, _SQL_TFIDF_COSINE),
     }

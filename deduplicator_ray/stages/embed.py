@@ -628,3 +628,82 @@ def embedding_dedup_keep(ds, threshold: float = 0.95, *, id_col: str = "vec_id",
 
     return hash_bucket(union, id_col, num_buckets).groupby("_part").map_groups(
         reduce_flag, batch_format="pandas")
+
+
+def kmeans_assign(ds, *, k: int = 8, iters: int = 3,
+                  id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Distributed Lloyd's k-means over an embedding column -> final
+    cluster assignment per vector (Lloyd 1982; the mini parameter-server
+    loop every distributed ML system uses).
+
+    Deterministic contract (the DuckDB oracle recomputes it exactly):
+    initial centroids are the vectors of the ``k`` smallest ids, cluster
+    labels 0..k-1 in that id order; ``iters`` Lloyd rounds; an empty
+    cluster keeps its previous centroid; distance ties assign to the
+    lowest cluster label.  All arithmetic is float64 (exact float32
+    upcast on both sides).
+
+    Scale shape: NO shuffle anywhere.  Init is a per-block k-smallest
+    prune + tiny driver merge; each round broadcasts the (k, d) centroid
+    matrix once (``ray.put``) and one map-only pass emits k*(d+1)
+    partial-sum cells per block; the driver reduces k*(d+1) numbers per
+    block and updates centroids.  The final pass emits (id, cluster).
+    """
+    import ray
+
+    if k < 1 or iters < 0:
+        raise ValueError("k must be >= 1 and iters >= 0")
+
+    def local_min(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")[:k]
+        return b.take(pa.array(np.sort(order)))
+
+    seed = (ds.select_columns([id_col, vec_col])
+            .map_batches(local_min, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas().sort_values(id_col, kind="mergesort").head(k))
+    if len(seed) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(seed)}")
+    cent = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in seed[vec_col].to_numpy()])
+    d = cent.shape[1]
+
+    def _assign(X: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # argmin ||x - c||^2 = argmin(-2 x.c + ||c||^2); ties -> first
+        return np.argmin(X @ (-2.0 * c.T) + (c * c).sum(axis=1), axis=1)
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def partial(b: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            X = _matrix(b[vec_col], dim=d)
+            a = _assign(X, c)
+            onehot = (a[:, None] == np.arange(k)[None, :]).astype(np.float64)
+            sums = onehot.T @ X                      # (k, d)
+            cnts = np.bincount(a, minlength=k).astype(np.float64)
+            cells = np.concatenate([sums, cnts[:, None]], axis=1).ravel()
+            cl = np.repeat(np.arange(k, dtype=np.int64), d + 1)
+            dim = np.tile(np.arange(d + 1, dtype=np.int64), k)
+            return pa.table({"cl": pa.array(cl), "dim": pa.array(dim),
+                             "s": pa.array(cells)})
+
+        agg = (ds.select_columns([vec_col])
+               .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+               .to_pandas().groupby(["cl", "dim"], sort=True)["s"].sum()
+               .to_numpy().reshape(k, d + 1))
+        cnts = agg[:, d]
+        live = cnts > 0
+        cent = np.where(live[:, None], agg[:, :d] /
+                        np.maximum(cnts, 1.0)[:, None], cent)
+
+    cref = ray.put(cent)
+
+    def final(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        X = _matrix(b[vec_col], dim=d)
+        return pa.table({id_col: b[id_col],
+                         "cluster": pa.array(_assign(X, c).astype(np.int64))})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        final, batch_format="pyarrow", zero_copy_batch=True)

@@ -220,3 +220,61 @@ class TestBigramLogloss:
         want = -math.log(3 / 5)
         assert out["logloss"][0] == pytest.approx(want, rel=1e-12)
         assert out["logloss"][1] == pytest.approx(want, rel=1e-12)
+
+
+class TestKMeans:
+    def _ds(self, X, ids=None):
+        import ray.data as rd
+
+        ids = ids if ids is not None else list(range(len(X)))
+        return rd.from_pandas(pd.DataFrame({
+            "vec_id": np.asarray(ids, dtype=np.int64),
+            "embedding": [np.asarray(v, dtype=np.float32) for v in X],
+        }))
+
+    def test_separated_clusters(self, ray_session):
+        from deduplicator_ray.stages.embed import kmeans_assign
+
+        rng = np.random.default_rng(7)
+        a = rng.normal(0, 0.05, (20, 4)) + np.array([5, 0, 0, 0])
+        b = rng.normal(0, 0.05, (20, 4)) + np.array([0, 5, 0, 0])
+        X = np.concatenate([a, b])
+        out = (kmeans_assign(self._ds(X), k=2, iters=3).to_pandas()
+               .sort_values("vec_id", ignore_index=True))
+        c = out["cluster"].to_numpy()
+        assert len(set(c[:20])) == 1 and len(set(c[20:])) == 1
+        assert c[0] != c[20]
+        # init = vectors of the 2 smallest ids (both in cluster a) but
+        # Lloyd must still separate them after the first update? No —
+        # both seeds in one blob CAN split that blob; this seed setup
+        # has id 0 in a and id 20 in b only if ids interleave. Keep the
+        # deterministic contract check instead: same input -> same out.
+        out2 = (kmeans_assign(self._ds(X), k=2, iters=3).to_pandas()
+                .sort_values("vec_id", ignore_index=True))
+        assert (out2["cluster"].to_numpy() == c).all()
+
+    def test_zero_iters_is_seed_assignment(self, ray_session):
+        from deduplicator_ray.stages.embed import kmeans_assign
+
+        X = np.array([[0.0, 0], [10, 10], [0.1, 0], [9.9, 10]])
+        out = (kmeans_assign(self._ds(X), k=2, iters=0).to_pandas()
+               .sort_values("vec_id", ignore_index=True))
+        # seeds = ids 0,1 -> clusters 0,1; nearest-seed assignment
+        assert list(out["cluster"]) == [0, 1, 0, 1]
+
+    def test_k_exceeds_corpus(self, ray_session):
+        from deduplicator_ray.stages.embed import kmeans_assign
+
+        with pytest.raises(ValueError, match="exceeds"):
+            kmeans_assign(self._ds(np.zeros((3, 2))), k=5).to_pandas()
+
+    def test_empty_cluster_keeps_centroid(self, ray_session):
+        from deduplicator_ray.stages.embed import kmeans_assign
+
+        # seed 1 (id=1) is a far outlier that captures nothing after
+        # round 1 re-centers seed 0 onto the blob: the outlier centroid
+        # must persist (not NaN out), and the far point keeps cluster 1
+        X = np.array([[0.0, 0], [100, 100], [0.2, 0], [0.3, 0]])
+        out = (kmeans_assign(self._ds(X), k=2, iters=4).to_pandas()
+               .sort_values("vec_id", ignore_index=True))
+        assert list(out["cluster"]) == [0, 1, 0, 0]

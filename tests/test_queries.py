@@ -46,6 +46,7 @@ SQL_CHECKED = [
     "bm25_topk",
     "tfidf_cosine_pairs",
     "bigram_logloss",
+    "kmeans_clusters",
 ]
 
 SQL_CHECKED_REL = [
