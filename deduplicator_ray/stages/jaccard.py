@@ -41,15 +41,40 @@ import pyarrow as pa
 _WORD_RE = re.compile(r"[a-z0-9]+")
 
 
-def _gram_hashes(text: str, n: int) -> np.ndarray:
-    """Distinct word n-grams of ``text`` -> sorted uint64 hashes (pandas
-    siphash with fixed key — deterministic across processes/nodes)."""
+def _gram_hashes(text: str, n: int, *, distinct: bool = True) -> np.ndarray:
+    """Word n-grams of ``text`` -> sorted uint64 hashes (pandas siphash
+    with fixed key — deterministic across processes/nodes).  ``distinct``
+    dedupes within the doc (set semantics); pass False to keep
+    multiplicity (tf semantics, used by lexical.tfidf_cosine_pairs)."""
     w = _WORD_RE.findall((text or "").lower())
     if len(w) < n:
         return np.empty(0, dtype=np.uint64)
-    grams = list({" ".join(w[i: i + n]) for i in range(len(w) - n + 1)})
+    grams = [" ".join(w[i: i + n]) for i in range(len(w) - n + 1)]
+    if distinct:
+        grams = list(set(grams))
     h = pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.uint64)
     return np.sort(h)
+
+
+def pack_u64_blobs(per_doc: list[np.ndarray]) -> pa.Array:
+    """One uint64 hash array per doc -> a binary column, with a single
+    bytes join instead of per-row Python object churn.  Offsets promote
+    to large_binary past the int32 limit (> 2 GiB of hashes in one
+    batch) instead of silently wrapping negative."""
+    nrows = len(per_doc)
+    sizes = np.fromiter((len(g) for g in per_doc), dtype=np.int64, count=nrows)
+    blob = b"".join(g.astype("<u8").tobytes() for g in per_doc)
+    off64 = np.concatenate(([0], np.cumsum(sizes * 8)))
+    if off64[-1] <= np.iinfo(np.int32).max:
+        return pa.BinaryArray.from_buffers(
+            pa.binary(), nrows,
+            [None, pa.py_buffer(off64.astype(np.int32).tobytes()),
+             pa.py_buffer(blob)],
+        )
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), nrows,
+        [None, pa.py_buffer(off64.tobytes()), pa.py_buffer(blob)],
+    )
 
 
 def ngram_jaccard_pairs(ds, *, num: int = 1, den: int = 2, ngram: int = 3,
@@ -69,14 +94,7 @@ def ngram_jaccard_pairs(ds, *, num: int = 1, den: int = 2, ngram: int = 3,
 
     def grams_table(b: pa.Table) -> pa.Table:
         texts = b[text_col].to_pylist()
-        per_doc = [_gram_hashes(t, ngram) for t in texts]
-        nrows = len(texts)
-        sizes = np.fromiter((len(g) for g in per_doc), dtype=np.int64, count=nrows)
-        blob = b"".join(g.astype("<u8").tobytes() for g in per_doc)
-        offsets = np.concatenate(([0], np.cumsum(sizes * 8))).astype(np.int32)
-        arr = pa.BinaryArray.from_buffers(
-            pa.binary(), nrows, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)]
-        )
+        arr = pack_u64_blobs([_gram_hashes(t, ngram) for t in texts])
         out = {id_col: b[id_col], "gramblob": arr}
         if lang_col:
             out[lang_col] = b[lang_col]
@@ -183,14 +201,7 @@ def ngram_containment_pairs(ds, *, num: int = 7, den: int = 10,
 
     def grams_table(b: pa.Table) -> pa.Table:
         texts = b[text_col].to_pylist()
-        per_doc = [_gram_hashes(t, ngram) for t in texts]
-        nrows = len(texts)
-        sizes = np.fromiter((len(g) for g in per_doc), dtype=np.int64, count=nrows)
-        blob = b"".join(g.astype("<u8").tobytes() for g in per_doc)
-        offsets = np.concatenate(([0], np.cumsum(sizes * 8))).astype(np.int32)
-        arr = pa.BinaryArray.from_buffers(
-            pa.binary(), nrows, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)]
-        )
+        arr = pack_u64_blobs([_gram_hashes(t, ngram) for t in texts])
         return pa.table({id_col: b[id_col], "gramblob": arr})
 
     sigs = ds.select_columns([id_col, text_col]).map_batches(

@@ -42,7 +42,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from deduplicator_ray.stages.jaccard import _WORD_RE
+from deduplicator_ray.stages.jaccard import _gram_hashes, pack_u64_blobs
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
@@ -147,18 +147,6 @@ def bm25_topk(ds, terms: list[str], *, k: int = 15, k1: float = 1.2,
 # -------------------------------------------------- tf-idf cosine pairs
 
 
-def _gram_hashes_with_tf(text: str, n: int) -> np.ndarray:
-    """All word n-gram occurrences of ``text`` (multiplicity KEPT) ->
-    sorted uint64 hashes.  Same tokenizer + siphash as
-    ``jaccard._gram_hashes``, minus the distinct()."""
-    w = _WORD_RE.findall((text or "").lower())
-    if len(w) < n:
-        return np.empty(0, dtype=np.uint64)
-    grams = [" ".join(w[i: i + n]) for i in range(len(w) - n + 1)]
-    h = pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.uint64)
-    return np.sort(h)
-
-
 def _tri_pair_indices(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized unordered-pair expansion for contiguous groups.
 
@@ -216,15 +204,9 @@ def tfidf_cosine_pairs(ds, *, threshold: float = 0.5, ngram: int = 3,
 
     def grams_table(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
-        per_doc = [_gram_hashes_with_tf(t, ngram) for t in texts]
-        nrows = len(texts)
-        sizes = np.fromiter((len(g) for g in per_doc), dtype=np.int64, count=nrows)
-        blob = b"".join(g.astype("<u8").tobytes() for g in per_doc)
-        offsets = np.concatenate(([0], np.cumsum(sizes * 8))).astype(np.int32)
-        arr = pa.BinaryArray.from_buffers(
-            pa.binary(), nrows,
-            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)],
-        )
+        # multiplicity KEPT (distinct=False): the run lengths are the tfs
+        arr = pack_u64_blobs([_gram_hashes(t, ngram, distinct=False)
+                              for t in texts])
         return pa.table({id_col: batch[id_col], "gramblob": arr})
 
     sigs = ds.select_columns([id_col, text_col]).map_batches(
@@ -236,10 +218,13 @@ def tfidf_cosine_pairs(ds, *, threshold: float = 0.5, ngram: int = 3,
         offsets into the flat array)."""
         ids = np.asarray(batch[id_col], dtype=np.int64)
         blobs = batch["gramblob"].combine_chunks()
+        odt = np.int64 if pa.types.is_large_binary(blobs.type) else np.int32
         boff = blobs.buffers()[1]
         bdat = blobs.buffers()[2]
-        offsets = np.frombuffer(boff, dtype=np.int32,
-                                count=len(ids) + 1, offset=blobs.offset * 4)
+        offsets = np.frombuffer(
+            boff, dtype=odt, count=len(ids) + 1,
+            offset=blobs.offset * np.dtype(odt).itemsize,
+        ).astype(np.int64)
         flat = (np.frombuffer(bdat, dtype="<u8")[offsets[0] // 8: offsets[-1] // 8]
                 if bdat is not None else np.empty(0, dtype=np.uint64))
         return ids, flat.astype(np.uint64, copy=False), (offsets - offsets[0]) // 8

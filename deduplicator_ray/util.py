@@ -34,3 +34,17 @@ def auto_partitions(minimum: int = 8) -> int:
     except Exception:  # pragma: no cover - defensive
         cpus = 8
     return max(minimum, cpus)
+
+
+def typed_to_pandas(ds, columns: dict[str, str]):
+    """``Dataset.to_pandas()`` that survives Ray 2.49's empty-stream
+    schema drop: an all-empty result comes back column-less, so an
+    empty frame is rebuilt with the declared column -> dtype map (use
+    ``object`` for strings).  Non-empty results pass through untouched."""
+    import pandas as pd
+
+    df = ds.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in columns.items()})
+    return df
