@@ -425,6 +425,7 @@ def q_events_window(sf_dir: str):
 def registry():
     """name -> (callable(sf_dir) -> Dataset, oracle_sql | None)."""
     from deduplicator_ray.pipelines.queries_ext import registry_ext
+    from deduplicator_ray.pipelines.queries_graph import registry_graph
     from deduplicator_ray.pipelines.queries_rel import registry_rel
 
     base = {
@@ -471,4 +472,5 @@ def registry():
     }
     base.update(registry_ext())
     base.update(registry_rel())
+    base.update(registry_graph())
     return base

@@ -1,0 +1,147 @@
+"""Link-graph queries over the planted linked-pages corpus.
+
+Ray side: real html bytes are generated per document
+(sources/corpus.py:linked_pages_dataset) and the anchors are PARSED back
+out with Arrow string kernels (stages/graph.py:extract_links).  Oracle
+side: LINKED_PAGES_CTE recomputes the planted link structure
+arithmetically — so the comparison genuinely verifies the extraction
+kernel against ground truth, not parser-vs-parser.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from deduplicator_ray.sources.corpus import LINKED_PAGES_CTE, N_HOSTS
+from deduplicator_ray.stages.graph import (
+    HOST_PAT,
+    edge_aggregate,
+    extract_links,
+    pagerank,
+)
+
+
+def _links(sf_dir: str, *, with_anchor: bool = False):
+    from deduplicator_ray.sources.corpus import linked_pages_dataset
+
+    return extract_links(linked_pages_dataset(sf_dir),
+                         with_anchor=with_anchor)
+
+
+def q_link_graph(sf_dir: str):
+    """Host-level edge list with multiplicities: parse every href out of
+    the html corpus, RE2 host extraction both ends, partial-combine +
+    one hash-bucket shuffle (stages/graph.py:edge_aggregate)."""
+    edges = edge_aggregate(_links(sf_dir))
+    return edges.select_columns(["src_host", "dst_host", "n_links"])
+
+
+_SQL_LINK_GRAPH = f"""
+WITH {LINKED_PAGES_CTE}
+SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+FROM links GROUP BY 1, 2
+"""
+
+
+_PR_ITERS, _PR_DAMP, _PR_SCALE = 5, 85, 10 ** 9
+
+
+def q_pagerank_hosts(sf_dir: str):
+    """Integer fixed-point PageRank over the host graph
+    (stages/graph.py:pagerank): {iters} iterations, damping 0.85, rank
+    mass in 1e-9 units — bit-exact vs the unrolled-CTE oracle because
+    every operation is int64 with floor division (float PR sums are
+    order-dependent and can't be value-compared across engines)."""
+    edges = edge_aggregate(_links(sf_dir))
+    return pagerank(edges, iters=_PR_ITERS, damping_pct=_PR_DAMP,
+                    scale=_PR_SCALE)
+
+
+def _sql_pagerank() -> str:
+    """The {_PR_ITERS} integer PageRank rounds written out as chained
+    CTEs (the same unrolled-iteration idiom as the kmeans oracle)."""
+    base = ((100 - _PR_DAMP) * _PR_SCALE) // 100
+    sql = f"""
+WITH {LINKED_PAGES_CTE},
+eagg AS (SELECT src_host, dst_host, count(*)::BIGINT AS w
+         FROM links GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT host FROM
+          (SELECT src_host AS host FROM eagg
+           UNION ALL SELECT dst_host FROM eagg)),
+outd AS (SELECT src_host, sum(w)::BIGINT AS od FROM eagg GROUP BY 1),
+r0 AS (SELECT host, CAST({_PR_SCALE} AS BIGINT) AS r FROM nodes)"""
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""",
+s{i} AS (SELECT e.dst_host AS host,
+                sum((r.r // o.od) * e.w)::BIGINT AS s
+         FROM eagg e
+         JOIN {prev} r ON e.src_host = r.host
+         JOIN outd o ON e.src_host = o.src_host
+         GROUP BY 1),
+r{i} AS (SELECT n.host,
+                ({base} + ({_PR_DAMP} * COALESCE(s.s, 0)) // 100)::BIGINT AS r
+         FROM nodes n LEFT JOIN s{i} s ON n.host = s.host)"""
+        prev = f"r{i}"
+    sql += f"""
+SELECT host, r AS rank FROM {prev}"""
+    return sql
+
+
+def q_anchor_stats(sf_dir: str):
+    """Inbound-link profile per destination host: total inlinks,
+    distinct landing pages, distinct anchor texts — anchors parsed from
+    the html (the `">text</a>` slice kernel), aggregated with the same
+    partial + hash-bucket shape as edge_aggregate."""
+    from deduplicator_ray.stages.exact import hash_bucket
+    from deduplicator_ray.util import auto_partitions
+
+    links = _links(sf_dir, with_anchor=True)
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pa.table({
+            "dst_host": b["dst_host"], "dst_url": b["dst_url"],
+            "anchor": b["anchor"],
+        }).to_pandas()
+        g = (df.groupby(["dst_host", "dst_url", "anchor"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = links.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("dst_host", as_index=False).agg(
+            n_inlinks=("n", "sum"),
+            n_pages=("dst_url", "nunique"),
+            n_anchors=("anchor", "nunique"),
+        )
+        for c in ("n_inlinks", "n_pages", "n_anchors"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    # dst_host is the bucket key, so each host's (url, anchor) universe
+    # lands in ONE bucket and nunique is exact.
+    return (hash_bucket(parts, "dst_host", auto_partitions())
+            .groupby("_part").map_groups(final, batch_format="pandas"))
+
+
+_SQL_ANCHOR_STATS = f"""
+WITH {LINKED_PAGES_CTE}
+SELECT dst_host,
+       count(*)::BIGINT AS n_inlinks,
+       count(DISTINCT dst_url)::BIGINT AS n_pages,
+       count(DISTINCT anchor)::BIGINT AS n_anchors
+FROM links GROUP BY 1
+"""
+
+
+def registry_graph():
+    """name -> (callable(sf_dir), oracle_sql)."""
+    return {
+        "link_graph": (q_link_graph, _SQL_LINK_GRAPH),
+        "pagerank_hosts": (q_pagerank_hosts, _sql_pagerank()),
+        "anchor_stats": (q_anchor_stats, _SQL_ANCHOR_STATS),
+    }

@@ -298,3 +298,99 @@ def synth_corpus(
         ]
     )
     return pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# 3. linked web pages derived from documents (oracle-mirrored link graph)
+# ---------------------------------------------------------------------------
+
+N_HOSTS = 40  # hosts www.site0.example .. www.site39.example
+
+# The authoritative SQL derivation of the planted link structure: page i
+# (one per document) carries 1 + (i % 4) outbound anchors; the j-th
+# (j = 0-based) points at page t = (i*7 + 11*(j+1) + 3) mod n with anchor
+# text 'go {t}'.  The Ray side EXTRACTS links from real html bytes
+# (stages/graph.py) — agreement with this arithmetic mirror is what the
+# oracle checks, so a broken href parser shows up as a value mismatch.
+LINKED_PAGES_CTE = f"""
+nn AS (SELECT count(*) AS n FROM documents),
+pages AS (
+  SELECT d.doc_id,
+         'https://www.site' || (d.doc_id % {N_HOSTS}) || '.example/p/' || d.doc_id AS url,
+         'www.site' || (d.doc_id % {N_HOSTS}) || '.example' AS host
+  FROM documents d
+),
+linkdst AS (
+  SELECT p.doc_id, p.host AS src_host,
+         ((p.doc_id * 7 + 11 * (j.j + 1) + 3) % nn.n) AS dst_doc
+  FROM pages p, nn, (SELECT unnest(range(0, 4)) AS j) j
+  WHERE j.j < 1 + (p.doc_id % 4)
+),
+links AS (
+  SELECT l.doc_id, l.src_host,
+         'www.site' || (l.dst_doc % {N_HOSTS}) || '.example' AS dst_host,
+         'https://www.site' || (l.dst_doc % {N_HOSTS}) || '.example/p/' || l.dst_doc AS dst_url,
+         'go ' || l.dst_doc AS anchor
+  FROM linkdst l
+)
+"""
+
+
+def linked_pages_dataset(sf_dir: str, *, repeat: int = 1):
+    """Ray-native linked-pages derivation: one html page per document,
+    built by a vectorized ``map_batches`` expansion (no driver
+    materialization).  Columns (doc_id, url, html:binary).
+
+    The html embeds the planted anchors of ``LINKED_PAGES_CTE`` as real
+    ``<a href="...">`` markup — downstream queries must PARSE it back
+    out, so the oracle genuinely exercises the extraction kernel.
+
+    ``repeat`` > 1 tiles the page space with shifted doc_ids for
+    bench-scale corpora (oracle queries always use repeat=1); the modulo
+    target arithmetic stays over the base-universe size so tiled pages
+    link into the same host universe.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = ds.count()  # parquet metadata read — no scan
+    stride = 1_000_000
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids0 = np.asarray(batch["doc_id"], dtype=np.int64)
+        ids = (
+            np.concatenate([ids0 + r * stride for r in range(repeat)])
+            if repeat > 1 else ids0
+        )
+        host = ids % N_HOSTS
+        s_id = pd.Series(ids).astype(str)
+        s_host = pd.Series(host).astype(str)
+        url = "https://www.site" + s_host + ".example/p/" + s_id
+        body = pd.Series(np.full(len(ids), "", dtype=object))
+        k = 1 + (ids % 4)
+        for j in range(4):
+            t = (ids * 7 + 11 * (j + 1) + 3) % n
+            st = pd.Series(t).astype(str)
+            link = (
+                '<a href="https://www.site' + pd.Series(t % N_HOSTS).astype(str)
+                + ".example/p/" + st + '">go ' + st + "</a>"
+            )
+            body = body + link.where(pd.Series(k > j), "")
+        html = (
+            '<html><head><title>p' + s_id
+            + '</title></head><body><p>page ' + s_id + "</p>" + body
+            + "</body></html>"
+        )
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "url": pa.array(url, type=pa.string()),
+            "html": pc_cast_binary(html),
+        })
+
+    bs = max(64, min(4096, 8192 // max(1, repeat)))
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=bs)
+
+
+def pc_cast_binary(s: pd.Series) -> pa.Array:
+    """utf-8 pandas string Series -> Arrow binary column (html bytes)."""
+    return pa.array(s, type=pa.string()).cast(pa.binary())

@@ -1,0 +1,148 @@
+"""Link-graph operators (stages/graph.py + pipelines/queries_graph.py):
+extraction-kernel edge cases, driver-vs-bucketed PageRank equality, and
+oracle parity for the three registered queries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _to_pandas(res):
+    return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf_dir}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+# ------------------------------------------------------------ extraction
+
+
+def test_extract_links_edge_cases(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import extract_links
+
+    rows = pa.table({
+        "url": [
+            "https://www.a.example/p/1",
+            "https://www.b.example/x",
+            "https://www.c.example/y",
+            "https://www.d.example/z",
+        ],
+        "html": pa.array([
+            b'<a href="https://www.b.example/t">one</a>'
+            b'<a href="https://www.c.example/u">two</a>',
+            b"<p>no links at all</p>",
+            b'<a href="https://www.a.example/v">back</a>',
+            b'truncated <a href="https://www.nope.example/w',  # no closing quote
+        ], type=pa.binary()),
+    })
+    out = extract_links(rd.from_arrow(rows), with_anchor=True).to_pandas()
+    out = out.sort_values("dst_url", ignore_index=True)
+    assert list(out["src_host"]) == ["www.c.example", "www.a.example", "www.a.example"]
+    assert list(out["dst_host"]) == ["www.a.example", "www.b.example", "www.c.example"]
+    assert list(out["anchor"]) == ["back", "one", "two"]
+
+
+def test_linked_pages_match_planted_structure(ray_session, sf_dir):
+    """The html generator and the arithmetic formula agree doc by doc."""
+    from deduplicator_ray.sources.corpus import N_HOSTS, linked_pages_dataset
+    from deduplicator_ray.stages.graph import extract_links
+
+    pages = linked_pages_dataset(sf_dir)
+    n = pages.count()
+    links = extract_links(pages, with_anchor=True).to_pandas()
+    # recompute expected targets from doc ids
+    ids = np.arange(n, dtype=np.int64)
+    exp = []
+    for j in range(4):
+        t = (ids * 7 + 11 * (j + 1) + 3) % n
+        keep = (1 + (ids % 4)) > j
+        exp.extend(
+            (f"www.site{i % N_HOSTS}.example",
+             f"https://www.site{ti % N_HOSTS}.example/p/{ti}", f"go {ti}")
+            for i, ti in zip(ids[keep], t[keep])
+        )
+    got = set(zip(links["src_host"], links["dst_url"], links["anchor"]))
+    assert got == set(exp)
+    assert len(links) == len(exp)  # multiplicities too (all distinct here)
+
+
+# ------------------------------------------------------------- pagerank
+
+
+def _toy_edges():
+    return pd.DataFrame({
+        "src_host": ["a", "a", "b", "c", "c", "d"],
+        "dst_host": ["b", "c", "c", "a", "d", "a"],
+        "n_links": [3, 1, 2, 5, 1, 1],
+    })
+
+
+def test_pagerank_paths_agree(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import pagerank
+
+    edges = rd.from_pandas(_toy_edges())
+    drv = pagerank(edges, iters=4).to_pandas().sort_values("host", ignore_index=True)
+    dist = pagerank(
+        rd.from_pandas(_toy_edges()), iters=4, max_driver_edges=0,
+        num_partitions=4,
+    ).to_pandas().sort_values("host", ignore_index=True)
+    pd.testing.assert_frame_equal(drv, dist)
+    # mass sanity: every rank positive, teleport floor respected
+    assert (drv["rank"] >= ((100 - 85) * 10 ** 9) // 100).all()
+
+
+def test_pagerank_dangling_mass_dropped(ray_session):
+    """A dst-only host gets teleport + inflow but contributes nothing."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import pagerank
+
+    edges = rd.from_pandas(pd.DataFrame({
+        "src_host": ["a"], "dst_host": ["sink"], "n_links": [1]}))
+    out = pagerank(edges, iters=2).to_pandas().set_index("host")["rank"]
+    scale, base = 10 ** 9, (15 * 10 ** 9) // 100
+    # iter1: sink gets base + 85% of a's full rank; a gets base only
+    a1 = base
+    sink1 = base + (85 * scale) // 100
+    a2 = base
+    sink2 = base + (85 * a1) // 100
+    assert out["a"] == a2 and out["sink"] == sink2
+
+
+# --------------------------------------------------------- oracle parity
+
+
+@pytest.mark.parametrize("name", ["link_graph", "pagerank_hosts", "anchor_stats"])
+def test_graph_oracle_parity(ray_session, sf_dir, duck, name):
+    from deduplicator_ray.pipelines.queries_graph import registry_graph
+
+    fn, sql = registry_graph()[name]
+    got = _norm(_to_pandas(fn(sf_dir)))
+    want = _norm(duck.execute(sql).df())
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
