@@ -18,6 +18,7 @@ from deduplicator_ray.stages.graph import (
     HOST_PAT,
     edge_aggregate,
     extract_links,
+    mirror_hosts,
     pagerank,
 )
 
@@ -138,10 +139,47 @@ FROM links GROUP BY 1
 """
 
 
+_MIRROR_TAU, _MIRROR_FANIN = 0.85, 10_000
+
+
+def q_mirror_hosts(sf_dir: str):
+    """Mirror/alias detection: host pairs whose integer outlink-count
+    vectors have cosine >= {tau} (stages/graph.py:mirror_hosts — pair
+    generation per shared destination + one hash-bucket dot-sum, exact
+    int64 dots/norms, the identical float normalization expression on
+    both sides)."""
+    edges = edge_aggregate(_links(sf_dir))
+    return mirror_hosts(edges, threshold=_MIRROR_TAU,
+                        max_fanin=_MIRROR_FANIN)
+
+
+_SQL_MIRROR_HOSTS = f"""
+WITH {LINKED_PAGES_CTE},
+eagg AS (SELECT src_host, dst_host, count(*)::BIGINT AS w
+         FROM links GROUP BY 1, 2),
+q AS (SELECT src_host, sum(w * w)::BIGINT AS q FROM eagg GROUP BY 1),
+fan AS (SELECT dst_host FROM eagg GROUP BY 1
+        HAVING count(*) <= {_MIRROR_FANIN}),
+dots AS (SELECT e1.src_host AS host_a, e2.src_host AS host_b,
+                sum(e1.w * e2.w)::BIGINT AS dot
+         FROM eagg e1
+         JOIN eagg e2 ON e1.dst_host = e2.dst_host
+                     AND e1.src_host < e2.src_host
+         JOIN fan f ON e1.dst_host = f.dst_host
+         GROUP BY 1, 2)
+SELECT d.host_a, d.host_b,
+       d.dot / (sqrt(qa.q) * sqrt(qb.q)) AS cosine
+FROM dots d JOIN q qa ON d.host_a = qa.src_host
+            JOIN q qb ON d.host_b = qb.src_host
+WHERE d.dot / (sqrt(qa.q) * sqrt(qb.q)) >= {_MIRROR_TAU}
+"""
+
+
 def registry_graph():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
         "link_graph": (q_link_graph, _SQL_LINK_GRAPH),
         "pagerank_hosts": (q_pagerank_hosts, _sql_pagerank()),
         "anchor_stats": (q_anchor_stats, _SQL_ANCHOR_STATS),
+        "mirror_hosts": (q_mirror_hosts, _SQL_MIRROR_HOSTS),
     }

@@ -256,3 +256,104 @@ def _pagerank_bucketed(edges, src_col, dst_col, weight_col,
         r = _pr_update(base, damping_pct, s)
     return pa.table({"host": pa.array(hosts, type=pa.string()),
                      "rank": pa.array(r, type=pa.int64())})
+
+
+def mirror_hosts(edges, *, threshold: float = 0.8, max_fanin: int = 10_000,
+                 src_col: str = "src_host", dst_col: str = "dst_host",
+                 weight_col: str = "n_links",
+                 num_partitions: int | None = None):
+    """Host pairs with near-identical outlink profiles — mirror / alias
+    detection: cosine >= ``threshold`` between the hosts' integer
+    outlink-count vectors (dimension = destination host).
+
+    Same shape as lexical.tfidf_cosine_pairs with term := dst_host:
+    pairs are generated per shared destination (partial dot w_a * w_b),
+    summed across ONE hash-bucket shuffle on the pair key, then
+    normalized.  Dots and norms are exact int64; the cosine is the
+    identical float expression on both engine and oracle
+    (dot / (sqrt(qa) * sqrt(qb))), so values match bit-for-bit.
+
+    ``max_fanin``: destinations linked from more than this many distinct
+    hosts are excluded from PAIR GENERATION (kept in norms) — part of
+    the contract, mirroring tfidf's max_df.  A hub dst (everyone links
+    to google.com) says nothing about two sources mirroring each other
+    but costs O(fanin^2) pairs; capping it is the standard prefix-style
+    pruning for this family.
+
+    Returns a Dataset (host_a, host_b, cosine), host_a < host_b.
+    """
+    import ray
+
+    from deduplicator_ray.util import auto_partitions as _ap
+
+    P = num_partitions or _ap()
+    edges = edges.materialize()  # feeds the norm pass and the pair pass
+
+    # ---- exact norms per source host (tiny result: one row per host)
+    def norm_partial(b: pa.Table) -> pa.Table:
+        df = pa.table({"h": b[src_col], "w": b[weight_col]}).to_pandas()
+        df["q"] = df["w"].astype("int64") ** 2
+        g = df.groupby("h", as_index=False).agg(q=("q", "sum"))
+        g["q"] = g["q"].astype("int64")
+        return pa.Table.from_pandas(g[["h", "q"]], preserve_index=False)
+
+    def norm_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", as_index=False).agg(q=("q", "sum"))
+        g["q"] = g["q"].astype("int64")
+        return g
+
+    norms = (hash_bucket(
+        edges.map_batches(norm_partial, batch_format="pyarrow",
+                          zero_copy_batch=True), "h", P)
+        .groupby("_part").map_groups(norm_final, batch_format="pandas")
+        .to_pandas())
+    hosts_sorted = np.sort(norms["h"].to_numpy(dtype=object))
+    q_sorted = norms.set_index("h").loc[hosts_sorted, "q"].to_numpy(np.int64)
+    hosts_ref = ray.put(hosts_sorted)
+    q_ref = ray.put(q_sorted)
+
+    # ---- pair generation per shared destination
+    def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        from deduplicator_ray.stages.lexical import _tri_pair_indices
+
+        df = df.sort_values([dst_col, src_col], kind="mergesort")
+        dsts = df[dst_col].to_numpy(dtype=object)
+        srcs = df[src_col].to_numpy(dtype=object)
+        w = df[weight_col].to_numpy(dtype=np.int64)
+        _, starts, counts = np.unique(dsts, return_index=True,
+                                      return_counts=True)
+        keep = counts <= max_fanin
+        sizes = counts[keep]
+        offs = starts[keep]
+        gid, i, j = _tri_pair_indices(sizes)
+        ai = offs[gid] + i
+        bi = offs[gid] + j
+        out = pd.DataFrame({
+            "host_a": srcs[ai], "host_b": srcs[bi],
+            "dot": w[ai] * w[bi],
+        })
+        g = out.groupby(["host_a", "host_b"], as_index=False).agg(
+            dot=("dot", "sum"))
+        g["dot"] = g["dot"].astype("int64")
+        g["_pkey"] = g["host_a"] + "\x1f" + g["host_b"]
+        return g
+
+    by_dst = hash_bucket(edges, dst_col, P)
+    pairs = by_dst.groupby("_part").map_groups(gen_pairs,
+                                               batch_format="pandas")
+
+    # ---- global dot sum + normalize + threshold
+    def finish(df: pd.DataFrame, *, _h=hosts_ref, _q=q_ref) -> pd.DataFrame:
+        hs = ray.get(_h) if not isinstance(_h, np.ndarray) else _h
+        qv = ray.get(_q) if not isinstance(_q, np.ndarray) else _q
+        g = df.groupby(["host_a", "host_b"], as_index=False).agg(
+            dot=("dot", "sum"))
+        qa = qv[np.searchsorted(hs, g["host_a"].to_numpy(dtype=object))]
+        qb = qv[np.searchsorted(hs, g["host_b"].to_numpy(dtype=object))]
+        cos = g["dot"].to_numpy(np.int64) / (np.sqrt(qa.astype(np.float64))
+                                             * np.sqrt(qb.astype(np.float64)))
+        g["cosine"] = cos
+        return g.loc[cos >= threshold, ["host_a", "host_b", "cosine"]]
+
+    return (hash_bucket(pairs, "_pkey", P)
+            .groupby("_part").map_groups(finish, batch_format="pandas"))

@@ -137,7 +137,40 @@ def test_pagerank_dangling_mass_dropped(ray_session):
 # --------------------------------------------------------- oracle parity
 
 
-@pytest.mark.parametrize("name", ["link_graph", "pagerank_hosts", "anchor_stats"])
+def test_mirror_hosts_toy(ray_session):
+    """Two sources with proportional outlink vectors -> cosine 1."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import mirror_hosts
+
+    edges = rd.from_pandas(pd.DataFrame({
+        "src_host": ["m1", "m1", "m2", "m2", "x"],
+        "dst_host": ["t1", "t2", "t1", "t2", "t1"],
+        "n_links": [2, 4, 1, 2, 7],
+    }))
+    out = mirror_hosts(edges, threshold=0.999).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["host_a"], out.iloc[0]["host_b"]) == ("m1", "m2")
+    assert out.iloc[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_mirror_hosts_fanin_cap(ray_session):
+    """A hub destination above max_fanin generates no pairs."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import mirror_hosts
+
+    edges = rd.from_pandas(pd.DataFrame({
+        "src_host": ["a", "b", "c"],
+        "dst_host": ["hub", "hub", "hub"],
+        "n_links": [1, 1, 1],
+    }))
+    out = mirror_hosts(edges, threshold=0.0, max_fanin=2).to_pandas()
+    assert len(out) == 0
+
+
+@pytest.mark.parametrize(
+    "name", ["link_graph", "pagerank_hosts", "anchor_stats", "mirror_hosts"])
 def test_graph_oracle_parity(ray_session, sf_dir, duck, name):
     from deduplicator_ray.pipelines.queries_graph import registry_graph
 
