@@ -320,6 +320,49 @@ FROM x GROUP BY user_id, window_epoch
 # ---------------------------------------------------------------------------
 
 
+
+# ---------------------------------------------------------------------------
+# R6: K-step funnel over the events stream (ordered-sequence analytics)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_counts(sf_dir: str):
+    """Greedy-earliest K-step funnel (stages/events.py:funnel_counts):
+    users reaching each step strictly after their anchor time for the
+    previous step; one hash-bucket shuffle on user_id, vectorized
+    per-bucket kernel."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.events import funnel_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ev, _FUNNEL_STEPS)
+
+
+def _sql_funnel() -> str:
+    """Chained min-ts CTEs — step k anchors at the earliest qualifying
+    event strictly after the step k-1 anchor (same greedy semantics)."""
+    sql = """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = '{0}' GROUP BY 1)""".format(_FUNNEL_STEPS[0])
+    for k in range(1, len(_FUNNEL_STEPS)):
+        sql += """,
+s{n} AS (SELECT e.user_id, min(e.ts) AS t
+         FROM events e JOIN s{p} ON e.user_id = s{p}.user_id
+                              AND e.ts > s{p}.t
+         WHERE e.event_type = '{st}' GROUP BY 1)""".format(
+            n=k + 1, p=k, st=_FUNNEL_STEPS[k])
+    selects = [
+        "SELECT {k} AS step, '{st}' AS event_type, "
+        "count(*)::BIGINT AS n_users FROM s{k}".format(k=k + 1, st=st)
+        for k, st in enumerate(_FUNNEL_STEPS)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def registry_rel():
     return {
         "events_hopping": (q_events_hopping, _SQL_EVENTS_HOPPING),
@@ -327,4 +370,5 @@ def registry_rel():
         "grouped_topk": (q_grouped_topk, _SQL_GROUPED_TOPK),
         "host_stats": (q_host_stats, _sql_host_stats()),
         "lineitem_agg": (q_lineitem_agg, _SQL_LINEITEM_AGG),
+        "funnel_counts": (q_funnel_counts, _sql_funnel()),
     }

@@ -1,0 +1,76 @@
+"""Ordered-sequence analytics over event streams.
+
+``funnel_counts``: classic K-step funnel — how many users performed
+step 1, then step 2 STRICTLY AFTER their first step-1 event, then step 3
+strictly after that, and so on (each step anchored at the EARLIEST
+qualifying time, the standard greedy funnel semantics — greedy earliest
+anchoring is optimal for "did the user complete the sequence": taking
+the minimal qualifying time at every step dominates any other choice).
+
+Distribution: one hash-bucket shuffle on user id (the partitioning
+assumption: a user's full timeline fits one bucket — same contract as
+sessionization), a vectorized pandas kernel per bucket (sort + per-step
+groupby-min joins, never per-user Python), and a steps-sized partial
+count per bucket summed on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from deduplicator_ray.stages.exact import hash_bucket
+from deduplicator_ray.util import auto_partitions
+
+
+def funnel_counts(events, steps: tuple[str, ...], *,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  num_partitions: int | None = None) -> pd.DataFrame:
+    """-> DataFrame (step BIGINT 1-based, event_type, n_users BIGINT).
+
+    ``n_users`` at step k = users with events e_1 < e_2 < ... < e_k in
+    strict time order where e_i has type steps[i-1].
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    P = num_partitions or auto_partitions()
+    step_set = list(dict.fromkeys(steps))  # prune the scan to funnel types
+
+    def prune(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.is_in(b[type_col], value_set=pa.array(step_set))
+        t = b.filter(m)
+        return pa.table({user_col: t[user_col], ts_col: t[ts_col],
+                         type_col: t[type_col]})
+
+    pruned = events.map_batches(prune, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        anchor = None  # Series: user -> anchor ts of previous step
+        for k, st in enumerate(steps):
+            sub = df.loc[df[type_col] == st, [user_col, ts_col]]
+            if k > 0:
+                sub = sub.join(anchor.rename("_prev"), on=user_col,
+                               how="inner")
+                sub = sub[sub[ts_col] > sub["_prev"]]
+            anchor = sub.groupby(user_col)[ts_col].min()
+            counts.append(len(anchor))
+        return pd.DataFrame({
+            "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+            "event_type": list(steps),
+            "n_users": np.asarray(counts, dtype=np.int64),
+        })
+
+    parts = (hash_bucket(pruned, user_col, P)
+             .groupby("_part")
+             .map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby(["step", "event_type"], as_index=False).agg(
+        n_users=("n_users", "sum"))
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("step", ignore_index=True)
