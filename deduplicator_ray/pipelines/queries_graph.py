@@ -175,9 +175,43 @@ WHERE d.dot / (sqrt(qa.q) * sqrt(qb.q)) >= {_MIRROR_TAU}
 """
 
 
+def q_html_extract_text(sf_dir: str):
+    """The north-star per-row invariant surfaced through the driver
+    gate: functions/textextract.py:extract_text over real html bytes,
+    value-checked against an arithmetic reconstruction of each page's
+    visible text (title + paragraph + anchors in document order).  Any
+    drift in tag stripping, entity handling, or whitespace collapse
+    shows up as a hash mismatch."""
+    from deduplicator_ray.functions.textextract import extract_text_many
+    from deduplicator_ray.sources.corpus import linked_pages_dataset
+
+    pages = linked_pages_dataset(sf_dir)
+
+    def kern(b: pa.Table) -> pa.Table:
+        texts = extract_text_many(b["html"].to_pylist())
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text": pa.array(texts, type=pa.string()),
+        })
+
+    return pages.map_batches(kern, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+_SQL_HTML_EXTRACT = f"""
+WITH {LINKED_PAGES_CTE}
+SELECT p.doc_id,
+       'p' || p.doc_id || ' page ' || p.doc_id || ' '
+         || string_agg('go ' || l.dst_doc, ' ' ORDER BY l.j) AS text
+FROM pages p JOIN linkdst l USING (doc_id)
+GROUP BY p.doc_id
+"""
+
+
 def registry_graph():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
+        "html_extract_text": (q_html_extract_text, _SQL_HTML_EXTRACT),
         "link_graph": (q_link_graph, _SQL_LINK_GRAPH),
         "pagerank_hosts": (q_pagerank_hosts, _sql_pagerank()),
         "anchor_stats": (q_anchor_stats, _SQL_ANCHOR_STATS),

@@ -321,13 +321,13 @@ pages AS (
   FROM documents d
 ),
 linkdst AS (
-  SELECT p.doc_id, p.host AS src_host,
+  SELECT p.doc_id, p.host AS src_host, j.j,
          ((p.doc_id * 7 + 11 * (j.j + 1) + 3) % nn.n) AS dst_doc
   FROM pages p, nn, (SELECT unnest(range(0, 4)) AS j) j
   WHERE j.j < 1 + (p.doc_id % 4)
 ),
 links AS (
-  SELECT l.doc_id, l.src_host,
+  SELECT l.doc_id, l.src_host, l.j,
          'www.site' || (l.dst_doc % {N_HOSTS}) || '.example' AS dst_host,
          'https://www.site' || (l.dst_doc % {N_HOSTS}) || '.example/p/' || l.dst_doc AS dst_url,
          'go ' || l.dst_doc AS anchor

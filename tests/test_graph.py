@@ -170,7 +170,8 @@ def test_mirror_hosts_fanin_cap(ray_session):
 
 
 @pytest.mark.parametrize(
-    "name", ["link_graph", "pagerank_hosts", "anchor_stats", "mirror_hosts"])
+    "name", ["link_graph", "pagerank_hosts", "anchor_stats", "mirror_hosts",
+             "html_extract_text"])
 def test_graph_oracle_parity(ray_session, sf_dir, duck, name):
     from deduplicator_ray.pipelines.queries_graph import registry_graph
 
