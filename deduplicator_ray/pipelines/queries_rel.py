@@ -363,6 +363,30 @@ s{n} AS (SELECT e.user_id, min(e.ts) AS t
     return sql + "\n" + "\nUNION ALL\n".join(selects)
 
 
+
+_SQL_RETENTION = """
+WITH ev AS (SELECT user_id, epoch(ts)::BIGINT AS ep FROM events),
+wk AS (SELECT user_id, (ep // 86400) // 7 AS wk FROM ev),
+firsts AS (SELECT user_id, min(wk) AS cohort FROM wk GROUP BY 1),
+act AS (SELECT DISTINCT f.cohort, w.wk - f.cohort AS "offset", w.user_id
+        FROM wk w JOIN firsts f USING (user_id))
+SELECT cohort, "offset", count(*)::BIGINT AS n_users
+FROM act GROUP BY 1, 2
+"""
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Weekly retention matrix (stages/events.py:retention_cohorts):
+    integer epoch-week cohorts, one user-id shuffle, exact distincts."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.events import retention_cohorts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return retention_cohorts(ev)
+
+
 def registry_rel():
     return {
         "events_hopping": (q_events_hopping, _SQL_EVENTS_HOPPING),
@@ -371,4 +395,5 @@ def registry_rel():
         "host_stats": (q_host_stats, _sql_host_stats()),
         "lineitem_agg": (q_lineitem_agg, _SQL_LINEITEM_AGG),
         "funnel_counts": (q_funnel_counts, _sql_funnel()),
+        "retention_cohorts": (q_retention_cohorts, _SQL_RETENTION),
     }

@@ -74,3 +74,53 @@ def funnel_counts(events, steps: tuple[str, ...], *,
         n_users=("n_users", "sum"))
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values("step", ignore_index=True)
+
+
+def retention_cohorts(events, *, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      num_partitions: int | None = None) -> pd.DataFrame:
+    """Weekly retention matrix: (cohort, offset, n_users).
+
+    cohort = epoch-week index of the user's FIRST event
+    (``(first_epoch_s // 86400) // 7`` — pure integer arithmetic, no
+    calendar/timezone semantics to drift between engines); offset =
+    event's epoch-week minus cohort; n_users = distinct users of that
+    cohort active at that offset.
+
+    One hash-bucket shuffle on user id (a user's full timeline in one
+    bucket, as funnel/sessionize assume), per-bucket vectorized kernel,
+    exact distinct counts because a user never spans buckets.
+    """
+    P = num_partitions or auto_partitions()
+
+    def project(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ep = pc.divide(pc.cast(b[ts_col].cast(pa.timestamp("us")),
+                               pa.int64()), 1_000_000)
+        return pa.table({user_col: b[user_col], "_ep": ep})
+
+    pruned = events.map_batches(project, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ep = df["_ep"].to_numpy(np.int64)
+        wk = (ep // 86400) // 7
+        u = df[user_col].to_numpy()
+        first = pd.Series(wk).groupby(u).transform("min").to_numpy(np.int64)
+        g = pd.DataFrame({
+            "cohort": first, "offset": wk - first, user_col: u,
+        }).drop_duplicates()
+        out = g.groupby(["cohort", "offset"], as_index=False).agg(
+            n_users=(user_col, "nunique"))
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    parts = (hash_bucket(pruned, user_col, P)
+             .groupby("_part")
+             .map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby(["cohort", "offset"], as_index=False).agg(
+        n_users=("n_users", "sum"))
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort", "offset"], ignore_index=True)

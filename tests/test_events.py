@@ -58,6 +58,42 @@ def test_funnel_repeated_step_type(ray_session):
     assert by[1] == 2 and by[2] == 1
 
 
+def test_retention_cohorts_crafted(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.events import retention_cohorts
+
+    day = 86400
+    users = [1, 1, 1, 2, 2, 3, 3]
+    # u1: first in epoch-week 0, active weeks 0 and 2; u2: week 0 only
+    # (two events -> still 1 user); u3: first week 1, active weeks 1, 2
+    days = [1, 15, 16, 2, 3, 8, 14]
+    df = pd.DataFrame({
+        "user_id": users,
+        "ts": pd.to_datetime([d * day for d in days], unit="s"),
+    })
+    out = retention_cohorts(rd.from_pandas(df), num_partitions=3)
+    got = {(r.cohort, r.offset): r.n_users for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_retention_oracle_parity(ray_session, sf_dir):
+    import duckdb
+
+    from deduplicator_ray.pipelines.queries_rel import registry_rel
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from read_parquet('{sf_dir}/events.parquet')"
+    )
+    fn, sql = registry_rel()["retention_cohorts"]
+    got = fn(sf_dir)
+    want = con.execute(sql).df().sort_values(
+        ["cohort", "offset"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    con.close()
+
+
 def test_funnel_oracle_parity(ray_session, sf_dir):
     import duckdb
 
