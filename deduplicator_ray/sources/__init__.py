@@ -70,11 +70,41 @@ def _jsonl_source(path: str):
     return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _csv_source(path: str):
+    """CSV corpus with a header row.  Same warc_ts normalization need as
+    jsonl: Arrow's CSV reader infers ISO strings as timestamp[s] (or
+    leaves them strings when inference bails) while every other source
+    carries timestamp[us]."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_csv(path, file_extensions=["csv", "gz"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        if "warc_ts" not in b.column_names:
+            return b
+        t = b.schema.field("warc_ts").type
+        us = pa.timestamp("us", tz=getattr(t, "tz", None))
+        if pa.types.is_timestamp(t) and t != us:
+            b = b.set_column(b.column_names.index("warc_ts"), "warc_ts",
+                             b["warc_ts"].cast(us))
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            try:
+                ts = b["warc_ts"].cast(pa.timestamp("us"))
+            except pa.ArrowInvalid:
+                ts = b["warc_ts"].cast(pa.timestamp("us", tz="UTC"))
+            b = b.set_column(b.column_names.index("warc_ts"), "warc_ts", ts)
+        return b
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
 _SOURCES: dict[str, Callable] = {
     "parquet": _parquet_source,
     "warc": _warc_source,        # WarcIterator / WarcFileIterator
     "crawl_log": _crawl_log_source,  # CrawlLogIterator
     "jsonl": _jsonl_source,      # JSON-lines web-text dumps
+    "csv": _csv_source,          # header CSV dumps
 }
 
 

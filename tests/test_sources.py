@@ -232,3 +232,26 @@ class TestPpmDecode:
                                        0, 255).astype(np.uint8))
         ham = bin(np.uint64(ph1 ^ ph2) & np.uint64(2**64 - 1)).count("1")
         assert ham <= 12  # aHash is brightness-shift tolerant
+
+
+def test_csv_source_warc_ts_normalized(ray_session, tmp_path):
+    """The csv registered source parses a header CSV and normalizes
+    warc_ts to timestamp[us] like every other source."""
+    import pyarrow as pa
+
+    from deduplicator_ray.sources import get_source
+
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        "doc_id,url,warc_ts,text\n"
+        "1,https://www.a.example/x,2024-01-02T03:04:05Z,hello world\n"
+        "2,https://www.b.example/y,2024-01-02T03:04:06Z,second row\n"
+    )
+    ds = get_source("csv")(str(p))
+    t = ds.schema()
+    f = dict(zip(t.names, t.types))["warc_ts"]
+    assert pa.types.is_timestamp(f) and f.unit == "us"
+    rows = ds.to_pandas().sort_values("doc_id", ignore_index=True)
+    assert list(rows["doc_id"]) == [1, 2]
+    assert rows["text"].iloc[0] == "hello world"
+    assert rows["warc_ts"].iloc[0].isoformat().startswith("2024-01-02T03:04:05")
