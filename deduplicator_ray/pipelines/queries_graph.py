@@ -208,10 +208,83 @@ GROUP BY p.doc_id
 """
 
 
+_CM_FANIN, _CM_MIN_SHARED = 10, 2
+
+
+def q_content_mirrors(sf_dir: str):
+    """Content-mirror detection over the captures corpus: host pairs
+    serving >= {min_shared} identical content digests
+    (stages/graph.py:co_occurrence_pairs with key=digest, item=host).
+    max_fanin={fanin} excludes hub digests (the soft-404/empty page
+    every host serves) from pairing — contract, not approximation."""
+    import pyarrow.compute as pc
+
+    from deduplicator_ray.sources.corpus import captures_dataset
+    from deduplicator_ray.stages.graph import co_occurrence_pairs
+
+    caps = captures_dataset(sf_dir)
+
+    def proj(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["url"], HOST_PAT)
+        return pa.table({
+            "digest": b["digest"],
+            "host": pc.fill_null(pc.struct_field(m, "host"), ""),
+        })
+
+    ch = caps.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+    return co_occurrence_pairs(ch, key_col="digest", item_col="host",
+                               max_fanin=_CM_FANIN,
+                               min_shared=_CM_MIN_SHARED)
+
+
+def _sql_content_mirrors() -> str:
+    from deduplicator_ray.sources.corpus import CAPTURES_CTE
+
+    return f"""
+WITH {CAPTURES_CTE},
+ci AS (SELECT DISTINCT md5(text) AS k,
+              regexp_extract(url, '{HOST_PAT}', 1) AS i FROM captures),
+fan AS (SELECT k FROM ci GROUP BY 1 HAVING count(*) <= {_CM_FANIN})
+SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS n_shared
+FROM ci a JOIN ci b ON a.k = b.k AND a.i < b.i
+JOIN fan f ON a.k = f.k
+GROUP BY 1, 2 HAVING count(*) >= {_CM_MIN_SHARED}
+"""
+
+
+def q_cocitation_hosts(sf_dir: str):
+    """Co-citation: destination-host pairs linked from >= 2 of the same
+    pages (co_occurrence_pairs with key=source page, item=dst host)."""
+    from deduplicator_ray.stages.graph import co_occurrence_pairs
+
+    links = _links(sf_dir)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({"page": b["src_host"], "dst": b["dst_host"]})
+
+    # key = the source PAGE would be doc-level; at host level the
+    # src_host key gives "hosts co-linked by the same source host"
+    return co_occurrence_pairs(
+        links.map_batches(proj, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        key_col="page", item_col="dst", min_shared=2)
+
+
+_SQL_COCITATION = f"""
+WITH {LINKED_PAGES_CTE},
+ci AS (SELECT DISTINCT src_host AS k, dst_host AS i FROM links)
+SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS n_shared
+FROM ci a JOIN ci b ON a.k = b.k AND a.i < b.i
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def registry_graph():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
         "html_extract_text": (q_html_extract_text, _SQL_HTML_EXTRACT),
+        "content_mirrors": (q_content_mirrors, _sql_content_mirrors()),
+        "cocitation_hosts": (q_cocitation_hosts, _SQL_COCITATION),
         "link_graph": (q_link_graph, _SQL_LINK_GRAPH),
         "pagerank_hosts": (q_pagerank_hosts, _sql_pagerank()),
         "anchor_stats": (q_anchor_stats, _SQL_ANCHOR_STATS),

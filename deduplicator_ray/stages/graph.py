@@ -357,3 +357,68 @@ def mirror_hosts(edges, *, threshold: float = 0.8, max_fanin: int = 10_000,
 
     return (hash_bucket(pairs, "_pkey", P)
             .groupby("_part").map_groups(finish, batch_format="pandas"))
+
+
+def co_occurrence_pairs(ds, *, key_col: str, item_col: str,
+                        max_fanin: int = 10_000, min_shared: int = 1,
+                        num_partitions: int | None = None):
+    """Item pairs ranked by how many distinct keys they share —
+    the generic "two things keep showing up together" operator
+    (content-mirror detection: key=digest, item=host; co-citation:
+    key=src page, item=dst host; shared-vocabulary: key=term,
+    item=doc).
+
+    Exact semantics the oracle mirrors: distinct (key, item) pairs
+    first; keys with more than ``max_fanin`` distinct items are excluded
+    from pairing entirely (contract, not approximation — a key shared
+    by everyone carries no pairing signal but costs O(fanin^2));
+    output (item_a, item_b, n_shared) with item_a < item_b and
+    n_shared >= ``min_shared``.
+
+    Shape: within-batch distinct -> hash-bucket on key (global
+    distinct + per-key pair expansion via the closed-form triangular
+    decode) -> hash-bucket on the pair -> summed counts.
+    """
+    from deduplicator_ray.stages.lexical import _tri_pair_indices
+    from deduplicator_ray.util import auto_partitions as _ap
+
+    P = num_partitions or _ap()
+
+    def batch_distinct(b: pa.Table) -> pa.Table:
+        df = pa.table({"k": b[key_col], "i": b[item_col]}).to_pandas()
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    dist = ds.map_batches(batch_distinct, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["k", "i"]].drop_duplicates().sort_values(
+            ["k", "i"], kind="mergesort")
+        items = df["i"].to_numpy(dtype=object)
+        _, starts, counts = np.unique(df["k"].to_numpy(dtype=object),
+                                      return_index=True, return_counts=True)
+        keep = counts <= max_fanin
+        gid, a, bidx = _tri_pair_indices(counts[keep])
+        offs = starts[keep]
+        out = pd.DataFrame({
+            "item_a": items[offs[gid] + a],
+            "item_b": items[offs[gid] + bidx],
+        })
+        g = out.groupby(["item_a", "item_b"], as_index=False).size().rename(
+            columns={"size": "n_shared"})
+        g["n_shared"] = g["n_shared"].astype("int64")
+        g["_pkey"] = g["item_a"] + "\x1f" + g["item_b"]
+        return g
+
+    pairs = (hash_bucket(dist, "k", P)
+             .groupby("_part").map_groups(gen_pairs, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["item_a", "item_b"], as_index=False).agg(
+            n_shared=("n_shared", "sum"))
+        g["n_shared"] = g["n_shared"].astype("int64")
+        return g[g["n_shared"] >= min_shared]
+
+    return (hash_bucket(pairs, "_pkey", P)
+            .groupby("_part").map_groups(final, batch_format="pandas"))

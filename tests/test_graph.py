@@ -169,9 +169,31 @@ def test_mirror_hosts_fanin_cap(ray_session):
     assert len(out) == 0
 
 
+def test_co_occurrence_pairs_semantics(ray_session):
+    """Distinct-first, fan-in cap, min_shared filter."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import co_occurrence_pairs
+
+    df = pd.DataFrame({
+        "k": ["d1", "d1", "d1", "d2", "d2", "d3", "d3", "d3", "hub", "hub",
+              "hub", "hub"],
+        "i": ["h1", "h2", "h2", "h1", "h2", "h1", "h3", "h3", "h1", "h2",
+              "h3", "h4"],
+    })
+    out = co_occurrence_pairs(rd.from_pandas(df), key_col="k", item_col="i",
+                              max_fanin=3, min_shared=2,
+                              num_partitions=4).to_pandas()
+    # duplicates collapse: d1 -> (h1,h2); d2 -> (h1,h2); d3 -> (h1,h3);
+    # hub has 4 distinct items > max_fanin -> excluded entirely
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["item_a"], r["item_b"], r["n_shared"]) == ("h1", "h2", 2)
+
+
 @pytest.mark.parametrize(
     "name", ["link_graph", "pagerank_hosts", "anchor_stats", "mirror_hosts",
-             "html_extract_text"])
+             "html_extract_text", "content_mirrors", "cocitation_hosts"])
 def test_graph_oracle_parity(ray_session, sf_dir, duck, name):
     from deduplicator_ray.pipelines.queries_graph import registry_graph
 
