@@ -418,6 +418,79 @@ def q_events_window(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# capture-timeline compression + crawl-scope rules
+# ---------------------------------------------------------------------------
+
+
+def q_timeline_dedup(sf_dir: str):
+    """Web-archive storage dedup: one stored version per run of identical
+    digests on each canonical url's capture timeline, with the count of
+    unchanged revisits it absorbs (stages/timeline.py)."""
+    from deduplicator_ray.stages.timeline import timeline_dedup
+
+    return timeline_dedup(captures_dataset(sf_dir))
+
+
+def _sql_timeline_dedup() -> str:
+    canon = canonical_sql_expr("url")
+    return f"""
+WITH {CAPTURES_CTE},
+c AS (SELECT {canon} AS url_canonical, ts_epoch, md5(text) AS digest
+      FROM captures),
+seq AS (SELECT url_canonical, ts_epoch, digest,
+               lag(digest) OVER (PARTITION BY url_canonical
+                                 ORDER BY ts_epoch, digest) AS prev
+        FROM c),
+grp AS (SELECT url_canonical, ts_epoch, digest,
+               sum(CASE WHEN prev IS NULL OR prev <> digest
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY url_canonical
+                       ORDER BY ts_epoch, digest
+                       ROWS UNBOUNDED PRECEDING) AS g
+        FROM seq)
+SELECT url_canonical, min(ts_epoch)::BIGINT AS ts_epoch,
+       min(digest) AS digest, (count(*) - 1)::BIGINT AS n_skipped
+FROM grp GROUP BY url_canonical, g
+"""
+
+
+# Ordered decide rules (last match wins, default reject): accept the
+# site1* host family and the mirror host, carve out empty pages, then
+# re-admit site3's /p/ pages.  Exercises every decided_by outcome
+# (-1, each rule index) and both rule kinds on the sf corpora.
+_SCOPE_RULES = [
+    ("accept", "prefix", "site1"),
+    ("accept", "prefix", "mirror.example/"),
+    ("reject", "regex", "/empty"),
+    ("accept", "prefix", "site3.example/p/"),
+]
+
+
+def q_scope_filter(sf_dir: str):
+    """Heritrix-style DecideRuleSequence over the captures corpus
+    (stages/scope.py): map-only, every capture annotated with the
+    accept/reject decision and the decisive rule index."""
+    from deduplicator_ray.stages.scope import scope_annotate
+
+    return scope_annotate(captures_dataset(sf_dir), _SCOPE_RULES,
+                          keep_cols=("doc_id", "rep"))
+
+
+def _sql_scope_filter() -> str:
+    from deduplicator_ray.stages.scope import scope_sql_exprs
+
+    accepted, decided = scope_sql_exprs(_SCOPE_RULES, "url_canonical")
+    canon = canonical_sql_expr("url")
+    return f"""
+WITH {CAPTURES_CTE},
+c AS (SELECT doc_id, rep, {canon} AS url_canonical FROM captures)
+SELECT doc_id, rep, url_canonical,
+       {accepted} AS accepted, CAST({decided} AS BIGINT) AS decided_by
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -449,6 +522,8 @@ def registry():
         "index_build": (q_index_build, _sql_index_build()),
         "dup_report": (q_dup_report, _sql_dup_report()),
         "canonical_urls": (q_canonical_urls, _sql_canonical_urls()),
+        "timeline_dedup": (q_timeline_dedup, _sql_timeline_dedup()),
+        "scope_filter": (q_scope_filter, _sql_scope_filter()),
         "lang_counts": (
             q_lang_counts,
             "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",

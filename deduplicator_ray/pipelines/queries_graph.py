@@ -279,6 +279,53 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+_REACH_SEEDS = ["www.site0.example"]
+_REACH_HOPS, _REACH_M = 4, 2
+
+
+def q_host_reach(sf_dir: str):
+    """Crawl-frontier BFS: minimum link hops from the seed host over the
+    top-2-outlinks host graph (stages/graph.py:host_reach) — extraction
+    and edge aggregation distributed, BFS over the host-level pruned
+    graph (<= m x hosts rows by construction)."""
+    from deduplicator_ray.stages.graph import host_reach
+
+    edges = edge_aggregate(_links(sf_dir))
+    return host_reach(edges, _REACH_SEEDS, max_hops=_REACH_HOPS,
+                      top_m=_REACH_M)
+
+
+def _sql_host_reach() -> str:
+    """BFS unrolled hop-by-hop (the chained-CTE idiom the pagerank /
+    kmeans oracles use): r_k = hosts first reached at hop k."""
+    seed_rows = " UNION ALL ".join(
+        f"SELECT '{s}' AS host" for s in _REACH_SEEDS)
+    sql = f"""
+WITH {LINKED_PAGES_CTE},
+eagg AS (SELECT src_host, dst_host, count(*)::BIGINT AS w
+         FROM links GROUP BY 1, 2),
+topm AS (SELECT src_host, dst_host FROM (
+           SELECT src_host, dst_host,
+                  row_number() OVER (PARTITION BY src_host
+                                     ORDER BY w DESC, dst_host) AS rn
+           FROM eagg) WHERE rn <= {_REACH_M}),
+f0 AS ({seed_rows})"""
+    prev, seen = "f0", ["f0"]
+    for h in range(1, _REACH_HOPS + 1):
+        exclude = " UNION ALL ".join(f"SELECT host FROM {s}" for s in seen)
+        sql += f""",
+r{h} AS (SELECT DISTINCT t.dst_host AS host
+         FROM topm t JOIN {prev} p ON t.src_host = p.host
+         WHERE t.dst_host NOT IN ({exclude}))"""
+        prev = f"r{h}"
+        seen.append(prev)
+    union = " UNION ALL ".join(
+        f"SELECT host, {k} AS hops FROM {s}" for k, s in enumerate(seen))
+    sql += f"""
+SELECT host, CAST(hops AS BIGINT) AS hops FROM ({union})"""
+    return sql
+
+
 def registry_graph():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -289,4 +336,5 @@ def registry_graph():
         "pagerank_hosts": (q_pagerank_hosts, _sql_pagerank()),
         "anchor_stats": (q_anchor_stats, _SQL_ANCHOR_STATS),
         "mirror_hosts": (q_mirror_hosts, _SQL_MIRROR_HOSTS),
+        "host_reach": (q_host_reach, _sql_host_reach()),
     }

@@ -422,3 +422,67 @@ def co_occurrence_pairs(ds, *, key_col: str, item_col: str,
 
     return (hash_bucket(pairs, "_pkey", P)
             .groupby("_part").map_groups(final, batch_format="pandas"))
+
+
+def top_outlinks(edges, *, m: int = 2, src_col: str = "src_host",
+                 dst_col: str = "dst_host", weight_col: str = "n_links",
+                 num_partitions: int | None = None):
+    """Keep each source host's top-``m`` destinations by link count
+    (ties broken by dst name ascending — fully deterministic).
+
+    The standard sparsifier before host-graph traversals: the pruned
+    graph is <= m x hosts rows however large the corpus.  One
+    hash-bucket shuffle on the source host; a host's edge fan-out is
+    already aggregated (edge_aggregate), so buckets hold host-level
+    rows, not raw links.
+    """
+    P = num_partitions or auto_partitions()
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([src_col, weight_col, dst_col],
+                            ascending=[True, False, True], kind="mergesort")
+        return (df.groupby(src_col, as_index=False).head(m)
+                  [[src_col, dst_col, weight_col]])
+
+    return (hash_bucket(edges, src_col, P)
+            .groupby("_part")
+            .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                        batch_format="pandas"))
+
+
+def host_reach(edges, seeds: list[str], *, max_hops: int = 4, top_m: int = 2,
+               src_col: str = "src_host", dst_col: str = "dst_host") -> pd.DataFrame:
+    """Minimum-hop BFS reachability from ``seeds`` over the top-``top_m``
+    outlink host graph -> DataFrame (host, hops BIGINT), hops <= max_hops.
+
+    Crawl-frontier analysis: which hosts does a crawl seeded at ``seeds``
+    reach within k link hops, following only each host's strongest
+    outlinks?  Seeds report hops 0 even when absent from the graph
+    (a seed is in scope by definition).
+
+    Scale contract (same as ``pagerank``): extraction and aggregation
+    are distributed and scale with the corpus; the PRUNED graph is
+    host-level (<= top_m x hosts rows) and BFS runs over it in one
+    process — 10^8 hosts x top_m edges ~ a few GB, the standard
+    single-process frontier for host graphs.  Page-level BFS would
+    instead iterate a broadcast-frontier semi-join per hop.
+    """
+    pruned = top_outlinks(edges, m=top_m, src_col=src_col, dst_col=dst_col)
+    pdf = pruned.to_pandas()
+    # adjacency: src -> list of dst
+    adj = pdf.groupby(src_col)[dst_col].apply(list).to_dict()
+    hops: dict[str, int] = {s: 0 for s in seeds}
+    frontier = list(dict.fromkeys(seeds))
+    for h in range(1, max_hops + 1):
+        nxt: list[str] = []
+        for s in frontier:
+            for d in adj.get(s, ()):
+                if d not in hops:
+                    hops[d] = h
+                    nxt.append(d)
+        if not nxt:
+            break
+        frontier = nxt
+    out = pd.DataFrame({"host": list(hops.keys()),
+                        "hops": np.asarray(list(hops.values()), dtype=np.int64)})
+    return out.sort_values(["hops", "host"], ignore_index=True)

@@ -1,0 +1,79 @@
+"""Per-URL capture-timeline compression (web-archive storage dedup).
+
+The reference's whole purpose is to skip storing a capture whose content
+is unchanged since the previous visit (DeDuplicator.java decides
+duplicate-vs-novel per fetch; the revisit records in sources/warc.py are
+the stored form of that decision).  ``timeline_dedup`` expresses the
+batch analog: given ALL captures of a corpus, keep exactly one capture
+per run of consecutive identical digests on each page's timeline — the
+set of versions an archive actually needs to store — and report how many
+unchanged revisits each stored version absorbed.
+
+Page identity is the CANONICAL url (operator M5), so session-id /
+www-prefix aliases of one page share a timeline, exactly like the
+reference's URL_CANONICAL strategy groups them at match time.
+
+Distribution: a map-only column prune, then ONE hash-bucket shuffle on
+the canonical url (a page's timeline is tiny — bounded by its capture
+count — so buckets stay balanced even for hub pages), then a vectorized
+run-length kernel per bucket.  Digest/url strings ride the shuffle once;
+text never does.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from deduplicator_ray.stages.exact import hash_bucket
+from deduplicator_ray.util import auto_partitions
+
+
+def timeline_dedup(caps, *, url_col: str = "url_canonical",
+                   ts_col: str = "ts_epoch", digest_col: str = "digest",
+                   num_partitions: int | None = None):
+    """-> Dataset (url_canonical, ts_epoch BIGINT, digest, n_skipped BIGINT).
+
+    One output row per (page, content-version run): the FIRST capture of
+    each run of consecutive identical digests in the page's ts order;
+    ``n_skipped`` = unchanged revisits compressed into that row.  A page
+    whose content flips A -> B -> A stores three versions (runs are
+    consecutive, not global-distinct — matching archive semantics where
+    reverting content is a new version).
+
+    Ordering contract: ``ts_col`` ties within one page are broken by
+    digest (deterministic, engine-independent).
+    """
+    P = num_partitions or auto_partitions()
+
+    def prune(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            url_col: b[url_col],
+            ts_col: pc.cast(b[ts_col], pa.int64()),
+            digest_col: b[digest_col],
+        })
+
+    pruned = caps.map_batches(prune, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([url_col, ts_col, digest_col], kind="mergesort",
+                            ignore_index=True)
+        u = df[url_col].to_numpy()
+        d = df[digest_col].to_numpy()
+        change = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            change[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        runs = np.cumsum(change) - 1
+        run_len = np.bincount(runs)
+        kept = df.loc[change, [url_col, ts_col, digest_col]].copy()
+        kept["n_skipped"] = (run_len - 1).astype("int64")
+        return kept
+
+    return (hash_bucket(pruned, url_col, P)
+            .groupby("_part")
+            .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                        batch_format="pandas"))
