@@ -497,6 +497,7 @@ FROM c
 
 def registry():
     """name -> (callable(sf_dir) -> Dataset, oracle_sql | None)."""
+    from deduplicator_ray.pipelines.queries_delta import registry_delta
     from deduplicator_ray.pipelines.queries_ext import registry_ext
     from deduplicator_ray.pipelines.queries_graph import registry_graph
     from deduplicator_ray.pipelines.queries_rel import registry_rel
@@ -548,4 +549,5 @@ def registry():
     base.update(registry_ext())
     base.update(registry_rel())
     base.update(registry_graph())
+    base.update(registry_delta())
     return base

@@ -1,0 +1,121 @@
+"""Driver queries + DuckDB oracles for the snapshot-delta operators
+(stages/delta.py): crawl_delta, content_provenance, host_dedup_savings.
+
+Same conventions as pipelines/queries.py: epoch-second BIGINTs across
+the boundary, identical column names both sides, missing values encoded
+(''/-1) rather than NULL so outputs stay non-nullable.
+"""
+
+from __future__ import annotations
+
+from deduplicator_ray.functions.canonical import canonical_sql_expr
+from deduplicator_ray.sources.corpus import CAPTURES_CTE, captures_dataset
+from deduplicator_ray.stages.delta import (
+    content_provenance,
+    crawl_delta,
+    host_dedup_savings,
+)
+from deduplicator_ray.stages.graph import HOST_PAT
+
+
+def q_crawl_delta(sf_dir: str):
+    return crawl_delta(captures_dataset(sf_dir))
+
+
+def _sql_crawl_delta() -> str:
+    canon = canonical_sql_expr("url")
+    return f"""
+WITH {CAPTURES_CTE},
+caps AS (
+  SELECT {canon} AS u, md5(text) AS d, ts_epoch, crawl FROM captures
+),
+h AS (
+  SELECT u, d, ts_epoch FROM (
+    SELECT u, d, ts_epoch,
+           row_number() OVER (PARTITION BY u ORDER BY ts_epoch DESC, d DESC) AS rn
+    FROM caps WHERE crawl = 'history') WHERE rn = 1
+),
+c AS (
+  SELECT u, d, ts_epoch FROM (
+    SELECT u, d, ts_epoch,
+           row_number() OVER (PARTITION BY u ORDER BY ts_epoch DESC, d DESC) AS rn
+    FROM caps WHERE crawl = 'current') WHERE rn = 1
+)
+SELECT COALESCE(h.u, c.u) AS url_canonical,
+       CASE WHEN h.u IS NULL THEN 'new'
+            WHEN c.u IS NULL THEN 'gone'
+            WHEN h.d = c.d THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       COALESCE(h.d, '') AS hist_digest,
+       COALESCE(c.d, '') AS cur_digest,
+       COALESCE(h.ts_epoch, -1) AS hist_epoch,
+       COALESCE(c.ts_epoch, -1) AS cur_epoch
+FROM h FULL OUTER JOIN c ON h.u = c.u
+"""
+
+
+def q_content_provenance(sf_dir: str):
+    return content_provenance(captures_dataset(sf_dir))
+
+
+def _sql_content_provenance() -> str:
+    return f"""
+WITH {CAPTURES_CTE},
+caps AS (
+  SELECT md5(text) AS digest,
+         regexp_extract(url, '{HOST_PAT}', 1) AS host,
+         ts_epoch
+  FROM captures
+),
+origin AS (
+  SELECT digest, host AS origin_host, ts_epoch AS origin_epoch FROM (
+    SELECT digest, host, ts_epoch,
+           row_number() OVER (PARTITION BY digest ORDER BY ts_epoch ASC, host ASC) AS rn
+    FROM caps) WHERE rn = 1
+),
+spread AS (
+  SELECT digest, count(DISTINCT host) AS n_hosts, count(*) AS n_captures
+  FROM caps GROUP BY digest HAVING count(DISTINCT host) >= 2
+)
+SELECT s.digest, o.origin_host, o.origin_epoch,
+       CAST(s.n_hosts AS BIGINT) AS n_hosts,
+       CAST(s.n_captures AS BIGINT) AS n_captures
+FROM spread s JOIN origin o ON s.digest = o.digest
+"""
+
+
+def q_host_dedup_savings(sf_dir: str):
+    return host_dedup_savings(captures_dataset(sf_dir))
+
+
+def _sql_host_dedup_savings() -> str:
+    return f"""
+WITH {CAPTURES_CTE},
+caps AS (
+  SELECT regexp_extract(url, '{HOST_PAT}', 1) AS host,
+         md5(text) AS digest,
+         CAST(length(text) AS BIGINT) AS chars
+  FROM captures
+),
+per_pair AS (
+  SELECT host, digest, count(*) AS n, min(chars) AS chars
+  FROM caps GROUP BY host, digest
+)
+SELECT host,
+       CAST(sum(n) AS BIGINT) AS n_captures,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_dup,
+       CAST(sum(n * chars) AS BIGINT) AS chars_total,
+       CAST(sum(chars) AS BIGINT) AS chars_stored,
+       CAST(sum(n * chars) - sum(chars) AS BIGINT) AS chars_saved
+FROM per_pair GROUP BY host
+"""
+
+
+def registry_delta():
+    """name -> (callable(sf_dir), oracle_sql)."""
+    return {
+        "crawl_delta": (q_crawl_delta, _sql_crawl_delta()),
+        "content_provenance": (q_content_provenance, _sql_content_provenance()),
+        "host_dedup_savings": (q_host_dedup_savings, _sql_host_dedup_savings()),
+    }

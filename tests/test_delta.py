@@ -1,0 +1,122 @@
+"""Snapshot-delta operators: crawl_delta, content_provenance,
+host_dedup_savings (stages/delta.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from deduplicator_ray.stages.delta import (
+    content_provenance,
+    crawl_delta,
+    host_dedup_savings,
+)
+
+
+def _caps(rows):
+    df = pd.DataFrame(
+        rows, columns=["url", "url_canonical", "crawl", "ts_epoch", "digest", "text"]
+    )
+    return df
+
+
+def test_crawl_delta_statuses(ray_session):
+    import ray.data as rd
+
+    pdf = _caps([
+        # unchanged: latest digests equal (history latest is d2 at ts=20)
+        ("http://h/a", "a", "history", 10, "d1", "x"),
+        ("http://h/a", "a", "history", 20, "d2", "y"),
+        ("http://h/a", "a", "current", 30, "d2", "y"),
+        # changed
+        ("http://h/b", "b", "history", 10, "d1", "x"),
+        ("http://h/b", "b", "current", 30, "d9", "z"),
+        # gone
+        ("http://h/c", "c", "history", 10, "d1", "x"),
+        # new
+        ("http://h/d", "d", "current", 30, "d7", "w"),
+        # ts TIE on the history side: latest = digest-desc winner ('dB')
+        ("http://h/e", "e", "history", 10, "dA", "p"),
+        ("http://h/e", "e", "history", 10, "dB", "q"),
+        ("http://h/e", "e", "current", 30, "dA", "p"),
+    ])
+    got = (crawl_delta(rd.from_pandas(pdf), num_partitions=3)
+           .to_pandas().set_index("url_canonical").sort_index())
+    assert got.loc["a", "status"] == "unchanged"
+    assert got.loc["b", "status"] == "changed"
+    assert got.loc["c", "status"] == "gone"
+    assert got.loc["c", "cur_digest"] == ""
+    assert got.loc["c", "cur_epoch"] == -1
+    assert got.loc["d", "status"] == "new"
+    assert got.loc["d", "hist_epoch"] == -1
+    assert got.loc["e", "hist_digest"] == "dB"
+    assert got.loc["e", "status"] == "changed"
+    assert got["hist_epoch"].dtype == "int64"
+
+
+def test_crawl_delta_partial_combine_is_idempotent(ray_session):
+    """Splitting the same page across many blocks must not change the
+    elected latest capture (the within-batch partial keeps the same
+    (ts, digest)-max rule the bucket reduce applies)."""
+    import ray.data as rd
+
+    rows = [("http://h/p", "p", "current", ts, f"d{ts % 3}", "t")
+            for ts in range(100)]
+    rows += [("http://h/p", "p", "history", 5, "dh", "t")]
+    pdf = _caps(rows)
+    one = crawl_delta(rd.from_pandas(pdf), num_partitions=2).to_pandas()
+    many = crawl_delta(
+        rd.from_pandas(pdf).repartition(20), num_partitions=2).to_pandas()
+    assert one.equals(many.reset_index(drop=True)) or (
+        one.sort_values("url_canonical").reset_index(drop=True).equals(
+            many.sort_values("url_canonical").reset_index(drop=True)))
+    assert one.loc[0, "cur_epoch"] == 99
+    assert one.loc[0, "cur_digest"] == "d0"  # 99 % 3
+
+
+def test_content_provenance_origin_and_spread(ray_session):
+    import ray.data as rd
+
+    pdf = _caps([
+        # digest D on 3 hosts; earliest ts=5 on host b.example
+        ("http://b.example/1", "b1", "current", 5, "D", "t"),
+        ("http://a.example/1", "a1", "current", 10, "D", "t"),
+        ("http://c.example/1", "c1", "current", 20, "D", "t"),
+        ("http://a.example/2", "a2", "current", 30, "D", "t"),
+        # digest E on one host only -> filtered by min_hosts=2
+        ("http://a.example/3", "a3", "current", 10, "E", "u"),
+        # digest F: ts tie at 7 -> host-asc tiebreak picks a.example
+        ("http://z.example/4", "z4", "current", 7, "F", "v"),
+        ("http://a.example/4", "a4", "current", 7, "F", "v"),
+    ])
+    got = (content_provenance(rd.from_pandas(pdf), num_partitions=3)
+           .to_pandas().set_index("digest").sort_index())
+    assert list(got.index) == ["D", "F"]
+    assert got.loc["D", "origin_host"] == "b.example"
+    assert got.loc["D", "origin_epoch"] == 5
+    assert got.loc["D", "n_hosts"] == 3
+    assert got.loc["D", "n_captures"] == 4
+    assert got.loc["F", "origin_host"] == "a.example"
+
+
+def test_host_dedup_savings_exact_chars(ray_session):
+    import ray.data as rd
+
+    pdf = _caps([
+        # host h1: digest X twice (4 chars), digest Y once (2 chars)
+        ("http://h1/1", "u1", "current", 1, "X", "aaaa"),
+        ("http://h1/2", "u2", "current", 2, "X", "aaaa"),
+        ("http://h1/3", "u3", "current", 3, "Y", "bb"),
+        # host h2: one capture
+        ("http://h2/1", "u4", "current", 4, "X", "aaaa"),
+    ])
+    got = (host_dedup_savings(rd.from_pandas(pdf).repartition(4),
+                              num_partitions=2)
+           .to_pandas().set_index("host").sort_index())
+    assert got.loc["h1", "n_captures"] == 3
+    assert got.loc["h1", "n_unique"] == 2
+    assert got.loc["h1", "n_dup"] == 1
+    assert got.loc["h1", "chars_total"] == 10
+    assert got.loc["h1", "chars_stored"] == 6
+    assert got.loc["h1", "chars_saved"] == 4
+    assert got.loc["h2", "n_dup"] == 0
+    assert got.loc["h2", "chars_saved"] == 0
