@@ -112,10 +112,38 @@ FROM per_pair GROUP BY host
 """
 
 
+def q_capture_gaps(sf_dir: str):
+    from deduplicator_ray.stages.timeline import capture_gaps
+
+    return capture_gaps(captures_dataset(sf_dir))
+
+
+def _sql_capture_gaps() -> str:
+    canon = canonical_sql_expr("url")
+    return f"""
+WITH {CAPTURES_CTE},
+caps AS (
+  SELECT {canon} AS u, ts_epoch FROM captures
+),
+gaps AS (
+  SELECT regexp_extract(u, '^(?P<h>[^/]+)', 1) AS site,
+         ts_epoch - lag(ts_epoch) OVER (PARTITION BY u ORDER BY ts_epoch) AS gap
+  FROM caps
+)
+SELECT site,
+       count(*) AS n_gaps,
+       min(gap) AS min_gap,
+       quantile_disc(gap, 0.5) AS p50_gap,
+       max(gap) AS max_gap
+FROM gaps WHERE gap IS NOT NULL GROUP BY site
+"""
+
+
 def registry_delta():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
         "crawl_delta": (q_crawl_delta, _sql_crawl_delta()),
         "content_provenance": (q_content_provenance, _sql_content_provenance()),
         "host_dedup_savings": (q_host_dedup_savings, _sql_host_dedup_savings()),
+        "capture_gaps": (q_capture_gaps, _sql_capture_gaps()),
     }

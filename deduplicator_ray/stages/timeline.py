@@ -77,3 +77,88 @@ def timeline_dedup(caps, *, url_col: str = "url_canonical",
             .groupby("_part")
             .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
                         batch_format="pandas"))
+
+
+def capture_gaps(caps, *, url_col: str = "url_canonical",
+                 ts_col: str = "ts_epoch",
+                 num_partitions: int | None = None):
+    """Per-site inter-capture gap statistics -> Dataset
+    (site, n_gaps BIGINT, min_gap BIGINT, p50_gap BIGINT, max_gap BIGINT).
+
+    For every page (canonical url) the gaps between consecutive captures
+    are the page's observed revisit intervals; aggregated per SITE (the
+    canonical url's host part — scheme and www-prefix already stripped by
+    M5) they are the input an archive uses to tune recrawl frequency
+    against the duplicate rates the reference reports.
+
+    ``p50_gap`` is the exact discrete median — element ceil(n/2)-1
+    (0-based) of the site's sorted gaps — matching DuckDB
+    ``quantile_disc(gap, 0.5)`` (same convention as freq.length_quantiles).
+    Pages with a single capture contribute no gaps; a site with no gaps
+    emits no row.
+
+    Distribution: map-only prune to (site, url, ts int64), ONE
+    hash-bucket shuffle on site (a site's pages must be co-located for
+    the exact per-site quantile; bucket size is bounded by captures per
+    site — for a pathological mega-host, pre-splitting by url and
+    approximating the median is the documented scale escape hatch), then
+    a fully vectorized diff + group-offset kernel per bucket.
+    """
+    P = num_partitions or auto_partitions()
+
+    def prune(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = b[url_col].combine_chunks()
+        m = pc.extract_regex(u, r"^(?P<h>[^/]+)")
+        site = pc.fill_null(pc.struct_field(m, "h"), "")
+        return pa.table({
+            "site": site,
+            "u": u,
+            "ts": pc.cast(b[ts_col], pa.int64()),
+        })
+
+    pruned = caps.map_batches(prune, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    _EMPTY = pd.DataFrame({
+        "site": pd.Series([], dtype=object),
+        "n_gaps": pd.Series([], dtype="int64"),
+        "min_gap": pd.Series([], dtype="int64"),
+        "p50_gap": pd.Series([], dtype="int64"),
+        "max_gap": pd.Series([], dtype="int64"),
+    })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        df = df.sort_values(["u", "ts"], kind="mergesort", ignore_index=True)
+        u = df["u"].to_numpy()
+        ts = df["ts"].to_numpy()
+        same = np.zeros(len(df), dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        gaps = np.zeros(len(df), dtype=np.int64)
+        gaps[1:] = ts[1:] - ts[:-1]
+        g = pd.DataFrame({"site": df["site"].to_numpy()[same],
+                          "gap": gaps[same]})
+        if g.empty:
+            return _EMPTY
+        g = g.sort_values(["site", "gap"], kind="mergesort",
+                          ignore_index=True)
+        sites, starts, counts = np.unique(
+            g["site"].to_numpy(), return_index=True, return_counts=True)
+        gv = g["gap"].to_numpy()
+        # discrete median: element ceil(n/2)-1 of the sorted gaps
+        p50 = gv[starts + (counts + 1) // 2 - 1]
+        return pd.DataFrame({
+            "site": sites,
+            "n_gaps": counts.astype("int64"),
+            "min_gap": gv[starts],
+            "p50_gap": p50,
+            "max_gap": gv[starts + counts - 1],
+        })
+
+    return (hash_bucket(pruned, "site", P)
+            .groupby("_part")
+            .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                        batch_format="pandas"))

@@ -120,3 +120,41 @@ def test_host_dedup_savings_exact_chars(ray_session):
     assert got.loc["h1", "chars_saved"] == 4
     assert got.loc["h2", "n_dup"] == 0
     assert got.loc["h2", "chars_saved"] == 0
+
+
+def test_capture_gaps_median_and_sites(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.timeline import capture_gaps
+
+    pdf = pd.DataFrame({
+        "url_canonical": [
+            # site s1, page a: ts 0,10,40 -> gaps 10,30
+            "s1.example/a", "s1.example/a", "s1.example/a",
+            # site s1, page b: ts 0,5 -> gap 5  => s1 gaps {5,10,30},
+            # discrete median = 10 (ceil(3/2)-1 = index 1)
+            "s1.example/b", "s1.example/b",
+            # site s2, page c: ts 0,2,4,10 -> gaps {2,2,6}; even-ish check
+            # with a duplicate value; median = 2
+            "s2.example/c", "s2.example/c", "s2.example/c", "s2.example/c",
+            # site s3: single capture -> no gaps, no row
+            "s3.example/d",
+        ],
+        "ts_epoch": [0, 10, 40, 0, 5, 0, 2, 4, 10, 0],
+    })
+    got = (capture_gaps(rd.from_pandas(pdf).repartition(3), num_partitions=2)
+           .to_pandas().set_index("site").sort_index())
+    assert list(got.index) == ["s1.example", "s2.example"]
+    assert got.loc["s1.example", "n_gaps"] == 3
+    assert got.loc["s1.example", "min_gap"] == 5
+    assert got.loc["s1.example", "p50_gap"] == 10
+    assert got.loc["s1.example", "max_gap"] == 30
+    assert got.loc["s2.example", "n_gaps"] == 3
+    assert got.loc["s2.example", "p50_gap"] == 2
+    # even count: 4 gaps -> element ceil(4/2)-1 = index 1 of sorted
+    pdf2 = pd.DataFrame({
+        "url_canonical": ["s.example/x"] * 5,
+        "ts_epoch": [0, 1, 3, 7, 20],  # gaps 1,2,4,13 -> p50 = 2
+    })
+    got2 = capture_gaps(rd.from_pandas(pdf2), num_partitions=2).to_pandas()
+    assert got2.loc[0, "p50_gap"] == 2
