@@ -139,6 +139,47 @@ FROM gaps WHERE gap IS NOT NULL GROUP BY site
 """
 
 
+def q_site_change_rate(sf_dir: str):
+    from deduplicator_ray.stages.timeline import site_change_rate
+
+    return site_change_rate(captures_dataset(sf_dir))
+
+
+def _sql_site_change_rate() -> str:
+    canon = canonical_sql_expr("url")
+    return f"""
+WITH {CAPTURES_CTE},
+c AS (SELECT {canon} AS url_canonical, ts_epoch, md5(text) AS digest
+      FROM captures),
+seq AS (SELECT url_canonical, ts_epoch, digest,
+               lag(digest) OVER (PARTITION BY url_canonical
+                                 ORDER BY ts_epoch, digest) AS prev
+        FROM c),
+grp AS (SELECT url_canonical,
+               sum(CASE WHEN prev IS NULL OR prev <> digest
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY url_canonical
+                       ORDER BY ts_epoch, digest
+                       ROWS UNBOUNDED PRECEDING) AS g
+        FROM seq),
+per_url AS (
+  SELECT url_canonical,
+         count(DISTINCT g) AS n_versions,
+         count(*) AS n_captures
+  FROM grp GROUP BY url_canonical
+)
+SELECT regexp_extract(url_canonical, '^(?P<h>[^/]+)', 1) AS site,
+       count(*) AS n_pages,
+       CAST(sum(n_versions) AS BIGINT) AS n_versions,
+       CAST(sum(n_captures) AS BIGINT) AS n_captures,
+       CAST(CASE WHEN sum(n_captures) > count(*)
+                 THEN ((sum(n_versions) - count(*)) * 1000000)
+                      // (sum(n_captures) - count(*))
+                 ELSE 0 END AS BIGINT) AS change_ppm
+FROM per_url GROUP BY site
+"""
+
+
 def registry_delta():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -146,4 +187,5 @@ def registry_delta():
         "content_provenance": (q_content_provenance, _sql_content_provenance()),
         "host_dedup_savings": (q_host_dedup_savings, _sql_host_dedup_savings()),
         "capture_gaps": (q_capture_gaps, _sql_capture_gaps()),
+        "site_change_rate": (q_site_change_rate, _sql_site_change_rate()),
     }

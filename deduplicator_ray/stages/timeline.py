@@ -162,3 +162,52 @@ def capture_gaps(caps, *, url_col: str = "url_canonical",
             .groupby("_part")
             .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
                         batch_format="pandas"))
+
+
+def site_change_rate(caps, *, url_col: str = "url_canonical",
+                     ts_col: str = "ts_epoch", digest_col: str = "digest",
+                     num_partitions: int | None = None):
+    """Which sites actually change -> Dataset (site, n_pages BIGINT,
+    n_versions BIGINT, n_captures BIGINT, change_ppm BIGINT).
+
+    Built on ``timeline_dedup``: a page's stored versions beyond its
+    first are its CHANGED revisits; captures beyond the first are all
+    revisits.  ``change_ppm`` = changed revisits per million revisits
+    (floor), 0 for a site with no revisits — the signal an archive pairs
+    with ``capture_gaps`` to tune per-site recrawl frequency.
+
+    Distribution: timeline_dedup's one url-key shuffle, then a per-batch
+    (site, url) partial and ONE site-key shuffle of 4-int rows.
+    """
+    P = num_partitions or auto_partitions()
+    runs = timeline_dedup(caps, url_col=url_col, ts_col=ts_col,
+                          digest_col=digest_col, num_partitions=P)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(url_col, as_index=False, sort=False).agg(
+            v=("n_skipped", "size"), c=("n_skipped", "sum"))
+        g["c"] = (g["c"] + g["v"]).astype("int64")
+        g["v"] = g["v"].astype("int64")
+        g["site"] = (g[url_col].str.extract(r"^([^/]+)", expand=False)
+                     .fillna(""))
+        return g
+
+    parts = runs.map_batches(partial, batch_format="pandas")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        per_url = df.groupby(["site", url_col], as_index=False,
+                             sort=False).agg(v=("v", "sum"), c=("c", "sum"))
+        agg = per_url.groupby("site", sort=False).agg(
+            n_pages=(url_col, "size"), n_versions=("v", "sum"),
+            n_captures=("c", "sum")).reset_index()
+        revisits = agg["n_captures"] - agg["n_pages"]
+        changed = agg["n_versions"] - agg["n_pages"]
+        agg["change_ppm"] = np.where(
+            revisits > 0, (changed * 1_000_000) // np.maximum(revisits, 1), 0)
+        cols = ["site", "n_pages", "n_versions", "n_captures", "change_ppm"]
+        return agg[cols].astype({c: "int64" for c in cols[1:]})
+
+    return (hash_bucket(parts, "site", P)
+            .groupby("_part")
+            .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                        batch_format="pandas"))

@@ -158,3 +158,30 @@ def test_capture_gaps_median_and_sites(ray_session):
     })
     got2 = capture_gaps(rd.from_pandas(pdf2), num_partitions=2).to_pandas()
     assert got2.loc[0, "p50_gap"] == 2
+
+
+def test_site_change_rate_arithmetic(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.timeline import site_change_rate
+
+    pdf = pd.DataFrame({
+        # site s1, page a: digests a,a,b -> 2 versions / 3 captures
+        #          page b: single capture -> 1 version / 1 capture
+        # site revisits = 4-2 = 2; changed = 3-2 = 1 -> 500000 ppm
+        # site s2, page c: digests x,x -> 1 version / 2 captures
+        # revisits = 1, changed = 0 -> 0 ppm
+        "url_canonical": ["s1.example/a"] * 3 + ["s1.example/b",
+                                                 "s2.example/c", "s2.example/c"],
+        "ts_epoch": [0, 10, 20, 5, 0, 9],
+        "digest": ["a", "a", "b", "q", "x", "x"],
+    })
+    got = (site_change_rate(rd.from_pandas(pdf).repartition(3),
+                            num_partitions=2)
+           .to_pandas().set_index("site").sort_index())
+    assert got.loc["s1.example", "n_pages"] == 2
+    assert got.loc["s1.example", "n_versions"] == 3
+    assert got.loc["s1.example", "n_captures"] == 4
+    assert got.loc["s1.example", "change_ppm"] == 500_000
+    assert got.loc["s2.example", "change_ppm"] == 0
+    assert got.loc["s2.example", "n_versions"] == 1
