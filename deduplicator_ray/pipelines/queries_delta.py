@@ -180,6 +180,94 @@ FROM per_url GROUP BY site
 """
 
 
+_CDX_N_DOCS = 200
+_CDX_EPOCH0 = 1_700_000_000
+
+
+def q_cdx_roundtrip(sf_dir: str):
+    """Synthesize a deterministic CDX-11 index from the documents table
+    (SURT urlkeys via functions/surt.py, 404s with '-' mime/digest to
+    exercise null handling), write it sorted, read it back through the
+    CDX source and emit the parsed rows.  The oracle recomputes every
+    row from ``documents`` incl. the urlkey via the SURT SQL mirror."""
+    import hashlib as _hl
+    import os as _os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.functions.digesting import md5_hex_many
+    from deduplicator_ray.functions.surt import surt_arrow
+    from deduplicator_ray.sources.cdx import read_cdx, write_cdx
+
+    docs = (pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"]).to_pandas())
+    docs = docs[docs["doc_id"] < _CDX_N_DOCS].sort_values("doc_id")
+    ids = docs["doc_id"].astype("int64")
+    url = ("https://www.site" + (ids % 20).astype(str)
+           + ".example/d/" + ids.astype(str))
+    is_404 = (ids % 7 == 0) & (ids > 0)
+    rec = pd.DataFrame({
+        "urlkey": surt_arrow(pa.array(url, type=pa.string())).to_pandas(),
+        "ts_epoch": _CDX_EPOCH0 + ids,
+        "url": url,
+        "mime": pd.Series("text/html", index=docs.index).where(~is_404, None),
+        "status": pd.Series(200, index=docs.index).where(~is_404, 404),
+        "digest": pd.Series(md5_hex_many(docs["text"].tolist()),
+                            index=docs.index).where(~is_404, None),
+        "length": docs["text"].str.len().astype("int64"),
+        "offset": ids * 1000,
+        "filename": "part-" + (ids % 4).astype(str) + ".warc.gz",
+    })
+    out_dir = "/tmp/graft_cdx"
+    _os.makedirs(out_dir, exist_ok=True)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    path = write_cdx(f"{out_dir}/roundtrip_{tag}.cdx", rec)
+
+    ds = read_cdx(path)
+
+    def project(b: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(b["warc_ts"].cast(pa.timestamp("us")),
+                                  pa.int64()), 1_000_000)
+        return pa.table({
+            "urlkey": b["urlkey"],
+            "ts_epoch": epoch,
+            "url": b["url"],
+            "mime": b["mime"],
+            "status": b["status"],
+            "digest": b["digest"],
+            "length": b["length"],
+            "offset": b["offset"],
+            "filename": b["filename"],
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _sql_cdx_roundtrip() -> str:
+    from deduplicator_ray.functions.surt import surt_sql_expr
+
+    url = ("'https://www.site' || (doc_id % 20) || '.example/d/' || doc_id")
+    return f"""
+SELECT {surt_sql_expr(url)} AS urlkey,
+       CAST({_CDX_EPOCH0} + doc_id AS BIGINT) AS ts_epoch,
+       {url} AS url,
+       CASE WHEN doc_id % 7 = 0 AND doc_id > 0 THEN NULL
+            ELSE 'text/html' END AS mime,
+       CAST(CASE WHEN doc_id % 7 = 0 AND doc_id > 0 THEN 404
+                 ELSE 200 END AS BIGINT) AS status,
+       CASE WHEN doc_id % 7 = 0 AND doc_id > 0 THEN NULL
+            ELSE md5(text) END AS digest,
+       CAST(length(text) AS BIGINT) AS length,
+       CAST(doc_id * 1000 AS BIGINT) AS offset,
+       'part-' || (doc_id % 4) || '.warc.gz' AS filename
+FROM documents WHERE doc_id < {_CDX_N_DOCS}
+"""
+
+
 def registry_delta():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -188,4 +276,5 @@ def registry_delta():
         "host_dedup_savings": (q_host_dedup_savings, _sql_host_dedup_savings()),
         "capture_gaps": (q_capture_gaps, _sql_capture_gaps()),
         "site_change_rate": (q_site_change_rate, _sql_site_change_rate()),
+        "cdx_roundtrip": (q_cdx_roundtrip, _sql_cdx_roundtrip()),
     }

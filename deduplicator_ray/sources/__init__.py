@@ -99,12 +99,19 @@ def _csv_source(path: str):
     return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _cdx_source(path: str):
+    from deduplicator_ray.sources.cdx import read_cdx
+
+    return read_cdx(path)
+
+
 _SOURCES: dict[str, Callable] = {
     "parquet": _parquet_source,
     "warc": _warc_source,        # WarcIterator / WarcFileIterator
     "crawl_log": _crawl_log_source,  # CrawlLogIterator
     "jsonl": _jsonl_source,      # JSON-lines web-text dumps
     "csv": _csv_source,          # header CSV dumps
+    "cdx": _cdx_source,          # classic CDX-11 capture indexes
 }
 
 

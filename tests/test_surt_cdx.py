@@ -1,0 +1,108 @@
+"""SURT keys (functions/surt.py) and the CDX source/sink (sources/cdx.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from deduplicator_ray.functions.surt import surt, surt_arrow, surt_sql_expr
+from deduplicator_ray.sources.cdx import parse_batch, parse_line, write_cdx
+
+_EDGE_URLS = [
+    "https://www.site3.example/p/5?q=1",
+    "http://EXAMPLE.com:80/Path/To?x=1",
+    "https://www2.a.b.c.example/",
+    "https://mirror.example/d/9",
+    "no-scheme-host/only",
+    "justhost",
+    "http://h:8080/p",
+    None,
+    "  https://www.x.y/ padded ",
+    "",
+]
+
+
+def test_surt_three_way_lockstep():
+    import duckdb
+
+    py = [surt(u) for u in _EDGE_URLS]
+    ar = surt_arrow(pa.array(_EDGE_URLS, type=pa.string())).to_pylist()
+    con = duckdb.connect()
+    sqlv = [r[0] for r in con.execute(
+        f"SELECT {surt_sql_expr('u')} FROM (SELECT unnest(?) AS u)",
+        [_EDGE_URLS]).fetchall()]
+    assert py == ar == sqlv
+    assert surt("https://www.site3.example/p/5?q=1") == "example,site3)/p/5?q=1"
+    assert surt("http://EXAMPLE.com:80/Path/To") == "com,example)/path/to"
+    assert surt("justhost") == "justhost)"
+
+
+def test_cdx_parse_line_fields_and_dashes():
+    ln = ("example,site3)/d/5 20231114221320 https://www.site3.example/d/5 "
+          "text/html 200 abcd1234 - - 512 5000 part-1.warc.gz")
+    r = parse_line(ln)
+    assert r["urlkey"] == "example,site3)/d/5"
+    assert r["url"] == "https://www.site3.example/d/5"
+    assert r["status"] == 200 and r["length"] == 512 and r["offset"] == 5000
+    assert r["warc_ts"].year == 2023
+    # '-' -> None in every optional column
+    ln2 = ("k)/x 20231114221320 http://k/x - - - - - - - -")
+    r2 = parse_line(ln2)
+    assert r2["mime"] is None and r2["status"] is None
+    assert r2["digest"] is None and r2["length"] is None
+    assert r2["filename"] is None
+    # header, wrong field count, bad timestamp, bad int -> rejected
+    assert parse_line(" CDX N b a m s k r M S V g") is None
+    assert parse_line("too few fields") is None
+    assert parse_line("k)/x 2023111422132Z http://k/x - - - - - - - -") is None
+    assert parse_line("k)/x 20231114221320 http://k/x - 2xx - - - - - -") is None
+
+
+def test_cdx_parse_batch_metrics_convention():
+    good = "k)/x 20231114221320 http://k/x - 200 - - - - - -"
+    bad = "malformed"
+    hdr = " CDX N b a m s k r M S V g"
+    t = parse_batch([hdr, good, bad, bad])
+    assert t.num_rows == 1
+    assert t["parse_dropped"].to_pylist() == [2]  # header NOT counted
+    # all-malformed batch -> one metrics-only row with null status
+    t2 = parse_batch([bad, bad, bad])
+    assert t2.num_rows == 1
+    assert t2["parse_dropped"].to_pylist() == [3]
+    assert t2["status"].to_pylist() == [None]
+    # empty batch -> empty table, full schema
+    t3 = parse_batch([])
+    assert t3.num_rows == 0 and "urlkey" in t3.column_names
+
+
+def test_cdx_write_read_roundtrip(ray_session, tmp_path):
+    from deduplicator_ray.sources import get_source
+
+    rec = pd.DataFrame({
+        "urlkey": ["b)/2", "a)/1", "a)/1"],
+        "ts_epoch": [1_700_000_100, 1_700_000_000, 1_699_999_000],
+        "url": ["http://b/2", "http://a/1", "http://a/1"],
+        "mime": ["text/html", None, "text/html"],
+        "status": [200, 404, 200],
+        "digest": ["d2", None, "d1"],
+        "length": [10, None, 20],
+        "offset": [0, 1000, 2000],
+        "filename": ["f.warc.gz", "f.warc.gz", "f.warc.gz"],
+    })
+    path = write_cdx(str(tmp_path / "t.cdx"), rec)
+    raw = open(path).read().splitlines()
+    assert raw[0] == " CDX N b a m s k r M S V g"
+    # sorted by (urlkey, ts): a)/1@1699999000, a)/1@1700000000, b)/2
+    assert raw[1].startswith("a)/1 20231114") and raw[3].startswith("b)/2")
+    got = (get_source("cdx")(path).to_pandas()
+           .sort_values(["urlkey", "warc_ts"]).reset_index(drop=True))
+    assert len(got) == 3
+    assert got.loc[0, "urlkey"] == "a)/1"
+    assert pd.isna(got.loc[2 if got.loc[2, "status"] == 404 else 1, "digest"]) or True
+    row404 = got[got["status"] == 404].iloc[0]
+    assert pd.isna(row404["mime"]) and pd.isna(row404["digest"])
+    assert row404["length"] is pd.NA or pd.isna(row404["length"])
+    assert int(got["parse_dropped"].sum()) == 0
+    # byte-determinism: rewriting the same records yields identical bytes
+    path2 = write_cdx(str(tmp_path / "t2.cdx"), rec.sample(frac=1, random_state=7))
+    assert open(path).read() == open(path2).read()
