@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyarrow as pa
 
@@ -106,3 +108,60 @@ def test_cdx_write_read_roundtrip(ray_session, tmp_path):
     # byte-determinism: rewriting the same records yields identical bytes
     path2 = write_cdx(str(tmp_path / "t2.cdx"), rec.sample(frac=1, random_state=7))
     assert open(path).read() == open(path2).read()
+
+
+def test_dedup_pipeline_from_cdx(ray_session, tmp_path):
+    """CDX feeds the core dedup pipeline directly (--corpus-format cdx):
+    index build applies the ==200 index-side status rule and the mime
+    whitelist; the match run classifies a digest hit vs a novel row."""
+    import json
+
+    from deduplicator_ray.pipelines.dedup_pipeline import build_parser, run
+
+    def dedup_main(argv):
+        return run(build_parser().parse_args(argv))
+
+    hist = pd.DataFrame({
+        "urlkey": ["a)/1", "a)/1", "b)/1", "c)/1", "d)/1"],
+        "ts_epoch": [1_700_000_000, 1_700_000_100, 1_700_000_000,
+                     1_700_000_000, 1_700_000_000],
+        "url": ["http://a/1", "http://a/1", "http://b/1", "http://c/1",
+                "http://d/1"],
+        "mime": ["text/html"] * 3 + ["text/html", "image/png"],
+        "status": [200, 200, 200, 404, 200],
+        "digest": ["d1", "d1b", "d2", "d3", "d4"],
+        "length": [1, 1, 1, 1, 1],
+        "offset": [0, 1, 2, 3, 4],
+        "filename": ["f"] * 5,
+    })
+    cur = pd.DataFrame({
+        "urlkey": ["e)/1", "f)/1"],
+        "ts_epoch": [1_700_001_000, 1_700_001_000],
+        "url": ["http://e/1", "http://f/1"],
+        "mime": ["text/html", "text/html"],
+        "status": [200, 200],
+        "digest": ["d2", "dX"],
+        "length": [1, 1],
+        "offset": [0, 1],
+        "filename": ["g"] * 2,
+    })
+    hist_path = write_cdx(str(tmp_path / "hist.cdx"), hist)
+    cur_path = write_cdx(str(tmp_path / "cur.cdx"), cur)
+
+    out1 = str(tmp_path / "idx")
+    r1 = dedup_main(["--corpus", hist_path, "--corpus-format", "cdx",
+                     "--build-index", "--out", out1,
+                     "--mime-filter", "^text/.*", "--whitelist"])
+    # 404 and image/png rows filtered; 3 distinct digests survive
+    assert r1["counters"]["status_skipped"] == 1
+    assert r1["counters"]["mime_skipped"] == 1
+    assert r1["index"]["total_rows"] == 3
+
+    out2 = str(tmp_path / "match")
+    dedup_main(["--corpus", cur_path, "--corpus-format", "cdx",
+                "--history", os.path.join(out1, "index", "data"),
+                "--out", out2,
+                "--mime-filter", "^text/.*", "--whitelist"])
+    rep = json.load(open(os.path.join(out2, "REPORT.json")))
+    assert rep["handled"] == 2
+    assert rep["duplicates"] == 1
