@@ -56,6 +56,11 @@ class PipelineConfig:
     # current crawl without them (and vice versa); True = query with the
     # scheme-qualified digest verbatim.
     use_digest_scheme: bool = False
+    # url_canonical key function: 'default' = the M5 rule list
+    # (functions/canonical.py), 'surt' = CDX-style SURT keys
+    # (functions/surt.py); register_canonicalizer admits user rules.
+    # Must match between index build and match (both sides key on it).
+    canonicalizer: str = "default"
     mime_filter: str = "^text/.*"   # IndexingLauncher.java:101-102 default
     mime_whitelist: bool = False    # blacklist by default (-w flips)
     # --- semantics flags (SURVEY.md §2.9) ---

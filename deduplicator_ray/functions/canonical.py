@@ -106,3 +106,34 @@ def canonical_sql_expr(col: str) -> str:
         r = rep.replace("'", "''")
         expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
     return expr
+
+
+# ---------------------------------------------------------------------------
+# pluggable canonicalizer registry (§2.10 extension surface) — the M5
+# rules are the reference default; 'surt' keys pages the way the CDX
+# index format does (functions/surt.py); register_canonicalizer admits
+# user rules.  Each entry is (scalar_fn, arrow_fn, sql_expr_fn) kept in
+# lockstep like the two built-ins.
+# ---------------------------------------------------------------------------
+
+_CANONICALIZERS: dict[str, tuple] = {
+    "default": (canonicalize, canonicalize_arrow, canonical_sql_expr),
+}
+
+
+def register_canonicalizer(name: str, scalar_fn, arrow_fn, sql_expr_fn=None) -> None:
+    _CANONICALIZERS[name] = (scalar_fn, arrow_fn, sql_expr_fn)
+
+
+def get_canonicalizer(name: str) -> tuple:
+    """-> (scalar_fn, arrow_fn, sql_expr_fn)."""
+    if name not in _CANONICALIZERS and name == "surt":
+        from deduplicator_ray.functions.surt import surt, surt_arrow, surt_sql_expr
+
+        _CANONICALIZERS["surt"] = (surt, surt_arrow, surt_sql_expr)
+    try:
+        return _CANONICALIZERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown canonicalizer {name!r}; registered: "
+            f"{sorted(_CANONICALIZERS) + ['surt']}") from None

@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="index digests only, no URL field (reference -u)")
     p.add_argument("--no-canonical", dest="include_canonical", action="store_false",
                    help="skip canonical-URL indexing/matching (reference -s)")
+    p.add_argument("--canonicalizer", default="default",
+                   help="url_canonical key function: 'default' (M5 rules), "
+                        "'surt' (CDX-style SURT keys), or a name added via "
+                        "functions.canonical.register_canonicalizer; must "
+                        "match between index build and match runs")
     p.add_argument("--index-digest-scheme", dest="use_digest_scheme", action="store_true",
                    help="keep 'sha1:' style prefixes in indexed/queried digests "
                         "(reference deduplicator.indexdigestscheme)")
@@ -125,6 +130,7 @@ def run(args) -> dict:
         mime_whitelist=args.whitelist,
         index_url=args.index_url,
         include_canonical=args.include_canonical,
+        canonicalizer=args.canonicalizer,
         use_digest_scheme=args.use_digest_scheme,
         minhash=MinHashConfig(
             bands=args.bands,

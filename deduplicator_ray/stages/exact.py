@@ -488,13 +488,14 @@ def _finish(out: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     # to FEW originals, so canonicalize only the distinct refer urls and
     # scatter — on a hub-digest bucket this cuts the regex chain from
     # O(rows) to O(distinct originals)
-    from deduplicator_ray.functions.canonical import canonicalize_arrow
+    from deduplicator_ray.functions.canonical import get_canonicalizer
 
+    arrow_canon = get_canonicalizer(cfg.canonicalizer)[1]
     codes, uniques = pd.factorize(out["refers_to_url"], use_na_sentinel=True)
     if len(uniques) == 0:
         ref_canon = np.full(len(out), None, dtype=object)
     else:
-        canon_u = canonicalize_arrow(
+        canon_u = arrow_canon(
             pa.array(uniques, type=pa.string())
         ).to_numpy(zero_copy_only=False)
         ref_canon = np.where(codes >= 0, canon_u[np.clip(codes, 0, None)], None)

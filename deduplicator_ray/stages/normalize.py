@@ -121,7 +121,10 @@ def _normalize_batch(batch: pa.Table, cfg: PipelineConfig, digest_mode: str,
         batch = batch.append_column("digest", pa.array(digests, type=pa.string()))
 
     if "url_canonical" not in cols and cfg.include_canonical and "url" in cols:
-        canon = canonicalize_arrow(batch["url"])  # chained RE2 kernels, no Python loop
+        from deduplicator_ray.functions.canonical import get_canonicalizer
+
+        arrow_fn = get_canonicalizer(cfg.canonicalizer)[1]  # vectorized, no Python loop
+        canon = arrow_fn(batch["url"])
         batch = batch.append_column("url_canonical", pc.cast(canon, pa.string()))
 
     if "content_bytes" not in cols:

@@ -165,3 +165,48 @@ def test_dedup_pipeline_from_cdx(ray_session, tmp_path):
     rep = json.load(open(os.path.join(out2, "REPORT.json")))
     assert rep["handled"] == 2
     assert rep["duplicates"] == 1
+
+
+def test_surt_canonicalizer_in_match(ray_session):
+    """URL_CANONICAL with canonicalizer='surt': a current capture whose
+    url differs from the original's in scheme/www ONLY still matches at
+    the Canonical tier, and url_canonical carries the SURT form."""
+    import ray.data as rd
+
+    from deduplicator_ray.config import PipelineConfig, SearchStrategy
+    from deduplicator_ray.stages.exact import build_index, match_shuffle
+    from deduplicator_ray.stages.normalize import normalize
+
+    cfg = PipelineConfig(strategy=SearchStrategy.URL_CANONICAL,
+                         canonicalizer="surt")
+    hist = pd.DataFrame({
+        "url": ["https://www.a.example/p/1", "https://b.example/q/2"],
+        "warc_ts": pd.to_datetime([1_700_000_000, 1_700_000_000], unit="s"),
+        "text": ["hello world", "other text"],
+    })
+    cur = pd.DataFrame({
+        # same page as hist[0] modulo scheme+www; same content
+        "url": ["http://a.example/p/1", "https://new.example/x"],
+        "warc_ts": pd.to_datetime([1_700_000_500, 1_700_000_500], unit="s"),
+        "text": ["hello world", "novel page"],
+    })
+    idx = build_index(normalize(rd.from_pandas(hist), cfg,
+                                digest_mode="md5_text", side="index"), cfg)
+    got = (match_shuffle(normalize(rd.from_pandas(cur), cfg,
+                                   digest_mode="md5_text"), idx, cfg)
+           .to_pandas().set_index("url").sort_index())
+    hit = got.loc["http://a.example/p/1"]
+    assert bool(hit["is_duplicate"])
+    assert hit["url_canonical"] == "example,a)/p/1"  # SURT form
+    assert hit["match_tier"] == "canonical_url"
+    assert not bool(got.loc["https://new.example/x", "is_duplicate"])
+
+
+def test_unknown_canonicalizer_raises():
+    import pytest
+
+    from deduplicator_ray.functions.canonical import get_canonicalizer
+
+    assert get_canonicalizer("surt")[0]("https://www.a.b/c") == "b,a)/c"
+    with pytest.raises(ValueError, match="unknown canonicalizer"):
+        get_canonicalizer("nope")
