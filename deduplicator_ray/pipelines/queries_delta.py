@@ -268,6 +268,36 @@ FROM documents WHERE doc_id < {_CDX_N_DOCS}
 """
 
 
+def q_query_param_stats(sf_dir: str):
+    from deduplicator_ray.stages.urlmine import query_param_stats
+
+    return query_param_stats(captures_dataset(sf_dir))
+
+
+def _sql_query_param_stats() -> str:
+    return f"""
+WITH {CAPTURES_CTE},
+qq AS (
+  SELECT regexp_extract(url, '{HOST_PAT}', 1) AS site,
+         regexp_extract(url, '\\?(.*)$', 1) AS q
+  FROM captures WHERE strpos(url, '?') > 0
+),
+kv AS (SELECT site, unnest(string_split(q, '&')) AS f FROM qq),
+pv AS (
+  SELECT site,
+         CASE WHEN strpos(f, '=') > 0
+              THEN substr(f, 1, strpos(f, '=') - 1) ELSE f END AS param,
+         CASE WHEN strpos(f, '=') > 0
+              THEN substr(f, strpos(f, '=') + 1) ELSE '' END AS value
+  FROM kv
+)
+SELECT site, param,
+       count(*) AS n_uses,
+       count(DISTINCT value) AS n_values
+FROM pv GROUP BY site, param
+"""
+
+
 def registry_delta():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -277,4 +307,5 @@ def registry_delta():
         "capture_gaps": (q_capture_gaps, _sql_capture_gaps()),
         "site_change_rate": (q_site_change_rate, _sql_site_change_rate()),
         "cdx_roundtrip": (q_cdx_roundtrip, _sql_cdx_roundtrip()),
+        "query_param_stats": (q_query_param_stats, _sql_query_param_stats()),
     }

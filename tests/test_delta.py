@@ -185,3 +185,38 @@ def test_site_change_rate_arithmetic(ray_session):
     assert got.loc["s1.example", "change_ppm"] == 500_000
     assert got.loc["s2.example", "change_ppm"] == 0
     assert got.loc["s2.example", "n_versions"] == 1
+
+
+def test_query_param_stats_session_id_signal(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.urlmine import query_param_stats
+
+    pdf = pd.DataFrame({"url": [
+        # session id: distinct value per use
+        "http://s.example/p?phpsessid=a1&page=1",
+        "http://s.example/q?phpsessid=b2&page=1",
+        "http://s.example/r?phpsessid=c3&page=2",
+        # constant tag
+        "http://s.example/x?utm=camp",
+        "http://s.example/y?utm=camp",
+        # no query string -> contributes nothing
+        "http://s.example/z",
+        # trailing '?' -> one ('', '') param row (format edge, kept)
+        "http://t.example/w?",
+        # key without '=' and repeated '=' in the value
+        "http://t.example/v?flag&k=a=b",
+    ]})
+    got = (query_param_stats(rd.from_pandas(pdf).repartition(3),
+                             num_partitions=2)
+           .to_pandas().set_index(["site", "param"]).sort_index())
+    s = got.loc[("s.example", "phpsessid")]
+    assert s["n_uses"] == 3 and s["n_values"] == 3  # session-id signature
+    p = got.loc[("s.example", "page")]
+    assert p["n_uses"] == 3 and p["n_values"] == 2
+    u = got.loc[("s.example", "utm")]
+    assert u["n_uses"] == 2 and u["n_values"] == 1  # constant tag
+    assert got.loc[("t.example", "")].tolist() == [1, 1]
+    assert got.loc[("t.example", "flag")].tolist() == [1, 1]
+    assert got.loc[("t.example", "k")].tolist() == [1, 1]
+    assert ("s.example", "z") not in got.index
