@@ -326,6 +326,48 @@ SELECT host, CAST(hops AS BIGINT) AS hops FROM ({union})"""
     return sql
 
 
+def q_frontier_gap(sf_dir: str):
+    """Crawl-completeness anti-join (stages/graph.py:frontier_gap): the
+    crawl 'captured' waves 0 and 1 (doc_id % 3 != 2); every outlink to a
+    wave-2 page is an uncaptured frontier target."""
+    import pyarrow.compute as pc
+
+    from deduplicator_ray.sources.corpus import linked_pages_dataset
+    from deduplicator_ray.stages.graph import frontier_gap
+
+    pages = linked_pages_dataset(sf_dir)
+    def captured_wave(b: pa.Table) -> pa.Table:
+        # doc_id % 3 != 2 (pc.divide truncates on int64; ids non-negative)
+        mod3 = pc.subtract(b["doc_id"],
+                           pc.multiply(pc.divide(b["doc_id"], 3), 3))
+        return b.filter(pc.not_equal(mod3, 2)).select(["url"])
+
+    captured = pages.map_batches(captured_wave, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    links = extract_links(pages)
+    return frontier_gap(links, captured)
+
+
+def _sql_frontier_gap() -> str:
+    from deduplicator_ray.functions.canonical import canonical_sql_expr
+
+    return f"""
+WITH {LINKED_PAGES_CTE},
+cap AS (
+  SELECT DISTINCT {canonical_sql_expr("url")} AS k
+  FROM pages WHERE doc_id % 3 <> 2
+),
+lk AS (
+  SELECT src_host, {canonical_sql_expr("dst_url")} AS k FROM links
+)
+SELECT src_host,
+       count(*) AS n_gap_links,
+       count(DISTINCT k) AS n_gap_targets
+FROM lk WHERE k NOT IN (SELECT k FROM cap)
+GROUP BY src_host
+"""
+
+
 def registry_graph():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -337,4 +379,5 @@ def registry_graph():
         "anchor_stats": (q_anchor_stats, _SQL_ANCHOR_STATS),
         "mirror_hosts": (q_mirror_hosts, _SQL_MIRROR_HOSTS),
         "host_reach": (q_host_reach, _sql_host_reach()),
+        "frontier_gap": (q_frontier_gap, _sql_frontier_gap()),
     }

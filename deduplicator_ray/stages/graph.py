@@ -486,3 +486,97 @@ def host_reach(edges, seeds: list[str], *, max_hops: int = 4, top_m: int = 2,
     out = pd.DataFrame({"host": list(hops.keys()),
                         "hops": np.asarray(list(hops.values()), dtype=np.int64)})
     return out.sort_values(["hops", "host"], ignore_index=True)
+
+
+def frontier_gap(links, captured, *, src_col: str = "src_host",
+                 dst_col: str = "dst_url", url_col: str = "url",
+                 canonicalizer: str = "default",
+                 num_partitions: int | None = None):
+    """Uncaptured outlinks per source host -> Dataset
+    (src_host, n_gap_links BIGINT, n_gap_targets BIGINT).
+
+    The crawl-completeness product: of everything the captured pages
+    link TO, what did the crawl never fetch?  ``n_gap_links`` counts
+    link instances to uncaptured targets, ``n_gap_targets`` the distinct
+    uncaptured target pages.  Both sides key on the CANONICAL target url
+    (cfg-pluggable, functions/canonical.get_canonicalizer) so www/session
+    aliases of a captured page don't read as gaps.
+
+    Distribution — a distributed anti-join without Dataset.join: both
+    sides reduce within-batch to distinct keys (links also carry a
+    count), union-tag, ONE hash-bucket shuffle on the canonical target;
+    each bucket subtracts its captured-key set vectorized and emits
+    per-src_host partials (targets are disjoint across buckets, so
+    partials sum exactly); a tiny final groupby merges them.  Hosts with
+    no gaps emit no row.
+    """
+    import pandas as pd
+
+    from deduplicator_ray.functions.canonical import get_canonicalizer
+    from deduplicator_ray.stages.exact import hash_bucket
+    from deduplicator_ray.util import auto_partitions
+
+    P = num_partitions or auto_partitions()
+    canon = get_canonicalizer(canonicalizer)[1]
+
+    def link_partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "src": b[src_col].to_pandas(),
+            "k": canon(b[dst_col].combine_chunks().cast(pa.string())).to_pandas(),
+        })
+        g = df.groupby(["src", "k"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        g["cap"] = False
+        return g
+
+    def cap_partial(b: pa.Table) -> pd.DataFrame:
+        k = canon(b[url_col].combine_chunks().cast(pa.string())).to_pandas()
+        g = pd.DataFrame({"k": k}).drop_duplicates()
+        g["src"] = ""
+        g["n"] = 0
+        g["cap"] = True
+        return g[["src", "k", "n", "cap"]]
+
+    tagged = (links.map_batches(link_partial, batch_format="pyarrow",
+                                batch_size=8192)
+              .union(captured.map_batches(cap_partial,
+                                          batch_format="pyarrow",
+                                          batch_size=8192)))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        have = set(df.loc[df["cap"], "k"])
+        lk = df[~df["cap"]]
+        gap = lk[~lk["k"].isin(have)]
+        if gap.empty:
+            return pd.DataFrame({
+                "src_host": pd.Series([], dtype=object),
+                "n_gap_links": pd.Series([], dtype="int64"),
+                "n_gap_targets": pd.Series([], dtype="int64"),
+            })
+        g = gap.groupby(["src", "k"], as_index=False, sort=False).agg(
+            n=("n", "sum"))
+        out = g.groupby("src", sort=False).agg(
+            n_gap_links=("n", "sum"), n_gap_targets=("k", "size")
+        ).reset_index().rename(columns={"src": "src_host"})
+        return out.astype({"n_gap_links": "int64", "n_gap_targets": "int64"})
+
+    parts = (hash_bucket(tagged, "k", P)
+             .groupby("_part")
+             .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                         batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # no gaps anywhere: to_pandas may drop the schema
+            return pd.DataFrame({
+                "src_host": pd.Series([], dtype=object),
+                "n_gap_links": pd.Series([], dtype="int64"),
+                "n_gap_targets": pd.Series([], dtype="int64"),
+            })
+        return (df.groupby("src_host", as_index=False)
+                .agg(n_gap_links=("n_gap_links", "sum"),
+                     n_gap_targets=("n_gap_targets", "sum"))
+                .astype({"n_gap_links": "int64", "n_gap_targets": "int64"}))
+
+    # bucket partials are host x bucket rows (tiny) — one driver-side merge
+    return final(parts.to_pandas())

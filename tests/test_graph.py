@@ -202,3 +202,39 @@ def test_graph_oracle_parity(ray_session, sf_dir, duck, name):
     want = _norm(duck.execute(sql).df())
     assert list(got.columns) == list(want.columns)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_frontier_gap_anti_join(ray_session):
+    """Gap counts: link instances + distinct targets per src host, with
+    canonical-url matching (www/scheme aliases of captured pages are NOT
+    gaps) and multiplicity preserved across split blocks."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import frontier_gap
+
+    links = pd.DataFrame({
+        "src_host": ["a", "a", "a", "a", "b", "b"],
+        "dst_url": [
+            "https://www.x.example/p/1",   # captured (alias form)
+            "https://x.example/p/2",       # NOT captured
+            "https://x.example/p/2",       # same gap target again
+            "https://y.example/q",         # NOT captured
+            "http://x.example/p/1",        # captured (other alias)
+            "https://y.example/q",         # gap for b too
+        ],
+    })
+    captured = pd.DataFrame({"url": ["https://x.example/p/1"]})
+    got = (frontier_gap(rd.from_pandas(links).repartition(3),
+                        rd.from_pandas(captured), num_partitions=2)
+           .set_index("src_host").sort_index())
+    assert got.loc["a", "n_gap_links"] == 3      # p/2 twice + y/q
+    assert got.loc["a", "n_gap_targets"] == 2    # p/2, y/q
+    assert got.loc["b", "n_gap_links"] == 1
+    assert got.loc["b", "n_gap_targets"] == 1
+    # all links captured -> empty result with the full schema
+    all_cap = frontier_gap(
+        rd.from_pandas(links.iloc[[0]]), rd.from_pandas(captured),
+        num_partitions=2)
+    assert len(all_cap) == 0
+    assert list(all_cap.columns) == ["src_host", "n_gap_links", "n_gap_targets"]
