@@ -298,6 +298,36 @@ FROM pv GROUP BY site, param
 """
 
 
+_STOPWORD_PPM = 2000
+
+
+def q_stopword_candidates(sf_dir: str):
+    """Per-language exact heavy words (stages/freq.grouped_heavy_hitters):
+    every word at >= {ppm} ppm of its language's token count — the
+    stopword-list discovery pass, sketch-bounded shuffle."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import grouped_heavy_hitters
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+    return grouped_heavy_hitters(ds, group_col="lang",
+                                 min_ppm=_STOPWORD_PPM)
+
+
+def _sql_stopword_candidates() -> str:
+    return f"""
+WITH w AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tot AS (SELECT lang, count(*) AS n FROM w GROUP BY lang)
+SELECT w.lang, w.word, count(*) AS n
+FROM w JOIN tot USING (lang)
+GROUP BY w.lang, w.word, tot.n
+HAVING count(*) * 1000000 >= tot.n * {_STOPWORD_PPM}
+"""
+
+
 def registry_delta():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -308,4 +338,5 @@ def registry_delta():
         "site_change_rate": (q_site_change_rate, _sql_site_change_rate()),
         "cdx_roundtrip": (q_cdx_roundtrip, _sql_cdx_roundtrip()),
         "query_param_stats": (q_query_param_stats, _sql_query_param_stats()),
+        "stopword_candidates": (q_stopword_candidates, _sql_stopword_candidates()),
     }

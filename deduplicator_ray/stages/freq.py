@@ -516,3 +516,141 @@ def vocabulary_stats(ds, *, group_col: str = "source",
 
     return hash_bucket(partial2, "g", min(num_buckets, 16)).groupby(
         "_part").map_groups(final, batch_format="pandas")
+
+
+def grouped_heavy_hitters(ds, *, group_col: str = "lang",
+                          min_ppm: int = 10_000, sketch_size: int = 4096,
+                          num_buckets: int = 16, text_col: str = "text"):
+    """Per-GROUP exact heavy words (stopword-list discovery: every word
+    whose count within its group is >= ``min_ppm`` ppm of that group's
+    token count) -> Dataset (group, word, n) — the grouped analog of
+    ``heavy_hitters``, same two-pass mergeable-Misra-Gries shape with
+    the sketch, error bound, threshold and completeness check all
+    per group.
+
+    Groups are assumed FEW (languages, sources): the merged sketch is
+    <= |groups| x sketch_size rows per input block before per-bucket
+    combining, and the candidate pass broadcasts one small per-group
+    word index.  Any group whose summed MG error reaches its threshold
+    falls back to exact full-vocabulary counting FOR THAT GROUP only
+    (same correctness argument as the ungrouped op).
+    """
+    import ray
+
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    def sketch(b: pa.Table) -> pa.Table:
+        text = b[text_col].combine_chunks()
+        words = pc.split_pattern(pc.fill_null(text, ""), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = np.repeat(
+            b[group_col].to_numpy(zero_copy_only=False), np.diff(off))
+        df = pd.DataFrame({"g": grp, "w": words.values.to_pandas()})
+        frames = []
+        for g, sub in df.groupby("g", sort=False):
+            vc = sub["w"].value_counts()
+            t = 0
+            if len(vc) > sketch_size:
+                t = int(vc.iloc[sketch_size])
+                vc = (vc - t)[lambda s: s > 0]
+            frames.append(pd.DataFrame({
+                "g": g,
+                "word": np.append(vc.index.to_numpy(object), [None, None]),
+                "cnt": np.append(vc.to_numpy(np.int64), [t, len(sub)]),
+                "tag": np.append(
+                    np.full(len(vc), _TAG_WORD, dtype=np.int8),
+                    np.array([_TAG_ERR, _TAG_TOTAL], dtype=np.int8)),
+            }))
+        if not frames:
+            return pa.table({"g": pa.array([], type=pa.string()),
+                             "word": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64()),
+                             "tag": pa.array([], type=pa.int8())})
+        out = pd.concat(frames, ignore_index=True)
+        return pa.table({
+            "g": pa.array(out["g"].to_numpy(object), type=pa.string()),
+            "word": pa.array(out["word"].to_numpy(object), type=pa.string()),
+            "cnt": pa.array(out["cnt"].to_numpy(np.int64)),
+            "tag": pa.array(out["tag"].to_numpy(np.int8)),
+        })
+
+    merged = hash_bucket(
+        ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True),
+        "word", num_buckets)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["g", "tag", "word"], sort=False, dropna=False)
+               ["cnt"].sum().reset_index())
+        return out[["g", "word", "cnt", "tag"]]
+
+    sk = merged.groupby("_part").map_groups(
+        combine, batch_format="pandas").to_pandas()
+    totals = (sk[sk["tag"] == _TAG_TOTAL].groupby("g")["cnt"].sum())
+    errs = (sk[sk["tag"] == _TAG_ERR].groupby("g")["cnt"].sum())
+    thresholds, cand_map, exact_groups = {}, {}, []
+    wordrows = sk[sk["tag"] == _TAG_WORD]
+    for g, n_g in totals.items():
+        n_g = int(n_g)
+        e_g = int(errs.get(g, 0))
+        thr = -(-n_g * min_ppm // 1_000_000)  # ceil
+        thresholds[g] = thr
+        if thr > e_g or n_g == 0:
+            wr = wordrows[wordrows["g"] == g]
+            cand_map[g] = set(wr.loc[wr["cnt"] >= thr - e_g, "word"])
+        else:
+            exact_groups.append(g)  # per-group fallback (see docstring)
+    if exact_groups:
+        import warnings
+
+        warnings.warn(
+            f"grouped_heavy_hitters: groups {sorted(exact_groups)} exceed "
+            "the MG error bound; counting their full vocabulary exactly",
+            stacklevel=2)
+    cand_ref = ray.put((cand_map, set(exact_groups)))
+
+    def exact(b: pa.Table) -> pa.Table:
+        cands, full = ray.get(cand_ref)
+        text = b[text_col].combine_chunks()
+        words = pc.split_pattern(pc.fill_null(text, ""), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = np.repeat(
+            b[group_col].to_numpy(zero_copy_only=False), np.diff(off))
+        df = pd.DataFrame({"g": grp, "w": words.values.to_pandas()})
+        frames = []
+        for g, sub in df.groupby("g", sort=False):
+            vc = sub["w"].value_counts()
+            if g not in full:
+                vc = vc[vc.index.isin(cands.get(g, ()))]
+            if len(vc):
+                frames.append(pd.DataFrame({
+                    "g": g, "word": vc.index.to_numpy(object),
+                    "n": vc.to_numpy(np.int64)}))
+        if not frames:
+            return pa.table({"g": pa.array([], type=pa.string()),
+                             "word": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        out = pd.concat(frames, ignore_index=True)
+        return pa.table({
+            "g": pa.array(out["g"].to_numpy(object), type=pa.string()),
+            "word": pa.array(out["word"].to_numpy(object), type=pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+        })
+
+    counted = hash_bucket(
+        ds.map_batches(exact, batch_format="pyarrow", zero_copy_batch=True),
+        "word", num_buckets)
+
+    thr_ref = ray.put(thresholds)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        thr = ray.get(thr_ref)
+        out = g.groupby(["g", "word"], sort=False)["n"].sum().reset_index()
+        keep = out["n"] >= out["g"].map(lambda x: thr.get(x, 1)).astype("int64")
+        out = out[keep].rename(columns={"g": group_col}).reset_index(drop=True)
+        return out[[group_col, "word", "n"]]
+
+    return counted.groupby("_part").map_groups(final, batch_format="pandas")

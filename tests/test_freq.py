@@ -863,3 +863,65 @@ def test_vocabulary_stats_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
     # distinct < tokens for every group (repetition exists)
     assert (got["n_distinct"] < got["n_tokens"]).all()
+
+
+class TestGroupedHeavyHitters:
+    def test_matches_bruteforce_and_ppm_threshold(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deduplicator_ray.stages.freq import grouped_heavy_hitters
+
+        rows = []
+        for i in range(40):
+            rows.append(("en", "the cat " + f"rare{i}"))   # 'the','cat' heavy
+        for i in range(10):
+            rows.append(("de", "der hund der " + f"selten{i}"))
+        pdf = pd.DataFrame(rows, columns=["lang", "text"])
+        got = (grouped_heavy_hitters(rd.from_pandas(pdf).repartition(4),
+                                     group_col="lang", min_ppm=100_000,
+                                     sketch_size=64)
+               .to_pandas().sort_values(["lang", "word"]).reset_index(drop=True))
+        # brute force: per-lang counts, keep >= ceil(n_g * 0.1)
+        w = (pdf.assign(word=pdf["text"].str.split(" "))
+             .explode("word"))
+        want = []
+        for g, sub in w.groupby("lang"):
+            vc = sub["word"].value_counts()
+            thr = -(-len(sub) * 100_000 // 1_000_000)
+            for word, n in vc[vc >= thr].items():
+                want.append((g, word, n))
+        want = (pd.DataFrame(want, columns=["lang", "word", "n"])
+                .sort_values(["lang", "word"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert ("en", "the") in set(zip(got["lang"], got["word"]))
+        assert not got["word"].str.startswith("rare").any()
+
+    def test_tiny_sketch_falls_back_per_group_and_stays_exact(self, ray_session):
+        import warnings
+
+        import pandas as pd
+        import ray.data as rd
+
+        from deduplicator_ray.stages.freq import grouped_heavy_hitters
+
+        # sketch_size=1 forces MG error >= threshold for the diverse group
+        rows = [("en", f"w{i} w{i} filler{i}") for i in range(30)]
+        rows += [("de", "der der der")] * 3
+        pdf = pd.DataFrame(rows, columns=["lang", "text"])
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            got = (grouped_heavy_hitters(
+                rd.from_pandas(pdf).repartition(6), group_col="lang",
+                min_ppm=50_000, sketch_size=1)
+                .to_pandas().sort_values(["lang", "word"]).reset_index(drop=True))
+        w = (pdf.assign(word=pdf["text"].str.split(" ")).explode("word"))
+        want = []
+        for g, sub in w.groupby("lang"):
+            vc = sub["word"].value_counts()
+            thr = -(-len(sub) * 50_000 // 1_000_000)
+            for word, n in vc[vc >= thr].items():
+                want.append((g, word, n))
+        want = (pd.DataFrame(want, columns=["lang", "word", "n"])
+                .sort_values(["lang", "word"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
