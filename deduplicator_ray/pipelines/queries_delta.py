@@ -328,6 +328,43 @@ HAVING count(*) * 1000000 >= tot.n * {_STOPWORD_PPM}
 """
 
 
+_NOVELTY_N = 8
+
+
+def q_doc_novelty(sf_dir: str):
+    """Per-doc first-seen gram counts (stages/sentdedup.doc_novelty):
+    of each doc's distinct {n}-word grams, how many it owns (min doc_id
+    corpus-wide) — the novelty/memorization ordering signal."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import doc_novelty
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return doc_novelty(ds, ngram=_NOVELTY_N)
+
+
+def _sql_doc_novelty() -> str:
+    n = _NOVELTY_N
+    return f"""
+WITH l AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(w[p:p + {n} - 1], ' ') AS gram
+  FROM l, unnest(range(1, len(w) - {n} + 2)) AS t(p)
+),
+dg AS (SELECT DISTINCT doc_id, gram FROM g),
+own AS (SELECT gram, min(doc_id) AS owner FROM dg GROUP BY gram)
+SELECT d.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN o.owner = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel
+FROM dg d JOIN own o ON d.gram = o.gram
+GROUP BY d.doc_id
+"""
+
+
 def registry_delta():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -339,4 +376,5 @@ def registry_delta():
         "cdx_roundtrip": (q_cdx_roundtrip, _sql_cdx_roundtrip()),
         "query_param_stats": (q_query_param_stats, _sql_query_param_stats()),
         "stopword_candidates": (q_stopword_candidates, _sql_stopword_candidates()),
+        "doc_novelty": (q_doc_novelty, _sql_doc_novelty()),
     }

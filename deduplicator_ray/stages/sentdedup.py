@@ -739,3 +739,81 @@ def repetition_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
         return out
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_novelty(ds, *, ngram: int = 8, num_buckets: int = 64,
+                id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document novelty -> Dataset (doc_id, n_grams BIGINT,
+    n_novel BIGINT): of a document's DISTINCT ``ngram``-word grams, how
+    many does it OWN — i.e. it is the minimum-doc_id document containing
+    the gram corpus-wide.  n_novel/n_grams is the memorization/novelty
+    signal used to order crawls and prune boilerplate-heavy additions;
+    a doc made entirely of already-seen grams scores 0.
+
+    Shape: map-local gram fingerprinting (the 128-bit combine of
+    span_dedup), within-batch distinct per doc (a doc's text lives in
+    one row, so its distinct-gram count is exact map-side), ONE gram-key
+    shuffle of tagged integer rows (gram rows keyed by fingerprint for
+    global min-doc ownership; per-doc count rows ride the same shuffle
+    untouched), per-bucket owner partials, then one tiny doc_id-key
+    shuffle summing the two integer streams.  Text never rides a
+    shuffle.  Documents with fewer than ``ngram`` words emit no row
+    (they have no grams).
+    """
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    def explode(b: pa.Table) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        g1, g2, di, _pos = _ngram_occurrences(b[text_col].combine_chunks(),
+                                              ngram)
+        df = pd.DataFrame({"h1": g1, "h2": g2,
+                           "doc": ids[di]}).drop_duplicates()
+        per_doc = df.groupby("doc", as_index=False).size().rename(
+            columns={"size": "k"})
+        grams = pd.DataFrame({
+            "key": df["h1"].to_numpy().view("int64"),
+            "h2": df["h2"].to_numpy().view("int64"),
+            "doc": df["doc"].to_numpy(),
+            "k": np.int64(0),
+            "is_gram": True,
+        })
+        counts = pd.DataFrame({
+            "key": per_doc["doc"].to_numpy(),
+            "h2": np.int64(0),
+            "doc": per_doc["doc"].to_numpy(),
+            "k": per_doc["k"].to_numpy().astype("int64"),
+            "is_gram": False,
+        })
+        return pd.concat([grams, counts], ignore_index=True)
+
+    tagged = ds.map_batches(explode, batch_format="pyarrow",
+                            batch_size=4096)
+
+    def own_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["is_gram"]]
+        passthrough = df.loc[~df["is_gram"], ["doc", "k"]].copy()
+        passthrough["novel"] = np.int64(0)
+        g = (g.sort_values(["key", "h2", "doc"], kind="mergesort")
+             .drop_duplicates(["key", "h2"]))  # global min doc per gram
+        own = g.groupby("doc", as_index=False).size().rename(
+            columns={"size": "novel"})
+        own["k"] = np.int64(0)
+        out = pd.concat([own[["doc", "k", "novel"]], passthrough],
+                        ignore_index=True)
+        return out.astype({"doc": "int64", "k": "int64", "novel": "int64"})
+
+    partials = (hash_bucket(tagged, "key", num_buckets)
+                .groupby("_part")
+                .map_groups(lambda g: own_partial(g.drop(columns=["_part"])),
+                            batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc", as_index=False).agg(
+            n_grams=("k", "sum"), n_novel=("novel", "sum"))
+        out = out.rename(columns={"doc": id_col})
+        return out.astype({"n_grams": "int64", "n_novel": "int64"})
+
+    return (hash_bucket(partials, "doc", num_buckets)
+            .groupby("_part")
+            .map_groups(lambda g: final(g.drop(columns=["_part"])),
+                        batch_format="pandas"))

@@ -197,3 +197,28 @@ def test_repetition_stats_matches_bruteforce(ray_session):
         assert row.n_distinct == len(wc)
         assert row.top_word_n == max(wc.values())
         assert row.top_bigram_n == (max(bc.values()) if bc else 0)
+
+
+def test_doc_novelty_ownership_and_counts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import doc_novelty
+
+    a = "w1 w2 w3 w4"          # doc 0: grams (w1..w3), (w2..w4) — owns both
+    b = "w2 w3 w4 w5"          # doc 1: (w2..w4) owned by 0; (w3 w4 w5) novel
+    c = "w1 w2 w3 w4"          # doc 2: all grams owned by 0 -> novelty 0
+    d = "x y"                  # doc 3: < 3 words -> no row
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                        "text": [a, b, c, d]})
+    got = (doc_novelty(rd.from_pandas(pdf).repartition(3), ngram=3,
+                       num_buckets=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert list(got.index) == [0, 1, 2]
+    assert got.loc[0].tolist() == [2, 2]
+    assert got.loc[1].tolist() == [2, 1]
+    assert got.loc[2].tolist() == [2, 0]
+    # within-doc repeated grams count once
+    e = pd.DataFrame({"doc_id": [7], "text": ["z z z z z"]})
+    ge = doc_novelty(rd.from_pandas(e), ngram=3, num_buckets=2).to_pandas()
+    assert ge.loc[0, "n_grams"] == 1 and ge.loc[0, "n_novel"] == 1
