@@ -365,6 +365,39 @@ GROUP BY d.doc_id
 """
 
 
+_WAU_WINDOW_S, _WAU_HOP_S = 3600, 900
+
+
+def q_window_active_users(sf_dir: str):
+    """Exact distinct active users per hopping window
+    (stages/events.window_active_users): window 1 h, hop 15 min."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.events import window_active_users
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return window_active_users(ds, window_s=_WAU_WINDOW_S,
+                               hop_s=_WAU_HOP_S)
+
+
+def _sql_window_active_users() -> str:
+    k = _WAU_WINDOW_S // _WAU_HOP_S
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) // 1000 AS tse FROM events
+),
+w AS (
+  SELECT user_id, ((tse // {_WAU_HOP_S}) - k.k) * {_WAU_HOP_S} AS window_epoch
+  FROM e CROSS JOIN (SELECT unnest(range({k})) AS k) k
+)
+SELECT window_epoch,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM w GROUP BY window_epoch
+"""
+
+
 def registry_delta():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -377,4 +410,5 @@ def registry_delta():
         "query_param_stats": (q_query_param_stats, _sql_query_param_stats()),
         "stopword_candidates": (q_stopword_candidates, _sql_stopword_candidates()),
         "doc_novelty": (q_doc_novelty, _sql_doc_novelty()),
+        "window_active_users": (q_window_active_users, _sql_window_active_users()),
     }

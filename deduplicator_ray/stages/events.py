@@ -124,3 +124,54 @@ def retention_cohorts(events, *, user_col: str = "user_id",
         n_users=("n_users", "sum"))
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values(["cohort", "offset"], ignore_index=True)
+
+
+def window_active_users(events, *, window_s: int = 3600, hop_s: int = 900,
+                        user_col: str = "user_id", ts_col: str = "ts",
+                        num_partitions: int | None = None):
+    """Exact active users + event counts per hopping window -> Dataset
+    (window_epoch BIGINT, n_events BIGINT, n_users BIGINT).
+
+    Each event lands in window_s/hop_s overlapping windows (vectorized
+    np.repeat explode, same shape as the hopping-count query); the
+    within-batch partial reduces to one (window, user) row per batch
+    carrying that pair's event count, so the ONE window-key shuffle is
+    bounded by distinct (window, user) pairs per batch and the per-bucket
+    distinct is exact (a window's whole user universe shares a bucket).
+    """
+    import pyarrow.compute as pc
+
+    P = num_partitions or auto_partitions()
+    k = window_s // hop_s
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        epoch = pc.divide(
+            pc.cast(b[ts_col].cast(pa.timestamp("us")), pa.int64()),
+            1_000_000)
+        tse = epoch.to_numpy(zero_copy_only=False)
+        uid = b[user_col].to_numpy(zero_copy_only=False)
+        base = tse // hop_s
+        offs = np.arange(k, dtype=np.int64)
+        win = ((np.repeat(base, k) - np.tile(offs, len(tse))) * hop_s
+               ).astype(np.int64)
+        df = pd.DataFrame({"w": win, "u": np.repeat(uid, k)})
+        g = df.groupby(["w", "u"], as_index=False).size().rename(
+            columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    pruned = events.map_batches(partial, batch_format="pyarrow",
+                                batch_size=65536)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["w", "u"], as_index=False).agg(n=("n", "sum"))
+        out = g.groupby("w", sort=False).agg(
+            n_events=("n", "sum"), n_users=("u", "size")).reset_index()
+        out = out.rename(columns={"w": "window_epoch"})
+        return out.astype({"window_epoch": "int64", "n_events": "int64",
+                           "n_users": "int64"})
+
+    return (hash_bucket(pruned, "w", P)
+            .groupby("_part")
+            .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                        batch_format="pandas"))

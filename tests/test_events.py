@@ -108,3 +108,22 @@ def test_funnel_oracle_parity(ray_session, sf_dir):
     want = con.execute(sql).df().sort_values("step", ignore_index=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     con.close()
+
+
+def test_window_active_users_exact_distinct(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.events import window_active_users
+
+    # window 10 s, hop 5 s -> each event in 2 windows
+    ts = pd.to_datetime([0, 3, 7, 12], unit="s")
+    pdf = pd.DataFrame({"user_id": [1, 1, 2, 1], "ts": ts})
+    got = (window_active_users(rd.from_pandas(pdf).repartition(3),
+                               window_s=10, hop_s=5, num_partitions=2)
+           .to_pandas().set_index("window_epoch").sort_index())
+    # windows: ev@0 -> {-5, 0}; ev@3 -> {-5, 0}; ev@7 -> {0, 5}; ev@12 -> {5, 10}
+    assert got.loc[-5].tolist() == [2, 1]   # two events, one user
+    assert got.loc[0].tolist() == [3, 2]    # users {1, 2}
+    assert got.loc[5].tolist() == [2, 2]
+    assert got.loc[10].tolist() == [1, 1]
