@@ -626,6 +626,67 @@ def run_weak_scaling() -> dict:
     }
 
 
+
+
+def run_archive() -> dict:
+    """Archive-ops section (--archive, not part of the headline): the
+    snapshot-delta family over the pre-written tiled captures corpus —
+    timeline compression, recrawl gaps, site change rate, per-host
+    storage savings, snapshot delta.  Each op is timed end to end
+    (read -> shuffle -> reduce -> count) with column-pruned reads."""
+    _init_ray()
+    import ray
+    import ray.data as rd
+
+    from deduplicator_ray.stages.delta import crawl_delta, host_dedup_savings
+    from deduplicator_ray.stages.timeline import (
+        capture_gaps,
+        site_change_rate,
+        timeline_dedup,
+    )
+
+    sec_prepare = prepare_corpora()
+    path = _cache_dir("captures")
+    n_caps = rd.read_parquet(path, columns=["crawl"]).count()
+
+    key_cols = ["url_canonical", "ts_epoch", "digest"]
+    ops = {
+        "timeline_dedup": lambda: timeline_dedup(
+            rd.read_parquet(path, columns=key_cols)),
+        "capture_gaps": lambda: capture_gaps(
+            rd.read_parquet(path, columns=["url_canonical", "ts_epoch"])),
+        "site_change_rate": lambda: site_change_rate(
+            rd.read_parquet(path, columns=key_cols)),
+        "host_dedup_savings": lambda: host_dedup_savings(
+            rd.read_parquet(path, columns=["url", "digest", "content_bytes"]),
+            chars_col="content_bytes"),
+        "crawl_delta": lambda: crawl_delta(
+            rd.read_parquet(path, columns=key_cols + ["crawl"])),
+    }
+    queries, total = {}, 0.0
+    for name, build in ops.items():
+        t0 = time.time()
+        rows = build().count()
+        sec = round(time.time() - t0, 3)
+        total += sec
+        queries[name] = {"sec": sec, "rows": rows,
+                         "captures_per_sec": round(n_caps / sec, 1)}
+    out = {
+        "metric": "archive-ops seconds (snapshot-delta family, tiled captures)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: v["sec"] for k, v in queries.items()},
+        "detail": queries,
+        "captures": n_caps,
+        "sec_prepare_untimed": round(sec_prepare, 2),
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "repeat": REPEAT,
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--probe" in sys.argv:
         print(json.dumps(run_probe()))
@@ -638,6 +699,8 @@ if __name__ == "__main__":
 
         ray.shutdown()
         print(json.dumps({"prepared": True, "sec": sec}))
+    elif "--archive" in sys.argv:
+        print(json.dumps(run_archive()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

@@ -172,6 +172,7 @@ def content_provenance(caps, *, url_col: str = "url",
 
 def host_dedup_savings(caps, *, url_col: str = "url",
                        digest_col: str = "digest", text_col: str = "text",
+                       chars_col: str | None = None,
                        num_partitions: int | None = None):
     """-> Dataset (host, n_captures BIGINT, n_unique BIGINT,
     n_dup BIGINT, chars_total BIGINT, chars_stored BIGINT,
@@ -185,15 +186,18 @@ def host_dedup_savings(caps, *, url_col: str = "url",
 
     Within-batch partial reduces to one row per (host, digest) with a
     count and the content length; text itself never leaves the map
-    stage.
+    stage.  Pass ``chars_col`` naming a precomputed int length column
+    (e.g. record-header content_bytes) to skip the text scan entirely.
     """
     P = num_partitions or auto_partitions()
 
     def partial(b: pa.Table) -> pd.DataFrame:
+        chars = (pc.cast(b[chars_col], pa.int64()) if chars_col
+                 else pc.cast(pc.utf8_length(b[text_col]), pa.int64()))
         df = pd.DataFrame({
             "host": _host_series(b[url_col].combine_chunks()),
             "digest": b[digest_col].to_pandas(),
-            "chars": pc.cast(pc.utf8_length(b[text_col]), pa.int64()).to_pandas(),
+            "chars": chars.to_pandas(),
         })
         g = df.groupby(["host", "digest"], as_index=False, sort=False).agg(
             n=("chars", "size"), chars=("chars", "first"))
