@@ -398,6 +398,34 @@ FROM w GROUP BY window_epoch
 """
 
 
+def q_alias_census(sf_dir: str):
+    """Per-site canonicalization payoff (stages/urlmine.alias_census):
+    distinct raw urls collapsing onto each canonical page."""
+    from deduplicator_ray.stages.urlmine import alias_census
+
+    return alias_census(captures_dataset(sf_dir))
+
+
+def _sql_alias_census() -> str:
+    canon = canonical_sql_expr("url")
+    return f"""
+WITH {CAPTURES_CTE},
+x AS (SELECT DISTINCT {canon} AS c, url AS r FROM captures),
+pp AS (
+  SELECT regexp_extract(c, '^(?P<h>[^/]+)', 1) AS site, c,
+         count(*) AS nr
+  FROM x GROUP BY site, c
+)
+SELECT site,
+       count(*) AS n_pages,
+       CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_aliased_pages,
+       CAST(sum(nr) AS BIGINT) AS n_raw_urls,
+       CAST(sum(nr) - count(*) AS BIGINT) AS n_alias_urls
+FROM pp GROUP BY site
+"""
+
+
 def registry_delta():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -411,4 +439,5 @@ def registry_delta():
         "stopword_candidates": (q_stopword_candidates, _sql_stopword_candidates()),
         "doc_novelty": (q_doc_novelty, _sql_doc_novelty()),
         "window_active_users": (q_window_active_users, _sql_window_active_users()),
+        "alias_census": (q_alias_census, _sql_alias_census()),
     }

@@ -78,3 +78,57 @@ def query_param_stats(caps, *, url_col: str = "url",
             .groupby("_part")
             .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
                         batch_format="pandas"))
+
+
+def alias_census(caps, *, url_col: str = "url",
+                 canon_col: str = "url_canonical",
+                 num_partitions: int | None = None):
+    """Per-site canonicalization payoff -> Dataset (site, n_pages BIGINT,
+    n_aliased_pages BIGINT, n_raw_urls BIGINT, n_alias_urls BIGINT).
+
+    A page (canonical url) with more than one distinct raw url is
+    ALIASED — session ids, www variants, scheme variants all collapse
+    onto it (operator M5).  Per site: pages, aliased pages, distinct raw
+    urls, and surplus raw urls (n_raw - n_pages) — the duplicate fetches
+    a crawler saves by canonicalizing, the same accounting the
+    reference's URL_CANONICAL strategy exploits at match time.
+
+    Shape: within-batch distinct (canonical, raw) partial, ONE site-key
+    shuffle (a site's pages co-locate; distinct counts exact per bucket).
+    """
+    P = num_partitions or auto_partitions()
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "c": b[canon_col].to_pandas(),
+            "r": b[url_col].to_pandas(),
+        }).drop_duplicates()
+        m = pc.extract_regex(pa.array(df["c"], type=pa.string()),
+                             r"^(?P<h>[^/]+)")
+        # .to_numpy(): df's index has drop_duplicates holes, and assigning
+        # a RangeIndex Series would align-scramble rows
+        df["site"] = (pc.fill_null(pc.struct_field(m, "h"), "")
+                      .to_numpy(zero_copy_only=False))
+        return df
+
+    pruned = caps.map_batches(partial, batch_format="pyarrow",
+                              batch_size=8192)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["c", "r"])
+        per_page = df.groupby(["site", "c"], sort=False).size()
+        g = per_page.groupby("site")
+        out = pd.DataFrame({
+            "n_pages": g.size(),
+            "n_aliased_pages": g.apply(lambda s: int((s > 1).sum())),
+            "n_raw_urls": g.sum(),
+        }).reset_index()
+        out["n_alias_urls"] = out["n_raw_urls"] - out["n_pages"]
+        cols = ["site", "n_pages", "n_aliased_pages", "n_raw_urls",
+                "n_alias_urls"]
+        return out[cols].astype({c: "int64" for c in cols[1:]})
+
+    return (hash_bucket(pruned, "site", P)
+            .groupby("_part")
+            .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                        batch_format="pandas"))

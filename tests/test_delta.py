@@ -220,3 +220,34 @@ def test_query_param_stats_session_id_signal(ray_session):
     assert got.loc[("t.example", "flag")].tolist() == [1, 1]
     assert got.loc[("t.example", "k")].tolist() == [1, 1]
     assert ("s.example", "z") not in got.index
+
+
+def test_alias_census_counts(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.urlmine import alias_census
+
+    pdf = pd.DataFrame({
+        "url": [
+            # page s.example/p: 3 raw aliases (www, scheme, session id)
+            "https://www.s.example/p",
+            "http://s.example/p",
+            "https://s.example/p?phpsessid=x",
+            # page s.example/q: single raw form, captured twice
+            "https://s.example/q",
+            "https://s.example/q",
+            # other site, one page one url
+            "https://t.example/a",
+        ],
+    })
+    from deduplicator_ray.functions.canonical import canonicalize_arrow
+    import pyarrow as pa
+    pdf["url_canonical"] = canonicalize_arrow(
+        pa.array(pdf["url"], type=pa.string())).to_numpy(zero_copy_only=False)
+    got = (alias_census(rd.from_pandas(pdf).repartition(3), num_partitions=2)
+           .to_pandas().set_index("site").sort_index())
+    assert got.loc["s.example", "n_pages"] == 2
+    assert got.loc["s.example", "n_aliased_pages"] == 1
+    assert got.loc["s.example", "n_raw_urls"] == 4
+    assert got.loc["s.example", "n_alias_urls"] == 2
+    assert got.loc["t.example"].tolist() == [1, 0, 1, 0]
