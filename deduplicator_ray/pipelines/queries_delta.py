@@ -426,6 +426,27 @@ FROM pp GROUP BY site
 """
 
 
+def q_site_delta_census(sf_dir: str):
+    """Per-site snapshot-delta rollup (stages/delta.site_delta_census)."""
+    from deduplicator_ray.stages.delta import site_delta_census
+
+    return site_delta_census(captures_dataset(sf_dir))
+
+
+def _sql_site_delta_census() -> str:
+    # reuse the page-level delta, roll up by the canonical site
+    inner = _sql_crawl_delta().strip()
+    return f"""
+WITH delta AS ({inner})
+SELECT regexp_extract(url_canonical, '^(?P<h>[^/]+)', 1) AS site,
+       CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END) AS BIGINT) AS n_gone,
+       CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM delta GROUP BY site
+"""
+
+
 def registry_delta():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -440,4 +461,5 @@ def registry_delta():
         "doc_novelty": (q_doc_novelty, _sql_doc_novelty()),
         "window_active_users": (q_window_active_users, _sql_window_active_users()),
         "alias_census": (q_alias_census, _sql_alias_census()),
+        "site_delta_census": (q_site_delta_census, _sql_site_delta_census()),
     }

@@ -224,3 +224,38 @@ def host_dedup_savings(caps, *, url_col: str = "url",
             .groupby("_part")
             .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
                         batch_format="pandas"))
+
+
+def site_delta_census(caps, *, num_partitions: int | None = None,
+                      **delta_kwargs):
+    """Per-site rollup of ``crawl_delta`` -> Dataset (site,
+    n_new BIGINT, n_gone BIGINT, n_changed BIGINT, n_unchanged BIGINT):
+    how each site moved between the two snapshots.  Statuses x sites is
+    tiny, so the rollup is per-batch partials + one driver-side merge
+    (the host_stats shape); the heavy lifting is crawl_delta's one
+    page-key shuffle.
+    """
+    import pandas as pd
+
+    delta = crawl_delta(caps, num_partitions=num_partitions, **delta_kwargs)
+    statuses = ["new", "gone", "changed", "unchanged"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["site"] = (df["url_canonical"].str.extract(r"^([^/]+)",
+                                                      expand=False)
+                      .fillna(""))
+        g = (df.groupby(["site", "status"], as_index=False, sort=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = delta.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"site": pd.Series([], dtype=object),
+                             **{f"n_{s}": pd.Series([], dtype="int64")
+                                for s in statuses}})
+    pv = (parts.groupby(["site", "status"])["n"].sum().unstack(fill_value=0)
+          .reindex(columns=statuses, fill_value=0))
+    pv.columns = [f"n_{c}" for c in pv.columns]
+    return pv.reset_index().astype({f"n_{s}": "int64" for s in statuses})

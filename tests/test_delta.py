@@ -251,3 +251,23 @@ def test_alias_census_counts(ray_session):
     assert got.loc["s.example", "n_raw_urls"] == 4
     assert got.loc["s.example", "n_alias_urls"] == 2
     assert got.loc["t.example"].tolist() == [1, 0, 1, 0]
+
+
+def test_site_delta_census_rollup(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.delta import site_delta_census
+
+    pdf = _caps([
+        ("http://s/a", "s.example/a", "history", 10, "d1", "x"),
+        ("http://s/a", "s.example/a", "current", 30, "d1", "x"),   # unchanged
+        ("http://s/b", "s.example/b", "history", 10, "d1", "x"),
+        ("http://s/b", "s.example/b", "current", 30, "d2", "y"),   # changed
+        ("http://s/c", "s.example/c", "history", 10, "d1", "x"),   # gone
+        ("http://t/d", "t.example/d", "current", 30, "d3", "z"),   # new
+    ])
+    got = (site_delta_census(rd.from_pandas(pdf).repartition(3),
+                             num_partitions=2)
+           .set_index("site").sort_index())
+    assert got.loc["s.example"].tolist() == [0, 1, 1, 1]  # new gone changed unchanged
+    assert got.loc["t.example"].tolist() == [1, 0, 0, 0]
