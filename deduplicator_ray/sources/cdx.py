@@ -188,3 +188,89 @@ def write_cdx(path: str, records) -> str:
         if len(joined):
             f.write("\n".join(joined) + "\n")
     return path
+
+
+def export_cdx(ds, out_dir: str, *, num_shards: int = 16,
+               samples_per_block: int = 64):
+    """Distributed SORTED CDX export: write ``num_shards`` range-
+    partitioned shard files whose concatenation in shard order is a
+    globally sorted CDX index (the format's contract), plus a
+    ``manifest.json`` recording per-shard path/rows/key range — the
+    resumable-output layout (one file per key range, a failed export
+    rerun can skip complete shards by comparing the manifest).
+
+    NO global sort shuffle: a bounded sample pass picks shard boundaries
+    (order-preserving range partitioning, the deterministic_shuffle
+    idiom), one range-key exchange co-locates each shard, and each shard
+    sorts locally — sort work is per-shard, not all-to-all.
+
+    ``ds`` needs the reader's columns (urlkey, warc_ts|ts_epoch, url,
+    ...); rows missing ``urlkey`` raise.  Returns the manifest dict.
+    """
+    import json as _json
+    import os as _os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def sample(b: pa.Table) -> pa.Table:
+        k = b["urlkey"].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({"k": pa.array([], type=pa.string())})
+        idx = np.linspace(0, len(k) - 1,
+                          min(samples_per_block, len(k))).astype(np.int64)
+        return pa.table({"k": pa.array(k[idx], type=pa.string())})
+
+    samples = np.sort(
+        ds.map_batches(sample, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas()["k"].to_numpy(object))
+    if len(samples) == 0:
+        bounds = np.array([], dtype=object)
+    else:
+        q = np.linspace(0, len(samples) - 1, num_shards + 1)[1:-1]
+        bounds = np.unique(samples[q.astype(np.int64)])
+
+    def assign(b: pa.Table) -> pa.Table:
+        k = b["urlkey"].to_numpy(zero_copy_only=False)
+        part = np.searchsorted(bounds, k, side="right").astype(np.int32)
+        return b.append_column("_part", pa.array(part))
+
+    keyed = ds.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def write_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"shard": pd.Series([], dtype="int64"),
+                                 "path": pd.Series([], dtype=object),
+                                 "rows": pd.Series([], dtype="int64"),
+                                 "min_key": pd.Series([], dtype=object),
+                                 "max_key": pd.Series([], dtype=object)})
+        shard = int(df["_part"].iloc[0])
+        df = df.drop(columns=["_part"])
+        path = _os.path.join(out_dir, f"part-{shard:05d}.cdx")
+        write_cdx(path, df)  # sorts by (urlkey, ts, url) internally
+        return pd.DataFrame({
+            "shard": [shard], "path": [path], "rows": [len(df)],
+            "min_key": [df["urlkey"].min()], "max_key": [df["urlkey"].max()],
+        })
+
+    rows = (keyed.groupby("_part")
+            .map_groups(write_shard, batch_format="pandas")
+            .to_pandas().sort_values("shard").reset_index(drop=True))
+    manifest = {
+        "format": "cdx11",
+        "num_shards": int(len(rows)),
+        "total_rows": int(rows["rows"].sum()) if len(rows) else 0,
+        "shards": rows.to_dict(orient="records"),
+    }
+    # range partitioning invariant: shard key ranges must not overlap
+    for a, b_ in zip(manifest["shards"], manifest["shards"][1:]):
+        if a["max_key"] > b_["min_key"]:
+            raise AssertionError(
+                f"shard ranges overlap: {a['max_key']!r} > {b_['min_key']!r}")
+    with open(_os.path.join(out_dir, "manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=1)
+    return manifest

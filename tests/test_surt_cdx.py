@@ -210,3 +210,41 @@ def test_unknown_canonicalizer_raises():
     assert get_canonicalizer("surt")[0]("https://www.a.b/c") == "b,a)/c"
     with pytest.raises(ValueError, match="unknown canonicalizer"):
         get_canonicalizer("nope")
+
+
+def test_export_cdx_sorted_shards_and_manifest(ray_session, tmp_path):
+    import json
+
+    import numpy as np
+    import ray.data as rd
+
+    from deduplicator_ray.sources.cdx import export_cdx, read_cdx
+
+    rng = np.random.default_rng(7)
+    n = 500
+    keys = [f"example,s{rng.integers(0, 50)})/p/{i}" for i in range(n)]
+    rec = pd.DataFrame({
+        "urlkey": keys,
+        "ts_epoch": 1_700_000_000 + np.arange(n),
+        "url": [f"http://x/{i}" for i in range(n)],
+        "status": 200,
+        "digest": [f"d{i}" for i in range(n)],
+        "length": 1, "offset": 0, "filename": "f",
+    })
+    out = str(tmp_path / "cdx_out")
+    man = export_cdx(rd.from_pandas(rec).repartition(8), out, num_shards=5)
+    assert man["total_rows"] == n
+    assert 1 <= man["num_shards"] <= 5
+    # concatenation in shard order is globally sorted; ranges disjoint
+    all_keys = []
+    for sh in man["shards"]:
+        lines = open(sh["path"]).read().splitlines()[1:]  # skip header
+        ks = [ln.split(" ", 1)[0] for ln in lines]
+        assert ks == sorted(ks)
+        assert len(ks) == sh["rows"]
+        all_keys.extend(ks)
+    assert all_keys == sorted(all_keys)
+    assert json.load(open(f"{out}/manifest.json"))["total_rows"] == n
+    # round-trips through the reader
+    back = read_cdx([sh["path"] for sh in man["shards"]]).to_pandas()
+    assert len(back) == n and int(back["parse_dropped"].sum()) == 0
