@@ -15,7 +15,9 @@ Over one captures corpus (url, warc_ts|ts_epoch[, digest][, text]
                skipped without a text column)
     delta      per-page new/gone/changed/unchanged between the history
                and current snapshots (stages/delta.crawl_delta; skipped
-               without a crawl column)
+               without a crawl column), plus a per-site churn rollup
+    aliases    per-site raw-url alias census (stages/urlmine.alias_census
+               — the canonicalization payoff)
 
 REPORT.json rolls the products up: captures vs stored versions (the
 archive's storage-compression headline — the batch analog of the
@@ -89,6 +91,12 @@ def normalize_captures(ds):
     return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _alias_stage(caps):
+    from deduplicator_ray.stages.urlmine import alias_census
+
+    return alias_census(caps)
+
+
 def run(args) -> dict:
     import pandas as pd
 
@@ -152,6 +160,8 @@ def run(args) -> dict:
         report["storage"]["chars_saved"] = int(tot["saved"])
 
     if "crawl" in names:
+        from deduplicator_ray.stages.delta import site_delta_census
+
         delta = stage("delta", lambda: crawl_delta(
             caps, history=args.history_crawl))
         census = (delta.map_batches(
@@ -159,6 +169,25 @@ def run(args) -> dict:
                 n=("status", "size")), batch_format="pandas")
             .to_pandas().groupby("status")["n"].sum())
         report["delta"] = {k: int(v) for k, v in census.items()}
+        # per-site movement rolled up from the checkpointed delta (no
+        # recompute); biggest movers by churn = new+gone+changed
+        sites = site_delta_census(delta=delta)
+        sites["churn"] = (sites["n_new"] + sites["n_gone"]
+                          + sites["n_changed"])
+        top = sites.sort_values(["churn", "site"],
+                                ascending=[False, True]).head(args.top_sites)
+        report["top_churn_sites"] = [
+            {"site": r.site, "n_new": int(r.n_new), "n_gone": int(r.n_gone),
+             "n_changed": int(r.n_changed), "n_unchanged": int(r.n_unchanged)}
+            for r in top.itertuples()]
+
+    aliases = stage("aliases", lambda: _alias_stage(caps))
+    al = aliases.to_pandas()
+    report["aliases"] = {
+        "n_raw_urls": int(al["n_raw_urls"].sum()) if len(al) else 0,
+        "n_pages": int(al["n_pages"].sum()) if len(al) else 0,
+        "n_alias_urls": int(al["n_alias_urls"].sum()) if len(al) else 0,
+    }
 
     top = (change.to_pandas()
            .sort_values(["change_ppm", "site"], ascending=[False, True])

@@ -226,18 +226,21 @@ def host_dedup_savings(caps, *, url_col: str = "url",
                         batch_format="pandas"))
 
 
-def site_delta_census(caps, *, num_partitions: int | None = None,
-                      **delta_kwargs):
+def site_delta_census(caps=None, *, delta=None,
+                      num_partitions: int | None = None, **delta_kwargs):
     """Per-site rollup of ``crawl_delta`` -> Dataset (site,
     n_new BIGINT, n_gone BIGINT, n_changed BIGINT, n_unchanged BIGINT):
     how each site moved between the two snapshots.  Statuses x sites is
     tiny, so the rollup is per-batch partials + one driver-side merge
     (the host_stats shape); the heavy lifting is crawl_delta's one
-    page-key shuffle.
+    page-key shuffle.  Pass ``delta`` (a crawl_delta output Dataset,
+    e.g. a loaded checkpoint) to roll up without recomputing the delta.
     """
     import pandas as pd
 
-    delta = crawl_delta(caps, num_partitions=num_partitions, **delta_kwargs)
+    if delta is None:
+        delta = crawl_delta(caps, num_partitions=num_partitions,
+                            **delta_kwargs)
     statuses = ["new", "gone", "changed", "unchanged"]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

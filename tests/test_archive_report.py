@@ -28,7 +28,7 @@ def test_archive_report_end_to_end_and_resume(ray_session, tmp_path):
     rep = main(["--corpus", corpus, "--out", out])
 
     # stage outputs exist and REPORT totals are internally consistent
-    for st in ["timeline", "gaps", "change", "savings", "delta"]:
+    for st in ["timeline", "gaps", "change", "savings", "delta", "aliases"]:
         assert rep["stages"][st]["rows"] > 0
         assert os.path.isdir(os.path.join(out, st, "data"))
     s = rep["storage"]
@@ -40,6 +40,10 @@ def test_archive_report_end_to_end_and_resume(ray_session, tmp_path):
     assert sum(rep["delta"].values()) == delta_rows
     assert set(rep["delta"]) <= {"new", "gone", "changed", "unchanged"}
     assert len(rep["top_changing_sites"]) > 0
+    assert len(rep["top_churn_sites"]) > 0
+    a = rep["aliases"]
+    assert a["n_raw_urls"] == a["n_pages"] + a["n_alias_urls"]
+    assert a["n_alias_urls"] > 0  # the corpus plants session-id aliases
     assert rep["recrawl"]["sites_with_gaps"] > 0
     assert os.path.exists(os.path.join(out, "REPORT.json"))
 
