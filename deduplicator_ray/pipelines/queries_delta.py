@@ -447,6 +447,39 @@ FROM delta GROUP BY site
 """
 
 
+_OVL_N = 8
+
+
+def q_source_overlap(sf_dir: str):
+    """Pairwise cross-source shared-gram matrix
+    (stages/sentdedup.source_overlap_matrix)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import source_overlap_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    return source_overlap_matrix(ds, ngram=_OVL_N)
+
+
+def _sql_source_overlap() -> str:
+    n = _OVL_N
+    return f"""
+WITH l AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+),
+g AS (
+  SELECT source, array_to_string(w[p:p + {n} - 1], ' ') AS gram
+  FROM l, unnest(range(1, len(w) - {n} + 2)) AS t(p)
+),
+dg AS (SELECT DISTINCT source, gram FROM g)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS n_shared
+FROM dg a JOIN dg b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 def registry_delta():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -462,4 +495,5 @@ def registry_delta():
         "window_active_users": (q_window_active_users, _sql_window_active_users()),
         "alias_census": (q_alias_census, _sql_alias_census()),
         "site_delta_census": (q_site_delta_census, _sql_site_delta_census()),
+        "source_overlap": (q_source_overlap, _sql_source_overlap()),
     }

@@ -817,3 +817,58 @@ def doc_novelty(ds, *, ngram: int = 8, num_buckets: int = 64,
             .groupby("_part")
             .map_groups(lambda g: final(g.drop(columns=["_part"])),
                         batch_format="pandas"))
+
+
+def source_overlap_matrix(ds, *, ngram: int = 8, group_col: str = "source",
+                          id_col: str = "doc_id", text_col: str = "text",
+                          num_buckets: int = 64):
+    """Pairwise corpus-overlap matrix -> pandas DataFrame (source_a,
+    source_b, n_shared BIGINT): for every pair of sources, how many
+    DISTINCT ``ngram``-word grams they share — the contamination matrix
+    a data-mixing recipe consults before weighting sources (the pairwise
+    generalization of ``corpus_overlap``).
+
+    Shape: map-local 128-bit gram fingerprints, within-batch distinct
+    (gram, source), ONE gram-key shuffle; per bucket a self-merge per
+    gram emits source pairs (bounded by |sources|^2/2 rows per gram,
+    sources are few by assumption) pre-summed per bucket; the global
+    matrix (<= |sources|^2/2 rows) merges on the driver.  Text never
+    rides a shuffle.
+    """
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    def explode(b: pa.Table) -> pd.DataFrame:
+        grp = b[group_col].to_numpy(zero_copy_only=False)
+        g1, g2, di, _pos = _ngram_occurrences(b[text_col].combine_chunks(),
+                                              ngram)
+        return pd.DataFrame({
+            "key": g1.view("int64"),
+            "h2": g2.view("int64"),
+            "g": grp[di],
+        }).drop_duplicates(ignore_index=True)
+
+    grams = ds.map_batches(explode, batch_format="pyarrow",
+                           batch_size=4096)
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["key", "h2", "g"])
+        m = df.merge(df, on=["key", "h2"])
+        m = m[m["g_x"] < m["g_y"]]
+        out = (m.groupby(["g_x", "g_y"], as_index=False, sort=False)
+               .size().rename(columns={"size": "n", "g_x": "source_a",
+                                       "g_y": "source_b"}))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = (hash_bucket(grams, "key", num_buckets)
+             .groupby("_part")
+             .map_groups(lambda g: pair_partial(g.drop(columns=["_part"])),
+                         batch_format="pandas")
+             .to_pandas())
+    if parts.empty:
+        return pd.DataFrame({"source_a": pd.Series([], dtype=object),
+                             "source_b": pd.Series([], dtype=object),
+                             "n_shared": pd.Series([], dtype="int64")})
+    out = (parts.groupby(["source_a", "source_b"], as_index=False)
+           .agg(n_shared=("n", "sum")))
+    return out.astype({"n_shared": "int64"})

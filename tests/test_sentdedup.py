@@ -222,3 +222,29 @@ def test_doc_novelty_ownership_and_counts(ray_session):
     e = pd.DataFrame({"doc_id": [7], "text": ["z z z z z"]})
     ge = doc_novelty(rd.from_pandas(e), ngram=3, num_buckets=2).to_pandas()
     assert ge.loc[0, "n_grams"] == 1 and ge.loc[0, "n_novel"] == 1
+
+
+def test_source_overlap_matrix_bruteforce(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import source_overlap_matrix
+
+    pdf = pd.DataFrame({
+        "doc_id": range(4),
+        "source": ["A", "A", "B", "C"],
+        "text": [
+            "w1 w2 w3 w4",       # A: grams g1=(w1..w3), g2=(w2..w4)
+            "w2 w3 w4 w5",       # A: g2, g3
+            "w2 w3 w4 x",        # B: g2, (w3 w4 x)
+            "w9 w8 w7",          # C: disjoint
+        ],
+    })
+    got = (source_overlap_matrix(rd.from_pandas(pdf).repartition(3),
+                                 ngram=3, num_buckets=4)
+           .set_index(["source_a", "source_b"]).sort_index())
+    # A∩B share exactly gram g2 (w2 w3 w4); C shares nothing
+    assert got.loc[("A", "B"), "n_shared"] == 1
+    assert ("A", "C") not in got.index and ("B", "C") not in got.index
+    # symmetric duplicates never emitted (only a < b)
+    assert ("B", "A") not in got.index
