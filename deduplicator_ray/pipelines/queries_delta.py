@@ -480,6 +480,54 @@ GROUP BY 1, 2
 """
 
 
+_KNN_K = 5
+
+
+def q_knn_graph(sf_dir: str):
+    """Exact k-NN graph over the embeddings table: each vector's top-{k}
+    cosine neighbors EXCLUDING itself (the SemDeDup/cluster input).
+    Broadcast exact path at this scale (corpus IS the query matrix,
+    ray.put once, per-block local top-k prune); the IVF / banded-LSH
+    stages are the documented scale path."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import cosine_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qtbl = (pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).sort_by("vec_id"))
+    q = np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)
+    # k+1 then drop the self row and re-rank (self is in the top k+1
+    # unless k+1 EXACT duplicates of a vector all have smaller ids —
+    # impossible in this corpus; a general caller would dedup first)
+    out = cosine_topk(ds, q, k=_KNN_K + 1).to_pandas()
+    out = out[out["query_id"] != out["vec_id"]]
+    out = out.sort_values(["query_id", "rank"], ignore_index=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out = out[out["rank"] <= _KNN_K]
+    return out[["query_id", "vec_id", "rank"]].astype(
+        {"query_id": "int64", "vec_id": "int64", "rank": "int64"})
+
+
+def _sql_knn_graph() -> str:
+    return f"""
+WITH p AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM p
+) WHERE rank <= {_KNN_K}
+"""
+
+
 def registry_delta():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -496,4 +544,5 @@ def registry_delta():
         "alias_census": (q_alias_census, _sql_alias_census()),
         "site_delta_census": (q_site_delta_census, _sql_site_delta_census()),
         "source_overlap": (q_source_overlap, _sql_source_overlap()),
+        "knn_graph": (q_knn_graph, _sql_knn_graph()),
     }
