@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "a '_stats.json' sidecar inside a parquet --corpus "
                         "dir is picked up automatically (performance-only: "
                         "salting never changes the output)")
+    p.add_argument("--export-cdx", action="store_true",
+                   help="with --build-index: also export the index as "
+                        "sorted CDX shards + manifest under <out>/index_cdx "
+                        "(SURT urlkeys, sources/cdx.py)")
+    p.add_argument("--cdx-shards", type=int, default=16)
     p.add_argument("--within-batch", action="store_true")
     p.add_argument("--near-dup", action="store_true", help="run MinHash/LSH clustering")
     p.add_argument("--bands", type=int, default=32)
@@ -197,6 +202,28 @@ def run(args) -> dict:
             ck_idx, lambda: build_index_stage(norm_ds, cfg), force=args.force
         )
         results["index"] = m_idx
+        if args.export_cdx:
+            # archive-interchange form of the index: sorted CDX shards
+            # keyed by SURT (sources/cdx.py), manifest beside the parquet
+            import pyarrow as pa_
+
+            from deduplicator_ray.functions.surt import surt_arrow
+            from deduplicator_ray.sources.cdx import export_cdx
+
+            def to_cdx_rows(b: pa_.Table) -> pa_.Table:
+                cols = {
+                    "urlkey": surt_arrow(b["url"].combine_chunks()),
+                    "warc_ts": b["date"].cast(pa_.timestamp("us")),
+                    "url": b["url"],
+                    "digest": b["digest"],
+                }
+                return pa_.table(cols)
+
+            results["cdx_export"] = export_cdx(
+                index_ds.map_batches(to_cdx_rows, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                os.path.join(out, "index_cdx"),
+                num_shards=args.cdx_shards)
     elif args.history:
         index_ds = rd.read_parquet(args.history)
     else:

@@ -217,6 +217,10 @@ def export_cdx(ds, out_dir: str, *, num_shards: int = 16,
     _os.makedirs(out_dir, exist_ok=True)
 
     def sample(b: pa.Table) -> pa.Table:
+        if b["urlkey"].null_count:
+            raise ValueError(
+                "export_cdx: null urlkey rows — a CDX index is keyed by "
+                "url; build the index with urls (not digest-only)")
         k = b["urlkey"].to_numpy(zero_copy_only=False)
         if len(k) == 0:
             return pa.table({"k": pa.array([], type=pa.string())})

@@ -248,3 +248,32 @@ def test_export_cdx_sorted_shards_and_manifest(ray_session, tmp_path):
     # round-trips through the reader
     back = read_cdx([sh["path"] for sh in man["shards"]]).to_pandas()
     assert len(back) == n and int(back["parse_dropped"].sum()) == 0
+
+
+def test_dedup_pipeline_export_cdx(ray_session, tmp_path):
+    """--build-index --export-cdx writes sorted CDX shards + manifest
+    mirroring the parquet index."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.pipelines.dedup_pipeline import build_parser, run
+    from deduplicator_ray.sources.cdx import read_cdx
+    from deduplicator_ray.sources.corpus import captures_table
+
+    caps = captures_table("/root/testdata/sf0.001")
+    corpus = str(tmp_path / "caps")
+    os.makedirs(corpus, exist_ok=True)
+    pq.write_table(caps, f"{corpus}/captures.parquet")
+
+    out = str(tmp_path / "idx")
+    r = run(build_parser().parse_args(
+        ["--corpus", corpus, "--build-index", "--export-cdx",
+         "--cdx-shards", "4", "--out", out]))
+    man = r["cdx_export"]
+    assert man["total_rows"] == r["index"]["total_rows"]
+    assert os.path.exists(os.path.join(out, "index_cdx", "manifest.json"))
+    back = read_cdx([sh["path"] for sh in man["shards"]]).to_pandas()
+    assert len(back) == man["total_rows"]
+    assert int(back["parse_dropped"].sum()) == 0
+    assert back["urlkey"].str.contains(r"\)").all()  # SURT keys
