@@ -183,11 +183,24 @@ def write_cdx(path: str, records) -> str:
     joined = out.iloc[:, 0].astype(str)
     for c in out.columns[1:]:
         joined = joined + " " + out[c].astype(str)
-    with open(path, "w", encoding="utf-8") as f:
-        f.write(" CDX N b a m s k r M S V g\n")
-        if len(joined):
-            f.write("\n".join(joined) + "\n")
+    body = " CDX N b a m s k r M S V g\n"
+    if len(joined):
+        body += "\n".join(joined) + "\n"
+    with _open_out(path) as f:
+        f.write(body.encode("utf-8"))
     return path
+
+
+def _open_out(path: str):
+    """Binary output stream for a local path or any pyarrow-supported
+    filesystem URI (s3://, gcs://, hdfs://) — cluster workers write CDX
+    shards to shared storage the same way write_parquet does."""
+    if "://" in path:
+        from pyarrow import fs as pafs
+
+        filesystem, p = pafs.FileSystem.from_uri(path)
+        return filesystem.open_output_stream(p)
+    return open(path, "wb")
 
 
 def export_cdx(ds, out_dir: str, *, num_shards: int = 16,
@@ -214,7 +227,8 @@ def export_cdx(ds, out_dir: str, *, num_shards: int = 16,
     import pandas as pd
     import pyarrow.compute as pc
 
-    _os.makedirs(out_dir, exist_ok=True)
+    if "://" not in out_dir:
+        _os.makedirs(out_dir, exist_ok=True)
 
     def sample(b: pa.Table) -> pa.Table:
         if b["urlkey"].null_count:
@@ -275,6 +289,6 @@ def export_cdx(ds, out_dir: str, *, num_shards: int = 16,
         if a["max_key"] > b_["min_key"]:
             raise AssertionError(
                 f"shard ranges overlap: {a['max_key']!r} > {b_['min_key']!r}")
-    with open(_os.path.join(out_dir, "manifest.json"), "w") as f:
-        _json.dump(manifest, f, indent=1)
+    with _open_out(out_dir.rstrip("/") + "/manifest.json") as f:
+        f.write(_json.dumps(manifest, indent=1).encode("utf-8"))
     return manifest
