@@ -9,6 +9,7 @@ the boundary, identical column names both sides, missing values encoded
 from __future__ import annotations
 
 from deduplicator_ray.functions.canonical import canonical_sql_expr
+from deduplicator_ray.pipelines.golden_sql import GOLDEN_SQL as _GOLDEN
 from deduplicator_ray.sources.corpus import CAPTURES_CTE, captures_dataset
 from deduplicator_ray.stages.delta import (
     content_provenance,
@@ -528,6 +529,19 @@ SELECT query_id, vec_id, rank FROM (
 """
 
 
+def q_compression_stats(sf_dir: str):
+    """Per-doc gzip-compressibility quality signal
+    (stages/textstats.compression_stats) — golden-pinned (zlib output is
+    deterministic but not SQL-expressible)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import compression_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return compression_stats(ds)
+
+
 def registry_delta():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -545,4 +559,6 @@ def registry_delta():
         "site_delta_census": (q_site_delta_census, _sql_site_delta_census()),
         "source_overlap": (q_source_overlap, _sql_source_overlap()),
         "knn_graph": (q_knn_graph, _sql_knn_graph()),
+        "compression_stats": (q_compression_stats,
+                              _GOLDEN.get("compression_stats")),
     }

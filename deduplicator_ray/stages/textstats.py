@@ -538,3 +538,39 @@ def bigram_logloss(ds, *, min_ppm: int = 1000, id_col: str = "doc_id",
         })
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def compression_stats(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                      level: int = 6):
+    """Per-doc gzip-compressibility -> Dataset (doc_id, n_chars BIGINT,
+    n_gzip BIGINT, ratio_ppm BIGINT): DEFLATE size of the utf-8 text and
+    the compressed/raw ratio in ppm — the classic boilerplate/spam
+    signal (highly repetitive pages compress far below prose; cf. the
+    compression-ratio filters in public web-corpus pipelines).  Map-only
+    zero shuffle; zlib does the per-row work in C so the Python loop is
+    call overhead only, not the hot path.  Deterministic given the zlib
+    build, so the driver check is a golden pin, not a recomputation
+    (tools/pin_golden.py).
+    """
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kern(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b[text_col], "").to_pylist()
+        ngz = np.fromiter(
+            (len(zlib.compress(t.encode("utf-8"), level)) for t in texts),
+            dtype=np.int64, count=len(texts))
+        nch = pc.cast(pc.utf8_length(pc.fill_null(b[text_col], "")),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        ratio = np.where(nch > 0, (ngz * 1_000_000) // np.maximum(nch, 1),
+                         0).astype(np.int64)
+        return pa.table({
+            "doc_id": b[id_col].cast(pa.int64()),
+            "n_chars": pa.array(nch),
+            "n_gzip": pa.array(ngz),
+            "ratio_ppm": pa.array(ratio),
+        })
+
+    return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)

@@ -271,3 +271,24 @@ def test_site_delta_census_rollup(ray_session):
            .set_index("site").sort_index())
     assert got.loc["s.example"].tolist() == [0, 1, 1, 1]  # new gone changed unchanged
     assert got.loc["t.example"].tolist() == [1, 0, 0, 0]
+
+
+def test_compression_stats_signal(ray_session):
+    import ray.data as rd
+    import zlib
+
+    from deduplicator_ray.stages.textstats import compression_stats
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["abc " * 500,                # highly repetitive
+                 "the quick brown fox jumps over the lazy dog " * 2,
+                 ""],
+    })
+    got = (compression_stats(rd.from_pandas(pdf).repartition(2))
+           .to_pandas().set_index("doc_id").sort_index())
+    # repetitive text compresses far better than prose
+    assert got.loc[0, "ratio_ppm"] < got.loc[1, "ratio_ppm"]
+    assert got.loc[0, "n_gzip"] == len(zlib.compress(("abc " * 500).encode(), 6))
+    assert got.loc[2, "n_chars"] == 0 and got.loc[2, "ratio_ppm"] == 0
+    assert got["n_gzip"].dtype == "int64"
