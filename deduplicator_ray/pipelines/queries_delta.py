@@ -1,5 +1,13 @@
-"""Driver queries + DuckDB oracles for the snapshot-delta operators
-(stages/delta.py): crawl_delta, content_provenance, host_dedup_savings.
+"""Driver queries + DuckDB oracles for the round-3 operator families:
+
+- snapshot delta (stages/delta.py): crawl_delta, content_provenance,
+  host_dedup_savings, site_delta_census;
+- capture timelines (stages/timeline.py): capture_gaps, site_change_rate;
+- URL mining (stages/urlmine.py): query_param_stats, alias_census;
+- CDX/SURT (sources/cdx.py, functions/surt.py): cdx_roundtrip;
+- text/corpus signals: stopword_candidates (grouped_heavy_hitters),
+  doc_novelty, source_overlap, compression_stats (golden pin);
+- events/embeddings: window_active_users, knn_graph.
 
 Same conventions as pipelines/queries.py: epoch-second BIGINTs across
 the boundary, identical column names both sides, missing values encoded
