@@ -662,6 +662,12 @@ def run_archive() -> dict:
             chars_col="content_bytes"),
         "crawl_delta": lambda: crawl_delta(
             rd.read_parquet(path, columns=key_cols + ["crawl"])),
+        "alias_census": lambda: __import__(
+            "deduplicator_ray.stages.urlmine", fromlist=["alias_census"]
+        ).alias_census(rd.read_parquet(path, columns=["url", "url_canonical"])),
+        "query_param_stats": lambda: __import__(
+            "deduplicator_ray.stages.urlmine", fromlist=["query_param_stats"]
+        ).query_param_stats(rd.read_parquet(path, columns=["url"])),
     }
     queries, total = {}, 0.0
     for name, build in ops.items():
