@@ -550,6 +550,29 @@ def q_compression_stats(sf_dir: str):
     return compression_stats(ds)
 
 
+def q_url_features(sf_dir: str):
+    """Per-capture URL structure features (stages/urlmine.url_features)."""
+    from deduplicator_ray.stages.urlmine import url_features
+
+    return url_features(captures_dataset(sf_dir))
+
+
+def _sql_url_features() -> str:
+    stripped = "regexp_replace(url, '^https?://', '')"
+    path = f"regexp_extract({stripped}, '(/[^?]*)', 1)"
+    query = "CASE WHEN strpos(url, '?') > 0 THEN regexp_extract(url, '\\?(.*)$', 1) ELSE '' END"
+    return f"""
+WITH {CAPTURES_CTE}
+SELECT url,
+       CAST(length(url) AS BIGINT) AS url_len,
+       CAST(len(list_filter(string_split({path}, '/'),
+                            x -> x <> '')) AS BIGINT) AS depth,
+       CAST(len(list_filter(string_split({query}, '&'),
+                            x -> x <> '')) AS BIGINT) AS n_params
+FROM captures
+"""
+
+
 def registry_delta():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -569,4 +592,5 @@ def registry_delta():
         "knn_graph": (q_knn_graph, _sql_knn_graph()),
         "compression_stats": (q_compression_stats,
                               _GOLDEN.get("compression_stats")),
+        "url_features": (q_url_features, _sql_url_features()),
     }

@@ -132,3 +132,44 @@ def alias_census(caps, *, url_col: str = "url",
             .groupby("_part")
             .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
                         batch_format="pandas"))
+
+
+def url_features(ds, *, url_col: str = "url"):
+    """Map-only URL structure features -> one row per input row:
+    (url, url_len BIGINT, depth BIGINT, n_params BIGINT).
+
+    ``depth`` = non-empty '/'-separated path segments after the host;
+    ``n_params`` = non-empty '&'-separated fragments after the first
+    '?'.  The per-url covariates quality filters pair with text signals
+    (deep calendar-like paths and long parameter lists correlate with
+    crawler traps).  Zero shuffle; Arrow split kernels + one
+    reduceat per batch.
+    """
+    def kern(b: pa.Table) -> pa.Table:
+        u = b[url_col].combine_chunks().cast(pa.string())
+        stripped = pc.replace_substring_regex(u, r"^https?://", "")
+        pm = pc.extract_regex(stripped, r"(?P<p>/[^?]*)")
+        path = pc.fill_null(pc.struct_field(pm, "p"), "")
+        qm = pc.extract_regex(u, r"\?(?P<q>.*)$")
+        query = pc.fill_null(pc.struct_field(qm, "q"), "")
+
+        def nonempty_counts(col, sep):
+            lst = pc.split_pattern(col, sep)
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            off = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            ne = pc.not_equal(lst.values, "").to_numpy(zero_copy_only=False)
+            out = np.add.reduceat(
+                np.append(ne.astype(np.int64), 0), off[:-1]
+            ) if len(off) > 1 else np.zeros(0, np.int64)
+            out[np.diff(off) == 0] = 0
+            return out
+
+        return pa.table({
+            "url": u,
+            "url_len": pc.cast(pc.utf8_length(u), pa.int64()),
+            "depth": pa.array(nonempty_counts(path, "/")),
+            "n_params": pa.array(nonempty_counts(query, "&")),
+        })
+
+    return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)

@@ -292,3 +292,24 @@ def test_compression_stats_signal(ray_session):
     assert got.loc[0, "n_gzip"] == len(zlib.compress(("abc " * 500).encode(), 6))
     assert got.loc[2, "n_chars"] == 0 and got.loc[2, "ratio_ppm"] == 0
     assert got["n_gzip"].dtype == "int64"
+
+
+def test_url_features_edges(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.urlmine import url_features
+
+    pdf = pd.DataFrame({"url": [
+        "https://h.example/a/b/c?x=1&y=2",
+        "https://h.example",          # no path, no query
+        "https://h.example/",         # root path -> depth 0
+        "http://h/p?",                # trailing '?' -> 0 params
+        "http://h/p?a&&b=2",          # empty fragment ignored
+    ]})
+    got = (url_features(rd.from_pandas(pdf).repartition(2))
+           .to_pandas().set_index("url"))
+    assert got.loc["https://h.example/a/b/c?x=1&y=2"].tolist()[1:] == [3, 2]
+    assert got.loc["https://h.example"].tolist()[1:] == [0, 0]
+    assert got.loc["https://h.example/"].tolist()[1:] == [0, 0]
+    assert got.loc["http://h/p?"].tolist()[1:] == [1, 0]
+    assert got.loc["http://h/p?a&&b=2"].tolist()[1:] == [1, 2]
