@@ -573,6 +573,19 @@ FROM captures
 """
 
 
+def q_distinct_urls_hll(sf_dir: str):
+    """Shuffle-free HLL distinct-url estimate over the captures corpus
+    (stages/freq.distinct_count_hll) — golden-pinned (deterministic
+    registers; pytest gates the estimate against the exact count)."""
+    import pandas as pd
+
+    from deduplicator_ray.stages.freq import distinct_count_hll
+
+    r = distinct_count_hll(captures_dataset(sf_dir), "url", p=12)
+    return pd.DataFrame({"estimate": [r["estimate"]],
+                         "registers": [r["registers"]]}).astype("int64")
+
+
 def registry_delta():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -593,4 +606,6 @@ def registry_delta():
         "compression_stats": (q_compression_stats,
                               _GOLDEN.get("compression_stats")),
         "url_features": (q_url_features, _sql_url_features()),
+        "distinct_urls_hll": (q_distinct_urls_hll,
+                              _GOLDEN.get("distinct_urls_hll")),
     }

@@ -654,3 +654,59 @@ def grouped_heavy_hitters(ds, *, group_col: str = "lang",
         return out[[group_col, "word", "n"]]
 
     return counted.groupby("_part").map_groups(final, batch_format="pandas")
+
+
+def distinct_count_hll(ds, col: str, *, p: int = 12):
+    """Approximate distinct count with ZERO key shuffle -> dict
+    (estimate BIGINT, registers m, std_error_pct) — HyperLogLog
+    (Flajolet, Fusy, Gandouet, Meunier 2007) with the standard
+    small-range linear-counting correction.
+
+    Every other distinct in this engine is exact; this is the scale
+    TOOL the exact ops can't be: at 10^12 rows an exact distinct of a
+    high-cardinality key is itself a full shuffle, while the HLL moves
+    ONE 2^p-byte register vector per block and merges by elementwise
+    max (associative + commutative + idempotent => order-independent
+    and retry-safe).  Relative error ~= 1.04/sqrt(2^p) (1.6% at p=12).
+
+    Deterministic given the column values (fixed siphash key), so the
+    driver check can golden-pin it; pytest gates it against the exact
+    count at the documented tolerance.
+    """
+    m = 1 << p
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b[col].to_pandas()
+        h = pd.util.hash_pandas_object(s, index=False).to_numpy(np.uint64)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel ones
+        # rho = 1-based position of the first 1 bit of the remaining
+        # 64-p bits (the sentinel low bits cap it at 64-p+1, and make
+        # rest always nonzero).  bit_length via vectorized binary
+        # shift-accumulation — no per-row Python.
+        bl = np.zeros(len(h), dtype=np.int64)
+        v = rest.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            big = v >= (np.uint64(1) << np.uint64(s))
+            bl[big] += s
+            v[big] >>= np.uint64(s)
+        bl += (v > 0).astype(np.int64)
+        rho = (64 - bl + 1).astype(np.uint8)
+        regs = np.zeros(m, dtype=np.uint8)
+        np.maximum.at(regs, idx, rho)
+        return pa.table({"reg": pa.array(regs, type=pa.uint8()),
+                         "slot": pa.array(np.arange(m, dtype=np.int32))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    regs = np.zeros(m, dtype=np.int64)
+    if len(parts):
+        agg = parts.groupby("slot")["reg"].max()
+        regs[agg.index.to_numpy()] = agg.to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:  # linear counting correction
+        est = m * np.log(m / zeros)
+    return {"estimate": int(round(est)), "registers": m,
+            "std_error_pct": round(104.0 / np.sqrt(m), 2)}

@@ -925,3 +925,33 @@ class TestGroupedHeavyHitters:
         want = (pd.DataFrame(want, columns=["lang", "word", "n"])
                 .sort_values(["lang", "word"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestHll:
+    def test_estimate_within_tolerance(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deduplicator_ray.stages.freq import distinct_count_hll
+
+        # 20k distinct values, each duplicated 3x, split across blocks
+        vals = [f"url-{i}" for i in range(20_000)] * 3
+        ds = rd.from_pandas(pd.DataFrame({"u": vals})).repartition(8)
+        r = distinct_count_hll(ds, "u", p=12)
+        err = abs(r["estimate"] - 20_000) / 20_000
+        assert err < 0.05, (r, err)  # 3 sigma of the 1.6% std error
+        # duplication/blocking invariance: same registers -> same estimate
+        r2 = distinct_count_hll(
+            rd.from_pandas(pd.DataFrame({"u": vals * 2})).repartition(3),
+            "u", p=12)
+        assert r2["estimate"] == r["estimate"]
+
+    def test_small_range_linear_counting(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deduplicator_ray.stages.freq import distinct_count_hll
+
+        ds = rd.from_pandas(pd.DataFrame({"u": [f"v{i}" for i in range(50)]}))
+        r = distinct_count_hll(ds, "u", p=12)
+        assert abs(r["estimate"] - 50) <= 2  # linear-counting regime
