@@ -586,6 +586,34 @@ def q_distinct_urls_hll(sf_dir: str):
                          "registers": [r["registers"]]}).astype("int64")
 
 
+def q_digest_freq_cms(sf_dir: str):
+    """Count-Min frequency estimates over the captures digest column
+    (stages/freq.count_min_sketch) for three probe keys: the planted
+    hub digest (md5 of the empty page), doc 0's content digest, and an
+    absent key.  Zero-shuffle sketch, golden-pinned (deterministic;
+    pytest gates the overestimate-only property and merge linearity)."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.stages.freq import cms_query, count_min_sketch
+
+    sk = count_min_sketch(captures_dataset(sf_dir), "digest",
+                          width=16384, depth=4)
+    doc0 = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    t0 = doc0.loc[doc0["doc_id"] == 0, "text"].iloc[0]
+    keys = [hashlib.md5(b"").hexdigest(),
+            hashlib.md5(t0.encode()).hexdigest(),
+            "0" * 32]
+    est = cms_query(sk, keys)
+    return pd.DataFrame({
+        "probe": ["hub_empty", "doc0", "absent"],
+        "estimate": est.astype("int64"),
+    })
+
+
 def registry_delta():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -608,4 +636,6 @@ def registry_delta():
         "url_features": (q_url_features, _sql_url_features()),
         "distinct_urls_hll": (q_distinct_urls_hll,
                               _GOLDEN.get("distinct_urls_hll")),
+        "digest_freq_cms": (q_digest_freq_cms,
+                            _GOLDEN.get("digest_freq_cms")),
     }

@@ -710,3 +710,56 @@ def distinct_count_hll(ds, col: str, *, p: int = 12):
         est = m * np.log(m / zeros)
     return {"estimate": int(round(est)), "registers": m,
             "std_error_pct": round(104.0 / np.sqrt(m), 2)}
+
+
+def count_min_sketch(ds, col: str, *, width: int = 16384, depth: int = 4):
+    """Mergeable Count-Min sketch of a key column (Cormode &
+    Muthukrishnan 2005) -> numpy int64 array of shape (depth, width).
+
+    The frequency twin of ``distinct_count_hll``: per-block partial
+    sketches merge by elementwise SUM (associative/commutative), so
+    estimating key frequencies over 10^12 rows moves depth x width x 8 B
+    per block and NO key ever rides a shuffle.  Point query via
+    ``cms_query``: an overestimate only, within eps*N (eps = e/width)
+    with probability 1 - e^-depth.  Deterministic (fixed per-row hash
+    keys), so driver checks can golden-pin derived estimates.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        s = b[col].to_pandas()
+        sk = np.zeros((depth, width), dtype=np.int64)
+        for d in range(depth):
+            h = pd.util.hash_pandas_object(
+                s, index=False, hash_key=f"{d:016d}").to_numpy(np.uint64)
+            np.add.at(sk[d], (h % np.uint64(width)).astype(np.int64), 1)
+        # emit only occupied cells: bounded by depth x distinct keys per
+        # block, not depth x width
+        flat = sk.ravel()
+        nz = np.flatnonzero(flat)
+        return pa.table({
+            "row": pa.array((nz // width).astype(np.int32)),
+            "slot": pa.array((nz % width).astype(np.int32)),
+            "c": pa.array(flat[nz]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    sk = np.zeros((depth, width), dtype=np.int64)
+    if len(parts):
+        agg = parts.groupby(["row", "slot"])["c"].sum()
+        idx = agg.index.to_frame().to_numpy()
+        sk[idx[:, 0], idx[:, 1]] = agg.to_numpy()
+    return sk
+
+
+def cms_query(sketch: np.ndarray, keys) -> np.ndarray:
+    """Point-query a ``count_min_sketch`` result for ``keys`` (list-like
+    of the key column's values) -> int64 estimates (min over rows —
+    never an underestimate)."""
+    depth, width = sketch.shape
+    s = pd.Series(list(keys))
+    est = np.full(len(s), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        h = pd.util.hash_pandas_object(
+            s, index=False, hash_key=f"{d:016d}").to_numpy(np.uint64)
+        est = np.minimum(est, sketch[d, (h % np.uint64(width)).astype(np.int64)])
+    return est

@@ -955,3 +955,29 @@ class TestHll:
         ds = rd.from_pandas(pd.DataFrame({"u": [f"v{i}" for i in range(50)]}))
         r = distinct_count_hll(ds, "u", p=12)
         assert abs(r["estimate"] - 50) <= 2  # linear-counting regime
+
+
+class TestCountMin:
+    def test_overestimate_only_and_exactness_when_sparse(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deduplicator_ray.stages.freq import cms_query, count_min_sketch
+
+        vals = (["hub"] * 500 + ["mid"] * 50
+                + [f"tail{i}" for i in range(200)])
+        ds = rd.from_pandas(pd.DataFrame({"k": vals})).repartition(6)
+        sk = count_min_sketch(ds, "k", width=4096, depth=4)
+        est = cms_query(sk, ["hub", "mid", "tail0", "never-seen"])
+        # never an underestimate
+        assert est[0] >= 500 and est[1] >= 50 and est[2] >= 1
+        # sparse regime (250 keys << 4096 slots): collisions are rare
+        # enough that the hub estimate is exact with these fixed hashes
+        assert est[0] == 500
+        assert est[3] <= 2  # unseen key collides with at most tiny mass
+        # merge correctness: doubling the corpus doubles every estimate
+        sk2 = count_min_sketch(
+            rd.from_pandas(pd.DataFrame({"k": vals * 2})).repartition(4),
+            "k", width=4096, depth=4)
+        assert (cms_query(sk2, ["hub", "mid"]) ==
+                2 * cms_query(sk, ["hub", "mid"])).all()
