@@ -614,6 +614,25 @@ def q_digest_freq_cms(sf_dir: str):
     })
 
 
+def q_page_lifespans(sf_dir: str):
+    from deduplicator_ray.stages.timeline import page_lifespans
+
+    return page_lifespans(captures_dataset(sf_dir))
+
+
+def _sql_page_lifespans() -> str:
+    canon = canonical_sql_expr("url")
+    return f"""
+WITH {CAPTURES_CTE}
+SELECT {canon} AS url_canonical,
+       min(ts_epoch) AS first_epoch,
+       max(ts_epoch) AS last_epoch,
+       count(*) AS n_captures,
+       max(ts_epoch) - min(ts_epoch) AS lifespan_s
+FROM captures GROUP BY 1
+"""
+
+
 def registry_delta():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -638,4 +657,5 @@ def registry_delta():
                               _GOLDEN.get("distinct_urls_hll")),
         "digest_freq_cms": (q_digest_freq_cms,
                             _GOLDEN.get("digest_freq_cms")),
+        "page_lifespans": (q_page_lifespans, _sql_page_lifespans()),
     }

@@ -211,3 +211,49 @@ def site_change_rate(caps, *, url_col: str = "url_canonical",
             .groupby("_part")
             .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
                         batch_format="pandas"))
+
+
+def page_lifespans(caps, *, url_col: str = "url_canonical",
+                   ts_col: str = "ts_epoch",
+                   num_partitions: int | None = None):
+    """Per-page liveness -> Dataset (url_canonical, first_epoch BIGINT,
+    last_epoch BIGINT, n_captures BIGINT, lifespan_s BIGINT).
+
+    The observation window an archive has for each page — the
+    denominator for capture_gaps / site_change_rate rates.  Textbook
+    mergeable aggregate: within-batch partial (min, max, count) per
+    page, ONE page-key shuffle of 4-int rows, per-bucket re-merge.
+    """
+    P = num_partitions or auto_partitions()
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        df = pd.DataFrame({
+            "u": b[url_col].to_pandas(),
+            "ts": pc.cast(b[ts_col], pa.int64()).to_pandas(),
+        })
+        g = df.groupby("u", as_index=False).agg(
+            first=("ts", "min"), last=("ts", "max"), n=("ts", "size"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    pruned = caps.map_batches(partial, batch_format="pyarrow",
+                              batch_size=8192)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("u", as_index=False).agg(
+            first=("first", "min"), last=("last", "max"), n=("n", "sum"))
+        out = pd.DataFrame({
+            "url_canonical": g["u"],
+            "first_epoch": g["first"].astype("int64"),
+            "last_epoch": g["last"].astype("int64"),
+            "n_captures": g["n"].astype("int64"),
+        })
+        out["lifespan_s"] = out["last_epoch"] - out["first_epoch"]
+        return out
+
+    return (hash_bucket(pruned, "u", P)
+            .groupby("_part")
+            .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                        batch_format="pandas"))

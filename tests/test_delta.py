@@ -313,3 +313,19 @@ def test_url_features_edges(ray_session):
     assert got.loc["https://h.example/"].tolist()[1:] == [0, 0]
     assert got.loc["http://h/p?"].tolist()[1:] == [1, 0]
     assert got.loc["http://h/p?a&&b=2"].tolist()[1:] == [1, 2]
+
+
+def test_page_lifespans_merge(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.timeline import page_lifespans
+
+    pdf = pd.DataFrame({
+        "url_canonical": ["a"] * 4 + ["b"],
+        "ts_epoch": [30, 10, 20, 40, 7],
+    })
+    got = (page_lifespans(rd.from_pandas(pdf).repartition(3),
+                          num_partitions=2)
+           .to_pandas().set_index("url_canonical").sort_index())
+    assert got.loc["a"].tolist() == [10, 40, 4, 30]
+    assert got.loc["b"].tolist() == [7, 7, 1, 0]
