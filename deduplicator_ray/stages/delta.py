@@ -15,6 +15,8 @@ same data:
   the exact bytes an archive saves by storing each digest once — the
   per-host breakdown of the reference's duplicate-amount report lines
   (DeDuplicator.java:226-233).
+- ``site_delta_census`` — the per-site rollup of ``crawl_delta``
+  (new/gone/changed/unchanged counts; accepts a precomputed delta).
 
 Scale notes (100 TB): every operator prunes to key columns in a map-only
 pass, pre-reduces WITHIN each batch (so hub pages / hub digests / hub
