@@ -633,6 +633,51 @@ FROM captures GROUP BY 1
 """
 
 
+_LHQ_QS = (50, 90, 99)
+
+
+def q_length_quantiles_log(sf_dir: str):
+    """Log2-histogram quantile brackets over doc lengths
+    (stages/freq.log_histogram_quantiles) — the unbounded-domain
+    quantile sketch, recomputed exactly by the oracle via an integer
+    powers-of-two bucket join."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import log_histogram_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return log_histogram_quantiles(ds, "n_chars", qs=_LHQ_QS)
+
+
+def _sql_length_quantiles_log() -> str:
+    qs = ", ".join(str(q) for q in _LHQ_QS)
+    return f"""
+WITH vals AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents),
+n AS (SELECT count(*) AS n FROM vals),
+-- doc lengths < 2^40 by far; BIGINT left-shift overflows at 63
+buckets AS (SELECT unnest(range(0, 41)) AS b),
+vb AS (
+  SELECT v, (SELECT min(b) FROM buckets WHERE v < (1::BIGINT << b)) AS bkt
+  FROM vals
+),
+counts AS (SELECT bkt, count(*) AS c FROM vb GROUP BY bkt),
+cum AS (SELECT bkt, sum(c) OVER (ORDER BY bkt) AS cum FROM counts),
+qq AS (SELECT unnest([{qs}]) AS q),
+ranks AS (SELECT q, ((q * n.n + 99) // 100) - 1 AS rank FROM qq, n),
+pick AS (
+  SELECT r.q, min(c.bkt) AS bkt
+  FROM ranks r JOIN cum c ON c.cum >= r.rank + 1
+  GROUP BY r.q
+)
+SELECT CAST(q AS BIGINT) AS q,
+       CAST(CASE WHEN bkt = 0 THEN 0
+                 ELSE (1::BIGINT << (bkt - 1)) END AS BIGINT) AS lo,
+       CAST(CASE WHEN bkt = 0 THEN 0
+                 ELSE (1::BIGINT << bkt) - 1 END AS BIGINT) AS hi
+FROM pick
+"""
+
+
 def registry_delta():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -658,4 +703,6 @@ def registry_delta():
         "digest_freq_cms": (q_digest_freq_cms,
                             _GOLDEN.get("digest_freq_cms")),
         "page_lifespans": (q_page_lifespans, _sql_page_lifespans()),
+        "length_quantiles_log": (q_length_quantiles_log,
+                                 _sql_length_quantiles_log()),
     }

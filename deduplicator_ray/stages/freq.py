@@ -763,3 +763,55 @@ def cms_query(sketch: np.ndarray, keys) -> np.ndarray:
             s, index=False, hash_key=f"{d:016d}").to_numpy(np.uint64)
         est = np.minimum(est, sketch[d, (h % np.uint64(width)).astype(np.int64)])
     return est
+
+
+def log_histogram_quantiles(ds, col: str, *, qs: tuple[int, ...] = (50, 90, 99)):
+    """Mergeable log2-histogram quantiles for UNBOUNDED non-negative
+    int domains -> pandas DataFrame (q BIGINT, lo BIGINT, hi BIGINT).
+
+    ``length_quantiles`` is exact but needs a bounded value domain (its
+    histogram is |distinct values|); this is its unbounded-domain
+    partner: 65 power-of-two buckets per block (value v -> bucket
+    bit_length(v), bucket 0 = value 0), merged by elementwise sum —
+    constant-size partials, zero key shuffle, deterministic.  The
+    q-quantile is bracketed to its bucket: lo <= q-th value <= hi with
+    hi <= 2*lo (a factor-2 relative bound), which is what an operator
+    sizing batch/window knobs from a 10^12-row column actually needs.
+    Same discrete convention as length_quantiles: element ceil(q*n/100)-1
+    (0-based) of the sorted values.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (v < 0).any():
+            raise ValueError("log_histogram_quantiles: negative values")
+        # bucket = bit_length(v): vectorized shift-accumulation
+        bl = np.zeros(len(v), dtype=np.int64)
+        w = v.astype(np.uint64)
+        for s in (32, 16, 8, 4, 2, 1):
+            big = w >= (np.uint64(1) << np.uint64(s))
+            bl[big] += s
+            w[big] >>= np.uint64(s)
+        bl += (w > 0).astype(np.int64)
+        counts = np.bincount(bl, minlength=65).astype(np.int64)
+        return pa.table({"bucket": pa.array(np.arange(65, dtype=np.int32)),
+                         "c": pa.array(counts)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    hist = np.zeros(65, dtype=np.int64)
+    if len(parts):
+        agg = parts.groupby("bucket")["c"].sum()
+        hist[agg.index.to_numpy()] = agg.to_numpy()
+    n = int(hist.sum())
+    cum = np.cumsum(hist)
+    rows = []
+    for q in qs:
+        if n == 0:
+            rows.append((int(q), -1, -1))
+            continue
+        rank = -(-q * n // 100) - 1  # 0-based ceil(q*n/100)-1
+        b = int(np.searchsorted(cum, rank + 1))
+        lo = 0 if b == 0 else 1 << (b - 1)
+        hi = 0 if b == 0 else (1 << b) - 1
+        rows.append((int(q), int(lo), int(hi)))
+    return pd.DataFrame(rows, columns=["q", "lo", "hi"]).astype("int64")

@@ -981,3 +981,33 @@ class TestCountMin:
             "k", width=4096, depth=4)
         assert (cms_query(sk2, ["hub", "mid"]) ==
                 2 * cms_query(sk, ["hub", "mid"])).all()
+
+
+class TestLogHistQuantiles:
+    def test_bracket_contains_exact_quantile(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deduplicator_ray.stages.freq import log_histogram_quantiles
+
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 1_000_000, size=5000).astype("int64")
+        ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(6)
+        got = log_histogram_quantiles(ds, "v", qs=(50, 90, 99)).set_index("q")
+        sv = np.sort(vals)
+        for q in (50, 90, 99):
+            rank = -(-q * len(sv) // 100) - 1
+            exact = sv[rank]
+            lo, hi = got.loc[q, "lo"], got.loc[q, "hi"]
+            assert lo <= exact <= hi
+            assert hi <= 2 * max(lo, 1)  # factor-2 bracket
+
+    def test_zeros_and_empty(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deduplicator_ray.stages.freq import log_histogram_quantiles
+
+        ds = rd.from_pandas(pd.DataFrame({"v": [0, 0, 0, 1]}))
+        got = log_histogram_quantiles(ds, "v", qs=(50,)).set_index("q")
+        assert got.loc[50, "lo"] == 0 and got.loc[50, "hi"] == 0
