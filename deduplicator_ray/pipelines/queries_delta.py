@@ -678,6 +678,42 @@ FROM pick
 """
 
 
+def q_site_lang_mix(sf_dir: str):
+    """Per-site language census over captures (partial-combine + one
+    tiny driver merge — the host_stats shape): the language-drift signal
+    archives track per site."""
+    import pandas as pd
+    import pyarrow as pa
+
+    caps = captures_dataset(sf_dir)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        m = pc.extract_regex(b["url"], "^https?://(?P<host>[^/]+)")
+        df = pd.DataFrame({
+            "site": pc.fill_null(pc.struct_field(m, "host"), "").to_pandas(),
+            "lang": b["lang"].to_pandas(),
+        })
+        g = df.groupby(["site", "lang"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = caps.map_batches(partial, batch_format="pyarrow",
+                             batch_size=8192).to_pandas()
+    out = parts.groupby(["site", "lang"], as_index=False).agg(n=("n", "sum"))
+    return out.astype({"n": "int64"})
+
+
+def _sql_site_lang_mix() -> str:
+    return f"""
+WITH {CAPTURES_CTE}
+SELECT regexp_extract(url, '^https?://(?P<host>[^/]+)', 1) AS site, lang, count(*) AS n
+FROM captures GROUP BY 1, 2
+"""
+
+
 def registry_delta():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -705,4 +741,5 @@ def registry_delta():
         "page_lifespans": (q_page_lifespans, _sql_page_lifespans()),
         "length_quantiles_log": (q_length_quantiles_log,
                                  _sql_length_quantiles_log()),
+        "site_lang_mix": (q_site_lang_mix, _sql_site_lang_mix()),
     }
