@@ -272,3 +272,51 @@ def write_warc(path: str, records: list[dict], *, compress: bool | None = None) 
         f.write(data)
     os.replace(tmp, path)
     return path
+
+
+def write_revisit_warc(matches, path: str, *,
+                       profile: str = ("http://netpreserve.org/warc/1.0/"
+                                       "revisit/identical-payload-digest")):
+    """The reference's crawl-time OUTPUT, batch form: for every
+    duplicate row of a match table (stages/exact.match_shuffle —
+    is_duplicate with refers_to_url/refers_to_date), write a WARC
+    *revisit* record pointing at the original instead of storing the
+    payload again (DeDuplicator.java's processor verdict; the
+    identical-payload-digest profile of sources/warc.py's reader).
+
+    ``matches`` is a Dataset or pandas/Arrow table; rows with
+    ``is_duplicate == false`` are skipped.  Records are sorted by
+    (warc_ts/ts, url) so the file is deterministic.  Returns the path
+    and the record count as a (path, n) tuple.
+    """
+    import pandas as pd
+
+    if hasattr(matches, "to_pandas"):
+        df = matches.to_pandas()
+    else:
+        df = pd.DataFrame(matches)
+    df = df[df["is_duplicate"].astype(bool)].copy()
+    ts_col = "warc_ts" if "warc_ts" in df.columns else "ts"
+    ts = pd.to_datetime(df[ts_col])
+    ref_ts = pd.to_datetime(df["refers_to_date"])
+    df["iso"] = ts.dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+    df["ref_iso"] = ref_ts.dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+    df = df.sort_values(["iso", "url"], kind="mergesort")
+    records = [
+        {
+            "type": "revisit",
+            "url": url,
+            "date": iso,
+            "digest": digest if ":" in str(digest) else f"md5:{digest}",
+            "record_id": f"<urn:dedup:{i}>",
+            "refers_to_url": ref_url,
+            "refers_to_date": ref_iso,
+            "profile": profile,
+            "payload": b"",
+        }
+        for i, (url, iso, digest, ref_url, ref_iso) in enumerate(
+            zip(df["url"], df["iso"], df["digest"],
+                df["refers_to_url"], df["ref_iso"]))
+    ]
+    write_warc(path, records)
+    return path, len(records)

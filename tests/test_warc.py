@@ -168,3 +168,45 @@ def test_truncated_tail_tolerated():
     # append garbage: the scan stops at the malformed tail, keeping rows
     t = parse_warc_bytes(data + b"GARBAGE NOT A RECORD")
     assert t.num_rows == 1
+
+
+def test_write_revisit_warc_roundtrip(ray_session, tmp_path):
+    """Match output -> revisit WARC -> reader: every duplicate becomes a
+    revisit record carrying its original's url/ts; novels are skipped."""
+    import pandas as pd
+
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.sources.warc import read_warc, write_revisit_warc
+    from deduplicator_ray.stages.exact import build_index, match_shuffle
+    from deduplicator_ray.stages.normalize import normalize
+    import ray.data as rd
+
+    cfg = PipelineConfig()
+    hist = pd.DataFrame({
+        "url": ["http://a/1", "http://b/2"],
+        "warc_ts": pd.to_datetime([1_700_000_000, 1_700_000_000], unit="s"),
+        "text": ["same content", "other content"],
+    })
+    cur = pd.DataFrame({
+        "url": ["http://c/3", "http://d/4"],
+        "warc_ts": pd.to_datetime([1_700_000_500, 1_700_000_500], unit="s"),
+        "text": ["same content", "novel content"],
+    })
+    idx = build_index(normalize(rd.from_pandas(hist), cfg,
+                                digest_mode="md5_text", side="index"), cfg)
+    matches = match_shuffle(normalize(rd.from_pandas(cur), cfg,
+                                      digest_mode="md5_text"), idx, cfg)
+    path, n = write_revisit_warc(matches, str(tmp_path / "revisits.warc"))
+    assert n == 1  # only the duplicate row
+
+    back = read_warc(path).to_pandas()
+    assert len(back) == 1
+    r = back.iloc[0]
+    assert bool(r["is_revisit"])
+    assert r["url"] == "http://c/3"
+    assert r["original_url"] == "http://a/1"
+    assert pd.Timestamp(r["original_ts"]).timestamp() == 1_700_000_000
+    # reader strips the scheme-prefixed digest to the match's digest
+    assert str(r["digest"]).endswith(matches.to_pandas()
+                                     .set_index("url")
+                                     .loc["http://c/3", "digest"])
