@@ -79,6 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "sorted CDX shards + manifest under <out>/index_cdx "
                         "(SURT urlkeys, sources/cdx.py)")
     p.add_argument("--cdx-shards", type=int, default=16)
+    p.add_argument("--write-revisits", action="store_true",
+                   help="with --history: write detected duplicates as WARC "
+                        "revisit records under <out>/revisits.warc.gz")
     p.add_argument("--within-batch", action="store_true")
     p.add_argument("--near-dup", action="store_true", help="run MinHash/LSH clustering")
     p.add_argument("--bands", type=int, default=32)
@@ -258,6 +261,14 @@ def run(args) -> dict:
             json.dump(agg, f, indent=1)
         with open(os.path.join(out, "REPORT.txt"), "w") as f:
             f.write(render_report(agg) + "\n")
+        if args.write_revisits:
+            # the reference's crawl-time product: duplicates become WARC
+            # revisit records referencing their originals
+            from deduplicator_ray.sources.warc import write_revisit_warc
+
+            rpath, n_rev = write_revisit_warc(
+                matches_ds, os.path.join(out, "revisits.warc.gz"))
+            results["revisits"] = {"path": rpath, "records": n_rev}
 
     # -- near-dup clustering -------------------------------------------------
     if args.near_dup:

@@ -158,13 +158,19 @@ def test_dedup_pipeline_from_cdx(ray_session, tmp_path):
     assert r1["index"]["total_rows"] == 3
 
     out2 = str(tmp_path / "match")
-    dedup_main(["--corpus", cur_path, "--corpus-format", "cdx",
-                "--history", os.path.join(out1, "index", "data"),
-                "--out", out2,
-                "--mime-filter", "^text/.*", "--whitelist"])
+    r2 = dedup_main(["--corpus", cur_path, "--corpus-format", "cdx",
+                     "--history", os.path.join(out1, "index", "data"),
+                     "--out", out2, "--write-revisits",
+                     "--mime-filter", "^text/.*", "--whitelist"])
     rep = json.load(open(os.path.join(out2, "REPORT.json")))
     assert rep["handled"] == 2
     assert rep["duplicates"] == 1
+    # the duplicate surfaced as a WARC revisit record
+    from deduplicator_ray.sources.warc import read_warc
+    assert r2["revisits"]["records"] == 1
+    rev = read_warc(r2["revisits"]["path"]).to_pandas()
+    assert len(rev) == 1 and bool(rev.loc[0, "is_revisit"])
+    assert rev.loc[0, "url"] == "http://e/1"
 
 
 def test_surt_canonicalizer_in_match(ray_session):
