@@ -246,3 +246,53 @@ def test_parse_properties_first_separator_wins():
     assert props["deduplicator.etag"] == "true"
     assert props["a"] == "b=c"
     assert "# comment" not in props
+
+
+def test_full_product_flow(ray_session, tmp_path):
+    """One coherent run of the whole product surface: build an index
+    from the history crawl (+ sorted CDX export), then match the current
+    crawl against it with revisit-WARC output and near-dup clustering —
+    every artifact readable and mutually consistent."""
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.pipelines.dedup_pipeline import build_parser, run
+    from deduplicator_ray.sources.cdx import read_cdx
+    from deduplicator_ray.sources.corpus import captures_table
+    from deduplicator_ray.sources.warc import read_warc
+
+    caps = captures_table("/root/testdata/sf0.001")
+    hist = caps.filter(pc.equal(caps["crawl"], "history"))
+    cur = caps.filter(pc.equal(caps["crawl"], "current"))
+    hdir, cdir = str(tmp_path / "hist"), str(tmp_path / "cur")
+    for d, t in ((hdir, hist), (cdir, cur)):
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(t, f"{d}/captures.parquet")
+
+    out1 = str(tmp_path / "index")
+    r1 = run(build_parser().parse_args(
+        ["--corpus", hdir, "--build-index", "--export-cdx",
+         "--cdx-shards", "3", "--out", out1]))
+    assert r1["index"]["total_rows"] > 0
+    assert r1["cdx_export"]["total_rows"] == r1["index"]["total_rows"]
+    cdx_rows = read_cdx([s["path"] for s in r1["cdx_export"]["shards"]]
+                        ).to_pandas()
+    assert len(cdx_rows) == r1["index"]["total_rows"]
+
+    out2 = str(tmp_path / "match")
+    r2 = run(build_parser().parse_args(
+        ["--corpus", cdir, "--history", os.path.join(out1, "index", "data"),
+         "--out", out2, "--write-revisits", "--near-dup"]))
+    rep = json.load(open(os.path.join(out2, "REPORT.json")))
+    assert rep["handled"] > 0 and rep["duplicates"] > 0
+    # revisit WARC row count == duplicate verdicts
+    assert r2["revisits"]["records"] == rep["duplicates"]
+    rev = read_warc(r2["revisits"]["path"]).to_pandas()
+    assert len(rev) == rep["duplicates"]
+    assert rev["is_revisit"].all()
+    assert rev["original_url"].notna().all()
+    # near-dup stages produced cluster assignments
+    assert r2["clusters"]["total_rows"] > 0
