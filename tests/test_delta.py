@@ -329,3 +329,59 @@ def test_page_lifespans_merge(ray_session):
            .to_pandas().set_index("url_canonical").sort_index())
     assert got.loc["a"].tolist() == [10, 40, 4, 30]
     assert got.loc["b"].tolist() == [7, 7, 1, 0]
+
+
+def test_delta_family_random_agreement(ray_session):
+    """Seeded random corpora: crawl_delta statuses partition the page
+    set; capture_gaps stays inside [min,max]; page_lifespans counts sum
+    to the corpus size; site_delta_census matches a brute-force rollup."""
+    import numpy as np
+    import ray.data as rd
+
+    from deduplicator_ray.stages.delta import crawl_delta, site_delta_census
+    from deduplicator_ray.stages.timeline import capture_gaps, page_lifespans
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    pages = [f"s{rng.integers(0, 7)}.example/p/{rng.integers(0, 300)}"
+             for _ in range(n)]
+    pdf = pd.DataFrame({
+        "url_canonical": pages,
+        "crawl": np.where(rng.random(n) < 0.5, "history", "current"),
+        "ts_epoch": rng.integers(0, 100_000, n),
+        "digest": [f"d{rng.integers(0, 40)}" for _ in range(n)],
+    })
+    ds = rd.from_pandas(pdf).repartition(7)
+
+    delta = crawl_delta(ds, num_partitions=3).to_pandas()
+    n_pages = pdf["url_canonical"].nunique()
+    assert len(delta) == n_pages
+    assert delta["url_canonical"].is_unique
+    assert set(delta["status"]) <= {"new", "gone", "changed", "unchanged"}
+    # brute-force status check on 20 random pages
+    for u in pd.Series(pages).drop_duplicates().sample(20, random_state=5):
+        sub = pdf[pdf["url_canonical"] == u]
+        h = sub[sub["crawl"] == "history"].sort_values(["ts_epoch", "digest"])
+        c = sub[sub["crawl"] == "current"].sort_values(["ts_epoch", "digest"])
+        if h.empty:
+            want = "new"
+        elif c.empty:
+            want = "gone"
+        else:
+            want = ("unchanged" if h["digest"].iloc[-1] == c["digest"].iloc[-1]
+                    else "changed")
+        assert delta.set_index("url_canonical").loc[u, "status"] == want, u
+
+    census = site_delta_census(delta=rd.from_pandas(delta))
+    assert census[["n_new", "n_gone", "n_changed", "n_unchanged"]
+                  ].to_numpy().sum() == n_pages
+
+    gaps = capture_gaps(ds, num_partitions=3).to_pandas()
+    assert (gaps["min_gap"] <= gaps["p50_gap"]).all()
+    assert (gaps["p50_gap"] <= gaps["max_gap"]).all()
+    assert (gaps["min_gap"] >= 0).all()
+
+    spans = page_lifespans(ds, num_partitions=3).to_pandas()
+    assert int(spans["n_captures"].sum()) == n
+    assert (spans["lifespan_s"] ==
+            spans["last_epoch"] - spans["first_epoch"]).all()
