@@ -714,6 +714,32 @@ FROM captures GROUP BY 1, 2
 """
 
 
+_PPS_WREF, _PPS_SEED = 2000, 7
+
+
+def q_corpus_sample_pps(sf_dir: str):
+    """Token-weighted (probability-proportional-to-size) sample of the
+    documents table (stages/shuffle.pps_sample): keep probability
+    min(1, n_chars/{w}); HUGEINT bit-parity oracle."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import pps_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return pps_sample(ds, weight_col="n_chars", w_ref=_PPS_WREF,
+                      seed=_PPS_SEED)
+
+
+def _sql_corpus_sample_pps() -> str:
+    from deduplicator_ray.stages.shuffle import pps_sql_predicate
+
+    return f"""
+SELECT doc_id, n_chars FROM documents
+WHERE {pps_sql_predicate("n_chars", _PPS_WREF, _PPS_SEED)}
+"""
+
+
 def registry_delta():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -742,4 +768,5 @@ def registry_delta():
         "length_quantiles_log": (q_length_quantiles_log,
                                  _sql_length_quantiles_log()),
         "site_lang_mix": (q_site_lang_mix, _sql_site_lang_mix()),
+        "corpus_sample_pps": (q_corpus_sample_pps, _sql_corpus_sample_pps()),
     }

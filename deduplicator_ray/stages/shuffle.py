@@ -619,3 +619,53 @@ def split_sql_expr(fractions, seed: int, id_col: str = "doc_id") -> str:
     clauses = [f"WHEN {key} < {cut} THEN '{names[i]}'"
                for i, cut in enumerate(cuts)]
     return "CASE " + " ".join(clauses) + f" ELSE '{names[-1]}' END"
+
+
+def pps_sample(ds, *, weight_col: str, w_ref: int, seed: int = 0,
+               id_col: str = "doc_id"):
+    """Probability-proportional-to-size Bernoulli sample: doc kept with
+    probability min(1, weight / w_ref) — the weighted companion of
+    ``stratified_sample`` (token-weighted subsampling for corpus stats:
+    every TOKEN gets equal inclusion mass, so estimates over the sample
+    are token-representative rather than document-representative).
+
+    Decision: ``shuffle_key(doc_id, seed) < floor(weight * 2^64 /
+    w_ref)``, with ``weight >= w_ref`` always kept — pure integer
+    arithmetic, map-only ZERO shuffle, reproducible anywhere, exactly
+    mirrorable in SQL HUGEINT (``pps_sql_predicate``).  Thresholds are
+    computed once per DISTINCT weight per batch with Python ints (no
+    float rounding), then fanned out with one fancy index.  Same-seed
+    samples nest across w_ref values.
+    """
+    if seed < 0 or w_ref <= 0:
+        raise ValueError("seed must be >= 0 and w_ref > 0")
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("pps_sample requires non-negative ids")
+        w = b[weight_col].to_numpy().astype(np.int64)
+        if len(w) and w.min() < 0:
+            raise ValueError("pps_sample requires non-negative weights")
+        k = shuffle_key(ids, seed)
+        uw, inv = np.unique(w, return_inverse=True)
+        full = uw >= w_ref
+        thr = np.zeros(len(uw), dtype=np.uint64)
+        for i, x in enumerate(uw):
+            if not full[i]:
+                thr[i] = (int(x) << 64) // w_ref  # < 2^64 since x < w_ref
+        mask = full[inv] | (k < thr[inv])
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pps_sql_predicate(weight_col: str, w_ref: int, seed: int,
+                      id_col: str = "doc_id") -> str:
+    """DuckDB predicate reproducing ``pps_sample`` bit-for-bit (HUGEINT
+    128-bit arithmetic holds weight * 2^64 for any sane weight)."""
+    return (f"({weight_col} >= {w_ref} OR "
+            f"(CAST({id_col} AS HUGEINT) + {seed}) * {SHUFFLE_MULT} "
+            f"% 18446744073709551616 < "
+            f"(CAST({weight_col} AS HUGEINT) * 18446744073709551616) "
+            f"// {w_ref})")

@@ -116,3 +116,34 @@ def test_quantile_index_matches_duckdb_rule(vals, q):
     uniq, cnt = np.unique(v, return_counts=True)
     cum = np.cumsum(cnt)
     assert uniq[np.searchsorted(cum, idx + 1)] == v[idx]
+
+
+def test_pps_sample_proportional_and_nested(ray_session):
+    """PPS inclusion tracks weight/w_ref and same-seed samples nest
+    across w_ref (smaller w_ref keeps a superset at equal weights)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import pps_sample
+
+    rng = np.random.default_rng(2)
+    n = 30_000
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "n_chars": rng.integers(1, 4000, n),
+    })
+    ds = rd.from_pandas(pdf).repartition(5)
+    kept = pps_sample(ds, weight_col="n_chars", w_ref=2000,
+                      seed=3).to_pandas()
+    # docs at/above w_ref always kept
+    heavy = pdf[pdf["n_chars"] >= 2000]
+    assert heavy["doc_id"].isin(kept["doc_id"]).all()
+    # inclusion rate of a light band ~= band_weight / w_ref
+    band = pdf[(pdf["n_chars"] >= 400) & (pdf["n_chars"] < 600)]
+    rate = band["doc_id"].isin(kept["doc_id"]).mean()
+    assert abs(rate - 0.25) < 0.05  # mean weight 500 / 2000
+    # nesting: raising w_ref only removes docs (same seed)
+    kept_hi = pps_sample(ds, weight_col="n_chars", w_ref=4000,
+                         seed=3).to_pandas()
+    assert set(kept_hi["doc_id"]) <= set(kept["doc_id"])
