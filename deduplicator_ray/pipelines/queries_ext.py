@@ -961,6 +961,75 @@ FROM r GROUP BY doc_id
 """
 
 
+def q_boilerplate_dedup(sf_dir: str):
+    """CCNet-style frequent-chunk boilerplate removal
+    (stages/sentdedup.py:boilerplate_dedup): EVERY occurrence of a
+    10-word chunk appearing >= 3 times globally is dropped (vs
+    chunk_dedup's keep-first)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import boilerplate_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return boilerplate_dedup(ds, words_per_chunk=10, min_count=3,
+                             num_buckets=32)
+
+
+# Exact SQL recomputation: count each chunk globally; a chunk occurrence
+# survives iff its chunk's global count < 3.
+_SQL_BOILERPLATE_DEDUP = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+  FROM documents
+), ch AS (
+  SELECT doc_id, CAST((ord - 1) // 10 AS BIGINT) AS ord_c,
+         string_agg(word, ' ' ORDER BY ord) AS chunk
+  FROM w GROUP BY doc_id, ord_c
+), cnt AS (
+  SELECT chunk, count(*) AS n FROM ch GROUP BY chunk
+)
+SELECT ch.doc_id,
+       COALESCE(string_agg(CASE WHEN cnt.n < 3 THEN ch.chunk END,
+                           ' ' ORDER BY ch.ord_c), '') AS text_dedup,
+       CAST(count(*) FILTER (WHERE cnt.n >= 3) AS BIGINT) AS removed_chunks
+FROM ch JOIN cnt USING (chunk)
+GROUP BY ch.doc_id
+"""
+
+
+def q_boilerplate_report(sf_dir: str):
+    """Top frequent chunks with occurrence/document counts
+    (stages/sentdedup.py:boilerplate_report) — the discovery report
+    behind boilerplate_dedup's min_count knob."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import boilerplate_report
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return boilerplate_report(ds, words_per_chunk=10, min_count=3,
+                              top_n=20, num_buckets=32)
+
+
+_SQL_BOILERPLATE_REPORT = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+  FROM documents
+), ch AS (
+  SELECT doc_id, CAST((ord - 1) // 10 AS BIGINT) AS ord_c,
+         string_agg(word, ' ' ORDER BY ord) AS chunk
+  FROM w GROUP BY doc_id, ord_c
+)
+SELECT chunk, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM ch GROUP BY chunk HAVING count(*) >= 3
+ORDER BY n_occ DESC, chunk LIMIT 20
+"""
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition metrics per document
     (stages/sentdedup.py:repetition_stats)."""
@@ -2084,6 +2153,8 @@ def registry_ext():
         "media_ppm_features": (q_media_ppm_features,
                                GOLDEN_SQL.get("media_ppm_features")),
         "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
+        "boilerplate_dedup": (q_boilerplate_dedup, _SQL_BOILERPLATE_DEDUP),
+        "boilerplate_report": (q_boilerplate_report, _SQL_BOILERPLATE_REPORT),
         "repetition_stats": (q_repetition_stats, _SQL_REPETITION_STATS),
         "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
         "incremental_neardup": (q_incremental_neardup,

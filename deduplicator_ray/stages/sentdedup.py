@@ -124,6 +124,66 @@ def chunk_dedup(ds, *, words_per_chunk: int = 10, num_buckets: int = 64,
         mark, batch_format="pandas"
     ).materialize()
 
+    return _apply_removals(ds, removed, words_per_chunk=words_per_chunk,
+                           num_buckets=num_buckets, id_col=id_col,
+                           text_col=text_col, max_broadcast=max_broadcast)
+
+
+def boilerplate_dedup(ds, *, words_per_chunk: int = 10, min_count: int = 3,
+                      num_buckets: int = 64, id_col: str = "doc_id",
+                      text_col: str = "text", max_broadcast: int = 2_000_000):
+    """CCNet-style frequent-chunk boilerplate removal: drop EVERY
+    occurrence of any ``words_per_chunk``-word chunk whose global
+    occurrence count is >= ``min_count`` (nav bars, footers, cookie
+    banners — text so common it carries no signal).  Complements
+    ``chunk_dedup`` (keep-first): here even the first copy goes.
+
+    Returns a Dataset (doc_id, text_dedup, removed_chunks), one row per
+    input document.  Same 100-TB shape as chunk_dedup: the dedup shuffle
+    moves 26 B/chunk hash rows only; all occurrences of one 128-bit key
+    land in one bucket so the count (and hence the removal decision) is
+    exact and global; the rebuild never ships document text unless the
+    removal list exceeds ``max_broadcast``.
+    """
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        f = _chunk_frame(ids, b[text_col].combine_chunks(), words_per_chunk)
+        h1, h2 = _hash_chunks(f["chunk"])
+        return pa.table({
+            "doc_id": pa.array(f["doc_id"].to_numpy()),
+            "ord": pa.array(f["ord"].to_numpy()),
+            "h1": pa.array(h1),
+            "h2": pa.array(h2),
+        })
+
+    chunks = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    chunks = hash_bucket(chunks, "h1", num_buckets)
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.groupby(["h1", "h2"])["doc_id"].transform("size")
+        rem = g[n >= min_count]
+        return rem[["doc_id", "ord"]].reset_index(drop=True)
+
+    removed = chunks.groupby("_part").map_groups(
+        mark, batch_format="pandas"
+    ).materialize()
+
+    return _apply_removals(ds, removed, words_per_chunk=words_per_chunk,
+                           num_buckets=num_buckets, id_col=id_col,
+                           text_col=text_col, max_broadcast=max_broadcast)
+
+
+def _apply_removals(ds, removed, *, words_per_chunk: int, num_buckets: int,
+                    id_col: str, text_col: str, max_broadcast: int):
+    """Shared rebuild tail: given a materialized (doc_id, ord) removal
+    list, rebuild each document from its kept chunks.  Broadcast the list
+    (``ray.put`` once, map-side anti-join — document text never rides a
+    shuffle) up to ``max_broadcast`` rows; beyond that co-partition
+    removals with the documents on doc_id (one corpus shuffle)."""
+    from deduplicator_ray.stages.exact import hash_bucket
+
     if removed.count() <= max_broadcast:
         import ray
 
@@ -220,6 +280,96 @@ def _rebuild_docs(doc_ids: np.ndarray, text: pa.Array, rem: pd.DataFrame,
     out = out.merge(n_rm, on="doc_id", how="left")
     out["removed_chunks"] = out["removed_chunks"].fillna(0).astype("int64")
     return out
+
+
+def boilerplate_report(ds, *, words_per_chunk: int = 10, min_count: int = 3,
+                       top_n: int = 20, num_buckets: int = 64,
+                       id_col: str = "doc_id", text_col: str = "text"):
+    """The boilerplate itself: the ``top_n`` most frequent
+    ``words_per_chunk``-word chunks with occurrence and document counts
+    — the discovery report behind ``boilerplate_dedup``'s ``min_count``
+    knob (what WILL be stripped, and how much of the corpus it is).
+
+    Returns a Dataset (chunk, n_occ BIGINT, n_docs BIGINT) ordered by
+    (n_occ DESC, chunk), at most ``top_n`` rows.
+
+    Two passes so chunk TEXT only ever ships for frequent chunks:
+    pass 1 counts 128-bit chunk hashes through one 16-byte-row shuffle
+    and collects the frequent hash set (boilerplate is rare as a
+    distinct-string population, so this is driver-small); pass 2
+    broadcasts that set, re-chunks map-side, keeps only frequent-hash
+    occurrences, and aggregates (chunk, n_occ, n_docs) through one
+    small shuffle.  The final top-n sort runs on the filtered
+    aggregate, which ``min_count`` already made tiny.
+    """
+    import ray
+
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        f = _chunk_frame(ids, b[text_col].combine_chunks(), words_per_chunk)
+        h1, h2 = _hash_chunks(f["chunk"])
+        return pa.table({"h1": pa.array(h1), "h2": pa.array(h2)})
+
+    hashes = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    hashes = hash_bucket(hashes, "h1", num_buckets)
+
+    def freq_only(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.groupby(["h1", "h2"], as_index=False).size()
+        return n[n["size"] >= min_count][["h1", "h2"]]
+
+    def combine64(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        # 128 -> 64-bit membership key.  A false positive only lets an
+        # infrequent chunk into pass 2, where the final n_occ >= min_count
+        # filter drops it; a true frequent pair always matches (the map
+        # is deterministic), so the report is exact either way.
+        return h1 * np.uint64(0x9E3779B97F4A7C15) + h2
+
+    fp = (hashes.groupby("_part")
+          .map_groups(freq_only, batch_format="pandas").to_pandas())
+    if "h1" not in fp.columns:  # zero frequent chunks: schema is lost
+        fp = pd.DataFrame({"h1": pd.Series(dtype="uint64"),
+                           "h2": pd.Series(dtype="uint64")})
+    freq = ray.put(np.sort(combine64(fp["h1"].to_numpy(np.uint64),
+                                     fp["h2"].to_numpy(np.uint64))))
+
+    def extract(b: pa.Table) -> pd.DataFrame:
+        fkeys = ray.get(freq)
+        ids = b[id_col].to_numpy().astype(np.int64)
+        f = _chunk_frame(ids, b[text_col].combine_chunks(), words_per_chunk)
+        h1, h2 = _hash_chunks(f["chunk"])
+        pos = np.searchsorted(fkeys, combine64(h1, h2))
+        pos[pos >= len(fkeys)] = 0
+        keep = (fkeys[pos] == combine64(h1, h2)) if len(fkeys) else \
+            np.zeros(len(h1), dtype=bool)
+        f = f[keep]
+        g = f.groupby(["chunk", "doc_id"], as_index=False, sort=False).size()
+        return g.rename(columns={"size": "n"})
+
+    occ = ds.map_batches(extract, batch_format="pyarrow", batch_size=4096)
+    occ = hash_bucket(occ, "chunk", max(1, num_buckets // 4))
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        # re-distinct (chunk, doc_id) across batches before the doc count
+        d = g.groupby(["chunk", "doc_id"], as_index=False, sort=False).agg(
+            n=("n", "sum"))
+        out = d.groupby("chunk", sort=False).agg(
+            n_occ=("n", "sum"), n_docs=("doc_id", "size")).reset_index()
+        out = out[out["n_occ"] >= min_count]  # drop combine64 false positives
+        return out.astype({"n_occ": "int64", "n_docs": "int64"})
+
+    out = (occ.groupby("_part")
+           .map_groups(lambda g: agg(g.drop(columns=["_part"])),
+                       batch_format="pandas"))
+    # the aggregate is already min_count-filtered and tiny; a global
+    # descending sort with the chunk-text tiebreak is a driver-size op
+    def neg(b: pa.Table) -> pa.Table:
+        return b.append_column("_neg", pc.negate(b["n_occ"]))
+
+    return (out.map_batches(neg, batch_format="pyarrow", zero_copy_batch=True)
+            .sort(["_neg", "chunk"]).limit(top_n)
+            .drop_columns(["_neg"]))
 
 
 def split_documents(ds, *, words_per_chunk: int = 64, stride: int | None = None,

@@ -22,6 +22,8 @@ SQL_CHECKED = [
     "token_stats",
     "quality_stats",
     "span_dedup",
+    "boilerplate_dedup",
+    "boilerplate_report",
     "heavy_hitters",
     "length_quantiles",
     "neardup_keep",

@@ -248,3 +248,93 @@ def test_source_overlap_matrix_bruteforce(ray_session):
     assert ("A", "C") not in got.index and ("B", "C") not in got.index
     # symmetric duplicates never emitted (only a < b)
     assert ("B", "A") not in got.index
+
+
+def _brute_boilerplate(docs: dict[int, str], k: int, w: int = W) -> pd.DataFrame:
+    cnt = collections.Counter(
+        ch for d in docs.values() for ch in _chunks(d, w))
+    rows = []
+    for doc_id in sorted(docs):
+        kept, removed = [], 0
+        for ch in _chunks(docs[doc_id], w):
+            if cnt[ch] >= k:
+                removed += 1
+            else:
+                kept.append(ch)
+        rows.append({"doc_id": doc_id, "text_dedup": " ".join(kept),
+                     "removed_chunks": removed})
+    return pd.DataFrame(rows)
+
+
+def test_boilerplate_dedup_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import boilerplate_dedup
+
+    rng = np.random.default_rng(11)
+    docs = _mk_docs(rng)
+    # plant a 3x boilerplate chunk across three docs
+    nav = " ".join(f"nav{j}" for j in range(W))
+    for i in (0, 5, 9):
+        docs[i] = nav + " " + docs[i]
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": [docs[kk] for kk in docs]}
+    )).repartition(4)
+    got = (boilerplate_dedup(ds, words_per_chunk=W, min_count=3, num_buckets=8)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    want = _brute_boilerplate(docs, 3).sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # all three planted occurrences went (not keep-first)
+    assert want["removed_chunks"].sum() >= 3
+
+
+def test_boilerplate_dedup_below_threshold_roundtrip(ray_session):
+    """Chunks appearing < min_count survive untouched — a corpus of
+    pairwise duplicates round-trips byte-exact at min_count=3."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import boilerplate_dedup
+
+    docs = {i: " ".join(f"p{i // 2}_{j}" for j in range(15)) for i in range(8)}
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": [docs[kk] for kk in docs]}
+    ))
+    got = (boilerplate_dedup(ds, words_per_chunk=W, min_count=3, num_buckets=4)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert got["text_dedup"].tolist() == [docs[kk] for kk in sorted(docs)]
+    assert got["removed_chunks"].sum() == 0
+
+
+def test_boilerplate_report_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import boilerplate_report
+
+    rng = np.random.default_rng(23)
+    docs = _mk_docs(rng, n=30)
+    nav = " ".join(f"nav{j}" for j in range(W))
+    foot = " ".join(f"ft{j}" for j in range(W))
+    for i in (0, 3, 6, 12):
+        docs[i] = nav + " " + docs[i]
+    docs[3] = nav + " " + docs[3]          # nav twice in one doc
+    for i in (1, 4, 7):
+        docs[i] = docs[i] + " " + foot
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": [docs[kk] for kk in docs]}
+    )).repartition(5)
+    got = boilerplate_report(ds, words_per_chunk=W, min_count=3, top_n=10,
+                             num_buckets=8).to_pandas()
+    cnt = collections.Counter(
+        ch for d in docs.values() for ch in _chunks(d, W))
+    dcnt = collections.Counter()
+    for d in docs.values():
+        for ch in set(_chunks(d, W)):
+            dcnt[ch] += 1
+    want = sorted(((c, n) for c, n in cnt.items() if n >= 3),
+                  key=lambda t: (-t[1], t[0]))[:10]
+    assert list(zip(got["chunk"], got["n_occ"])) == want
+    assert got.set_index("chunk")["n_docs"].to_dict() == {
+        c: dcnt[c] for c, _ in want}
+    # nav appears 5x across 4 docs: occurrence vs doc count differ
+    assert got.set_index("chunk").loc[nav, "n_occ"] == 5
+    assert got.set_index("chunk").loc[nav, "n_docs"] == 4
