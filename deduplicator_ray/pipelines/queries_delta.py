@@ -277,6 +277,32 @@ FROM documents WHERE doc_id < {_CDX_N_DOCS}
 """
 
 
+def q_trap_patterns(sf_dir: str):
+    """Crawler-trap URL-pattern fanout (stages/urlmine.trap_patterns):
+    digit-collapsed url patterns with >= 3 distinct raw urls."""
+    from deduplicator_ray.stages.urlmine import trap_patterns
+
+    return trap_patterns(captures_dataset(sf_dir), min_fanout=3)
+
+
+def _sql_trap_patterns() -> str:
+    return f"""
+WITH {CAPTURES_CTE},
+e AS (
+  SELECT url,
+         regexp_extract(url, '{HOST_PAT}', 1) AS site,
+         regexp_extract(url, '^https?://[^/]+(/.*)$', 1) AS path
+  FROM captures
+)
+SELECT site,
+       site || regexp_replace(path, '[0-9]+', 'N', 'g') AS pattern,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+       CAST(count(*) AS BIGINT) AS n_captures
+FROM e GROUP BY site, pattern
+HAVING count(DISTINCT url) >= 3
+"""
+
+
 def q_query_param_stats(sf_dir: str):
     from deduplicator_ray.stages.urlmine import query_param_stats
 
@@ -750,6 +776,7 @@ def registry_delta():
         "site_change_rate": (q_site_change_rate, _sql_site_change_rate()),
         "cdx_roundtrip": (q_cdx_roundtrip, _sql_cdx_roundtrip()),
         "query_param_stats": (q_query_param_stats, _sql_query_param_stats()),
+        "trap_patterns": (q_trap_patterns, _sql_trap_patterns()),
         "stopword_candidates": (q_stopword_candidates, _sql_stopword_candidates()),
         "doc_novelty": (q_doc_novelty, _sql_doc_novelty()),
         "window_active_users": (q_window_active_users, _sql_window_active_users()),

@@ -173,3 +173,62 @@ def url_features(ds, *, url_col: str = "url"):
         })
 
     return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def trap_patterns(caps, *, url_col: str = "url", min_fanout: int = 3,
+                  num_partitions: int | None = None):
+    """Crawler-trap URL-pattern detection -> Dataset (site, pattern,
+    n_urls BIGINT, n_captures BIGINT).
+
+    The pattern is the url's host plus its path/query with every digit
+    run collapsed to ``N`` — calendars (/2024/01/02/), paginated
+    facets (?page=9741), and numeric session paths all collapse onto
+    one pattern whose distinct-url fanout (``n_urls``) explodes while a
+    legitimate template stays narrow.  Patterns with fanout >=
+    ``min_fanout`` are reported with their capture volume — the
+    scope-rule discovery pass a crawl operator runs before adding
+    excludes (the reference's scope filters consume exactly such
+    rules).  Hosts are NOT digit-collapsed (www2 vs www matters for
+    scoping and site identity).
+
+    Shape: map-only Arrow regex extraction + within-batch partial
+    distinct (pattern, url) counts, ONE hash-bucket shuffle on pattern
+    (a pattern's urls co-locate, so the distinct-url count is exact),
+    vectorized per-bucket reduce.  The HAVING-style fanout filter runs
+    in the reduce, so only trap rows leave the bucket.
+    """
+    P = num_partitions or auto_partitions()
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        u = b[url_col].combine_chunks().cast(pa.string())
+        hm = pc.extract_regex(u, HOST_PAT)
+        site = pc.fill_null(pc.struct_field(hm, "host"), "")
+        pm = pc.extract_regex(u, r"^https?://[^/]+(?P<p>/.*)$")
+        path = pc.fill_null(pc.struct_field(pm, "p"), "")
+        pat = pc.binary_join_element_wise(
+            site, pc.replace_substring_regex(path, r"[0-9]+", "N"), "")
+        df = pd.DataFrame({
+            "site": site.to_pandas(),
+            "pattern": pat.to_pandas(),
+            "url": u.to_pandas(),
+        })
+        g = df.groupby(["site", "pattern", "url"], as_index=False,
+                       sort=False).size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    pruned = caps.map_batches(partial, batch_format="pyarrow",
+                              batch_size=8192)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["site", "pattern", "url"], as_index=False,
+                       sort=False).agg(n=("n", "sum"))
+        out = g.groupby(["site", "pattern"], sort=False).agg(
+            n_urls=("url", "size"), n_captures=("n", "sum")).reset_index()
+        out = out[out["n_urls"] >= min_fanout]
+        return out.astype({"n_urls": "int64", "n_captures": "int64"})
+
+    return (hash_bucket(pruned, "pattern", P)
+            .groupby("_part")
+            .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                        batch_format="pandas"))

@@ -385,3 +385,33 @@ def test_delta_family_random_agreement(ray_session):
     assert int(spans["n_captures"].sum()) == n
     assert (spans["lifespan_s"] ==
             spans["last_epoch"] - spans["first_epoch"]).all()
+
+
+def test_trap_patterns_calendar_fanout(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.urlmine import trap_patterns
+
+    pdf = pd.DataFrame({"url": (
+        # calendar trap: many distinct urls, one digit-collapsed pattern
+        [f"http://trap.example/cal/20{y:02d}/{m:02d}/" for y in range(3)
+         for m in (1, 7)]
+        # legit template: re-captured often but only 2 distinct urls
+        + ["http://ok.example/page/1"] * 4 + ["http://ok.example/page/2"]
+        # digits in HOST must not collapse (www2 is a distinct site)
+        + ["http://www2.ok.example/page/1"]
+        # no path
+        + ["http://bare.example"] * 2
+    )})
+    got = (trap_patterns(rd.from_pandas(pdf).repartition(3), min_fanout=3,
+                         num_partitions=2)
+           .to_pandas().set_index("pattern").sort_index())
+    assert list(got.index) == ["trap.example/cal/N/N/"]
+    row = got.iloc[0]
+    assert row["site"] == "trap.example"
+    assert row["n_urls"] == 6 and row["n_captures"] == 6
+    # fanout 2 < 3: the legit template stayed out even with 5 captures
+    low = trap_patterns(rd.from_pandas(pdf), min_fanout=2).to_pandas()
+    ok = low.set_index("pattern").loc["ok.example/page/N"]
+    assert ok["n_urls"] == 2 and ok["n_captures"] == 5
+    assert "www2.ok.example/page/N" not in low.set_index("pattern").index
