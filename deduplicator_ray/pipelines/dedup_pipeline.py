@@ -39,6 +39,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--include-etag", action="store_true",
                    help="carry the ETag column into the index (reference -e flag)")
     p.add_argument("--history", default=None, help="parquet index table (url, url_canonical, digest, date, ...)")
+    p.add_argument("--append-index", default=None, metavar="PATH",
+                   help="with --build-index: existing index parquet to merge "
+                        "the new rows into (CREATE_OR_APPEND, "
+                        "IndexBuilder.java:96-100)")
+    p.add_argument("--append-prefer", default="newest",
+                   choices=["newest", "incoming"],
+                   help="append conflict rule: order-independent "
+                        "keep-latest (newest) or Lucene updateDocument "
+                        "last-write-wins (incoming)")
     p.add_argument("--build-index", action="store_true",
                    help="build the index from the corpus instead of matching against --history")
     p.add_argument("--out", required=True, help="output/checkpoint root")
@@ -200,10 +209,22 @@ def run(args) -> dict:
 
     # -- index --------------------------------------------------------------
     if args.build_index:
-        ck_idx = StageCheckpoint(out, "index", config_hash=chash, input_fingerprint=fp_corpus)
-        index_ds, m_idx, _ = run_stage(
-            ck_idx, lambda: build_index_stage(norm_ds, cfg), force=args.force
-        )
+        append_path = getattr(args, "append_index", None)
+        fp_idx = fp_corpus if not append_path else (
+            fp_corpus + ":" + input_fingerprint(append_path)
+            + ":" + args.append_prefer)
+        ck_idx = StageCheckpoint(out, "index", config_hash=chash, input_fingerprint=fp_idx)
+
+        def build_idx():
+            built = build_index_stage(norm_ds, cfg)
+            if append_path:
+                from deduplicator_ray.stages.exact import merge_index
+
+                return merge_index(rd.read_parquet(append_path), built, cfg,
+                                   prefer=args.append_prefer)
+            return built
+
+        index_ds, m_idx, _ = run_stage(ck_idx, build_idx, force=args.force)
         results["index"] = m_idx
         if args.export_cdx:
             # archive-interchange form of the index: sorted CDX shards

@@ -262,6 +262,45 @@ GROUP BY url, {canonical_sql_expr('url')}, md5(text)
 """
 
 
+def q_index_append(sf_dir: str):
+    """CREATE_OR_APPEND (stages/exact.merge_index): build the index over
+    the even-doc half of the history crawl, append the odd-doc half, and
+    return the merged index.  With prefer='newest' the merge is
+    associative, so the oracle is the ONE-SHOT full-history index SQL —
+    the strongest possible pin on append semantics."""
+    from deduplicator_ray.stages.exact import merge_index
+
+    caps = captures_dataset(sf_dir)
+
+    def half(par: int):
+        def f(b: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.equal(b["crawl"], "history"),
+                           pc.equal(pc.bit_wise_and(b["doc_id"], 1), par))
+            return b.filter(keep)
+        return f
+
+    cfg = PipelineConfig()
+    first = build_index(
+        caps.map_batches(half(0), batch_format="pyarrow", zero_copy_batch=True),
+        cfg)
+    second = build_index(
+        caps.map_batches(half(1), batch_format="pyarrow", zero_copy_batch=True),
+        cfg)
+    merged = merge_index(first, second, cfg, prefer="newest")
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": b["url"],
+                "url_canonical": b["url_canonical"],
+                "digest": b["digest"],
+                "date_epoch": pc.divide(pc.cast(b["date"], pa.int64()), 1_000_000),
+            }
+        )
+
+    return merged.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_dup_report(sf_dir: str):
     """A1/A2: per-tier duplicate counts + char totals (DIGEST_ANY)."""
     from ray.data.aggregate import Count, Sum
@@ -521,6 +560,7 @@ def registry():
         ),
         "exact_match_fused": (_exact_match_fused, _sql_digest_any()),
         "index_build": (q_index_build, _sql_index_build()),
+        "index_append": (q_index_append, _sql_index_build()),
         "dup_report": (q_dup_report, _sql_dup_report()),
         "canonical_urls": (q_canonical_urls, _sql_canonical_urls()),
         "timeline_dedup": (q_timeline_dedup, _sql_timeline_dedup()),

@@ -790,6 +790,67 @@ def build_index(ds, cfg: PipelineConfig | None = None):
     return ds.map_batches(project, batch_format="pandas", batch_size=cfg.batch_size)
 
 
+def merge_index(existing, incoming, cfg: PipelineConfig | None = None, *,
+                prefer: str = "newest"):
+    """CREATE_OR_APPEND: merge a newly built index into an existing index
+    table, re-applying the one-row-per-key upsert
+    (IndexBuilder.java:96-100 open mode; :227-236 delete-then-add /
+    updateDocument upsert).
+
+    Both inputs are index TABLES (build_index output schema: url,
+    url_canonical, digest, date, etag, original_record_id).  Key is
+    (url, digest) when ``cfg.index_url`` else digest alone — the same
+    rule as build_index.
+
+    ``prefer``:
+    - ``"newest"`` (default): order-independent keep-latest by
+      (date desc, url, original_record_id, incoming-first on full tie).
+      Makes append associative: merge(build(A), build(B)) ==
+      build(A ∪ B) under the index projection — the property the
+      driver's ``index_append`` oracle pins.
+    - ``"incoming"``: Lucene ``updateDocument`` fidelity — an incoming
+      row always replaces an existing row with the same key regardless
+      of timestamps (last-write-wins), the reference's literal behavior
+      when the indexer re-runs over an older crawl log.
+
+    One payload-free shuffle on digest; the per-bucket reduce is a
+    single vectorized sort + drop_duplicates, like build_index's.
+    """
+    if prefer not in ("newest", "incoming"):
+        raise ValueError(f"prefer must be 'newest' or 'incoming', got {prefer!r}")
+    cfg = cfg or PipelineConfig()
+    key = ["url", "digest"] if cfg.index_url else ["digest"]
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "_side", pa.array(np.full(b.num_rows, side, dtype=np.int8)))
+        return f
+
+    both = existing.map_batches(tag(0), batch_format="pyarrow",
+                                zero_copy_batch=True).union(
+        incoming.map_batches(tag(1), batch_format="pyarrow",
+                             zero_copy_batch=True))
+    both = hash_bucket(both, "digest", cfg.shuffle_buckets)
+
+    spec = ([("date", False), ("url", True), ("original_record_id", True),
+             ("_side", False)] if prefer == "newest"
+            else [("_side", False), ("date", False), ("url", True),
+                  ("original_record_id", True)])
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        present = [(k, asc) for k, asc in spec if k in g.columns]
+        g = g.sort_values([k for k, _ in present],
+                          ascending=[asc for _, asc in present],
+                          na_position="last", kind="mergesort")
+        g = g.drop_duplicates([c for c in key if c in g.columns] or ["digest"],
+                              keep="first")
+        return g.drop(columns=["_side"])
+
+    return both.groupby("_part").map_groups(reduce, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # A1/A2 — report aggregates
 # ---------------------------------------------------------------------------

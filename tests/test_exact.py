@@ -675,3 +675,82 @@ def test_build_index_documents_corpus_no_url_no_ts(ray_session):
     idx = build_index(rd.from_pandas(pdf), PipelineConfig()).to_pandas()
     assert sorted(idx["digest"].tolist()) == ["d1", "d2", "d3"]
     assert idx["url"].isna().all() and idx["date"].isna().all()
+
+
+def _mk_index_pdf(rows):
+    """rows: (url, digest, date_iso, orid)."""
+    return pd.DataFrame({
+        "url": [r[0] for r in rows],
+        "url_canonical": [r[0] for r in rows],
+        "digest": [r[1] for r in rows],
+        "date": pd.to_datetime([r[2] for r in rows]),
+        "etag": [None] * len(rows),
+        "original_record_id": [r[3] for r in rows],
+    })
+
+
+def test_merge_index_split_equals_full(ray_session):
+    """prefer='newest' associativity: merge(build(A), build(B)) ==
+    build(A ∪ B) — the CREATE_OR_APPEND driver-oracle property."""
+    import numpy as np
+    import ray.data as rd
+
+    from deduplicator_ray.stages.exact import build_index, merge_index
+
+    rng = np.random.default_rng(5)
+    n = 60
+    pdf = pd.DataFrame({
+        "record_id": [f"r{i:03d}" for i in range(n)],
+        "url": [f"http://s.example/p/{i % 17}" for i in range(n)],
+        "url_canonical": [f"s.example/p/{i % 17}" for i in range(n)],
+        "digest": [f"d{i % 11}" for i in range(n)],
+        "warc_ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10, n), unit="D"),
+    })
+    cfg = PipelineConfig()
+    full = build_index(rd.from_pandas(pdf), cfg).to_pandas()
+    a = build_index(rd.from_pandas(pdf.iloc[::2]), cfg)
+    b = build_index(rd.from_pandas(pdf.iloc[1::2]), cfg)
+    merged = merge_index(a, b, cfg, prefer="newest").to_pandas()
+    cols = ["url", "url_canonical", "digest", "date"]
+    lhs = merged[cols].sort_values(cols, ignore_index=True)
+    rhs = full[cols].sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(lhs, rhs)
+
+
+def test_merge_index_prefer_modes(ray_session):
+    """incoming = Lucene updateDocument last-write-wins even when the
+    incoming capture is OLDER; newest = timestamp election."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.exact import merge_index
+
+    existing = _mk_index_pdf([("http://a", "d1", "2024-06-01", "r1"),
+                              ("http://b", "d2", "2024-06-01", "r2")])
+    incoming = _mk_index_pdf([("http://a", "d1", "2024-01-01", "r9")])
+    cfg = PipelineConfig()
+    newest = (merge_index(rd.from_pandas(existing), rd.from_pandas(incoming),
+                          cfg, prefer="newest")
+              .to_pandas().set_index("digest").sort_index())
+    assert newest.loc["d1", "original_record_id"] == "r1"  # newer existing won
+    last = (merge_index(rd.from_pandas(existing), rd.from_pandas(incoming),
+                        cfg, prefer="incoming")
+            .to_pandas().set_index("digest").sort_index())
+    assert last.loc["d1", "original_record_id"] == "r9"   # incoming replaced
+    assert last.loc["d2", "original_record_id"] == "r2"   # untouched key kept
+    assert len(newest) == 2 and len(last) == 2
+
+
+def test_merge_index_digest_only_key(ray_session):
+    """index_url=False: key is digest alone (updateDocument on the DIGEST
+    term) — distinct urls with one digest collapse to the newest."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.exact import merge_index
+
+    existing = _mk_index_pdf([("http://a", "d1", "2024-03-01", "r1")])
+    incoming = _mk_index_pdf([("http://z", "d1", "2024-05-01", "r2")])
+    cfg = PipelineConfig(index_url=False, include_canonical=False)
+    got = merge_index(rd.from_pandas(existing), rd.from_pandas(incoming),
+                      cfg, prefer="newest").to_pandas()
+    assert len(got) == 1 and got["url"].iloc[0] == "http://z"

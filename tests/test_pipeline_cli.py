@@ -296,3 +296,61 @@ def test_full_product_flow(ray_session, tmp_path):
     assert rev["original_url"].notna().all()
     # near-dup stages produced cluster assignments
     assert r2["clusters"]["total_rows"] > 0
+
+
+def test_append_index_cli(ray_session, tmp_path):
+    """CREATE_OR_APPEND via the CLI: build an index from crawl A, then
+    --build-index --append-index over crawl B; the merged index equals a
+    one-shot build over A+B (prefer=newest associativity)."""
+    import pyarrow.dataset as pads
+
+    def mk(dirname, lo, hi, day0=1):
+        d = tmp_path / dirname
+        os.makedirs(d)
+        from deduplicator_ray.sources.warc import write_warc as ww
+
+        ww(str(d / "crawl-00.warc.gz"), [
+            {
+                "type": "response",
+                "url": f"https://www.s.example/p/{i % 6}",
+                "date": f"2023-02-{day0 + (i % 9):02d}T00:00:00Z",
+                "digest": f"sha1:DIG{i % 4:04d}",
+                "record_id": f"<urn:uuid:{i}>",
+                "http_status": 200,
+                "mime": "text/html",
+                "payload": b"<html>x</html>",
+            }
+            for i in range(lo, hi)
+        ])
+        return str(d)
+
+    wa, wb = mk("wa", 0, 10), mk("wb", 10, 22, day0=10)
+    wfull = tmp_path / "wfull"
+    os.makedirs(wfull)
+    import shutil
+
+    shutil.copy(os.path.join(wa, "crawl-00.warc.gz"), wfull / "crawl-00.warc.gz")
+    shutil.copy(os.path.join(wb, "crawl-00.warc.gz"), wfull / "crawl-01.warc.gz")
+
+    def build(corpus, out, append=None):
+        argv = ["--corpus", corpus, "--corpus-format", "warc",
+                "--build-index", "--mime-filter", "^text/.*", "--whitelist",
+                "--out", out]
+        if append:
+            argv += ["--append-index", append]
+        run(build_parser().parse_args(argv))
+        return os.path.join(out, "index", "data")
+
+    idx_a = build(wa, str(tmp_path / "out_a"))
+    idx_merged = build(wb, str(tmp_path / "out_b"), append=idx_a)
+    idx_full = build(str(wfull), str(tmp_path / "out_full"))
+
+    cols = ["url", "digest", "date"]
+    got = (pads.dataset(idx_merged).to_table().to_pandas()[cols]
+           .sort_values(cols, ignore_index=True))
+    want = (pads.dataset(idx_full).to_table().to_pandas()[cols]
+            .sort_values(cols, ignore_index=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
