@@ -303,6 +303,67 @@ HAVING count(DISTINCT url) >= 3
 """
 
 
+def q_site_dup_stats(sf_dir: str):
+    """Per-site duplication scorecard (stages/urlmine.site_dup_stats):
+    capture / distinct-url / distinct-digest counts and the redundant
+    fetches exact dedup saves, per site."""
+    from deduplicator_ray.stages.urlmine import site_dup_stats
+
+    return site_dup_stats(captures_dataset(sf_dir))
+
+
+def _sql_site_dup_stats() -> str:
+    return f"""
+WITH {CAPTURES_CTE},
+e AS (
+  SELECT regexp_extract(url, '{HOST_PAT}', 1) AS site, url,
+         md5(text) AS digest
+  FROM captures
+)
+SELECT site, CAST(count(*) AS BIGINT) AS n_captures,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT digest) AS BIGINT) AS n_digests,
+       CAST(count(*) - count(DISTINCT digest) AS BIGINT) AS dup_captures
+FROM e GROUP BY site
+"""
+
+
+_MIRROR_MIN_SHARED = 2
+_MIRROR_MAX_SITES = 64
+
+
+def q_mirror_sites(sf_dir: str):
+    """Mirror-host detection (stages/urlmine.mirror_sites): site pairs
+    sharing >= 2 distinct content digests (the planted mirror.example
+    shows up against every mirrored origin site)."""
+    from deduplicator_ray.stages.urlmine import mirror_sites
+
+    return mirror_sites(captures_dataset(sf_dir),
+                        min_shared=_MIRROR_MIN_SHARED,
+                        max_sites_per_digest=_MIRROR_MAX_SITES)
+
+
+def _sql_mirror_sites() -> str:
+    return f"""
+WITH {CAPTURES_CTE},
+e AS (
+  SELECT DISTINCT regexp_extract(url, '{HOST_PAT}', 1) AS site,
+         md5(text) AS digest
+  FROM captures
+),
+d AS (
+  SELECT digest FROM e GROUP BY digest
+  HAVING count(*) <= {_MIRROR_MAX_SITES}
+),
+f AS (SELECT e.site, e.digest FROM e JOIN d USING (digest))
+SELECT a.site AS site_a, b.site AS site_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM f a JOIN f b ON a.digest = b.digest AND a.site < b.site
+GROUP BY site_a, site_b
+HAVING count(*) >= {_MIRROR_MIN_SHARED}
+"""
+
+
 def q_query_param_stats(sf_dir: str):
     from deduplicator_ray.stages.urlmine import query_param_stats
 
@@ -777,6 +838,8 @@ def registry_delta():
         "cdx_roundtrip": (q_cdx_roundtrip, _sql_cdx_roundtrip()),
         "query_param_stats": (q_query_param_stats, _sql_query_param_stats()),
         "trap_patterns": (q_trap_patterns, _sql_trap_patterns()),
+        "site_dup_stats": (q_site_dup_stats, _sql_site_dup_stats()),
+        "mirror_sites": (q_mirror_sites, _sql_mirror_sites()),
         "stopword_candidates": (q_stopword_candidates, _sql_stopword_candidates()),
         "doc_novelty": (q_doc_novelty, _sql_doc_novelty()),
         "window_active_users": (q_window_active_users, _sql_window_active_users()),

@@ -232,3 +232,140 @@ def trap_patterns(caps, *, url_col: str = "url", min_fanout: int = 3,
             .groupby("_part")
             .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
                         batch_format="pandas"))
+
+
+def site_dup_stats(caps, *, url_col: str = "url", digest_col: str = "digest",
+                   num_partitions: int | None = None):
+    """Per-site duplication scorecard -> Dataset (site, n_captures BIGINT,
+    n_urls BIGINT, n_digests BIGINT, dup_captures BIGINT).
+
+    ``dup_captures`` = captures beyond the first per distinct content
+    digest within the site — the redundant-fetch volume the exact-dedup
+    index (stages/exact.py) eliminates, per site.  The archive-ops
+    companion to the global dup_report (A1): which sites pay for dedup.
+
+    Shape: within-batch partial distinct (site, digest, url) with
+    counts, ONE site-key shuffle (a site's rows co-locate, so both
+    distinct counts are exact per bucket).
+    """
+    P = num_partitions or auto_partitions()
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        u = b[url_col].combine_chunks().cast(pa.string())
+        hm = pc.extract_regex(u, HOST_PAT)
+        df = pd.DataFrame({
+            "site": pc.fill_null(pc.struct_field(hm, "host"), "").to_pandas(),
+            "digest": b[digest_col].to_pandas(),
+            "url": u.to_pandas(),
+        })
+        g = df.groupby(["site", "digest", "url"], as_index=False,
+                       sort=False).size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    pruned = caps.map_batches(partial, batch_format="pyarrow",
+                              batch_size=8192)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["site", "digest", "url"], as_index=False,
+                       sort=False).agg(n=("n", "sum"))
+        out = g.groupby("site", sort=False).agg(
+            n_captures=("n", "sum"),
+            n_urls=("url", "nunique"),
+            n_digests=("digest", "nunique")).reset_index()
+        out["dup_captures"] = out["n_captures"] - out["n_digests"]
+        cols = ["n_captures", "n_urls", "n_digests", "dup_captures"]
+        return out.astype({c: "int64" for c in cols})
+
+    return (hash_bucket(pruned, "site", P)
+            .groupby("_part")
+            .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                        batch_format="pandas"))
+
+
+def mirror_sites(caps, *, url_col: str = "url", digest_col: str = "digest",
+                 min_shared: int = 2, max_sites_per_digest: int = 64,
+                 num_partitions: int | None = None):
+    """Mirror-host detection -> Dataset (site_a, site_b, n_shared BIGINT):
+    pairs of distinct sites sharing >= ``min_shared`` distinct content
+    digests (site_a < site_b).  A high shared-digest count between two
+    hosts is the mirror/CDN-alias signature — the site-level analog of
+    the DIGEST_ANY match tier (content equal, url different).
+
+    Hub-content guard: a digest served by more than
+    ``max_sites_per_digest`` sites (empty pages, error boilerplate) is
+    EXCLUDED before pair generation — it signals boilerplate, not
+    mirroring, and its site-pair fanout is quadratic.  The SQL oracle
+    applies the same cap, so the cut is part of the contract, not a
+    silent approximation.
+
+    Shape: within-batch distinct (digest, site), ONE digest-key shuffle
+    with vectorized within-bucket pair expansion (the lsh.py
+    offset-arithmetic idiom — no per-key Python), then a second tiny
+    shuffle summing per-pair partials across digest buckets.
+    """
+    P = num_partitions or auto_partitions()
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        u = b[url_col].combine_chunks().cast(pa.string())
+        hm = pc.extract_regex(u, HOST_PAT)
+        df = pd.DataFrame({
+            "digest": b[digest_col].to_pandas(),
+            "site": pc.fill_null(pc.struct_field(hm, "host"), "").to_pandas(),
+        })
+        return df.drop_duplicates(ignore_index=True)
+
+    pruned = caps.map_batches(partial, batch_format="pyarrow",
+                              batch_size=8192)
+
+    def gen_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["digest", "site"]).sort_values(
+            ["digest", "site"], kind="mergesort")
+        dig = g["digest"].to_numpy()
+        site = g["site"].to_numpy()
+        n = len(dig)
+        if n == 0:
+            return pd.DataFrame({"site_a": pd.Series(dtype="object"),
+                                 "site_b": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = dig[1:] != dig[:-1]
+        gid = np.cumsum(new) - 1
+        start = np.flatnonzero(new)
+        counts = np.diff(np.append(start, n))
+        n_g = counts[gid]
+        pos = np.arange(n) - start[gid]
+        keep = n_g <= max_sites_per_digest
+        reps = np.where(keep & (n_g > 1), n_g - 1 - pos, 0)
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame({"site_a": pd.Series(dtype="object"),
+                                 "site_b": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        a_idx = np.repeat(np.arange(n), reps)
+        cum = np.concatenate(([0], np.cumsum(reps)))
+        b_off = np.arange(total) - np.repeat(cum[:-1], reps) + 1
+        b_idx = a_idx + b_off
+        # sites ascend within a digest group, so site_a < site_b holds
+        out = pd.DataFrame({"site_a": site[a_idx], "site_b": site[b_idx]})
+        g2 = out.groupby(["site_a", "site_b"], as_index=False,
+                         sort=False).size().rename(columns={"size": "n"})
+        g2["n"] = g2["n"].astype("int64")
+        return g2
+
+    bucketed = hash_bucket(pruned, "digest", P)
+    pair_partials = bucketed.groupby("_part").map_groups(
+        lambda g: gen_pairs(g.drop(columns=["_part"])),
+        batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["site_a", "site_b"], as_index=False,
+                         sort=False).agg(n_shared=("n", "sum"))
+        out = out[out["n_shared"] >= min_shared]
+        return out.astype({"n_shared": "int64"})
+
+    return (hash_bucket(pair_partials, "site_a", max(1, P // 4))
+            .groupby("_part")
+            .map_groups(lambda g: final(g.drop(columns=["_part"])),
+                        batch_format="pandas"))

@@ -415,3 +415,50 @@ def test_trap_patterns_calendar_fanout(ray_session):
     ok = low.set_index("pattern").loc["ok.example/page/N"]
     assert ok["n_urls"] == 2 and ok["n_captures"] == 5
     assert "www2.ok.example/page/N" not in low.set_index("pattern").index
+
+
+def test_site_dup_stats_counts(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.urlmine import site_dup_stats
+
+    pdf = pd.DataFrame({
+        "url": ["http://a.example/1", "http://a.example/1",  # re-capture
+                "http://a.example/2",                         # same content as /1
+                "http://b.example/x"],
+        "digest": ["d1", "d1", "d1", "d2"],
+    })
+    got = (site_dup_stats(rd.from_pandas(pdf).repartition(2),
+                          num_partitions=2)
+           .to_pandas().set_index("site").sort_index())
+    a = got.loc["a.example"]
+    assert a.tolist() == [3, 2, 1, 2]  # captures, urls, digests, dup
+    b = got.loc["b.example"]
+    assert b.tolist() == [1, 1, 1, 0]
+
+
+def test_mirror_sites_shared_digests_and_cap(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.urlmine import mirror_sites
+
+    rows = []
+    # m1/m2 mirror each other: 3 shared digests
+    for i in range(3):
+        rows += [("http://m1.example/p%d" % i, f"d{i}"),
+                 ("http://m2.example/p%d" % i, f"d{i}")]
+    # m1/other share only 1 digest -> below min_shared=2
+    rows += [("http://other.example/q", "d0")]
+    # hub digest on >cap sites must not generate pairs
+    for s in range(6):
+        rows += [(f"http://h{s}.example/empty", "hub")]
+    pdf = pd.DataFrame(rows, columns=["url", "digest"])
+    got = (mirror_sites(rd.from_pandas(pdf).repartition(3), min_shared=2,
+                        max_sites_per_digest=4, num_partitions=2)
+           .to_pandas().set_index(["site_a", "site_b"]).sort_index())
+    assert list(got.index) == [("m1.example", "m2.example")]
+    assert got["n_shared"].iloc[0] == 3
+    # with the cap lifted the hub fans out into C(6,2)=15 pairs + m1/m2
+    lifted = mirror_sites(rd.from_pandas(pdf), min_shared=1,
+                          max_sites_per_digest=64).to_pandas()
+    assert len(lifted) == 15 + 1 + 2  # hub pairs, m1-m2, m1/m2-other (d0)
