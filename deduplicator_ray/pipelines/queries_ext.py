@@ -69,6 +69,51 @@ SELECT doc_id, md5(text) AS digest,
 FROM documents
 """
 
+def q_dedup_exact_norm(sf_dir: str):
+    """Exact dedup keyed on the CCNet-style NORMALIZED text
+    (functions/textnorm.py): accent-fold + case-fold + punct-strip +
+    whitespace-collapse before hashing, so presentation variants
+    collapse onto one key. Same hash-bucket shape as dedup_exact_text."""
+    import ray.data as rd
+
+    from deduplicator_ray.functions.textnorm import normalize_text_arrow
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def dig(b: pa.Table) -> pa.Table:
+        norm = normalize_text_arrow(b["text"].combine_chunks())
+        digests = [hashlib.md5(t.encode("utf-8")).hexdigest()
+                   for t in norm.to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "digest": pa.array(digests, pa.string())})
+
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    ds = hash_bucket(ds.map_batches(dig, batch_format="pyarrow", zero_copy_batch=True),
+                     "digest", 64)
+
+    def mark(g):
+        g = g.drop(columns=["_part"]).copy()
+        canonical = g.groupby("digest")["doc_id"].transform("min").astype("int64")
+        g["canonical_id"] = canonical
+        g["is_duplicate"] = g["doc_id"] != canonical
+        return g[["doc_id", "digest", "canonical_id", "is_duplicate"]]
+
+    return ds.groupby("_part").map_groups(mark, batch_format="pandas")
+
+
+def _sql_dedup_exact_norm() -> str:
+    from deduplicator_ray.functions.textnorm import textnorm_sql_expr
+
+    expr = textnorm_sql_expr("text")
+    return f"""
+SELECT doc_id, md5({expr}) AS digest,
+       min(doc_id) OVER (PARTITION BY md5({expr})) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5({expr})) AS is_duplicate
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # D2: n-gram Jaccard dedup (exact, lang-blocked; LSH is the scale path)
 # ---------------------------------------------------------------------------
@@ -2133,6 +2178,7 @@ def registry_ext():
 
     return {
         "dedup_exact_text": (q_dedup_exact_text, _SQL_DEDUP_EXACT_TEXT),
+        "dedup_exact_norm": (q_dedup_exact_norm, _sql_dedup_exact_norm()),
         "ngram_jaccard_pairs": (q_ngram_jaccard, _SQL_NGRAM_JACCARD),
         "embed_dup_pairs": (q_embed_dup_pairs, _SQL_EMB_DUP_PAIRS),
         "embed_topk": (q_embed_topk, _SQL_EMB_TOPK),

@@ -128,3 +128,77 @@ class TestTimestamps:
     def test_format_bytes(self):
         assert format_bytes(512) == "512 B"
         assert format_bytes(2048) == "2.0 KiB"
+
+
+class TestTextNorm:
+    """functions/textnorm.py: the Arrow kernel and the DuckDB SQL mirror
+    must agree byte-for-byte (the dedup_exact_norm oracle rides on it)."""
+
+    CASES = [
+        "Hello,  WORLD!!",
+        "café vs café",          # NFC é vs NFD e+combining
+        "“curly” — quotes… and (parens)",
+        "tabs\tand\nnewlines  collapse",
+        "under_score 123 stays-ish",
+        "", "   leading and trailing   ",
+        "naïve NAÏVE ümlaut ÜMLAUT ß ł",
+        "中文，测试。mixed ENGLISH！",
+        "русский, Текст! $5 + €3 = …",
+        "a nbsp stays",            # NBSP: not \s on either engine
+    ]
+
+    def _duck(self, cases, **kw):
+        import duckdb
+
+        from deduplicator_ray.functions.textnorm import textnorm_sql_expr
+
+        con = duckdb.connect()
+        expr = textnorm_sql_expr("s", **kw)
+        return [con.execute(f"select {expr} from (select ? as s)", [c]).fetchone()[0]
+                for c in cases]
+
+    def test_lockstep_battery(self):
+        import pyarrow as pa
+
+        from deduplicator_ray.functions.textnorm import normalize_text_arrow
+
+        got = normalize_text_arrow(pa.array(self.CASES, type=pa.string())).to_pylist()
+        want = self._duck(self.CASES)
+        assert got == want
+
+    def test_lockstep_each_rule_alone(self):
+        import pyarrow as pa
+
+        from deduplicator_ray.functions.textnorm import normalize_text_arrow
+
+        for rule in ["fold_accents", "lower", "strip_punct", "collapse_ws"]:
+            kw = {k: False for k in
+                  ["fold_accents", "lower", "strip_punct", "collapse_ws"]}
+            kw[rule] = True
+            got = normalize_text_arrow(pa.array(self.CASES, type=pa.string()),
+                                       **kw).to_pylist()
+            assert got == self._duck(self.CASES, **kw), rule
+
+    def test_lockstep_random_unicode(self):
+        import random
+
+        import pyarrow as pa
+
+        from deduplicator_ray.functions.textnorm import normalize_text_arrow
+
+        rng = random.Random(42)
+        pool = ("abcXYZ 0123_-.,!?“”…éüłßﬁ中文русский\t\ń $€"
+                "​ ")
+        cases = ["".join(rng.choice(pool) for _ in range(rng.randint(0, 40)))
+                 for _ in range(300)]
+        got = normalize_text_arrow(pa.array(cases, type=pa.string())).to_pylist()
+        assert got == self._duck(cases)
+
+    def test_null_and_equivalence_classes(self):
+        import pyarrow as pa
+
+        from deduplicator_ray.functions.textnorm import normalize_text_arrow
+
+        out = normalize_text_arrow(pa.array([None, "A  b!", "a b"])).to_pylist()
+        assert out[0] is None
+        assert out[1] == out[2] == "a b"   # the dedup-key collapse

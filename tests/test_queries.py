@@ -16,6 +16,7 @@ SQL_CHECKED = [
     "events_sessions",
     "orders_asof",
     "dedup_exact_text",
+    "dedup_exact_norm",
     "ngram_jaccard_pairs",
     "embed_dup_pairs",
     "embed_topk",
