@@ -1565,6 +1565,46 @@ def _sql_split_assign() -> str:
             f" AS split FROM documents")
 
 
+def q_split_leakage(sf_dir: str):
+    """Train/val/test leakage audit: assign splits
+    (stages/shuffle.split_assign, same fractions/seed as split_assign)
+    and count DISTINCT 8-word grams shared across every split pair
+    (stages/sentdedup.source_overlap_matrix with group_col='split') —
+    the contamination check a release gate runs before shipping a
+    split.  A nonzero train/test row is exactly the leakage that
+    decontaminate() exists to remove."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import source_overlap_matrix
+    from deduplicator_ray.stages.shuffle import split_assign
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    labeled = split_assign(ds, _SPLIT_FRACTIONS, seed=_SPLIT_SEED,
+                           keep_cols=("text",))
+    out = source_overlap_matrix(labeled, ngram=8, group_col="split")
+    return out.rename(columns={"source_a": "split_a", "source_b": "split_b"})
+
+
+def _sql_split_leakage() -> str:
+    from deduplicator_ray.stages.shuffle import split_sql_expr
+
+    expr = split_sql_expr(_SPLIT_FRACTIONS, _SPLIT_SEED)
+    return f"""
+WITH s AS (
+  SELECT {expr} AS split, string_split(text, ' ') AS w FROM documents
+),
+g AS (
+  SELECT split, array_to_string(w[p:p + 7], ' ') AS gram
+  FROM s, unnest(range(1, len(w) - 6)) AS t(p)
+),
+dg AS (SELECT DISTINCT split, gram FROM g)
+SELECT a.split AS split_a, b.split AS split_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM dg a JOIN dg b ON a.gram = b.gram AND a.split < b.split
+GROUP BY 1, 2
+"""
+
+
 _ILV_SEED = 123
 
 
@@ -2227,6 +2267,7 @@ def registry_ext():
         "interleave_sources": (q_interleave_sources,
                                _sql_interleave_sources()),
         "split_assign": (q_split_assign, _sql_split_assign()),
+        "split_leakage": (q_split_leakage, _sql_split_leakage()),
         "neardup_keep_best": (q_neardup_keep_best,
                               _SQL_NEARDUP_KEEP_BEST),
         "vocabulary_stats": (q_vocabulary_stats,

@@ -548,7 +548,8 @@ def interleave_by_group(ds, *, group_col: str = "source", seed: int = 0,
                                                batch_format="pandas")
 
 
-def split_assign(ds, fractions, *, seed: int = 0, id_col: str = "doc_id"):
+def split_assign(ds, fractions, *, seed: int = 0, id_col: str = "doc_id",
+                 keep_cols: tuple = ()):
     """(doc_id, split) — deterministic train/val/test assignment: the
     doc's Weyl key, as a fraction of 2^64, lands in one of the
     consecutive ``fractions`` intervals.  Map-only (ZERO shuffle),
@@ -572,10 +573,13 @@ def split_assign(ds, fractions, *, seed: int = 0, id_col: str = "doc_id"):
             raise ValueError("split_assign requires non-negative ids")
         k = shuffle_key(ids, seed)
         idx = split_index(k, cuts)
-        return pa.table({
+        cols = {
             id_col: pa.array(ids),
             "split": pa.array(names[idx], type=pa.string()),
-        })
+        }
+        for c in keep_cols:  # pass-through payload (e.g. text for leakage audit)
+            cols[c] = b[c]
+        return pa.table(cols)
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 

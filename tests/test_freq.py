@@ -1011,3 +1011,30 @@ class TestLogHistQuantiles:
         ds = rd.from_pandas(pd.DataFrame({"v": [0, 0, 0, 1]}))
         got = log_histogram_quantiles(ds, "v", qs=(50,)).set_index("q")
         assert got.loc[50, "lo"] == 0 and got.loc[50, "hi"] == 0
+
+
+def test_split_assign_keep_cols_and_leakage(ray_session):
+    """keep_cols passes payload through unchanged, and the split_leakage
+    composition catches a planted cross-split duplicate."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import source_overlap_matrix
+    from deduplicator_ray.stages.shuffle import split_assign
+
+    body = " ".join(f"w{j}" for j in range(8))
+    pdf = pd.DataFrame({
+        "doc_id": range(40),
+        # every doc shares one 8-gram -> leaks across whatever splits
+        # the Weyl keys land on
+        "text": [body + f" tail{i}" for i in range(40)],
+    })
+    fr = [("train", 0.5), ("test", 0.5)]
+    labeled = split_assign(rd.from_pandas(pdf).repartition(4), fr, seed=3,
+                           keep_cols=("text",))
+    ldf = labeled.to_pandas().sort_values("doc_id", ignore_index=True)
+    assert ldf["text"].tolist() == pdf["text"].tolist()  # payload intact
+    assert set(ldf["split"]) == {"train", "test"}
+    got = source_overlap_matrix(labeled, ngram=8, group_col="split")
+    got = got.set_index(["source_a", "source_b"])
+    assert got.loc[("test", "train"), "n_shared"] == 1  # the planted gram

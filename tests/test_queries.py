@@ -44,6 +44,7 @@ SQL_CHECKED = [
     "ngram_containment_pairs",
     "interleave_sources",
     "split_assign",
+    "split_leakage",
     "neardup_keep_best",
     "vocabulary_stats",
     "bm25_topk",
