@@ -2170,15 +2170,12 @@ def q_kmeans(sf_dir: str):
     return kmeans_assign(ds, k=_KM_K, iters=_KM_ITERS)
 
 
-def _sql_kmeans() -> str:
-    """Iterated-CTE mirror of kmeans_assign: the {_KM_ITERS} Lloyd
-    rounds written out as chained CTEs (assignment via correlated
-    nearest-centroid subquery ordered (distance, label), centroid
-    update via the parallel-unnest ordinality idiom, empty clusters
-    COALESCE to the previous round's centroid)."""
+def _kmeans_sql_chain() -> tuple[str, str]:
+    """The shared Lloyd-round CTE chain: returns (cte_body, final_cent)
+    — the text after WITH, and the name of the final centroid CTE —
+    so _sql_kmeans and _sql_semdedup mirror ONE centroid computation."""
     k, iters = _KM_K, _KM_ITERS
-    sql = f"""
-WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+    sql = f"""emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
              FROM embeddings),
 ex AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS dim
        FROM emb),
@@ -2199,12 +2196,57 @@ cent{i} AS (SELECT p.cl, COALESCE(n.vec, p.vec) AS vec
                  (SELECT cl, list(m ORDER BY dim) AS vec
                   FROM cagg{i} GROUP BY cl) n USING (cl))"""
         prev = f"cent{i}"
-    sql += f"""
+    return sql, prev
+
+
+def _sql_kmeans() -> str:
+    """Iterated-CTE mirror of kmeans_assign: the Lloyd rounds written
+    out as chained CTEs (assignment via correlated nearest-centroid
+    subquery ordered (distance, label), centroid update via the
+    parallel-unnest ordinality idiom, empty clusters COALESCE to the
+    previous round's centroid)."""
+    chain, prev = _kmeans_sql_chain()
+    return f"""
+WITH {chain}
 SELECT e.vec_id,
        (SELECT c.cl FROM {prev} c
         ORDER BY list_distance(e.v, c.vec), c.cl LIMIT 1)::BIGINT AS cluster
 FROM emb e"""
-    return sql
+
+
+_SEMDEDUP_THRESHOLD = 0.4
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (stages/embed.py:semdedup_keep): k-means-blocked
+    semantic dedup — duplicate iff a lower-id vector in the SAME
+    cluster has cosine >= {t}. Same k/iters/seeding as kmeans_clusters,
+    so the two oracles share one centroid contract."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import semdedup_keep
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return semdedup_keep(ds, k=_KM_K, iters=_KM_ITERS,
+                         threshold=_SEMDEDUP_THRESHOLD)
+
+
+def _sql_semdedup() -> str:
+    chain, prev = _kmeans_sql_chain()
+    return f"""
+WITH {chain},
+asgf AS (SELECT e.vec_id, e.v,
+                (SELECT c.cl FROM {prev} c
+                 ORDER BY list_distance(e.v, c.vec), c.cl LIMIT 1)::BIGINT
+                AS cluster
+         FROM emb e)
+SELECT a.vec_id, a.cluster,
+       EXISTS (SELECT 1 FROM asgf b
+               WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+                 AND list_cosine_similarity(a.v, b.v) >= {_SEMDEDUP_THRESHOLD})
+       AS is_duplicate
+FROM asgf a"""
 
 
 def registry_ext():
@@ -2275,5 +2317,6 @@ def registry_ext():
         "bm25_topk": (q_bm25_topk, _SQL_BM25_TOPK),
         "bigram_logloss": (q_bigram_logloss, _SQL_BIGRAM_LOGLOSS),
         "kmeans_clusters": (q_kmeans, _sql_kmeans()),
+        "semdedup_keep": (q_semdedup, _sql_semdedup()),
         "tfidf_cosine_pairs": (q_tfidf_cosine, _SQL_TFIDF_COSINE),
     }

@@ -630,11 +630,13 @@ def embedding_dedup_keep(ds, threshold: float = 0.95, *, id_col: str = "vec_id",
         reduce_flag, batch_format="pandas")
 
 
-def kmeans_assign(ds, *, k: int = 8, iters: int = 3,
-                  id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Distributed Lloyd's k-means over an embedding column -> final
-    cluster assignment per vector (Lloyd 1982; the mini parameter-server
-    loop every distributed ML system uses).
+def kmeans_centroids(ds, *, k: int = 8, iters: int = 3,
+                     id_col: str = "vec_id", vec_col: str = "embedding"):
+    """The centroid loop of ``kmeans_assign``, exposed so composed
+    operators (``semdedup_keep``) can assign AND carry payload in one
+    map pass instead of joining assignments back to vectors.  Returns
+    the (k, d) float64 centroid matrix after ``iters`` Lloyd rounds
+    under the same deterministic contract as ``kmeans_assign``.
 
     Deterministic contract (the DuckDB oracle recomputes it exactly):
     initial centroids are the vectors of the ``k`` smallest ids, cluster
@@ -697,13 +699,110 @@ def kmeans_assign(ds, *, k: int = 8, iters: int = 3,
         cent = np.where(live[:, None], agg[:, :d] /
                         np.maximum(cnts, 1.0)[:, None], cent)
 
+    return cent
+
+
+def _kmeans_argmin(X: np.ndarray, c: np.ndarray) -> np.ndarray:
+    # argmin ||x - c||^2 = argmin(-2 x.c + ||c||^2); ties -> first
+    return np.argmin(X @ (-2.0 * c.T) + (c * c).sum(axis=1), axis=1)
+
+
+def kmeans_assign(ds, *, k: int = 8, iters: int = 3,
+                  id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Distributed Lloyd's k-means assignments: run the
+    ``kmeans_centroids`` loop, broadcast the final matrix once, one
+    map-only pass emits (id, cluster).  See kmeans_centroids for the
+    deterministic contract the DuckDB oracle recomputes."""
+    import ray
+
+    cent = kmeans_centroids(ds, k=k, iters=iters, id_col=id_col,
+                            vec_col=vec_col)
+    d = cent.shape[1]
     cref = ray.put(cent)
 
     def final(b: pa.Table) -> pa.Table:
         c = ray.get(cref)
         X = _matrix(b[vec_col], dim=d)
         return pa.table({id_col: b[id_col],
-                         "cluster": pa.array(_assign(X, c).astype(np.int64))})
+                         "cluster": pa.array(_kmeans_argmin(X, c).astype(np.int64))})
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semdedup_keep(ds, *, k: int = 8, iters: int = 3, threshold: float = 0.9,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  num_buckets: int | None = None, sim_chunk: int = 4096):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-blocked
+    semantic dedup -> Dataset (vec_id, cluster BIGINT, is_duplicate
+    bool).  A vector is a duplicate iff a LOWER-id vector in the SAME
+    k-means cluster has cosine similarity >= ``threshold`` — the
+    paper's within-cluster pruning with a deterministic keep-lowest-id
+    rule (greedy, not transitive: contrast embedding_dedup_keep's
+    connected-components semantics).
+
+    Scale shape: the ``kmeans_centroids`` loop is shuffle-free; ONE
+    map pass assigns clusters while carrying the vector; ONE
+    cluster-key shuffle co-locates each cluster; the per-cluster kernel
+    is a normalized-matmul scan in ``sim_chunk``-column tiles, so peak
+    memory is n_cluster x sim_chunk, not n_cluster^2.  Partitioning
+    assumption (the paper's own regime): ``k`` is sized so the largest
+    cluster fits one worker — at 10^9 vectors that means k ~ n/100k,
+    not this default demo k.
+    """
+    import ray
+
+    from deduplicator_ray.stages.exact import hash_bucket
+    from deduplicator_ray.util import auto_partitions
+
+    cent = kmeans_centroids(ds, k=k, iters=iters, id_col=id_col,
+                            vec_col=vec_col)
+    d = cent.shape[1]
+    cref = ray.put(cent)
+    P = num_buckets or min(auto_partitions(), max(1, k))
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        X = _matrix(b[vec_col], dim=d)
+        return pa.table({
+            id_col: pc.cast(b[id_col], pa.int64()),
+            "cluster": pa.array(_kmeans_argmin(X, c).astype(np.int64)),
+            vec_col: b[vec_col],
+        })
+
+    labeled = ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True)
+    labeled = hash_bucket(labeled, "cluster", P)
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        outs = []
+        for cl, grp in g.groupby("cluster", sort=False):
+            grp = grp.sort_values(id_col, kind="mergesort")
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in grp[vec_col].to_numpy()])
+            n = len(X)
+            norms = np.linalg.norm(X, axis=1)
+            Xn = X / np.maximum(norms, 1e-30)[:, None]
+            dup = np.zeros(n, dtype=bool)
+            row_idx = np.arange(n)
+            for j0 in range(0, n, sim_chunk):
+                j1 = min(j0 + sim_chunk, n)
+                S = Xn @ Xn[j0:j1].T                     # (n, j1-j0)
+                lower = row_idx[:, None] < np.arange(j0, j1)[None, :]
+                dup[j0:j1] |= (lower & (S >= threshold)).any(axis=0)
+            outs.append(pd.DataFrame({
+                id_col: grp[id_col].to_numpy(np.int64),
+                "cluster": np.full(n, cl, dtype=np.int64),
+                "is_duplicate": dup,
+            }))
+        if not outs:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64"),
+                                 "is_duplicate": pd.Series(dtype="bool")})
+        return pd.concat(outs, ignore_index=True)
+
+    return (labeled.groupby("_part")
+            .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                        batch_format="pandas"))

@@ -51,6 +51,7 @@ SQL_CHECKED = [
     "tfidf_cosine_pairs",
     "bigram_logloss",
     "kmeans_clusters",
+    "semdedup_keep",
 ]
 
 SQL_CHECKED_REL = [

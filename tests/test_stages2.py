@@ -356,3 +356,45 @@ class TestEmbedDedupKeep:
                .to_pandas().sort_values("vec_id").reset_index(drop=True))
         want = self._want(pdf, m, thr)
         assert {int(r.vec_id): bool(r.keep) for r in got.itertuples()} == want
+
+
+def test_semdedup_keep_bruteforce(ray_session):
+    """semdedup_keep vs a brute-force mirror of its contract: duplicate
+    iff some lower-id SAME-CLUSTER vector has cosine >= t; also pins
+    that cross-cluster near-dups are NOT flagged (the blocking trade)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import (
+        _kmeans_argmin,
+        kmeans_centroids,
+        semdedup_keep,
+    )
+
+    rng = np.random.default_rng(17)
+    centers = np.eye(4, 8) * 10.0
+    vecs, ids = [], []
+    for i in range(60):
+        c = centers[i % 4] + rng.normal(0, 0.05, 8)
+        vecs.append(c.astype(np.float64))
+        ids.append(i)
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": [list(v) for v in vecs]})
+    K, IT, T = 4, 2, 0.999
+    got = (semdedup_keep(rd.from_pandas(pdf).repartition(4), k=K, iters=IT,
+                         threshold=T, sim_chunk=7)   # force tile boundaries
+           .to_pandas().sort_values("vec_id", ignore_index=True))
+
+    ds = rd.from_pandas(pdf)
+    cent = kmeans_centroids(ds, k=K, iters=IT)
+    X = np.stack(vecs)
+    cl = _kmeans_argmin(X, cent)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    want_dup = [
+        any(cl[j] == cl[i] and S[j, i] >= T for j in range(i))
+        for i in range(len(ids))
+    ]
+    assert got["cluster"].tolist() == cl.astype(int).tolist()
+    assert got["is_duplicate"].tolist() == want_dup
+    assert sum(want_dup) > 0  # the planted tight clusters actually fire
