@@ -364,6 +364,68 @@ HAVING count(*) >= {_MIRROR_MIN_SHARED}
 """
 
 
+_HOST_SPLIT_FRACTIONS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+_HOST_SPLIT_SEED = 47
+
+
+def q_host_split(sf_dir: str):
+    """Domain-level train/val/test assignment
+    (stages/shuffle.split_assign_grouped): every url of one host lands
+    in ONE split — the split hygiene that stops near-duplicate pages of
+    a site from straddling train and test.  Returns (site, split,
+    n_urls): the distinct-url aggregate first (one site shuffle), then
+    the pure-function split on the tiny per-site table."""
+    from deduplicator_ray.stages.exact import hash_bucket
+    from deduplicator_ray.stages.graph import HOST_PAT as _HP
+    from deduplicator_ray.stages.shuffle import split_assign_grouped
+
+    import pandas as pd
+    import pyarrow.compute as _pc
+
+    caps = captures_dataset(sf_dir)
+
+    def partial(b):
+        u = b["url"].combine_chunks().cast("string")
+        hm = _pc.extract_regex(u, _HP)
+        return pd.DataFrame({
+            "site": _pc.fill_null(_pc.struct_field(hm, "host"), "").to_pandas(),
+            "url": u.to_pandas(),
+        }).drop_duplicates(ignore_index=True)
+
+    pruned = caps.map_batches(partial, batch_format="pyarrow",
+                              batch_size=8192)
+
+    def per_bucket(df):
+        df = df.drop_duplicates(["site", "url"])
+        out = df.groupby("site", sort=False).agg(
+            n_urls=("url", "size")).reset_index()
+        return out.astype({"n_urls": "int64"})
+
+    agg = (hash_bucket(pruned, "site", 8)
+           .groupby("_part")
+           .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                       batch_format="pandas"))
+    return split_assign_grouped(agg, _HOST_SPLIT_FRACTIONS,
+                                seed=_HOST_SPLIT_SEED, group_col="site",
+                                keep_cols=("n_urls",))
+
+
+def _sql_host_split() -> str:
+    from deduplicator_ray.stages.shuffle import group_split_sql_expr
+
+    expr = group_split_sql_expr(_HOST_SPLIT_FRACTIONS, _HOST_SPLIT_SEED,
+                                "site")
+    return f"""
+WITH {CAPTURES_CTE},
+e AS (
+  SELECT DISTINCT regexp_extract(url, '{HOST_PAT}', 1) AS site, url
+  FROM captures
+),
+a AS (SELECT site, CAST(count(*) AS BIGINT) AS n_urls FROM e GROUP BY site)
+SELECT site, {expr} AS split, n_urls FROM a
+"""
+
+
 def q_query_param_stats(sf_dir: str):
     from deduplicator_ray.stages.urlmine import query_param_stats
 
@@ -840,6 +902,7 @@ def registry_delta():
         "trap_patterns": (q_trap_patterns, _sql_trap_patterns()),
         "site_dup_stats": (q_site_dup_stats, _sql_site_dup_stats()),
         "mirror_sites": (q_mirror_sites, _sql_mirror_sites()),
+        "host_split": (q_host_split, _sql_host_split()),
         "stopword_candidates": (q_stopword_candidates, _sql_stopword_candidates()),
         "doc_novelty": (q_doc_novelty, _sql_doc_novelty()),
         "window_active_users": (q_window_active_users, _sql_window_active_users()),

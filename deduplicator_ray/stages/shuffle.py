@@ -673,3 +673,55 @@ def pps_sql_predicate(weight_col: str, w_ref: int, seed: int,
             f"% 18446744073709551616 < "
             f"(CAST({weight_col} AS HUGEINT) * 18446744073709551616) "
             f"// {w_ref})")
+
+
+def group_split_key(values: np.ndarray) -> np.ndarray:
+    """Deterministic int64 key per STRING group value: the first 60 bits
+    of md5 (15 hex chars — positive int64 by construction, and exactly
+    what DuckDB's ('0x' || substr(md5(v), 1, 15))::BIGINT parses, so the
+    SQL mirror is bit-identical).  Hashes each DISTINCT value once per
+    batch; nulls key as ''."""
+    import hashlib
+
+    uniq, inv = np.unique(np.where(pd.isna(values), "", values).astype(str),
+                          return_inverse=True)
+    ks = np.array([int(hashlib.md5(u.encode("utf-8")).hexdigest()[:15], 16)
+                   for u in uniq], dtype=np.int64)
+    return ks[inv]
+
+
+def split_assign_grouped(ds, fractions, *, seed: int = 0,
+                         group_col: str = "site", keep_cols: tuple = ()):
+    """GROUP-level train/val/test assignment: every row of one
+    ``group_col`` value (host/domain/source) lands in the SAME split —
+    the web-corpus split hygiene that stops near-duplicate pages of one
+    site from straddling train and test (document-level split_assign
+    cannot give this).  Same interval machinery as split_assign, keyed
+    on the group's 60-bit md5 key instead of the doc id: map-only, ZERO
+    shuffle, reproducible anywhere, exactly SQL-mirrorable
+    (``group_split_sql_expr``)."""
+    if seed < 0:
+        raise ValueError("seed must be non-negative")
+    names, cuts = split_cuts(fractions)
+    names = np.array(names, dtype=object)
+
+    def assign(b: pa.Table) -> pa.Table:
+        vals = b[group_col].to_pandas().to_numpy(dtype=object)
+        k = shuffle_key(group_split_key(vals), seed)
+        idx = split_index(k, cuts)
+        cols = {
+            group_col: b[group_col],
+            "split": pa.array(names[idx], type=pa.string()),
+        }
+        for c in keep_cols:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def group_split_sql_expr(fractions, seed: int, col: str) -> str:
+    """The DuckDB CASE expression reproducing ``split_assign_grouped``
+    bit-for-bit (md5-prefix group key + the split_sql_expr intervals)."""
+    key = f"(('0x' || substr(md5(coalesce({col}, '')), 1, 15))::BIGINT)"
+    return split_sql_expr(fractions, seed, id_col=key)

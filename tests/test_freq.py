@@ -1038,3 +1038,41 @@ def test_split_assign_keep_cols_and_leakage(ray_session):
     got = source_overlap_matrix(labeled, ngram=8, group_col="split")
     got = got.set_index(["source_a", "source_b"])
     assert got.loc[("test", "train"), "n_shared"] == 1  # the planted gram
+
+
+def test_split_assign_grouped_coherence(ray_session):
+    """Every row of one group gets the SAME split; fractions shape the
+    group-level distribution; nulls key as ''."""
+    import collections
+
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import (
+        group_split_key,
+        split_assign_grouped,
+    )
+
+    sites = [f"s{i}.example" for i in range(200)]
+    pdf = pd.DataFrame({
+        "site": [s for s in sites for _ in range(3)] + [None, None],
+        "payload": range(len(sites) * 3 + 2),
+    })
+    fr = [("train", 0.8), ("test", 0.2)]
+    got = (split_assign_grouped(rd.from_pandas(pdf).repartition(5), fr,
+                                seed=9, group_col="site",
+                                keep_cols=("payload",))
+           .to_pandas())
+    assert got["payload"].sort_values().tolist() == list(range(len(pdf)))
+    per_site = got.groupby(got["site"].fillna(""))["split"].nunique()
+    assert (per_site == 1).all()            # group coherence
+    dist = collections.Counter(
+        got.groupby(got["site"].fillna(""))["split"].first())
+    assert 120 < dist["train"] < 190 and dist["test"] > 10  # ~80/20
+    # null rows got a split via the '' key
+    assert got.loc[got["site"].isna(), "split"].nunique() == 1
+    # key function is stable and distinct-hashing
+    import numpy as np
+
+    k = group_split_key(np.array(["a", "b", "a", None], dtype=object))
+    assert k[0] == k[2] and k[0] != k[1] and (k >= 0).all()
