@@ -1167,6 +1167,44 @@ WHERE d.doc_id % 20 <> 0
 """
 
 
+def q_decontaminate_norm(sf_dir: str):
+    """Normalized-key decontamination: the same benchmark scan but over
+    the CCNet-normalized text (functions/textnorm.py) on BOTH sides, so
+    case/punctuation variants of a benchmark passage still match —
+    PaLM-style normalization before n-gram contamination checks."""
+    import ray.data as rd
+
+    from deduplicator_ray.functions.textnorm import normalize_text_arrow
+    from deduplicator_ray.stages.sentdedup import decontaminate
+
+    def side(keep_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b["doc_id"].to_numpy() % 20 == 0
+            t = b.filter(pa.array(m if keep_bench else ~m))
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "text": normalize_text_arrow(pc.fill_null(t["text"], "")),
+            })
+        return f
+
+    read = lambda: rd.read_parquet(  # noqa: E731 - two independent scans
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bench = read().map_batches(side(True), batch_format="pyarrow",
+                               zero_copy_batch=True)
+    train = read().map_batches(side(False), batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return decontaminate(train, bench, ngram=8)
+
+
+def _sql_decontaminate_norm() -> str:
+    from deduplicator_ray.functions.textnorm import textnorm_sql_expr
+
+    expr = textnorm_sql_expr("text")
+    return _SQL_DECONTAMINATE.replace(
+        "string_split(text, ' ')", f"string_split({expr}, ' ')")
+
+
 def q_incremental_neardup(sf_dir: str):
     """Snapshot-over-snapshot dedup (pipelines/neardup.py:
     incremental_neardup): docs with doc_id % 5 == 0 play the existing
@@ -2285,6 +2323,7 @@ def registry_ext():
         "boilerplate_report": (q_boilerplate_report, _SQL_BOILERPLATE_REPORT),
         "repetition_stats": (q_repetition_stats, _SQL_REPETITION_STATS),
         "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
+        "decontaminate_norm": (q_decontaminate_norm, _sql_decontaminate_norm()),
         "incremental_neardup": (q_incremental_neardup,
                                 GOLDEN_SQL.get("incremental_neardup")),
         "span_dedup": (q_span_dedup, _SQL_SPAN_DEDUP),

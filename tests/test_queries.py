@@ -45,6 +45,7 @@ SQL_CHECKED = [
     "interleave_sources",
     "split_assign",
     "split_leakage",
+    "decontaminate_norm",
     "neardup_keep_best",
     "vocabulary_stats",
     "bm25_topk",

@@ -338,3 +338,40 @@ def test_boilerplate_report_bruteforce(ray_session):
     # nav appears 5x across 4 docs: occurrence vs doc count differ
     assert got.set_index("chunk").loc[nav, "n_occ"] == 5
     assert got.set_index("chunk").loc[nav, "n_docs"] == 4
+
+
+def test_decontaminate_norm_catches_case_variants(ray_session):
+    """Normalized decontamination flags a doc whose contamination is
+    hidden behind case/punctuation; raw decontamination misses it."""
+    import ray.data as rd
+
+    from deduplicator_ray.functions.textnorm import normalize_text_arrow
+    from deduplicator_ray.stages.sentdedup import decontaminate
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    bench = pd.DataFrame({"doc_id": [0], "text": [passage]})
+    train = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [passage.upper() + "!!",        # variant-contaminated
+                 "unrelated words " * 5],
+    })
+
+    def normed(pdf):
+        ds = rd.from_pandas(pdf)
+        return ds.map_batches(
+            lambda b: pa.table({
+                "doc_id": b["doc_id"],
+                "text": normalize_text_arrow(pc.fill_null(b["text"], "")),
+            }), batch_format="pyarrow", zero_copy_batch=True)
+
+    raw = (decontaminate(rd.from_pandas(train), rd.from_pandas(bench),
+                         ngram=8)
+           .to_pandas().set_index("doc_id"))
+    assert not raw["contaminated"].any()   # case hides it from raw scan
+
+    nrm = (decontaminate(normed(train), normed(bench), ngram=8)
+           .to_pandas().set_index("doc_id"))
+    assert bool(nrm.loc[1, "contaminated"]) and nrm.loc[1, "n_hits"] >= 1
+    assert not nrm.loc[2, "contaminated"]
