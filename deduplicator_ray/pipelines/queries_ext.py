@@ -612,6 +612,47 @@ def q_media_ppm_features(sf_dir: str):
     return out.map_batches(flat, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_media_phash_dups(sf_dir: str):
+    """Perceptual near-duplicate images: the real PPM decode path feeds
+    average-hash signatures into the 4-band pigeonhole hamming machinery
+    (stages/simhash.hamming_pairs — complete for radius <= 3).  The
+    synthetic deck plants one exact copy and one single-pixel variant of
+    two base images; un-decodable payloads (phash 0) are excluded before
+    pairing (a shared failure sentinel is not visual similarity).
+    Deterministic end to end -> golden pin."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.multimodal import decode_images, synth_ppm_media
+    from deduplicator_ray.stages.simhash import hamming_pairs
+
+    base = synth_ppm_media(48)
+    pay = base["payload"].to_pylist()
+    dup0 = pay[0]
+    var0 = bytearray(pay[0])
+    var0[-1] ^= 0x40  # one channel of one pixel: <= 1 ahash bit
+    dup5 = pay[5]
+    extra = pa.table({
+        "media_id": pa.array([1000, 1001, 1002], type=pa.int64()),
+        "kind": pa.array(["image"] * 3),
+        "payload": pa.array([dup0, bytes(var0), dup5], type=pa.binary()),
+        "mime": pa.array(["image/x-portable-pixmap"] * 3),
+        "width": pa.nulls(3, pa.int32()),
+        "height": pa.nulls(3, pa.int32()),
+        "duration_ms": pa.nulls(3, pa.int32()),
+    })
+    media = rd.from_arrow(pa.concat_tables([base.select(extra.column_names),
+                                            extra]))
+    feats = decode_images(media, decoder="ppm")
+
+    def valid(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b["phash"], 0))
+
+    feats = feats.map_batches(valid, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return hamming_pairs(feats, id_col="media_id", hash_col="phash",
+                         max_hamming=3)
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing end-to-end: deterministic synthetic media
     table -> kind-routed actor-pool stages (image decode, audio features,
@@ -2318,6 +2359,8 @@ def registry_ext():
         "media_features": (q_media_features, GOLDEN_SQL["media_features"]),
         "media_ppm_features": (q_media_ppm_features,
                                GOLDEN_SQL.get("media_ppm_features")),
+        "media_phash_dups": (q_media_phash_dups,
+                             GOLDEN_SQL.get("media_phash_dups")),
         "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
         "boilerplate_dedup": (q_boilerplate_dedup, _SQL_BOILERPLATE_DEDUP),
         "boilerplate_report": (q_boilerplate_report, _SQL_BOILERPLATE_REPORT),

@@ -150,3 +150,35 @@ def simhash_pairs(ds, *, key_col: str = "doc_key", max_hamming: int = 3,
         return pa.table({"a": t["a"], "b": t["b"], "hamming": pa.array(d[keep])})
 
     return withsigs.map_batches(verify, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
+
+
+def hash64_signatures(ds, *, id_col: str, hash_col: str):
+    """Any int64 64-bit hash column -> (id, minhash_sig) in the banded
+    4 x 16-bit signature layout ``simhash_pairs`` consumes — lets
+    perceptual image hashes (stages/multimodal.py phash) and other
+    64-bit fingerprints ride the same pigeonhole-complete hamming-pair
+    machinery as text SimHash."""
+    def pack(b: pa.Table) -> pa.Table:
+        h = np.asarray(b[hash_col], dtype=np.int64).astype(np.uint64)
+        chunks = np.empty((len(h), 4), dtype=np.uint32)
+        for c in range(4):
+            chunks[:, c] = ((h >> np.uint64(16 * c))
+                            & np.uint64(0xFFFF)).astype(np.uint32)
+        blob = chunks.astype("<u4").tobytes()
+        sig = pa.array([blob[i * 16:(i + 1) * 16] for i in range(len(h))],
+                       type=pa.binary())
+        return pa.table({id_col: pa.compute.cast(b[id_col], pa.int64()),
+                         "minhash_sig": sig})
+
+    return ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hamming_pairs(ds, *, id_col: str, hash_col: str, max_hamming: int = 3,
+                  num_partitions: int = 8):
+    """Distinct pairs (a, b, hamming) of rows whose 64-bit ``hash_col``
+    values differ in <= ``max_hamming`` bits — complete for radius <= 3
+    by the 4-band pigeonhole (see simhash_pairs)."""
+    return simhash_pairs(hash64_signatures(ds, id_col=id_col,
+                                           hash_col=hash_col),
+                         key_col=id_col, max_hamming=max_hamming,
+                         num_partitions=num_partitions)

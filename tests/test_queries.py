@@ -248,6 +248,7 @@ class TestRowsOnly:
         "self_similarity": ("36a0a817506d51c3", ["doc_id", "lrs_len"]),
         "fingerprint_sketch": ("5a1f3d3ae733b732", ["doc_id", "fp_min", "fp_count"]),
         "simhash_dups": ("40c487692c50745c", ["a", "b", "hamming"]),
+        "media_phash_dups": ("9cf8dd0200ea447f", ["a", "b", "hamming"]),
     }
 
     @pytest.mark.parametrize("name", sorted(GOLDEN))

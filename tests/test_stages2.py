@@ -398,3 +398,33 @@ def test_semdedup_keep_bruteforce(ray_session):
     assert got["cluster"].tolist() == cl.astype(int).tolist()
     assert got["is_duplicate"].tolist() == want_dup
     assert sum(want_dup) > 0  # the planted tight clusters actually fire
+
+
+def test_hamming_pairs_over_int64_hashes(ray_session):
+    """hash64_signatures + hamming_pairs: pigeonhole-complete pairs over
+    an arbitrary int64 hash column (the phash dedup path)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.simhash import hamming_pairs
+
+    base = np.int64(0x123456789ABCDEF0 - 2**63)  # negative: bit-cast path
+    hashes = {
+        0: base,
+        1: base,                                  # hamming 0
+        2: base ^ np.int64(0b101),                # hamming 2
+        3: base ^ np.int64((1 << 17) | (1 << 48) | 1),  # hamming 3, 3 chunks
+        4: ~base,                                 # hamming 64
+        5: np.int64(42),
+    }
+    pdf = pd.DataFrame({"media_id": list(hashes),
+                        "phash": np.array(list(hashes.values()),
+                                          dtype=np.int64)})
+    got = (hamming_pairs(rd.from_pandas(pdf).repartition(3),
+                         id_col="media_id", hash_col="phash", max_hamming=3)
+           .to_pandas().sort_values(["a", "b"], ignore_index=True))
+    want = {(0, 1): 0, (0, 2): 2, (1, 2): 2, (0, 3): 3, (1, 3): 3,
+            (2, 3): 3}  # xor bits {2,17,48}; chunk 2 shared -> banded
+    assert {(r.a, r.b): r.hamming for r in got.itertuples(index=False)} == want
+    # (4,*) and (5,*) never pair (far in every chunk)
