@@ -1391,6 +1391,60 @@ GROUP BY e.doc_id
 """
 
 
+def q_dsir_logratio(sf_dir: str):
+    """DSIR importance weights (stages/textstats.py:dsir_logratio):
+    docs with doc_id % 20 == 0 play the target domain (the decontaminate
+    convention); every other doc scores its mean per-token
+    target-vs-raw unigram log-ratio."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import dsir_logratio
+
+    def side(keep_target: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b["doc_id"].to_numpy() % 20 == 0
+            return b.filter(pa.array(m if keep_target else ~m))
+        return f
+
+    read = lambda: rd.read_parquet(  # noqa: E731 - two independent scans
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    target = read().map_batches(side(True), batch_format="pyarrow",
+                                zero_copy_batch=True)
+    raw = read().map_batches(side(False), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return dsir_logratio(raw, target, min_ppm=_HH_MIN_PPM, num_buckets=16)
+
+
+_SQL_DSIR_LOGRATIO = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS w
+  FROM documents
+), raw AS (SELECT * FROM ex WHERE doc_id % 20 <> 0),
+tgt AS (SELECT * FROM ex WHERE doc_id % 20 = 0),
+totr AS (SELECT count(*) AS n FROM raw),
+cntr AS (SELECT w, count(*) AS c FROM raw GROUP BY w),
+voc AS (
+  SELECT w, c FROM cntr, totr WHERE c * 1000000 >= n * {_HH_MIN_PPM}
+),
+cntt AS (
+  SELECT voc.w, count(t.w) AS c FROM voc LEFT JOIN tgt t ON voc.w = t.w
+  GROUP BY voc.w
+),
+s AS (SELECT (SELECT n FROM totr) AS nr,
+             (SELECT count(*) FROM tgt) AS nt,
+             (SELECT count(*) FROM voc) AS v)
+SELECT r.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(floor(avg(ln((COALESCE(tt.c, 0) + 1.0) / (s.nt + s.v + 1))
+                      - ln((COALESCE(voc.c, 0) + 1.0) / (s.nr + s.v + 1)))
+                  * 1000000 + 0.5) AS BIGINT) AS logratio_micro
+FROM raw r LEFT JOIN voc ON r.w = voc.w
+           LEFT JOIN cntt tt ON r.w = tt.w, s
+GROUP BY r.doc_id
+"""
+
+
 def q_bigram_logloss(sf_dir: str):
     """Bigram LM quality score (stages/textstats.py:bigram_logloss):
     per-doc mean -ln P(w_i | w_i-1) under an add-one-smoothed bigram
@@ -2398,6 +2452,7 @@ def registry_ext():
                              _SQL_VOCABULARY_STATS),
         "bm25_topk": (q_bm25_topk, _SQL_BM25_TOPK),
         "bigram_logloss": (q_bigram_logloss, _SQL_BIGRAM_LOGLOSS),
+        "dsir_logratio": (q_dsir_logratio, _SQL_DSIR_LOGRATIO),
         "kmeans_clusters": (q_kmeans, _sql_kmeans()),
         "semdedup_keep": (q_semdedup, _sql_semdedup()),
         "tfidf_cosine_pairs": (q_tfidf_cosine, _SQL_TFIDF_COSINE),

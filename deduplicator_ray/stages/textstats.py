@@ -574,3 +574,108 @@ def compression_stats(ds, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dsir_logratio(raw_ds, target_ds, *, min_ppm: int = 1000,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  sketch_size: int = 4096, num_buckets: int = 16):
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169
+    "Data Selection for Language Models via Importance Resampling"):
+    per RAW doc, the mean per-token log-ratio of target-domain vs
+    raw-corpus unigram likelihood — positive means the doc reads more
+    target-like than the raw average, the score DSIR resamples on.
+
+    DSIR proper hashes n-grams into buckets; here the feature is the
+    exact word over a shared heavy-hitter vocabulary (a perfect hash at
+    this vocabulary size — the estimator is the same and the DuckDB
+    oracle stays an exact recomputation).  Vocabulary: heavy hitters
+    of the RAW corpus (the big side, where ppm bounding is meaningful);
+    both models add-one-smooth over it: p_side(w) = (c_side(w) + 1) /
+    (N_side + V + 1), OOV words share each side's unseen mass, so an
+    OOV token contributes the constant ln((N_raw+V+1)/(N_tgt+V+1)).
+
+    Scale shape: vocab via the sketch-bounded two-pass heavy_hitters
+    (no full-vocab shuffle), ONE bounded map pass over the target
+    corpus (per-batch vocab-hit bincount partials, V+1 ints to the
+    driver), both log-prob tables ``ray.put`` once, then a single
+    map-only scoring pass over the raw corpus.  No shuffle anywhere.
+
+    Returns (id_col, n_tokens BIGINT, logratio DOUBLE) per raw doc.
+    """
+    import pandas as pd
+    import ray
+
+    from deduplicator_ray.stages.freq import heavy_hitters
+
+    vocab_ds, n_raw = heavy_hitters(
+        raw_ds, min_ppm=min_ppm, sketch_size=sketch_size,
+        num_buckets=num_buckets, text_col=text_col, return_total=True,
+    )
+    vdf = vocab_ds.to_pandas()
+    if vdf.empty:  # empty vocab loses its schema through to_pandas()
+        vdf = pd.DataFrame({"word": pd.Series([], dtype=object),
+                            "n": pd.Series([], dtype="int64")})
+    V = len(vdf)
+    vocab_idx = pd.Index(vdf["word"].to_numpy(object))
+    vref = ray.put(vocab_idx)
+
+    def _tokens(b: pa.Table):
+        text = pc.coalesce(b[text_col], pa.scalar("", b[text_col].type))
+        lists = pc.split_pattern(text, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offsets = lists.offsets.to_numpy()
+        offsets = offsets - offsets[0]
+        return lists.flatten().to_pandas().to_numpy(object), offsets
+
+    def tcount(b: pa.Table) -> pa.Table:
+        vocab = ray.get(vref)
+        toks, _ = _tokens(b)
+        if len(toks) and len(vocab):
+            hit = vocab.get_indexer(toks)
+            c = np.bincount(hit[hit >= 0], minlength=len(vocab)).astype(np.int64)
+        else:
+            c = np.zeros(len(vocab), dtype=np.int64)
+        # i == V carries this batch's total token count (N_target partial)
+        return pa.table({"i": pa.array(np.arange(len(vocab) + 1, dtype=np.int64)),
+                         "c": pa.array(np.append(c, len(toks)))})
+
+    tc = (target_ds.map_batches(tcount, batch_format="pyarrow",
+                                zero_copy_batch=True)
+          .to_pandas().groupby("i")["c"].sum())
+    c_t = np.zeros(V, dtype=np.int64)
+    got = tc.reindex(range(V)).fillna(0).to_numpy(np.int64)
+    c_t[:len(got)] = got
+    n_tgt = int(tc.get(V, 0))
+
+    denom_r = float(n_raw + V + 1)
+    denom_t = float(n_tgt + V + 1)
+    lp_diff = (np.log((c_t + 1.0) / denom_t)
+               - np.log((vdf["n"].to_numpy(np.int64) + 1.0) / denom_r))
+    oov_diff = float(np.log(1.0 / denom_t) - np.log(1.0 / denom_r))
+    ref = ray.put((vocab_idx, lp_diff))
+
+    def score(b: pa.Table) -> pa.Table:
+        vocab, diffs = ray.get(ref)
+        toks, offsets = _tokens(b)
+        lens = np.diff(offsets).astype(np.int64)
+        if len(toks) and len(vocab):
+            hit = vocab.get_indexer(toks)
+            d = np.where(hit >= 0, diffs[np.maximum(hit, 0)], oov_diff)
+        else:
+            d = np.full(len(toks), oov_diff)
+        sums = (np.add.reduceat(d, offsets[:-1])
+                if len(toks) else np.zeros(0))
+        # integer micros, half-up via floor(x*1e6 + 0.5): the two engines'
+        # avg() summation orders differ in the last ulp, so the raw
+        # double cannot be value-hash-compared — micros can
+        ratio = sums / lens
+        micro = np.floor(ratio * 1e6 + 0.5).astype(np.int64)
+        return pa.table({
+            id_col: b[id_col],
+            "n_tokens": pa.array(lens),
+            "logratio_micro": pa.array(micro),
+        })
+
+    return raw_ds.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True)

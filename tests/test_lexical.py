@@ -278,3 +278,40 @@ class TestKMeans:
         out = (kmeans_assign(self._ds(X), k=2, iters=4).to_pandas()
                .sort_values("vec_id", ignore_index=True))
         assert list(out["cluster"]) == [0, 1, 0, 0]
+
+
+def test_dsir_logratio_prefers_target_like_docs(ray_session):
+    """DSIR importance weights: a raw doc written in the target domain's
+    vocabulary outscores one written in raw-only vocabulary; OOV-only
+    docs score the constant unseen-mass ratio."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import dsir_logratio
+
+    tgt_words = "med health dose trial patient"
+    raw_words = "sport goal match team score"
+    target = pd.DataFrame({
+        "doc_id": range(5), "text": [tgt_words] * 5})
+    raw = pd.DataFrame({
+        "doc_id": [10, 11, 12],
+        "text": [tgt_words,                  # target-like
+                 raw_words,                  # raw-typical
+                 "zz1 zz2 zz3 zz4 zz5"],     # OOV everywhere
+    })
+    # raw corpus must contain enough raw_words mass for the vocab
+    filler = pd.DataFrame({
+        "doc_id": range(100, 120), "text": [raw_words] * 20})
+    raw_all = pd.concat([raw, filler], ignore_index=True)
+    got = (dsir_logratio(rd.from_pandas(raw_all), rd.from_pandas(target),
+                         min_ppm=1000, num_buckets=4)
+           .to_pandas().set_index("doc_id"))
+    s = got["logratio_micro"]
+    assert s.loc[10] > s.loc[12] > s.loc[11]  # target-like > rare > raw-like
+    assert s.loc[10] > 0 and s.loc[11] < 0
+    # doc 12's exact score from the model parameters: at this scale every
+    # word passes 1000 ppm, so V = 15 (tgt + raw + zz families), n_raw =
+    # 115, n_tgt = 25, and each zz word has c_raw = 1, c_tgt = 0
+    expected = np.log((0 + 1) / (25 + 15 + 1)) - np.log((1 + 1) / (115 + 15 + 1))
+    assert s.loc[12] == int(np.floor(expected * 1e6 + 0.5))

@@ -46,6 +46,7 @@ SQL_CHECKED = [
     "split_assign",
     "split_leakage",
     "decontaminate_norm",
+    "dsir_logratio",
     "neardup_keep_best",
     "vocabulary_stats",
     "bm25_topk",
