@@ -1391,6 +1391,34 @@ GROUP BY e.doc_id
 """
 
 
+_BPE_TOP_K = 30
+
+
+def q_bpe_merges(sf_dir: str):
+    """First-round BPE merge candidates (stages/lexical.py:
+    bpe_merge_candidates): corpus-wide adjacent character-pair counts
+    within words, top {k} by (n DESC, a, b)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.lexical import bpe_merge_candidates
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bpe_merge_candidates(ds, top_k=_BPE_TOP_K)
+
+
+_SQL_BPE_MERGES = f"""
+WITH w AS (
+  SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS word
+  FROM documents
+), p AS (
+  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b
+  FROM w, unnest(range(1, length(word))) AS t(i)
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY a, b ORDER BY n DESC, a, b LIMIT {_BPE_TOP_K}
+"""
+
+
 def q_dsir_logratio(sf_dir: str):
     """DSIR importance weights (stages/textstats.py:dsir_logratio):
     docs with doc_id % 20 == 0 play the target domain (the decontaminate
@@ -2453,6 +2481,7 @@ def registry_ext():
         "bm25_topk": (q_bm25_topk, _SQL_BM25_TOPK),
         "bigram_logloss": (q_bigram_logloss, _SQL_BIGRAM_LOGLOSS),
         "dsir_logratio": (q_dsir_logratio, _SQL_DSIR_LOGRATIO),
+        "bpe_merge_candidates": (q_bpe_merges, _SQL_BPE_MERGES),
         "kmeans_clusters": (q_kmeans, _sql_kmeans()),
         "semdedup_keep": (q_semdedup, _sql_semdedup()),
         "tfidf_cosine_pairs": (q_tfidf_cosine, _SQL_TFIDF_COSINE),

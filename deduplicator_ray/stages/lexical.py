@@ -355,3 +355,52 @@ def tfidf_cosine_pairs(ds, *, threshold: float = 0.5, ngram: int = 3,
         partials.map_batches(pair_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_part").map_groups(cosine_reduce, batch_format="pandas")
     )
+
+
+def bpe_merge_candidates(ds, *, top_k: int = 30, text_col: str = "text"):
+    """The first BPE merge computation (Sennrich et al. 2016,
+    arXiv:1508.07909 §3.2): corpus-wide counts of adjacent CHARACTER
+    pairs within words -> pandas DataFrame (a, b, n BIGINT), the
+    ``top_k`` most frequent pairs ordered (n DESC, a, b) — exactly the
+    statistic whose argmax becomes the first merge rule when inducing a
+    subword vocabulary from a corpus.
+
+    Scale shape: per batch the whole text column is joined into ONE
+    string with a NUL separator (never present in text) and viewed as a
+    uint32 codepoint array; pairs are two stacked slices combined into
+    one uint64 code and counted with np.unique — no per-word Python.
+    Per-block partials are at most |alphabet|^2 cells, so the driver
+    merge is tiny regardless of corpus size.  Zero shuffle.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        text = pc.fill_null(b[text_col], "")
+        # words separated by NUL: pairs never straddle a word boundary
+        joined = pc.replace_substring(text, " ", "\x00")
+        blob = "\x00".join(joined.to_pylist())
+        cp = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+        if len(cp) < 2:
+            return pa.table({"code": pa.array([], pa.uint64()),
+                             "n": pa.array([], pa.int64())})
+        a, bb = cp[:-1], cp[1:]
+        keep = (a != 0) & (bb != 0)
+        codes = (a[keep].astype(np.uint64) << np.uint64(32)) | bb[keep]
+        uniq, cnt = np.unique(codes, return_counts=True)
+        return pa.table({"code": pa.array(uniq),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"a": pd.Series(dtype=object),
+                             "b": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
+    agg = parts.groupby("code", as_index=False)["n"].sum()
+    codes = agg["code"].to_numpy(np.uint64)
+    out = pd.DataFrame({
+        "a": [chr(int(c >> np.uint64(32))) for c in codes],
+        "b": [chr(int(c & np.uint64(0xFFFFFFFF))) for c in codes],
+        "n": agg["n"].astype("int64"),
+    })
+    out = out.sort_values(["n", "a", "b"], ascending=[False, True, True],
+                          kind="mergesort", ignore_index=True)
+    return out.head(top_k).reset_index(drop=True)

@@ -315,3 +315,30 @@ def test_dsir_logratio_prefers_target_like_docs(ray_session):
     # 115, n_tgt = 25, and each zz word has c_raw = 1, c_tgt = 0
     expected = np.log((0 + 1) / (25 + 15 + 1)) - np.log((1 + 1) / (115 + 15 + 1))
     assert s.loc[12] == int(np.floor(expected * 1e6 + 0.5))
+
+
+def test_bpe_merge_candidates_bruteforce(ray_session):
+    import collections
+
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.lexical import bpe_merge_candidates
+
+    docs = ["low lower lowest", "new newer newest", "wide wider", "", "a"]
+    got = bpe_merge_candidates(
+        rd.from_pandas(pd.DataFrame({"text": docs})).repartition(3), top_k=50)
+    cnt = collections.Counter()
+    for d in docs:
+        for w in d.split(" "):
+            for x, y in zip(w, w[1:]):
+                cnt[(x, y)] += 1
+    want = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))
+    assert [((r.a, r.b), r.n) for r in got.itertuples(index=False)] == want
+    # 'lo' appears 3x, never across the space boundary
+    assert cnt[("l", "o")] == 3 and ("w", "l") not in cnt
+    # unicode pairs survive the codepoint path
+    g2 = bpe_merge_candidates(
+        rd.from_pandas(pd.DataFrame({"text": ["héé héé", None]})), top_k=5)
+    assert [(r.a, r.b, r.n) for r in g2.itertuples(index=False)] == [
+        ("h", "é", 2), ("é", "é", 2)]

@@ -47,6 +47,7 @@ SQL_CHECKED = [
     "split_leakage",
     "decontaminate_norm",
     "dsir_logratio",
+    "bpe_merge_candidates",
     "neardup_keep_best",
     "vocabulary_stats",
     "bm25_topk",
