@@ -2410,6 +2410,35 @@ SELECT a.vec_id, a.cluster,
 FROM asgf a"""
 
 
+def q_prototypicality(sf_dir: str):
+    """SSL-prototype pruning scores (stages/embed.py:prototypicality):
+    per vector, cosine to its k-means centroid as integer micros —
+    same k/iters/seeding as kmeans_clusters."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import prototypicality
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return prototypicality(ds, k=_KM_K, iters=_KM_ITERS)
+
+
+def _sql_prototypicality() -> str:
+    chain, prev = _kmeans_sql_chain()
+    return f"""
+WITH {chain},
+asgf AS (SELECT e.vec_id, e.v,
+                (SELECT c.cl FROM {prev} c
+                 ORDER BY list_distance(e.v, c.vec), c.cl LIMIT 1)::BIGINT
+                AS cluster
+         FROM emb e)
+SELECT a.vec_id, a.cluster,
+       CAST(floor(list_cosine_similarity(a.v, c.vec) * 1000000 + 0.5)
+            AS BIGINT) AS proto_micro
+FROM asgf a JOIN {prev} c ON a.cluster = c.cl
+"""
+
+
 def registry_ext():
     """name -> (callable(sf_dir), oracle_sql | None).
 
@@ -2484,5 +2513,6 @@ def registry_ext():
         "bpe_merge_candidates": (q_bpe_merges, _SQL_BPE_MERGES),
         "kmeans_clusters": (q_kmeans, _sql_kmeans()),
         "semdedup_keep": (q_semdedup, _sql_semdedup()),
+        "prototypicality": (q_prototypicality, _sql_prototypicality()),
         "tfidf_cosine_pairs": (q_tfidf_cosine, _SQL_TFIDF_COSINE),
     }

@@ -806,3 +806,44 @@ def semdedup_keep(ds, *, k: int = 8, iters: int = 3, threshold: float = 0.9,
     return (labeled.groupby("_part")
             .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
                         batch_format="pandas"))
+
+
+def prototypicality(ds, *, k: int = 8, iters: int = 3,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """SSL-prototype pruning metric (Sorscher et al. 2022,
+    arXiv:2206.14486 "Beyond neural scaling laws"): per vector, the
+    cosine similarity to its k-means cluster centroid -> Dataset
+    (vec_id, cluster BIGINT, proto_micro BIGINT).  High similarity =
+    prototypical (the paper prunes prototypical examples in the
+    abundant-data regime and keeps them when data is scarce); the score
+    ships as integer micros (floor(x*1e6 + 0.5)) so the DuckDB oracle
+    value-hashes exactly despite cross-engine float summation order.
+
+    Shape: the shuffle-free kmeans_centroids loop, then ONE map-only
+    pass — assign + cosine to own centroid per block.  No shuffle.
+    """
+    import ray
+
+    cent = kmeans_centroids(ds, k=k, iters=iters, id_col=id_col,
+                            vec_col=vec_col)
+    d = cent.shape[1]
+    cnorm = np.linalg.norm(cent, axis=1)
+    cref = ray.put((cent, cnorm))
+
+    def score(b: pa.Table) -> pa.Table:
+        c, cn = ray.get(cref)
+        X = _matrix(b[vec_col], dim=d)
+        a = _kmeans_argmin(X, c)
+        xn = np.linalg.norm(X, axis=1)
+        dots = np.einsum("ij,ij->i", X, c[a])
+        denom = np.maximum(xn * cn[a], 1e-30)
+        cos = dots / denom
+        micro = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+        return pa.table({
+            id_col: pc.cast(b[id_col], pa.int64()),
+            "cluster": pa.array(a.astype(np.int64)),
+            "proto_micro": pa.array(micro),
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)

@@ -55,6 +55,7 @@ SQL_CHECKED = [
     "bigram_logloss",
     "kmeans_clusters",
     "semdedup_keep",
+    "prototypicality",
 ]
 
 SQL_CHECKED_REL = [

@@ -428,3 +428,39 @@ def test_hamming_pairs_over_int64_hashes(ray_session):
             (2, 3): 3}  # xor bits {2,17,48}; chunk 2 shared -> banded
     assert {(r.a, r.b): r.hamming for r in got.itertuples(index=False)} == want
     # (4,*) and (5,*) never pair (far in every chunk)
+
+
+def test_prototypicality_bruteforce(ray_session):
+    """prototypicality vs direct recompute: assignment matches
+    kmeans_centroids + argmin, score is cos(x, centroid) micros, and the
+    planted tight-cluster members outscore a planted outlier."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import (
+        _kmeans_argmin,
+        kmeans_centroids,
+        prototypicality,
+    )
+
+    rng = np.random.default_rng(31)
+    centers = np.eye(3, 6) * 8.0
+    vecs = [centers[i % 3] + rng.normal(0, 0.05, 6) for i in range(30)]
+    vecs.append(np.ones(6) * 3.0)       # off-center outlier
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)),
+                        "embedding": [list(v) for v in vecs]})
+    K, IT = 3, 2
+    got = (prototypicality(rd.from_pandas(pdf).repartition(3), k=K, iters=IT)
+           .to_pandas().sort_values("vec_id", ignore_index=True))
+    cent = kmeans_centroids(rd.from_pandas(pdf), k=K, iters=IT)
+    X = np.stack(vecs)
+    a = _kmeans_argmin(X, cent)
+    cos = np.einsum("ij,ij->i", X, cent[a]) / (
+        np.linalg.norm(X, axis=1) * np.linalg.norm(cent[a], axis=1))
+    assert got["cluster"].tolist() == a.astype(int).tolist()
+    assert got["proto_micro"].tolist() == np.floor(
+        cos * 1e6 + 0.5).astype(int).tolist()
+    # the outlier is the least prototypical row
+    assert got["proto_micro"].idxmin() == 30
+    assert (got.loc[:29, "proto_micro"] > 990_000).all()
