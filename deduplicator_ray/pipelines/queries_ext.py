@@ -2410,6 +2410,55 @@ SELECT a.vec_id, a.cluster,
 FROM asgf a"""
 
 
+_D4_PRUNE_FRAC = 0.25
+
+
+def q_d4_keep(sf_dir: str):
+    """D4 selection (stages/embed.py:d4_keep): SemDeDup then prune the
+    most prototypical 25% of each cluster's survivors — same
+    k/iters/threshold as semdedup_keep, same micro scoring as
+    prototypicality, so all three oracles pin one centroid contract."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import d4_keep
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return d4_keep(ds, k=_KM_K, iters=_KM_ITERS,
+                   threshold=_SEMDEDUP_THRESHOLD,
+                   prune_frac=_D4_PRUNE_FRAC)
+
+
+def _sql_d4_keep() -> str:
+    chain, prev = _kmeans_sql_chain()
+    return f"""
+WITH {chain},
+asgf AS (SELECT e.vec_id, e.v,
+                (SELECT c.cl FROM {prev} c
+                 ORDER BY list_distance(e.v, c.vec), c.cl LIMIT 1)::BIGINT
+                AS cluster
+         FROM emb e),
+sc AS (SELECT a.vec_id, a.cluster,
+              EXISTS (SELECT 1 FROM asgf b
+                      WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+                        AND list_cosine_similarity(a.v, b.v)
+                            >= {_SEMDEDUP_THRESHOLD}) AS is_dup,
+              CAST(floor(list_cosine_similarity(a.v, c.vec) * 1000000 + 0.5)
+                   AS BIGINT) AS pm
+       FROM asgf a JOIN {prev} c ON a.cluster = c.cl),
+surv AS (SELECT vec_id, cluster, pm,
+                row_number() OVER (PARTITION BY cluster
+                                   ORDER BY pm DESC, vec_id) AS r,
+                count(*) OVER (PARTITION BY cluster) AS nc
+         FROM sc WHERE NOT is_dup)
+SELECT vec_id, cluster,
+       r > CAST(floor(nc * {_D4_PRUNE_FRAC}) AS BIGINT) AS keep
+FROM surv
+UNION ALL
+SELECT vec_id, cluster, FALSE AS keep FROM sc WHERE is_dup
+"""
+
+
 def q_prototypicality(sf_dir: str):
     """SSL-prototype pruning scores (stages/embed.py:prototypicality):
     per vector, cosine to its k-means centroid as integer micros —
@@ -2514,5 +2563,6 @@ def registry_ext():
         "kmeans_clusters": (q_kmeans, _sql_kmeans()),
         "semdedup_keep": (q_semdedup, _sql_semdedup()),
         "prototypicality": (q_prototypicality, _sql_prototypicality()),
+        "d4_keep": (q_d4_keep, _sql_d4_keep()),
         "tfidf_cosine_pairs": (q_tfidf_cosine, _SQL_TFIDF_COSINE),
     }

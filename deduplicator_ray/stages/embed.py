@@ -783,15 +783,7 @@ def semdedup_keep(ds, *, k: int = 8, iters: int = 3, threshold: float = 0.9,
             X = np.stack([np.asarray(v, dtype=np.float64)
                           for v in grp[vec_col].to_numpy()])
             n = len(X)
-            norms = np.linalg.norm(X, axis=1)
-            Xn = X / np.maximum(norms, 1e-30)[:, None]
-            dup = np.zeros(n, dtype=bool)
-            row_idx = np.arange(n)
-            for j0 in range(0, n, sim_chunk):
-                j1 = min(j0 + sim_chunk, n)
-                S = Xn @ Xn[j0:j1].T                     # (n, j1-j0)
-                lower = row_idx[:, None] < np.arange(j0, j1)[None, :]
-                dup[j0:j1] |= (lower & (S >= threshold)).any(axis=0)
+            dup = _greedy_dup_flags(X, threshold, sim_chunk)
             outs.append(pd.DataFrame({
                 id_col: grp[id_col].to_numpy(np.int64),
                 "cluster": np.full(n, cl, dtype=np.int64),
@@ -847,3 +839,109 @@ def prototypicality(ds, *, k: int = 8, iters: int = 3,
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _greedy_dup_flags(X: np.ndarray, threshold: float,
+                      sim_chunk: int) -> np.ndarray:
+    """SemDeDup's within-cluster greedy rule over id-sorted rows: row i
+    is a duplicate iff some EARLIER row has cosine >= threshold.  Tiled
+    normalized matmul: peak memory n x sim_chunk."""
+    n = len(X)
+    norms = np.linalg.norm(X, axis=1)
+    Xn = X / np.maximum(norms, 1e-30)[:, None]
+    dup = np.zeros(n, dtype=bool)
+    row_idx = np.arange(n)
+    for j0 in range(0, n, sim_chunk):
+        j1 = min(j0 + sim_chunk, n)
+        S = Xn @ Xn[j0:j1].T
+        lower = row_idx[:, None] < np.arange(j0, j1)[None, :]
+        dup[j0:j1] |= (lower & (S >= threshold)).any(axis=0)
+    return dup
+
+
+def d4_keep(ds, *, k: int = 8, iters: int = 3, threshold: float = 0.9,
+            prune_frac: float = 0.25, id_col: str = "vec_id",
+            vec_col: str = "embedding", num_buckets: int | None = None,
+            sim_chunk: int = 4096):
+    """D4 selection (Tirumala et al. 2023, arXiv:2308.12284 "D4:
+    Improving LLM Pretraining via Document De-Duplication and
+    Diversification"): SemDeDup, then prune the most PROTOTYPICAL
+    ``prune_frac`` of each cluster's survivors -> Dataset (vec_id,
+    cluster BIGINT, keep bool).
+
+    Rules (deterministic, oracle-recomputable):
+    - a vector whose lower-id same-cluster neighbor has cosine >=
+      ``threshold`` is a semantic duplicate: keep = false;
+    - survivors rank within their cluster by (cosine-to-centroid DESC,
+      vec_id ASC) on the integer-micro score; ranks 1 ..
+      floor(n_survivors * prune_frac) — the near-centroid mass D4
+      diversifies away — get keep = false; the rest keep = true.
+
+    Shape: kmeans_centroids is shuffle-free; ONE map pass assigns
+    clusters and carries the vector; ONE cluster-key shuffle; the
+    per-cluster kernel reuses the tiled greedy-dup scan and scores
+    centroids from the broadcast matrix.  Same partitioning assumption
+    as semdedup_keep (k sized so a cluster fits one worker).
+    """
+    import ray
+
+    from deduplicator_ray.stages.exact import hash_bucket
+    from deduplicator_ray.util import auto_partitions
+
+    if not (0.0 <= prune_frac < 1.0):
+        raise ValueError("prune_frac must be in [0, 1)")
+    cent = kmeans_centroids(ds, k=k, iters=iters, id_col=id_col,
+                            vec_col=vec_col)
+    d = cent.shape[1]
+    cnorm = np.linalg.norm(cent, axis=1)
+    cref = ray.put((cent, cnorm))
+    P = num_buckets or min(auto_partitions(), max(1, k))
+
+    def assign(b: pa.Table) -> pa.Table:
+        c, _ = ray.get(cref)
+        X = _matrix(b[vec_col], dim=d)
+        return pa.table({
+            id_col: pc.cast(b[id_col], pa.int64()),
+            "cluster": pa.array(_kmeans_argmin(X, c).astype(np.int64)),
+            vec_col: b[vec_col],
+        })
+
+    labeled = ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True)
+    labeled = hash_bucket(labeled, "cluster", P)
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        c, cn = ray.get(cref)
+        outs = []
+        for cl, grp in g.groupby("cluster", sort=False):
+            grp = grp.sort_values(id_col, kind="mergesort")
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in grp[vec_col].to_numpy()])
+            n = len(X)
+            dup = _greedy_dup_flags(X, threshold, sim_chunk)
+            xn = np.linalg.norm(X, axis=1)
+            cos = (X @ c[cl]) / np.maximum(xn * cn[cl], 1e-30)
+            pm = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+            ids = grp[id_col].to_numpy(np.int64)
+            keep = ~dup
+            surv = np.flatnonzero(keep)
+            if len(surv):
+                order = surv[np.lexsort((ids[surv], -pm[surv]))]
+                n_prune = int(np.floor(len(surv) * prune_frac))
+                keep[order[:n_prune]] = False
+            outs.append(pd.DataFrame({
+                id_col: ids,
+                "cluster": np.full(n, cl, dtype=np.int64),
+                "keep": keep,
+            }))
+        if not outs:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64"),
+                                 "keep": pd.Series(dtype="bool")})
+        return pd.concat(outs, ignore_index=True)
+
+    return (labeled.groupby("_part")
+            .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                        batch_format="pandas"))

@@ -56,6 +56,7 @@ SQL_CHECKED = [
     "kmeans_clusters",
     "semdedup_keep",
     "prototypicality",
+    "d4_keep",
 ]
 
 SQL_CHECKED_REL = [

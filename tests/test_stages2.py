@@ -464,3 +464,48 @@ def test_prototypicality_bruteforce(ray_session):
     # the outlier is the least prototypical row
     assert got["proto_micro"].idxmin() == 30
     assert (got.loc[:29, "proto_micro"] > 990_000).all()
+
+
+def test_d4_keep_bruteforce(ray_session):
+    """d4_keep vs direct recompute: semdedup dups dropped, then the top
+    prune_frac most-prototypical survivors per cluster dropped."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import (
+        _greedy_dup_flags,
+        _kmeans_argmin,
+        d4_keep,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(13)
+    centers = np.eye(2, 6) * 8.0
+    vecs = [centers[i % 2] + rng.normal(0, 0.4, 6) for i in range(24)]
+    vecs.append(vecs[0])                 # exact dup -> semdedup drop
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)),
+                        "embedding": [list(v) for v in vecs]})
+    K, IT, T, F = 2, 2, 0.9999, 0.25
+    got = (d4_keep(rd.from_pandas(pdf).repartition(3), k=K, iters=IT,
+                   threshold=T, prune_frac=F, sim_chunk=5)
+           .to_pandas().sort_values("vec_id", ignore_index=True))
+
+    cent = kmeans_centroids(rd.from_pandas(pdf), k=K, iters=IT)
+    X = np.stack(vecs)
+    cl = _kmeans_argmin(X, cent)
+    keep = np.ones(len(X), dtype=bool)
+    for c in range(K):
+        idx = np.flatnonzero(cl == c)
+        dup = _greedy_dup_flags(X[idx], T, 4096)
+        keep[idx[dup]] = False
+        surv = idx[~dup]
+        cos = (X[surv] @ cent[c]) / (
+            np.linalg.norm(X[surv], axis=1) * np.linalg.norm(cent[c]))
+        pm = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+        order = surv[np.lexsort((surv, -pm))]
+        keep[order[:int(np.floor(len(surv) * F))]] = False
+    assert got["cluster"].tolist() == cl.astype(int).tolist()
+    assert got["keep"].tolist() == keep.tolist()
+    assert not got.loc[24, "keep"]          # the planted dup went
+    assert 0 < got["keep"].sum() < len(X)   # pruning actually fired
