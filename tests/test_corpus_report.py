@@ -76,3 +76,18 @@ def test_corpus_report_end_to_end(ray_session, docs_parquet, tmp_path):
         ["--docs", docs_parquet, "--out", out, "--top-n", "5"]))
     assert all(s["resumed"] for s in r2["stages"].values())
     assert r2["dedup"] == r["dedup"]
+
+
+def test_corpus_report_no_lang_column(ray_session, tmp_path):
+    pdf = pd.DataFrame({
+        "doc_id": range(10),
+        "text": [f"word{i} alpha beta gamma delta" for i in range(10)],
+    })
+    p = tmp_path / "docs.parquet"
+    pdf.to_parquet(p)
+    r = run(build_parser().parse_args(
+        ["--docs", str(p), "--out", str(tmp_path / "card"), "--top-n", "3"]))
+    assert r["totals"]["n_docs"] == 10
+    assert "languages" not in r
+    assert [row["lang"] for row in r["length_quantiles"]] == ["?"]
+    assert r["dedup"]["duplicate_ppm"] == 0
