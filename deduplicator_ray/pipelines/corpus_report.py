@@ -9,16 +9,19 @@ derives, each as a resumable checkpoint under --out
 (state/checkpoint.py — a rerun skips completed stages):
 
     stats        per-doc token/char counters (stages/textstats.token_counts
-                 + quality_metrics), rolled up to corpus totals and a
+                 + Arrow char counts), rolled up to corpus totals and a
                  per-lang census when a lang column exists
-    dedup        exact-duplicate volume on md5(text) AND on the
-                 CCNet-normalized key (functions/textnorm.py) — the
-                 normalization payoff is the delta between them
+    dedup        exact-duplicate volume on the raw text AND on the
+                 CCNet-normalized key (functions/textnorm.py) in ONE
+                 corpus pass — the normalization payoff is the delta
     gopher       Gopher-rule pass/fail counts by first failing rule
                  (stages/textstats.gopher_filter)
-    quantiles    per-lang length quantiles (stages/freq.length_quantiles)
     boilerplate  the top frequent 10-word chunks
                  (stages/sentdedup.boilerplate_report)
+
+Per-lang length quantiles are computed directly (the stage reduces to a
+bounded histogram of per-block partials — cheaper to redo than to
+checkpoint); the four stages above checkpoint and skip on rerun.
 
 REPORT.json rolls the products up into the card a dataset release
 ships: doc/token/char totals, language mix, duplicate ppm (raw and
@@ -62,37 +65,50 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _dup_counts(ds, *, normalized: bool):
-    """(n_docs, n_distinct_keys) via hash-bucketed per-bucket nunique —
-    the digest shuffle ships 16-byte hash rows, never text."""
+def _dup_counts_build(ds):
+    """ONE corpus pass emitting BOTH key families (raw and
+    CCNet-normalized text hashes) -> per-bucket partial Dataset
+    (n, n_distinct_raw, n_distinct_norm).  The shuffle ships 32-byte
+    hash rows, never text, bucketed on the NORMALIZED hash:
+    normalization is many-to-one, so equal raw texts always share a
+    normalized text and land in one bucket — both distinct counts are
+    exact per bucket and sum to the global values."""
     from deduplicator_ray.functions.textnorm import normalize_text_arrow
     from deduplicator_ray.stages.exact import hash_bucket
 
     def keys(b: pa.Table) -> pa.Table:
         t = pc.fill_null(b["text"], "")
-        if normalized:
-            t = normalize_text_arrow(t.combine_chunks()
-                                     if isinstance(t, pa.ChunkedArray) else t)
-        s = pd.Series(np.asarray(t, dtype=object))
-        h1 = pd.util.hash_pandas_object(s, index=False,
-                                        hash_key="corpuscard_key01").to_numpy()
-        h2 = pd.util.hash_pandas_object(s, index=False,
-                                        hash_key="corpuscard_key02").to_numpy()
-        return pa.table({"h1": pa.array(h1), "h2": pa.array(h2)})
+        tn = normalize_text_arrow(t.combine_chunks()
+                                  if isinstance(t, pa.ChunkedArray) else t)
 
+        def pair(arr, k1, k2):
+            s = pd.Series(np.asarray(arr, dtype=object))
+            return (pd.util.hash_pandas_object(s, index=False,
+                                               hash_key=k1).to_numpy(),
+                    pd.util.hash_pandas_object(s, index=False,
+                                               hash_key=k2).to_numpy())
+
+        h1, h2 = pair(t, "corpuscard_key01", "corpuscard_key02")
+        g1, g2 = pair(tn, "corpuscard_key03", "corpuscard_key04")
+        return pa.table({"h1": pa.array(h1), "h2": pa.array(h2),
+                         "g1": pa.array(g1), "g2": pa.array(g2)})
+
+    # bucket on the NORMALIZED hash: normalization is a many-to-one map,
+    # so rows sharing a raw text also share the normalized text — both
+    # distinct counts are exact within a g1-bucket
     hashed = hash_bucket(ds.map_batches(keys, batch_format="pyarrow",
-                                        zero_copy_batch=True), "h1", 32)
+                                        zero_copy_batch=True), "g1", 32)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "n": [int(len(g))],
-            "n_distinct": [int(g.drop_duplicates(["h1", "h2"]).shape[0])],
+            "n_distinct_raw": [int(g.drop_duplicates(["h1", "h2"]).shape[0])],
+            "n_distinct_norm": [int(g.drop_duplicates(["g1", "g2"]).shape[0])],
         })
 
-    tot = (hashed.groupby("_part")
-           .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
-                       batch_format="pandas").to_pandas().sum())
-    return int(tot["n"]), int(tot["n_distinct"])
+    return (hashed.groupby("_part")
+            .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                        batch_format="pandas"))
 
 
 def run(args) -> dict:
@@ -123,7 +139,9 @@ def run(args) -> dict:
         counted = token_counts(docs)
 
         def partial(b: pa.Table) -> pa.Table:
-            lang = (b["lang"].to_pandas() if have_lang
+            # null lang keys as "?" — dropping it from the groupby would
+            # silently undercount the corpus totals
+            lang = (pc.fill_null(b["lang"], "?").to_pandas() if have_lang
                     else pd.Series(["?"] * b.num_rows))
             df = pd.DataFrame({
                 "lang": lang,
@@ -157,9 +175,12 @@ def run(args) -> dict:
             for r in lang_stats.sort_values(
                 ["n_docs", "lang"], ascending=[False, True]).itertuples()]
 
-    # -- dedup: raw vs normalized-key duplicate volume --------------------
-    n, nd_raw = _dup_counts(docs, normalized=False)
-    _, nd_norm = _dup_counts(docs, normalized=True)
+    # -- dedup: raw vs normalized-key duplicate volume, ONE checkpointed
+    # corpus pass emitting both key families ------------------------------
+    tot = (stage("dedup", lambda: _dup_counts_build(docs))
+           .to_pandas().sum())
+    n, nd_raw, nd_norm = (int(tot["n"]), int(tot["n_distinct_raw"]),
+                          int(tot["n_distinct_norm"]))
     report["dedup"] = {
         "n_docs": n,
         "distinct_texts": nd_raw,
@@ -191,7 +212,7 @@ def run(args) -> dict:
     # -- length quantiles (driver-small product: computed directly — the
     # stage itself reduces to a histogram of tiny per-block partials) ----
     def chars(b: pa.Table) -> pa.Table:
-        lang = (b["lang"] if have_lang
+        lang = (pc.fill_null(b["lang"], "?") if have_lang
                 else pa.array(["?"] * b.num_rows, type=pa.string()))
         return pa.table({
             "lang": lang,

@@ -670,17 +670,13 @@ def kmeans_centroids(ds, *, k: int = 8, iters: int = 3,
                      for v in seed[vec_col].to_numpy()])
     d = cent.shape[1]
 
-    def _assign(X: np.ndarray, c: np.ndarray) -> np.ndarray:
-        # argmin ||x - c||^2 = argmin(-2 x.c + ||c||^2); ties -> first
-        return np.argmin(X @ (-2.0 * c.T) + (c * c).sum(axis=1), axis=1)
-
     for _ in range(iters):
         cref = ray.put(cent)
 
         def partial(b: pa.Table) -> pa.Table:
             c = ray.get(cref)
             X = _matrix(b[vec_col], dim=d)
-            a = _assign(X, c)
+            a = _kmeans_argmin(X, c)
             onehot = (a[:, None] == np.arange(k)[None, :]).astype(np.float64)
             sums = onehot.T @ X                      # (k, d)
             cnts = np.bincount(a, minlength=k).astype(np.float64)

@@ -600,7 +600,7 @@ def dsir_logratio(raw_ds, target_ds, *, min_ppm: int = 1000,
     driver), both log-prob tables ``ray.put`` once, then a single
     map-only scoring pass over the raw corpus.  No shuffle anywhere.
 
-    Returns (id_col, n_tokens BIGINT, logratio DOUBLE) per raw doc.
+    Returns (id_col, n_tokens BIGINT, logratio_micro BIGINT — the\n    mean log-ratio in integer micros) per raw doc.
     """
     import pandas as pd
     import ray

@@ -699,11 +699,14 @@ def test_merge_index_split_equals_full(ray_session):
 
     rng = np.random.default_rng(5)
     n = 60
+    # lcm(6, 4) = 12 << n: every (url, digest) key repeats ~5x, so the
+    # even/odd halves CONFLICT on most keys and the merge election
+    # (date desc, url, record_id) is genuinely exercised
     pdf = pd.DataFrame({
         "record_id": [f"r{i:03d}" for i in range(n)],
-        "url": [f"http://s.example/p/{i % 17}" for i in range(n)],
-        "url_canonical": [f"s.example/p/{i % 17}" for i in range(n)],
-        "digest": [f"d{i % 11}" for i in range(n)],
+        "url": [f"http://s.example/p/{i % 6}" for i in range(n)],
+        "url_canonical": [f"s.example/p/{i % 6}" for i in range(n)],
+        "digest": [f"d{i % 4}" for i in range(n)],
         "warc_ts": pd.to_datetime("2024-01-01")
         + pd.to_timedelta(rng.integers(0, 10, n), unit="D"),
     })
@@ -712,10 +715,13 @@ def test_merge_index_split_equals_full(ray_session):
     a = build_index(rd.from_pandas(pdf.iloc[::2]), cfg)
     b = build_index(rd.from_pandas(pdf.iloc[1::2]), cfg)
     merged = merge_index(a, b, cfg, prefer="newest").to_pandas()
-    cols = ["url", "url_canonical", "digest", "date"]
+    # original_record_id included: the election must pick the SAME record
+    # as the one-shot build, not just an equal-dated one
+    cols = ["url", "url_canonical", "digest", "date", "original_record_id"]
     lhs = merged[cols].sort_values(cols, ignore_index=True)
     rhs = full[cols].sort_values(cols, ignore_index=True)
     pd.testing.assert_frame_equal(lhs, rhs)
+    assert full["url"].duplicated().any()  # conflicts actually occurred
 
 
 def test_merge_index_prefer_modes(ray_session):
