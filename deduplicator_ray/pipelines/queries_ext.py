@@ -1116,6 +1116,51 @@ ORDER BY n_occ DESC, chunk LIMIT 20
 """
 
 
+def q_dup_gram_coverage(sf_dir: str):
+    """Gopher duplicated-n-gram coverage (stages/sentdedup.py:
+    dup_gram_coverage): ppm of token positions inside any within-doc
+    3-gram occurring >= 2 times."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import dup_gram_coverage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dup_gram_coverage(ds, ngram=3)
+
+
+_SQL_DUP_GRAM_COVERAGE = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(COALESCE(text, ''), ' ')) AS word,
+         unnest(range(1, len(string_split(COALESCE(text, ''), ' ')) + 1)) AS ord
+  FROM documents
+), t AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM w GROUP BY doc_id
+), g AS (
+  SELECT doc_id, ord AS i,
+         string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY ord
+           ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS gram,
+         count(*) OVER (PARTITION BY doc_id ORDER BY ord
+           ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS glen
+  FROM w
+), gg AS (
+  SELECT doc_id, i, gram FROM g WHERE glen = 3
+), d AS (
+  SELECT doc_id, gram FROM gg GROUP BY doc_id, gram HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT gg.doc_id, p
+  FROM gg JOIN d USING (doc_id, gram), unnest(range(gg.i, gg.i + 3)) AS t2(p)
+), c AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS covered FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+       CAST(COALESCE(c.covered, 0) * 1000000 // t.n_tokens AS BIGINT)
+         AS dup_gram_ppm
+FROM t LEFT JOIN c USING (doc_id)
+"""
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition metrics per document
     (stages/sentdedup.py:repetition_stats)."""
@@ -2525,6 +2570,7 @@ def registry_ext():
         "boilerplate_dedup": (q_boilerplate_dedup, _SQL_BOILERPLATE_DEDUP),
         "boilerplate_report": (q_boilerplate_report, _SQL_BOILERPLATE_REPORT),
         "repetition_stats": (q_repetition_stats, _SQL_REPETITION_STATS),
+        "dup_gram_coverage": (q_dup_gram_coverage, _SQL_DUP_GRAM_COVERAGE),
         "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
         "decontaminate_norm": (q_decontaminate_norm, _sql_decontaminate_norm()),
         "incremental_neardup": (q_incremental_neardup,

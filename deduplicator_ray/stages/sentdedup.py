@@ -1022,3 +1022,65 @@ def source_overlap_matrix(ds, *, ngram: int = 8, group_col: str = "source",
     out = (parts.groupby(["source_a", "source_b"], as_index=False)
            .agg(n_shared=("n", "sum")))
     return out.astype({"n_shared": "int64"})
+
+
+def dup_gram_coverage(ds, *, ngram: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Gopher's duplicated-n-gram fraction (Rae et al. 2021, appendix
+    A1.1 "fraction of characters in duplicate n-grams"), word-granular:
+    per doc, the ppm of token positions covered by any ``ngram``-word
+    gram that occurs >= 2 times WITHIN the doc -> Dataset (doc_id,
+    n_tokens BIGINT, covered_tokens BIGINT, dup_gram_ppm BIGINT).
+
+    Map-only, zero shuffle, no per-row Python: gram fingerprints and
+    within-doc positions come from ``_ngram_occurrences``; within-doc
+    duplicate runs are found with one lexsort; coverage (the UNION of
+    the duplicated windows' [pos, pos+n) intervals) is a +1/-1 diff
+    array over the batch's flat token axis, cumsummed once and
+    reduceat-ed back per doc.  Integer outputs, so the DuckDB oracle
+    value-hashes exactly.
+    """
+    def kern(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b[id_col], pa.int64())
+        text = b[text_col].combine_chunks() if isinstance(
+            b[text_col], pa.ChunkedArray) else b[text_col]
+        words = pc.split_pattern(pc.fill_null(text, ""), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy()
+        offsets = (offsets - offsets[0]).astype(np.int64)
+        n_tokens = np.diff(offsets)
+        total = int(offsets[-1])
+
+        g1, g2, di, pos = _ngram_occurrences(text, ngram)
+        covered_per_doc = np.zeros(len(n_tokens), dtype=np.int64)
+        if len(g1):
+            order = np.lexsort((g2, g1, di))
+            d_s, a_s, b_s = di[order], g1[order], g2[order]
+            new = np.empty(len(d_s), dtype=bool)
+            new[0] = True
+            new[1:] = ((d_s[1:] != d_s[:-1]) | (a_s[1:] != a_s[:-1])
+                       | (b_s[1:] != b_s[:-1]))
+            run = np.cumsum(new) - 1
+            run_len = np.bincount(run)
+            dup = run_len[run] >= 2          # every member of a dup run
+            dup_pos = pos[order][dup]
+            dup_doc = d_s[dup]
+            gstart = offsets[:-1][dup_doc] + dup_pos
+            delta = np.zeros(total + 1, dtype=np.int64)
+            np.add.at(delta, gstart, 1)
+            np.add.at(delta, gstart + ngram, -1)  # windows never cross docs
+            covered = np.cumsum(delta[:-1]) > 0
+            if total:
+                covered_per_doc = np.add.reduceat(
+                    covered.astype(np.int64), offsets[:-1])
+                covered_per_doc[n_tokens == 0] = 0
+        ppm = covered_per_doc * 1_000_000 // np.maximum(n_tokens, 1)
+        return pa.table({
+            "doc_id": ids,
+            "n_tokens": pa.array(n_tokens),
+            "covered_tokens": pa.array(covered_per_doc),
+            "dup_gram_ppm": pa.array(ppm.astype(np.int64)),
+        })
+
+    return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)

@@ -24,6 +24,7 @@ SQL_CHECKED = [
     "quality_stats",
     "span_dedup",
     "boilerplate_dedup",
+    "dup_gram_coverage",
     "boilerplate_report",
     "heavy_hitters",
     "length_quantiles",

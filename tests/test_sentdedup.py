@@ -375,3 +375,41 @@ def test_decontaminate_norm_catches_case_variants(ray_session):
            .to_pandas().set_index("doc_id"))
     assert bool(nrm.loc[1, "contaminated"]) and nrm.loc[1, "n_hits"] >= 1
     assert not nrm.loc[2, "contaminated"]
+
+
+def test_dup_gram_coverage_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import dup_gram_coverage
+
+    docs = {
+        0: "a b c a b c x",         # 'a b c' twice: covers [0..2]+[3..5]=6/7
+        1: "q q q q",               # 'q q q' at 0 and 1: covers all 4
+        2: "u v w x y z",           # no repeats
+        3: "",                      # one empty token, no gram
+        4: "r s r s r s r s",      # 'r s r' x3, 's r s' x3: covers all 8
+    }
+    got = (dup_gram_coverage(
+        rd.from_pandas(pd.DataFrame(
+            {"doc_id": list(docs), "text": [docs[k] for k in docs]}
+        )).repartition(3), ngram=3)
+        .to_pandas().set_index("doc_id").sort_index())
+
+    def brute(t, n=3):
+        w = t.split(" ")
+        grams = [tuple(w[i:i + n]) for i in range(len(w) - n + 1)]
+        dup = {g for g in grams if grams.count(g) >= 2}
+        cov = set()
+        for i, g in enumerate(grams):
+            if g in dup:
+                cov.update(range(i, i + n))
+        return len(w), len(cov)
+
+    for d, t in docs.items():
+        n_tok, cov = brute(t)
+        assert got.loc[d, "n_tokens"] == n_tok, d
+        assert got.loc[d, "covered_tokens"] == cov, d
+        assert got.loc[d, "dup_gram_ppm"] == cov * 1_000_000 // n_tok, d
+    assert got.loc[0, "covered_tokens"] == 6
+    assert got.loc[1, "covered_tokens"] == 4
+    assert got.loc[2, "covered_tokens"] == 0
