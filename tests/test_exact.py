@@ -760,3 +760,27 @@ def test_merge_index_digest_only_key(ray_session):
     got = merge_index(rd.from_pandas(existing), rd.from_pandas(incoming),
                       cfg, prefer="newest").to_pandas()
     assert len(got) == 1 and got["url"].iloc[0] == "http://z"
+
+
+def test_merge_index_schema_drift(ray_session):
+    """Appending to an index built WITHOUT --include-etag: the missing
+    column nulls in rather than failing (upgrade path for old indexes)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.exact import merge_index
+
+    old = pd.DataFrame({"url": ["http://a"], "url_canonical": ["a"],
+                        "digest": ["d1"],
+                        "date": pd.to_datetime(["2024-01-01"]),
+                        "original_record_id": ["r1"]})  # no etag column
+    new = pd.DataFrame({"url": ["http://b"], "url_canonical": ["b"],
+                        "digest": ["d2"],
+                        "date": pd.to_datetime(["2024-02-01"]),
+                        "etag": ['W/"1"'],
+                        "original_record_id": ["r2"]})
+    got = (merge_index(rd.from_pandas(old), rd.from_pandas(new),
+                       PipelineConfig())
+           .to_pandas().set_index("digest").sort_index())
+    assert len(got) == 2
+    assert pd.isna(got.loc["d1", "etag"]) and got.loc["d2", "etag"] == 'W/"1"'
+    assert got.loc["d1", "original_record_id"] == "r1"
