@@ -540,6 +540,7 @@ def registry():
     from deduplicator_ray.pipelines.queries_ext import registry_ext
     from deduplicator_ray.pipelines.queries_graph import registry_graph
     from deduplicator_ray.pipelines.queries_rel import registry_rel
+    from deduplicator_ray.pipelines.queries_sim import registry_sim
 
     base = {
         "exact_match_digest_any": (
@@ -590,4 +591,5 @@ def registry():
     base.update(registry_rel())
     base.update(registry_graph())
     base.update(registry_delta())
+    base.update(registry_sim())
     return base
