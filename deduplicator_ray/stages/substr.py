@@ -186,3 +186,30 @@ def pair_common_substrings(edges_ds, corpus_ds, *, key_col: str = "doc_key",
         )
 
     return e.map_batches(f, batch_format="pyarrow", batch_size=256)
+
+
+def levenshtein_bytes(a: bytes, b: bytes) -> int:
+    """Byte-level (UTF-8) Levenshtein distance — the same unit DuckDB's
+    ``levenshtein`` uses (verified: 'café'→'cafe' = 2, '日本語'→'日本' = 3,
+    i.e. bytes, not codepoints), so the SQL oracle compares exactly.
+
+    Vectorized row DP: the vertical/diagonal terms are pure numpy; the
+    horizontal (insertion-chain) relaxation cur[j] = min_k<=j(cur'[k]+j-k)
+    is one ``np.minimum.accumulate`` scan over (cur' - j) — no inner
+    Python loop, O(|a|) numpy passes of width |b|."""
+    A = np.frombuffer(a, dtype=np.uint8)
+    B = np.frombuffer(b, dtype=np.uint8)
+    if len(A) < len(B):
+        A, B = B, A
+    n = len(B)
+    if n == 0:
+        return len(A)
+    idx = np.arange(n + 1, dtype=np.int64)
+    prev = idx.copy()
+    cur = np.empty(n + 1, dtype=np.int64)
+    for i, ca in enumerate(A, 1):
+        cur[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + (B != ca), out=cur[1:])
+        np.minimum(cur, np.minimum.accumulate(cur - idx) + idx, out=cur)
+        prev, cur = cur, prev
+    return int(prev[-1])

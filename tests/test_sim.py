@@ -8,6 +8,8 @@ import pytest
 
 SQL_CHECKED_SIM = [
     "cluster_agreement",
+    "edit_similarity_pairs",
+    "outlier_docs",
 ]
 
 
@@ -52,6 +54,25 @@ def test_oracle_parity_sim(ray_session, sf_dir, duck, name):
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_levenshtein_bytes_matches_duckdb(duck):
+    """The numpy DP uses UTF-8 BYTE units — pin that it agrees with
+    DuckDB's levenshtein on multibyte input (the oracle's semantics)."""
+    import random
+
+    from deduplicator_ray.stages.substr import levenshtein_bytes
+
+    rng = random.Random(7)
+    alphabet = "abc日é "
+    for _ in range(60):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 12)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 12)))
+        want = duck.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert levenshtein_bytes(a.encode(), b.encode()) == want, (a, b)
+    assert levenshtein_bytes(b"", b"") == 0
+    assert levenshtein_bytes(b"", b"abc") == 3
+    assert levenshtein_bytes(b"kitten", b"sitting") == 3
 
 
 def test_cluster_agreement_invariants(ray_session, sf_dir):
