@@ -368,9 +368,65 @@ GROUP BY src_host
 """
 
 
+_HITS_ITERS, _HITS_SCALE = 5, 10 ** 5
+
+
+def q_hits_hosts(sf_dir: str):
+    """Integer fixed-point HITS hubs/authorities over the host graph
+    (stages/graph.py:hits): {iters} iterations, max-normalized in 1e-5
+    units — bit-exact vs the unrolled-CTE oracle because every update is
+    int64 multiply-add + floor division (the pagerank idiom; Kleinberg
+    1999, "Authoritative sources in a hyperlinked environment")."""
+    from deduplicator_ray.stages.graph import hits
+
+    edges = edge_aggregate(_links(sf_dir))
+    return hits(edges, iters=_HITS_ITERS, scale=_HITS_SCALE)
+
+
+def _sql_hits() -> str:
+    """The {_HITS_ITERS} HITS rounds unrolled as chained CTEs: each round
+    is two weighted spreads (hub->auth along edges, auth->hub against
+    them), each followed by an integer max-rescale.  Every iteration CTE
+    is MATERIALIZED: each references its predecessor twice (value join +
+    scalar max subquery), so default CTE inlining would expand the plan
+    ~2^(2*iters)-fold and never finish."""
+    S = _HITS_SCALE
+    sql = f"""
+WITH {LINKED_PAGES_CTE},
+eagg AS MATERIALIZED (SELECT src_host, dst_host, count(*)::BIGINT AS w
+         FROM links GROUP BY 1, 2),
+nodes AS MATERIALIZED (SELECT DISTINCT host FROM
+          (SELECT src_host AS host FROM eagg
+           UNION ALL SELECT dst_host FROM eagg)),
+h0 AS MATERIALIZED (SELECT host, CAST({S} AS BIGINT) AS v FROM nodes)"""
+    prev_h = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        sql += f""",
+ar{i} AS MATERIALIZED (SELECT e.dst_host AS host, sum(h.v * e.w)::BIGINT AS s
+          FROM eagg e JOIN {prev_h} h ON e.src_host = h.host GROUP BY 1),
+a{i} AS MATERIALIZED (SELECT n.host,
+                ((COALESCE(r.s, 0) * {S})
+                 // greatest((SELECT max(s) FROM ar{i}), 1))::BIGINT AS v
+         FROM nodes n LEFT JOIN ar{i} r ON n.host = r.host),
+hr{i} AS MATERIALIZED (SELECT e.src_host AS host, sum(a.v * e.w)::BIGINT AS s
+          FROM eagg e JOIN a{i} a ON e.dst_host = a.host GROUP BY 1),
+h{i} AS MATERIALIZED (SELECT n.host,
+                ((COALESCE(r.s, 0) * {S})
+                 // greatest((SELECT max(s) FROM hr{i}), 1))::BIGINT AS v
+         FROM nodes n LEFT JOIN hr{i} r ON n.host = r.host)"""
+        prev_h = f"h{i}"
+    sql += f"""
+SELECT n.host, h.v AS hub, a.v AS auth
+FROM nodes n
+JOIN h{_HITS_ITERS} h ON n.host = h.host
+JOIN a{_HITS_ITERS} a ON n.host = a.host"""
+    return sql
+
+
 def registry_graph():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
+        "hits_hosts": (q_hits_hosts, _sql_hits()),
         "html_extract_text": (q_html_extract_text, _SQL_HTML_EXTRACT),
         "content_mirrors": (q_content_mirrors, _sql_content_mirrors()),
         "cocitation_hosts": (q_cocitation_hosts, _SQL_COCITATION),

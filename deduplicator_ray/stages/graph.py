@@ -580,3 +580,122 @@ def frontier_gap(links, captured, *, src_col: str = "src_host",
 
     # bucket partials are host x bucket rows (tiny) — one driver-side merge
     return final(parts.to_pandas())
+
+
+def hits(edges, *, iters: int = 5, scale: int = 10 ** 5,
+         src_col: str = "src_host", dst_col: str = "dst_host",
+         weight_col: str = "n_links", max_driver_edges: int = 2_000_000,
+         num_partitions: int | None = None) -> pa.Table:
+    """Fixed-point integer HITS (Kleinberg 1999) over an aggregated edge
+    table: hubs point at good authorities, authorities are pointed at by
+    good hubs.
+
+    Iteration (all int64, floor division; max-norm instead of L2 so the
+    arithmetic stays integer-exact across engines):
+
+        h0 = a0 = scale
+        a'_v = sum_{(u,v)} h(u) * w(u,v);  a = (a' * scale) // max(a')
+        h'_u = sum_{(u,v)} a(v) * w(u,v);  h = (h' * scale) // max(h')
+
+    Overflow bound: a' <= scale * sum(w_in)  and the rescale multiplies
+    by scale again, so sum of edge weight into any host must stay below
+    2^63 / scale^2 (~9e8 at the default scale) — enforce with a smaller
+    ``scale`` on heavier graphs.
+
+    Driver numpy path under ``max_driver_edges``; above it, the same
+    per-edge contribution runs distributed (map_batches partial + one
+    hash-bucket reduce per half-iteration) with the n_hosts-bounded
+    score vectors broadcast via ray.put — the pagerank shape.
+    """
+    n_edges = edges.count()
+    if n_edges <= max_driver_edges:
+        return _hits_numpy(edges.to_pandas(), src_col, dst_col,
+                           weight_col, iters, scale)
+    return _hits_bucketed(edges, src_col, dst_col, weight_col, iters,
+                          scale, num_partitions or auto_partitions())
+
+
+def _rescale_max(v: np.ndarray, scale: int) -> np.ndarray:
+    m = int(v.max()) if len(v) else 0
+    return (v * scale) // max(m, 1)
+
+
+def _hits_numpy(pdf: pd.DataFrame, src_col, dst_col, weight_col,
+                iters, scale) -> pa.Table:
+    hosts = np.unique(np.concatenate([
+        pdf[src_col].to_numpy(dtype=object),
+        pdf[dst_col].to_numpy(dtype=object),
+    ]))
+    si = np.searchsorted(hosts, pdf[src_col].to_numpy(dtype=object))
+    di = np.searchsorted(hosts, pdf[dst_col].to_numpy(dtype=object))
+    w = pdf[weight_col].to_numpy(dtype=np.int64)
+    h = np.full(len(hosts), scale, dtype=np.int64)
+    a = np.full(len(hosts), scale, dtype=np.int64)
+    for _ in range(iters):
+        araw = np.zeros(len(hosts), dtype=np.int64)
+        np.add.at(araw, di, h[si] * w)
+        a = _rescale_max(araw, scale)
+        hraw = np.zeros(len(hosts), dtype=np.int64)
+        np.add.at(hraw, si, a[di] * w)
+        h = _rescale_max(hraw, scale)
+    return pa.table({"host": pa.array(hosts, type=pa.string()),
+                     "hub": pa.array(h, type=pa.int64()),
+                     "auth": pa.array(a, type=pa.int64())})
+
+
+def _hits_bucketed(edges, src_col, dst_col, weight_col, iters, scale,
+                   P) -> pa.Table:
+    """Distributed HITS: per half-iteration, the |E|-scaling work is a
+    map_batches partial + hash-bucket sum; only n_hosts-bounded vectors
+    cross the driver (broadcast once per iteration via ray.put)."""
+    import ray
+
+    edges = edges.materialize()
+
+    def hosts_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            np.asarray(b[src_col], dtype=object),
+            np.asarray(b[dst_col], dtype=object)]))
+        return pa.table({"host": pa.array(u, type=pa.string())})
+
+    hosts = np.unique(
+        edges.map_batches(hosts_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .to_pandas()["host"].to_numpy(dtype=object))
+    hosts_ref = ray.put(hosts)
+
+    def spread(vec_ref, from_col, to_col):
+        def partial(b: pa.Table, *, _v=vec_ref, _h=hosts_ref) -> pa.Table:
+            hs = ray.get(_h) if isinstance(_h, ray.ObjectRef) else _h
+            v = ray.get(_v) if isinstance(_v, ray.ObjectRef) else _v
+            fi = np.searchsorted(hs, np.asarray(b[from_col], dtype=object))
+            ti = np.searchsorted(hs, np.asarray(b[to_col], dtype=object))
+            w = np.asarray(b[weight_col], dtype=np.int64)
+            s = np.zeros(len(hs), dtype=np.int64)
+            np.add.at(s, ti, v[fi] * w)
+            nz = np.nonzero(s)[0]
+            return pa.table({"idx": pa.array(nz, type=pa.int64()),
+                             "s": pa.array(s[nz], type=pa.int64())})
+
+        def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("idx", as_index=False).agg(s=("s", "sum"))
+            g["s"] = g["s"].astype("int64")
+            return g
+
+        parts = edges.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        summed = (hash_bucket(parts, "idx", P).groupby("_part")
+                  .map_groups(bucket_sum, batch_format="pandas")
+                  .to_pandas())
+        out = np.zeros(len(hosts), dtype=np.int64)
+        out[summed["idx"].to_numpy()] = summed["s"].to_numpy()
+        return out
+
+    h = np.full(len(hosts), scale, dtype=np.int64)
+    a = np.full(len(hosts), scale, dtype=np.int64)
+    for _ in range(iters):
+        a = _rescale_max(spread(ray.put(h), src_col, dst_col), scale)
+        h = _rescale_max(spread(ray.put(a), dst_col, src_col), scale)
+    return pa.table({"host": pa.array(hosts, type=pa.string()),
+                     "hub": pa.array(h, type=pa.int64()),
+                     "auth": pa.array(a, type=pa.int64())})

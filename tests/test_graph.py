@@ -193,7 +193,8 @@ def test_co_occurrence_pairs_semantics(ray_session):
 
 @pytest.mark.parametrize(
     "name", ["link_graph", "pagerank_hosts", "anchor_stats", "mirror_hosts",
-             "html_extract_text", "content_mirrors", "cocitation_hosts"])
+             "html_extract_text", "content_mirrors", "cocitation_hosts",
+             "hits_hosts"])
 def test_graph_oracle_parity(ray_session, sf_dir, duck, name):
     from deduplicator_ray.pipelines.queries_graph import registry_graph
 
@@ -238,3 +239,43 @@ def test_frontier_gap_anti_join(ray_session):
         num_partitions=2)
     assert len(all_cap) == 0
     assert list(all_cap.columns) == ["src_host", "n_gap_links", "n_gap_targets"]
+
+
+def test_hits_paths_agree_and_hand_check(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import hits
+
+    edges = rd.from_pandas(_toy_edges())
+    drv = hits(edges, iters=3).to_pandas().sort_values("host", ignore_index=True)
+    dist = hits(
+        rd.from_pandas(_toy_edges()), iters=3, max_driver_edges=0,
+        num_partitions=4,
+    ).to_pandas().sort_values("host", ignore_index=True)
+    pd.testing.assert_frame_equal(drv, dist)
+    # max-normalization: at least one hub and one auth sit exactly at scale
+    assert drv["hub"].max() == 10 ** 5 and drv["auth"].max() == 10 ** 5
+    assert list(drv.columns) == ["host", "hub", "auth"]
+
+
+def test_hits_star_graph_exact(ray_session):
+    """Pure star u1,u2,u3 -> v: v is the unit authority with zero hub
+    score; spokes are unit hubs with zero authority; weights scale hubs
+    proportionally under integer max-norm."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import hits
+
+    edges = pd.DataFrame({
+        "src_host": ["u1", "u2", "u3"],
+        "dst_host": ["v", "v", "v"],
+        "n_links": [4, 2, 1],
+    })
+    out = (hits(rd.from_pandas(edges), iters=2, scale=100)
+           .to_pandas().set_index("host"))
+    assert out.loc["v", "auth"] == 100 and out.loc["v", "hub"] == 0
+    # hub(u) proportional to weight: 4:2:1 -> 100, 50, 25
+    assert out.loc["u1", "hub"] == 100
+    assert out.loc["u2", "hub"] == 50
+    assert out.loc["u3", "hub"] == 25
+    assert (out.loc[["u1", "u2", "u3"], "auth"] == 0).all()
