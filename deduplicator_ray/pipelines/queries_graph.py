@@ -423,9 +423,99 @@ JOIN a{_HITS_ITERS} a ON n.host = a.host"""
     return sql
 
 
+_UND_CTE = """
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src_host, dst_host) AS u,
+         greatest(src_host, dst_host) AS v
+  FROM links WHERE src_host <> dst_host)"""
+
+
+def q_host_triangles(sf_dir: str):
+    """Per-host triangle participation counts on the undirected host
+    graph (stages/graph.py:triangles) — exact, via degree-oriented
+    wedge join (compact-forward; Latapy 2008), the local-clustering
+    numerator for link-farm detection."""
+    from deduplicator_ray.stages.graph import triangles
+
+    edges = edge_aggregate(_links(sf_dir))
+    return triangles(edges)
+
+
+_SQL_TRIANGLES = f"""
+WITH {LINKED_PAGES_CTE},
+{_UND_CTE},
+tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT host, count(*)::BIGINT AS n_triangles FROM (
+  SELECT a AS host FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri) t(host)
+GROUP BY host
+"""
+
+
+_KCORE_K, _KCORE_ROUNDS = 6, 6
+
+
+def q_kcore_hosts(sf_dir: str):
+    """Fixed-round k-core peeling (stages/graph.py:kcore): survivors of
+    {rounds} degree-≥-k peels on the undirected host graph with their
+    in-core degree — the dense-core / link-farm neighborhood."""
+    from deduplicator_ray.stages.graph import kcore
+
+    edges = edge_aggregate(_links(sf_dir))
+    return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _sql_kcore() -> str:
+    """The peeling rounds unrolled as MATERIALIZED CTEs (each round's
+    alive set is referenced by the next round's degree count twice)."""
+    k = _KCORE_K
+    sql = f"""
+WITH {LINKED_PAGES_CTE},
+{_UND_CTE},
+a0 AS MATERIALIZED (SELECT DISTINCT host FROM
+     (SELECT u AS host FROM und UNION ALL SELECT v FROM und))"""
+    prev = "a0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        sql += f""",
+d{i} AS MATERIALIZED (
+  SELECT host, count(*)::BIGINT AS deg FROM (
+    SELECT e.u AS host FROM und e
+    WHERE e.u IN (SELECT host FROM {prev})
+      AND e.v IN (SELECT host FROM {prev})
+    UNION ALL
+    SELECT e.v FROM und e
+    WHERE e.u IN (SELECT host FROM {prev})
+      AND e.v IN (SELECT host FROM {prev})) t(host)
+  GROUP BY host),
+a{i} AS MATERIALIZED (
+  SELECT a.host FROM {prev} a JOIN d{i} d ON a.host = d.host
+  WHERE d.deg >= {k})"""
+        prev = f"a{i}"
+    sql += f"""
+SELECT host, deg AS core_degree FROM (
+  SELECT host, count(*)::BIGINT AS deg FROM (
+    SELECT e.u AS host FROM und e
+    WHERE e.u IN (SELECT host FROM {prev})
+      AND e.v IN (SELECT host FROM {prev})
+    UNION ALL
+    SELECT e.v FROM und e
+    WHERE e.u IN (SELECT host FROM {prev})
+      AND e.v IN (SELECT host FROM {prev})) t(host)
+  GROUP BY host) d
+WHERE host IN (SELECT host FROM {prev})"""
+    return sql
+
+
 def registry_graph():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
+        "host_triangles": (q_host_triangles, _SQL_TRIANGLES),
+        "kcore_hosts": (q_kcore_hosts, _sql_kcore()),
         "hits_hosts": (q_hits_hosts, _sql_hits()),
         "html_extract_text": (q_html_extract_text, _SQL_HTML_EXTRACT),
         "content_mirrors": (q_content_mirrors, _sql_content_mirrors()),

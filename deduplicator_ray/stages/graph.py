@@ -699,3 +699,320 @@ def _hits_bucketed(edges, src_col, dst_col, weight_col, iters, scale,
     return pa.table({"host": pa.array(hosts, type=pa.string()),
                      "hub": pa.array(h, type=pa.int64()),
                      "auth": pa.array(a, type=pa.int64())})
+
+
+def _undirected_edges(edges, src_col, dst_col, P):
+    """Globally-distinct undirected host edges (u < v lexicographically,
+    self-loops dropped): within-batch canonicalize + distinct, ONE
+    hash-bucket shuffle on the edge key, per-bucket distinct."""
+    def partial(b: pa.Table) -> pa.Table:
+        s = np.asarray(b[src_col], dtype=object)
+        d = np.asarray(b[dst_col], dtype=object)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        df = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["u", "v"]].drop_duplicates()
+
+    parts = edges.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return (hash_bucket(parts, "u", P)
+            .groupby("_part").map_groups(bucket_distinct,
+                                         batch_format="pandas"))
+
+
+def triangles(edges, *, src_col: str = "src_host",
+              dst_col: str = "dst_host",
+              max_driver_edges: int = 2_000_000,
+              num_partitions: int | None = None) -> pa.Table:
+    """Exact per-host triangle counts on the UNDIRECTED host graph
+    (direction and multiplicity dropped, self-loops ignored): for each
+    host, the number of distinct host triangles it participates in —
+    the local-clustering numerator used for web-spam / link-farm
+    detection (densely interlinked host clusters).
+
+    Algorithm (compact-forward / degree orientation; Latapy 2008,
+    "Main-memory triangle computations for very large (sparse
+    (power-law)) graphs"): orient every undirected edge from the
+    endpoint with lower (degree, host) rank to the higher; each
+    triangle then has exactly ONE vertex with two out-edges, so
+    enumerating wedges only at out-neighbors bounds candidate pairs by
+    sum(out_deg^2) <= O(E * arboricity) instead of the hub-quadratic
+    sum(deg^2) — the standard skew shield for power-law host graphs.
+
+    Distributed shape: distinct-undirected-edges shuffle -> degree
+    partials (host-bounded, broadcast via ray.put) -> per-bucket wedge
+    generation keyed by the oriented pair -> tagged-union hash-bucket
+    match of wedges against oriented edges -> per-host count partials
+    -> final host-key sum.  Hosts with zero triangles are omitted.
+    """
+    P = num_partitions or auto_partitions()
+    und = _undirected_edges(edges, src_col, dst_col, P).materialize()
+
+    n_edges = und.count()
+    if n_edges <= max_driver_edges:
+        return _triangles_pandas(und.to_pandas())
+    return _triangles_bucketed(und, P)
+
+
+def _tri_rank(hosts: np.ndarray, deg: np.ndarray) -> np.ndarray:
+    """Total order (degree, host): rank[i] = position of host i."""
+    order = np.lexsort((hosts, deg))
+    rank = np.empty(len(hosts), dtype=np.int64)
+    rank[order] = np.arange(len(hosts), dtype=np.int64)
+    return rank
+
+
+def _triangles_pandas(und: pd.DataFrame) -> pa.Table:
+    hosts = np.unique(np.concatenate([
+        und["u"].to_numpy(dtype=object), und["v"].to_numpy(dtype=object)]))
+    ui = np.searchsorted(hosts, und["u"].to_numpy(dtype=object))
+    vi = np.searchsorted(hosts, und["v"].to_numpy(dtype=object))
+    deg = np.zeros(len(hosts), dtype=np.int64)
+    np.add.at(deg, ui, 1)
+    np.add.at(deg, vi, 1)
+    rank = _tri_rank(hosts, deg)
+    # orient low rank -> high rank
+    lo = np.where(rank[ui] < rank[vi], ui, vi)
+    hi = np.where(rank[ui] < rank[vi], vi, ui)
+    # wedges at each center: pairs of out-neighbors, ordered by rank
+    order = np.argsort(lo, kind="stable")
+    lo_s, hi_s = lo[order], hi[order]
+    counts = np.bincount(lo_s, minlength=len(hosts))
+    from deduplicator_ray.stages.lexical import _tri_pair_indices
+    centers_all = np.nonzero(counts)[0]
+    starts = np.zeros(len(hosts), dtype=np.int64)
+    starts[centers_all] = np.searchsorted(lo_s, centers_all)
+    gid, a_off, b_off = _tri_pair_indices(counts[centers_all])
+    centers = centers_all[gid]
+    wa = hi_s[starts[centers] + a_off]
+    wb = hi_s[starts[centers] + b_off]
+    # canonical rank order within the wedge so it matches the oriented edge
+    swap = rank[wa] > rank[wb]
+    wa2 = np.where(swap, wb, wa)
+    wb2 = np.where(swap, wa, wb)
+    # membership test against oriented edges via int64 pair keys
+    n = np.int64(len(hosts))
+    edge_keys = np.sort(lo.astype(np.int64) * n + hi.astype(np.int64))
+    wedge_keys = wa2.astype(np.int64) * n + wb2.astype(np.int64)
+    if len(edge_keys):
+        pos = np.minimum(np.searchsorted(edge_keys, wedge_keys),
+                         len(edge_keys) - 1)
+        hit = edge_keys[pos] == wedge_keys
+    else:
+        hit = np.zeros(len(wedge_keys), dtype=bool)
+    tri = np.zeros(len(hosts), dtype=np.int64)
+    for idx in (centers[hit], wa2[hit], wb2[hit]):
+        np.add.at(tri, idx, 1)
+    nz = np.nonzero(tri)[0]
+    return pa.table({"host": pa.array(hosts[nz], type=pa.string()),
+                     "n_triangles": pa.array(tri[nz], type=pa.int64())})
+
+
+def _triangles_bucketed(und, P) -> pa.Table:
+    """Distributed triangle count: degrees broadcast (host-bounded),
+    wedge generation per oriented-center bucket, tagged-union match of
+    wedge keys against oriented-edge keys, host-key count reduce."""
+    import ray
+    import ray.data as rd
+
+    # degrees: per-batch endpoint partials -> driver-bounded vector
+    def deg_partial(b: pa.Table) -> pa.Table:
+        h, c = np.unique(np.concatenate([
+            np.asarray(b["u"], dtype=object),
+            np.asarray(b["v"], dtype=object)]), return_counts=True)
+        return pa.table({"host": pa.array(h, type=pa.string()),
+                         "n": pa.array(c.astype(np.int64), type=pa.int64())})
+
+    dd = (und.map_batches(deg_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+          .to_pandas().groupby("host", as_index=False).agg(n=("n", "sum")))
+    hosts = dd["host"].to_numpy(dtype=object)
+    srt = np.argsort(hosts)
+    hosts = hosts[srt]
+    deg = dd["n"].to_numpy(dtype=np.int64)[srt]
+    rank = _tri_rank(hosts, deg)
+    ctx = ray.put((hosts, rank))
+
+    def orient(b: pa.Table, *, _c=ctx) -> pa.Table:
+        hs, rk = ray.get(_c) if isinstance(_c, ray.ObjectRef) else _c
+        ui = np.searchsorted(hs, np.asarray(b["u"], dtype=object))
+        vi = np.searchsorted(hs, np.asarray(b["v"], dtype=object))
+        lo = np.where(rk[ui] < rk[vi], ui, vi)
+        hi = np.where(rk[ui] < rk[vi], vi, ui)
+        return pa.table({"lo": pa.array(lo, type=pa.int64()),
+                         "hi": pa.array(hi, type=pa.int64())})
+
+    oriented = und.map_batches(orient, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    nh = len(hosts)
+
+    def gen_wedges(df: pd.DataFrame, *, _c=ctx) -> pd.DataFrame:
+        from deduplicator_ray.stages.lexical import _tri_pair_indices
+        _, rk = ray.get(_c) if isinstance(_c, ray.ObjectRef) else _c
+        df = df.sort_values(["lo", "hi"], kind="mergesort")
+        lo = df["lo"].to_numpy(dtype=np.int64)
+        hi = df["hi"].to_numpy(dtype=np.int64)
+        cs, starts, counts = np.unique(lo, return_index=True,
+                                       return_counts=True)
+        gid, a_off, b_off = _tri_pair_indices(counts)
+        centers = cs[gid]
+        wa, wb = hi[starts[gid] + a_off], hi[starts[gid] + b_off]
+        swap = rk[wa] > rk[wb]
+        wa2 = np.where(swap, wb, wa)
+        wb2 = np.where(swap, wa, wb)
+        return pd.DataFrame({"pkey": wa2 * np.int64(nh) + wb2,
+                             "center": centers})
+
+    wedges = (hash_bucket(oriented, "lo", P)
+              .groupby("_part").map_groups(gen_wedges,
+                                           batch_format="pandas"))
+
+    def edge_keys(b: pa.Table) -> pa.Table:
+        k = (np.asarray(b["lo"], dtype=np.int64) * np.int64(nh)
+             + np.asarray(b["hi"], dtype=np.int64))
+        return pa.table({"pkey": pa.array(k, type=pa.int64()),
+                         "center": pa.array(np.full(len(k), -1),
+                                            type=pa.int64())})
+
+    tagged = wedges.union(
+        oriented.map_batches(edge_keys, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        is_edge = df["center"].to_numpy() < 0
+        ek = np.unique(df.loc[is_edge, "pkey"].to_numpy(dtype=np.int64))
+        w = df.loc[~is_edge]
+        if not len(w) or not len(ek):
+            return pd.DataFrame({"hidx": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        wk = w["pkey"].to_numpy(dtype=np.int64)
+        pos = np.minimum(np.searchsorted(ek, wk), len(ek) - 1)
+        hit = ek[pos] == wk
+        c = w["center"].to_numpy(dtype=np.int64)[hit]
+        wkh = wk[hit]
+        parts = np.concatenate([c, wkh // nh, wkh % nh])
+        h, n = np.unique(parts, return_counts=True)
+        return pd.DataFrame({"hidx": h, "n": n.astype(np.int64)})
+
+    parts = (hash_bucket(tagged, "pkey", P)
+             .groupby("_part").map_groups(match, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("hidx", as_index=False).agg(n=("n", "sum"))
+        return pd.DataFrame({"host": hosts[g["hidx"].to_numpy()],
+                             "n_triangles": g["n"].astype("int64")})
+
+    out = (hash_bucket(parts, "hidx", P)
+           .groupby("_part").map_groups(final, batch_format="pandas")
+           .to_pandas())
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def kcore(edges, *, k: int = 2, rounds: int = 6,
+          src_col: str = "src_host", dst_col: str = "dst_host",
+          max_driver_edges: int = 2_000_000,
+          num_partitions: int | None = None) -> pa.Table:
+    """Fixed-round k-core peeling on the undirected host graph: run
+    exactly ``rounds`` peels (compute degree within the currently-alive
+    subgraph, drop hosts with degree < k), then return the survivors
+    with their degree inside the surviving subgraph — the dense-core
+    extraction used to locate tightly-interlinked host neighborhoods
+    (link farms, platform clusters).
+
+    FIXED rounds, not peel-to-convergence: both the Ray paths and the
+    unrolled-CTE oracle run the identical round count, so results are
+    comparable across engines even on graphs where peeling hasn't
+    converged; on converged graphs this IS the k-core (Seidman 1983).
+    Degree = distinct alive neighbors (multiplicity and direction
+    dropped, self-loops ignored).
+
+    Distributed shape per round: alive bitmap (n_hosts-bounded)
+    broadcast via ray.put; per-batch degree partials over the
+    undirected edge set; one hash-bucket sum — the pagerank/hits
+    spread pattern with an alive mask.
+    """
+    P = num_partitions or auto_partitions()
+    und = _undirected_edges(edges, src_col, dst_col, P).materialize()
+    n_edges = und.count()
+    if n_edges <= max_driver_edges:
+        return _kcore_numpy(und.to_pandas(), k, rounds)
+    return _kcore_bucketed(und, k, rounds, P)
+
+
+def _kcore_numpy(und: pd.DataFrame, k: int, rounds: int) -> pa.Table:
+    hosts = np.unique(np.concatenate([
+        und["u"].to_numpy(dtype=object), und["v"].to_numpy(dtype=object)]))
+    ui = np.searchsorted(hosts, und["u"].to_numpy(dtype=object))
+    vi = np.searchsorted(hosts, und["v"].to_numpy(dtype=object))
+
+    def degrees(alive: np.ndarray) -> np.ndarray:
+        live = alive[ui] & alive[vi]
+        deg = np.zeros(len(hosts), dtype=np.int64)
+        np.add.at(deg, ui[live], 1)
+        np.add.at(deg, vi[live], 1)
+        return deg
+
+    alive = np.ones(len(hosts), dtype=bool)
+    for _ in range(rounds):
+        alive &= degrees(alive) >= k
+    deg = degrees(alive)
+    keep = np.nonzero(alive)[0]
+    return pa.table({"host": pa.array(hosts[keep], type=pa.string()),
+                     "core_degree": pa.array(deg[keep], type=pa.int64())})
+
+
+def _kcore_bucketed(und, k: int, rounds: int, P) -> pa.Table:
+    import ray
+
+    def hosts_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            np.asarray(b["u"], dtype=object),
+            np.asarray(b["v"], dtype=object)]))
+        return pa.table({"host": pa.array(u, type=pa.string())})
+
+    hosts = np.unique(
+        und.map_batches(hosts_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .to_pandas()["host"].to_numpy(dtype=object))
+    hosts_ref = ray.put(hosts)
+
+    def degrees(alive_ref) -> np.ndarray:
+        def partial(b: pa.Table, *, _a=alive_ref, _h=hosts_ref) -> pa.Table:
+            hs = ray.get(_h) if isinstance(_h, ray.ObjectRef) else _h
+            al = ray.get(_a) if isinstance(_a, ray.ObjectRef) else _a
+            ui = np.searchsorted(hs, np.asarray(b["u"], dtype=object))
+            vi = np.searchsorted(hs, np.asarray(b["v"], dtype=object))
+            live = al[ui] & al[vi]
+            deg = np.zeros(len(hs), dtype=np.int64)
+            np.add.at(deg, ui[live], 1)
+            np.add.at(deg, vi[live], 1)
+            nz = np.nonzero(deg)[0]
+            return pa.table({"idx": pa.array(nz, type=pa.int64()),
+                             "s": pa.array(deg[nz], type=pa.int64())})
+
+        def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("idx", as_index=False).agg(s=("s", "sum"))
+            g["s"] = g["s"].astype("int64")
+            return g
+
+        summed = (hash_bucket(
+            und.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True), "idx", P)
+            .groupby("_part").map_groups(bucket_sum, batch_format="pandas")
+            .to_pandas())
+        deg = np.zeros(len(hosts), dtype=np.int64)
+        deg[summed["idx"].to_numpy()] = summed["s"].to_numpy()
+        return deg
+
+    alive = np.ones(len(hosts), dtype=bool)
+    for _ in range(rounds):
+        alive &= degrees(ray.put(alive)) >= k
+    deg = degrees(ray.put(alive))
+    keep = np.nonzero(alive)[0]
+    return pa.table({"host": pa.array(hosts[keep], type=pa.string()),
+                     "core_degree": pa.array(deg[keep], type=pa.int64())})

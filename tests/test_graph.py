@@ -194,7 +194,7 @@ def test_co_occurrence_pairs_semantics(ray_session):
 @pytest.mark.parametrize(
     "name", ["link_graph", "pagerank_hosts", "anchor_stats", "mirror_hosts",
              "html_extract_text", "content_mirrors", "cocitation_hosts",
-             "hits_hosts"])
+             "hits_hosts", "host_triangles", "kcore_hosts"])
 def test_graph_oracle_parity(ray_session, sf_dir, duck, name):
     from deduplicator_ray.pipelines.queries_graph import registry_graph
 
@@ -279,3 +279,65 @@ def test_hits_star_graph_exact(ray_session):
     assert out.loc["u2", "hub"] == 50
     assert out.loc["u3", "hub"] == 25
     assert (out.loc[["u1", "u2", "u3"], "auth"] == 0).all()
+
+
+def test_triangles_paths_agree_and_hand_check(ray_session):
+    """K4 minus one edge = 2 triangles; per-host counts by membership.
+    Edge direction/multiplicity must not matter."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import triangles
+
+    # a-b, a-c, a-d, b-c, c-d (missing b-d): triangles abc, acd
+    edges = pd.DataFrame({
+        "src_host": ["a", "c", "a", "b", "d", "d", "a"],
+        "dst_host": ["b", "a", "c", "c", "c", "a", "b"],  # a-b twice, rev c-a
+        "n_links": [1, 4, 2, 1, 1, 3, 9],
+    })
+    want = {"a": 2, "b": 1, "c": 2, "d": 1}
+    drv = (triangles(rd.from_pandas(edges))
+           .to_pandas().set_index("host")["n_triangles"].to_dict())
+    dist = (triangles(rd.from_pandas(edges), max_driver_edges=0,
+                      num_partitions=4)
+            .to_pandas().set_index("host")["n_triangles"].to_dict())
+    assert drv == want and dist == want
+
+
+def test_triangles_no_triangle_graph(ray_session):
+    """A path graph has zero triangles -> empty result, stable schema;
+    self-loops are ignored."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import triangles
+
+    edges = pd.DataFrame({
+        "src_host": ["a", "b", "c", "a"],
+        "dst_host": ["b", "c", "d", "a"],
+        "n_links": [1, 1, 1, 5],
+    })
+    out = triangles(rd.from_pandas(edges)).to_pandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["host", "n_triangles"]
+
+
+def test_kcore_paths_agree_and_cascade(ray_session):
+    """Triangle abc + pendant chain c-d-e at k=2: d,e peel in cascade
+    (d only drops below 2 after e goes), leaving the triangle with
+    in-core degree 2 everywhere."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import kcore
+
+    edges = pd.DataFrame({
+        "src_host": ["a", "b", "c", "c", "d"],
+        "dst_host": ["b", "c", "a", "d", "e"],
+        "n_links": [1, 1, 1, 1, 1],
+    })
+    drv = (kcore(rd.from_pandas(edges), k=2, rounds=4)
+           .to_pandas().sort_values("host", ignore_index=True))
+    dist = (kcore(rd.from_pandas(edges), k=2, rounds=4, max_driver_edges=0,
+                  num_partitions=4)
+            .to_pandas().sort_values("host", ignore_index=True))
+    pd.testing.assert_frame_equal(drv, dist)
+    assert drv["host"].tolist() == ["a", "b", "c"]
+    assert (drv["core_degree"] == 2).all()
