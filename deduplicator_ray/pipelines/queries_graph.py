@@ -279,6 +279,80 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+def q_coupled_hosts(sf_dir: str):
+    """Bibliographic coupling (Kessler 1963) — the dual of co-citation:
+    source-host pairs whose outlink sets share >= 2 destination hosts
+    (co_occurrence_pairs with key=dst host, item=src host)."""
+    from deduplicator_ray.stages.graph import co_occurrence_pairs
+
+    links = _links(sf_dir)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({"dst": b["dst_host"], "src": b["src_host"]})
+
+    return co_occurrence_pairs(
+        links.map_batches(proj, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        key_col="dst", item_col="src", min_shared=2)
+
+
+_SQL_COUPLING = f"""
+WITH {LINKED_PAGES_CTE},
+ci AS (SELECT DISTINCT dst_host AS k, src_host AS i FROM links)
+SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS n_shared
+FROM ci a JOIN ci b ON a.k = b.k AND a.i < b.i
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_host_reciprocity(sf_dir: str):
+    """Per-host link reciprocity in integer ppm
+    (stages/graph.py:reciprocity): how much of each host's distinct
+    out-neighborhood links back."""
+    from deduplicator_ray.stages.graph import reciprocity
+
+    return reciprocity(_links(sf_dir))
+
+
+_SQL_RECIPROCITY = f"""
+WITH {LINKED_PAGES_CTE},
+de AS MATERIALIZED (
+  SELECT DISTINCT src_host AS s, dst_host AS d FROM links
+  WHERE src_host <> dst_host)
+SELECT e.s AS host,
+       count(*)::BIGINT AS n_out,
+       count(r.s)::BIGINT AS n_recip,
+       ((count(r.s) * 1000000) // count(*))::BIGINT AS recip_ppm
+FROM de e LEFT JOIN de r ON r.s = e.d AND r.d = e.s
+GROUP BY e.s
+"""
+
+
+def q_degree_census(sf_dir: str):
+    """Log2-bucketed in/out degree histogram of the host graph
+    (stages/graph.py:degree_census) — the power-law shape check; exact
+    integer buckets on both engines (bit_length vs length(bin()))."""
+    from deduplicator_ray.stages.graph import degree_census
+
+    return degree_census(_links(sf_dir))
+
+
+_SQL_DEGREE_CENSUS = f"""
+WITH {LINKED_PAGES_CTE},
+de AS MATERIALIZED (
+  SELECT DISTINCT src_host AS s, dst_host AS d FROM links
+  WHERE src_host <> dst_host),
+dg AS (
+  SELECT 'out' AS direction, s AS host, count(*)::BIGINT AS deg
+  FROM de GROUP BY 2
+  UNION ALL
+  SELECT 'in', d, count(*)::BIGINT FROM de GROUP BY 2)
+SELECT direction, CAST(length(bin(deg)) - 1 AS BIGINT) AS log2_bucket,
+       count(*)::BIGINT AS n_hosts
+FROM dg GROUP BY 1, 2
+"""
+
+
 _REACH_SEEDS = ["www.site0.example"]
 _REACH_HOPS, _REACH_M = 4, 2
 
@@ -515,6 +589,9 @@ def registry_graph():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
         "host_triangles": (q_host_triangles, _SQL_TRIANGLES),
+        "coupled_hosts": (q_coupled_hosts, _SQL_COUPLING),
+        "host_reciprocity": (q_host_reciprocity, _SQL_RECIPROCITY),
+        "degree_census": (q_degree_census, _SQL_DEGREE_CENSUS),
         "kcore_hosts": (q_kcore_hosts, _sql_kcore()),
         "hits_hosts": (q_hits_hosts, _sql_hits()),
         "html_extract_text": (q_html_extract_text, _SQL_HTML_EXTRACT),

@@ -1016,3 +1016,105 @@ def _kcore_bucketed(und, k: int, rounds: int, P) -> pa.Table:
     keep = np.nonzero(alive)[0]
     return pa.table({"host": pa.array(hosts[keep], type=pa.string()),
                      "core_degree": pa.array(deg[keep], type=pa.int64())})
+
+
+def reciprocity(edges, *, src_col: str = "src_host",
+                dst_col: str = "dst_host",
+                num_partitions: int | None = None):
+    """Per-host link reciprocity: of a host's distinct out-neighbors
+    (self-loops dropped), how many link back — the mutual-linking
+    signal that separates organic site neighborhoods from one-way spam
+    blasts.  Columns (host, n_out, n_recip, recip_ppm) with
+    recip_ppm = (n_recip * 1e6) // n_out (integer, oracle-exact).
+
+    Shape: within-batch distinct directed pairs -> ONE hash-bucket
+    shuffle on the UNORDERED pair key (both directions of an edge land
+    in the same bucket, so reciprocation is decided locally) -> per-host
+    partial sums -> host-key final.
+    """
+    P = num_partitions or auto_partitions()
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "s": np.asarray(b[src_col], dtype=object),
+            "d": np.asarray(b[dst_col], dtype=object)})
+        df = df[df["s"] != df["d"]].drop_duplicates()
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        lo = pc.min_element_wise(t["s"], t["d"])
+        hi = pc.max_element_wise(t["s"], t["d"])
+        return t.append_column(
+            "_ukey", pc.binary_join_element_wise(lo, hi, "\x1f"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["s", "d"]].drop_duplicates()
+        fwd = df["s"] + "\x1f" + df["d"]
+        rev = set(df["d"] + "\x1f" + df["s"])
+        rec = fwd.isin(rev).astype("int64")
+        g = pd.DataFrame({"host": df["s"], "out": 1, "rec": rec}).groupby(
+            "host", as_index=False).agg(out=("out", "sum"),
+                                        rec=("rec", "sum"))
+        return g
+
+    parts = (hash_bucket(
+        edges.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True), "_ukey", P)
+        .groupby("_part").map_groups(per_bucket, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("host", as_index=False).agg(
+            n_out=("out", "sum"), n_recip=("rec", "sum"))
+        g["n_out"] = g["n_out"].astype("int64")
+        g["n_recip"] = g["n_recip"].astype("int64")
+        g["recip_ppm"] = (g["n_recip"] * 1_000_000) // g["n_out"]
+        return g
+
+    return (hash_bucket(parts, "host", P)
+            .groupby("_part").map_groups(final, batch_format="pandas"))
+
+
+def degree_census(edges, *, src_col: str = "src_host",
+                  dst_col: str = "dst_host",
+                  num_partitions: int | None = None) -> pa.Table:
+    """Log2-bucketed in/out degree histogram of the host graph — the
+    power-law shape check every web-graph audit starts with (does the
+    crawl over-sample hubs?).  Degree = distinct neighbors, self-loops
+    dropped; bucket = bit_length(deg) - 1, exact integer on both engines
+    (the oracle uses length(bin(deg)) - 1, never float log2).
+
+    Columns (direction, log2_bucket, n_hosts); histogram partials are
+    <= 64 rows per bucket task, merged on the driver.
+    """
+    P = num_partitions or auto_partitions()
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "s": np.asarray(b[src_col], dtype=object),
+            "d": np.asarray(b[dst_col], dtype=object)})
+        df = df[df["s"] != df["d"]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    dist = edges.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    def hist(key: str, direction: str):
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            deg = (df[["s", "d"]].drop_duplicates()
+                   .groupby(key).size().to_numpy(dtype=np.int64))
+            # frexp exponent is exact for any int64 < 2^53: deg in
+            # [2^k, 2^(k+1)) -> exponent k+1 -> bucket k
+            buckets = np.frexp(deg.astype(np.float64))[1].astype(np.int64) - 1
+            bk, n = np.unique(buckets, return_counts=True)
+            return pd.DataFrame({"direction": direction, "log2_bucket": bk,
+                                 "n_hosts": n.astype(np.int64)})
+
+        return (hash_bucket(dist, key, P)
+                .groupby("_part").map_groups(per_bucket,
+                                             batch_format="pandas")
+                .to_pandas())
+
+    out = pd.concat([hist("s", "out"), hist("d", "in")], ignore_index=True)
+    out = out.groupby(["direction", "log2_bucket"], as_index=False).agg(
+        n_hosts=("n_hosts", "sum"))
+    out["log2_bucket"] = out["log2_bucket"].astype("int64")
+    out["n_hosts"] = out["n_hosts"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -194,7 +194,8 @@ def test_co_occurrence_pairs_semantics(ray_session):
 @pytest.mark.parametrize(
     "name", ["link_graph", "pagerank_hosts", "anchor_stats", "mirror_hosts",
              "html_extract_text", "content_mirrors", "cocitation_hosts",
-             "hits_hosts", "host_triangles", "kcore_hosts"])
+             "hits_hosts", "host_triangles", "kcore_hosts",
+             "coupled_hosts", "host_reciprocity", "degree_census"])
 def test_graph_oracle_parity(ray_session, sf_dir, duck, name):
     from deduplicator_ray.pipelines.queries_graph import registry_graph
 
@@ -341,3 +342,43 @@ def test_kcore_paths_agree_and_cascade(ray_session):
     pd.testing.assert_frame_equal(drv, dist)
     assert drv["host"].tolist() == ["a", "b", "c"]
     assert (drv["core_degree"] == 2).all()
+
+
+def test_reciprocity_semantics(ray_session):
+    """a<->b mutual, a->c one-way, multiplicities and self-loops
+    ignored: a: 1/2 recip, b: 1/1, c: no out-edges -> absent."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import reciprocity
+
+    edges = pd.DataFrame({
+        "src_host": ["a", "a", "b", "a", "c"],
+        "dst_host": ["b", "c", "a", "b", "c"],  # a->b twice; c->c self-loop
+        "n_links": [1, 1, 1, 1, 1],
+    })
+    out = (reciprocity(rd.from_pandas(edges), num_partitions=4)
+           .to_pandas().set_index("host"))
+    assert out.loc["a", "n_out"] == 2 and out.loc["a", "n_recip"] == 1
+    assert out.loc["a", "recip_ppm"] == 500_000
+    assert out.loc["b", "n_out"] == 1 and out.loc["b", "recip_ppm"] == 1_000_000
+    assert "c" not in out.index
+
+
+def test_degree_census_buckets(ray_session):
+    """Exact power-of-two boundaries: out-degrees 1,2,3,4 land in
+    buckets 0,1,1,2 — float log2 would misplace the boundaries."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import degree_census
+
+    rows = []
+    for i, deg in enumerate([1, 2, 3, 4]):
+        rows += [{"src_host": f"s{i}", "dst_host": f"t{j}", "n_links": 1}
+                 for j in range(deg)]
+    out = (degree_census(rd.from_pandas(pd.DataFrame(rows)),
+                         num_partitions=4).to_pandas())
+    o = out[out["direction"] == "out"].set_index("log2_bucket")["n_hosts"]
+    assert o.to_dict() == {0: 1, 1: 2, 2: 1}
+    # in-degrees: t0=4, t1=3, t2=2, t3=1 -> same bucket shape
+    i = out[out["direction"] == "in"].set_index("log2_bucket")["n_hosts"]
+    assert i.to_dict() == {0: 1, 1: 2, 2: 1}
