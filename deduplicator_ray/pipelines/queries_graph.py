@@ -293,14 +293,23 @@ def q_coupled_hosts(sf_dir: str):
     return co_occurrence_pairs(
         links.map_batches(proj, batch_format="pyarrow",
                           zero_copy_batch=True),
-        key_col="dst", item_col="src", min_shared=2)
+        key_col="dst", item_col="src", min_shared=2,
+        max_fanin=_COUPLING_FANIN)
 
+
+# the dst key of coupling is in-degree-skewed (a hub destination is
+# linked by everyone), so the engine's max_fanin exclusion MUST be
+# mirrored here — without it the oracle pairs the hub's whole
+# in-neighborhood while the engine skips it
+_COUPLING_FANIN = 10_000
 
 _SQL_COUPLING = f"""
 WITH {LINKED_PAGES_CTE},
-ci AS (SELECT DISTINCT dst_host AS k, src_host AS i FROM links)
+ci AS MATERIALIZED (SELECT DISTINCT dst_host AS k, src_host AS i FROM links),
+ck AS (SELECT k FROM ci GROUP BY k HAVING count(*) <= {_COUPLING_FANIN})
 SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS n_shared
 FROM ci a JOIN ci b ON a.k = b.k AND a.i < b.i
+WHERE a.k IN (SELECT k FROM ck)
 GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
@@ -511,8 +520,10 @@ def q_host_triangles(sf_dir: str):
     numerator for link-farm detection."""
     from deduplicator_ray.stages.graph import triangles
 
-    edges = edge_aggregate(_links(sf_dir))
-    return triangles(edges)
+    # raw link rows, not edge_aggregate: triangles ignores weights and
+    # compresses via _undirected_edges' own per-batch distinct, so the
+    # count-aggregation shuffle would be pure waste
+    return triangles(_links(sf_dir))
 
 
 _SQL_TRIANGLES = f"""
@@ -540,8 +551,8 @@ def q_kcore_hosts(sf_dir: str):
     in-core degree — the dense-core / link-farm neighborhood."""
     from deduplicator_ray.stages.graph import kcore
 
-    edges = edge_aggregate(_links(sf_dir))
-    return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    # raw link rows (see q_host_triangles): weights are irrelevant here
+    return kcore(_links(sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS)
 
 
 def _sql_kcore() -> str:
@@ -570,8 +581,12 @@ a{i} AS MATERIALIZED (
   SELECT a.host FROM {prev} a JOIN d{i} d ON a.host = d.host
   WHERE d.deg >= {k})"""
         prev = f"a{i}"
+    # LEFT JOIN + COALESCE: a survivor whose whole neighborhood peeled
+    # in the last round has in-core degree 0 but is still a survivor
+    # under fixed-round semantics — the Ray paths emit it, so must we
     sql += f"""
-SELECT host, deg AS core_degree FROM (
+SELECT a.host, COALESCE(d.deg, 0)::BIGINT AS core_degree
+FROM {prev} a LEFT JOIN (
   SELECT host, count(*)::BIGINT AS deg FROM (
     SELECT e.u AS host FROM und e
     WHERE e.u IN (SELECT host FROM {prev})
@@ -580,8 +595,7 @@ SELECT host, deg AS core_degree FROM (
     SELECT e.v FROM und e
     WHERE e.u IN (SELECT host FROM {prev})
       AND e.v IN (SELECT host FROM {prev})) t(host)
-  GROUP BY host) d
-WHERE host IN (SELECT host FROM {prev})"""
+  GROUP BY host) d ON a.host = d.host"""
     return sql
 
 

@@ -193,17 +193,7 @@ def _pagerank_bucketed(edges, src_col, dst_col, weight_col,
     import ray
 
     edges = edges.materialize()  # consumed iters+2 times
-
-    def hosts_partial(b: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate([
-            np.asarray(b[src_col], dtype=object),
-            np.asarray(b[dst_col], dtype=object)]))
-        return pa.table({"host": pa.array(u, type=pa.string())})
-
-    hosts = np.unique(
-        edges.map_batches(hosts_partial, batch_format="pyarrow",
-                          zero_copy_batch=True)
-        .to_pandas()["host"].to_numpy(dtype=object))
+    hosts = _collect_hosts(edges, (src_col, dst_col))
 
     def outdeg_partial(b: pa.Table) -> pa.Table:
         si = np.searchsorted(hosts, np.asarray(b[src_col], dtype=object))
@@ -241,19 +231,10 @@ def _pagerank_bucketed(edges, src_col, dst_col, weight_col,
             return pa.table({"idx": pa.array(nz, type=pa.int64()),
                              "s": pa.array(s[nz], type=pa.int64())})
 
-        def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("idx", as_index=False).agg(s=("s", "sum"))
-            g["s"] = g["s"].astype("int64")
-            return g
-
         parts = edges.map_batches(contrib_partial, batch_format="pyarrow",
                                   zero_copy_batch=True)
-        summed = (hash_bucket(parts, "idx", P).groupby("_part")
-                  .map_groups(bucket_sum, batch_format="pandas")
-                  .to_pandas())
-        s = np.zeros(len(hosts), dtype=np.int64)
-        s[summed["idx"].to_numpy()] = summed["s"].to_numpy()
-        r = _pr_update(base, damping_pct, s)
+        r = _pr_update(base, damping_pct,
+                       _bucket_vector_sum(parts, len(hosts), P))
     return pa.table({"host": pa.array(hosts, type=pa.string()),
                      "rank": pa.array(r, type=pa.int64())})
 
@@ -582,6 +563,46 @@ def frontier_gap(links, captured, *, src_col: str = "src_host",
     return final(parts.to_pandas())
 
 
+def _collect_hosts(ds, cols) -> np.ndarray:
+    """Sorted host universe of ``ds`` over ``cols``: per-batch unique
+    partials, driver merge.  The result is n_hosts-bounded by the same
+    contract that lets the iterative operators (pagerank/hits/kcore)
+    hold one score vector per process."""
+    def partial(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate(
+            [np.asarray(b[c], dtype=object) for c in cols]))
+        return pa.table({"host": pa.array(u, type=pa.string())})
+
+    return np.unique(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .to_pandas()["host"].to_numpy(dtype=object))
+
+
+def _bucket_vector_sum(parts, n: int, P) -> np.ndarray:
+    """(idx, s) partial rows -> dense int64 length-``n`` vector: ONE
+    hash-bucket shuffle of nonzero partials + vectorized per-bucket sum
+    — the reduce half of every broadcast-vector iteration here."""
+    def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+        # an all-zero iteration (every partial empty) can hand map_groups
+        # a column-less empty frame
+        if not len(df) or "idx" not in df.columns:
+            return pd.DataFrame({"idx": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="int64")})
+        g = df.groupby("idx", as_index=False).agg(s=("s", "sum"))
+        g["s"] = g["s"].astype("int64")
+        return g
+
+    summed = (hash_bucket(parts, "idx", P).groupby("_part")
+              .map_groups(bucket_sum, batch_format="pandas")
+              .to_pandas())
+    out = np.zeros(n, dtype=np.int64)
+    if len(summed):
+        out[summed["idx"].to_numpy(dtype=np.int64)] = \
+            summed["s"].to_numpy(dtype=np.int64)
+    return out
+
+
 def hits(edges, *, iters: int = 5, scale: int = 10 ** 5,
          src_col: str = "src_host", dst_col: str = "dst_host",
          weight_col: str = "n_links", max_driver_edges: int = 2_000_000,
@@ -607,6 +628,7 @@ def hits(edges, *, iters: int = 5, scale: int = 10 ** 5,
     hash-bucket reduce per half-iteration) with the n_hosts-bounded
     score vectors broadcast via ray.put — the pagerank shape.
     """
+    edges = edges.materialize()  # consumed 1 + 2*iters times
     n_edges = edges.count()
     if n_edges <= max_driver_edges:
         return _hits_numpy(edges.to_pandas(), src_col, dst_col,
@@ -650,18 +672,7 @@ def _hits_bucketed(edges, src_col, dst_col, weight_col, iters, scale,
     cross the driver (broadcast once per iteration via ray.put)."""
     import ray
 
-    edges = edges.materialize()
-
-    def hosts_partial(b: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate([
-            np.asarray(b[src_col], dtype=object),
-            np.asarray(b[dst_col], dtype=object)]))
-        return pa.table({"host": pa.array(u, type=pa.string())})
-
-    hosts = np.unique(
-        edges.map_batches(hosts_partial, batch_format="pyarrow",
-                          zero_copy_batch=True)
-        .to_pandas()["host"].to_numpy(dtype=object))
+    hosts = _collect_hosts(edges, (src_col, dst_col))
     hosts_ref = ray.put(hosts)
 
     def spread(vec_ref, from_col, to_col):
@@ -677,19 +688,9 @@ def _hits_bucketed(edges, src_col, dst_col, weight_col, iters, scale,
             return pa.table({"idx": pa.array(nz, type=pa.int64()),
                              "s": pa.array(s[nz], type=pa.int64())})
 
-        def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("idx", as_index=False).agg(s=("s", "sum"))
-            g["s"] = g["s"].astype("int64")
-            return g
-
         parts = edges.map_batches(partial, batch_format="pyarrow",
                                   zero_copy_batch=True)
-        summed = (hash_bucket(parts, "idx", P).groupby("_part")
-                  .map_groups(bucket_sum, batch_format="pandas")
-                  .to_pandas())
-        out = np.zeros(len(hosts), dtype=np.int64)
-        out[summed["idx"].to_numpy()] = summed["s"].to_numpy()
-        return out
+        return _bucket_vector_sum(parts, len(hosts), P)
 
     h = np.full(len(hosts), scale, dtype=np.int64)
     a = np.full(len(hosts), scale, dtype=np.int64)
@@ -713,7 +714,10 @@ def _undirected_edges(edges, src_col, dst_col, P):
         u = np.minimum(s, d)
         v = np.maximum(s, d)
         df = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # explicit string types: an all-self-loop batch leaves df empty
+        # and from_pandas would infer null-typed columns
+        return pa.table({"u": pa.array(df["u"], type=pa.string()),
+                         "v": pa.array(df["v"], type=pa.string())})
 
     def bucket_distinct(df: pd.DataFrame) -> pd.DataFrame:
         return df[["u", "v"]].drop_duplicates()
@@ -902,9 +906,12 @@ def _triangles_bucketed(und, P) -> pa.Table:
     parts = (hash_bucket(tagged, "pkey", P)
              .groupby("_part").map_groups(match, batch_format="pandas"))
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
+    def final(df: pd.DataFrame, *, _c=ctx) -> pd.DataFrame:
+        # hosts via the broadcast ref, not the closure — the closure
+        # would cloudpickle the whole string array into every task
+        hs, _ = ray.get(_c) if isinstance(_c, ray.ObjectRef) else _c
         g = df.groupby("hidx", as_index=False).agg(n=("n", "sum"))
-        return pd.DataFrame({"host": hosts[g["hidx"].to_numpy()],
+        return pd.DataFrame({"host": hs[g["hidx"].to_numpy()],
                              "n_triangles": g["n"].astype("int64")})
 
     out = (hash_bucket(parts, "hidx", P)
@@ -969,16 +976,7 @@ def _kcore_numpy(und: pd.DataFrame, k: int, rounds: int) -> pa.Table:
 def _kcore_bucketed(und, k: int, rounds: int, P) -> pa.Table:
     import ray
 
-    def hosts_partial(b: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate([
-            np.asarray(b["u"], dtype=object),
-            np.asarray(b["v"], dtype=object)]))
-        return pa.table({"host": pa.array(u, type=pa.string())})
-
-    hosts = np.unique(
-        und.map_batches(hosts_partial, batch_format="pyarrow",
-                        zero_copy_batch=True)
-        .to_pandas()["host"].to_numpy(dtype=object))
+    hosts = _collect_hosts(und, ("u", "v"))
     hosts_ref = ray.put(hosts)
 
     def degrees(alive_ref) -> np.ndarray:
@@ -995,19 +993,9 @@ def _kcore_bucketed(und, k: int, rounds: int, P) -> pa.Table:
             return pa.table({"idx": pa.array(nz, type=pa.int64()),
                              "s": pa.array(deg[nz], type=pa.int64())})
 
-        def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("idx", as_index=False).agg(s=("s", "sum"))
-            g["s"] = g["s"].astype("int64")
-            return g
-
-        summed = (hash_bucket(
-            und.map_batches(partial, batch_format="pyarrow",
-                            zero_copy_batch=True), "idx", P)
-            .groupby("_part").map_groups(bucket_sum, batch_format="pandas")
-            .to_pandas())
-        deg = np.zeros(len(hosts), dtype=np.int64)
-        deg[summed["idx"].to_numpy()] = summed["s"].to_numpy()
-        return deg
+        parts = und.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        return _bucket_vector_sum(parts, len(hosts), P)
 
     alive = np.ones(len(hosts), dtype=bool)
     for _ in range(rounds):
@@ -1039,7 +1027,10 @@ def reciprocity(edges, *, src_col: str = "src_host",
             "s": np.asarray(b[src_col], dtype=object),
             "d": np.asarray(b[dst_col], dtype=object)})
         df = df[df["s"] != df["d"]].drop_duplicates()
-        t = pa.Table.from_pandas(df, preserve_index=False)
+        # explicit string types: an all-self-loop batch leaves df empty
+        # and from_pandas' null-typed columns crash min_element_wise
+        t = pa.table({"s": pa.array(df["s"], type=pa.string()),
+                      "d": pa.array(df["d"], type=pa.string())})
         lo = pc.min_element_wise(t["s"], t["d"])
         hi = pc.max_element_wise(t["s"], t["d"])
         return t.append_column(
@@ -1091,7 +1082,9 @@ def degree_census(edges, *, src_col: str = "src_host",
             "s": np.asarray(b[src_col], dtype=object),
             "d": np.asarray(b[dst_col], dtype=object)})
         df = df[df["s"] != df["d"]].drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # explicit string types (empty-batch null-schema hazard)
+        return pa.table({"s": pa.array(df["s"], type=pa.string()),
+                         "d": pa.array(df["d"], type=pa.string())})
 
     dist = edges.map_batches(partial, batch_format="pyarrow",
                              zero_copy_batch=True).materialize()

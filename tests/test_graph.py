@@ -382,3 +382,38 @@ def test_degree_census_buckets(ray_session):
     # in-degrees: t0=4, t1=3, t2=2, t3=1 -> same bucket shape
     i = out[out["direction"] == "in"].set_index("log2_bucket")["n_hosts"]
     assert i.to_dict() == {0: 1, 1: 2, 2: 1}
+
+
+def test_reciprocity_all_self_loop_batch(ray_session):
+    """A batch that is entirely self-loops must produce a typed empty
+    partial, not a null-schema crash (pyarrow min_element_wise has no
+    null,null kernel)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import reciprocity
+
+    edges = pd.DataFrame({
+        "src_host": ["a", "b", "c"],
+        "dst_host": ["a", "b", "c"],
+        "n_links": [1, 1, 1],
+    })
+    out = reciprocity(rd.from_pandas(edges), num_partitions=2).to_pandas()
+    assert len(out) == 0
+
+
+def test_kcore_stranded_survivor_zero_degree(ray_session):
+    """Star x-y1,y2 at k=2, rounds=1: x survives the single round (deg
+    2) while both spokes peel, leaving x with in-core degree 0 — the
+    fixed-round semantics the SQL oracle's COALESCE mirrors."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import kcore
+
+    edges = pd.DataFrame({
+        "src_host": ["x", "x"], "dst_host": ["y1", "y2"],
+        "n_links": [1, 1],
+    })
+    for kw in ({}, {"max_driver_edges": 0, "num_partitions": 2}):
+        out = kcore(rd.from_pandas(edges), k=2, rounds=1, **kw).to_pandas()
+        assert out["host"].tolist() == ["x"]
+        assert out["core_degree"].tolist() == [0]
