@@ -90,6 +90,55 @@ SELECT host, r AS rank FROM {prev}"""
     return sql
 
 
+_TRUST_SEEDS = ["www.site0.example", "www.site7.example"]
+
+
+def q_trustrank_hosts(sf_dir: str):
+    """Integer TrustRank (Gyongyi et al. 2004): PageRank with teleport
+    and initial mass restricted to a trusted seed set
+    (stages/graph.py:pagerank seeds=...) — trust flows outward along
+    links; hosts unreachable from the seeds score 0."""
+    edges = edge_aggregate(_links(sf_dir))
+    return pagerank(edges, iters=_PR_ITERS, damping_pct=_PR_DAMP,
+                    scale=_PR_SCALE, seeds=_TRUST_SEEDS)
+
+
+def _sql_trustrank() -> str:
+    """The pagerank oracle with seed-concentrated r0/base vectors."""
+    base = ((100 - _PR_DAMP) * _PR_SCALE) // 100
+    seeds = ", ".join(f"'{s}'" for s in _TRUST_SEEDS)
+    sql = f"""
+WITH {LINKED_PAGES_CTE},
+eagg AS (SELECT src_host, dst_host, count(*)::BIGINT AS w
+         FROM links GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT host FROM
+          (SELECT src_host AS host FROM eagg
+           UNION ALL SELECT dst_host FROM eagg)),
+outd AS (SELECT src_host, sum(w)::BIGINT AS od FROM eagg GROUP BY 1),
+r0 AS (SELECT host,
+              CASE WHEN host IN ({seeds})
+                   THEN CAST({_PR_SCALE} AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS r
+       FROM nodes)"""
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""",
+s{i} AS (SELECT e.dst_host AS host,
+                sum((r.r // o.od) * e.w)::BIGINT AS s
+         FROM eagg e
+         JOIN {prev} r ON e.src_host = r.host
+         JOIN outd o ON e.src_host = o.src_host
+         GROUP BY 1),
+r{i} AS (SELECT n.host,
+                (CASE WHEN n.host IN ({seeds}) THEN {base} ELSE 0 END
+                 + ({_PR_DAMP} * COALESCE(s.s, 0)) // 100)::BIGINT AS r
+         FROM nodes n LEFT JOIN s{i} s ON n.host = s.host)"""
+        prev = f"r{i}"
+    sql += f"""
+SELECT host, r AS rank FROM {prev}"""
+    return sql
+
+
 def q_anchor_stats(sf_dir: str):
     """Inbound-link profile per destination host: total inlinks,
     distinct landing pages, distinct anchor texts — anchors parsed from
@@ -606,6 +655,7 @@ def registry_graph():
         "coupled_hosts": (q_coupled_hosts, _SQL_COUPLING),
         "host_reciprocity": (q_host_reciprocity, _SQL_RECIPROCITY),
         "degree_census": (q_degree_census, _SQL_DEGREE_CENSUS),
+        "trustrank_hosts": (q_trustrank_hosts, _sql_trustrank()),
         "kcore_hosts": (q_kcore_hosts, _sql_kcore()),
         "hits_hosts": (q_hits_hosts, _sql_hits()),
         "html_extract_text": (q_html_extract_text, _SQL_HTML_EXTRACT),

@@ -125,7 +125,7 @@ def edge_aggregate(links, *, src_col: str = "src_host",
 
 
 def pagerank(edges, *, iters: int = 5, damping_pct: int = 85,
-             scale: int = 10 ** 9, src_col: str = "src_host",
+             scale: int = 10 ** 9, seeds=None, src_col: str = "src_host",
              dst_col: str = "dst_host", weight_col: str = "n_links",
              max_driver_edges: int = 2_000_000,
              num_partitions: int | None = None) -> pa.Table:
@@ -136,6 +136,13 @@ def pagerank(edges, *, iters: int = 5, damping_pct: int = 85,
         r0(v)   = scale
         r_k(v)  = ((100 - d) * scale) // 100
                   + (d * sum_{(u,v)} (r_{k-1}(u) // outdeg(u)) * w(u,v)) // 100
+
+    With ``seeds`` (an iterable of trusted hosts) this becomes integer
+    TrustRank (Gyongyi, Garcia-Molina & Pedersen 2004, "Combating web
+    spam with TrustRank"): the teleport base and the initial mass go
+    ONLY to seed hosts (r0 = scale on seeds, 0 elsewhere), so trust
+    flows outward along links and link-farm clusters unreachable from
+    the seed set score 0.
 
     Dangling mass is dropped (a host with no outlinks contributes
     nothing), matching the SQL mirror which only sums over edges.
@@ -153,18 +160,30 @@ def pagerank(edges, *, iters: int = 5, damping_pct: int = 85,
     if n_edges <= max_driver_edges:
         pdf = edges.to_pandas()
         return _pagerank_numpy(pdf, src_col, dst_col, weight_col,
-                               iters, damping_pct, scale)
+                               iters, damping_pct, scale, seeds)
     return _pagerank_bucketed(edges, src_col, dst_col, weight_col,
-                              iters, damping_pct, scale,
+                              iters, damping_pct, scale, seeds,
                               num_partitions or auto_partitions())
 
 
-def _pr_update(base: int, damping_pct: int, s: np.ndarray) -> np.ndarray:
+def _pr_update(base, damping_pct: int, s: np.ndarray) -> np.ndarray:
     return base + (damping_pct * s) // 100
 
 
+def _pr_vectors(hosts: np.ndarray, scale: int, damping_pct: int, seeds):
+    """(r0, base) vectors: uniform for plain PageRank, seed-concentrated
+    for TrustRank.  Seeds not present in the graph are ignored."""
+    b = ((100 - damping_pct) * scale) // 100
+    if seeds is None:
+        return (np.full(len(hosts), scale, dtype=np.int64),
+                np.full(len(hosts), b, dtype=np.int64))
+    mask = np.isin(hosts, np.asarray(list(seeds), dtype=object))
+    return (np.where(mask, scale, 0).astype(np.int64),
+            np.where(mask, b, 0).astype(np.int64))
+
+
 def _pagerank_numpy(pdf: pd.DataFrame, src_col, dst_col, weight_col,
-                    iters, damping_pct, scale) -> pa.Table:
+                    iters, damping_pct, scale, seeds=None) -> pa.Table:
     hosts = np.unique(np.concatenate([
         pdf[src_col].to_numpy(dtype=object),
         pdf[dst_col].to_numpy(dtype=object),
@@ -174,8 +193,7 @@ def _pagerank_numpy(pdf: pd.DataFrame, src_col, dst_col, weight_col,
     w = pdf[weight_col].to_numpy(dtype=np.int64)
     outdeg = np.zeros(len(hosts), dtype=np.int64)
     np.add.at(outdeg, si, w)
-    r = np.full(len(hosts), scale, dtype=np.int64)
-    base = ((100 - damping_pct) * scale) // 100
+    r, base = _pr_vectors(hosts, scale, damping_pct, seeds)
     for _ in range(iters):
         contrib = (r[si] // np.maximum(outdeg[si], 1)) * w
         s = np.zeros(len(hosts), dtype=np.int64)
@@ -186,7 +204,7 @@ def _pagerank_numpy(pdf: pd.DataFrame, src_col, dst_col, weight_col,
 
 
 def _pagerank_bucketed(edges, src_col, dst_col, weight_col,
-                       iters, damping_pct, scale, P) -> pa.Table:
+                       iters, damping_pct, scale, seeds, P) -> pa.Table:
     """Distributed path: the per-edge contribution work (the part that
     scales with |E|) runs as map_batches + one small hash-bucket reduce
     per iteration; only n_hosts-bounded tables reach the driver."""
@@ -211,8 +229,7 @@ def _pagerank_bucketed(edges, src_col, dst_col, weight_col,
 
     hosts_ref = ray.put(hosts)
     od_ref = ray.put(outdeg)
-    r = np.full(len(hosts), scale, dtype=np.int64)
-    base = ((100 - damping_pct) * scale) // 100
+    r, base = _pr_vectors(hosts, scale, damping_pct, seeds)
     for _ in range(iters):
         r_ref = ray.put(r)
 

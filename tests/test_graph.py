@@ -195,7 +195,8 @@ def test_co_occurrence_pairs_semantics(ray_session):
     "name", ["link_graph", "pagerank_hosts", "anchor_stats", "mirror_hosts",
              "html_extract_text", "content_mirrors", "cocitation_hosts",
              "hits_hosts", "host_triangles", "kcore_hosts",
-             "coupled_hosts", "host_reciprocity", "degree_census"])
+             "coupled_hosts", "host_reciprocity", "degree_census",
+             "trustrank_hosts"])
 def test_graph_oracle_parity(ray_session, sf_dir, duck, name):
     from deduplicator_ray.pipelines.queries_graph import registry_graph
 
@@ -417,3 +418,31 @@ def test_kcore_stranded_survivor_zero_degree(ray_session):
         out = kcore(rd.from_pandas(edges), k=2, rounds=1, **kw).to_pandas()
         assert out["host"].tolist() == ["x"]
         assert out["core_degree"].tolist() == [0]
+
+
+def test_trustrank_unreachable_scores_zero(ray_session):
+    """seed -> a -> b chain plus an isolated spam pair: trust reaches
+    a and b, the spam cluster (unreachable from the seed) scores 0 in
+    both execution paths."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import pagerank
+
+    edges = pd.DataFrame({
+        "src_host": ["seed", "a", "spam1", "spam2"],
+        "dst_host": ["a", "b", "spam2", "spam1"],
+        "n_links": [1, 1, 5, 5],
+    })
+    drv = (pagerank(rd.from_pandas(edges), iters=3, seeds=["seed"])
+           .to_pandas().set_index("host")["rank"])
+    dist = (pagerank(rd.from_pandas(edges), iters=3, seeds=["seed"],
+                     max_driver_edges=0, num_partitions=2)
+            .to_pandas().set_index("host")["rank"])
+    pd.testing.assert_series_equal(drv, dist)
+    assert drv["spam1"] == 0 and drv["spam2"] == 0
+    assert drv["seed"] > 0 and drv["a"] > 0 and drv["b"] > 0
+    # unknown seed hosts are ignored, not added to the graph
+    with_ghost = (pagerank(rd.from_pandas(edges), iters=3,
+                           seeds=["seed", "nosuch.example"])
+                  .to_pandas().set_index("host")["rank"])
+    pd.testing.assert_series_equal(drv, with_ghost)
