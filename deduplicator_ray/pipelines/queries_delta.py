@@ -148,6 +148,42 @@ FROM gaps WHERE gap IS NOT NULL GROUP BY site
 """
 
 
+_BURST_WINDOW = 60
+
+
+def q_capture_burst(sf_dir: str):
+    """Per-site crawl-burst audit (stages/timeline.py:capture_burst):
+    max captures of a site inside any 60-second window — the politeness
+    dual of capture_gaps."""
+    from deduplicator_ray.stages.timeline import capture_burst
+
+    return capture_burst(captures_dataset(sf_dir), window=_BURST_WINDOW)
+
+
+def _sql_capture_burst() -> str:
+    canon = canonical_sql_expr("url")
+    return f"""
+WITH {CAPTURES_CTE},
+caps AS (
+  SELECT {canon} AS u, ts_epoch FROM captures
+),
+s AS (
+  SELECT regexp_extract(u, '^(?P<h>[^/]+)', 1) AS site, ts_epoch AS ts
+  FROM caps
+),
+sd AS (SELECT site, ts, count(*)::BIGINT AS dup FROM s GROUP BY 1, 2),
+cnts AS (
+  SELECT a.site, a.ts, sum(b.dup)::BIGINT AS cnt
+  FROM sd a JOIN sd b
+    ON b.site = a.site AND b.ts >= a.ts AND b.ts < a.ts + {_BURST_WINDOW}
+  GROUP BY 1, 2)
+SELECT n.site, n.n_captures, m.max_burst FROM
+  (SELECT site, count(*)::BIGINT AS n_captures FROM s GROUP BY 1) n
+  JOIN (SELECT site, max(cnt)::BIGINT AS max_burst FROM cnts GROUP BY 1) m
+  USING (site)
+"""
+
+
 def q_site_change_rate(sf_dir: str):
     from deduplicator_ray.stages.timeline import site_change_rate
 
@@ -896,6 +932,7 @@ def registry_delta():
         "content_provenance": (q_content_provenance, _sql_content_provenance()),
         "host_dedup_savings": (q_host_dedup_savings, _sql_host_dedup_savings()),
         "capture_gaps": (q_capture_gaps, _sql_capture_gaps()),
+        "capture_burst": (q_capture_burst, _sql_capture_burst()),
         "site_change_rate": (q_site_change_rate, _sql_site_change_rate()),
         "cdx_roundtrip": (q_cdx_roundtrip, _sql_cdx_roundtrip()),
         "query_param_stats": (q_query_param_stats, _sql_query_param_stats()),

@@ -1880,6 +1880,27 @@ SELECT doc_id, source FROM (
 """
 
 
+def q_freq_spectrum(sf_dir: str):
+    """Corpus word frequency-of-frequencies spectrum
+    (stages/freq.py:freq_spectrum): distinct words per exact occurrence
+    count — the Good-Turing / Zipf-tail shape."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import freq_spectrum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return freq_spectrum(ds, num_buckets=16)
+
+
+_SQL_FREQ_SPECTRUM = """
+WITH ex AS (
+  SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS w FROM documents
+),
+wc AS (SELECT w, count(*)::BIGINT AS n_occurrences FROM ex GROUP BY w)
+SELECT n_occurrences, count(*)::BIGINT AS n_words FROM wc GROUP BY 1
+"""
+
+
 def q_vocabulary_stats(sf_dir: str):
     """Per-source vocabulary stats (stages/freq.py:vocabulary_stats):
     exact distinct-word count, token count, integer TTR ppm — distinct
@@ -2600,6 +2621,7 @@ def registry_ext():
         "split_leakage": (q_split_leakage, _sql_split_leakage()),
         "neardup_keep_best": (q_neardup_keep_best,
                               _SQL_NEARDUP_KEEP_BEST),
+        "freq_spectrum": (q_freq_spectrum, _SQL_FREQ_SPECTRUM),
         "vocabulary_stats": (q_vocabulary_stats,
                              _SQL_VOCABULARY_STATS),
         "bm25_topk": (q_bm25_topk, _SQL_BM25_TOPK),

@@ -815,3 +815,52 @@ def log_histogram_quantiles(ds, col: str, *, qs: tuple[int, ...] = (50, 90, 99))
         hi = 0 if b == 0 else (1 << b) - 1
         rows.append((int(q), int(lo), int(hi)))
     return pd.DataFrame(rows, columns=["q", "lo", "hi"]).astype("int64")
+
+
+def freq_spectrum(ds, *, text_col: str = "text", num_buckets: int = 64):
+    """Corpus word frequency-of-frequencies spectrum -> pyarrow Table
+    (n_occurrences BIGINT, n_words BIGINT): how many distinct words
+    occur exactly k times — the Zipf-tail / Good-Turing shape (Gale &
+    Sampson 1995) a vocabulary or smoothing recipe reads first.
+
+    Shape: per-block word-hash partial counts (8-byte rows through the
+    wide shuffle — same siphash identity contract as vocabulary_stats:
+    a 64-bit collision would merge two words' counts), ONE word-hash
+    shuffle with per-bucket exact summing, then <= O(distinct
+    frequencies) spectrum partials per bucket merged on the driver
+    (distinct frequency values are tiny next to the vocabulary).
+    """
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    def partials(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.coalesce(b[text_col], pa.scalar("", b[text_col].type)), " "
+        ).combine_chunks()
+        h = pd.util.hash_array(
+            words.flatten().to_pandas().to_numpy(object)).astype(np.int64)
+        w, n = np.unique(h, return_counts=True)
+        return pa.table({"w": pa.array(w, type=pa.int64()),
+                         "n": pa.array(n.astype(np.int64), type=pa.int64())})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "w" not in df.columns:
+            return pd.DataFrame({
+                "n_occurrences": pd.Series([], dtype="int64"),
+                "n_words": pd.Series([], dtype="int64")})
+        wc = df.groupby("w", sort=False)["n"].sum()
+        k, c = np.unique(wc.to_numpy(dtype=np.int64), return_counts=True)
+        return pd.DataFrame({"n_occurrences": k,
+                             "n_words": c.astype("int64")})
+
+    spec = (hash_bucket(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True), "w", num_buckets)
+        .groupby("_part")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                    batch_format="pandas")
+        .to_pandas())
+    out = (spec.groupby("n_occurrences", as_index=False)
+           .agg(n_words=("n_words", "sum")))
+    out["n_occurrences"] = out["n_occurrences"].astype("int64")
+    out["n_words"] = out["n_words"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -257,3 +257,73 @@ def page_lifespans(caps, *, url_col: str = "url_canonical",
             .groupby("_part")
             .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
                         batch_format="pandas"))
+
+
+def capture_burst(caps, *, window: int = 60, url_col: str = "url_canonical",
+                  ts_col: str = "ts_epoch",
+                  num_partitions: int | None = None):
+    """Per-site crawl-burst detection -> Dataset (site, n_captures
+    BIGINT, max_burst BIGINT): the maximum number of captures of one
+    site inside any ``window``-second interval [t, t+window) — the
+    politeness-audit metric (did the crawler hammer a host?) dual to
+    ``capture_gaps``'s revisit-interval view.
+
+    Exact, not approximate: per site, captures sorted by ts, then the
+    classic two-pointer count cnt[i] = #captures with ts in
+    [ts_i, ts_i + window) evaluated vectorized as
+    searchsorted(ts, ts + window, 'left') - arange; the max over i is
+    the burst.  ONE site-key shuffle; the same mega-host escape hatch
+    as capture_gaps applies.
+    """
+    P = num_partitions or auto_partitions()
+
+    def prune(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = b[url_col].combine_chunks()
+        m = pc.extract_regex(u, r"^(?P<h>[^/]+)")
+        site = pc.fill_null(pc.struct_field(m, "h"), "")
+        return pa.table({
+            "site": site,
+            "ts": pc.cast(b[ts_col], pa.int64()),
+        })
+
+    pruned = caps.map_batches(prune, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    _EMPTY = pd.DataFrame({
+        "site": pd.Series([], dtype=object),
+        "n_captures": pd.Series([], dtype="int64"),
+        "max_burst": pd.Series([], dtype="int64"),
+    })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        df = df.sort_values(["site", "ts"], kind="mergesort",
+                            ignore_index=True)
+        ts = df["ts"].to_numpy(dtype=np.int64)
+        sites, starts, counts = np.unique(
+            df["site"].to_numpy(), return_index=True, return_counts=True)
+        # one searchsorted across the whole bucket: ts is only sorted
+        # WITHIN each site's slice, so shift each site onto its own
+        # disjoint range (stride > bucket ts-span + window) — the
+        # shifted array is globally sorted and no window can cross a
+        # site boundary
+        stride = (int(ts.max()) - int(ts.min())) + window + 1 if len(ts) else 1
+        site_id = np.repeat(np.arange(len(sites), dtype=np.int64), counts)
+        shifted = ts + site_id * np.int64(stride)
+        upper = np.searchsorted(shifted, shifted + np.int64(window),
+                                side="left")
+        cnt = upper - np.arange(len(ts), dtype=np.int64)
+        burst = np.maximum.reduceat(cnt, starts)
+        return pd.DataFrame({
+            "site": sites,
+            "n_captures": counts.astype("int64"),
+            "max_burst": burst.astype("int64"),
+        })
+
+    return (hash_bucket(pruned, "site", P)
+            .groupby("_part")
+            .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                        batch_format="pandas"))

@@ -1076,3 +1076,17 @@ def test_split_assign_grouped_coherence(ray_session):
 
     k = group_split_key(np.array(["a", "b", "a", None], dtype=object))
     assert k[0] == k[2] and k[0] != k[1] and (k >= 0).all()
+
+
+def test_freq_spectrum_exact(ray_session):
+    """'a a a b b c' across two docs: one word x3, one x2, one x1 ->
+    spectrum rows (1,1) (2,1) (3,1); split blocks must merge counts."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import freq_spectrum
+
+    docs = pd.DataFrame({"text": ["a a b", "a b c"]})
+    out = (freq_spectrum(rd.from_pandas(docs).repartition(2), num_buckets=4)
+           .to_pandas().set_index("n_occurrences")["n_words"].to_dict())
+    assert out == {1: 1, 2: 1, 3: 1}

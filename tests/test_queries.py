@@ -13,6 +13,7 @@ import pytest
 
 SQL_CHECKED = [
     "neardup_clusters",
+    "freq_spectrum",
     "events_sessions",
     "orders_asof",
     "dedup_exact_text",

@@ -148,3 +148,29 @@ def test_host_reach_toy(ray_session):
                       top_m=2)
     assert dict(zip(got2["host"], got2["hops"])) == {
         "s": 0, "zz": 0, "a": 1, "b": 1}
+
+
+def test_capture_burst_two_pointer(ray_session):
+    """Site a: 3 captures inside one 60 s window + a straggler; site b:
+    evenly spread, never 2 in a window; identical-ts duplicates count."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.timeline import capture_burst
+
+    caps = pd.DataFrame({
+        "url_canonical": ["a.example/p"] * 5 + ["b.example/q"] * 3,
+        "ts_epoch": [1000, 1000, 1030, 1059, 1300,   # 4 in [1000,1060)
+                     2000, 2100, 2200],
+    })
+    out = (capture_burst(rd.from_pandas(caps), window=60, num_partitions=3)
+           .to_pandas().set_index("site"))
+    assert out.loc["a.example", "max_burst"] == 4
+    assert out.loc["a.example", "n_captures"] == 5
+    assert out.loc["b.example", "max_burst"] == 1
+    # window is half-open: ts 1059 is in, a ts at exactly 1060 would not be
+    caps2 = pd.DataFrame({
+        "url_canonical": ["c.example/r"] * 2, "ts_epoch": [1000, 1060]})
+    out2 = (capture_burst(rd.from_pandas(caps2), window=60)
+            .to_pandas().set_index("site"))
+    assert out2.loc["c.example", "max_burst"] == 1
