@@ -375,6 +375,34 @@ def _warm_cache_dir(path: str) -> None:
                         pass
 
 
+def bench_graph() -> dict:
+    """Link-graph family over the tiled page corpus: html href
+    extraction -> host-edge aggregation -> integer PageRank + exact
+    triangle counts.  NOT part of the headline (value/queries stay
+    comparable across rounds) — reported under "extra"."""
+    from deduplicator_ray.sources.corpus import linked_pages_dataset
+    from deduplicator_ray.stages.graph import (
+        edge_aggregate,
+        extract_links,
+        pagerank,
+        triangles,
+    )
+
+    t0 = time.time()
+    links = extract_links(linked_pages_dataset(SF_DIR, repeat=REPEAT))
+    links = links.materialize()  # two consumers below
+    pr = pagerank(edge_aggregate(links))
+    tri = triangles(links)
+    n_hosts, n_tri = len(pr), len(tri)
+    sec = time.time() - t0
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows * REPEAT
+    return {"sec": round(sec, 3), "docs": n_docs,
+            "docs_per_sec": round(n_docs / max(1e-9, sec), 1),
+            "hosts": n_hosts, "triangle_hosts": n_tri}
+
+
 def _warm_workers() -> None:
     """Spawn and warm the Ray worker pool (untimed).  A real cluster runs
     LONG-LIVED workers; in a fresh local session the first timed phase
@@ -435,6 +463,11 @@ def run_all() -> dict:
             runs[k].append(fn())
     queries = {k: min(rs, key=lambda r: r["sec"]) for k, rs in runs.items()}
     headline = round(sum(q["sec"] for q in queries.values()), 3)
+    # non-headline extras: single trial, excluded from value/queries so
+    # round-over-round headline comparisons stay apples-to-apples
+    extra = {}
+    if os.environ.get("GRAFT_BENCH_GRAPH", "1") == "1":
+        extra["graph"] = bench_graph()
     return {
         "metric": "end-to-end dedup pipeline seconds (exact+neardup+textstats+embed)",
         "value": headline,
@@ -445,6 +478,7 @@ def run_all() -> dict:
         "headline_trials": trials,
         "loadavg_before_trials": loads,
         "sec_prepare_untimed": sec_prepare,
+        "extra": extra,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "repeat": REPEAT,
@@ -459,6 +493,9 @@ def run_scaling() -> dict:
         # scaling evidence needs a compute-bound job: scale the tiled
         # corpus up unless the caller pinned a repeat factor
         env.setdefault("GRAFT_BENCH_REPEAT", "256")
+        # legs time the headline phases only — extras would pad both
+        # legs with non-headline work
+        env.setdefault("GRAFT_BENCH_GRAPH", "0")
         # one sweep per leg: best-of-N here happens at the LEG level
         # (GRAFT_SCALING_TRIALS interleaves whole legs)
         env.setdefault("GRAFT_HEADLINE_TRIALS", "1")
@@ -602,6 +639,7 @@ def run_weak_scaling() -> dict:
     def leg(ncpu: int, repeat: int) -> dict:
         env = dict(base, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_REPEAT=str(repeat))
         env.setdefault("GRAFT_HEADLINE_TRIALS", "1")  # one sweep per leg
+        env.setdefault("GRAFT_BENCH_GRAPH", "0")  # headline phases only
         for args in ([sys.executable, os.path.abspath(__file__), "--prepare-only"],
                      [sys.executable, os.path.abspath(__file__)]):
             outp = subprocess.run(args, env=env, capture_output=True, text=True,
