@@ -30,6 +30,13 @@ def _links(sf_dir: str, *, with_anchor: bool = False):
                          with_anchor=with_anchor)
 
 
+_UND_CTE = """
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src_host, dst_host) AS u,
+         greatest(src_host, dst_host) AS v
+  FROM links WHERE src_host <> dst_host)"""
+
+
 def q_link_graph(sf_dir: str):
     """Host-level edge list with multiplicities: parse every href out of
     the html corpus, RE2 host extraction both ends, partial-combine +
@@ -411,6 +418,31 @@ FROM dg GROUP BY 1, 2
 """
 
 
+def q_host_components(sf_dir: str):
+    """Connected components of the undirected host graph
+    (stages/graph.py:host_components): per-host assignment labeled by
+    the component's lexicographically smallest host — reuses the
+    engine's union-find / hash-min CC machinery over sorted host
+    indices."""
+    from deduplicator_ray.stages.graph import host_components
+
+    return host_components(_links(sf_dir))
+
+
+_SQL_HOST_COMPONENTS = f"""
+WITH RECURSIVE {LINKED_PAGES_CTE},
+{_UND_CTE},
+sym AS (SELECT u AS a, v AS b FROM und UNION SELECT v, u FROM und),
+reach(node, r) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT rr.node, e.b FROM reach rr JOIN sym e ON rr.r = e.a
+)
+SELECT node AS host, least(node, min(r)) AS component
+FROM reach GROUP BY node
+"""
+
+
 _REACH_SEEDS = ["www.site0.example"]
 _REACH_HOPS, _REACH_M = 4, 2
 
@@ -555,13 +587,6 @@ JOIN a{_HITS_ITERS} a ON n.host = a.host"""
     return sql
 
 
-_UND_CTE = """
-und AS MATERIALIZED (
-  SELECT DISTINCT least(src_host, dst_host) AS u,
-         greatest(src_host, dst_host) AS v
-  FROM links WHERE src_host <> dst_host)"""
-
-
 def q_host_triangles(sf_dir: str):
     """Per-host triangle participation counts on the undirected host
     graph (stages/graph.py:triangles) — exact, via degree-oriented
@@ -656,6 +681,7 @@ def registry_graph():
         "host_reciprocity": (q_host_reciprocity, _SQL_RECIPROCITY),
         "degree_census": (q_degree_census, _SQL_DEGREE_CENSUS),
         "trustrank_hosts": (q_trustrank_hosts, _sql_trustrank()),
+        "host_components": (q_host_components, _SQL_HOST_COMPONENTS),
         "kcore_hosts": (q_kcore_hosts, _sql_kcore()),
         "hits_hosts": (q_hits_hosts, _sql_hits()),
         "html_extract_text": (q_html_extract_text, _SQL_HTML_EXTRACT),

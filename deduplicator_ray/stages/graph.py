@@ -1128,3 +1128,50 @@ def degree_census(edges, *, src_col: str = "src_host",
     out["log2_bucket"] = out["log2_bucket"].astype("int64")
     out["n_hosts"] = out["n_hosts"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def host_components(edges, *, src_col: str = "src_host",
+                    dst_col: str = "dst_host",
+                    num_partitions: int | None = None) -> pa.Table:
+    """Connected components of the undirected host graph -> (host,
+    component) with component = the component's lexicographically
+    smallest host — the coarse "web neighborhood" partition (which
+    hosts are link-reachable from which, ignoring direction).
+
+    Reuses the engine's CC machinery (stages/cc.py: driver union-find
+    under the counted edge limit, distributed hash-min propagation
+    above it) over integer host indices; because the host universe is
+    SORTED before indexing, the component's min index IS its min host,
+    so the integer labels translate back exactly.
+    """
+    import ray
+
+    from deduplicator_ray.stages.cc import connected_components_auto
+
+    P = num_partitions or auto_partitions()
+    und = _undirected_edges(edges, src_col, dst_col, P).materialize()
+    hosts = _collect_hosts(und, ("u", "v"))
+    hosts_ref = ray.put(hosts)
+
+    def to_idx(b: pa.Table, *, _h=hosts_ref) -> pa.Table:
+        hs = ray.get(_h) if isinstance(_h, ray.ObjectRef) else _h
+        return pa.table({
+            "a": pa.array(np.searchsorted(
+                hs, np.asarray(b["u"], dtype=object)), type=pa.int64()),
+            "b": pa.array(np.searchsorted(
+                hs, np.asarray(b["v"], dtype=object)), type=pa.int64()),
+        })
+
+    asg = connected_components_auto(
+        und.map_batches(to_idx, batch_format="pyarrow",
+                        zero_copy_batch=True))
+    # n_hosts-bounded by the same contract as the rank vectors
+    adf = asg.to_pandas() if hasattr(asg, "to_pandas") else asg
+    if not isinstance(adf, pd.DataFrame):
+        adf = adf.to_pandas()
+    node = adf["doc_key"].to_numpy(dtype=np.int64)
+    comp = adf["cluster_id"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "host": pa.array(hosts[node], type=pa.string()),
+        "component": pa.array(hosts[comp], type=pa.string()),
+    })

@@ -196,7 +196,7 @@ def test_co_occurrence_pairs_semantics(ray_session):
              "html_extract_text", "content_mirrors", "cocitation_hosts",
              "hits_hosts", "host_triangles", "kcore_hosts",
              "coupled_hosts", "host_reciprocity", "degree_census",
-             "trustrank_hosts"])
+             "trustrank_hosts", "host_components"])
 def test_graph_oracle_parity(ray_session, sf_dir, duck, name):
     from deduplicator_ray.pipelines.queries_graph import registry_graph
 
@@ -446,3 +446,21 @@ def test_trustrank_unreachable_scores_zero(ray_session):
                            seeds=["seed", "nosuch.example"])
                   .to_pandas().set_index("host")["rank"])
     pd.testing.assert_series_equal(drv, with_ghost)
+
+
+def test_host_components_multi_component(ray_session):
+    """Two separate neighborhoods + direction/multiplicity noise: labels
+    are each component's lexicographic min host."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import host_components
+
+    edges = pd.DataFrame({
+        "src_host": ["b", "c", "a", "z", "y", "z"],
+        "dst_host": ["a", "b", "b", "y", "x", "z"],  # z-z self-loop
+        "n_links": [2, 1, 1, 1, 1, 9],
+    })
+    out = (host_components(rd.from_pandas(edges), num_partitions=3)
+           .to_pandas().set_index("host")["component"].to_dict())
+    assert out == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x", "z": "x"}
