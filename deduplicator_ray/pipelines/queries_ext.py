@@ -1003,6 +1003,67 @@ SELECT 'https://warc.example/d/' || doc_id AS url,
 FROM documents WHERE doc_id < {_WARC_N_DOCS}
 """
 
+def q_wet_roundtrip(sf_dir: str):
+    """Synthesize a deterministic WET file (Common Crawl extracted-text
+    format) from the documents table, read it back through the WET
+    source (sources/wet.py), and emit the parsed rows — conversion-only
+    filtering, utf-8 text body, byte-exact content length.  Oracle
+    recomputes every row directly from ``documents``."""
+    import datetime as _dt
+    import hashlib as _hl
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.sources.wet import read_wet, write_wet
+
+    docs = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+    )
+    docs = docs[docs["doc_id"] < _WARC_N_DOCS].sort_values("doc_id")
+    records = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        doc_id = int(doc_id)
+        iso = _dt.datetime.fromtimestamp(
+            _WARC_EPOCH0 + doc_id, _dt.timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        records.append({"url": f"https://wet.example/d/{doc_id}",
+                        "date": iso, "text": text})
+    # warcinfo header + a non-http conversion record prove the filters
+    records.insert(0, {"type": "warcinfo", "url": "https://wet.example/x",
+                       "date": "2023-11-14T22:13:20Z", "text": "software: x"})
+    records.append({"type": "conversion", "url": "dns:wet.example",
+                    "date": "2023-11-14T22:13:20Z", "text": "skip"})
+    out_dir = "/tmp/graft_wet"
+    _os.makedirs(out_dir, exist_ok=True)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    path = write_wet(f"{out_dir}/roundtrip_{tag}.warc.wet.gz", records)
+
+    ds = read_wet(path)
+
+    def project(b: pa.Table) -> pa.Table:
+        ts = pc.divide(pc.cast(b["warc_ts"].cast(pa.timestamp("us")),
+                               pa.int64()), 1_000_000)
+        return pa.table({
+            "url": b["url"],
+            "ts_epoch": ts,
+            "text": b["text"],
+            "content_length": pc.cast(b["content_length"], pa.int64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+_SQL_WET_ROUNDTRIP = f"""
+SELECT 'https://wet.example/d/' || doc_id AS url,
+       CAST({_WARC_EPOCH0} + doc_id AS BIGINT) AS ts_epoch,
+       text,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length
+FROM documents WHERE doc_id < {_WARC_N_DOCS}
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2572,6 +2633,7 @@ def registry_ext():
         "token_stats": (q_token_stats, _SQL_TOKEN_STATS),
         "quality_stats": (q_quality_stats, _SQL_QUALITY_STATS),
         "warc_roundtrip": (q_warc_roundtrip, _SQL_WARC_ROUNDTRIP),
+        "wet_roundtrip": (q_wet_roundtrip, _SQL_WET_ROUNDTRIP),
         "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
         "embed_topk_ivf": (q_embed_topk_ivf, _SQL_EMB_TOPK),

@@ -99,6 +99,12 @@ def _csv_source(path: str):
     return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _wet_source(path: str):
+    from deduplicator_ray.sources.wet import read_wet
+
+    return read_wet(path)
+
+
 def _cdx_source(path: str):
     from deduplicator_ray.sources.cdx import read_cdx
 
@@ -112,6 +118,7 @@ _SOURCES: dict[str, Callable] = {
     "jsonl": _jsonl_source,      # JSON-lines web-text dumps
     "csv": _csv_source,          # header CSV dumps
     "cdx": _cdx_source,          # classic CDX-11 capture indexes
+    "wet": _wet_source,          # Common Crawl extracted-text WET
 }
 
 

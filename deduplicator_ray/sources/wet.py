@@ -1,0 +1,137 @@
+"""WET (WARC Encapsulated Text) source — Common Crawl's extracted-text
+distribution format: a WARC container whose ``conversion`` records carry
+the page's plain text as the record body (one record per page, no HTTP
+block).  The natural ingest format for a TEXT dedup pipeline that wants
+to skip html extraction entirely.
+
+Same container machinery as sources/warc.py (``_split_records`` handles
+plain and multi-member-gzip bytes); only the record filter and row shape
+differ — conversion records instead of response/revisit, and the body IS
+the document text (UTF-8, replacement on invalid bytes) instead of an
+HTTP response to header-parse.  Reference analog: the WarcIterator
+family's pluggable-record contract (WarcFileIterator.java:62-104); WET
+is the text-side sibling of the capture-side WARC reader.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import re
+
+import pyarrow as pa
+
+from deduplicator_ray.functions.timestamps import iso_to_datetime
+from deduplicator_ray.sources.warc import _split_records
+
+WET_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("text", pa.string()),
+    ("content_length", pa.int64()),
+    ("record_id", pa.string()),
+    ("source_path", pa.string()),
+])
+
+_WET_FILE_RE = re.compile(r".*\.warc\.wet(\.gz)?$|.*\.wet(\.gz)?$")
+
+
+def parse_wet_bytes(data: bytes, *, source_path: str = "") -> pa.Table:
+    """One WET file's bytes (plain or gzip, multi-member) -> Arrow table
+    of (url, warc_ts, text, content_length, record_id, source_path).
+    Only ``conversion`` records with an http(s) target URI produce rows
+    (warcinfo headers and any other record types are skipped)."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    rows: list[dict] = []
+    for headers, body in _split_records(data):
+        if headers.get("warc-type", "") != "conversion":
+            continue
+        url = headers.get("warc-target-uri")
+        if url is None or not url.startswith("http"):
+            continue
+        rows.append({
+            "url": url,
+            "warc_ts": iso_to_datetime(headers.get("warc-date")),
+            "text": body.decode("utf-8", "replace"),
+            "content_length": len(body),
+            "record_id": headers.get("warc-record-id"),
+            "source_path": source_path,
+        })
+    cols = {
+        f.name: pa.array([r[f.name] for r in rows], type=f.type)
+        for f in WET_SCHEMA
+    }
+    return pa.table(cols)
+
+
+def wet_paths(source: str) -> list[str]:
+    """Directory -> sorted recursive ``*.wet`` / ``*.wet.gz`` /
+    ``*.warc.wet(.gz)`` list; a file path passes through unchanged."""
+    if os.path.isfile(source):
+        return [source]
+    if not os.path.isdir(source):
+        raise ValueError(f"{source} is not a valid directory")
+    out: list[str] = []
+    for root, _dirs, files in os.walk(source):
+        for f in files:
+            if _WET_FILE_RE.match(f):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def read_wet(source: str | list[str]):
+    """WET file / directory / path list -> Dataset of text rows.  One
+    file per read task (a decompressed WET member bounds task memory);
+    unlike read_warc the rows DO carry the payload — the text is the
+    point."""
+    import ray.data as rd
+
+    if isinstance(source, str):
+        paths = wet_paths(source)
+    else:
+        paths = [p for s in source for p in wet_paths(s)]
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def f(b: pa.Table) -> pa.Table:
+        tables = [
+            parse_wet_bytes(data, source_path=path)
+            for data, path in zip(b["bytes"].to_pylist(),
+                                  b["path"].to_pylist())
+        ]
+        if not tables:
+            return parse_wet_bytes(b"")
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
+def write_wet(path: str, records: list[dict],
+              *, compress: bool | None = None) -> str:
+    """Deterministic WET writer (fixtures + round-trip tests).  Each
+    record dict: url, date (iso8601), text; plus an optional ``type`` to
+    plant non-conversion records the reader must skip."""
+    blocks: list[bytes] = []
+    for i, r in enumerate(records):
+        body = r.get("text", "").encode("utf-8")
+        rtype = r.get("type", "conversion")
+        headers = [
+            "WARC/1.0",
+            f"WARC-Type: {rtype}",
+            f"WARC-Target-URI: {r['url']}",
+            f"WARC-Date: {r['date']}",
+            f"WARC-Record-ID: <urn:uuid:wet-{i}>",
+            "Content-Type: text/plain",
+            f"Content-Length: {len(body)}",
+        ]
+        blocks.append("\r\n".join(headers).encode("latin-1")
+                      + b"\r\n\r\n" + body + b"\r\n\r\n")
+    data = b"".join(blocks)
+    if compress is None:
+        compress = path.endswith(".gz")
+    if compress:
+        data = gzip.compress(data)
+    with open(path, "wb") as f:
+        f.write(data)
+    return path

@@ -255,3 +255,43 @@ def test_csv_source_warc_ts_normalized(ray_session, tmp_path):
     assert list(rows["doc_id"]) == [1, 2]
     assert rows["text"].iloc[0] == "hello world"
     assert rows["warc_ts"].iloc[0].isoformat().startswith("2024-01-02T03:04:05")
+
+
+def test_wet_roundtrip(ray_session, tmp_path):
+    """WET conversion records parse back text/url/ts exactly; warcinfo
+    and non-http records are skipped; gzip and plain files agree; dir
+    scan picks .wet/.wet.gz recursively."""
+    import pandas as pd
+
+    from deduplicator_ray.sources import get_source
+    from deduplicator_ray.sources.wet import parse_wet_bytes, write_wet
+
+    recs = [
+        {"type": "warcinfo", "url": "https://x.example/ignored",
+         "date": "2024-01-01T00:00:00Z", "text": "robots: classic"},
+        {"url": "https://a.example/p1", "date": "2024-01-02T03:04:05Z",
+         "text": "hello world\nsecond line"},
+        {"url": "https://b.example/p2", "date": "2024-01-03T00:00:00Z",
+         "text": "unicode: café — ok"},
+        {"type": "conversion", "url": "ftp://c.example/skip",
+         "date": "2024-01-04T00:00:00Z", "text": "non-http skipped"},
+    ]
+    d = tmp_path / "wet" / "sub"
+    d.mkdir(parents=True)
+    write_wet(str(d / "part-0.warc.wet"), recs)
+    write_wet(str(d / "part-1.wet.gz"), recs[1:2])
+
+    got = (get_source("wet")(str(tmp_path / "wet")).to_pandas()
+           .sort_values(["source_path", "url"], ignore_index=True))
+    assert len(got) == 3  # 2 + 1 conversion rows, skips dropped
+    r = got.iloc[0]
+    assert r["url"] == "https://a.example/p1"
+    assert r["text"] == "hello world\nsecond line"
+    assert r["warc_ts"] == pd.Timestamp("2024-01-02T03:04:05")
+    assert got.iloc[1]["text"].startswith("unicode: café")
+    # gzip member parses identically to the plain file
+    raw = open(d / "part-0.warc.wet", "rb").read()
+    import gzip as _gz
+
+    assert parse_wet_bytes(_gz.compress(raw)).to_pydict() == \
+        parse_wet_bytes(raw).to_pydict()
