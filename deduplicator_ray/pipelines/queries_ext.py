@@ -69,6 +69,84 @@ SELECT doc_id, md5(text) AS digest,
 FROM documents
 """
 
+_DUPBAND_W = 8
+
+
+def q_dup_rate_by_length(sf_dir: str):
+    """Duplicate rate per document-length band — the composition
+    diagnostic ("are short docs more duplicated?") a cleaning recipe
+    reads before setting a min-length cutoff: md5(text) exact-dup
+    election joined with word-count bands of width {w} words.
+
+    ONE digest-key shuffle: each bucket elects min-doc_id per digest,
+    then collapses to <= n_bands partial rows; the band merge is a tiny
+    driver-side groupby."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.exact import hash_bucket
+    from deduplicator_ray.util import auto_partitions
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def dig(b: pa.Table) -> pa.Table:
+        txt = pc.coalesce(b["text"], pa.scalar("", b["text"].type))
+        digests = [hashlib.md5(t.encode("utf-8")).hexdigest()
+                   for t in txt.to_pylist()]
+        spaces = pc.subtract(
+            pc.utf8_length(txt),
+            pc.utf8_length(pc.replace_substring(txt, " ", "")))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "dg": pa.array(digests, pa.string()),
+            "band": pc.divide(pc.add(pc.cast(spaces, pa.int64()), 1),
+                              _DUPBAND_W),
+        })
+
+    def per_bucket(df):
+        import pandas as pd
+
+        is_dup = (df["doc_id"]
+                  != df.groupby("dg")["doc_id"].transform("min"))
+        g = (pd.DataFrame({"band": df["band"], "d": is_dup.astype("int64")})
+             .groupby("band", as_index=False)
+             .agg(n_docs=("d", "size"), n_dups=("d", "sum")))
+        return g
+
+    parts = (hash_bucket(
+        ds.map_batches(dig, batch_format="pyarrow", zero_copy_batch=True),
+        "dg", auto_partitions())
+        .groupby("_part")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                    batch_format="pandas")
+        .to_pandas())
+    out = parts.groupby("band", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_dups=("n_dups", "sum"))
+    for c in ("band", "n_docs", "n_dups"):
+        out[c] = out[c].astype("int64")
+    out["dup_ppm"] = (out["n_dups"] * 1_000_000) // out["n_docs"]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SQL_DUP_RATE_BY_LENGTH = f"""
+WITH d AS (
+  SELECT doc_id,
+         ((length(COALESCE(text, ''))
+           - length(replace(COALESCE(text, ''), ' ', '')) + 1)
+          // {_DUPBAND_W})::BIGINT AS band,
+         md5(COALESCE(text, '')) AS dg
+  FROM documents),
+f AS (
+  SELECT band,
+         CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY dg)
+              THEN 1 ELSE 0 END AS is_dup
+  FROM d)
+SELECT band, count(*)::BIGINT AS n_docs, sum(is_dup)::BIGINT AS n_dups,
+       ((sum(is_dup) * 1000000) // count(*))::BIGINT AS dup_ppm
+FROM f GROUP BY band
+"""
+
+
 def q_dedup_exact_norm(sf_dir: str):
     """Exact dedup keyed on the CCNet-style NORMALIZED text
     (functions/textnorm.py): accent-fold + case-fold + punct-strip +
@@ -2626,6 +2704,7 @@ def registry_ext():
 
     return {
         "dedup_exact_text": (q_dedup_exact_text, _SQL_DEDUP_EXACT_TEXT),
+        "dup_rate_by_length": (q_dup_rate_by_length, _SQL_DUP_RATE_BY_LENGTH),
         "dedup_exact_norm": (q_dedup_exact_norm, _sql_dedup_exact_norm()),
         "ngram_jaccard_pairs": (q_ngram_jaccard, _SQL_NGRAM_JACCARD),
         "embed_dup_pairs": (q_embed_dup_pairs, _SQL_EMB_DUP_PAIRS),

@@ -13,6 +13,8 @@ import pytest
 
 SQL_CHECKED = [
     "neardup_clusters",
+    "dup_rate_by_length",
+    "wet_roundtrip",
     "freq_spectrum",
     "events_sessions",
     "orders_asof",
