@@ -418,6 +418,60 @@ FROM dg GROUP BY 1, 2
 """
 
 
+def q_wat_link_graph(sf_dir: str):
+    """The link graph built from a WAT metadata file instead of html
+    parsing (sources/wat.py): synthesize a deterministic WAT carrying
+    the SAME planted outlinks as the html corpus, read it back through
+    the WAT source, host-extract both ends, edge_aggregate — the oracle
+    is the identical arithmetic CTE as ``link_graph``, so the two
+    sources are proven interchangeable edge-for-edge."""
+    import datetime as _dt
+    import hashlib as _hl
+    import os as _os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.sources.wat import read_wat, write_wat
+    from deduplicator_ray.stages.graph import _host_of
+
+    ids = (pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+           ["doc_id"].to_pylist())
+    n = len(ids)
+    records = []
+    for i in sorted(ids):
+        links = []
+        for j in range(1 + (i % 4)):
+            t = (i * 7 + 11 * (j + 1) + 3) % n
+            links.append(f"https://www.site{t % N_HOSTS}.example/p/{t}")
+        iso = _dt.datetime.fromtimestamp(
+            1_700_000_000 + i, _dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+        records.append({
+            "url": f"https://www.site{i % N_HOSTS}.example/p/{i}",
+            "date": iso, "links": links})
+    # a skipped record type + a malformed envelope prove the filters
+    records.append({"type": "request", "url": "https://www.site0.example/x",
+                    "date": "2023-11-14T22:13:20Z", "links": ["https://y/"]})
+    records.append({"url": "https://www.site0.example/bad",
+                    "date": "2023-11-14T22:13:20Z",
+                    "raw_body": b"{not json"})
+    out_dir = "/tmp/graft_wat"
+    _os.makedirs(out_dir, exist_ok=True)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    path = write_wat(f"{out_dir}/roundtrip_{tag}.warc.wat.gz", records)
+
+    def hosts(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_host": _host_of(b["url"].combine_chunks()),
+            "dst_host": _host_of(b["dst_url"].combine_chunks()),
+        })
+
+    links = read_wat(path).map_batches(hosts, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    return edge_aggregate(links).select_columns(
+        ["src_host", "dst_host", "n_links"])
+
+
 def q_host_components(sf_dir: str):
     """Connected components of the undirected host graph
     (stages/graph.py:host_components): per-host assignment labeled by
@@ -682,6 +736,7 @@ def registry_graph():
         "degree_census": (q_degree_census, _SQL_DEGREE_CENSUS),
         "trustrank_hosts": (q_trustrank_hosts, _sql_trustrank()),
         "host_components": (q_host_components, _SQL_HOST_COMPONENTS),
+        "wat_link_graph": (q_wat_link_graph, _SQL_LINK_GRAPH),
         "kcore_hosts": (q_kcore_hosts, _sql_kcore()),
         "hits_hosts": (q_hits_hosts, _sql_hits()),
         "html_extract_text": (q_html_extract_text, _SQL_HTML_EXTRACT),

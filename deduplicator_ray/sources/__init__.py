@@ -105,6 +105,12 @@ def _wet_source(path: str):
     return read_wet(path)
 
 
+def _wat_source(path: str):
+    from deduplicator_ray.sources.wat import read_wat
+
+    return read_wat(path)
+
+
 def _cdx_source(path: str):
     from deduplicator_ray.sources.cdx import read_cdx
 
@@ -119,6 +125,7 @@ _SOURCES: dict[str, Callable] = {
     "csv": _csv_source,          # header CSV dumps
     "cdx": _cdx_source,          # classic CDX-11 capture indexes
     "wet": _wet_source,          # Common Crawl extracted-text WET
+    "wat": _wat_source,          # Common Crawl web-metadata WAT (outlinks)
 }
 
 

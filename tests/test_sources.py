@@ -295,3 +295,34 @@ def test_wet_roundtrip(ray_session, tmp_path):
 
     assert parse_wet_bytes(_gz.compress(raw)).to_pydict() == \
         parse_wet_bytes(raw).to_pydict()
+
+
+def test_wat_roundtrip(ray_session, tmp_path):
+    """WAT metadata records flatten to one row per outlink; request
+    records, non-http targets, malformed JSON envelopes and link-less
+    pages are skipped; gzip parses identically."""
+    import gzip as _gz
+
+    from deduplicator_ray.sources import get_source
+    from deduplicator_ray.sources.wat import parse_wat_bytes, write_wat
+
+    recs = [
+        {"url": "https://a.example/p", "date": "2024-02-01T00:00:00Z",
+         "links": ["https://b.example/x", "https://c.example/y"]},
+        {"url": "https://d.example/q", "date": "2024-02-02T00:00:00Z",
+         "links": []},                                   # no rows
+        {"type": "request", "url": "https://e.example/r",
+         "date": "2024-02-03T00:00:00Z", "links": ["https://f/"]},
+        {"url": "https://g.example/bad", "date": "2024-02-04T00:00:00Z",
+         "raw_body": b"{truncated"},                     # malformed: skip
+    ]
+    d = tmp_path / "wat"
+    d.mkdir()
+    write_wat(str(d / "part-0.warc.wat.gz"), recs)
+    got = (get_source("wat")(str(d)).to_pandas()
+           .sort_values("dst_url", ignore_index=True))
+    assert got["url"].tolist() == ["https://a.example/p"] * 2
+    assert got["dst_url"].tolist() == ["https://b.example/x",
+                                       "https://c.example/y"]
+    raw = _gz.decompress(open(d / "part-0.warc.wat.gz", "rb").read())
+    assert parse_wat_bytes(raw).num_rows == 2
