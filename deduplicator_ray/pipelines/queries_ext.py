@@ -120,6 +120,9 @@ def q_dup_rate_by_length(sf_dir: str):
         .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
                     batch_format="pandas")
         .to_pandas())
+    if parts.empty:  # zero groups -> column-less frame from to_pandas
+        return pa.table({c: pa.array([], type=pa.int64())
+                         for c in ("band", "n_docs", "n_dups", "dup_ppm")})
     out = parts.groupby("band", as_index=False).agg(
         n_docs=("n_docs", "sum"), n_dups=("n_dups", "sum"))
     for c in ("band", "n_docs", "n_dups"):

@@ -66,10 +66,16 @@ def q_pagerank_hosts(sf_dir: str):
                     scale=_PR_SCALE)
 
 
-def _sql_pagerank() -> str:
+def _sql_pagerank(r0_expr: str | None = None,
+                  base_expr: str | None = None) -> str:
     """The {_PR_ITERS} integer PageRank rounds written out as chained
-    CTEs (the same unrolled-iteration idiom as the kmeans oracle)."""
+    CTEs (the same unrolled-iteration idiom as the kmeans oracle).
+    TrustRank is the same recursion with seed-concentrated r0/teleport
+    vectors — pass ``r0_expr`` (over r0's ``host``) and ``base_expr``
+    (over the iteration's ``n.host``) to express it as that delta."""
     base = ((100 - _PR_DAMP) * _PR_SCALE) // 100
+    r0_expr = r0_expr or f"CAST({_PR_SCALE} AS BIGINT)"
+    base_expr = base_expr or str(base)
     sql = f"""
 WITH {LINKED_PAGES_CTE},
 eagg AS (SELECT src_host, dst_host, count(*)::BIGINT AS w
@@ -78,7 +84,7 @@ nodes AS (SELECT DISTINCT host FROM
           (SELECT src_host AS host FROM eagg
            UNION ALL SELECT dst_host FROM eagg)),
 outd AS (SELECT src_host, sum(w)::BIGINT AS od FROM eagg GROUP BY 1),
-r0 AS (SELECT host, CAST({_PR_SCALE} AS BIGINT) AS r FROM nodes)"""
+r0 AS (SELECT host, {r0_expr} AS r FROM nodes)"""
     prev = "r0"
     for i in range(1, _PR_ITERS + 1):
         sql += f""",
@@ -89,7 +95,7 @@ s{i} AS (SELECT e.dst_host AS host,
          JOIN outd o ON e.src_host = o.src_host
          GROUP BY 1),
 r{i} AS (SELECT n.host,
-                ({base} + ({_PR_DAMP} * COALESCE(s.s, 0)) // 100)::BIGINT AS r
+                ({base_expr} + ({_PR_DAMP} * COALESCE(s.s, 0)) // 100)::BIGINT AS r
          FROM nodes n LEFT JOIN s{i} s ON n.host = s.host)"""
         prev = f"r{i}"
     sql += f"""
@@ -114,36 +120,11 @@ def _sql_trustrank() -> str:
     """The pagerank oracle with seed-concentrated r0/base vectors."""
     base = ((100 - _PR_DAMP) * _PR_SCALE) // 100
     seeds = ", ".join(f"'{s}'" for s in _TRUST_SEEDS)
-    sql = f"""
-WITH {LINKED_PAGES_CTE},
-eagg AS (SELECT src_host, dst_host, count(*)::BIGINT AS w
-         FROM links GROUP BY 1, 2),
-nodes AS (SELECT DISTINCT host FROM
-          (SELECT src_host AS host FROM eagg
-           UNION ALL SELECT dst_host FROM eagg)),
-outd AS (SELECT src_host, sum(w)::BIGINT AS od FROM eagg GROUP BY 1),
-r0 AS (SELECT host,
-              CASE WHEN host IN ({seeds})
-                   THEN CAST({_PR_SCALE} AS BIGINT)
-                   ELSE CAST(0 AS BIGINT) END AS r
-       FROM nodes)"""
-    prev = "r0"
-    for i in range(1, _PR_ITERS + 1):
-        sql += f""",
-s{i} AS (SELECT e.dst_host AS host,
-                sum((r.r // o.od) * e.w)::BIGINT AS s
-         FROM eagg e
-         JOIN {prev} r ON e.src_host = r.host
-         JOIN outd o ON e.src_host = o.src_host
-         GROUP BY 1),
-r{i} AS (SELECT n.host,
-                (CASE WHEN n.host IN ({seeds}) THEN {base} ELSE 0 END
-                 + ({_PR_DAMP} * COALESCE(s.s, 0)) // 100)::BIGINT AS r
-         FROM nodes n LEFT JOIN s{i} s ON n.host = s.host)"""
-        prev = f"r{i}"
-    sql += f"""
-SELECT host, r AS rank FROM {prev}"""
-    return sql
+    return _sql_pagerank(
+        r0_expr=(f"CASE WHEN host IN ({seeds}) "
+                 f"THEN CAST({_PR_SCALE} AS BIGINT) "
+                 f"ELSE CAST(0 AS BIGINT) END"),
+        base_expr=f"CASE WHEN n.host IN ({seeds}) THEN {base} ELSE 0 END")
 
 
 def q_anchor_stats(sf_dir: str):

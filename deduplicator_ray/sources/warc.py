@@ -173,9 +173,10 @@ def parse_warc_bytes(data: bytes, *, source_path: str = "") -> pa.Table:
     return pa.table(cols)
 
 
-def warc_paths(source: str) -> list[str]:
-    """Directory -> sorted recursive ``*.warc`` / ``*.warc.gz`` list
-    (WarcIterator.initialize); a file path passes through unchanged."""
+def family_paths(source: str, file_re) -> list[str]:
+    """Directory -> sorted recursive list of files matching ``file_re``
+    (WarcIterator.initialize's scan rule); a file path passes through
+    unchanged.  Shared by the WARC/WET/WAT container family."""
     if os.path.isfile(source):
         return [source]
     if not os.path.isdir(source):
@@ -183,9 +184,42 @@ def warc_paths(source: str) -> list[str]:
     out: list[str] = []
     for root, _dirs, files in os.walk(source):
         for f in files:
-            if _WARC_FILE_RE.match(f):
+            if file_re.match(f):
                 out.append(os.path.join(root, f))
     return sorted(out)
+
+
+def read_container_family(source: str | list[str], file_re, parse_fn):
+    """Shared reader scaffold for the WARC container family (WARC / WET
+    / WAT): resolve paths, ONE file per read task (a decompressed member
+    bounds task memory), per-file ``parse_fn(bytes, source_path=...)``,
+    empty-batch schema fallback via ``parse_fn(b"")``."""
+    import ray.data as rd
+
+    if isinstance(source, str):
+        paths = family_paths(source, file_re)
+    else:
+        paths = [p for s in source for p in family_paths(s, file_re)]
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def f(b: pa.Table) -> pa.Table:
+        tables = [
+            parse_fn(data, source_path=path)
+            for data, path in zip(b["bytes"].to_pylist(),
+                                  b["path"].to_pylist())
+        ]
+        if not tables:
+            return parse_fn(b"")
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
+def warc_paths(source: str) -> list[str]:
+    """Directory -> sorted recursive ``*.warc`` / ``*.warc.gz`` list
+    (WarcIterator.initialize); a file path passes through unchanged."""
+    return family_paths(source, _WARC_FILE_RE)
 
 
 def read_warc(source: str | list[str]):
@@ -195,25 +229,7 @@ def read_warc(source: str | list[str]):
     output rows carry no payload bytes (the indexer consumes only
     metadata — IndexBuilder.java:124-241), so memory per task is bounded
     by one decompressed WARC."""
-    import ray.data as rd
-
-    if isinstance(source, str):
-        paths = warc_paths(source)
-    else:
-        paths = [p for s in source for p in warc_paths(s)]
-
-    ds = rd.read_binary_files(paths, include_paths=True)
-
-    def f(b: pa.Table) -> pa.Table:
-        tables = [
-            parse_warc_bytes(data, source_path=path)
-            for data, path in zip(b["bytes"].to_pylist(), b["path"].to_pylist())
-        ]
-        if not tables:
-            return parse_warc_bytes(b"")
-        return pa.concat_tables(tables)
-
-    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+    return read_container_family(source, _WARC_FILE_RE, parse_warc_bytes)
 
 
 # ---------------------------------------------------------------------------

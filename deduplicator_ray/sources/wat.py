@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import gzip
 import json
-import os
 import re
 
 import pyarrow as pa
@@ -32,7 +31,7 @@ WAT_SCHEMA = pa.schema([
     ("source_path", pa.string()),
 ])
 
-_WAT_FILE_RE = re.compile(r".*\.warc\.wat(\.gz)?$|.*\.wat(\.gz)?$")
+_WAT_FILE_RE = re.compile(r".*\.wat(\.gz)?$")  # covers .warc.wat(.gz) too
 
 
 def _envelope_links(env: dict) -> list[str]:
@@ -82,41 +81,17 @@ def parse_wat_bytes(data: bytes, *, source_path: str = "") -> pa.Table:
 
 
 def wat_paths(source: str) -> list[str]:
-    if os.path.isfile(source):
-        return [source]
-    if not os.path.isdir(source):
-        raise ValueError(f"{source} is not a valid directory")
-    out: list[str] = []
-    for root, _dirs, files in os.walk(source):
-        for f in files:
-            if _WAT_FILE_RE.match(f):
-                out.append(os.path.join(root, f))
-    return sorted(out)
+    from deduplicator_ray.sources.warc import family_paths
+
+    return family_paths(source, _WAT_FILE_RE)
 
 
 def read_wat(source: str | list[str]):
     """WAT file / directory / path list -> Dataset of outlink rows,
     one file per read task."""
-    import ray.data as rd
+    from deduplicator_ray.sources.warc import read_container_family
 
-    if isinstance(source, str):
-        paths = wat_paths(source)
-    else:
-        paths = [p for s in source for p in wat_paths(s)]
-
-    ds = rd.read_binary_files(paths, include_paths=True)
-
-    def f(b: pa.Table) -> pa.Table:
-        tables = [
-            parse_wat_bytes(data, source_path=path)
-            for data, path in zip(b["bytes"].to_pylist(),
-                                  b["path"].to_pylist())
-        ]
-        if not tables:
-            return parse_wat_bytes(b"")
-        return pa.concat_tables(tables)
-
-    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+    return read_container_family(source, _WAT_FILE_RE, parse_wat_bytes)
 
 
 def write_wat(path: str, records: list[dict],

@@ -16,7 +16,6 @@ is the text-side sibling of the capture-side WARC reader.
 from __future__ import annotations
 
 import gzip
-import os
 import re
 
 import pyarrow as pa
@@ -33,7 +32,7 @@ WET_SCHEMA = pa.schema([
     ("source_path", pa.string()),
 ])
 
-_WET_FILE_RE = re.compile(r".*\.warc\.wet(\.gz)?$|.*\.wet(\.gz)?$")
+_WET_FILE_RE = re.compile(r".*\.wet(\.gz)?$")  # covers .warc.wet(.gz) too
 
 
 def parse_wet_bytes(data: bytes, *, source_path: str = "") -> pa.Table:
@@ -68,16 +67,9 @@ def parse_wet_bytes(data: bytes, *, source_path: str = "") -> pa.Table:
 def wet_paths(source: str) -> list[str]:
     """Directory -> sorted recursive ``*.wet`` / ``*.wet.gz`` /
     ``*.warc.wet(.gz)`` list; a file path passes through unchanged."""
-    if os.path.isfile(source):
-        return [source]
-    if not os.path.isdir(source):
-        raise ValueError(f"{source} is not a valid directory")
-    out: list[str] = []
-    for root, _dirs, files in os.walk(source):
-        for f in files:
-            if _WET_FILE_RE.match(f):
-                out.append(os.path.join(root, f))
-    return sorted(out)
+    from deduplicator_ray.sources.warc import family_paths
+
+    return family_paths(source, _WET_FILE_RE)
 
 
 def read_wet(source: str | list[str]):
@@ -85,26 +77,9 @@ def read_wet(source: str | list[str]):
     file per read task (a decompressed WET member bounds task memory);
     unlike read_warc the rows DO carry the payload — the text is the
     point."""
-    import ray.data as rd
+    from deduplicator_ray.sources.warc import read_container_family
 
-    if isinstance(source, str):
-        paths = wet_paths(source)
-    else:
-        paths = [p for s in source for p in wet_paths(s)]
-
-    ds = rd.read_binary_files(paths, include_paths=True)
-
-    def f(b: pa.Table) -> pa.Table:
-        tables = [
-            parse_wet_bytes(data, source_path=path)
-            for data, path in zip(b["bytes"].to_pylist(),
-                                  b["path"].to_pylist())
-        ]
-        if not tables:
-            return parse_wet_bytes(b"")
-        return pa.concat_tables(tables)
-
-    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+    return read_container_family(source, _WET_FILE_RE, parse_wet_bytes)
 
 
 def write_wet(path: str, records: list[dict],

@@ -859,6 +859,9 @@ def freq_spectrum(ds, *, text_col: str = "text", num_buckets: int = 64):
         .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
                     batch_format="pandas")
         .to_pandas())
+    if spec.empty:  # zero groups -> column-less frame from to_pandas
+        return pa.table({"n_occurrences": pa.array([], type=pa.int64()),
+                         "n_words": pa.array([], type=pa.int64())})
     out = (spec.groupby("n_occurrences", as_index=False)
            .agg(n_words=("n_words", "sum")))
     out["n_occurrences"] = out["n_occurrences"].astype("int64")

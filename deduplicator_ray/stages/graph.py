@@ -1166,9 +1166,7 @@ def host_components(edges, *, src_col: str = "src_host",
         und.map_batches(to_idx, batch_format="pyarrow",
                         zero_copy_batch=True))
     # n_hosts-bounded by the same contract as the rank vectors
-    adf = asg.to_pandas() if hasattr(asg, "to_pandas") else asg
-    if not isinstance(adf, pd.DataFrame):
-        adf = adf.to_pandas()
+    adf = asg.to_pandas()
     node = adf["doc_key"].to_numpy(dtype=np.int64)
     comp = adf["cluster_id"].to_numpy(dtype=np.int64)
     return pa.table({

@@ -196,7 +196,7 @@ def test_co_occurrence_pairs_semantics(ray_session):
              "html_extract_text", "content_mirrors", "cocitation_hosts",
              "hits_hosts", "host_triangles", "kcore_hosts",
              "coupled_hosts", "host_reciprocity", "degree_census",
-             "trustrank_hosts", "host_components"])
+             "trustrank_hosts", "host_components", "wat_link_graph"])
 def test_graph_oracle_parity(ray_session, sf_dir, duck, name):
     from deduplicator_ray.pipelines.queries_graph import registry_graph
 
