@@ -2043,6 +2043,40 @@ SELECT n_occurrences, count(*)::BIGINT AS n_words FROM wc GROUP BY 1
 """
 
 
+_OOV_K = 16
+
+
+def q_oov_rate(sf_dir: str):
+    """Per-source out-of-vocabulary rate against the corpus's exact
+    top-{k} words (stages/freq.py:oov_rate) — the tokenizer-coverage
+    diagnostic; vocabulary election is exact (count desc, word asc) and
+    broadcast, never shuffle-joined."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import oov_rate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    return oov_rate(ds, vocab_k=_OOV_K, num_buckets=16)
+
+
+_SQL_OOV_RATE = f"""
+WITH ex AS (
+  SELECT source, unnest(string_split(COALESCE(text, ''), ' ')) AS w
+  FROM documents
+),
+wc AS (SELECT w, count(*)::BIGINT AS n FROM ex GROUP BY w),
+vocab AS (SELECT w FROM wc ORDER BY n DESC, w LIMIT {_OOV_K})
+SELECT source,
+       count(*)::BIGINT AS n_tokens,
+       (count(*) FILTER (WHERE w NOT IN (SELECT w FROM vocab)))::BIGINT
+         AS n_oov,
+       ((count(*) FILTER (WHERE w NOT IN (SELECT w FROM vocab)) * 1000000)
+        // count(*))::BIGINT AS oov_ppm
+FROM ex GROUP BY source
+"""
+
+
 def q_vocabulary_stats(sf_dir: str):
     """Per-source vocabulary stats (stages/freq.py:vocabulary_stats):
     exact distinct-word count, token count, integer TTR ppm — distinct
@@ -2766,6 +2800,7 @@ def registry_ext():
         "neardup_keep_best": (q_neardup_keep_best,
                               _SQL_NEARDUP_KEEP_BEST),
         "freq_spectrum": (q_freq_spectrum, _SQL_FREQ_SPECTRUM),
+        "oov_rate": (q_oov_rate, _SQL_OOV_RATE),
         "vocabulary_stats": (q_vocabulary_stats,
                              _SQL_VOCABULARY_STATS),
         "bm25_topk": (q_bm25_topk, _SQL_BM25_TOPK),

@@ -867,3 +867,86 @@ def freq_spectrum(ds, *, text_col: str = "text", num_buckets: int = 64):
     out["n_occurrences"] = out["n_occurrences"].astype("int64")
     out["n_words"] = out["n_words"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def oov_rate(ds, *, group_col: str = "source", text_col: str = "text",
+             vocab_k: int = 16, num_buckets: int = 64):
+    """Out-of-vocabulary rate per group against the corpus's EXACT
+    top-``vocab_k`` words (count desc, word asc tie-break) -> Dataset
+    (group, n_tokens, n_oov, oov_ppm) — the tokenizer-coverage metric a
+    vocab/tokenizer recipe reads per source before fixing a vocabulary.
+
+    Two passes, both scale-shaped: (1) exact global word counts via ONE
+    word-key shuffle where each bucket's LOCAL top-k is globally correct
+    for its words (a word's whole count lives in one bucket), k x
+    buckets candidate rows merge on the driver; (2) the tiny vocab set
+    broadcasts via ray.put into a map-only counting pass + a
+    groups-bounded final merge.
+    """
+    import ray
+
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    def wc_partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.coalesce(b[text_col], pa.scalar("", b[text_col].type)), " "
+        ).combine_chunks()
+        w, n = np.unique(words.flatten().to_pandas().to_numpy(object),
+                         return_counts=True)
+        return pa.table({"w": pa.array(w, type=pa.string()),
+                         "n": pa.array(n.astype(np.int64), type=pa.int64())})
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "w" not in df.columns:
+            return pd.DataFrame({"w": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        g = df.groupby("w", as_index=False)["n"].sum()
+        g["n"] = g["n"].astype("int64")
+        return (g.sort_values(["n", "w"], ascending=[False, True],
+                              kind="mergesort").head(vocab_k))
+
+    cand = (hash_bucket(
+        ds.map_batches(wc_partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "w", num_buckets)
+        .groupby("_part")
+        .map_groups(lambda g: bucket_topk(g.drop(columns=["_part"])),
+                    batch_format="pandas")
+        .to_pandas())
+    cand = cand.sort_values(["n", "w"], ascending=[False, True],
+                            kind="mergesort").head(vocab_k)
+    vocab_ref = ray.put(frozenset(cand["w"]))
+
+    def count_oov(b: pa.Table, *, _v=vocab_ref) -> pa.Table:
+        vocab = ray.get(_v) if isinstance(_v, ray.ObjectRef) else _v
+        words = pc.split_pattern(
+            pc.coalesce(b[text_col], pa.scalar("", b[text_col].type)), " "
+        ).combine_chunks()
+        lens = np.diff(words.offsets.to_numpy())
+        flat = words.flatten()
+        in_vocab = pc.is_in(
+            flat, value_set=pa.array(sorted(vocab), type=pa.string()))
+        oov = 1 - np.asarray(in_vocab).astype(np.int64)
+        grp = np.repeat(b[group_col].to_pandas().to_numpy(object), lens)
+        g = (pd.DataFrame({"g": grp, "t": 1, "o": oov})
+             .groupby("g", as_index=False)
+             .agg(n_tokens=("t", "sum"), n_oov=("o", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(count_oov, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("g", as_index=False).agg(
+            n_tokens=("n_tokens", "sum"), n_oov=("n_oov", "sum"))
+        out = pd.DataFrame({
+            group_col: g["g"],
+            "n_tokens": g["n_tokens"].astype("int64"),
+            "n_oov": g["n_oov"].astype("int64"),
+        })
+        out["oov_ppm"] = (out["n_oov"] * 1_000_000) // out["n_tokens"]
+        return out
+
+    return (hash_bucket(parts, "g", num_buckets)
+            .groupby("_part")
+            .map_groups(lambda g: final(g.drop(columns=["_part"])),
+                        batch_format="pandas"))

@@ -1090,3 +1090,29 @@ def test_freq_spectrum_exact(ray_session):
     out = (freq_spectrum(rd.from_pandas(docs).repartition(2), num_buckets=4)
            .to_pandas().set_index("n_occurrences")["n_words"].to_dict())
     assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_oov_rate_exact_vocab_election(ray_session):
+    """vocab_k=2 over 'a'x4, 'b'x3, tie c/d at 2: vocab = {a, b};
+    tie-break (count desc, word asc) keeps determinism when k cuts a
+    tie; per-group token/oov counts exact across split blocks."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import oov_rate
+
+    docs = pd.DataFrame({
+        "source": ["s1", "s1", "s2"],
+        "text": ["a a b c", "a b d", "a b c d"],
+    })
+    out = (oov_rate(rd.from_pandas(docs).repartition(2), vocab_k=2,
+                    num_buckets=4)
+           .to_pandas().set_index("source"))
+    # global counts: a=4 b=3 c=2 d=2 -> vocab {a, b}
+    assert out.loc["s1", "n_tokens"] == 7 and out.loc["s1", "n_oov"] == 2
+    assert out.loc["s2", "n_tokens"] == 4 and out.loc["s2", "n_oov"] == 2
+    assert out.loc["s2", "oov_ppm"] == 500_000
+    # vocab_k=3 cuts the c/d tie: word-asc keeps c, d stays OOV
+    out3 = (oov_rate(rd.from_pandas(docs), vocab_k=3, num_buckets=4)
+            .to_pandas().set_index("source"))
+    assert out3.loc["s2", "n_oov"] == 1
