@@ -245,6 +245,74 @@ WHERE len(list_intersect(a.g, b.g)) > 0
       >= {_JACCARD_NUM} * (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
 """
 
+_CURVE_NUM, _CURVE_DEN, _CURVE_BANDS = 1, 5, 20
+
+
+def q_jaccard_curve(sf_dir: str):
+    """Dedup-threshold tuning curve: candidate-pair counts per 5%
+    Jaccard band (band = floor(20 * J)), computed from the exact
+    prefix-filter pair pipeline at a LOW floor (J >= 1/5) — the census a
+    recipe reads to place the near-dup cutoff where the pair mass
+    actually separates.  Pairs never leave the cluster: each band
+    partial is <= {bands} rows per block."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.jaccard import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+    pairs = ngram_jaccard_pairs(ds, num=_CURVE_NUM, den=_CURVE_DEN,
+                                ngram=_NGRAM_N)
+
+    def band_partial(b: pa.Table) -> pa.Table:
+        inter = np.asarray(b["n_inter"], dtype=np.int64)
+        union = np.asarray(b["n_union"], dtype=np.int64)
+        band = (_CURVE_BANDS * inter) // np.maximum(union, 1)
+        bk, n = np.unique(band, return_counts=True)
+        return pa.table({"band": pa.array(bk, type=pa.int64()),
+                         "n_pairs": pa.array(n.astype(np.int64),
+                                             type=pa.int64())})
+
+    parts = pairs.map_batches(band_partial, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    if parts.empty:
+        return pa.table({"band": pa.array([], type=pa.int64()),
+                         "n_pairs": pa.array([], type=pa.int64())})
+    out = parts.groupby("band", as_index=False).agg(
+        n_pairs=("n_pairs", "sum"))
+    out["band"] = out["band"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SQL_JACCARD_CURVE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(w) >= {_NGRAM_N}
+              THEN list_distinct(list_transform(range(1, len(w) - {_NGRAM_N - 2}),
+                                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [] END AS g
+  FROM toks
+),
+p AS (
+  SELECT len(list_intersect(a.g, b.g))::BIGINT AS n_inter,
+         (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))::BIGINT AS n_union
+  FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.g, b.g)) > 0
+    AND {_CURVE_DEN} * len(list_intersect(a.g, b.g))
+        >= {_CURVE_NUM} * (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+)
+SELECT (({_CURVE_BANDS} * n_inter) // greatest(n_union, 1))::BIGINT AS band,
+       count(*)::BIGINT AS n_pairs
+FROM p GROUP BY 1
+"""
+
+
 _CONT_NUM, _CONT_DEN, _CONT_STOP_DF = 7, 10, 5
 
 
@@ -2744,6 +2812,7 @@ def registry_ext():
         "dup_rate_by_length": (q_dup_rate_by_length, _SQL_DUP_RATE_BY_LENGTH),
         "dedup_exact_norm": (q_dedup_exact_norm, _sql_dedup_exact_norm()),
         "ngram_jaccard_pairs": (q_ngram_jaccard, _SQL_NGRAM_JACCARD),
+        "jaccard_curve": (q_jaccard_curve, _SQL_JACCARD_CURVE),
         "embed_dup_pairs": (q_embed_dup_pairs, _SQL_EMB_DUP_PAIRS),
         "embed_topk": (q_embed_topk, _SQL_EMB_TOPK),
         "token_stats": (q_token_stats, _SQL_TOKEN_STATS),
