@@ -16,6 +16,8 @@ the boundary, identical column names both sides, missing values encoded
 
 from __future__ import annotations
 
+import pyarrow as pa
+
 from deduplicator_ray.functions.canonical import canonical_sql_expr
 from deduplicator_ray.pipelines.golden_sql import GOLDEN_SQL as _GOLDEN
 from deduplicator_ray.sources.corpus import CAPTURES_CTE, captures_dataset
@@ -145,6 +147,75 @@ SELECT site,
        quantile_disc(gap, 0.5) AS p50_gap,
        max(gap) AS max_gap
 FROM gaps WHERE gap IS NOT NULL GROUP BY site
+"""
+
+
+def q_domain_rollup(sf_dir: str):
+    """Registrable-domain rollup of the capture stream — the Common
+    Crawl "domain graph" aggregation level: per last-two-label domain,
+    distinct hosts, distinct canonical pages, total captures.  Toy
+    public-suffix rule (last two dot-labels) applied identically on
+    both engines; within-batch (domain, host, url) distinct partials
+    bound the ONE domain-key shuffle."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from deduplicator_ray.stages.exact import hash_bucket
+    from deduplicator_ray.util import auto_partitions
+
+    caps = captures_dataset(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["url_canonical"].combine_chunks()
+        m = pc.extract_regex(u, r"^(?P<h>[^/]+)")
+        host = pc.fill_null(pc.struct_field(m, "h"), "")
+        d = pc.extract_regex(host, r"(?P<d>[^.]+\.[^.]+)$")
+        dom = pc.fill_null(pc.struct_field(d, "d"), "")
+        df = pa.table({"domain": dom, "host": host, "u": u}).to_pandas()
+        g = (df.groupby(["domain", "host", "u"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_bucket(df):
+        import pandas as pd
+
+        d = df[["domain", "host", "u", "n"]]
+        g = (d.groupby(["domain", "host", "u"], as_index=False)
+             .agg(n=("n", "sum")))
+        out = g.groupby("domain", as_index=False).agg(
+            n_hosts=("host", "nunique"), n_pages=("u", "nunique"),
+            n_captures=("n", "sum"))
+        for c in ("n_hosts", "n_pages", "n_captures"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (hash_bucket(
+        caps.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True), "domain",
+        auto_partitions())
+        .groupby("_part")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                    batch_format="pandas"))
+
+
+def _sql_domain_rollup() -> str:
+    canon = canonical_sql_expr("url")
+    return f"""
+WITH {CAPTURES_CTE},
+caps AS (SELECT {canon} AS u FROM captures),
+h AS (
+  SELECT u, regexp_extract(u, '^(?P<h>[^/]+)', 1) AS host FROM caps
+),
+d AS (
+  SELECT u, host, regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+  FROM h
+)
+SELECT domain,
+       count(DISTINCT host)::BIGINT AS n_hosts,
+       count(DISTINCT u)::BIGINT AS n_pages,
+       count(*)::BIGINT AS n_captures
+FROM d GROUP BY domain
 """
 
 
@@ -933,6 +1004,7 @@ def registry_delta():
         "host_dedup_savings": (q_host_dedup_savings, _sql_host_dedup_savings()),
         "capture_gaps": (q_capture_gaps, _sql_capture_gaps()),
         "capture_burst": (q_capture_burst, _sql_capture_burst()),
+        "domain_rollup": (q_domain_rollup, _sql_domain_rollup()),
         "site_change_rate": (q_site_change_rate, _sql_site_change_rate()),
         "cdx_roundtrip": (q_cdx_roundtrip, _sql_cdx_roundtrip()),
         "query_param_stats": (q_query_param_stats, _sql_query_param_stats()),
