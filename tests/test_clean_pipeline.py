@@ -199,3 +199,33 @@ def test_drop_ids_copartition_keeps_int_dtypes(ray_session):
     assert sorted(out.to_pandas()["doc_key"]) == [
         k for k in range(20) if k not in (1, 5)
     ]
+
+
+def test_clean_pipeline_wet_source(ray_session, tmp_path):
+    """A WET corpus drives the full cleaning pipeline: url|warc_ts doc
+    keys, an exact dup collapses, distinct docs survive."""
+    from deduplicator_ray.sources.wet import write_wet
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu")
+    recs = [
+        {"url": f"https://w.example/p/{i}",
+         "date": f"2024-03-{i + 1:02d}T00:00:00Z",
+         "text": f"doc{i} " * 3 + base + f" tail{i} " * 5}
+        for i in range(4)
+    ]
+    recs.append({"url": "https://w.example/dup",
+                 "date": "2024-03-09T00:00:00Z", "text": recs[0]["text"]})
+    d = tmp_path / "wet"
+    d.mkdir()
+    write_wet(str(d / "c.warc.wet.gz"), recs)
+    args = build_parser().parse_args([
+        "--corpus", str(d / "c.warc.wet.gz"), "--corpus-format", "wet",
+        "--out", str(tmp_path / "out"), "--min-words", "5",
+        "--no-span", "--extra-stopwords", "alpha,bravo",
+    ])
+    rep = run(args)
+    assert rep["input_docs"] == 5
+    assert rep["neardup_removed"] >= 1  # the planted exact dup collapses
+    assert rep["output_docs"] == rep["after_neardup"]
