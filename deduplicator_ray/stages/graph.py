@@ -656,6 +656,13 @@ def hits(edges, *, iters: int = 5, scale: int = 10 ** 5,
 
 def _rescale_max(v: np.ndarray, scale: int) -> np.ndarray:
     m = int(v.max()) if len(v) else 0
+    if (len(v) and int(v.min()) < 0) or (m and m > (2 ** 63 - 1) // scale):
+        # int64 spread sums wrapped (negative max) or the rescale
+        # multiply would — the docstring's 2^63/scale^2 weight bound was
+        # exceeded; fail loudly instead of returning garbage scores
+        raise OverflowError(
+            f"hits: score magnitude {m} overflows int64 at scale {scale}; "
+            "rerun with a smaller scale")
     return (v * scale) // max(m, 1)
 
 

@@ -464,3 +464,16 @@ def test_host_components_multi_component(ray_session):
            .to_pandas().set_index("host")["component"].to_dict())
     assert out == {"a": "a", "b": "a", "c": "a",
                    "x": "x", "y": "x", "z": "x"}
+
+
+def test_hits_overflow_guard(ray_session):
+    """A scale violating the 2^63/scale^2 weight bound raises instead
+    of returning wrapped scores."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import hits
+
+    edges = pd.DataFrame({"src_host": ["a"], "dst_host": ["b"],
+                          "n_links": [1]})
+    with pytest.raises(OverflowError, match="smaller scale"):
+        hits(rd.from_pandas(edges), iters=1, scale=2 ** 33)
