@@ -477,3 +477,44 @@ def test_hits_overflow_guard(ray_session):
                           "n_links": [1]})
     with pytest.raises(OverflowError, match="smaller scale"):
         hits(rd.from_pandas(edges), iters=1, scale=2 ** 33)
+
+
+def test_graph_report_cli(ray_session, tmp_path):
+    """graph_report end to end over an html corpus: headline stats match
+    the oracle-verified operators; a rerun resumes the edge checkpoint;
+    the WAT path computes the same report shape with no html."""
+    import json
+
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines.graph_report import build_parser, run
+    from deduplicator_ray.sources.corpus import linked_pages_dataset
+    from deduplicator_ray.sources.wat import write_wat
+
+    pages = tmp_path / "pages"
+    linked_pages_dataset("/root/testdata/sf0.001").write_parquet(str(pages))
+    args = build_parser().parse_args([
+        "--corpus", str(pages), "--out", str(tmp_path / "out"),
+        "--top-k", "3"])
+    rep = run(args)
+    g = rep["graph"]
+    # cross-checked against the oracle-verified queries on this corpus
+    assert g["n_hosts"] == 40 and g["total_triangles"] == 100
+    assert g["n_components"] == 1 and g["largest_component_hosts"] == 40
+    assert len(rep["top_pagerank"]) == 3
+    assert json.load(open(tmp_path / "out" / "REPORT.json"))["graph"] == g
+    rep2 = run(args)
+    assert rep2["stages"]["edges"]["resumed"] is True
+    assert rep2["graph"] == g
+
+    write_wat(str(tmp_path / "g.warc.wat.gz"), [
+        {"url": "https://a.example/1", "date": "2024-01-01T00:00:00Z",
+         "links": ["https://b.example/x", "https://c.example/y"]},
+        {"url": "https://b.example/2", "date": "2024-01-01T00:00:00Z",
+         "links": ["https://a.example/1"]},
+    ])
+    rep3 = run(build_parser().parse_args([
+        "--corpus", str(tmp_path / "g.warc.wat.gz"),
+        "--corpus-format", "wat", "--out", str(tmp_path / "out2")]))
+    assert rep3["graph"]["n_hosts"] == 3
+    assert rep3["graph"]["reciprocity_ppm"] == 666_666
