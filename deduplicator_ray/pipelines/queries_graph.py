@@ -453,6 +453,35 @@ def q_wat_link_graph(sf_dir: str):
         ["src_host", "dst_host", "n_links"])
 
 
+def q_orphan_pages(sf_dir: str):
+    """Per-site orphan census (stages/graph.py:orphan_pages) —
+    frontier_gap's dual: captured pages nothing links to (canonical-url
+    keyed), the archive's discoverability blind spots."""
+    from deduplicator_ray.sources.corpus import linked_pages_dataset
+    from deduplicator_ray.stages.graph import orphan_pages
+
+    captured = linked_pages_dataset(sf_dir).select_columns(["url"])
+    return orphan_pages(_links(sf_dir), captured)
+
+
+def _sql_orphan_pages() -> str:
+    from deduplicator_ray.functions.canonical import canonical_sql_expr
+
+    c_dst = canonical_sql_expr("dst_url")
+    c_url = canonical_sql_expr("url")
+    return f"""
+WITH {LINKED_PAGES_CTE},
+lk AS (SELECT DISTINCT {c_dst} AS k FROM links),
+cap AS (SELECT DISTINCT {c_url} AS k FROM pages),
+x AS (
+  SELECT regexp_extract(k, '^([^/]+)', 1) AS site,
+         CASE WHEN k IN (SELECT k FROM lk) THEN 0 ELSE 1 END AS orph
+  FROM cap)
+SELECT site, count(*)::BIGINT AS n_pages, sum(orph)::BIGINT AS n_orphans
+FROM x GROUP BY site
+"""
+
+
 def q_host_components(sf_dir: str):
     """Connected components of the undirected host graph
     (stages/graph.py:host_components): per-host assignment labeled by
@@ -718,6 +747,7 @@ def registry_graph():
         "trustrank_hosts": (q_trustrank_hosts, _sql_trustrank()),
         "host_components": (q_host_components, _SQL_HOST_COMPONENTS),
         "wat_link_graph": (q_wat_link_graph, _SQL_LINK_GRAPH),
+        "orphan_pages": (q_orphan_pages, _sql_orphan_pages()),
         "kcore_hosts": (q_kcore_hosts, _sql_kcore()),
         "hits_hosts": (q_hits_hosts, _sql_hits()),
         "html_extract_text": (q_html_extract_text, _SQL_HTML_EXTRACT),

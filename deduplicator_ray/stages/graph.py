@@ -1180,3 +1180,72 @@ def host_components(edges, *, src_col: str = "src_host",
         "host": pa.array(hosts[node], type=pa.string()),
         "component": pa.array(hosts[comp], type=pa.string()),
     })
+
+
+def orphan_pages(links, captured, *, dst_col: str = "dst_url",
+                 url_col: str = "url", canonicalizer: str = "default",
+                 num_partitions: int | None = None) -> pd.DataFrame:
+    """Per-site ORPHAN census — frontier_gap's dual: of everything the
+    crawl captured, which pages does nothing link to?  Orphans are the
+    archive's discoverability blind spots (reachable only by seed list,
+    not by following links).  Returns (site, n_pages, n_orphans) per
+    site of the captured pages' canonical urls; sites where every page
+    has an inlink still appear (n_orphans = 0) so rates are computable.
+
+    Same shape as frontier_gap: both sides reduce within-batch to
+    distinct canonical keys, union-tag, ONE hash-bucket shuffle on the
+    key; each bucket subtracts its link-target set vectorized and emits
+    per-site (pages, orphans) partials — keys are disjoint across
+    buckets, so partials sum exactly.
+    """
+    from deduplicator_ray.functions.canonical import get_canonicalizer
+    from deduplicator_ray.util import auto_partitions as _ap
+
+    P = num_partitions or _ap()
+    canon = get_canonicalizer(canonicalizer)[1]
+
+    def link_partial(b: pa.Table) -> pd.DataFrame:
+        k = canon(b[dst_col].combine_chunks().cast(pa.string())).to_pandas()
+        g = pd.DataFrame({"k": k}).drop_duplicates()
+        g["cap"] = False
+        return g
+
+    def cap_partial(b: pa.Table) -> pd.DataFrame:
+        k = canon(b[url_col].combine_chunks().cast(pa.string())).to_pandas()
+        g = pd.DataFrame({"k": k}).drop_duplicates()
+        g["cap"] = True
+        return g
+
+    tagged = (links.map_batches(link_partial, batch_format="pyarrow",
+                                batch_size=8192)
+              .union(captured.map_batches(cap_partial,
+                                          batch_format="pyarrow",
+                                          batch_size=8192)))
+
+    _EMPTY = pd.DataFrame({
+        "site": pd.Series([], dtype=object),
+        "n_pages": pd.Series([], dtype="int64"),
+        "n_orphans": pd.Series([], dtype="int64"),
+    })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        linked = set(df.loc[~df["cap"], "k"])
+        pages = df.loc[df["cap"], ["k"]].drop_duplicates()
+        if pages.empty:
+            return _EMPTY
+        pages["site"] = pages["k"].str.extract(r"^([^/]+)", expand=False)
+        pages["orph"] = (~pages["k"].isin(linked)).astype("int64")
+        out = pages.groupby("site", as_index=False).agg(
+            n_pages=("k", "size"), n_orphans=("orph", "sum"))
+        return out.astype({"n_pages": "int64", "n_orphans": "int64"})
+
+    parts = (hash_bucket(tagged, "k", P)
+             .groupby("_part")
+             .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                         batch_format="pandas")
+             .to_pandas())
+    if parts.empty:
+        return _EMPTY
+    return (parts.groupby("site", as_index=False)
+            .agg(n_pages=("n_pages", "sum"), n_orphans=("n_orphans", "sum"))
+            .astype({"n_pages": "int64", "n_orphans": "int64"}))

@@ -196,7 +196,8 @@ def test_co_occurrence_pairs_semantics(ray_session):
              "html_extract_text", "content_mirrors", "cocitation_hosts",
              "hits_hosts", "host_triangles", "kcore_hosts",
              "coupled_hosts", "host_reciprocity", "degree_census",
-             "trustrank_hosts", "host_components", "wat_link_graph"])
+             "trustrank_hosts", "host_components", "wat_link_graph",
+             "orphan_pages"])
 def test_graph_oracle_parity(ray_session, sf_dir, duck, name):
     from deduplicator_ray.pipelines.queries_graph import registry_graph
 
@@ -518,3 +519,32 @@ def test_graph_report_cli(ray_session, tmp_path):
         "--corpus-format", "wat", "--out", str(tmp_path / "out2")]))
     assert rep3["graph"]["n_hosts"] == 3
     assert rep3["graph"]["reciprocity_ppm"] == 666_666
+
+
+def test_orphan_pages_anti_join(ray_session):
+    """Captured pages minus link targets, canonical-keyed: alias forms
+    of a linked page are NOT orphans; all-linked sites emit n_orphans=0
+    rows (rates stay computable)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import orphan_pages
+
+    links = pd.DataFrame({"dst_url": [
+        "https://www.x.example/p/1",      # links to the alias form
+        "https://y.example/q/1",
+    ]})
+    captured = pd.DataFrame({"url": [
+        "http://x.example/p/1",           # alias of the linked page
+        "https://x.example/p/2",          # orphan
+        "https://y.example/q/1",
+        "https://y.example/q/2",          # orphan
+        "https://y.example/q/2",          # duplicate capture, one page
+    ]})
+    got = (orphan_pages(rd.from_pandas(links).repartition(2),
+                        rd.from_pandas(captured).repartition(2),
+                        num_partitions=3)
+           .set_index("site").sort_index())
+    assert got.loc["x.example", "n_pages"] == 2
+    assert got.loc["x.example", "n_orphans"] == 1
+    assert got.loc["y.example", "n_pages"] == 2
+    assert got.loc["y.example", "n_orphans"] == 1
