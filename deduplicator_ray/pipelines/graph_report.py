@@ -62,19 +62,33 @@ def _links_of(ds):
 
     names = set(ds.schema().names)
     if "html" in names:
-        return extract_links(ds)
-    if "dst_url" in names:
+        links = extract_links(ds)
+    elif "dst_url" in names:
         def hosts(b: pa.Table) -> pa.Table:
             return pa.table({
                 "src_host": _host_of(b["url"].combine_chunks()),
                 "dst_host": _host_of(b["dst_url"].combine_chunks()),
             })
 
-        return ds.map_batches(hosts, batch_format="pyarrow",
-                              zero_copy_batch=True)
-    raise ValueError(
-        "graph_report needs an 'html' column (page corpus) or a "
-        f"'dst_url' column (WAT outlinks); got {sorted(names)}")
+        links = ds.map_batches(hosts, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    else:
+        raise ValueError(
+            "graph_report needs an 'html' column (page corpus) or a "
+            f"'dst_url' column (WAT outlinks); got {sorted(names)}")
+
+    def drop_hostless(b: pa.Table) -> pa.Table:
+        # relative / mailto / non-http targets host-extract to '' — on a
+        # real corpus that pseudo-host would absorb edges from nearly
+        # every page and top every ranking, so it never enters the graph
+        import pyarrow.compute as pc
+
+        keep = pc.and_(pc.not_equal(b["src_host"], ""),
+                       pc.not_equal(b["dst_host"], ""))
+        return b.filter(keep)
+
+    return links.map_batches(drop_hostless, batch_format="pyarrow",
+                             zero_copy_batch=True)
 
 
 def _topk(df, score_col: str, k: int) -> list[dict]:
@@ -100,7 +114,9 @@ def run(args) -> dict:
     out = args.out
     os.makedirs(out, exist_ok=True)
     fp = input_fingerprint(args.corpus)
-    cfg_hash = "graph:v1"
+    # corpus-format is part of the edge checkpoint's identity: the same
+    # file reinterpreted under a corrected format must NOT resume
+    cfg_hash = f"graph:v1:{args.corpus_format}"
 
     corpus = get_source(args.corpus_format)(args.corpus)
 
@@ -114,6 +130,23 @@ def run(args) -> dict:
         "corpus": args.corpus,
         "stages": {"edges": {"rows": m["total_rows"], "resumed": resumed}},
     }
+
+    if m["total_rows"] == 0:
+        # a link-free corpus yields an empty (possibly schema-less)
+        # edge checkpoint — emit the empty report instead of feeding the
+        # analytics a column-less dataset
+        report["graph"] = {
+            "n_hosts": 0, "n_edges": 0, "n_links": 0, "n_components": 0,
+            "largest_component_hosts": 0, "total_triangles": 0,
+            "kcore_hosts": 0, "reciprocity_ppm": 0,
+        }
+        for k in ("top_pagerank", "top_hubs", "top_authorities",
+                  "top_triangle_hosts"):
+            report[k] = []
+        report["degree_histogram"] = {"out": {}, "in": {}}
+        with open(os.path.join(out, "REPORT.json"), "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+        return report
 
     pr = pagerank(edges, iters=args.pagerank_iters).to_pandas()
     ha = hits(edges).to_pandas()

@@ -157,7 +157,6 @@ def q_domain_rollup(sf_dir: str):
     public-suffix rule (last two dot-labels) applied identically on
     both engines; within-batch (domain, host, url) distinct partials
     bound the ONE domain-key shuffle."""
-    import numpy as np
     import pyarrow.compute as pc
 
     from deduplicator_ray.stages.exact import hash_bucket

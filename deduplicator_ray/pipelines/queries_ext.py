@@ -254,7 +254,7 @@ def q_jaccard_curve(sf_dir: str):
     prefix-filter pair pipeline at a LOW floor (J >= 1/5) — the census a
     recipe reads to place the near-dup cutoff where the pair mass
     actually separates.  Pairs never leave the cluster: each band
-    partial is <= {bands} rows per block."""
+    partial collapses to at most the band count per block."""
     import ray.data as rd
 
     from deduplicator_ray.stages.jaccard import ngram_jaccard_pairs

@@ -636,9 +636,12 @@ def hits(edges, *, iters: int = 5, scale: int = 10 ** 5,
         h'_u = sum_{(u,v)} a(v) * w(u,v);  h = (h' * scale) // max(h')
 
     Overflow bound: a' <= scale * sum(w_in)  and the rescale multiplies
-    by scale again, so sum of edge weight into any host must stay below
-    2^63 / scale^2 (~9e8 at the default scale) — enforce with a smaller
-    ``scale`` on heavier graphs.
+    by scale again, so sum of edge weight into (or out of) any host must
+    stay below 2^63 / scale^2 (~9e8 at the default scale).  ENFORCED a
+    priori: since scores never exceed ``scale`` after a rescale, checking
+    max weighted degree W <= (2^63-1) // scale^2 up front guarantees no
+    int64 wrap can occur anywhere in the iteration — heavier graphs
+    raise OverflowError directing callers to a smaller ``scale``.
 
     Driver numpy path under ``max_driver_edges``; above it, the same
     per-edge contribution runs distributed (map_batches partial + one
@@ -654,15 +657,22 @@ def hits(edges, *, iters: int = 5, scale: int = 10 ** 5,
                           scale, num_partitions or auto_partitions())
 
 
+def _check_hits_bound(max_wdeg: int, scale: int) -> None:
+    """A-priori overflow guard: with scores <= scale (invariant after
+    every max-rescale, and true initially), every spread sum is
+    <= scale * max_wdeg and the rescale multiplies by scale again — so
+    max_wdeg <= (2^63-1) // scale^2 makes an int64 wrap IMPOSSIBLE
+    anywhere in the iteration.  Checking inputs beats checking outputs:
+    a wrapped sum can land positive and below any post-hoc threshold."""
+    if max_wdeg > (2 ** 63 - 1) // (scale * scale):
+        raise OverflowError(
+            f"hits: max weighted degree {max_wdeg} exceeds the int64-safe "
+            f"bound {(2 ** 63 - 1) // (scale * scale)} at scale {scale}; "
+            "rerun with a smaller scale")
+
+
 def _rescale_max(v: np.ndarray, scale: int) -> np.ndarray:
     m = int(v.max()) if len(v) else 0
-    if (len(v) and int(v.min()) < 0) or (m and m > (2 ** 63 - 1) // scale):
-        # int64 spread sums wrapped (negative max) or the rescale
-        # multiply would — the docstring's 2^63/scale^2 weight bound was
-        # exceeded; fail loudly instead of returning garbage scores
-        raise OverflowError(
-            f"hits: score magnitude {m} overflows int64 at scale {scale}; "
-            "rerun with a smaller scale")
     return (v * scale) // max(m, 1)
 
 
@@ -675,6 +685,12 @@ def _hits_numpy(pdf: pd.DataFrame, src_col, dst_col, weight_col,
     si = np.searchsorted(hosts, pdf[src_col].to_numpy(dtype=object))
     di = np.searchsorted(hosts, pdf[dst_col].to_numpy(dtype=object))
     w = pdf[weight_col].to_numpy(dtype=np.int64)
+    win = np.zeros(len(hosts), dtype=np.int64)
+    wout = np.zeros(len(hosts), dtype=np.int64)
+    np.add.at(win, di, w)
+    np.add.at(wout, si, w)
+    wdeg = np.maximum(win, wout)
+    _check_hits_bound(int(wdeg.max()) if len(wdeg) else 0, scale)
     h = np.full(len(hosts), scale, dtype=np.int64)
     a = np.full(len(hosts), scale, dtype=np.int64)
     for _ in range(iters):
@@ -715,6 +731,13 @@ def _hits_bucketed(edges, src_col, dst_col, weight_col, iters, scale,
         parts = edges.map_batches(partial, batch_format="pyarrow",
                                   zero_copy_batch=True)
         return _bucket_vector_sum(parts, len(hosts), P)
+
+    # weighted-degree bound via the same spread with a ones vector —
+    # spread(1, u->v) IS the weighted in-degree; symmetric for out
+    ones = ray.put(np.ones(len(hosts), dtype=np.int64))
+    wdeg = np.maximum(spread(ones, src_col, dst_col),
+                      spread(ones, dst_col, src_col))
+    _check_hits_bound(int(wdeg.max()) if len(wdeg) else 0, scale)
 
     h = np.full(len(hosts), scale, dtype=np.int64)
     a = np.full(len(hosts), scale, dtype=np.int64)

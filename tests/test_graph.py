@@ -548,3 +548,31 @@ def test_orphan_pages_anti_join(ray_session):
     assert got.loc["x.example", "n_orphans"] == 1
     assert got.loc["y.example", "n_pages"] == 2
     assert got.loc["y.example", "n_orphans"] == 1
+
+
+def test_graph_report_degenerate_corpora(ray_session, tmp_path):
+    """Zero-link corpus -> empty report, no crash; relative/mailto
+    targets ('' pseudo-host) never enter the graph."""
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines.graph_report import build_parser, run
+
+    rd.from_pandas(pd.DataFrame({
+        "url": ["https://a.example/1"], "html": [b"<p>nothing</p>"],
+    })).write_parquet(str(tmp_path / "empty"))
+    rep = run(build_parser().parse_args([
+        "--corpus", str(tmp_path / "empty"),
+        "--out", str(tmp_path / "o1")]))
+    assert rep["graph"]["n_hosts"] == 0 and rep["top_pagerank"] == []
+
+    rd.from_pandas(pd.DataFrame({
+        "url": ["https://a.example/1", "https://b.example/2"],
+        "html": [b'<a href="/rel">x</a><a href="https://b.example/2">y</a>',
+                 b'<a href="mailto:x@y">m</a>'
+                 b'<a href="https://a.example/1">z</a>'],
+    })).write_parquet(str(tmp_path / "rel"))
+    rep2 = run(build_parser().parse_args([
+        "--corpus", str(tmp_path / "rel"), "--out", str(tmp_path / "o2")]))
+    g = rep2["graph"]
+    assert g["n_hosts"] == 2  # '' pseudo-host excluded
+    assert g["reciprocity_ppm"] == 1_000_000  # a <-> b fully mutual
