@@ -2111,6 +2111,34 @@ SELECT n_occurrences, count(*)::BIGINT AS n_words FROM wc GROUP BY 1
 """
 
 
+_KMV_K = 64
+
+
+def q_vocab_overlap_kmv(sf_dir: str):
+    """Sketch-side vocabulary overlap between the src0 and src1 corpora
+    (stages/freq.py:kmv_overlap, Beyer et al. 2007): distinct-word
+    union/intersection ESTIMATES from two k-minimum-values sketches —
+    no vocabulary ever shuffles or joins (the 100 TB path where the
+    exact source_overlap matrix would).  Deterministic integer
+    estimator (same siphash word identity as the exact operators), so
+    the output is golden-pinnable."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import kmv_overlap
+
+    def src(name):
+        return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["source", "text"])
+                .filter(expr=f"source == '{name}'"))
+
+    # word BIGRAMS: high enough cardinality (~900 on the shared
+    # word-salad vocabulary) that the sketches fill and the estimator
+    # actually estimates, with genuine partial overlap between sources
+    est = kmv_overlap(src("src0"), src("src1"), k=_KMV_K, ngram=2)
+    return pa.table({c: pa.array([v], type=pa.int64())
+                     for c, v in est.items()})
+
+
 _OOV_K = 16
 
 
@@ -2870,6 +2898,8 @@ def registry_ext():
                               _SQL_NEARDUP_KEEP_BEST),
         "freq_spectrum": (q_freq_spectrum, _SQL_FREQ_SPECTRUM),
         "oov_rate": (q_oov_rate, _SQL_OOV_RATE),
+        "vocab_overlap_kmv": (q_vocab_overlap_kmv,
+                              GOLDEN_SQL.get("vocab_overlap_kmv")),
         "vocabulary_stats": (q_vocabulary_stats,
                              _SQL_VOCABULARY_STATS),
         "bm25_topk": (q_bm25_topk, _SQL_BM25_TOPK),

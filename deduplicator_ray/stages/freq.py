@@ -950,3 +950,89 @@ def oov_rate(ds, *, group_col: str = "source", text_col: str = "text",
             .groupby("_part")
             .map_groups(lambda g: final(g.drop(columns=["_part"])),
                         batch_format="pandas"))
+
+
+def kmv_sketch(ds, *, text_col: str = "text", k: int = 256,
+               ngram: int = 1) -> np.ndarray:
+    """K-minimum-values distinct sketch of a corpus's word ``ngram``s
+    (Beyer et al. 2007, "On synopses for distinct value estimation under
+    multiset operations"): the k smallest 64-bit gram hashes, sorted
+    uint64.  Deterministic given the corpus (same siphash identity as
+    the other word operators), so estimates are exactly reproducible
+    and golden-pinnable.
+
+    Shape: each block emits AT MOST k candidate rows (its local k
+    smallest distinct hashes — any global k-minimum is a local one);
+    the driver merge is bounded by k x blocks.  Zero shuffle.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.fill_null(b[text_col].combine_chunks(), ""), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten().to_pandas().to_numpy(object)
+        if ngram > 1:
+            # within-row n-grams: positions whose whole window stays
+            # inside one document's word list
+            offs = np.asarray(words.offsets, dtype=np.int64)
+            offs = offs - offs[0]
+            row_of = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+            n = len(flat) - (ngram - 1)
+            if n <= 0:
+                return pa.table({"h": pa.array([], type=pa.uint64())})
+            keep = row_of[:n] == row_of[ngram - 1:]
+            grams = flat[:n]
+            for j in range(1, ngram):
+                grams = np.char.add(np.char.add(
+                    grams.astype(str), " "), flat[j:n + j].astype(str))
+            vals = grams[keep].astype(object)
+        else:
+            vals = flat
+        h = np.unique(pd.util.hash_array(vals))
+        return pa.table({"h": pa.array(h[:k], type=pa.uint64())})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .to_pandas())
+    merged = np.unique(parts["h"].to_numpy(dtype=np.uint64))
+    return merged[:k]
+
+
+def kmv_estimate(sk: np.ndarray, k: int) -> int:
+    """Distinct-count estimate from a KMV sketch: exact when the sketch
+    isn't full, else the unbiased (k-1) / normalized-k-th-minimum — all
+    integer arithmetic (python bigints), bit-reproducible."""
+    if len(sk) < k:
+        return int(len(sk))
+    th = int(sk[k - 1]) + 1  # hash values are uniform over [0, 2^64)
+    return ((k - 1) << 64) // th
+
+
+def kmv_overlap(ds_a, ds_b, *, text_col: str = "text",
+                k: int = 256, ngram: int = 1) -> dict:
+    """Sketch-side corpus vocabulary overlap — union and intersection
+    distinct-word estimates from two KMV sketches WITHOUT a join: the
+    scale path for "how much do these two 10 TB corpora share?" where
+    the exact answer (corpus_overlap / source_overlap) would shuffle
+    both vocabularies.
+
+    Union sketch = k smallest of the sketches' merged hash sets; with
+    K = |union sketch| (= k when full), est_union from kmv_estimate and
+    est_intersection = (|union sketch ∩ A ∩ B| * est_union) // K — the
+    standard KMV multiset-operation estimator, integer end to end.
+    """
+    a = kmv_sketch(ds_a, text_col=text_col, k=k, ngram=ngram)
+    b = kmv_sketch(ds_b, text_col=text_col, k=k, ngram=ngram)
+    union = np.unique(np.concatenate([a, b]))[:k]
+    kk = min(k, len(union))
+    est_union = kmv_estimate(union, k)
+    in_both = np.isin(union, a) & np.isin(union, b)
+    n_both = int(in_both.sum())
+    est_inter = (n_both * est_union) // max(kk, 1)
+    return {
+        "k": int(k),
+        "est_distinct_a": kmv_estimate(a, k),
+        "est_distinct_b": kmv_estimate(b, k),
+        "est_union": est_union,
+        "est_intersection": est_inter,
+    }

@@ -1116,3 +1116,55 @@ def test_oov_rate_exact_vocab_election(ray_session):
     out3 = (oov_rate(rd.from_pandas(docs), vocab_k=3, num_buckets=4)
             .to_pandas().set_index("source"))
     assert out3.loc["s2", "n_oov"] == 1
+
+
+def test_kmv_overlap_regimes(ray_session):
+    """Sketch-not-full regime is exact; identical corpora give
+    intersection == union; disjoint vocabularies give intersection 0;
+    results are deterministic across repartitions."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import kmv_overlap
+
+    a = pd.DataFrame({"text": ["w0 w1 w2 w3", "w2 w3 w4"]})
+    b = pd.DataFrame({"text": ["w3 w4 w5", "w6"]})
+    est = kmv_overlap(rd.from_pandas(a), rd.from_pandas(b), k=64)
+    # not-full regime: everything exact. |A|=5, |B|=4, union 7, inter 2
+    assert est["est_distinct_a"] == 5 and est["est_distinct_b"] == 4
+    assert est["est_union"] == 7 and est["est_intersection"] == 2
+
+    same = kmv_overlap(rd.from_pandas(a).repartition(2),
+                       rd.from_pandas(a), k=64)
+    assert same["est_intersection"] == same["est_union"] == 5
+
+    disj = kmv_overlap(rd.from_pandas(pd.DataFrame({"text": ["x y z"]})),
+                       rd.from_pandas(pd.DataFrame({"text": ["p q r"]})),
+                       k=64)
+    assert disj["est_intersection"] == 0 and disj["est_union"] == 6
+
+
+def test_kmv_estimator_accuracy(ray_session):
+    """Full-sketch regime: the (k-1)/th estimator lands within the
+    ~1/sqrt(k) KMV error band on a 2000-word universe, deterministically
+    across block splits."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import kmv_overlap
+
+    words_a = [f"t{i}" for i in range(1500)]          # 0..1499
+    words_b = [f"t{i}" for i in range(1000, 2500)]    # 1000..2499
+    docs_a = pd.DataFrame({"text": [" ".join(words_a[i:i + 50])
+                                    for i in range(0, 1500, 50)]})
+    docs_b = pd.DataFrame({"text": [" ".join(words_b[i:i + 50])
+                                    for i in range(0, 1500, 50)]})
+    est = kmv_overlap(rd.from_pandas(docs_a).repartition(3),
+                      rd.from_pandas(docs_b).repartition(2), k=256)
+    # truth: |A|=1500 |B|=1500 union=2500 inter=500; 1/sqrt(256)=6.25%
+    assert abs(est["est_union"] - 2500) <= 2500 * 0.2
+    assert abs(est["est_distinct_a"] - 1500) <= 1500 * 0.2
+    assert abs(est["est_intersection"] - 500) <= 500 * 0.5
+    est2 = kmv_overlap(rd.from_pandas(docs_a),
+                       rd.from_pandas(docs_b).repartition(5), k=256)
+    assert est == est2  # block layout must not change the sketch
