@@ -127,6 +127,55 @@ def _sql_trustrank() -> str:
         base_expr=f"CASE WHEN n.host IN ({seeds}) THEN {base} ELSE 0 END")
 
 
+_BUDGET_TOTAL = 10_000
+
+
+def q_crawl_budget(sf_dir: str):
+    """Crawl-budget apportionment: split {B} fetch slots across hosts
+    proportionally to integer PageRank via Hamilton's largest-remainder
+    method (floor quotas, remainders ranked desc with host-asc
+    tie-break) — the crawl-scheduling action host authority exists for
+    (OPIC, Abiteboul et al. 2003, motivates rank-proportional budgets).
+    Integer-exact end to end: sum(budget) == {B} always."""
+    import numpy as np
+
+    edges = edge_aggregate(_links(sf_dir))
+    pr = pagerank(edges, iters=_PR_ITERS, damping_pct=_PR_DAMP,
+                  scale=_PR_SCALE).to_pandas()
+    # rank table is n_hosts-bounded by the pagerank contract; the
+    # apportionment is a driver-side integer pass over it
+    rank = pr["rank"].to_numpy(dtype=np.int64)
+    tot = int(rank.sum())
+    fl = (int(_BUDGET_TOTAL) * rank) // tot
+    rem = (int(_BUDGET_TOTAL) * rank) % tot
+    left = int(_BUDGET_TOTAL) - int(fl.sum())
+    order = np.lexsort((pr["host"].to_numpy(dtype=object), -rem))
+    bonus = np.zeros(len(pr), dtype=np.int64)
+    bonus[order[:left]] = 1
+    out = pr.assign(budget=(fl + bonus).astype("int64"))
+    return pa.Table.from_pandas(out[["host", "rank", "budget"]],
+                                preserve_index=False)
+
+
+def _sql_crawl_budget() -> str:
+    B = _BUDGET_TOTAL
+    return f"""
+WITH pr AS ({_sql_pagerank()}),
+t AS (SELECT sum(rank)::BIGINT AS tot FROM pr),
+q AS (SELECT host, rank,
+             ({B} * rank) // t.tot AS fl,
+             ({B} * rank) % t.tot AS rem
+      FROM pr, t),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
+      FROM q),
+s AS (SELECT sum(fl)::BIGINT AS fsum FROM q)
+SELECT r.host, r.rank,
+       (r.fl + CASE WHEN r.rn <= {B} - s.fsum THEN 1 ELSE 0 END)::BIGINT
+         AS budget
+FROM r, s
+"""
+
+
 def q_anchor_stats(sf_dir: str):
     """Inbound-link profile per destination host: total inlinks,
     distinct landing pages, distinct anchor texts — anchors parsed from
@@ -748,6 +797,7 @@ def registry_graph():
         "host_components": (q_host_components, _SQL_HOST_COMPONENTS),
         "wat_link_graph": (q_wat_link_graph, _SQL_LINK_GRAPH),
         "orphan_pages": (q_orphan_pages, _sql_orphan_pages()),
+        "crawl_budget": (q_crawl_budget, _sql_crawl_budget()),
         "kcore_hosts": (q_kcore_hosts, _sql_kcore()),
         "hits_hosts": (q_hits_hosts, _sql_hits()),
         "html_extract_text": (q_html_extract_text, _SQL_HTML_EXTRACT),

@@ -197,7 +197,7 @@ def test_co_occurrence_pairs_semantics(ray_session):
              "hits_hosts", "host_triangles", "kcore_hosts",
              "coupled_hosts", "host_reciprocity", "degree_census",
              "trustrank_hosts", "host_components", "wat_link_graph",
-             "orphan_pages"])
+             "orphan_pages", "crawl_budget"])
 def test_graph_oracle_parity(ray_session, sf_dir, duck, name):
     from deduplicator_ray.pipelines.queries_graph import registry_graph
 
@@ -576,3 +576,23 @@ def test_graph_report_degenerate_corpora(ray_session, tmp_path):
     g = rep2["graph"]
     assert g["n_hosts"] == 2  # '' pseudo-host excluded
     assert g["reciprocity_ppm"] == 1_000_000  # a <-> b fully mutual
+
+
+def test_crawl_budget_apportionment(ray_session, sf_dir, duck):
+    """Hamilton apportionment invariants on the oracle-matched output:
+    budgets sum exactly to the total, every host gets its floor quota,
+    bonuses only +1, monotone with rank."""
+    from deduplicator_ray.pipelines.queries_graph import (
+        _BUDGET_TOTAL,
+        registry_graph,
+    )
+
+    fn, sql = registry_graph()["crawl_budget"]
+    got = _to_pandas(fn(sf_dir))
+    assert int(got["budget"].sum()) == _BUDGET_TOTAL
+    tot = int(got["rank"].sum())
+    fl = (_BUDGET_TOTAL * got["rank"]) // tot
+    assert ((got["budget"] - fl).isin((0, 1))).all()
+    # equal ranks must never differ by more than the +-1 bonus
+    g = got.groupby("rank")["budget"]
+    assert ((g.max() - g.min()) <= 1).all()
