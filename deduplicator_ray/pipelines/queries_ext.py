@@ -195,6 +195,138 @@ FROM documents
 """
 
 
+def q_tier_census(sf_dir: str):
+    """THE tier-dedup summary, one row: duplicate counts per dedup tier
+    over ``documents`` — exact text (md5), normalized text (CCNet-style
+    key), near-duplicate (5-shingle Jaccard >= 0.8 connected
+    components) — plus the distinct union (what a tiered pipeline would
+    remove in total).  Every per-doc stream after the flag shuffles is
+    bounded by DUP counts, not corpus size: the digest tiers emit only
+    duplicate ids from their buckets, the near tier reuses the
+    north-star cluster assignment (clustered docs only)."""
+    import ray.data as rd
+
+    from deduplicator_ray.functions.textnorm import normalize_text_arrow
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    def dup_ids(key_of):
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+
+        def dig(b: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": b["doc_id"], "k": key_of(b)})
+
+        def mark(g):
+            dup = g["doc_id"] != g.groupby("k")["doc_id"].transform("min")
+            return g.loc[dup, ["doc_id"]]
+
+        return (hash_bucket(
+            ds.map_batches(dig, batch_format="pyarrow",
+                           zero_copy_batch=True), "k", 64)
+            .groupby("_part")
+            .map_groups(lambda g: mark(g.drop(columns=["_part"])),
+                        batch_format="pandas"))
+
+    def md5_of(col: pa.Array) -> pa.Array:
+        return pa.array([hashlib.md5(t.encode("utf-8")).hexdigest()
+                         for t in col.to_pylist()], pa.string())
+
+    ex = dup_ids(lambda b: md5_of(b["text"].combine_chunks()))
+    nm = dup_ids(lambda b: md5_of(
+        normalize_text_arrow(b["text"].combine_chunks())))
+
+    asg = q_neardup_clusters(sf_dir)  # (doc_key, cluster_id), pandas
+    near_ids = asg.loc[asg["doc_key"] != asg["cluster_id"],
+                       ["doc_key"]].rename(columns={"doc_key": "doc_id"})
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    dup_exact, dup_norm = ex.count(), nm.count()
+    dup_near = len(near_ids)
+
+    # distinct union of the three (dup-bounded) id streams
+    allids = ex.union(nm).union(rd.from_pandas(near_ids))
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(b["doc_id"], dtype=np.int64))
+        return pa.table({"doc_id": pa.array(u, type=pa.int64())})
+
+    dup_any = (hash_bucket(
+        allids.map_batches(distinct_partial, batch_format="pyarrow",
+                           zero_copy_batch=True), "doc_id", 16)
+        .groupby("_part")
+        .map_groups(lambda g: g.drop(columns=["_part"]).drop_duplicates(),
+                    batch_format="pandas")
+        .count())
+
+    return pa.table({
+        "n_docs": pa.array([n_docs], type=pa.int64()),
+        "dup_exact": pa.array([dup_exact], type=pa.int64()),
+        "dup_norm": pa.array([dup_norm], type=pa.int64()),
+        "dup_near": pa.array([dup_near], type=pa.int64()),
+        "dup_any": pa.array([dup_any], type=pa.int64()),
+    })
+
+
+def _sql_tier_census() -> str:
+    from deduplicator_ray.functions.textnorm import textnorm_sql_expr
+
+    nexpr = textnorm_sql_expr("text")
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {_NEARDUP_NGRAM}
+              THEN list_distinct(list_transform(range(1, len(w) - {_NEARDUP_NGRAM - 2}),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+              ELSE [] END AS g
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.g, b.g)) > 0
+    AND {_NEARDUP_DEN} * len(list_intersect(a.g, b.g))
+        >= {_NEARDUP_NUM} * (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT rr.node, e.b FROM reach rr JOIN edges e ON rr.r = e.a
+),
+nr AS (
+  SELECT node AS doc_id FROM
+    (SELECT node, least(node, min(r)) AS c FROM reach GROUP BY node)
+  WHERE node <> c
+),
+ex AS (
+  SELECT doc_id FROM
+    (SELECT doc_id,
+            doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS d
+     FROM documents) WHERE d
+),
+nm AS (
+  SELECT doc_id FROM
+    (SELECT doc_id,
+            doc_id <> min(doc_id) OVER (PARTITION BY md5({nexpr})) AS d
+     FROM documents) WHERE d
+),
+u AS (SELECT doc_id FROM ex UNION SELECT doc_id FROM nm
+      UNION SELECT doc_id FROM nr)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(*) FROM ex)::BIGINT AS dup_exact,
+       (SELECT count(*) FROM nm)::BIGINT AS dup_norm,
+       (SELECT count(*) FROM nr)::BIGINT AS dup_near,
+       (SELECT count(*) FROM u)::BIGINT AS dup_any
+"""
+
+
 # ---------------------------------------------------------------------------
 # D2: n-gram Jaccard dedup (exact, lang-blocked; LSH is the scale path)
 # ---------------------------------------------------------------------------
@@ -2839,6 +2971,7 @@ def registry_ext():
         "dedup_exact_text": (q_dedup_exact_text, _SQL_DEDUP_EXACT_TEXT),
         "dup_rate_by_length": (q_dup_rate_by_length, _SQL_DUP_RATE_BY_LENGTH),
         "dedup_exact_norm": (q_dedup_exact_norm, _sql_dedup_exact_norm()),
+        "tier_census": (q_tier_census, _sql_tier_census()),
         "ngram_jaccard_pairs": (q_ngram_jaccard, _SQL_NGRAM_JACCARD),
         "jaccard_curve": (q_jaccard_curve, _SQL_JACCARD_CURVE),
         "embed_dup_pairs": (q_embed_dup_pairs, _SQL_EMB_DUP_PAIRS),

@@ -281,3 +281,35 @@ class TestRowsOnly:
         for name, (fn, sql) in reg.items():
             assert callable(fn), name
             assert sql is None or isinstance(sql, str), name
+
+
+def test_tier_census_all_tiers_fire(ray_session, tmp_path):
+    """Crafted corpus where each tier catches something: an exact copy,
+    a case/punct variant (norm tier), a one-word near-dup (Jaccard
+    tier), and a unique doc; dup_any is the distinct union."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.pipelines.queries_ext import q_tier_census
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": [
+            base,                      # canonical
+            base,                      # exact dup (also norm + near)
+            base.upper() + "!",        # norm dup (near too)
+            # last word changed: damages only the final 5-shingle,
+            # J = 13/15 = 0.867 >= 0.8 -> near tier only
+            base.replace("romeo", "zulu"),
+            "totally different words here nothing shared at all",
+        ],
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_tier_census(str(tmp_path)).to_pydict()
+    assert out["n_docs"] == [5]
+    assert out["dup_exact"] == [1]          # doc 1
+    assert out["dup_norm"] == [2]           # docs 1, 2
+    assert out["dup_near"] == [3]           # docs 1, 2, 3
+    assert out["dup_any"] == [3]
