@@ -231,9 +231,10 @@ def q_tier_census(sf_dir: str):
         return pa.array([hashlib.md5(t.encode("utf-8")).hexdigest()
                          for t in col.to_pylist()], pa.string())
 
-    ex = dup_ids(lambda b: md5_of(b["text"].combine_chunks()))
+    # materialize: each stream is consumed twice (count + union)
+    ex = dup_ids(lambda b: md5_of(b["text"].combine_chunks())).materialize()
     nm = dup_ids(lambda b: md5_of(
-        normalize_text_arrow(b["text"].combine_chunks())))
+        normalize_text_arrow(b["text"].combine_chunks()))).materialize()
 
     asg = q_neardup_clusters(sf_dir)  # (doc_key, cluster_id), pandas
     near_ids = asg.loc[asg["doc_key"] != asg["cluster_id"],

@@ -1256,7 +1256,10 @@ def orphan_pages(links, captured, *, dst_col: str = "dst_url",
         pages = df.loc[df["cap"], ["k"]].drop_duplicates()
         if pages.empty:
             return _EMPTY
-        pages["site"] = pages["k"].str.extract(r"^([^/]+)", expand=False)
+        # fillna(''): a hostless canonical key must count under site ''
+        # like the SQL mirror's regexp_extract, not silently drop
+        pages["site"] = (pages["k"].str.extract(r"^([^/]+)", expand=False)
+                         .fillna(""))
         pages["orph"] = (~pages["k"].isin(linked)).astype("int64")
         out = pages.groupby("site", as_index=False).agg(
             n_pages=("k", "size"), n_orphans=("orph", "sum"))
