@@ -2959,6 +2959,178 @@ FROM asgf a JOIN {prev} c ON a.cluster = c.cl
 """
 
 
+
+# -------------------------------------------------- saturation curves
+
+_CURVE_STOPS = 10
+_SHARD_BUDGET = 4096
+_PMI_TOP_K = 30
+_PMI_MIN_COUNT = 5
+
+
+def _doc_max_id(sf_dir: str) -> int:
+    """max(doc_id) from parquet row-group statistics — metadata only,
+    zero data read (the 100-TB way to learn the id span); falls back to
+    a single-column scan when a writer omitted stats."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    md = pq.read_metadata(path)
+    idx = md.schema.to_arrow_schema().names.index("doc_id")
+    mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or st.max is None:
+            mx = None
+            break
+        mx = st.max if mx is None else max(mx, st.max)
+    if mx is None:  # stats absent: one pruned-column scan
+        import pyarrow.compute as _pc
+
+        mx = _pc.max(pq.read_table(path, columns=["doc_id"])["doc_id"]).as_py()
+    return int(mx)
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary-saturation curve (stages/freq.py:vocab_growth):
+    distinct words in the doc_id-ordered corpus prefix at 10 equal
+    id-range stops."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import vocab_growth
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return vocab_growth(ds, max_id=_doc_max_id(sf_dir),
+                        num_stops=_CURVE_STOPS)
+
+
+_SQL_VOCAB_GROWTH = f"""
+WITH m AS (SELECT max(doc_id) + 1 AS span FROM documents),
+tok AS (SELECT (doc_id * {_CURVE_STOPS}) // m.span AS s,
+               unnest(string_split(COALESCE(text, ''), ' ')) AS w
+        FROM documents, m),
+fs AS (SELECT w, min(s) AS s FROM tok GROUP BY w),
+h AS (SELECT s, count(*)::BIGINT AS new_words FROM fs GROUP BY s),
+stops AS (SELECT unnest(range({_CURVE_STOPS})) AS stop)
+SELECT stop,
+       COALESCE(h.new_words, 0)::BIGINT AS new_words,
+       CAST(sum(COALESCE(h.new_words, 0)) OVER (ORDER BY stop)
+            AS BIGINT) AS cum_words
+FROM stops LEFT JOIN h ON stops.stop = h.s
+"""
+
+
+def q_dup_growth(sf_dir: str):
+    """Dedup-saturation curve (stages/freq.py:dup_growth): exact-dup rate
+    of the doc_id-ordered corpus prefix at 10 equal id-range stops."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import dup_growth
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return dup_growth(ds, max_id=_doc_max_id(sf_dir),
+                      num_stops=_CURVE_STOPS)
+
+
+_SQL_DUP_GROWTH = f"""
+WITH m AS (SELECT max(doc_id) + 1 AS span FROM documents),
+d AS (SELECT (doc_id * {_CURVE_STOPS}) // m.span AS s,
+             doc_id > min(doc_id) OVER (PARTITION BY COALESCE(text, ''))
+               AS dup
+      FROM documents, m),
+h AS (SELECT s, count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS n_dups
+      FROM d GROUP BY s),
+stops AS (SELECT unnest(range({_CURVE_STOPS})) AS stop),
+c AS (SELECT stop,
+             COALESCE(h.n_docs, 0)::BIGINT AS n_docs,
+             COALESCE(h.n_dups, 0)::BIGINT AS n_dups,
+             CAST(sum(COALESCE(h.n_docs, 0)) OVER (ORDER BY stop)
+                  AS BIGINT) AS cum_docs,
+             CAST(sum(COALESCE(h.n_dups, 0)) OVER (ORDER BY stop)
+                  AS BIGINT) AS cum_dups
+      FROM stops LEFT JOIN h ON stops.stop = h.s)
+SELECT stop, n_docs, n_dups, cum_docs, cum_dups,
+       CAST(CASE WHEN cum_docs = 0 THEN 0
+                 ELSE (cum_dups * 1000000) // cum_docs END
+            AS BIGINT) AS cum_dup_ppm
+FROM c
+"""
+
+
+def q_shard_manifest(sf_dir: str):
+    """Token-budgeted output-shard plan (stages/shuffle.py:shard_manifest):
+    one manifest row per {_SHARD_BUDGET}-token output shard in doc_id
+    order — what a resumable partitioned writer consumes."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import shard_manifest
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return shard_manifest(ds, budget_tokens=_SHARD_BUDGET)
+
+
+_SQL_SHARD_MANIFEST = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(COALESCE(text, ''), ' '))::BIGINT AS nt
+  FROM documents
+),
+c AS (
+  SELECT doc_id, nt,
+         COALESCE(sum(nt) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS before
+  FROM t
+)
+SELECT CAST(before // {_SHARD_BUDGET} AS BIGINT) AS shard_id,
+       count(*)::BIGINT AS n_docs,
+       sum(nt)::BIGINT AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1
+"""
+
+
+def q_collocations_pmi(sf_dir: str):
+    """Top-{_PMI_TOP_K} adjacent-bigram collocations by PMI
+    (stages/lexical.py:pmi_collocations), min bigram count
+    {_PMI_MIN_COUNT}, integer-micro PMI."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.lexical import pmi_collocations
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return pmi_collocations(ds, top_k=_PMI_TOP_K,
+                            min_count=_PMI_MIN_COUNT)
+
+
+_SQL_COLLOCATIONS_PMI = f"""
+WITH ex AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents
+),
+pos AS (SELECT doc_id, unnest(w) AS tok,
+               unnest(range(1, len(w) + 1)) AS ord
+        FROM ex),
+big AS (SELECT x.tok AS a, y.tok AS b
+        FROM pos x JOIN pos y
+          ON x.doc_id = y.doc_id AND y.ord = x.ord + 1),
+bc AS (SELECT a, b, count(*)::BIGINT AS n FROM big GROUP BY a, b),
+la AS (SELECT a, sum(n)::BIGINT AS ca FROM bc GROUP BY a),
+rb AS (SELECT b, sum(n)::BIGINT AS cb FROM bc GROUP BY b),
+tot AS (SELECT sum(n)::BIGINT AS nn FROM bc)
+SELECT bc.a, bc.b, bc.n,
+       CAST(floor(ln((CAST(bc.n AS DOUBLE) * tot.nn)
+                     / (CAST(la.ca AS DOUBLE) * rb.cb))
+                  * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+FROM bc JOIN la USING (a) JOIN rb USING (b) CROSS JOIN tot
+WHERE bc.n >= {_PMI_MIN_COUNT}
+ORDER BY pmi_micro DESC, bc.a, bc.b LIMIT {_PMI_TOP_K}
+"""
+
+
 def registry_ext():
     """name -> (callable(sf_dir), oracle_sql | None).
 
@@ -2970,6 +3142,10 @@ def registry_ext():
 
     return {
         "dedup_exact_text": (q_dedup_exact_text, _SQL_DEDUP_EXACT_TEXT),
+        "vocab_growth": (q_vocab_growth, _SQL_VOCAB_GROWTH),
+        "dup_growth": (q_dup_growth, _SQL_DUP_GROWTH),
+        "shard_manifest": (q_shard_manifest, _SQL_SHARD_MANIFEST),
+        "collocations_pmi": (q_collocations_pmi, _SQL_COLLOCATIONS_PMI),
         "dup_rate_by_length": (q_dup_rate_by_length, _SQL_DUP_RATE_BY_LENGTH),
         "dedup_exact_norm": (q_dedup_exact_norm, _sql_dedup_exact_norm()),
         "tier_census": (q_tier_census, _sql_tier_census()),

@@ -1036,3 +1036,153 @@ def kmv_overlap(ds_a, ds_b, *, text_col: str = "text",
         "est_union": est_union,
         "est_intersection": est_inter,
     }
+
+
+def vocab_growth(ds, *, max_id: int, id_col: str = "doc_id",
+                 text_col: str = "text", num_stops: int = 10,
+                 num_buckets: int = 64):
+    """Heaps-law vocabulary-saturation curve -> pyarrow Table
+    (stop BIGINT, new_words BIGINT, cum_words BIGINT): distinct words
+    seen in the corpus PREFIX (doc_id order) ending at each of
+    ``num_stops`` equal id-range stops — the "is more crawl still buying
+    vocabulary?" read a tokenizer/corpus recipe takes before fixing a
+    vocab size (Heaps 1978).
+
+    stop(doc) = doc_id * num_stops // (max_id + 1) — exact integer
+    arithmetic mirrored by the SQL oracle; ``max_id`` comes from parquet
+    row-group statistics (metadata-only, zero data read) in the query
+    wrapper, so the kernel itself is single-pass.
+
+    Shape: per-block (word-hash, min-stop) partials (16 B rows — same
+    siphash identity contract as freq_spectrum: a 64-bit collision would
+    merge two words' first-seen stops), ONE word-hash shuffle with
+    per-bucket exact min + first-seen histogram partials, then
+    <= num_stops rows per bucket merge on the driver.
+    """
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    if num_stops < 1:
+        raise ValueError("num_stops must be >= 1")
+    if max_id < 0 or max_id > 2**62 // max(num_stops, 1):
+        raise ValueError("max_id out of the exact-arithmetic range")
+    span = max_id + 1
+
+    def partials(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() > max_id):
+            raise ValueError("doc ids must lie in [0, max_id]")
+        words = pc.split_pattern(
+            pc.coalesce(b[text_col], pa.scalar("", b[text_col].type)), " "
+        ).combine_chunks()
+        lens = np.diff(words.offsets.to_numpy())
+        h = pd.util.hash_array(
+            words.flatten().to_pandas().to_numpy(object)).astype(np.int64)
+        st = np.repeat(ids * num_stops // span, lens)
+        g = (pd.DataFrame({"w": h, "s": st})
+             .groupby("w", as_index=False, sort=False)["s"].min())
+        return pa.table({"w": pa.array(g["w"].to_numpy(np.int64)),
+                         "s": pa.array(g["s"].to_numpy(np.int64))})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "w" not in df.columns:
+            return pd.DataFrame({"s": pd.Series([], dtype="int64"),
+                                 "new_words": pd.Series([], dtype="int64")})
+        fs = df.groupby("w", sort=False)["s"].min()
+        k, c = np.unique(fs.to_numpy(dtype=np.int64), return_counts=True)
+        return pd.DataFrame({"s": k, "new_words": c.astype("int64")})
+
+    hist = (hash_bucket(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True), "w", num_buckets)
+        .groupby("_part")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                    batch_format="pandas")
+        .to_pandas())
+    full = np.zeros(num_stops, dtype=np.int64)
+    if not hist.empty and "s" in hist.columns:
+        per = hist.groupby("s")["new_words"].sum()
+        full[per.index.to_numpy()] = per.to_numpy()
+    return pa.table({
+        "stop": pa.array(np.arange(num_stops, dtype=np.int64)),
+        "new_words": pa.array(full),
+        "cum_words": pa.array(np.cumsum(full)),
+    })
+
+
+def dup_growth(ds, *, max_id: int, id_col: str = "doc_id",
+               text_col: str = "text", num_stops: int = 10,
+               num_buckets: int = 64):
+    """Dedup-saturation curve -> pyarrow Table (stop, n_docs, n_dups,
+    cum_docs, cum_dups, cum_dup_ppm — all BIGINT): exact-duplicate rate
+    of the corpus PREFIX (doc_id order) at ``num_stops`` equal id-range
+    stops.  A doc is a duplicate iff an earlier doc (smaller id) has
+    byte-identical (null-coalesced) text — so the curve answers "how fast
+    is the marginal crawl going stale?", the capacity-planning twin of
+    vocab_growth.
+
+    Shape: ONE text-hash shuffle of (hash, id, stop) rows (24 B/row, the
+    text itself never moves — same 64-bit collision contract as
+    freq_spectrum), per-bucket min-id election + dup histogram partials;
+    per-stop doc totals ride a separate map-only pass.  Driver merges
+    2 x num_stops histogram rows and cumsums.
+    """
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    if num_stops < 1:
+        raise ValueError("num_stops must be >= 1")
+    if max_id < 0 or max_id > 2**62 // max(num_stops, 1):
+        raise ValueError("max_id out of the exact-arithmetic range")
+    span = max_id + 1
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() > max_id):
+            raise ValueError("doc ids must lie in [0, max_id]")
+        txt = (b[text_col].to_pandas().fillna("").to_numpy(object))
+        h = pd.util.hash_array(txt).astype(np.int64)
+        return pa.table({"h": pa.array(h),
+                         "doc_id": pa.array(ids),
+                         "s": pa.array(ids * num_stops // span)})
+
+    def dup_hist(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "h" not in df.columns:
+            return pd.DataFrame({"s": pd.Series([], dtype="int64"),
+                                 "n_dups": pd.Series([], dtype="int64")})
+        dup = df["doc_id"] != df.groupby("h")["doc_id"].transform("min")
+        k, c = np.unique(df.loc[dup, "s"].to_numpy(dtype=np.int64),
+                         return_counts=True)
+        return pd.DataFrame({"s": k, "n_dups": c.astype("int64")})
+
+    dups = (hash_bucket(
+        ds.map_batches(keyed, batch_format="pyarrow",
+                       zero_copy_batch=True), "h", num_buckets)
+        .groupby("_part")
+        .map_groups(lambda g: dup_hist(g.drop(columns=["_part"])),
+                    batch_format="pandas")
+        .to_pandas())
+
+    def doc_hist(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        k, c = np.unique(ids * num_stops // span, return_counts=True)
+        return pa.table({"s": pa.array(k.astype(np.int64)),
+                         "n_docs": pa.array(c.astype(np.int64))})
+
+    docs = ds.map_batches(doc_hist, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+
+    nd = np.zeros(num_stops, dtype=np.int64)
+    if not docs.empty and "s" in docs.columns:
+        per = docs.groupby("s")["n_docs"].sum()
+        nd[per.index.to_numpy()] = per.to_numpy()
+    du = np.zeros(num_stops, dtype=np.int64)
+    if not dups.empty and "s" in dups.columns:
+        per = dups.groupby("s")["n_dups"].sum()
+        du[per.index.to_numpy()] = per.to_numpy()
+    cd, cu = np.cumsum(nd), np.cumsum(du)
+    ppm = np.where(cd > 0, cu * 1_000_000 // np.maximum(cd, 1), 0)
+    return pa.table({
+        "stop": pa.array(np.arange(num_stops, dtype=np.int64)),
+        "n_docs": pa.array(nd), "n_dups": pa.array(du),
+        "cum_docs": pa.array(cd), "cum_dups": pa.array(cu),
+        "cum_dup_ppm": pa.array(ppm.astype(np.int64)),
+    })

@@ -404,3 +404,137 @@ def bpe_merge_candidates(ds, *, top_k: int = 30, text_col: str = "text"):
     out = out.sort_values(["n", "a", "b"], ascending=[False, True, True],
                           kind="mergesort", ignore_index=True)
     return out.head(top_k).reset_index(drop=True)
+
+
+def pmi_collocations(ds, *, top_k: int = 30, min_count: int = 5,
+                     text_col: str = "text", num_buckets: int = 64,
+                     max_candidates: int = 2_000_000):
+    """Top-``top_k`` adjacent-word collocations by pointwise mutual
+    information (Church & Hanks 1990) -> pandas (a, b, n, pmi_micro):
+    the phrase-mining read a tokenizer/vocab recipe takes to decide which
+    multi-word units deserve merges.
+
+    PMI over the bigram event space: with c_ab the bigram count, ca/cb
+    the LEFT/RIGHT marginals of the bigram table and N the total bigram
+    count, pmi = ln(c_ab * N / (ca * cb)); reported as
+    floor(pmi * 1e6 + 0.5) with both factors evaluated in DOUBLE in the
+    same association order as the SQL oracle.  Rank: pmi_micro desc,
+    then (a, b) asc — deterministic through ties at the cut.
+
+    Scale shape: the token stream collapses to per-block partial bigram
+    counts BEFORE the one bigram-key shuffle (classic combiner); the
+    marginals are per-block regroups of the already-aggregated bigram
+    table filtered to the candidate words, so no second token-stream
+    pass and no vocabulary-wide second shuffle.  Candidates
+    (n >= min_count) come to the driver behind a counted guard
+    (``max_candidates`` — raise, never silently truncate), and the
+    marginal rows that reach the driver are candidate-bounded too.
+    """
+    import ray.data  # noqa: F401 - ensures Dataset impl loaded
+
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    if top_k < 1 or min_count < 1:
+        raise ValueError("top_k and min_count must be >= 1")
+
+    def bigram_partials(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "k": pa.array([], type=pa.string()),
+            "a": pa.array([], type=pa.string()),
+            "b": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        })
+        words = pc.split_pattern(
+            pc.coalesce(b[text_col], pa.scalar("", b[text_col].type)), " "
+        ).combine_chunks()
+        lens = np.diff(words.offsets.to_numpy())
+        flat = words.flatten().to_pandas().to_numpy(object)
+        if len(flat) < 2:
+            return empty
+        # adjacent pairs, masking the ones that straddle a doc boundary
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        bounds = np.cumsum(lens)[:-1]
+        valid[bounds - 1] = False
+        if not valid.any():
+            return empty
+        g = (pd.DataFrame({"a": flat[:-1][valid], "b": flat[1:][valid]})
+             .groupby(["a", "b"], as_index=False, sort=False).size())
+        return pa.table({
+            "k": pa.array(g["a"] + "\x01" + g["b"], type=pa.string()),
+            "a": pa.array(g["a"], type=pa.string()),
+            "b": pa.array(g["b"], type=pa.string()),
+            "n": pa.array(g["size"].to_numpy(np.int64)),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "a" not in df.columns:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        g = df.groupby(["a", "b"], as_index=False, sort=False)["n"].sum()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    bg = (hash_bucket(
+        ds.map_batches(bigram_partials, batch_format="pyarrow",
+                       zero_copy_batch=True), "k", num_buckets)
+        .groupby("_part")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["k", "_part"])),
+                    batch_format="pandas")
+        .materialize())  # consumed 4x: N, candidates, two marginal passes
+
+    total = bg.sum("n")
+    if total is None:  # empty corpus
+        return pd.DataFrame({"a": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64"),
+                             "pmi_micro": pd.Series([], dtype="int64")})
+    n_total = int(total)
+
+    cand_ds = bg.filter(expr=f"n >= {int(min_count)}")
+    cand = cand_ds.limit(max_candidates + 1).to_pandas()
+    if len(cand) > max_candidates:
+        raise ValueError(
+            f"pmi_collocations: > {max_candidates} bigrams pass "
+            f"min_count={min_count}; raise min_count or max_candidates"
+        )
+
+    import ray
+
+    a_ref = ray.put(frozenset(cand["a"]))
+    b_ref = ray.put(frozenset(cand["b"]))
+
+    def marginal(side: str, keep_ref):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            keep = ray.get(keep_ref) if isinstance(
+                keep_ref, ray.ObjectRef) else keep_ref
+            if df.empty or side not in df.columns:
+                return pd.DataFrame({side: pd.Series([], dtype=object),
+                                     "c": pd.Series([], dtype="int64")})
+            g = df.groupby(side, as_index=False, sort=False)["n"].sum()
+            g = g[g[side].isin(keep)]
+            return pd.DataFrame({side: g[side],
+                                 "c": g["n"].to_numpy(np.int64)})
+        # per-block partial regroup, then ONE word-key reduce of the
+        # candidate-filtered (word, count) rows
+        part = bg.map_batches(f, batch_format="pandas")
+        return (hash_bucket(part, side, num_buckets)
+                .groupby("_part")
+                .map_groups(lambda g: (
+                    g.drop(columns=["_part"])
+                    .groupby(side, as_index=False, sort=False)["c"].sum()),
+                    batch_format="pandas")
+                .to_pandas())
+
+    la = marginal("a", a_ref).rename(columns={"c": "ca"})
+    rb = marginal("b", b_ref).rename(columns={"c": "cb"})
+    out = cand.merge(la, on="a").merge(rb, on="b")
+    ratio = (out["n"].to_numpy(np.float64) * float(n_total)) / (
+        out["ca"].to_numpy(np.float64) * out["cb"].to_numpy(np.float64))
+    out["pmi_micro"] = np.floor(
+        np.log(ratio) * 1_000_000 + 0.5).astype(np.int64)
+    out = (out.sort_values(["pmi_micro", "a", "b"],
+                           ascending=[False, True, True], kind="mergesort")
+           .head(top_k).reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    return out[["a", "b", "n", "pmi_micro"]]

@@ -725,3 +725,115 @@ def group_split_sql_expr(fractions, seed: int, col: str) -> str:
     bit-for-bit (md5-prefix group key + the split_sql_expr intervals)."""
     key = f"(('0x' || substr(md5(coalesce({col}, '')), 1, 15))::BIGINT)"
     return split_sql_expr(fractions, seed, id_col=key)
+
+
+def shard_manifest(ds, *, budget_tokens: int, id_col: str = "doc_id",
+                   text_col: str = "text", num_buckets: int = 256):
+    """Token-budgeted output-shard plan -> Dataset (shard_id, n_docs,
+    n_tokens, first_doc, last_doc — all BIGINT): lay the corpus out in
+    doc_id order as one token stream and open a new output shard every
+    ``budget_tokens`` tokens; shard(doc) = (tokens BEFORE the doc) //
+    budget_tokens — the manifest a resumable partitioned-parquet writer
+    consumes (one directory per shard, skip finished shards on restart).
+
+    Tokens = whitespace-separated words (``count(' ') + 1`` over the
+    null-coalesced text — exactly DuckDB ``len(string_split(text, ' '))``,
+    so the oracle is integer-exact).
+
+    Distributed shape — the pack_sequences global-cumsum pattern with
+    doc_id itself as the order key: monotone id-range buckets (any
+    monotone map of doc_id is order-preserving; float scaling is fine
+    because bucket boundaries only partition, they never reorder),
+    per-bucket token totals prefix-summed on the driver (num_buckets tiny
+    rows), each bucket independently sorts and cumsums locally, and the
+    per-bucket shard rollups merge through ONE shard-keyed reduce (a
+    shard can straddle bucket boundaries).  Document payloads collapse to
+    16 B/row before anything moves.
+    """
+    import pyarrow.compute as pc
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if not (2 <= num_buckets <= 65536):
+        raise ValueError("num_buckets must be in [2, 65536]")
+
+    _MANIFEST_COLS = ("shard_id", "n_docs", "n_tokens",
+                      "first_doc", "last_doc")
+
+    def _empty() -> pa.Table:
+        return pa.table({c: pa.array([], type=pa.int64())
+                         for c in _MANIFEST_COLS})
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("shard_manifest requires non-negative doc ids")
+        ntok = pc.add(pc.count_substring(
+            pc.coalesce(b[text_col], pa.scalar("", b[text_col].type)), " "
+        ), 1)
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_tokens": pc.cast(ntok, pa.int64())})
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    if keyed_ds.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(_empty())
+    span = int(keyed_ds.max("doc_id")) + 1
+    scale = num_buckets / span  # monotone: only partitions, never reorders
+
+    def part(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        p = np.minimum((ids.astype(np.float64) * scale).astype(np.int64),
+                       num_buckets - 1)
+        return b.append_column("_part", pa.array(p.astype(np.int32)))
+
+    parted = keyed_ds.map_batches(part, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+    offsets = _bucket_offsets(parted, num_buckets, "n_tokens")
+
+    import ray
+
+    off_ref = ray.put(offsets)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        srt = ids[order]
+        if len(srt) > 1 and np.any(srt[1:] == srt[:-1]):
+            dup = srt[1:][srt[1:] == srt[:-1]][0]
+            raise ValueError(
+                f"shard_manifest: duplicate doc id {dup} — ids must be "
+                "unique (dedupe the corpus or re-key before sharding)"
+            )
+        ntok = g["n_tokens"].to_numpy(np.int64)[order]
+        before = np.empty(len(ntok), dtype=np.int64)
+        before[0] = 0
+        np.cumsum(ntok[:-1], out=before[1:])
+        before += ray.get(off_ref)[int(g["_part"].iloc[0])]
+        df = pd.DataFrame({"shard_id": before // budget_tokens,
+                           "t": ntok, "d": srt})
+        return (df.groupby("shard_id", as_index=False)
+                .agg(n_docs=("d", "size"), n_tokens=("t", "sum"),
+                     first_doc=("d", "min"), last_doc=("d", "max")))
+
+    rollup = parted.groupby("_part").map_groups(assign,
+                                                batch_format="pandas")
+
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "shard_id" not in df.columns:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in _MANIFEST_COLS})
+        g = (df.groupby("shard_id", as_index=False)
+             .agg(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"),
+                  first_doc=("first_doc", "min"),
+                  last_doc=("last_doc", "max")))
+        return g.astype({c: "int64" for c in _MANIFEST_COLS})
+
+    return (hash_bucket(rollup, "shard_id", 16)
+            .groupby("_part")
+            .map_groups(lambda g: merge(g.drop(columns=["_part"])),
+                        batch_format="pandas"))

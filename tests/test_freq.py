@@ -1168,3 +1168,107 @@ def test_kmv_estimator_accuracy(ray_session):
     est2 = kmv_overlap(rd.from_pandas(docs_a),
                        rd.from_pandas(docs_b).repartition(5), k=256)
     assert est == est2  # block layout must not change the sketch
+
+
+def test_vocab_growth_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import vocab_growth
+
+    # ids 0..9, num_stops=5 over span 10 -> stop = doc_id // 2
+    docs = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "text": ["a b", "a", "c", "a c", "d", "", "e d", "a", "f", "f"],
+    })
+    out = (vocab_growth(rd.from_pandas(docs).repartition(3), max_id=9,
+                        num_stops=5, num_buckets=4)
+           .to_pandas())
+    # first-seen stops: a->0 b->0 c->1 d->2 ''->2(doc 5) e->3 f->4
+    assert out["stop"].tolist() == [0, 1, 2, 3, 4]
+    assert out["new_words"].tolist() == [2, 1, 2, 1, 1]
+    assert out["cum_words"].tolist() == [2, 3, 5, 6, 7]
+
+
+def test_vocab_growth_guards(ray_session):
+    import pytest
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import vocab_growth
+
+    docs = pd.DataFrame({"doc_id": [0, 5], "text": ["a", "b"]})
+    with pytest.raises(ValueError, match="num_stops"):
+        vocab_growth(rd.from_pandas(docs), max_id=5, num_stops=0)
+    with pytest.raises(Exception, match="lie in"):
+        vocab_growth(rd.from_pandas(docs), max_id=3, num_stops=2)
+
+
+def test_dup_growth_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import dup_growth
+
+    # stops of width 2; dups planted forward: docs 4 and 9 repeat doc 0,
+    # doc 7 repeats doc 6 (same stop), doc 3 is null -> '' unique
+    docs = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "text": ["x", "y", "z", None, "x", "q", "r", "r", "s", "x"],
+    })
+    out = (dup_growth(rd.from_pandas(docs).repartition(3), max_id=9,
+                      num_stops=5, num_buckets=4)
+           .to_pandas())
+    assert out["n_docs"].tolist() == [2, 2, 2, 2, 2]
+    assert out["n_dups"].tolist() == [0, 0, 1, 1, 1]
+    assert out["cum_dups"].tolist() == [0, 0, 1, 2, 3]
+    assert out["cum_dup_ppm"].tolist() == [
+        0, 0, 1_000_000 // 6, 2_000_000 // 8, 3_000_000 // 10]
+
+
+def test_shard_manifest_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import shard_manifest
+
+    # token counts 3,4,5,1,6,2 in id order; budget 6 ->
+    # before: 0,3,7,12,13,19 -> shards 0,0,1,2,2,3
+    docs = pd.DataFrame({
+        "doc_id": np.array([10, 20, 30, 40, 50, 60], dtype=np.int64),
+        "text": ["a b c", "a b c d", "a b c d e", "a", "a b c d e f",
+                 "a b"],
+    })
+    out = (shard_manifest(rd.from_pandas(docs).repartition(3),
+                          budget_tokens=6, num_buckets=4)
+           .to_pandas().sort_values("shard_id").reset_index(drop=True))
+    want = pd.DataFrame({
+        "shard_id": np.array([0, 1, 2, 3], dtype=np.int64),
+        "n_docs": np.array([2, 1, 2, 1], dtype=np.int64),
+        "n_tokens": np.array([7, 5, 7, 2], dtype=np.int64),
+        "first_doc": np.array([10, 30, 40, 60], dtype=np.int64),
+        "last_doc": np.array([20, 30, 50, 60], dtype=np.int64),
+    })
+    pd.testing.assert_frame_equal(out, want)
+    # invariant under bucket count (boundary-straddling merge exercised)
+    out2 = (shard_manifest(rd.from_pandas(docs), budget_tokens=6,
+                           num_buckets=2)
+            .to_pandas().sort_values("shard_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out2, want)
+
+
+def test_shard_manifest_guards(ray_session):
+    import pytest
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import shard_manifest
+
+    with pytest.raises(ValueError, match="budget_tokens"):
+        shard_manifest(rd.from_pandas(pd.DataFrame(
+            {"doc_id": [1], "text": ["a"]})), budget_tokens=0)
+    with pytest.raises(Exception, match="duplicate doc id"):
+        shard_manifest(rd.from_pandas(pd.DataFrame(
+            {"doc_id": [1, 1], "text": ["a", "b"]})),
+            budget_tokens=8).materialize()
+    empty = shard_manifest(rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "text": pd.Series([], dtype=object)})), budget_tokens=8)
+    assert empty.count() == 0

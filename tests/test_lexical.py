@@ -342,3 +342,64 @@ def test_bpe_merge_candidates_bruteforce(ray_session):
         rd.from_pandas(pd.DataFrame({"text": ["héé héé", None]})), top_k=5)
     assert [(r.a, r.b, r.n) for r in g2.itertuples(index=False)] == [
         ("h", "é", 2), ("é", "é", 2)]
+
+
+def test_pmi_collocations_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.lexical import pmi_collocations
+
+    rng = np.random.default_rng(7)
+    base = ["the", "of", "a", "data", "york"]
+    texts = []
+    for _ in range(60):
+        toks = list(rng.choice(base, size=8))
+        toks[2:4] = ["new", "york"]          # planted collocation
+        texts.append(" ".join(toks))
+    texts.append("")                          # empty doc: 1 token, no bigram
+    docs = pd.DataFrame({"text": texts})
+
+    got = pmi_collocations(rd.from_pandas(docs).repartition(4), top_k=5,
+                           min_count=3, num_buckets=4)
+
+    # brute force over the same bigram event space
+    from collections import Counter
+    bc = Counter()
+    for t in texts:
+        w = t.split(" ")
+        bc.update(zip(w, w[1:]))
+    n_total = sum(bc.values())
+    ca, cb = Counter(), Counter()
+    for (a, b), n in bc.items():
+        ca[a] += n
+        cb[b] += n
+    rows = [(a, b, n,
+             int(np.floor(np.log((np.float64(n) * n_total)
+                                 / (np.float64(ca[a]) * cb[b]))
+                          * 1_000_000 + 0.5)))
+            for (a, b), n in bc.items() if n >= 3]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = pd.DataFrame(rows[:5], columns=["a", "b", "n", "pmi_micro"])
+    want["n"] = want["n"].astype("int64")
+    want["pmi_micro"] = want["pmi_micro"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    assert got.iloc[0][["a", "b"]].tolist() == ["new", "york"]
+
+
+def test_pmi_collocations_guards(ray_session):
+    import pytest
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.lexical import pmi_collocations
+
+    docs = pd.DataFrame({"text": ["a b a b a b", "a b"]})
+    with pytest.raises(ValueError, match="top_k"):
+        pmi_collocations(rd.from_pandas(docs), top_k=0)
+    with pytest.raises(ValueError, match="max_candidates"):
+        pmi_collocations(rd.from_pandas(docs), min_count=1,
+                         max_candidates=1)
+    empty = pmi_collocations(rd.from_pandas(
+        pd.DataFrame({"text": pd.Series([], dtype=object)})))
+    assert len(empty) == 0
+    assert list(empty.columns) == ["a", "b", "n", "pmi_micro"]
