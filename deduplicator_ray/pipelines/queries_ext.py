@@ -3131,6 +3131,86 @@ ORDER BY pmi_micro DESC, bc.a, bc.b LIMIT {_PMI_TOP_K}
 """
 
 
+
+_RRF_POOL, _RRF_TOP, _RRF_CONST = 20, 10, 60
+
+
+def q_ttr_stats(sf_dir: str):
+    """Per-doc type-token ratio (stages/textstats.py:ttr_stats):
+    lexical-diversity ppm, map-only zero-shuffle."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import ttr_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ttr_stats(ds)
+
+
+_SQL_TTR_STATS = """
+WITH w AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents
+)
+SELECT doc_id, len(w)::BIGINT AS n_tokens,
+       len(list_distinct(w))::BIGINT AS n_types,
+       CAST((len(list_distinct(w)) * 1000000) // len(w) AS BIGINT)
+         AS ttr_ppm
+FROM w
+"""
+
+
+def q_rank_fusion_rrf(sf_dir: str):
+    """Reciprocal-rank fusion (stages/lexical.py:rank_fusion_rrf) of the
+    BM25 and raw term-frequency rankings for the query {_BM25_TERMS}:
+    top {_RRF_TOP} fused from two top-{_RRF_POOL} lists, integer
+    1e6 // (60 + rank) scoring."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.lexical import rank_fusion_rrf
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return rank_fusion_rrf(ds, _BM25_TERMS, k=_RRF_TOP, pool=_RRF_POOL,
+                           rrf_k=_RRF_CONST, k1=_BM25_K1, b=_BM25_B)
+
+
+_SQL_RANK_FUSION_RRF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT avg(dl) FROM dl)::DOUBLE AS avgdl),
+q(term) AS (VALUES {", ".join(f"('{{t}}')".format(t=t) for t in ["dup", "scan", "join"])}),
+tf AS (SELECT t.doc_id, t.term, count(*)::BIGINT AS tf
+       FROM toks t JOIN q USING (term) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+score AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+            ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+bm AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM score ORDER BY score DESC, doc_id LIMIT {_RRF_POOL}),
+tfc AS (SELECT doc_id, sum(tf)::BIGINT AS c FROM tf GROUP BY doc_id),
+tt AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r
+       FROM tfc ORDER BY c DESC, doc_id LIMIT {_RRF_POOL}),
+u AS (SELECT doc_id FROM bm UNION SELECT doc_id FROM tt)
+SELECT u.doc_id,
+       CAST(COALESCE(1000000 // ({_RRF_CONST} + bm.r), 0)
+            + COALESCE(1000000 // ({_RRF_CONST} + tt.r), 0)
+            AS BIGINT) AS rrf_micro
+FROM u LEFT JOIN bm ON u.doc_id = bm.doc_id
+       LEFT JOIN tt ON u.doc_id = tt.doc_id
+ORDER BY rrf_micro DESC, u.doc_id LIMIT {_RRF_TOP}
+"""
+
+
 def registry_ext():
     """name -> (callable(sf_dir), oracle_sql | None).
 
@@ -3146,6 +3226,8 @@ def registry_ext():
         "dup_growth": (q_dup_growth, _SQL_DUP_GROWTH),
         "shard_manifest": (q_shard_manifest, _SQL_SHARD_MANIFEST),
         "collocations_pmi": (q_collocations_pmi, _SQL_COLLOCATIONS_PMI),
+        "ttr_stats": (q_ttr_stats, _SQL_TTR_STATS),
+        "rank_fusion_rrf": (q_rank_fusion_rrf, _SQL_RANK_FUSION_RRF),
         "dup_rate_by_length": (q_dup_rate_by_length, _SQL_DUP_RATE_BY_LENGTH),
         "dedup_exact_norm": (q_dedup_exact_norm, _sql_dedup_exact_norm()),
         "tier_census": (q_tier_census, _sql_tier_census()),

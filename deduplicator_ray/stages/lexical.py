@@ -50,6 +50,33 @@ _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 # ---------------------------------------------------------------- BM25
 
 
+def _tokenize_ws(batch: pa.Table, text_col: str):
+    """Whitespace-split a text column -> (flat token array, slice-relative
+    offsets, per-row token counts) — the shared tokenizer of the lexical
+    rankers (null text tokenizes to the single token '')."""
+    text = pc.coalesce(batch[text_col], pa.scalar("", batch[text_col].type))
+    lists = pc.split_pattern(text, " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offsets = lists.offsets.to_numpy()
+    offsets = offsets - offsets[0]  # flatten() is slice-relative
+    dl = np.diff(offsets).astype(np.int64)
+    toks = lists.flatten().to_pandas().to_numpy(object)
+    return toks, offsets, dl
+
+
+def _query_tf(toks, offsets, nrows, qidx: pd.Index):
+    """(nrows, |qidx|) int64 term-frequency matrix for the query terms."""
+    tf = np.zeros((nrows, len(qidx)), dtype=np.int64)
+    if len(toks):
+        hit = qidx.get_indexer(toks)
+        pos = np.flatnonzero(hit >= 0)
+        if len(pos):
+            doc_of = np.searchsorted(offsets, pos, side="right") - 1
+            np.add.at(tf, (doc_of, hit[pos]), 1)
+    return tf
+
+
 def bm25_topk(ds, terms: list[str], *, k: int = 15, k1: float = 1.2,
               b: float = 0.75, id_col: str = "doc_id",
               text_col: str = "text") -> pd.DataFrame:
@@ -73,29 +100,12 @@ def bm25_topk(ds, terms: list[str], *, k: int = 15, k1: float = 1.2,
         raise ValueError("whitespace tokens cannot contain a space")
     qterms = list(terms)
     qidx = pd.Index(np.asarray(qterms, dtype=object))
-    Q = len(qterms)
 
     def _tokenize(batch: pa.Table):
-        text = pc.coalesce(batch[text_col], pa.scalar("", batch[text_col].type))
-        lists = pc.split_pattern(text, " ")
-        if isinstance(lists, pa.ChunkedArray):
-            lists = lists.combine_chunks()
-        offsets = lists.offsets.to_numpy()
-        offsets = offsets - offsets[0]  # flatten() is slice-relative
-        dl = np.diff(offsets).astype(np.int64)
-        toks = lists.flatten().to_pandas().to_numpy(object)
-        return toks, offsets, dl
+        return _tokenize_ws(batch, text_col)
 
     def _tf_matrix(toks, offsets, nrows):
-        """(nrows, Q) int64 term-frequency matrix for the query terms."""
-        tf = np.zeros((nrows, Q), dtype=np.int64)
-        if len(toks):
-            hit = qidx.get_indexer(toks)
-            pos = np.flatnonzero(hit >= 0)
-            if len(pos):
-                doc_of = np.searchsorted(offsets, pos, side="right") - 1
-                np.add.at(tf, (doc_of, hit[pos]), 1)
-        return tf
+        return _query_tf(toks, offsets, nrows, qidx)
 
     def stats(batch: pa.Table) -> pa.Table:
         toks, offsets, dl = _tokenize(batch)
@@ -538,3 +548,61 @@ def pmi_collocations(ds, *, top_k: int = 30, min_count: int = 5,
            .head(top_k).reset_index(drop=True))
     out["n"] = out["n"].astype("int64")
     return out[["a", "b", "n", "pmi_micro"]]
+
+
+def rank_fusion_rrf(ds, terms: list[str], *, k: int = 10, pool: int = 20,
+                    rrf_k: int = 60, k1: float = 1.2, b: float = 0.75,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> pd.DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    retrieval systems over the same corpus and query: BM25 (the
+    probabilistic ranker) and raw query-term frequency (the boolean-ish
+    ranker) -> pandas (id_col, rrf_micro), top ``k`` fused.
+
+    Each system contributes its top-``pool`` list; a doc's fused score is
+    the INTEGER sum of 1_000_000 // (rrf_k + rank) over the lists it
+    appears in (1-based ranks; ties inside a list break on ascending id)
+    — integer end to end, so the SQL oracle is exact.  Fused ties break
+    on ascending id.
+
+    Scale shape: both rankers are map-only local-top-``pool`` passes
+    (<= pool rows per block reach the driver; BM25 additionally partial-
+    combines its corpus stats) — no shuffle anywhere; the fusion itself
+    touches <= 2*pool rows.
+    """
+    if not (1 <= k <= pool):
+        raise ValueError("need 1 <= k <= pool")
+    if rrf_k < 0:
+        raise ValueError("rrf_k must be non-negative")
+    bm = bm25_topk(ds, terms, k=pool, k1=k1, b=b, id_col=id_col,
+                   text_col=text_col)
+    qidx = pd.Index(np.asarray(list(terms), dtype=object))
+
+    def tfs(batch: pa.Table) -> pa.Table:
+        toks, offsets, _dl = _tokenize_ws(batch, text_col)
+        tf = _query_tf(toks, offsets, batch.num_rows, qidx).sum(axis=1)
+        cand = np.flatnonzero(tf > 0)
+        ids = np.asarray(batch[id_col], dtype=np.int64)[cand]
+        c = tf[cand]
+        order = np.lexsort((ids, -c))[:pool]  # local top: tf desc, id asc
+        return pa.table({id_col: pa.array(ids[order]),
+                         "c": pa.array(c[order])})
+
+    tfd = ds.map_batches(tfs, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    if tfd.empty:
+        tfd = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                            "c": pd.Series([], dtype="int64")})
+    tfd = tfd.sort_values(["c", id_col], ascending=[False, True],
+                          kind="mergesort").head(pool)
+
+    score: dict[int, int] = {}
+    for ranked in (bm, tfd):
+        for r, d in enumerate(ranked[id_col].tolist(), start=1):
+            score[int(d)] = score.get(int(d), 0) + 1_000_000 // (rrf_k + r)
+    out = pd.DataFrame({id_col: list(score), "rrf_micro": list(score.values())})
+    out[id_col] = out[id_col].astype("int64")
+    out["rrf_micro"] = out["rrf_micro"].astype("int64")
+    return (out.sort_values(["rrf_micro", id_col], ascending=[False, True],
+                            kind="mergesort")
+            .head(k).reset_index(drop=True))

@@ -679,3 +679,45 @@ def dsir_logratio(raw_ds, target_ds, *, min_ppm: int = 1000,
 
     return raw_ds.map_batches(score, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def ttr_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document type-token ratio -> Dataset (id_col, n_tokens,
+    n_types, ttr_ppm — all BIGINT): lexical-diversity signal (distinct
+    whitespace tokens / total tokens, integer ppm) — the cheap
+    repetitiveness read a quality filter takes alongside gopher_filter's
+    stopword/punct ratios (machine-generated and keyword-stuffed pages
+    sit at the ttr extremes).
+
+    Map-only, ZERO shuffle: types are counted per doc inside the block
+    via 64-bit token hashes (same siphash identity contract as
+    freq.freq_spectrum — a collision undercounts one type).  Null text
+    tokenizes to the single token '' (split semantics), so n_tokens >= 1
+    and the ppm division is total.
+    """
+    def f(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        text = pc.coalesce(b[text_col], pa.scalar("", b[text_col].type))
+        lists = pc.split_pattern(text, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offs = lists.offsets.to_numpy()
+        lens = np.diff(offs).astype(np.int64)
+        toks = lists.flatten().to_pandas().to_numpy(object)
+        h = pd.util.hash_array(toks).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        if len(lens):
+            types = (pd.DataFrame({"d": doc_idx, "h": h})
+                     .groupby("d")["h"].nunique()
+                     .to_numpy(np.int64))  # every doc has >= 1 token
+        else:
+            types = np.zeros(0, dtype=np.int64)
+        return pa.table({
+            id_col: b[id_col],
+            "n_tokens": pa.array(lens),
+            "n_types": pa.array(types),
+            "ttr_ppm": pa.array(types * 1_000_000 // lens),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -1272,3 +1272,63 @@ def test_shard_manifest_guards(ray_session):
         {"doc_id": pd.Series([], dtype="int64"),
          "text": pd.Series([], dtype=object)})), budget_tokens=8)
     assert empty.count() == 0
+
+
+def test_ttr_stats_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import ttr_stats
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["a b a c", None, "x x x", "lone"],
+    })
+    out = (ttr_stats(rd.from_pandas(docs).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_tokens"].tolist() == [4, 1, 3, 1]
+    assert out["n_types"].tolist() == [3, 1, 1, 1]
+    assert out["ttr_ppm"].tolist() == [750000, 1000000, 333333, 1000000]
+
+
+def test_rank_fusion_rrf_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.lexical import bm25_topk, rank_fusion_rrf
+
+    rng = np.random.default_rng(11)
+    vocab = ["dup", "scan", "x", "y", "z"]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(3, 20))))
+             for _ in range(40)]
+    docs = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                         "text": texts})
+    ds = rd.from_pandas(docs).repartition(4)
+    got = rank_fusion_rrf(ds, ["dup", "scan"], k=6, pool=8, rrf_k=60)
+
+    # brute force both rankings + integer fusion
+    bm = bm25_topk(rd.from_pandas(docs), ["dup", "scan"], k=8)
+    tf = [(i, t.split(" ").count("dup") + t.split(" ").count("scan"))
+          for i, t in enumerate(texts)]
+    tf = [(i, c) for i, c in tf if c > 0]
+    tf.sort(key=lambda p: (-p[1], p[0]))
+    score = {}
+    for ranked in (bm["doc_id"].tolist(), [i for i, _ in tf[:8]]):
+        for r, d in enumerate(ranked, start=1):
+            score[d] = score.get(d, 0) + 1_000_000 // (60 + r)
+    rows = sorted(score.items(), key=lambda p: (-p[1], p[0]))[:6]
+    want = pd.DataFrame(rows, columns=["doc_id", "rrf_micro"]).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_rank_fusion_rrf_guards(ray_session):
+    import pytest
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.lexical import rank_fusion_rrf
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["a"]}))
+    with pytest.raises(ValueError, match="1 <= k <= pool"):
+        rank_fusion_rrf(ds, ["a"], k=5, pool=3)
+    # no doc contains a query term -> empty fusion
+    out = rank_fusion_rrf(ds, ["zz"], k=2, pool=4)
+    assert len(out) == 0
