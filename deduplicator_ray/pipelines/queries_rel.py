@@ -387,12 +387,109 @@ def q_retention_cohorts(sf_dir: str):
     return retention_cohorts(ev)
 
 
+
+def q_host_gini(sf_dir: str):
+    """Crawl-concentration census, one row: exact Gini coefficient of the
+    captures-per-host distribution (n_hosts, n_captures, gini_micro) —
+    the "is the crawler rathole-ing on a few hubs?" inequality read a
+    crawl operator takes next to host_stats / crawl_budget.
+
+    Exact integer Gini from GROUPED counts, no global sort: with host
+    counts reduced to a frequency-of-frequencies spectrum (count value x,
+    hosts-with-x), the rank-sum term of the classic formula
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) has a closed form per
+    spectrum row (ranks of a tie group are a contiguous run, and equal
+    values make the ordering inside the run irrelevant).  Shape: per-batch
+    partial host counts -> ONE host-key shuffle -> per-bucket
+    freq-of-frequencies partials -> a tiny spectrum merges on the driver,
+    where Python big-ints evaluate the formula overflow-free (the SQL
+    mirror uses HUGEINT).  Rounding: floor(G*1e6 + 0.5) via
+    (2*num*1e6 + den) // (2*den).
+    """
+    from deduplicator_ray.sources.corpus import captures_dataset
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    caps = captures_dataset(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["url"], _HOST_PAT)
+        host = pc.fill_null(pc.struct_field(m, "host"), "")
+        g = (pd.DataFrame({"host": host.to_pandas()})
+             .groupby("host", as_index=False).size())
+        return pa.table({"host": pa.array(g["host"], type=pa.string()),
+                         "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    def spectrum(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "host" not in df.columns:
+            return pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
+        per = df.groupby("host", sort=False)["n"].sum()
+        x, c = np.unique(per.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"x": x, "c": c.astype("int64")})
+
+    spec = (hash_bucket(
+        caps.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True), "host", 64)
+        .groupby("_part")
+        .map_groups(lambda g: spectrum(g.drop(columns=["_part"])),
+                    batch_format="pandas")
+        .to_pandas())
+    spec = (spec.groupby("x", as_index=False)["c"].sum()
+            .sort_values("x").reset_index(drop=True))
+    n, s, gini = gini_micro_from_spectrum(spec["x"].tolist(),
+                                          spec["c"].tolist())
+    return pa.table({"n_hosts": pa.array([n], type=pa.int64()),
+                     "n_captures": pa.array([s], type=pa.int64()),
+                     "gini_micro": pa.array([gini], type=pa.int64())})
+
+
+def gini_micro_from_spectrum(xs, cs) -> tuple[int, int, int]:
+    """(n, total, gini_micro) from a frequency-of-frequencies spectrum
+    (value x -> multiplicity c, xs ascending): closed-form rank sum per
+    tie group — ranks of a tie group are the contiguous run
+    C_{k-1}+1 .. C_k and equal values make in-run order irrelevant.
+    Python big-ints: overflow-free at any scale."""
+    n = int(sum(cs))
+    if n == 0:
+        return 0, 0, 0
+    s = s1 = 0
+    cprev = 0
+    for x, c in zip(xs, cs):
+        ck = cprev + c
+        s1 += x * (ck * (ck + 1) - cprev * (cprev + 1)) // 2
+        s += x * c
+        cprev = ck
+    num = 2 * s1 - (n + 1) * s
+    den = n * s
+    return n, s, (2 * num * 1_000_000 + den) // (2 * den)
+
+
+def _sql_host_gini() -> str:
+    from deduplicator_ray.sources.corpus import CAPTURES_CTE
+
+    return f"""
+WITH {CAPTURES_CTE},
+hc AS (SELECT regexp_extract(url, '{_HOST_PAT}', 1) AS host,
+              count(*)::BIGINT AS x
+       FROM captures GROUP BY 1),
+r AS (SELECT x, row_number() OVER (ORDER BY x, host) AS i FROM hc),
+s AS (SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+             sum(CAST(i AS HUGEINT) * x)::HUGEINT AS s1
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n_hosts, CAST(sx AS BIGINT) AS n_captures,
+       CAST((2 * (2*s1 - (n+1)*sx) * 1000000 + (n*sx)) // (2 * (n*sx))
+            AS BIGINT) AS gini_micro
+FROM s
+"""
+
+
 def registry_rel():
     return {
         "events_hopping": (q_events_hopping, _SQL_EVENTS_HOPPING),
         "orders_range_join": (q_orders_range_join, _SQL_ORDERS_RANGE_JOIN),
         "grouped_topk": (q_grouped_topk, _SQL_GROUPED_TOPK),
         "host_stats": (q_host_stats, _sql_host_stats()),
+        "host_gini": (q_host_gini, _sql_host_gini()),
         "lineitem_agg": (q_lineitem_agg, _SQL_LINEITEM_AGG),
         "funnel_counts": (q_funnel_counts, _sql_funnel()),
         "retention_cohorts": (q_retention_cohorts, _SQL_RETENTION),

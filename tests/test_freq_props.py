@@ -147,3 +147,38 @@ def test_pps_sample_proportional_and_nested(ray_session):
     kept_hi = pps_sample(ds, weight_col="n_chars", w_ref=4000,
                          seed=3).to_pandas()
     assert set(kept_hi["doc_id"]) <= set(kept["doc_id"])
+
+
+@given(st.lists(st.integers(min_value=1, max_value=50), min_size=1,
+                max_size=60))
+@settings(max_examples=80, deadline=None)
+def test_gini_spectrum_matches_sorted_formula(counts):
+    import numpy as np
+
+    from deduplicator_ray.pipelines.queries_rel import (
+        gini_micro_from_spectrum,
+    )
+
+    arr = np.sort(np.asarray(counts, dtype=np.int64))
+    xs, cs = np.unique(arr, return_counts=True)
+    n, s, gini = gini_micro_from_spectrum(xs.tolist(), cs.tolist())
+    assert (n, s) == (len(arr), int(arr.sum()))
+    # brute force: G = (2*sum(i*x_i) - (n+1)*sum x) / (n*sum x), i 1-based
+    s1 = int(sum((i + 1) * int(x) for i, x in enumerate(arr)))
+    num = 2 * s1 - (n + 1) * s
+    den = n * s
+    assert gini == (2 * num * 1_000_000 + den) // (2 * den)
+    assert 0 <= gini < 1_000_000
+
+
+def test_gini_spectrum_edges():
+    from deduplicator_ray.pipelines.queries_rel import (
+        gini_micro_from_spectrum,
+    )
+
+    assert gini_micro_from_spectrum([], []) == (0, 0, 0)
+    # perfectly equal distribution -> 0
+    assert gini_micro_from_spectrum([7], [5])[2] == 0
+    # one host owns everything except n-1 single-capture hosts
+    n, s, g = gini_micro_from_spectrum([1, 1_000_000], [99, 1])
+    assert g > 950_000
