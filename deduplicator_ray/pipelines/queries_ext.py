@@ -3211,6 +3211,78 @@ ORDER BY rrf_micro DESC, u.doc_id LIMIT {_RRF_TOP}
 """
 
 
+
+def q_label_token_stats(sf_dir: str):
+    """Cross-table rollup: documents ⋈ embeddings on doc_id = vec_id,
+    token statistics per embedding label — the "how do my clusters read
+    as text?" join a curation recipe runs between the dense and lexical
+    views of the corpus.
+
+    Shape: BOTH sides collapse before the join — documents to
+    (doc_id, n_tokens, n_types) map-side via ttr_stats (text never rides
+    the join shuffle), embeddings pruned to (vec_id, label) at the read
+    (vector payloads never move) — then ONE hash-shuffle join on the 8 B
+    key (stages/joins.py:hash_join) and a per-label partial combine
+    (<= |labels| rows per block reach the driver)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.joins import hash_join
+    from deduplicator_ray.stages.textstats import ttr_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tok = ttr_stats(docs).select_columns(["doc_id", "n_tokens", "n_types"])
+
+    def emb_side(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["vec_id"],
+                         "label": pc.cast(b["label"], pa.int64())})
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "label"]).map_batches(
+        emb_side, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(tok, emb, on=("doc_id",), num_partitions=16,
+                  out_schema={"doc_id": pa.int64(), "n_tokens": pa.int64(),
+                              "n_types": pa.int64(), "label": pa.int64()})
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = (b.select(["label", "n_tokens", "n_types"]).to_pandas()
+              .groupby("label", as_index=False)
+              .agg(n_docs=("n_tokens", "size"),
+                   sum_tokens=("n_tokens", "sum"),
+                   sum_types=("n_types", "sum")))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (j.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+           .to_pandas())
+    if out.empty:
+        return pa.table({c: pa.array([], type=pa.int64()) for c in
+                         ("label", "n_docs", "sum_tokens", "sum_types",
+                          "ttr_ppm")})
+    g = (out.groupby("label", as_index=False)
+         .agg(n_docs=("n_docs", "sum"), sum_tokens=("sum_tokens", "sum"),
+              sum_types=("sum_types", "sum")))
+    g["ttr_ppm"] = g["sum_types"] * 1_000_000 // g["sum_tokens"]
+    return pa.Table.from_pandas(
+        g.astype({c: "int64" for c in g.columns}), preserve_index=False)
+
+
+_SQL_LABEL_TOKEN_STATS = """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(COALESCE(text, ''), ' '))::BIGINT AS nt,
+         len(list_distinct(string_split(COALESCE(text, ''), ' ')))::BIGINT
+           AS ny
+  FROM documents
+)
+SELECT CAST(label AS BIGINT) AS label, count(*)::BIGINT AS n_docs,
+       sum(nt)::BIGINT AS sum_tokens, sum(ny)::BIGINT AS sum_types,
+       CAST((sum(ny) * 1000000) // sum(nt) AS BIGINT) AS ttr_ppm
+FROM t JOIN embeddings e ON t.doc_id = e.vec_id
+GROUP BY label
+"""
+
+
 def registry_ext():
     """name -> (callable(sf_dir), oracle_sql | None).
 
@@ -3228,6 +3300,7 @@ def registry_ext():
         "collocations_pmi": (q_collocations_pmi, _SQL_COLLOCATIONS_PMI),
         "ttr_stats": (q_ttr_stats, _SQL_TTR_STATS),
         "rank_fusion_rrf": (q_rank_fusion_rrf, _SQL_RANK_FUSION_RRF),
+        "label_token_stats": (q_label_token_stats, _SQL_LABEL_TOKEN_STATS),
         "dup_rate_by_length": (q_dup_rate_by_length, _SQL_DUP_RATE_BY_LENGTH),
         "dedup_exact_norm": (q_dedup_exact_norm, _sql_dedup_exact_norm()),
         "tier_census": (q_tier_census, _sql_tier_census()),

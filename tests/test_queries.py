@@ -61,6 +61,13 @@ SQL_CHECKED = [
     "semdedup_keep",
     "prototypicality",
     "d4_keep",
+    "vocab_growth",
+    "dup_growth",
+    "shard_manifest",
+    "collocations_pmi",
+    "ttr_stats",
+    "rank_fusion_rrf",
+    "label_token_stats",
 ]
 
 SQL_CHECKED_REL = [
@@ -68,6 +75,7 @@ SQL_CHECKED_REL = [
     "orders_range_join",
     "grouped_topk",
     "host_stats",
+    "host_gini",
     "lineitem_agg",
 ]
 
