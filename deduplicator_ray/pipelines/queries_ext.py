@@ -3283,6 +3283,143 @@ GROUP BY label
 """
 
 
+
+def q_event_transitions(sf_dir: str):
+    """Within-session Markov transition census of the event stream:
+    (from_type, to_type, n) counts of consecutive same-user event pairs
+    at most {_SESSION_GAP_S} s apart (the events_sessions gap rule) — the
+    behavioral-sequence profile a funnel/recommendation recipe reads.
+
+    Same partitioning contract as events_sessions: ONE user-id shuffle
+    of 24 B rows gives each bucket complete per-user timelines; inside a
+    bucket the pass is vectorized (sort + shift + mask + groupby), never
+    per-user Python.  Output is bounded by |event_type|^2 rows per
+    bucket, so the driver merge is tiny."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def to_epoch(b: pa.Table) -> pa.Table:
+        epoch = pc.divide(
+            pc.cast(b["ts"].cast(pa.timestamp("us")), pa.int64()),
+            1_000_000)
+        return pa.table({"user_id": b["user_id"], "tse": epoch,
+                         "event_id": b["event_id"],
+                         "event_type": b["event_type"]})
+
+    def per_bucket(g):
+        import pandas as pd
+
+        if g.empty or "user_id" not in g.columns:
+            return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                                 "to_type": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        g = g.sort_values(["user_id", "tse", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["tse"].to_numpy(np.int64)
+        ty = g["event_type"].to_numpy(object)
+        ok = ((u[1:] == u[:-1]) & (t[1:] - t[:-1] <= _SESSION_GAP_S))
+        out = (pd.DataFrame({"from_type": ty[:-1][ok],
+                             "to_type": ty[1:][ok]})
+               .groupby(["from_type", "to_type"], as_index=False,
+                        sort=False).size()
+               .rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = (hash_bucket(
+        ds.map_batches(to_epoch, batch_format="pyarrow",
+                       zero_copy_batch=True), "user_id", 64)
+        .groupby("_part")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                    batch_format="pandas")
+        .to_pandas())
+    if parts.empty:
+        return pa.table({"from_type": pa.array([], type=pa.string()),
+                         "to_type": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    g = (parts.groupby(["from_type", "to_type"], as_index=False)["n"]
+         .sum())
+    g["n"] = g["n"].astype("int64")
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+_SQL_EVENT_TRANSITIONS = f"""
+WITH o AS (
+  SELECT user_id, event_type AS a,
+         lead(event_type) OVER w AS b,
+         epoch_ms(ts) // 1000 AS t,
+         lead(epoch_ms(ts) // 1000) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000,
+               event_id)
+)
+SELECT a AS from_type, b AS to_type, count(*)::BIGINT AS n
+FROM o WHERE b IS NOT NULL AND t2 - t <= {_SESSION_GAP_S}
+GROUP BY 1, 2
+"""
+
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """Round-trip the corpus through the JSONL interchange format (the
+    one-object-per-line dump format LLM data pipelines exchange):
+    documents + an ISO-Z timestamp column -> ``Dataset.write_json``
+    shards under /tmp (one file per block, the same resumable layout as
+    write_parquet) -> back through the registered ``jsonl`` source
+    (sources/__init__.py:_jsonl_source), whose warc_ts normalization
+    path this exercises -> projected rows.  Oracle recomputes every row
+    from ``documents``."""
+    import tempfile
+
+    import ray.data as rd
+
+    from deduplicator_ray.sources import get_source
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def enrich(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        iso = pd.to_datetime(_WARC_EPOCH0 + ids, unit="s", utc=True
+                             ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        return pa.table({"doc_id": b["doc_id"], "text": b["text"],
+                         "lang": b["lang"],
+                         "warc_ts": pa.array(iso, type=pa.string())})
+
+    out = tempfile.mkdtemp(prefix="jsonl_roundtrip_", dir="/tmp")
+    ds.map_batches(enrich, batch_format="pyarrow",
+                   zero_copy_batch=True).write_json(out)
+    back = get_source("jsonl")(out)
+
+    def proj(b: pa.Table) -> pa.Table:
+        ts = b["warc_ts"]
+        if not pa.types.is_timestamp(ts.type):  # loud: norm path broken
+            raise TypeError(f"jsonl source left warc_ts as {ts.type}")
+        epoch = pc.divide(pc.cast(ts.cast(pa.timestamp("us", tz="UTC")),
+                                  pa.int64()), 1_000_000)
+        return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                         "ts_epoch": epoch, "text": b["text"],
+                         "lang": b["lang"]})
+
+    return back.map_batches(proj, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+_SQL_JSONL_ROUNDTRIP = f"""
+SELECT doc_id, CAST({_WARC_EPOCH0} + doc_id AS BIGINT) AS ts_epoch,
+       text, lang
+FROM documents
+"""
+
+
 def registry_ext():
     """name -> (callable(sf_dir), oracle_sql | None).
 
@@ -3301,6 +3438,8 @@ def registry_ext():
         "ttr_stats": (q_ttr_stats, _SQL_TTR_STATS),
         "rank_fusion_rrf": (q_rank_fusion_rrf, _SQL_RANK_FUSION_RRF),
         "label_token_stats": (q_label_token_stats, _SQL_LABEL_TOKEN_STATS),
+        "event_transitions": (q_event_transitions, _SQL_EVENT_TRANSITIONS),
+        "jsonl_roundtrip": (q_jsonl_roundtrip, _SQL_JSONL_ROUNDTRIP),
         "dup_rate_by_length": (q_dup_rate_by_length, _SQL_DUP_RATE_BY_LENGTH),
         "dedup_exact_norm": (q_dedup_exact_norm, _sql_dedup_exact_norm()),
         "tier_census": (q_tier_census, _sql_tier_census()),

@@ -68,6 +68,8 @@ SQL_CHECKED = [
     "ttr_stats",
     "rank_fusion_rrf",
     "label_token_stats",
+    "event_transitions",
+    "jsonl_roundtrip",
 ]
 
 SQL_CHECKED_REL = [
