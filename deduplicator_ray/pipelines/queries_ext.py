@@ -3420,6 +3420,169 @@ FROM documents
 """
 
 
+
+def q_csv_roundtrip(sf_dir: str):
+    """Round-trip the corpus through header-CSV (the other flat
+    interchange format the ``csv`` source accepts): documents + ISO-Z
+    timestamp -> ``Dataset.write_csv`` shards under /tmp -> registered
+    ``csv`` source (sources/__init__.py:_csv_source) -> projected rows;
+    exercises the CSV warc_ts normalization path.  Oracle recomputes
+    from ``documents``."""
+    import tempfile
+
+    import ray.data as rd
+
+    from deduplicator_ray.sources import get_source
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def enrich(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        iso = pd.to_datetime(_WARC_EPOCH0 + ids, unit="s", utc=True
+                             ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        return pa.table({"doc_id": b["doc_id"], "text": b["text"],
+                         "lang": b["lang"],
+                         "warc_ts": pa.array(iso, type=pa.string())})
+
+    out = tempfile.mkdtemp(prefix="csv_roundtrip_", dir="/tmp")
+    ds.map_batches(enrich, batch_format="pyarrow",
+                   zero_copy_batch=True).write_csv(out)
+    back = get_source("csv")(out)
+
+    def proj(b: pa.Table) -> pa.Table:
+        ts = b["warc_ts"]
+        if not pa.types.is_timestamp(ts.type):  # loud: norm path broken
+            raise TypeError(f"csv source left warc_ts as {ts.type}")
+        epoch = pc.divide(pc.cast(ts.cast(pa.timestamp("us", tz="UTC")),
+                                  pa.int64()), 1_000_000)
+        return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                         "ts_epoch": epoch, "text": b["text"],
+                         "lang": b["lang"]})
+
+    return back.map_batches(proj, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+_SQL_CSV_ROUNDTRIP = f"""
+SELECT doc_id, CAST({_WARC_EPOCH0} + doc_id AS BIGINT) AS ts_epoch,
+       text, lang
+FROM documents
+"""
+
+
+_DUPMAT_FANIN = 8
+
+
+def q_dup_host_matrix(sf_dir: str):
+    """Cross-host duplicate-pair attribution over the captures corpus:
+    for every unordered host pair (host_a <= host_b), the number of
+    capture PAIRS sharing a content digest — the multiplicity-weighted
+    complement of content_mirrors (which counts DISTINCT shared digests):
+    "how much fetch budget went to re-downloading whose bytes?".
+
+    Digests served by more than {_DUPMAT_FANIN} distinct hosts are
+    excluded by contract (the soft-404 / empty page every host serves
+    would otherwise dominate every cell) — same fan-in rule as
+    content_mirrors, mirrored in the oracle.
+
+    Shape: per-batch partial (digest, host) counts, ONE digest-key
+    shuffle; per bucket the per-digest host histograms yield pair counts
+    in closed form (c_a*c_b across hosts, C(c,2) within), output bounded
+    by fanin^2 rows per digest."""
+    from deduplicator_ray.sources.corpus import captures_dataset
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    caps = captures_dataset(sf_dir)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = pc.extract_regex(b["url"], _DUPMAT_HOST_PAT)
+        host = pc.fill_null(pc.struct_field(m, "host"), "")
+        g = (pd.DataFrame({"digest": b["digest"].to_pandas(),
+                           "host": host.to_pandas()})
+             .groupby(["digest", "host"], as_index=False, sort=False)
+             .size())
+        return pa.table({"digest": pa.array(g["digest"], type=pa.string()),
+                         "host": pa.array(g["host"], type=pa.string()),
+                         "c": pa.array(g["size"].to_numpy(np.int64))})
+
+    def per_bucket(df):
+        import pandas as pd
+
+        empty = pd.DataFrame({"host_a": pd.Series([], dtype=object),
+                              "host_b": pd.Series([], dtype=object),
+                              "n_pairs": pd.Series([], dtype="int64")})
+        if df.empty or "digest" not in df.columns:
+            return empty
+        c = df.groupby(["digest", "host"], as_index=False)["c"].sum()
+        fan = c.groupby("digest")["host"].transform("size")
+        c = c[fan <= _DUPMAT_FANIN]
+        if c.empty:
+            return empty
+        m = c.merge(c, on="digest")
+        m = m[m["host_x"] <= m["host_y"]]
+        same = (m["host_x"] == m["host_y"]).to_numpy()
+        cx = m["c_x"].to_numpy(np.int64)
+        cy = m["c_y"].to_numpy(np.int64)
+        n = np.where(same, cx * (cx - 1) // 2, cx * cy)
+        out = (pd.DataFrame({"host_a": m["host_x"], "host_b": m["host_y"],
+                             "n_pairs": n})
+               .groupby(["host_a", "host_b"], as_index=False)["n_pairs"]
+               .sum())
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        return out[out["n_pairs"] > 0]
+
+    parts = (hash_bucket(
+        caps.map_batches(keyed, batch_format="pyarrow",
+                         zero_copy_batch=True), "digest", 64)
+        .groupby("_part")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                    batch_format="pandas")
+        .to_pandas())
+    if parts.empty:
+        return pa.table({"host_a": pa.array([], type=pa.string()),
+                         "host_b": pa.array([], type=pa.string()),
+                         "n_pairs": pa.array([], type=pa.int64())})
+    g = (parts.groupby(["host_a", "host_b"], as_index=False)["n_pairs"]
+         .sum())
+    g["n_pairs"] = g["n_pairs"].astype("int64")
+    return pa.Table.from_pandas(g[g["n_pairs"] > 0],
+                                preserve_index=False)
+
+
+_DUPMAT_HOST_PAT = r"^https?://(?P<host>[^/]+)"
+
+
+def _sql_dup_host_matrix() -> str:
+    from deduplicator_ray.sources.corpus import CAPTURES_CTE
+
+    return f"""
+WITH {CAPTURES_CTE},
+c AS (
+  SELECT md5(text) AS digest,
+         regexp_extract(url, '{_DUPMAT_HOST_PAT}', 1) AS host,
+         count(*)::BIGINT AS c
+  FROM captures GROUP BY 1, 2
+),
+keep AS (
+  SELECT * FROM c
+  WHERE digest IN (SELECT digest FROM c GROUP BY digest
+                   HAVING count(*) <= {_DUPMAT_FANIN})
+)
+SELECT a.host AS host_a, b.host AS host_b,
+       sum(CASE WHEN a.host = b.host THEN a.c * (a.c - 1) // 2
+                ELSE a.c * b.c END)::BIGINT AS n_pairs
+FROM keep a JOIN keep b ON a.digest = b.digest AND a.host <= b.host
+GROUP BY 1, 2
+HAVING sum(CASE WHEN a.host = b.host THEN a.c * (a.c - 1) // 2
+                ELSE a.c * b.c END) > 0
+"""
+
+
 def registry_ext():
     """name -> (callable(sf_dir), oracle_sql | None).
 
@@ -3440,6 +3603,8 @@ def registry_ext():
         "label_token_stats": (q_label_token_stats, _SQL_LABEL_TOKEN_STATS),
         "event_transitions": (q_event_transitions, _SQL_EVENT_TRANSITIONS),
         "jsonl_roundtrip": (q_jsonl_roundtrip, _SQL_JSONL_ROUNDTRIP),
+        "csv_roundtrip": (q_csv_roundtrip, _SQL_CSV_ROUNDTRIP),
+        "dup_host_matrix": (q_dup_host_matrix, _sql_dup_host_matrix()),
         "dup_rate_by_length": (q_dup_rate_by_length, _SQL_DUP_RATE_BY_LENGTH),
         "dedup_exact_norm": (q_dedup_exact_norm, _sql_dedup_exact_norm()),
         "tier_census": (q_tier_census, _sql_tier_census()),

@@ -70,6 +70,8 @@ SQL_CHECKED = [
     "label_token_stats",
     "event_transitions",
     "jsonl_roundtrip",
+    "csv_roundtrip",
+    "dup_host_matrix",
 ]
 
 SQL_CHECKED_REL = [
