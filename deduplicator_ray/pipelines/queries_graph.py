@@ -16,6 +16,7 @@ import pyarrow as pa
 from deduplicator_ray.sources.corpus import LINKED_PAGES_CTE, N_HOSTS
 from deduplicator_ray.stages.graph import (
     HOST_PAT,
+    assortativity,
     edge_aggregate,
     extract_links,
     mirror_hosts,
@@ -786,6 +787,36 @@ FROM {prev} a LEFT JOIN (
     return sql
 
 
+
+def q_host_assortativity(sf_dir: str):
+    """Degree assortativity of the undirected host graph
+    (stages/graph.py:assortativity — Newman 2002): exact integer stub
+    sums, one float division, micro output."""
+    return assortativity(_links(sf_dir))
+
+
+_SQL_ASSORTATIVITY = f"""
+WITH {LINKED_PAGES_CTE},
+{_UND_CTE},
+deg AS MATERIALIZED (
+  SELECT h, count(*)::BIGINT AS deg FROM (
+    SELECT u AS h FROM und UNION ALL SELECT v FROM und) GROUP BY h
+),
+j AS (SELECT du.deg AS j, dv.deg AS k
+      FROM und JOIN deg du ON und.u = du.h JOIN deg dv ON und.v = dv.h),
+s AS (SELECT count(*)::HUGEINT AS m, sum(j + k)::HUGEINT AS sx,
+             sum(j*j + k*k)::HUGEINT AS sjj, sum(j*k)::HUGEINT AS sjk
+      FROM j)
+SELECT CAST(m AS BIGINT) AS n_edges,
+       CAST(CASE WHEN m = 0 OR 2*m*sjj - sx*sx = 0 THEN 0
+            ELSE floor(CAST(4*m*sjk - sx*sx AS DOUBLE)
+                       / CAST(2*m*sjj - sx*sx AS DOUBLE)
+                       * 1000000 + 0.5)
+            END AS BIGINT) AS assort_micro
+FROM s
+"""
+
+
 def registry_graph():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -798,6 +829,7 @@ def registry_graph():
         "wat_link_graph": (q_wat_link_graph, _SQL_LINK_GRAPH),
         "orphan_pages": (q_orphan_pages, _sql_orphan_pages()),
         "crawl_budget": (q_crawl_budget, _sql_crawl_budget()),
+        "host_assortativity": (q_host_assortativity, _SQL_ASSORTATIVITY),
         "kcore_hosts": (q_kcore_hosts, _sql_kcore()),
         "hits_hosts": (q_hits_hosts, _sql_hits()),
         "html_extract_text": (q_html_extract_text, _SQL_HTML_EXTRACT),

@@ -1275,3 +1275,115 @@ def orphan_pages(links, captured, *, dst_col: str = "dst_url",
     return (parts.groupby("site", as_index=False)
             .agg(n_pages=("n_pages", "sum"), n_orphans=("n_orphans", "sum"))
             .astype({"n_pages": "int64", "n_orphans": "int64"}))
+
+
+def assortativity(edges, *, src_col: str = "src_host",
+                  dst_col: str = "dst_host",
+                  num_partitions: int | None = None) -> pa.Table:
+    """Degree assortativity of the undirected host graph (Newman 2002,
+    "Assortative mixing in networks") -> one row (n_edges,
+    assort_micro): the Pearson correlation of endpoint degrees over edge
+    stubs — positive means hubs link to hubs (a core/periphery web),
+    negative means hubs link to leaves (a hub-and-spoke web).
+
+    Degrees = DISTINCT undirected neighbors, self-loops dropped.  The
+    symmetric stub marginals collapse Newman's formula to the exact
+    rational r = (4m*S_jk - Sx^2) / (2m*S_jj - Sx^2) with
+    Sx = sum(j + k), S_jk = sum(j*k), S_jj = sum(j^2 + k^2) over the m
+    distinct edges — every sum an integer, so the ONLY float op is the
+    final single division, floored to micro identically by numpy and
+    DuckDB.  den == 0 (regular graph) reports 0 by contract.
+
+    Shape: distinct undirected edges via ONE unordered-pair-key shuffle;
+    degrees via ONE node-key shuffle over the distinct edge set; two
+    hash-shuffle joins attach endpoint degrees; per-block integer
+    partial sums (4 tiny rows per block) merge on the driver as Python
+    big-ints.  (Per-block int64 partials bound degrees to < 2^31 —
+    beyond any observed host graph.)
+    """
+    import math
+
+    from deduplicator_ray.stages.joins import hash_join
+
+    P = num_partitions or auto_partitions()
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "s": np.asarray(b[src_col], dtype=object),
+            "d": np.asarray(b[dst_col], dtype=object)})
+        df = df[df["s"] != df["d"]].drop_duplicates()
+        t = pa.table({"s": pa.array(df["s"], type=pa.string()),
+                      "d": pa.array(df["d"], type=pa.string())})
+        lo = pc.min_element_wise(t["s"], t["d"])
+        hi = pc.max_element_wise(t["s"], t["d"])
+        return pa.table({
+            "u": lo, "v": hi,
+            "_ukey": pc.binary_join_element_wise(lo, hi, "\x1f")})
+
+    und = (hash_bucket(
+        edges.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True), "_ukey", P)
+        .groupby("_part")
+        .map_groups(lambda g: g[["u", "v"]].drop_duplicates(),
+                    batch_format="pandas")
+        .materialize())  # consumed 3x: degrees + two join sides
+
+    def stubs(b: pa.Table) -> pa.Table:
+        return pa.table({"h": pa.concat_arrays(
+            [b["u"].combine_chunks().cast(pa.string()),
+             b["v"].combine_chunks().cast(pa.string())])})
+
+    def deg_of(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", as_index=False).size()
+        return pd.DataFrame({"h": g["h"],
+                             "deg": g["size"].astype("int64")})
+
+    deg = (hash_bucket(
+        und.map_batches(stubs, batch_format="pyarrow",
+                        zero_copy_batch=True), "h", P)
+        .groupby("_part")
+        .map_groups(lambda g: deg_of(g.drop(columns=["_part"])),
+                    batch_format="pandas"))
+
+    def rename(frm: str, to_h: str, to_d: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({to_h: b["h"].cast(pa.string()),
+                             to_d: b["deg"].cast(pa.int64())})
+        return f
+
+    deg_u = deg.map_batches(rename("h", "u", "deg_u"),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    deg_v = deg.map_batches(rename("h", "v", "deg_v"),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    j1 = hash_join(und, deg_u, on=("u",), num_partitions=P,
+                   out_schema={"u": pa.string(), "v": pa.string(),
+                               "deg_u": pa.int64()})
+    j2 = hash_join(j1, deg_v, on=("v",), num_partitions=P,
+                   out_schema={"u": pa.string(), "v": pa.string(),
+                               "deg_u": pa.int64(), "deg_v": pa.int64()})
+
+    def sums(b: pa.Table) -> pa.Table:
+        j = b["deg_u"].to_numpy().astype(np.int64)
+        k = b["deg_v"].to_numpy().astype(np.int64)
+        return pa.table({
+            "m": pa.array([len(j)], type=pa.int64()),
+            "sx": pa.array([int((j + k).sum())], type=pa.int64()),
+            "sjj": pa.array([int((j * j + k * k).sum())], type=pa.int64()),
+            "sjk": pa.array([int((j * k).sum())], type=pa.int64()),
+        })
+
+    parts = j2.map_batches(sums, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    m = int(parts["m"].sum())
+    if m == 0:
+        return pa.table({"n_edges": pa.array([0], type=pa.int64()),
+                         "assort_micro": pa.array([0], type=pa.int64())})
+    sx = int(parts["sx"].sum())
+    sjj = int(parts["sjj"].sum())
+    sjk = int(parts["sjk"].sum())
+    num = 4 * m * sjk - sx * sx
+    den = 2 * m * sjj - sx * sx
+    micro = 0 if den == 0 else int(
+        math.floor(float(num) / float(den) * 1_000_000 + 0.5))
+    return pa.table({"n_edges": pa.array([m], type=pa.int64()),
+                     "assort_micro": pa.array([micro], type=pa.int64())})

@@ -596,3 +596,57 @@ def test_crawl_budget_apportionment(ray_session, sf_dir, duck):
     # equal ranks must never differ by more than the +-1 bonus
     g = got.groupby("rank")["budget"]
     assert ((g.max() - g.min()) <= 1).all()
+
+
+def test_assortativity_known_graphs(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import assortativity
+
+    def run(pairs):
+        df = pd.DataFrame(pairs, columns=["src_host", "dst_host"])
+        return (assortativity(rd.from_pandas(df).repartition(2),
+                              num_partitions=4)
+                .to_pandas().iloc[0].to_dict())
+
+    # star K1,3 is perfectly disassortative
+    star = run([("hub", "a"), ("hub", "b"), ("hub", "c")])
+    assert star == {"n_edges": 3, "assort_micro": -1_000_000}
+    # path a-b-c: r = -1 as well (both edges touch the middle)
+    path = run([("a", "b"), ("b", "c")])
+    assert path == {"n_edges": 2, "assort_micro": -1_000_000}
+    # triangle is regular -> den == 0 -> 0 by contract; self-loops and
+    # duplicate/reversed edges collapse
+    tri = run([("a", "b"), ("b", "c"), ("c", "a"), ("b", "a"),
+               ("a", "a"), ("a", "b")])
+    assert tri == {"n_edges": 3, "assort_micro": 0}
+
+
+def test_assortativity_matches_pearson(ray_session):
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import assortativity
+
+    rng = np.random.default_rng(5)
+    hosts = [f"h{i}" for i in range(12)]
+    pairs = {tuple(sorted(rng.choice(hosts, size=2, replace=False)))
+             for _ in range(30)}
+    df = pd.DataFrame(sorted(pairs), columns=["src_host", "dst_host"])
+    got = (assortativity(rd.from_pandas(df).repartition(3),
+                         num_partitions=4)
+           .to_pandas().iloc[0].to_dict())
+    # numpy Pearson over the stub lists
+    deg = {}
+    for u, v in pairs:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs, ys = [], []
+    for u, v in pairs:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    r = np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1]
+    assert got["n_edges"] == len(pairs)
+    assert abs(got["assort_micro"] - r * 1_000_000) <= 2  # rounding only
