@@ -3182,7 +3182,7 @@ WITH toks AS (
 dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
                  (SELECT avg(dl) FROM dl)::DOUBLE AS avgdl),
-q(term) AS (VALUES {", ".join(f"('{{t}}')".format(t=t) for t in ["dup", "scan", "join"])}),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
 tf AS (SELECT t.doc_id, t.term, count(*)::BIGINT AS tf
        FROM toks t JOIN q USING (term) GROUP BY 1, 2),
 df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
@@ -3366,15 +3366,19 @@ GROUP BY 1, 2
 
 
 
-def q_jsonl_roundtrip(sf_dir: str):
-    """Round-trip the corpus through the JSONL interchange format (the
-    one-object-per-line dump format LLM data pipelines exchange):
-    documents + an ISO-Z timestamp column -> ``Dataset.write_json``
-    shards under /tmp (one file per block, the same resumable layout as
-    write_parquet) -> back through the registered ``jsonl`` source
-    (sources/__init__.py:_jsonl_source), whose warc_ts normalization
-    path this exercises -> projected rows.  Oracle recomputes every row
-    from ``documents``."""
+def _interchange_roundtrip(sf_dir: str, fmt: str):
+    """Shared body of the jsonl/csv round-trip queries: documents + an
+    ISO-Z timestamp column -> format shards under a /tmp scratch dir
+    (one file per block, the resumable layout) -> back through the
+    registered source (exercising its warc_ts normalization path) ->
+    projected rows, materialized so the scratch dir can be removed
+    before returning.
+
+    CSV cannot represent the empty string (an empty field reads back as
+    NULL), so the csv path coalesces text/lang back to '' — mirrored by
+    COALESCE in its oracle; JSONL distinguishes '' from null natively.
+    """
+    import shutil
     import tempfile
 
     import ray.data as rd
@@ -3394,23 +3398,40 @@ def q_jsonl_roundtrip(sf_dir: str):
                          "lang": b["lang"],
                          "warc_ts": pa.array(iso, type=pa.string())})
 
-    out = tempfile.mkdtemp(prefix="jsonl_roundtrip_", dir="/tmp")
-    ds.map_batches(enrich, batch_format="pyarrow",
-                   zero_copy_batch=True).write_json(out)
-    back = get_source("jsonl")(out)
+    out = tempfile.mkdtemp(prefix=f"{fmt}_roundtrip_", dir="/tmp")
+    enriched = ds.map_batches(enrich, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if fmt == "jsonl":
+        enriched.write_json(out)
+    else:
+        enriched.write_csv(out)
+    back = get_source(fmt)(out)
 
     def proj(b: pa.Table) -> pa.Table:
         ts = b["warc_ts"]
         if not pa.types.is_timestamp(ts.type):  # loud: norm path broken
-            raise TypeError(f"jsonl source left warc_ts as {ts.type}")
+            raise TypeError(f"{fmt} source left warc_ts as {ts.type}")
         epoch = pc.divide(pc.cast(ts.cast(pa.timestamp("us", tz="UTC")),
                                   pa.int64()), 1_000_000)
+        text, lang = b["text"], b["lang"]
+        if fmt == "csv":  # '' went out, NULL came back: restore
+            text = pc.fill_null(text, "")
+            lang = pc.fill_null(lang, "")
         return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
-                         "ts_epoch": epoch, "text": b["text"],
-                         "lang": b["lang"]})
+                         "ts_epoch": epoch, "text": text, "lang": lang})
 
-    return back.map_batches(proj, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    res = back.map_batches(proj, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    shutil.rmtree(out, ignore_errors=True)
+    return res
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """Round-trip the corpus through the JSONL interchange format (the
+    one-object-per-line dump format LLM data pipelines exchange) via the
+    registered ``jsonl`` source (sources/__init__.py:_jsonl_source).
+    Oracle recomputes every row from ``documents``."""
+    return _interchange_roundtrip(sf_dir, "jsonl")
 
 
 _SQL_JSONL_ROUNDTRIP = f"""
@@ -3420,60 +3441,30 @@ FROM documents
 """
 
 
-
 def q_csv_roundtrip(sf_dir: str):
-    """Round-trip the corpus through header-CSV (the other flat
-    interchange format the ``csv`` source accepts): documents + ISO-Z
-    timestamp -> ``Dataset.write_csv`` shards under /tmp -> registered
-    ``csv`` source (sources/__init__.py:_csv_source) -> projected rows;
-    exercises the CSV warc_ts normalization path.  Oracle recomputes
-    from ``documents``."""
-    import tempfile
-
-    import ray.data as rd
-
-    from deduplicator_ray.sources import get_source
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "lang"])
-
-    def enrich(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        ids = b["doc_id"].to_numpy().astype(np.int64)
-        iso = pd.to_datetime(_WARC_EPOCH0 + ids, unit="s", utc=True
-                             ).strftime("%Y-%m-%dT%H:%M:%SZ")
-        return pa.table({"doc_id": b["doc_id"], "text": b["text"],
-                         "lang": b["lang"],
-                         "warc_ts": pa.array(iso, type=pa.string())})
-
-    out = tempfile.mkdtemp(prefix="csv_roundtrip_", dir="/tmp")
-    ds.map_batches(enrich, batch_format="pyarrow",
-                   zero_copy_batch=True).write_csv(out)
-    back = get_source("csv")(out)
-
-    def proj(b: pa.Table) -> pa.Table:
-        ts = b["warc_ts"]
-        if not pa.types.is_timestamp(ts.type):  # loud: norm path broken
-            raise TypeError(f"csv source left warc_ts as {ts.type}")
-        epoch = pc.divide(pc.cast(ts.cast(pa.timestamp("us", tz="UTC")),
-                                  pa.int64()), 1_000_000)
-        return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
-                         "ts_epoch": epoch, "text": b["text"],
-                         "lang": b["lang"]})
-
-    return back.map_batches(proj, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    """Round-trip the corpus through header-CSV via the registered
+    ``csv`` source (sources/__init__.py:_csv_source).  CSV collapses ''
+    to NULL on read; the query coalesces back and the oracle mirrors
+    with COALESCE.  Oracle recomputes every row from ``documents``."""
+    return _interchange_roundtrip(sf_dir, "csv")
 
 
 _SQL_CSV_ROUNDTRIP = f"""
 SELECT doc_id, CAST({_WARC_EPOCH0} + doc_id AS BIGINT) AS ts_epoch,
-       text, lang
+       COALESCE(text, '') AS text, COALESCE(lang, '') AS lang
 FROM documents
 """
 
 
 _DUPMAT_FANIN = 8
+
+
+def _dupmat_host_pat() -> str:
+    """The shared host regex (stages/graph.py:HOST_PAT) — one rule, every
+    host-keyed query agrees on it."""
+    from deduplicator_ray.stages.graph import HOST_PAT
+
+    return HOST_PAT
 
 
 def q_dup_host_matrix(sf_dir: str):
@@ -3500,7 +3491,7 @@ def q_dup_host_matrix(sf_dir: str):
     def keyed(b: pa.Table) -> pa.Table:
         import pandas as pd
 
-        m = pc.extract_regex(b["url"], _DUPMAT_HOST_PAT)
+        m = pc.extract_regex(b["url"], _dupmat_host_pat())
         host = pc.fill_null(pc.struct_field(m, "host"), "")
         g = (pd.DataFrame({"digest": b["digest"].to_pandas(),
                            "host": host.to_pandas()})
@@ -3554,9 +3545,6 @@ def q_dup_host_matrix(sf_dir: str):
                                 preserve_index=False)
 
 
-_DUPMAT_HOST_PAT = r"^https?://(?P<host>[^/]+)"
-
-
 def _sql_dup_host_matrix() -> str:
     from deduplicator_ray.sources.corpus import CAPTURES_CTE
 
@@ -3564,7 +3552,7 @@ def _sql_dup_host_matrix() -> str:
 WITH {CAPTURES_CTE},
 c AS (
   SELECT md5(text) AS digest,
-         regexp_extract(url, '{_DUPMAT_HOST_PAT}', 1) AS host,
+         regexp_extract(url, '{_dupmat_host_pat()}', 1) AS host,
          count(*)::BIGINT AS c
   FROM captures GROUP BY 1, 2
 ),

@@ -434,6 +434,10 @@ def q_host_gini(sf_dir: str):
         .map_groups(lambda g: spectrum(g.drop(columns=["_part"])),
                     batch_format="pandas")
         .to_pandas())
+    if spec.empty or "x" not in spec.columns:
+        # zero groups: Ray's to_pandas drops the schema entirely
+        spec = pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                             "c": pd.Series([], dtype="int64")})
     spec = (spec.groupby("x", as_index=False)["c"].sum()
             .sort_values("x").reset_index(drop=True))
     n, s, gini = gini_micro_from_spectrum(spec["x"].tolist(),

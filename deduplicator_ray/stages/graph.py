@@ -1328,6 +1328,13 @@ def assortativity(edges, *, src_col: str = "src_host",
                     batch_format="pandas")
         .materialize())  # consumed 3x: degrees + two join sides
 
+    _zero = pa.table({"n_edges": pa.array([0], type=pa.int64()),
+                      "assort_micro": pa.array([0], type=pa.int64())})
+    # an empty dataset loses its schema before hash_join (Acero would
+    # fail on the missing key field) — report the documented zero row
+    if und.count() == 0:
+        return _zero
+
     def stubs(b: pa.Table) -> pa.Table:
         return pa.table({"h": pa.concat_arrays(
             [b["u"].combine_chunks().cast(pa.string()),
@@ -1343,17 +1350,18 @@ def assortativity(edges, *, src_col: str = "src_host",
                         zero_copy_batch=True), "h", P)
         .groupby("_part")
         .map_groups(lambda g: deg_of(g.drop(columns=["_part"])),
-                    batch_format="pandas"))
+                    batch_format="pandas")
+        .materialize())  # consumed 2x: both join sides
 
-    def rename(frm: str, to_h: str, to_d: str):
+    def rename(to_h: str, to_d: str):
         def f(b: pa.Table) -> pa.Table:
             return pa.table({to_h: b["h"].cast(pa.string()),
                              to_d: b["deg"].cast(pa.int64())})
         return f
 
-    deg_u = deg.map_batches(rename("h", "u", "deg_u"),
+    deg_u = deg.map_batches(rename("u", "deg_u"),
                             batch_format="pyarrow", zero_copy_batch=True)
-    deg_v = deg.map_batches(rename("h", "v", "deg_v"),
+    deg_v = deg.map_batches(rename("v", "deg_v"),
                             batch_format="pyarrow", zero_copy_batch=True)
     j1 = hash_join(und, deg_u, on=("u",), num_partitions=P,
                    out_schema={"u": pa.string(), "v": pa.string(),
@@ -1374,10 +1382,11 @@ def assortativity(edges, *, src_col: str = "src_host",
 
     parts = j2.map_batches(sums, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
+    if parts.empty or "m" not in parts.columns:  # schema-drop hazard
+        return _zero
     m = int(parts["m"].sum())
     if m == 0:
-        return pa.table({"n_edges": pa.array([0], type=pa.int64()),
-                         "assort_micro": pa.array([0], type=pa.int64())})
+        return _zero
     sx = int(parts["sx"].sum())
     sjj = int(parts["sjj"].sum())
     sjk = int(parts["sjk"].sum())

@@ -197,7 +197,7 @@ def test_co_occurrence_pairs_semantics(ray_session):
              "hits_hosts", "host_triangles", "kcore_hosts",
              "coupled_hosts", "host_reciprocity", "degree_census",
              "trustrank_hosts", "host_components", "wat_link_graph",
-             "orphan_pages", "crawl_budget"])
+             "orphan_pages", "crawl_budget", "host_assortativity"])
 def test_graph_oracle_parity(ray_session, sf_dir, duck, name):
     from deduplicator_ray.pipelines.queries_graph import registry_graph
 
@@ -650,3 +650,19 @@ def test_assortativity_matches_pearson(ray_session):
     r = np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1]
     assert got["n_edges"] == len(pairs)
     assert abs(got["assort_micro"] - r * 1_000_000) <= 2  # rounding only
+
+
+def test_assortativity_empty_inputs(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import assortativity
+
+    # self-loops only -> empty undirected edge set -> documented zero row
+    df = pd.DataFrame({"src_host": ["a", "b"], "dst_host": ["a", "b"]})
+    out = assortativity(rd.from_pandas(df), num_partitions=4).to_pandas()
+    assert out.iloc[0].to_dict() == {"n_edges": 0, "assort_micro": 0}
+    empty = pd.DataFrame({"src_host": pd.Series([], dtype=object),
+                          "dst_host": pd.Series([], dtype=object)})
+    out2 = assortativity(rd.from_pandas(empty),
+                         num_partitions=4).to_pandas()
+    assert out2.iloc[0].to_dict() == {"n_edges": 0, "assort_micro": 0}
