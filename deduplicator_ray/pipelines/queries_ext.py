@@ -3571,6 +3571,60 @@ HAVING sum(CASE WHEN a.host = b.host THEN a.c * (a.c - 1) // 2
 """
 
 
+
+def q_quality_by_source(sf_dir: str):
+    """Per-source quality profile: how many docs each source keeps and
+    which Gopher rule fails the rest — the feed-level health dashboard a
+    mixing recipe reads before setting per-source rates (composes
+    stages/textstats.py:gopher_filter output="annotate" with a per-batch
+    histogram partial; <= |sources| x |rules| rows per block, tiny
+    driver merge)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import gopher_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    ann = gopher_filter(ds, min_words=_GOPHER_MIN_WORDS,
+                        max_words=_GOPHER_MAX_WORDS,
+                        stopwords=_gopher_stoplist(), output="annotate")
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "source": b["source"].to_pandas(),
+            "fail_reason": b["fail_reason"].to_pandas().fillna("")})
+        g = (df.groupby(["source", "fail_reason"], as_index=False,
+                        sort=False).size())
+        return pa.table({
+            "source": pa.array(g["source"], type=pa.string()),
+            "fail_reason": pa.array(g["fail_reason"], type=pa.string()),
+            "n_docs": pa.array(g["size"].to_numpy(np.int64))})
+
+    parts = ann.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    if parts.empty:
+        return pa.table({"source": pa.array([], type=pa.string()),
+                         "fail_reason": pa.array([], type=pa.string()),
+                         "n_docs": pa.array([], type=pa.int64())})
+    g = (parts.groupby(["source", "fail_reason"], as_index=False)
+         ["n_docs"].sum())
+    g["n_docs"] = g["n_docs"].astype("int64")
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def _sql_quality_by_source() -> str:
+    base = _sql_gopher_filter().strip()
+    return f"""
+WITH g AS ({base})
+SELECT d.source, COALESCE(g.fail_reason, '') AS fail_reason,
+       count(*)::BIGINT AS n_docs
+FROM g JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 def registry_ext():
     """name -> (callable(sf_dir), oracle_sql | None).
 
@@ -3592,6 +3646,7 @@ def registry_ext():
         "event_transitions": (q_event_transitions, _SQL_EVENT_TRANSITIONS),
         "jsonl_roundtrip": (q_jsonl_roundtrip, _SQL_JSONL_ROUNDTRIP),
         "csv_roundtrip": (q_csv_roundtrip, _SQL_CSV_ROUNDTRIP),
+        "quality_by_source": (q_quality_by_source, _sql_quality_by_source()),
         "dup_host_matrix": (q_dup_host_matrix, _sql_dup_host_matrix()),
         "dup_rate_by_length": (q_dup_rate_by_length, _SQL_DUP_RATE_BY_LENGTH),
         "dedup_exact_norm": (q_dedup_exact_norm, _sql_dedup_exact_norm()),

@@ -72,6 +72,7 @@ SQL_CHECKED = [
     "jsonl_roundtrip",
     "csv_roundtrip",
     "dup_host_matrix",
+    "quality_by_source",
 ]
 
 SQL_CHECKED_REL = [
