@@ -487,6 +487,138 @@ FROM s
 """
 
 
+
+_REV_TOP_K = 25
+
+
+def q_order_revenue_topk(sf_dir: str):
+    """TPC-H-Q3-flavored three-table chain: top {k} orders by discounted
+    revenue with their customer — customer ⋈ orders ⋈ per-order lineitem
+    revenue.  Revenue is integer-exact "cent-percent" units:
+    round(extendedprice*100) * round((1-discount)*100) summed per order
+    (TPC-H discounts are hundredths, so both factors are exact ints and
+    the oracle mirrors the same floor(x+0.5) rounding).
+
+    Shape: lineitem collapses to per-block partial order revenues
+    (combiner) -> ONE orderkey reduce; two hash-shuffle joins attach
+    order/customer columns (both sides pruned at the read); a local
+    top-k per block then caps what reaches the driver at k rows/block.
+    Ties break on ascending o_orderkey."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.exact import hash_bucket
+    from deduplicator_ray.stages.joins import hash_join
+    from deduplicator_ray.util import auto_partitions
+
+    P = auto_partitions()
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(b["l_extendedprice"].to_numpy() * 100 + 0.5
+                         ).astype(np.int64)
+        pct = np.floor((1.0 - b["l_discount"].to_numpy()) * 100 + 0.5
+                       ).astype(np.int64)
+        df = pd.DataFrame({"o_orderkey":
+                           b["l_orderkey"].to_numpy().astype(np.int64),
+                           "rev": cents * pct})
+        return pa.Table.from_pandas(
+            df.groupby("o_orderkey", as_index=False)["rev"].sum(),
+            preserve_index=False)
+
+    rev = (hash_bucket(
+        li.map_batches(rev_partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "o_orderkey", P)
+        .groupby("_part")
+        .map_groups(lambda g: (g.drop(columns=["_part"])
+                               .groupby("o_orderkey", as_index=False)
+                               ["rev"].sum()),
+                    batch_format="pandas")
+        # barrier: the sort-shuffle must finish before the hash-join
+        # aggregator actors reserve their slots, or the two all-to-all
+        # operators deadlock each other on a small cpu budget
+        .materialize())
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def o_side(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(b["o_orderdate"], pa.date32()), pa.int32())
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"],
+                         "epoch_day": pc.cast(day, pa.int64())})
+
+    j1 = hash_join(rev, orders.map_batches(o_side, batch_format="pyarrow",
+                                           zero_copy_batch=True),
+                   on=("o_orderkey",), num_partitions=P,
+                   out_schema={"o_orderkey": pa.int64(),
+                               "rev": pa.int64(),
+                               "o_custkey": pa.int64(),
+                               "epoch_day": pa.int64()})
+    # barrier between the two hash joins: both joins' shuffle
+    # aggregator actors in ONE streaming topology deadlock each other
+    # on a small cpu budget (observed at 8 cpus with real block counts)
+    j1 = j1.materialize()
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+
+    def c_side(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": b["c_custkey"],
+                         "c_name": b["c_name"]})
+
+    j2 = hash_join(j1, cust.map_batches(c_side, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                   on=("o_custkey",), num_partitions=P,
+                   out_schema={"o_orderkey": pa.int64(),
+                               "rev": pa.int64(),
+                               "epoch_day": pa.int64(),
+                               "c_name": pa.string()})
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["rev", "o_orderkey"],
+                           ascending=[False, True], kind="mergesort")
+            .head(_REV_TOP_K), preserve_index=False)
+
+    out = (j2.map_batches(local_topk, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas())
+    if out.empty:
+        return pa.table({"o_orderkey": pa.array([], type=pa.int64()),
+                         "c_name": pa.array([], type=pa.string()),
+                         "epoch_day": pa.array([], type=pa.int64()),
+                         "revenue_cp": pa.array([], type=pa.int64())})
+    out = (out.sort_values(["rev", "o_orderkey"],
+                           ascending=[False, True], kind="mergesort")
+           .head(_REV_TOP_K).reset_index(drop=True))
+    return pa.table({
+        "o_orderkey": pa.array(out["o_orderkey"].to_numpy(np.int64)),
+        "c_name": pa.array(out["c_name"], type=pa.string()),
+        "epoch_day": pa.array(out["epoch_day"].to_numpy(np.int64)),
+        "revenue_cp": pa.array(out["rev"].to_numpy(np.int64)),
+    })
+
+
+_SQL_ORDER_REVENUE_TOPK = f"""
+WITH rev AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)
+            )::BIGINT AS revenue_cp
+  FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderkey, c.c_name,
+       CAST(epoch(CAST(o.o_orderdate AS DATE)) // 86400 AS BIGINT)
+         AS epoch_day,
+       rev.revenue_cp
+FROM rev JOIN orders o USING (o_orderkey)
+         JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY rev.revenue_cp DESC, o.o_orderkey LIMIT {_REV_TOP_K}
+"""
+
+
 def registry_rel():
     return {
         "events_hopping": (q_events_hopping, _SQL_EVENTS_HOPPING),
@@ -494,6 +626,8 @@ def registry_rel():
         "grouped_topk": (q_grouped_topk, _SQL_GROUPED_TOPK),
         "host_stats": (q_host_stats, _sql_host_stats()),
         "host_gini": (q_host_gini, _sql_host_gini()),
+        "order_revenue_topk": (q_order_revenue_topk,
+                               _SQL_ORDER_REVENUE_TOPK),
         "lineitem_agg": (q_lineitem_agg, _SQL_LINEITEM_AGG),
         "funnel_counts": (q_funnel_counts, _sql_funnel()),
         "retention_cohorts": (q_retention_cohorts, _SQL_RETENTION),

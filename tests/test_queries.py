@@ -81,10 +81,11 @@ SQL_CHECKED_REL = [
     "grouped_topk",
     "host_stats",
     "host_gini",
+    "order_revenue_topk",
     "lineitem_agg",
 ]
 
-TABLES = ["events", "orders", "lineitem", "documents", "embeddings"]
+TABLES = ["events", "orders", "lineitem", "customer", "documents", "embeddings"]
 
 
 def _to_pandas(res):
