@@ -1366,6 +1366,10 @@ def assortativity(edges, *, src_col: str = "src_host",
     j1 = hash_join(und, deg_u, on=("u",), num_partitions=P,
                    out_schema={"u": pa.string(), "v": pa.string(),
                                "deg_u": pa.int64()})
+    # barrier between the chained hash joins: two sets of shuffle
+    # aggregator actors in ONE streaming topology can deadlock each
+    # other on a small cpu budget (see queries_rel.q_order_revenue_topk)
+    j1 = j1.materialize()
     j2 = hash_join(j1, deg_v, on=("v",), num_partitions=P,
                    out_schema={"u": pa.string(), "v": pa.string(),
                                "deg_u": pa.int64(), "deg_v": pa.int64()})
