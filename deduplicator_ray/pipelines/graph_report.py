@@ -101,6 +101,7 @@ def _topk(df, score_col: str, k: int) -> list[dict]:
 def run(args) -> dict:
     from deduplicator_ray.sources import get_source
     from deduplicator_ray.stages.graph import (
+        assortativity,
         degree_census,
         edge_aggregate,
         hits,
@@ -139,6 +140,7 @@ def run(args) -> dict:
             "n_hosts": 0, "n_edges": 0, "n_links": 0, "n_components": 0,
             "largest_component_hosts": 0, "total_triangles": 0,
             "kcore_hosts": 0, "reciprocity_ppm": 0,
+            "assortativity_micro": 0,
         }
         for k in ("top_pagerank", "top_hubs", "top_authorities",
                   "top_triangle_hosts"):
@@ -155,6 +157,7 @@ def run(args) -> dict:
     comp = host_components(edges).to_pandas()
     rec = reciprocity(edges).to_pandas()
     deg = degree_census(edges).to_pandas()
+    asr = assortativity(edges).to_pandas()
 
     n_links = int(edges.map_batches(
         lambda b: pa.table({"n": pa.array(
@@ -175,6 +178,7 @@ def run(args) -> dict:
         "reciprocity_ppm": (
             int(rec["n_recip"].sum() * 1_000_000 // max(
                 int(rec["n_out"].sum()), 1)) if len(rec) else 0),
+        "assortativity_micro": int(asr["assort_micro"].iloc[0]),
     }
     report["top_pagerank"] = _topk(pr, "rank", args.top_k)
     report["top_hubs"] = _topk(ha, "hub", args.top_k)

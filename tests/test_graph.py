@@ -519,6 +519,8 @@ def test_graph_report_cli(ray_session, tmp_path):
         "--corpus-format", "wat", "--out", str(tmp_path / "out2")]))
     assert rep3["graph"]["n_hosts"] == 3
     assert rep3["graph"]["reciprocity_ppm"] == 666_666
+    # undirected star a-b, a-c: perfectly disassortative
+    assert rep3["graph"]["assortativity_micro"] == -1_000_000
 
 
 def test_orphan_pages_anti_join(ray_session):
