@@ -3625,6 +3625,59 @@ GROUP BY 1, 2
 """
 
 
+
+_HARDNEG_SKIP, _HARDNEG_M = 10, 10
+
+
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training (Robinson et al.
+    2021, "Contrastive Learning with Hard Negative Samples"): for each
+    query vector, the cosine-rank band ({_HARDNEG_SKIP},
+    {_HARDNEG_SKIP + _HARDNEG_M}] — the near-misses ranking just below
+    the positive band, which carry the most training signal.  Reuses the
+    exact cosine_topk kernel at k = skip + m (same per-block local
+    top-k pruning), then keeps the tail band."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import cosine_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qtbl = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+        .filter(pc.less(pc.field("vec_id"), _TOPK_NQ))
+        .sort_by("vec_id")
+    )
+    q = np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)
+    out = cosine_topk(ds, q, k=_HARDNEG_SKIP + _HARDNEG_M)
+    out = out.filter(pc.greater(out["rank"], _HARDNEG_SKIP))
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+_SQL_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {_TOPK_NQ}
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS c
+  FROM q CROSS JOIN embeddings e
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, rank FROM r
+WHERE rank > {_HARDNEG_SKIP} AND rank <= {_HARDNEG_SKIP + _HARDNEG_M}
+"""
+
+
 def registry_ext():
     """name -> (callable(sf_dir), oracle_sql | None).
 
@@ -3647,6 +3700,7 @@ def registry_ext():
         "jsonl_roundtrip": (q_jsonl_roundtrip, _SQL_JSONL_ROUNDTRIP),
         "csv_roundtrip": (q_csv_roundtrip, _SQL_CSV_ROUNDTRIP),
         "quality_by_source": (q_quality_by_source, _sql_quality_by_source()),
+        "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
         "dup_host_matrix": (q_dup_host_matrix, _sql_dup_host_matrix()),
         "dup_rate_by_length": (q_dup_rate_by_length, _SQL_DUP_RATE_BY_LENGTH),
         "dedup_exact_norm": (q_dedup_exact_norm, _sql_dedup_exact_norm()),

@@ -73,6 +73,7 @@ SQL_CHECKED = [
     "csv_roundtrip",
     "dup_host_matrix",
     "quality_by_source",
+    "hard_negatives",
 ]
 
 SQL_CHECKED_REL = [
