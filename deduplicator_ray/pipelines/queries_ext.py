@@ -565,25 +565,32 @@ _TOPK_K = 10
 _TOPK_NQ = 8
 
 
+def _topk_query_matrix(sf_dir: str) -> np.ndarray:
+    """The shared query matrix of the ANN queries: the first _TOPK_NQ
+    embeddings sorted by vec_id (the fixture's vec_ids are contiguous
+    from 0, so row index == vec_id == query_id in the outputs)."""
+    import pyarrow.parquet as pq
+
+    qtbl = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+        .filter(pc.less(pc.field("vec_id"), _TOPK_NQ))
+        .sort_by("vec_id")
+    )
+    return np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)
+
+
 def q_embed_topk(sf_dir: str):
     """ANN baseline: top-{_TOPK_K} by cosine for the first {_TOPK_NQ}
     vectors as queries; rank ties broken by vec_id (both sides). The
     query matrix is ray.put once; per-batch matmuls prune to local top-k
     so only k * n_blocks * n_queries rows reach the final merge."""
-    import pyarrow.parquet as pq
-
     import ray.data as rd
 
     from deduplicator_ray.stages.embed import cosine_topk
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qtbl = (
-        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        .filter(pc.less(pc.field("vec_id"), _TOPK_NQ))
-        .sort_by("vec_id")
-    )
-    q = np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)
-    out = cosine_topk(ds, q, k=_TOPK_K)
+    out = cosine_topk(ds, _topk_query_matrix(sf_dir), k=_TOPK_K)
     # query_id is the row index into q == vec_id (sorted 0..NQ-1)
     return out.select(["query_id", "vec_id", "rank"])
 
@@ -597,20 +604,13 @@ def q_embed_topk_ivf(sf_dir: str):
     ``embed_topk``; the approximate partial-probe regime is pytest
     recall-gated, including on an adversarially SORTED corpus (the
     order-bias case a limit() training sample used to fail)."""
-    import pyarrow.parquet as pq
-
     import ray.data as rd
 
     from deduplicator_ray.stages.embed import ivf_topk
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qtbl = (
-        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        .filter(pc.less(pc.field("vec_id"), _TOPK_NQ))
-        .sort_by("vec_id")
-    )
-    q = np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)
-    out = ivf_topk(ds, q, k=_TOPK_K, n_lists=16, n_probe=16)
+    out = ivf_topk(ds, _topk_query_matrix(sf_dir), k=_TOPK_K,
+                   n_lists=16, n_probe=16)
     return out.select(["query_id", "vec_id", "rank"])
 
 
@@ -3584,7 +3584,7 @@ def q_quality_by_source(sf_dir: str):
     from deduplicator_ray.stages.textstats import gopher_filter
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "source"])
+                         columns=["text", "source"])
     ann = gopher_filter(ds, min_words=_GOPHER_MIN_WORDS,
                         max_words=_GOPHER_MAX_WORDS,
                         stopwords=_gopher_stoplist(), output="annotate")
@@ -3593,7 +3593,9 @@ def q_quality_by_source(sf_dir: str):
         import pandas as pd
 
         df = pd.DataFrame({
-            "source": b["source"].to_pandas(),
+            # '' for a NULL source: pandas groupby drops NaN keys while
+            # the oracle's GROUP BY keeps them — coalesce on BOTH sides
+            "source": b["source"].to_pandas().fillna(""),
             "fail_reason": b["fail_reason"].to_pandas().fillna("")})
         g = (df.groupby(["source", "fail_reason"], as_index=False,
                         sort=False).size())
@@ -3618,7 +3620,8 @@ def _sql_quality_by_source() -> str:
     base = _sql_gopher_filter().strip()
     return f"""
 WITH g AS ({base})
-SELECT d.source, COALESCE(g.fail_reason, '') AS fail_reason,
+SELECT COALESCE(d.source, '') AS source,
+       COALESCE(g.fail_reason, '') AS fail_reason,
        count(*)::BIGINT AS n_docs
 FROM g JOIN documents d USING (doc_id)
 GROUP BY 1, 2
@@ -3637,22 +3640,14 @@ def q_hard_negatives(sf_dir: str):
     the positive band, which carry the most training signal.  Reuses the
     exact cosine_topk kernel at k = skip + m (same per-block local
     top-k pruning), then keeps the tail band."""
-    import pyarrow.parquet as pq
-
     import ray.data as rd
 
     from deduplicator_ray.stages.embed import cosine_topk
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    qtbl = (
-        pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-        .filter(pc.less(pc.field("vec_id"), _TOPK_NQ))
-        .sort_by("vec_id")
-    )
-    q = np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)
-    out = cosine_topk(ds, q, k=_HARDNEG_SKIP + _HARDNEG_M)
+    out = cosine_topk(ds, _topk_query_matrix(sf_dir),
+                      k=_HARDNEG_SKIP + _HARDNEG_M)
     out = out.filter(pc.greater(out["rank"], _HARDNEG_SKIP))
     return out.select(["query_id", "vec_id", "rank"])
 

@@ -516,10 +516,13 @@ def q_order_revenue_topk(sf_dir: str):
                                   "l_discount"])
 
     def rev_partial(b: pa.Table) -> pa.Table:
-        cents = np.floor(b["l_extendedprice"].to_numpy() * 100 + 0.5
-                         ).astype(np.int64)
-        pct = np.floor((1.0 - b["l_discount"].to_numpy()) * 100 + 0.5
-                       ).astype(np.int64)
+        # pandas astype("int64") raises on NaN (a NULL price/discount),
+        # matching q_lineitem_agg — numpy's astype would silently emit
+        # INT64_MIN garbage instead
+        cents = np.floor(b["l_extendedprice"].to_pandas() * 100 + 0.5
+                         ).astype("int64").to_numpy()
+        pct = np.floor((1.0 - b["l_discount"].to_pandas()) * 100 + 0.5
+                       ).astype("int64").to_numpy()
         df = pd.DataFrame({"o_orderkey":
                            b["l_orderkey"].to_numpy().astype(np.int64),
                            "rev": cents * pct})
