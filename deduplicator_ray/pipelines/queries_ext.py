@@ -3673,6 +3673,111 @@ WHERE rank > {_HARDNEG_SKIP} AND rank <= {_HARDNEG_SKIP + _HARDNEG_M}
 """
 
 
+
+def q_dup_rate_timeline(sf_dir: str):
+    """Operational crawl-dedup monitor: per capture-hour, how many
+    fetches were duplicates of content already seen EARLIER IN TIME
+    (digest first seen at a smaller warc_ts), plus the running
+    cumulative dup rate in ppm — the live "is this crawl still finding
+    new bytes?" gauge (the time-ordered twin of dup_growth's
+    id-ordered curve, over captures instead of documents).
+
+    Shape: ONE digest-hash shuffle of (hash, ts, hour) rows — 24 B/row,
+    text never moves (freq_spectrum's 64-bit collision contract);
+    per-bucket min-ts election is globally correct because a digest's
+    every capture lands in one bucket; hour histograms (bounded by the
+    crawl's wall-clock span) merge on the driver.  Capture timestamps
+    are unique by construction, so the election needs no tie-break.
+    """
+    import ray.data as rd  # noqa: F401 - captures_dataset returns one
+
+    from deduplicator_ray.sources.corpus import captures_dataset
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    caps = captures_dataset(sf_dir)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        txt = b["text"].to_pandas().fillna("").to_numpy(object)
+        h = pd.util.hash_array(txt).astype(np.int64)
+        ts = b["ts_epoch"].to_numpy().astype(np.int64)
+        return pa.table({"h": pa.array(h), "ts": pa.array(ts),
+                         "hour": pa.array(ts // 3600)})
+
+    def dup_hist(df):
+        import pandas as pd
+
+        if df.empty or "h" not in df.columns:
+            return pd.DataFrame({"hour": pd.Series([], dtype="int64"),
+                                 "n_dups": pd.Series([], dtype="int64")})
+        dup = df["ts"] != df.groupby("h")["ts"].transform("min")
+        k, c = np.unique(df.loc[dup, "hour"].to_numpy(dtype=np.int64),
+                         return_counts=True)
+        return pd.DataFrame({"hour": k, "n_dups": c.astype("int64")})
+
+    dups = (hash_bucket(
+        caps.map_batches(keyed, batch_format="pyarrow",
+                         zero_copy_batch=True), "h", 64)
+        .groupby("_part")
+        .map_groups(lambda g: dup_hist(g.drop(columns=["_part"])),
+                    batch_format="pandas")
+        .to_pandas())
+
+    def cap_hist(b: pa.Table) -> pa.Table:
+        ts = b["ts_epoch"].to_numpy().astype(np.int64)
+        k, c = np.unique(ts // 3600, return_counts=True)
+        return pa.table({"hour": pa.array(k.astype(np.int64)),
+                         "n_captures": pa.array(c.astype(np.int64))})
+
+    caps2 = captures_dataset(sf_dir)
+    tot = caps2.map_batches(cap_hist, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    if tot.empty or "hour" not in tot.columns:
+        return pa.table({c: pa.array([], type=pa.int64()) for c in
+                         ("hour", "n_captures", "n_dups",
+                          "cum_dup_ppm")})
+    nt = tot.groupby("hour")["n_captures"].sum().sort_index()
+    nd = (dups.groupby("hour")["n_dups"].sum()
+          if (not dups.empty and "hour" in dups.columns) else None)
+    out = nt.to_frame()
+    out["n_dups"] = (nd.reindex(nt.index).fillna(0).astype("int64")
+                     if nd is not None else 0)
+    cum_c = out["n_captures"].cumsum()
+    cum_d = out["n_dups"].cumsum()
+    out["cum_dup_ppm"] = (cum_d * 1_000_000 // cum_c).astype("int64")
+    out = out.reset_index()
+    return pa.table({
+        "hour": pa.array(out["hour"].to_numpy(np.int64)),
+        "n_captures": pa.array(out["n_captures"].to_numpy(np.int64)),
+        "n_dups": pa.array(out["n_dups"].to_numpy(np.int64)),
+        "cum_dup_ppm": pa.array(out["cum_dup_ppm"].to_numpy(np.int64)),
+    })
+
+
+def _sql_dup_rate_timeline() -> str:
+    from deduplicator_ray.sources.corpus import CAPTURES_CTE
+
+    return f"""
+WITH {CAPTURES_CTE},
+d AS (
+  SELECT ts_epoch // 3600 AS hour,
+         ts_epoch > min(ts_epoch) OVER (PARTITION BY text) AS dup
+  FROM captures
+),
+h AS (
+  SELECT hour, count(*)::BIGINT AS n_captures,
+         sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS n_dups
+  FROM d GROUP BY hour
+)
+SELECT hour, n_captures, n_dups,
+       CAST((sum(n_dups) OVER w * 1000000)
+            // sum(n_captures) OVER w AS BIGINT) AS cum_dup_ppm
+FROM h
+WINDOW w AS (ORDER BY hour ROWS UNBOUNDED PRECEDING)
+"""
+
+
 def registry_ext():
     """name -> (callable(sf_dir), oracle_sql | None).
 
@@ -3696,6 +3801,8 @@ def registry_ext():
         "csv_roundtrip": (q_csv_roundtrip, _SQL_CSV_ROUNDTRIP),
         "quality_by_source": (q_quality_by_source, _sql_quality_by_source()),
         "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
+        "dup_rate_timeline": (q_dup_rate_timeline,
+                              _sql_dup_rate_timeline()),
         "dup_host_matrix": (q_dup_host_matrix, _sql_dup_host_matrix()),
         "dup_rate_by_length": (q_dup_rate_by_length, _SQL_DUP_RATE_BY_LENGTH),
         "dedup_exact_norm": (q_dedup_exact_norm, _sql_dedup_exact_norm()),

@@ -74,6 +74,7 @@ SQL_CHECKED = [
     "dup_host_matrix",
     "quality_by_source",
     "hard_negatives",
+    "dup_rate_timeline",
 ]
 
 SQL_CHECKED_REL = [
