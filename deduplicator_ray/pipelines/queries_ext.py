@@ -3778,6 +3778,81 @@ WINDOW w AS (ORDER BY hour ROWS UNBOUNDED PRECEDING)
 """
 
 
+
+def q_cluster_size_census(sf_dir: str):
+    """Near-dup cluster-size histogram over the north-star assignment
+    (q_neardup_clusters): how many clusters of each size the corpus
+    carries — the "is near-dup mass a few mega-clusters or a long tail?"
+    read that sizes dedup savings and flags template explosions.
+    Clustered docs only (singletons are not cluster members by the
+    north-star definition).  The assignment is driver-small by the
+    north-star contract; the census is a trivial fold over it."""
+    asg = q_neardup_clusters(sf_dir)  # pandas (doc_key, cluster_id)
+    sizes = asg.groupby("cluster_id").size().to_numpy(dtype=np.int64)
+    k, c = np.unique(sizes, return_counts=True)
+    return pa.table({"cluster_size": pa.array(k),
+                     "n_clusters": pa.array(c.astype(np.int64))})
+
+
+_SQL_CLUSTER_SIZE_CENSUS = f"""
+SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+  FROM ({_SQL_NEARDUP_CLUSTERS}) GROUP BY cluster_id
+) GROUP BY cluster_size
+"""
+
+
+def q_capture_depth_census(sf_dir: str):
+    """Crawl structure profile: capture counts per url PATH DEPTH and
+    crawl ('/'-separated segments below the host; depth 0 = the root) —
+    the "how deep is the crawler wandering?" read next to trap_patterns.
+    Map-only partial histograms (<= depths x 2 rows per block), tiny
+    driver merge; integer slash-count arithmetic identical in SQL."""
+    import ray.data as rd  # noqa: F401
+
+    from deduplicator_ray.sources.corpus import captures_dataset
+
+    caps = captures_dataset(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        depth = pc.subtract(pc.count_substring(b["url"], "/"),
+                            2).to_pandas()
+        df = (pd.DataFrame({"crawl": b["crawl"].to_pandas(),
+                            "depth": depth.astype("int64")})
+              .groupby(["crawl", "depth"], as_index=False, sort=False)
+              .size())
+        return pa.table({
+            "crawl": pa.array(df["crawl"], type=pa.string()),
+            "depth": pa.array(df["depth"].to_numpy(np.int64)),
+            "n_captures": pa.array(df["size"].to_numpy(np.int64))})
+
+    parts = caps.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    if parts.empty:
+        return pa.table({"crawl": pa.array([], type=pa.string()),
+                         "depth": pa.array([], type=pa.int64()),
+                         "n_captures": pa.array([], type=pa.int64())})
+    g = (parts.groupby(["crawl", "depth"], as_index=False)
+         ["n_captures"].sum())
+    g["n_captures"] = g["n_captures"].astype("int64")
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def _sql_capture_depth_census() -> str:
+    from deduplicator_ray.sources.corpus import CAPTURES_CTE
+
+    return f"""
+WITH {CAPTURES_CTE}
+SELECT crawl,
+       CAST(length(url) - length(replace(url, '/', '')) - 2 AS BIGINT)
+         AS depth,
+       count(*)::BIGINT AS n_captures
+FROM captures GROUP BY 1, 2
+"""
+
+
 def registry_ext():
     """name -> (callable(sf_dir), oracle_sql | None).
 
@@ -3803,6 +3878,10 @@ def registry_ext():
         "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
         "dup_rate_timeline": (q_dup_rate_timeline,
                               _sql_dup_rate_timeline()),
+        "cluster_size_census": (q_cluster_size_census,
+                                _SQL_CLUSTER_SIZE_CENSUS),
+        "capture_depth_census": (q_capture_depth_census,
+                                 _sql_capture_depth_census()),
         "dup_host_matrix": (q_dup_host_matrix, _sql_dup_host_matrix()),
         "dup_rate_by_length": (q_dup_rate_by_length, _SQL_DUP_RATE_BY_LENGTH),
         "dedup_exact_norm": (q_dedup_exact_norm, _sql_dedup_exact_norm()),

@@ -75,6 +75,8 @@ SQL_CHECKED = [
     "quality_by_source",
     "hard_negatives",
     "dup_rate_timeline",
+    "cluster_size_census",
+    "capture_depth_census",
 ]
 
 SQL_CHECKED_REL = [
