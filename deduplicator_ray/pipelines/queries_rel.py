@@ -622,6 +622,113 @@ ORDER BY rev.revenue_cp DESC, o.o_orderkey LIMIT {_REV_TOP_K}
 """
 
 
+
+def q_supplier_balance_by_region(sf_dir: str):
+    """Supplier account-balance rollup per region (region ⋈ nation ⋈
+    supplier) — the canonical BROADCAST-small-side join shape: the
+    nation -> region map is driver-tiny, so it rides ray.put into a
+    map-only pass over supplier (ZERO shuffle; contrast with
+    order_revenue_topk's shuffle joins, whose both sides scale).
+    Balances in integer cents with the oracle's half-away rounding."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    r_of = dict(zip(reg["r_regionkey"].to_pylist(),
+                    reg["r_name"].to_pylist()))
+    region_of_nation = {int(n): r_of[int(r)] for n, r in zip(
+        nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist())}
+    map_ref = ray.put(region_of_nation)
+
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_nationkey", "s_acctbal"])
+
+    def partial(b: pa.Table, *, _m=map_ref) -> pa.Table:
+        m = ray.get(_m) if isinstance(_m, ray.ObjectRef) else _m
+        region = b["s_nationkey"].to_pandas().map(m)
+        cents = np.floor(b["s_acctbal"].to_pandas() * 100 + 0.5
+                         ).astype("int64")
+        g = (pd.DataFrame({"region": region, "cents": cents})
+             .groupby("region", as_index=False)
+             .agg(n_suppliers=("cents", "size"),
+                  balance_cents=("cents", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = sup.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    if parts.empty:
+        return pa.table({"region": pa.array([], type=pa.string()),
+                         "n_suppliers": pa.array([], type=pa.int64()),
+                         "balance_cents": pa.array([], type=pa.int64())})
+    g = parts.groupby("region", as_index=False).agg(
+        n_suppliers=("n_suppliers", "sum"),
+        balance_cents=("balance_cents", "sum"))
+    g["n_suppliers"] = g["n_suppliers"].astype("int64")
+    g["balance_cents"] = g["balance_cents"].astype("int64")
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+_SQL_SUPPLIER_BALANCE_BY_REGION = """
+SELECT r.r_name AS region, count(*)::BIGINT AS n_suppliers,
+       sum(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT))::BIGINT
+         AS balance_cents
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+"""
+
+
+def q_brand_stats(sf_dir: str):
+    """Part-catalog rollup per brand: part count, retail-price cents
+    sum, min/max size — per-batch partial combine (<= |brands| rows per
+    block), tiny driver merge; the last input table (part) exercised."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_brand", "p_retailprice", "p_size"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(b["p_retailprice"].to_pandas() * 100 + 0.5
+                         ).astype("int64")
+        g = (pd.DataFrame({"p_brand": b["p_brand"].to_pandas(),
+                           "cents": cents,
+                           "size": b["p_size"].to_pandas()})
+             .groupby("p_brand", as_index=False)
+             .agg(n_parts=("cents", "size"),
+                  price_cents=("cents", "sum"),
+                  min_size=("size", "min"), max_size=("size", "max")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if parts.empty:
+        return pa.table({"p_brand": pa.array([], type=pa.string()),
+                         "n_parts": pa.array([], type=pa.int64()),
+                         "price_cents": pa.array([], type=pa.int64()),
+                         "min_size": pa.array([], type=pa.int64()),
+                         "max_size": pa.array([], type=pa.int64())})
+    g = parts.groupby("p_brand", as_index=False).agg(
+        n_parts=("n_parts", "sum"), price_cents=("price_cents", "sum"),
+        min_size=("min_size", "min"), max_size=("max_size", "max"))
+    for c in ("n_parts", "price_cents", "min_size", "max_size"):
+        g[c] = g[c].astype("int64")
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+_SQL_BRAND_STATS = """
+SELECT p_brand, count(*)::BIGINT AS n_parts,
+       sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS price_cents,
+       min(p_size)::BIGINT AS min_size, max(p_size)::BIGINT AS max_size
+FROM part GROUP BY 1
+"""
+
+
 def registry_rel():
     return {
         "events_hopping": (q_events_hopping, _SQL_EVENTS_HOPPING),
@@ -631,6 +738,9 @@ def registry_rel():
         "host_gini": (q_host_gini, _sql_host_gini()),
         "order_revenue_topk": (q_order_revenue_topk,
                                _SQL_ORDER_REVENUE_TOPK),
+        "supplier_balance_by_region": (q_supplier_balance_by_region,
+                                       _SQL_SUPPLIER_BALANCE_BY_REGION),
+        "brand_stats": (q_brand_stats, _SQL_BRAND_STATS),
         "lineitem_agg": (q_lineitem_agg, _SQL_LINEITEM_AGG),
         "funnel_counts": (q_funnel_counts, _sql_funnel()),
         "retention_cohorts": (q_retention_cohorts, _SQL_RETENTION),

@@ -86,10 +86,13 @@ SQL_CHECKED_REL = [
     "host_stats",
     "host_gini",
     "order_revenue_topk",
+    "supplier_balance_by_region",
+    "brand_stats",
     "lineitem_agg",
 ]
 
-TABLES = ["events", "orders", "lineitem", "customer", "documents", "embeddings"]
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
 
 
 def _to_pandas(res):
