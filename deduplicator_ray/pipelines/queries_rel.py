@@ -729,6 +729,104 @@ FROM part GROUP BY 1
 """
 
 
+
+def q_segment_activity(sf_dir: str):
+    """Event activity per customer market segment (events ⋈ customer on
+    user_id = c_custkey) — the behavioral-rollup join a growth dashboard
+    reads.  Segment comes aboard through ONE hash-shuffle join (both
+    sides pruned and pre-collapsed: events partial-combine per user
+    BEFORE the join, so join cardinality is users, not events); event
+    values are summed as integer micros with the oracle's half-away
+    rounding."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.joins import hash_join
+    from deduplicator_ray.util import auto_partitions
+
+    P = auto_partitions()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+
+    def ev_partial(b: pa.Table) -> pa.Table:
+        # pandas astype raises on NaN — a NULL value must fail loudly
+        v = np.floor(b["value"].to_pandas() * 1_000_000 + 0.5
+                     ).astype("int64")
+        g = (pd.DataFrame({"user_id":
+                           b["user_id"].to_numpy().astype(np.int64),
+                           "v": v})
+             .groupby("user_id", as_index=False)
+             .agg(n_events=("v", "size"), value_micros=("v", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    per_user = ev.map_batches(ev_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    per_user = (hash_bucket(per_user, "user_id", P)
+                .groupby("_part")
+                .map_groups(lambda g: (
+                    g.drop(columns=["_part"])
+                    .groupby("user_id", as_index=False)
+                    .agg(n_events=("n_events", "sum"),
+                         value_micros=("value_micros", "sum"))),
+                    batch_format="pandas")
+                .materialize())  # barrier before the hash join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+
+    def c_side(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["c_custkey"],
+                         "segment": b["c_mktsegment"]})
+
+    j = hash_join(per_user,
+                  cust.map_batches(c_side, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                  on=("user_id",), num_partitions=P,
+                  out_schema={"user_id": pa.int64(),
+                              "n_events": pa.int64(),
+                              "value_micros": pa.int64(),
+                              "segment": pa.string()})
+
+    def seg_partial(b: pa.Table) -> pa.Table:
+        df = (b.select(["segment", "n_events", "value_micros"])
+              .to_pandas()
+              .groupby("segment", as_index=False)
+              .agg(n_users=("n_events", "size"),
+                   n_events=("n_events", "sum"),
+                   value_micros=("value_micros", "sum")))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = j.map_batches(seg_partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    cols = ("segment", "n_users", "n_events", "value_micros")
+    if parts.empty:
+        return pa.table({"segment": pa.array([], type=pa.string()),
+                         **{c: pa.array([], type=pa.int64())
+                            for c in cols[1:]}})
+    g = parts.groupby("segment", as_index=False).agg(
+        n_users=("n_users", "sum"), n_events=("n_events", "sum"),
+        value_micros=("value_micros", "sum"))
+    for c in cols[1:]:
+        g[c] = g[c].astype("int64")
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+_SQL_SEGMENT_ACTIVITY = """
+WITH u AS (
+  SELECT user_id, count(*)::BIGINT AS n_events,
+         sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))::BIGINT
+           AS value_micros
+  FROM events GROUP BY 1
+)
+SELECT c.c_mktsegment AS segment, count(*)::BIGINT AS n_users,
+       sum(u.n_events)::BIGINT AS n_events,
+       sum(u.value_micros)::BIGINT AS value_micros
+FROM u JOIN customer c ON u.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
 def registry_rel():
     return {
         "events_hopping": (q_events_hopping, _SQL_EVENTS_HOPPING),
@@ -741,6 +839,7 @@ def registry_rel():
         "supplier_balance_by_region": (q_supplier_balance_by_region,
                                        _SQL_SUPPLIER_BALANCE_BY_REGION),
         "brand_stats": (q_brand_stats, _SQL_BRAND_STATS),
+        "segment_activity": (q_segment_activity, _SQL_SEGMENT_ACTIVITY),
         "lineitem_agg": (q_lineitem_agg, _SQL_LINEITEM_AGG),
         "funnel_counts": (q_funnel_counts, _sql_funnel()),
         "retention_cohorts": (q_retention_cohorts, _SQL_RETENTION),

@@ -88,6 +88,7 @@ SQL_CHECKED_REL = [
     "order_revenue_topk",
     "supplier_balance_by_region",
     "brand_stats",
+    "segment_activity",
     "lineitem_agg",
 ]
 
