@@ -182,3 +182,69 @@ def test_gini_spectrum_edges():
     # one host owns everything except n-1 single-capture hosts
     n, s, g = gini_micro_from_spectrum([1, 1_000_000], [99, 1])
     assert g > 950_000
+
+
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+                max_size=40, unique=True),
+       st.integers(min_value=1, max_value=50))
+@settings(max_examples=25, deadline=None)
+def test_shard_manifest_matches_window_cumsum(ray_session, ids, budget):
+    """shard_manifest == the SQL-window-function reference on random
+    corpora: shard(doc) = tokens-before // budget in id order."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import shard_manifest
+
+    rng = np.random.default_rng(sum(ids) + budget)
+    texts = [" ".join("w" for _ in range(int(rng.integers(1, 9))))
+             for _ in ids]
+    df = pd.DataFrame({"doc_id": np.array(sorted(ids), dtype=np.int64),
+                       "text": texts})
+    got = (shard_manifest(rd.from_pandas(df).repartition(3),
+                          budget_tokens=budget, num_buckets=4)
+           .to_pandas().sort_values("shard_id").reset_index(drop=True))
+    ntok = np.array([t.count(" ") + 1 for t in texts], dtype=np.int64)
+    before = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+    ref = (pd.DataFrame({"shard_id": before // budget,
+                         "d": df["doc_id"], "t": ntok})
+           .groupby("shard_id", as_index=False)
+           .agg(n_docs=("d", "size"), n_tokens=("t", "sum"),
+                first_doc=("d", "min"), last_doc=("d", "max")))
+    ref = ref.astype({c: "int64" for c in ref.columns})
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_event_transitions_planted(ray_session):
+    """Planted sequences: same-user adjacent pairs within the gap count;
+    pairs across users or across a > 30-min gap do not."""
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines.queries_ext import q_event_transitions  # noqa: F401 - import check
+
+    from deduplicator_ray.stages.exact import hash_bucket  # noqa: F401
+
+    # drive the registry callable through a synthetic parquet dir
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp(prefix="evtx_", dir="/tmp")
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "ts": pa.array(
+            pd.to_datetime([0, 60, 60 + 3600, 0, 30, 90], unit="s")),
+        "user_id": pa.array([7, 7, 7, 8, 8, 8], type=pa.int64()),
+        "event_type": pa.array(["a", "b", "c", "a", "b", "a"]),
+        "value": pa.array([0.0] * 6),
+        "props": pa.array([""] * 6),
+    })
+    pq.write_table(ev, f"{tmp}/events.parquet")
+    out = (q_event_transitions(tmp).to_pandas()
+           .sort_values(["from_type", "to_type"]).reset_index(drop=True))
+    # user 7: a->b counts; b->c is 3600s apart -> dropped
+    # user 8: a->b, b->a count
+    want = pd.DataFrame({"from_type": ["a", "b"],
+                         "to_type": ["b", "a"],
+                         "n": np.array([2, 1], dtype=np.int64)})
+    pd.testing.assert_frame_equal(out, want)
