@@ -411,7 +411,11 @@ def _hash_sample(ds, id_col: str, vec_col: str, n_rows: int,
 
     total = ds.count()
     if total <= n_rows:
-        pdf = ds.select_columns([vec_col]).to_pandas()
+        # sort by id: to_pandas() concatenates blocks in ARRIVAL order,
+        # which varies run to run — an unsorted sample re-seeds k-means
+        # differently each run and breaks quantizer determinism
+        pdf = ds.select_columns([id_col, vec_col]).to_pandas()
+        pdf = pdf.sort_values(id_col, kind="mergesort")
         return np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     frac = min(1.0, oversample * n_rows / total)
     thresh = np.uint64(min((1 << 64) - 1, int(frac * float(1 << 64))))
@@ -853,6 +857,219 @@ def _greedy_dup_flags(X: np.ndarray, threshold: float,
         lower = row_idx[:, None] < np.arange(j0, j1)[None, :]
         dup[j0:j1] |= (lower & (S >= threshold)).any(axis=0)
     return dup
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou, Douze & Schmid, "Product quantization for
+# nearest neighbor search", IEEE TPAMI 2011) — the memory-scale ANN path.
+# At 10^12 vectors the float corpus cannot live anywhere (64-dim float32 =
+# 256 B/vec -> 256 TB); PQ codes at m bytes/vec (default 8) compress 32-64x
+# so the search index fits the cluster's aggregate object store, and the
+# ADC scan reads m bytes per vector instead of d*8.
+# ---------------------------------------------------------------------------
+
+
+def _lloyd_l2(X: np.ndarray, k: int, *, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Plain (non-spherical) L2 Lloyd's on a driver-side sample ->
+    (min(k, n), dsub) centroids.  Deterministic: seeded init without
+    replacement, argmin distance ties to the lowest label, an empty
+    cluster keeps its previous centroid."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    cent = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        a = _kmeans_argmin(X, cent)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, a, X)
+        cnt = np.bincount(a, minlength=k).astype(np.float64)
+        live = cnt > 0
+        cent[live] = sums[live] / cnt[live, None]
+    return cent
+
+
+def pq_train(sample: np.ndarray, *, n_subspaces: int = 8, n_centroids: int = 256,
+             iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Train PQ codebooks on a NORMALIZED (n, d) sample -> (m, ksub, dsub)
+    float64 codebook tensor: the vector space is split into m contiguous
+    subspaces and each gets an independent L2 k-means codebook (the
+    product-quantizer structure of Jegou et al. 2011, Sec. II).  ksub is
+    capped at 256 so codes stay one byte per subspace."""
+    n, d = sample.shape
+    if n_subspaces < 1 or d % n_subspaces:
+        raise ValueError(f"dim {d} not divisible by n_subspaces {n_subspaces}")
+    if not (1 <= n_centroids <= 256):
+        raise ValueError("n_centroids must be in [1, 256] (one-byte codes)")
+    dsub = d // n_subspaces
+    ksub = min(n_centroids, n)
+    books = np.empty((n_subspaces, ksub, dsub), dtype=np.float64)
+    for j in range(n_subspaces):
+        books[j] = _lloyd_l2(sample[:, j * dsub:(j + 1) * dsub], ksub,
+                             iters=iters, seed=seed + j)
+    return books
+
+
+def _pq_assign(m_norm: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Nearest sub-centroid per subspace -> (n, m) uint8 codes.  One small
+    matmul per subspace; ties resolve to the lowest code (argmin)."""
+    M, _, dsub = books.shape
+    codes = np.empty((len(m_norm), M), dtype=np.uint8)
+    for j in range(M):
+        codes[:, j] = _kmeans_argmin(m_norm[:, j * dsub:(j + 1) * dsub], books[j])
+    return codes
+
+
+def _codes_blob(codes: np.ndarray) -> pa.BinaryArray:
+    n, M = codes.shape
+    offsets = np.arange(n + 1, dtype=np.int32) * M
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(codes.tobytes())],
+    )
+
+
+def _blob_codes(col, n_subspaces: int) -> np.ndarray:
+    """Fixed-width binary pqcode column -> (n, m) uint8, zero-copy off the
+    Arrow data buffer when the column is dense."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, n_subspaces), dtype=np.uint8)
+    offsets = np.frombuffer(col.buffers()[1], dtype=np.int32)[col.offset: col.offset + n + 1]
+    if col.null_count == 0 and offsets[-1] - offsets[0] == n * n_subspaces:
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        return data[offsets[0]: offsets[0] + n * n_subspaces].reshape(n, n_subspaces)
+    return np.stack([np.frombuffer(b, dtype=np.uint8) for b in col.to_pylist()])
+
+
+def pq_encode(ds, books: np.ndarray, *, id_col: str = "vec_id",
+              vec_col: str = "embedding", batch_size: int = 4096):
+    """Dataset with an embedding column -> Dataset (id, pqcode binary[m]):
+    the compressed search index.  Vectors are normalized before encoding
+    (the ADC scores then approximate cosine).  Map-only: the codebook
+    tensor is ray.put once and cached per worker process."""
+    import ray
+
+    ref = ray.put(books)
+    d = books.shape[0] * books.shape[2]
+
+    def enc(b: pa.Table) -> pa.Table:
+        bks = _bcast(ref)
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pqcode": pa.array([], pa.binary())})
+        m = _normalize(_matrix(b[vec_col], d))
+        return pa.table({id_col: pc.cast(b[id_col], pa.int64()),
+                         "pqcode": _codes_blob(_pq_assign(m, bks))})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        enc, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+
+
+def pq_topk(ds, query_matrix: np.ndarray, k: int = 10, *,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            n_subspaces: int = 8, n_centroids: int = 256,
+            train_sample: int = 10_000, rerank: int = 0,
+            iters: int = 10, seed: int = 42, batch_size: int = 4096) -> pa.Table:
+    """PQ-compressed ANN top-k (asymmetric distance computation, Jegou et
+    al. 2011 Sec. IV): codebooks trained on a hash-sampled driver-side
+    sample, the corpus encoded ONCE into m-byte codes (the only
+    materialized state — 32-64x smaller than the float corpus), then a
+    scan over the codes scores every vector against every query through a
+    per-query (m x ksub) inner-product lookup table, one gather-add per
+    subspace, no float vectors touched.
+
+    ``rerank`` > 0 turns on exact re-ranking: the ADC scan keeps a
+    shortlist of ``rerank`` candidates per query, their float vectors are
+    fetched in one filtered map pass (shortlist ids broadcast sorted;
+    bounded by n_queries x rerank rows), and exact cosine re-orders the
+    shortlist — with shortlist recall 1 the output EQUALS the brute-force
+    top-k, which is how the driver row pins this machinery against the
+    same DuckDB oracle as ``cosine_topk``.  Partial-recall regimes are
+    pytest recall-gated.
+
+    Returns (query_id, vec_id, rank, cosine): ``cosine`` is the exact
+    score when reranked, else the ADC approximation."""
+    import pandas as pd
+    import ray
+
+    q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    nq, d = q.shape
+    sample = _normalize(_hash_sample(ds, id_col, vec_col, train_sample))
+    books = pq_train(sample, n_subspaces=n_subspaces, n_centroids=n_centroids,
+                     iters=iters, seed=seed)
+    M, ksub, dsub = books.shape
+    codes_ds = pq_encode(ds, books, id_col=id_col, vec_col=vec_col,
+                         batch_size=batch_size).materialize()
+    # ADC lookup tables: lut[qi, j, c] = q_sub(qi, j) . centroid(j, c)
+    lut = np.einsum("qjd,jkd->qjk", q.reshape(nq, M, dsub), books)
+    lut_ref = ray.put(np.ascontiguousarray(lut))
+    keep_n = max(k, rerank)
+
+    def score(b: pa.Table) -> pa.Table:
+        lt = _bcast(lut_ref)
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        codes = _blob_codes(b["pqcode"], M)
+        n = len(ids)
+        if n == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"query_id": z, "vec_id": z, "adc": pa.array([], pa.float64())})
+        tile = _scratch("adc_tile", (lt.shape[0], n))
+        tile[:] = 0.0
+        for j in range(M):
+            tile += lt[:, j, codes[:, j]]
+        kk = min(keep_n, n)
+        if kk < n:
+            idx = np.argpartition(tile, n - kk, axis=1)[:, n - kk:]
+            vals = np.take_along_axis(tile, idx, axis=1)
+        else:
+            idx = np.broadcast_to(np.arange(n), (lt.shape[0], n))
+            vals = tile.copy()
+        qi = np.repeat(np.arange(lt.shape[0], dtype=np.int64), idx.shape[1])
+        return pa.table({"query_id": qi, "vec_id": ids[idx.ravel()],
+                         "adc": vals.ravel().copy()})
+
+    pdf = codes_ds.map_batches(score, batch_format="pyarrow",
+                               batch_size=batch_size, zero_copy_batch=True).to_pandas()
+    pdf = pdf.sort_values(["query_id", "adc", "vec_id"],
+                          ascending=[True, False, True], kind="mergesort")
+    short = pdf.groupby("query_id", sort=True).head(keep_n).reset_index(drop=True)
+
+    if rerank <= 0:
+        top = short.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+        top["rank"] = top.groupby("query_id").cumcount() + 1
+        return pa.Table.from_pandas(
+            top.rename(columns={"adc": "cosine"})
+               [["query_id", "vec_id", "rank", "cosine"]], preserve_index=False)
+
+    # exact rerank: fetch the shortlist's float vectors (one filtered pass)
+    need = np.unique(short["vec_id"].to_numpy(np.int64))
+    need_ref = ray.put(need)  # sorted by construction of np.unique
+
+    def gather(b: pa.Table) -> pa.Table:
+        want = _bcast(need_ref)
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        pos = np.searchsorted(want, ids)
+        hit = (pos < len(want)) & (want[np.minimum(pos, len(want) - 1)] == ids)
+        t = b.filter(pa.array(hit))
+        return _vec_blob_table(t, id_col, vec_col)
+
+    vecs = ds.select_columns([id_col, vec_col]).map_batches(
+        gather, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True).to_pandas()
+    vid = vecs[id_col].to_numpy(np.int64)
+    V = np.stack([np.frombuffer(bts, dtype="<f8") for bts in vecs["vecblob"]]) \
+        if len(vecs) else np.empty((0, d))
+    row_of = pd.Series(np.arange(len(vid)), index=vid)
+    rows = row_of[short["vec_id"].to_numpy(np.int64)].to_numpy()
+    qs = short["query_id"].to_numpy(np.int64)
+    short = short.assign(cosine=np.einsum("ij,ij->i", q[qs], V[rows]))
+    short = short.sort_values(["query_id", "cosine", "vec_id"],
+                              ascending=[True, False, True], kind="mergesort")
+    top = short.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        top[["query_id", "vec_id", "rank", "cosine"]], preserve_index=False)
 
 
 def d4_keep(ds, *, k: int = 8, iters: int = 3, threshold: float = 0.9,
