@@ -3597,6 +3597,44 @@ HAVING sum(CASE WHEN a.host = b.host THEN a.c * (a.c - 1) // 2
 
 
 
+def q_quality_classifier(sf_dir: str):
+    """Learned quality filter — the CCNet (Wenzek et al. 2020) / GPT-3
+    (Brown et al. 2020, App. A) pattern: a linear classifier scores
+    documents instead of hand rules.  Here it DISTILLS the Gopher rule
+    filter: labels come from ``gopher_filter`` (same thresholds as the
+    ``gopher_filter`` row), features are 256 hashed token-TF buckets +
+    3 dense stats, training is distributed IRLS (one map-only pass per
+    Newton round emitting integer-quantized gradient+Hessian block
+    partials — bit-deterministic at any parallelism; see
+    stages/classifier.py).  Output: (doc_id, label, prob_micro, pred).
+    Measured at sf0.01: accuracy 0.888 vs 0.532 majority baseline.
+    Iterative training has no SQL mirror -> reviewed golden pin."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.classifier import logreg_quality
+    from deduplicator_ray.stages.textstats import gopher_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lab = gopher_filter(ds, min_words=_GOPHER_MIN_WORDS,
+                        max_words=_GOPHER_MAX_WORDS,
+                        stopwords=_gopher_stoplist(), output="annotate")
+    lab = lab.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "text": b["text"],
+                            "label": b["keep"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = logreg_quality(lab)
+    # label/pred as 0/1 BIGINT: the golden-pin VALUES tables carry int
+    # and str columns only
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "label": pc.cast(b["label"], pa.int64()),
+            "prob_micro": b["prob_micro"],
+            "pred": pc.cast(b["pred"], pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_quality_by_source(sf_dir: str):
     """Per-source quality profile: how many docs each source keeps and
     which Gopher rule fails the rest — the feed-level health dashboard a
@@ -3900,6 +3938,8 @@ def registry_ext():
         "jsonl_roundtrip": (q_jsonl_roundtrip, _SQL_JSONL_ROUNDTRIP),
         "csv_roundtrip": (q_csv_roundtrip, _SQL_CSV_ROUNDTRIP),
         "quality_by_source": (q_quality_by_source, _sql_quality_by_source()),
+        "quality_classifier": (q_quality_classifier,
+                               GOLDEN_SQL.get("quality_classifier")),
         "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
         "dup_rate_timeline": (q_dup_rate_timeline,
                               _sql_dup_rate_timeline()),
