@@ -378,6 +378,58 @@ WHERE len(list_intersect(a.g, b.g)) > 0
       >= {_JACCARD_NUM} * (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
 """
 
+def q_weighted_jaccard_pairs(sf_dir: str):
+    """Exact weighted (multiset) Jaccard near-dup pairs over 3-gram
+    term frequencies: sum-min / sum-max >= 1/2, same-lang, all-integer
+    output (stages/jaccard.weighted_jaccard_pairs — weighted AllPairs
+    prefix filter, provably complete, overflow='error').  Catches
+    repeated-boilerplate templates the distinct-gram Jaccard saturates
+    on; the DuckDB oracle recomputes the same min/max sums from the raw
+    text."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.jaccard import weighted_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+    return weighted_jaccard_pairs(ds, num=_JACCARD_NUM, den=_JACCARD_DEN,
+                                  ngram=_NGRAM_N)
+
+
+_SQL_WEIGHTED_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(w) >= {_NGRAM_N}
+              THEN list_transform(range(1, len(w) - {_NGRAM_N - 2}),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE [] END AS g
+  FROM toks
+),
+eg AS (SELECT doc_id, lang, unnest(g) AS gram FROM grams),
+c AS (SELECT doc_id, lang, gram, count(*) AS c FROM eg GROUP BY ALL),
+tot AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(least(a.c, b.c)) AS w_inter
+  FROM c a JOIN c b ON a.gram = b.gram AND a.lang = b.lang
+                    AND a.doc_id < b.doc_id
+  GROUP BY ALL
+)
+SELECT doc_a, doc_b, CAST(w_inter AS BIGINT) AS w_inter,
+       CAST(ta.n + tb.n - w_inter AS BIGINT) AS w_union
+FROM inter
+JOIN tot ta ON ta.doc_id = doc_a
+JOIN tot tb ON tb.doc_id = doc_b
+WHERE w_inter > 0
+  AND {_JACCARD_DEN} * w_inter >= {_JACCARD_NUM} * (ta.n + tb.n - w_inter)
+"""
+
+
 _CURVE_NUM, _CURVE_DEN, _CURVE_BANDS = 1, 5, 20
 
 
@@ -3940,6 +3992,8 @@ def registry_ext():
         "quality_by_source": (q_quality_by_source, _sql_quality_by_source()),
         "quality_classifier": (q_quality_classifier,
                                GOLDEN_SQL.get("quality_classifier")),
+        "weighted_jaccard_pairs": (q_weighted_jaccard_pairs,
+                                   _SQL_WEIGHTED_JACCARD),
         "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
         "dup_rate_timeline": (q_dup_rate_timeline,
                               _sql_dup_rate_timeline()),

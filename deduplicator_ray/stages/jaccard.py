@@ -283,3 +283,132 @@ def ngram_containment_pairs(ds, *, num: int = 7, den: int = 10,
 
     return withsigs.map_batches(verify, batch_format="pyarrow", batch_size=4096,
                                 zero_copy_batch=True)
+
+
+def _gram_tf(text: str, n: int) -> np.ndarray:
+    """Word n-grams WITH multiplicity -> interleaved (hash u64, count
+    u64) pairs, hash-sorted, flattened — the weighted-set encoding
+    ``weighted_jaccard_pairs`` ships through its shuffles."""
+    w = _WORD_RE.findall((text or "").lower())
+    if len(w) < n:
+        return np.empty(0, dtype=np.uint64)
+    grams = [" ".join(w[i: i + n]) for i in range(len(w) - n + 1)]
+    h = pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.uint64)
+    uniq, cnt = np.unique(h, return_counts=True)  # sorted by hash
+    return np.column_stack([uniq, cnt.astype(np.uint64)]).ravel()
+
+
+def weighted_jaccard_pairs(ds, *, num: int = 1, den: int = 2, ngram: int = 3,
+                           id_col: str = "doc_id",
+                           lang_col: str | None = "lang",
+                           text_col: str = "text", num_partitions: int = 64,
+                           max_group: int = 100_000):
+    """Exact WEIGHTED Jaccard pairs over n-gram term frequencies:
+    J_w(A,B) = sum_t min(a_t, b_t) / sum_t max(a_t, b_t) — the
+    multiset generalization (Ioffe 2010's target similarity; Broder's
+    resemblance with multiplicity).  Weighted similarity separates
+    "same template, repeated boilerplate" from true near-dups where the
+    set (distinct-gram) Jaccard saturates.  Returns (doc_a, doc_b,
+    w_inter, w_union) with den*w_inter >= num*w_union and w_inter > 0,
+    same-``lang_col`` pairs only; all-integer, so the DuckDB oracle
+    recomputes it exactly.
+
+    Completeness of the WEIGHTED prefix filter (this file's AllPairs
+    bound generalized to multisets): order grams by a fixed total order
+    (hash); give each doc the minimal prefix whose suffix mass is
+    < t*|A|/2 (|A| = total gram count).  For a qualifying pair,
+    sum min >= t * sum max >= t*(|A|+|B|)/2 (since max(a,b) >=
+    (a+b)/2 per gram).  If NO gram lay in both prefixes, every shared
+    gram would miss at least one prefix, so sum min < t*|A|/2 +
+    t*|B|/2 — contradiction.  Prefix explode over those grams +
+    candidate_pairs + exact verification is therefore EXACT.  The
+    suffix bound compares as integers: 2*den*suffix < num*n.
+
+    Shape mirrors ``ngram_jaccard_pairs``: (hash, count) blobs
+    materialized once; prefix explode -> hash-bucket candidate shuffle
+    (16-byte rows, ``overflow='error'`` — completeness-critical) ->
+    semi-join blob attach -> vectorized min/max verify.  Partitioning
+    assumption: one (gram, lang) prefix group fits a worker; the scale
+    remedy for stopword-heavy gram universes is frequency-ordered
+    prefixes (rarest first), a df-join before the explode as in
+    ``ngram_containment_pairs``."""
+    from deduplicator_ray.config import MinHashConfig
+    from deduplicator_ray.stages.lsh import attach_signatures, candidate_pairs
+
+    if not (0 < num <= den):
+        raise ValueError("need 0 < num <= den")
+    cols = [id_col, text_col] + ([lang_col] if lang_col else [])
+
+    def grams_table(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        arr = pack_u64_blobs([_gram_tf(t, ngram) for t in texts])
+        out = {id_col: b[id_col], "tfblob": arr}
+        if lang_col:
+            out[lang_col] = b[lang_col]
+        return pa.table(out)
+
+    sigs = ds.select_columns(cols).map_batches(
+        grams_table, batch_format="pyarrow", batch_size=1024,
+        zero_copy_batch=True
+    ).materialize()  # feeds both the prefix explode and the verify join
+
+    def prefix_explode(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        blobs = b["tfblob"].to_pylist()
+        langs = (
+            pd.util.hash_array(
+                np.asarray(b[lang_col].to_pylist(), dtype=object)
+            ).astype(np.uint64)
+            if lang_col else np.zeros(len(ids), dtype=np.uint64)
+        )
+        out_bucket, out_id = [], []
+        for i, blob in enumerate(blobs):
+            arr = np.frombuffer(blob, dtype="<u8").reshape(-1, 2)
+            if len(arr) == 0:
+                continue
+            g, c = arr[:, 0], arr[:, 1].astype(np.int64)
+            n = int(c.sum())
+            # minimal prefix with suffix mass < t*n/2 (integer compare)
+            suffix = n - np.cumsum(c)
+            L = int(np.argmax(2 * den * suffix < num * n)) + 1
+            pre = g[:L]
+            with np.errstate(over="ignore"):
+                bucket = ((pre * np.uint64(0x9E3779B97F4A7C15))
+                          ^ langs[i]).astype(np.int64)
+            out_bucket.append(bucket)
+            out_id.append(np.full(L, ids[i], dtype=np.int64))
+        if not out_bucket:
+            return pa.table({"band_bucket": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64())})
+        return pa.table({"band_bucket": np.concatenate(out_bucket),
+                         id_col: np.concatenate(out_id)})
+
+    bands = sigs.map_batches(prefix_explode, batch_format="pyarrow",
+                             batch_size=1024, zero_copy_batch=True)
+    pairs = candidate_pairs(bands, MinHashConfig(max_band_group=max_group),
+                            key_col=id_col, num_partitions=num_partitions,
+                            overflow="error")
+    withsigs = attach_signatures(pairs, sigs, key_col=id_col, sig_col="tfblob")
+
+    def verify(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        wi = np.zeros(n, dtype=np.int64)
+        wu = np.zeros(n, dtype=np.int64)
+        for i, (ba, bb) in enumerate(zip(b["sig_a"].to_pylist(),
+                                         b["sig_b"].to_pylist())):
+            aa = np.frombuffer(ba, dtype="<u8").reshape(-1, 2)
+            ab = np.frombuffer(bb, dtype="<u8").reshape(-1, 2)
+            _, ia, ib = np.intersect1d(aa[:, 0], ab[:, 0],
+                                       assume_unique=True,
+                                       return_indices=True)
+            inter = int(np.minimum(aa[ia, 1], ab[ib, 1]).sum())
+            wi[i] = inter
+            wu[i] = int(aa[:, 1].sum()) + int(ab[:, 1].sum()) - inter
+        keep = (wi > 0) & (den * wi >= num * wu)
+        t = b.filter(pa.array(keep))
+        return pa.table({"doc_a": t["a"], "doc_b": t["b"],
+                         "w_inter": pa.array(wi[keep]),
+                         "w_union": pa.array(wu[keep])})
+
+    return withsigs.map_batches(verify, batch_format="pyarrow",
+                                batch_size=4096, zero_copy_batch=True)

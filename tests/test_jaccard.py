@@ -165,3 +165,97 @@ def test_containment_rejects_bad_args(ray_session):
         ngram_containment_pairs(rd.from_pandas(pdf), stop_df=1)
     with pytest.raises(ValueError, match="num"):
         ngram_containment_pairs(rd.from_pandas(pdf), num=0)
+
+
+# ---------------------------------------------------------------------------
+# weighted (multiset) Jaccard
+# ---------------------------------------------------------------------------
+
+def _brute_weighted(pdf: pd.DataFrame, num: int, den: int,
+                    ngram: int = NGRAM) -> set[tuple]:
+    """All-pairs exact weighted Jaccard over hashed gram COUNTS."""
+    from deduplicator_ray.stages.jaccard import _gram_tf
+
+    tfs = []
+    for t in pdf["text"]:
+        arr = _gram_tf(t, ngram).reshape(-1, 2)
+        tfs.append(dict(zip(arr[:, 0].tolist(), arr[:, 1].tolist())))
+    out = set()
+    for i in range(len(pdf)):
+        for j in range(i + 1, len(pdf)):
+            if pdf["lang"].iloc[i] != pdf["lang"].iloc[j]:
+                continue
+            a, b = tfs[i], tfs[j]
+            inter = sum(min(c, b[g]) for g, c in a.items() if g in b)
+            union = sum(a.values()) + sum(b.values()) - inter
+            if inter > 0 and den * inter >= num * union:
+                da, db = int(pdf["doc_id"].iloc[i]), int(pdf["doc_id"].iloc[j])
+                out.add((min(da, db), max(da, db), inter, union))
+    return out
+
+
+def test_weighted_matches_brute_force(ray_session, docs):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.jaccard import weighted_jaccard_pairs
+
+    got = weighted_jaccard_pairs(rd.from_pandas(docs)).to_pandas()
+    found = set(zip(got["doc_a"], got["doc_b"], got["w_inter"], got["w_union"]))
+    want = _brute_weighted(docs, 1, 2)
+    assert len(want) > 20
+    assert found == want
+
+
+def test_weighted_separates_repeated_boilerplate(ray_session):
+    """The operator's point: doc B repeats doc A's text 5x.  The
+    DISTINCT-gram Jaccard is ~1 (same gram set), but the weighted
+    Jaccard is ~1/5 — the multiset view sees the repetition."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.jaccard import weighted_jaccard_pairs
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1],
+        "lang": ["en", "en"],
+        "text": [base, " ".join([base] * 5)],
+    })
+    # set-Jaccard accepts the pair at t=1/2
+    set_pairs = ngram_jaccard_pairs(rd.from_pandas(pdf)).to_pandas()
+    assert len(set_pairs) == 1
+    # weighted Jaccard rejects it at t=1/2 ...
+    wj = weighted_jaccard_pairs(rd.from_pandas(pdf)).to_pandas()
+    assert len(wj) == 0
+    # ... and accepts at t<=1/6 (J_w is just under 1/5: the 5x doc also
+    # gains bridge grams across the repeat seams)
+    wj6 = weighted_jaccard_pairs(rd.from_pandas(pdf), num=1, den=6).to_pandas()
+    assert len(wj6) == 1
+    r = wj6.iloc[0]
+    assert r["w_inter"] * 6 >= r["w_union"]
+
+
+def test_weighted_prefix_completeness_randomized(ray_session):
+    """Randomized check of the weighted prefix-filter bound: skewed
+    multisets (Zipf-ish counts), several thresholds — the pipeline must
+    find exactly the brute-force pair set every time."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.jaccard import weighted_jaccard_pairs
+
+    rng = np.random.default_rng(23)
+    vocab = [f"v{i}" for i in range(12)]
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(4, 25))
+        words = rng.choice(vocab, size=n, p=None).tolist()
+        # heavy repetition: double a random word several times
+        words += [words[0]] * int(rng.integers(0, 6))
+        rows.append((i, "en", " ".join(words)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    for num, den in ((1, 2), (2, 5), (7, 10)):
+        got = weighted_jaccard_pairs(rd.from_pandas(pdf), num=num, den=den,
+                                     ngram=1).to_pandas()
+        found = set(zip(got["doc_a"], got["doc_b"],
+                        got["w_inter"], got["w_union"]))
+        want = _brute_weighted(pdf, num, den, ngram=1)
+        assert found == want, f"t={num}/{den}: {len(found)} vs {len(want)}"
