@@ -632,6 +632,48 @@ def _topk_query_matrix(sf_dir: str) -> np.ndarray:
     return np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)
 
 
+def q_embed_covariance(sf_dir: str):
+    """Distributed embedding covariance (the PCA/whitening/Mahalanobis
+    second-moment pass): one map-only pass of int64 [sum x, sum x x^T,
+    n] block partials over milli-quantized elements — exact integer
+    arithmetic end to end, so the reduction is order-independent and
+    the DuckDB oracle recomputes the numerators verbatim.  Output: one
+    row per (i, j) cell, cov_num = n*S_ij - S_i*S_j (= n^2 * 10^6 *
+    cov of the quantized vectors)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import embedding_covariance
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    _, _, _, cov_num = embedding_covariance(ds, grid=1000)
+    d = cov_num.shape[0]
+    ii, jj = np.meshgrid(np.arange(d, dtype=np.int64),
+                         np.arange(d, dtype=np.int64), indexing="ij")
+    return pa.table({"i": ii.ravel(), "j": jj.ravel(),
+                     "cov_num": cov_num.ravel()})
+
+
+_SQL_EMB_COVARIANCE = """
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding) AS x
+  FROM embeddings
+),
+q AS (SELECT vec_id, i,
+             CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qx
+      FROM e),
+s1 AS (SELECT i, sum(qx) AS s FROM q GROUP BY i),
+s2 AS (SELECT a.i AS i, b.i AS j, sum(a.qx * b.qx) AS sij
+       FROM q a JOIN q b USING (vec_id) GROUP BY a.i, b.i),
+nn AS (SELECT count(*) AS n FROM embeddings)
+SELECT s2.i - 1 AS i, s2.j - 1 AS j,
+       CAST(nn.n * s2.sij - sa.s * sb.s AS BIGINT) AS cov_num
+FROM s2, nn
+JOIN s1 sa ON sa.i = s2.i
+JOIN s1 sb ON sb.i = s2.j
+"""
+
+
 def q_embed_topk(sf_dir: str):
     """ANN baseline: top-{_TOPK_K} by cosine for the first {_TOPK_NQ}
     vectors as queries; rank ties broken by vec_id (both sides). The
@@ -3994,6 +4036,7 @@ def registry_ext():
                                GOLDEN_SQL.get("quality_classifier")),
         "weighted_jaccard_pairs": (q_weighted_jaccard_pairs,
                                    _SQL_WEIGHTED_JACCARD),
+        "embed_covariance": (q_embed_covariance, _SQL_EMB_COVARIANCE),
         "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
         "dup_rate_timeline": (q_dup_rate_timeline,
                               _sql_dup_rate_timeline()),

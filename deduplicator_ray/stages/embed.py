@@ -859,6 +859,59 @@ def _greedy_dup_flags(X: np.ndarray, threshold: float,
     return dup
 
 
+def embedding_covariance(ds, *, vec_col: str = "embedding",
+                         grid: int = 1000):
+    """Distributed covariance of the embedding column — the
+    second-moment pass PCA/whitening and Mahalanobis outlier scoring
+    start from — computed EXACTLY over ``grid``-quantized vector
+    elements: x_hat = floor(x*grid + 0.5) (half-up, mirrored verbatim
+    by the SQL oracle), so every sum is integer, the cross-block
+    reduction is order-independent, and the result is bit-deterministic
+    at any parallelism with NO float-summation-order caveat at all.
+
+    Shape: ONE map-only pass; each block emits its [sum x_hat,
+    sum x_hat x_hat^T, count] int64 partial — O(d^2) per block,
+    independent of row count; the driver reduces exact integers.
+
+    Returns (mean (d,) float64, cov (d, d) float64, n, cov_num (d, d)
+    int64): ``cov_num = n*sum(x_i x_j) - sum(x_i)*sum(x_j)`` over the
+    quantized elements, i.e. n^2*grid^2 * cov — the integer numerator
+    the driver oracle recomputes.  int64 envelope: |cov_num| <~
+    n^2 * grid^2 * var; at grid=1000 that holds to ~10^6 rows of
+    unit-scale vectors — beyond that, lower ``grid`` or shard the
+    corpus and pool covariances."""
+    d = None
+    for b in ds.select_columns([vec_col]).limit(1).iter_batches(
+            batch_format="pyarrow", batch_size=1):
+        d = _matrix(b[vec_col]).shape[1]
+        break
+    if d is None:
+        raise ValueError("empty dataset")
+    n_cells = d + d * d + 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"j": z, "v": z})
+        X = _matrix(b[vec_col], d)
+        Xq = np.floor(X * grid + 0.5).astype(np.int64)
+        vals = np.concatenate([Xq.sum(axis=0), (Xq.T @ Xq).ravel(),
+                               [len(Xq)]])
+        return pa.table({"j": pa.array(np.arange(n_cells, dtype=np.int64)),
+                         "v": pa.array(vals)})
+
+    pdf = ds.select_columns([vec_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    sums = pdf.groupby("j", sort=True)["v"].sum().to_numpy()
+    n = int(sums[-1])
+    s1 = sums[:d]
+    s2 = sums[d:-1].reshape(d, d)
+    cov_num = n * s2 - np.outer(s1, s1)
+    mean = s1 / (grid * float(n))
+    cov = cov_num / (float(grid) ** 2 * float(n) ** 2)
+    return mean, cov, n, cov_num
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (Jegou, Douze & Schmid, "Product quantization for
 # nearest neighbor search", IEEE TPAMI 2011) — the memory-scale ANN path.

@@ -396,6 +396,36 @@ class TestEmbed:
         assert codes.shape == (len(pdf), 16)
         assert codes.dtype == np.uint8
 
+    def test_embedding_covariance(self, ray_session, sf_dir, emb):
+        """Integer-exact distributed covariance: matches numpy's float
+        covariance to quantization precision, and cov_num is EXACTLY
+        partition-invariant (pure int64 reduction)."""
+        import ray.data as rd
+
+        from deduplicator_ray.stages.embed import embedding_covariance
+
+        pdf, m = emb
+        mean, cov, n, cov_num = embedding_covariance(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"))
+        assert n == len(m)
+        want_mean = m.mean(axis=0)
+        want_cov = (m - want_mean).T @ (m - want_mean) / len(m)
+        assert np.allclose(mean, want_mean, atol=1e-3)
+        assert np.allclose(cov, want_cov, atol=2e-3)
+        # exact partition invariance of the integer numerators
+        ds7 = rd.from_pandas(pdf[["vec_id", "embedding"]]).repartition(7)
+        _, _, _, cov_num7 = embedding_covariance(ds7)
+        assert np.array_equal(cov_num, cov_num7)
+
+    def test_embedding_covariance_empty_raises(self, ray_session):
+        import ray.data as rd
+
+        from deduplicator_ray.stages.embed import embedding_covariance
+
+        pdf = pd.DataFrame({"embedding": pd.Series([], dtype=object)})
+        with pytest.raises(ValueError, match="empty"):
+            embedding_covariance(rd.from_pandas(pdf))
+
     def test_hyperplane_bucket(self, ray_session, sf_dir):
         import ray.data as rd
 
