@@ -430,6 +430,26 @@ WHERE w_inter > 0
 """
 
 
+def q_cws_jaccard_pairs(sf_dir: str):
+    """Weighted-Jaccard pairs via Consistent Weighted Sampling sketches
+    (stages/jaccard.cws_jaccard_pairs) — the SCALE path for
+    ``weighted_jaccard_pairs`` when stopword-heavy gram universes blow
+    up the exact prefix filter.  Candidates come from banded CWS
+    samples (Ioffe 2010: collision probability exactly J_w) and every
+    candidate is verified EXACTLY, so the output matches the exact
+    path's pair set whenever the sketch recall holds (pytest-gated
+    >= 0.99; 1.0 at both driver scales) and the same DuckDB oracle
+    applies."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.jaccard import cws_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+    return cws_jaccard_pairs(ds, num=_JACCARD_NUM, den=_JACCARD_DEN,
+                             ngram=_NGRAM_N)
+
+
 _CURVE_NUM, _CURVE_DEN, _CURVE_BANDS = 1, 5, 20
 
 
@@ -4036,6 +4056,7 @@ def registry_ext():
                                GOLDEN_SQL.get("quality_classifier")),
         "weighted_jaccard_pairs": (q_weighted_jaccard_pairs,
                                    _SQL_WEIGHTED_JACCARD),
+        "cws_jaccard_pairs": (q_cws_jaccard_pairs, _SQL_WEIGHTED_JACCARD),
         "embed_covariance": (q_embed_covariance, _SQL_EMB_COVARIANCE),
         "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
         "dup_rate_timeline": (q_dup_rate_timeline,

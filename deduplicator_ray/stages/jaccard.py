@@ -389,26 +389,170 @@ def weighted_jaccard_pairs(ds, *, num: int = 1, den: int = 2, ngram: int = 3,
                             key_col=id_col, num_partitions=num_partitions,
                             overflow="error")
     withsigs = attach_signatures(pairs, sigs, key_col=id_col, sig_col="tfblob")
+    return withsigs.map_batches(
+        lambda b: _verify_weighted(b, num, den),
+        batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
 
-    def verify(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        wi = np.zeros(n, dtype=np.int64)
-        wu = np.zeros(n, dtype=np.int64)
-        for i, (ba, bb) in enumerate(zip(b["sig_a"].to_pylist(),
-                                         b["sig_b"].to_pylist())):
-            aa = np.frombuffer(ba, dtype="<u8").reshape(-1, 2)
-            ab = np.frombuffer(bb, dtype="<u8").reshape(-1, 2)
-            _, ia, ib = np.intersect1d(aa[:, 0], ab[:, 0],
-                                       assume_unique=True,
-                                       return_indices=True)
-            inter = int(np.minimum(aa[ia, 1], ab[ib, 1]).sum())
-            wi[i] = inter
-            wu[i] = int(aa[:, 1].sum()) + int(ab[:, 1].sum()) - inter
-        keep = (wi > 0) & (den * wi >= num * wu)
-        t = b.filter(pa.array(keep))
-        return pa.table({"doc_a": t["a"], "doc_b": t["b"],
-                         "w_inter": pa.array(wi[keep]),
-                         "w_union": pa.array(wu[keep])})
 
-    return withsigs.map_batches(verify, batch_format="pyarrow",
-                                batch_size=4096, zero_copy_batch=True)
+def _verify_weighted(b: pa.Table, num: int, den: int) -> pa.Table:
+    """Candidate pairs with attached (hash, count) tf blobs -> exact
+    weighted-Jaccard verification (shared by the exact prefix-filter
+    path and the CWS sketch path)."""
+    n = b.num_rows
+    wi = np.zeros(n, dtype=np.int64)
+    wu = np.zeros(n, dtype=np.int64)
+    for i, (ba, bb) in enumerate(zip(b["sig_a"].to_pylist(),
+                                     b["sig_b"].to_pylist())):
+        aa = np.frombuffer(ba, dtype="<u8").reshape(-1, 2)
+        ab = np.frombuffer(bb, dtype="<u8").reshape(-1, 2)
+        _, ia, ib = np.intersect1d(aa[:, 0], ab[:, 0],
+                                   assume_unique=True,
+                                   return_indices=True)
+        inter = int(np.minimum(aa[ia, 1], ab[ib, 1]).sum())
+        wi[i] = inter
+        wu[i] = int(aa[:, 1].sum()) + int(ab[:, 1].sum()) - inter
+    keep = (wi > 0) & (den * wi >= num * wu)
+    t = b.filter(pa.array(keep))
+    return pa.table({"doc_a": t["a"], "doc_b": t["b"],
+                     "w_inter": pa.array(wi[keep]),
+                     "w_union": pa.array(wu[keep])})
+
+
+_SPLITMIX_SALTS = (0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
+                   0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5)
+
+
+def _mix64(x: np.ndarray, salt: int) -> np.ndarray:
+    """SplitMix64 finalizer over a u64 array (vectorized, overflow wraps)."""
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(salt)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _uniform01(x: np.ndarray, salt: int) -> np.ndarray:
+    """u64 array -> floats in (0, 1): 53 mantissa bits, +1 keeps it > 0
+    so the log-transforms below never hit -inf."""
+    return ((_mix64(x, salt) >> np.uint64(11)).astype(np.float64) + 1.0) * (2.0 ** -53)
+
+
+def _cws_samples(gh: np.ndarray, cnt: np.ndarray, n_samples: int,
+                 seed: int) -> np.ndarray:
+    """Consistent Weighted Sampling (Ioffe, ICDM 2010, Algorithm 1) ->
+    (n_samples,) u64 sample ids for one weighted set: P(sample_k(A) ==
+    sample_k(B)) = J_w(A, B) exactly.  All randomness is counter-based
+    (SplitMix64 of gram hash x sample index), so samples are a pure
+    function of the multiset — no per-doc RNG state, any partitioning.
+
+    Per sample k and gram t: r, c ~ Gamma(2,1) (sum of two exponentials),
+    beta ~ U(0,1); t_k = floor(ln w_t / r + beta); pick the gram
+    minimizing ln c - r*(t_k - beta) - r; the sample id hashes (gram,
+    t_k, k)."""
+    m = len(gh)
+    K = n_samples
+    k = np.arange(K, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        base = (gh[None, :] ^ (k[:, None] * np.uint64(0x9E3779B97F4A7C15))
+                ^ np.uint64(seed * 0xD6E8FEB86659FD93 & 0xFFFFFFFFFFFFFFFF))
+    u = [_uniform01(base, s) for s in _SPLITMIX_SALTS]
+    r = -np.log(u[0]) - np.log(u[1])
+    c = -np.log(u[2]) - np.log(u[3])
+    beta = u[4]
+    lw = np.log(cnt.astype(np.float64))[None, :]
+    t_disc = np.floor(lw / r + beta)
+    lna = np.log(c) - r * (t_disc - beta) - r
+    arg = np.argmin(lna, axis=1)
+    rows = np.arange(K)
+    gsel = gh[arg]
+    tsel = t_disc[rows, arg].astype(np.int64).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        sid = _mix64(gsel ^ (tsel * np.uint64(0xBF58476D1CE4E5B9))
+                     ^ (k * np.uint64(0x94D049BB133111EB)), 0x1B873593)
+    return sid
+
+
+def cws_jaccard_pairs(ds, *, num: int = 1, den: int = 2, ngram: int = 3,
+                      n_samples: int = 64, band_size: int = 2,
+                      seed: int = 42, id_col: str = "doc_id",
+                      lang_col: str | None = "lang", text_col: str = "text",
+                      num_partitions: int = 64, max_group: int = 100_000,
+                      overflow: str = "star"):
+    """Weighted-Jaccard near-dup pairs via Consistent Weighted Sampling
+    sketches — the SCALE path for ``weighted_jaccard_pairs`` when the
+    gram universe is stopword-heavy and prefix groups would blow up
+    (the weighted analog of MinHash-LSH for the set case).
+
+    Per doc: ``n_samples`` CWS samples (collision probability exactly
+    J_w, Ioffe 2010), banded ``band_size`` at a time -> band-bucket rows
+    -> candidate_pairs -> tf-blob attach -> EXACT weighted verification
+    (shared kernel with the exact path), so precision is 1 and only
+    candidate recall is probabilistic: a pair at J_w = j survives with
+    p = 1 - (1 - j^band_size)^(n_samples/band_size) (defaults: 0.9999
+    at j = 0.5; pytest recall-gated).  Sketch cost per doc is
+    O(n_samples x m) vectorized flops; band rows are 16 bytes — tf
+    blobs never ride the band shuffle."""
+    from deduplicator_ray.config import MinHashConfig
+    from deduplicator_ray.stages.lsh import attach_signatures, candidate_pairs
+
+    if not (0 < num <= den):
+        raise ValueError("need 0 < num <= den")
+    if n_samples % band_size:
+        raise ValueError("band_size must divide n_samples")
+    cols = [id_col, text_col] + ([lang_col] if lang_col else [])
+
+    def grams_table(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        arr = pack_u64_blobs([_gram_tf(t, ngram) for t in texts])
+        out = {id_col: b[id_col], "tfblob": arr}
+        if lang_col:
+            out[lang_col] = b[lang_col]
+        return pa.table(out)
+
+    sigs = ds.select_columns(cols).map_batches(
+        grams_table, batch_format="pyarrow", batch_size=1024,
+        zero_copy_batch=True
+    ).materialize()  # feeds both the sketch explode and the verify join
+
+    n_bands = n_samples // band_size
+    band_idx = np.arange(n_bands, dtype=np.uint64)
+
+    def sketch_explode(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        blobs = b["tfblob"].to_pylist()
+        langs = (
+            pd.util.hash_array(
+                np.asarray(b[lang_col].to_pylist(), dtype=object)
+            ).astype(np.uint64)
+            if lang_col else np.zeros(len(ids), dtype=np.uint64)
+        )
+        out_bucket, out_id = [], []
+        for i, blob in enumerate(blobs):
+            arr = np.frombuffer(blob, dtype="<u8").reshape(-1, 2)
+            if len(arr) == 0:
+                continue
+            sid = _cws_samples(arr[:, 0], arr[:, 1], n_samples, seed)
+            # fold each band's samples into one bucket hash
+            h = np.zeros(n_bands, dtype=np.uint64)
+            for j in range(band_size):
+                h = _mix64(h ^ sid[j::band_size][:n_bands], 0x85EBCA6B + j)
+            with np.errstate(over="ignore"):
+                bucket = (_mix64(h ^ (band_idx * np.uint64(
+                    0xC2B2AE3D27D4EB4F)), 0xE6546B64) ^ langs[i]).astype(np.int64)
+            out_bucket.append(bucket)
+            out_id.append(np.full(n_bands, ids[i], dtype=np.int64))
+        if not out_bucket:
+            return pa.table({"band_bucket": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64())})
+        return pa.table({"band_bucket": np.concatenate(out_bucket),
+                         id_col: np.concatenate(out_id)})
+
+    bands = sigs.map_batches(sketch_explode, batch_format="pyarrow",
+                             batch_size=1024, zero_copy_batch=True)
+    pairs = candidate_pairs(bands, MinHashConfig(max_band_group=max_group),
+                            key_col=id_col, num_partitions=num_partitions,
+                            overflow=overflow)
+    withsigs = attach_signatures(pairs, sigs, key_col=id_col, sig_col="tfblob")
+    return withsigs.map_batches(
+        lambda b: _verify_weighted(b, num, den),
+        batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)

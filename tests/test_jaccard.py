@@ -259,3 +259,43 @@ def test_weighted_prefix_completeness_randomized(ray_session):
                         got["w_inter"], got["w_union"]))
         want = _brute_weighted(pdf, num, den, ngram=1)
         assert found == want, f"t={num}/{den}: {len(found)} vs {len(want)}"
+
+
+def test_cws_estimator_collision_probability():
+    """Ioffe CWS property: P(sample_k(A) == sample_k(B)) = J_w(A, B).
+    Pure-numpy check of the sketch kernel, no Ray."""
+    from deduplicator_ray.stages.jaccard import _cws_samples
+
+    rng = np.random.default_rng(7)
+    gh = rng.integers(0, 2**63, size=40).astype(np.uint64)
+    ca = rng.integers(1, 9, size=40).astype(np.uint64)
+    cb = ca.copy()
+    cb[:20] = rng.integers(1, 9, size=20)  # perturb half the counts
+    jw = np.minimum(ca, cb).sum() / np.maximum(ca, cb).sum()
+    K = 4096
+    sa = _cws_samples(gh, ca, K, seed=42)
+    sb = _cws_samples(gh, cb, K, seed=42)
+    est = float((sa == sb).mean())
+    # K=4096 -> stderr ~ sqrt(j(1-j)/K) ~ 0.008; allow 5 sigma
+    assert abs(est - jw) < 0.04, (est, jw)
+
+
+def test_cws_pipeline_matches_exact_weighted(ray_session, docs):
+    """The CWS sketch path (sketch -> band -> candidate -> exact verify)
+    must reproduce the exact prefix-filter path's pair set: precision 1
+    by construction (shared verify kernel), recall gated here.  Seeded,
+    so the assertion is deterministic."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.jaccard import (cws_jaccard_pairs,
+                                                 weighted_jaccard_pairs)
+
+    exact = weighted_jaccard_pairs(rd.from_pandas(docs)).to_pandas()
+    want = set(zip(exact["doc_a"], exact["doc_b"],
+                   exact["w_inter"], exact["w_union"]))
+    got_t = cws_jaccard_pairs(rd.from_pandas(docs)).to_pandas()
+    got = set(zip(got_t["doc_a"], got_t["doc_b"],
+                  got_t["w_inter"], got_t["w_union"]))
+    assert len(want) > 20
+    assert got <= want          # exact verify => no false positives
+    assert len(got) / len(want) >= 0.99
