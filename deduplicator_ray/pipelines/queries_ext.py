@@ -4030,6 +4030,76 @@ FROM captures GROUP BY 1, 2
 """
 
 
+def q_script_mix(sf_dir: str):
+    """Unicode-script census per language: doc counts, per-script char
+    sums (Latin/Cyrillic/Han/Arabic), digit/letter totals, and the
+    mixed-script doc count (non-dominant script mass >= 10% of letters
+    and >= 5 chars — the spam/mojibake anomaly flag).  Per-doc counts
+    are RE2 unicode-script classes (stages/textstats.script_counts),
+    identical kernels in pyarrow and DuckDB; rollup is a per-block
+    partial combine (<= #langs rows leave each block), zero shuffle."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import script_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+    per = script_counts(ds)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df["n_mixed"] = df.pop("is_mixed").astype("int64")
+        df["n_docs"] = 1
+        return df.drop(columns=["doc_id"]).groupby(
+            "lang", as_index=False).sum()
+
+    parts = per.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    cols = ["n_docs", "n_latin", "n_cyrillic", "n_han", "n_arabic",
+            "n_digits", "n_letters", "n_mixed"]
+    if parts.empty:
+        return pd.DataFrame({"lang": pd.Series([], dtype="string"),
+                             **{c: pd.Series([], dtype="int64")
+                                for c in cols}})
+    out = parts.groupby("lang", as_index=False).sum()
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[["lang"] + cols]
+
+
+_SQL_SCRIPT_MIX = r"""
+WITH s AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '\p{Latin}'))    AS n_latin,
+         len(regexp_extract_all(text, '\p{Cyrillic}')) AS n_cyrillic,
+         len(regexp_extract_all(text, '\p{Han}'))      AS n_han,
+         len(regexp_extract_all(text, '\p{Arabic}'))   AS n_arabic,
+         len(regexp_extract_all(text, '\p{Nd}'))       AS n_digits,
+         len(regexp_extract_all(text, '\p{L}'))        AS n_letters
+  FROM documents
+),
+m AS (
+  SELECT *,
+         n_latin + n_cyrillic + n_han + n_arabic
+           - greatest(n_latin, n_cyrillic, n_han, n_arabic) AS nondom
+  FROM s
+)
+SELECT lang,
+       count(*)::BIGINT        AS n_docs,
+       sum(n_latin)::BIGINT    AS n_latin,
+       sum(n_cyrillic)::BIGINT AS n_cyrillic,
+       sum(n_han)::BIGINT      AS n_han,
+       sum(n_arabic)::BIGINT   AS n_arabic,
+       sum(n_digits)::BIGINT   AS n_digits,
+       sum(n_letters)::BIGINT  AS n_letters,
+       sum(CASE WHEN 10 * nondom >= n_letters AND nondom >= 5
+                THEN 1 ELSE 0 END)::BIGINT AS n_mixed
+FROM m GROUP BY lang
+"""
+
+
 def registry_ext():
     """name -> (callable(sf_dir), oracle_sql | None).
 
@@ -4057,6 +4127,7 @@ def registry_ext():
         "weighted_jaccard_pairs": (q_weighted_jaccard_pairs,
                                    _SQL_WEIGHTED_JACCARD),
         "cws_jaccard_pairs": (q_cws_jaccard_pairs, _SQL_WEIGHTED_JACCARD),
+        "script_mix": (q_script_mix, _SQL_SCRIPT_MIX),
         "embed_covariance": (q_embed_covariance, _SQL_EMB_COVARIANCE),
         "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
         "dup_rate_timeline": (q_dup_rate_timeline,

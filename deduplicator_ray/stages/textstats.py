@@ -721,3 +721,55 @@ def ttr_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
         })
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# unicode-script census (multilingual routing / mixed-script anomaly)
+# ---------------------------------------------------------------------------
+
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("latin", r"\p{Latin}"),
+    ("cyrillic", r"\p{Cyrillic}"),
+    ("han", r"\p{Han}"),
+    ("arabic", r"\p{Arabic}"),
+)
+
+
+def script_counts(ds, *, id_col: str = "doc_id", lang_col: str | None = "lang",
+                  text_col: str = "text"):
+    """Per-document unicode-script census -> (id_col, [lang], n_latin,
+    n_cyrillic, n_han, n_arabic, n_digits, n_letters, is_mixed): the
+    routing signal a multilingual pipeline reads before tokenizer /
+    lang-model choice, and the mixed-script anomaly flag spam and
+    encoding-mojibake detectors key on.
+
+    ``is_mixed``: non-dominant script mass (total of the four classes
+    minus the largest) is >= 10% of all letters AND >= 5 chars — an
+    integer rule (10*nondom >= n_letters) so the DuckDB oracle matches
+    exactly.  Map-only, zero shuffle; RE2 unicode-script classes
+    (\\p{Latin}...) evaluate identically in pyarrow and DuckDB."""
+
+    def f(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b[text_col], "")
+
+        def cnt(pat: str) -> np.ndarray:
+            return (pc.count_substring_regex(t, pat)
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+
+        cols: dict = {id_col: b[id_col]}
+        if lang_col:
+            cols[lang_col] = b[lang_col]
+        per = np.column_stack([cnt(p) for _, p in SCRIPT_CLASSES]) \
+            if b.num_rows else np.zeros((0, len(SCRIPT_CLASSES)), np.int64)
+        n_letters = cnt(r"\p{L}")
+        nondom = per.sum(axis=1) - (per.max(axis=1) if b.num_rows
+                                    else np.zeros(0, np.int64))
+        for (name, _), j in zip(SCRIPT_CLASSES, range(per.shape[1])):
+            cols[f"n_{name}"] = pa.array(per[:, j])
+        cols["n_digits"] = pa.array(cnt(r"\p{Nd}"))
+        cols["n_letters"] = pa.array(n_letters)
+        cols["is_mixed"] = pa.array((10 * nondom >= n_letters) & (nondom >= 5))
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=4096,
+                          zero_copy_batch=True)

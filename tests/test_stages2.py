@@ -649,3 +649,39 @@ def test_d4_keep_bruteforce(ray_session):
     assert got["keep"].tolist() == keep.tolist()
     assert not got.loc[24, "keep"]          # the planted dup went
     assert 0 < got["keep"].sum() < len(X)   # pruning actually fired
+
+
+def test_script_counts_unicode(ray_session):
+    """Unicode-script census: per-class counts and the mixed-script flag
+    on hand-computed fixtures (pure-latin, latin+cyrillic spam mix, CJK,
+    arabic-with-digits, empty/null)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import script_counts
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "lang": ["en", "ru", "zh", "ar", "en"],
+        "text": [
+            "plain ascii words only",
+            "пример text пример text пример",   # 18 cyr + 8 latin letters
+            "汉字文本测试",                        # 6 han
+            "نص عربي ١٢٣",                       # arabic + arabic-indic digits
+            None,
+        ],
+    })
+    got = (script_counts(rd.from_pandas(pdf)).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    assert got["n_latin"].tolist()[0] == 19          # "plainasciiwordsonly"
+    r1 = got.iloc[1]
+    assert r1["n_cyrillic"] == 18 and r1["n_latin"] == 8
+    assert bool(r1["is_mixed"])                      # 8 >= 10% of 26, >= 5
+    r2 = got.iloc[2]
+    assert r2["n_han"] == 6 and not bool(r2["is_mixed"])
+    r3 = got.iloc[3]
+    assert r3["n_arabic"] > 0 and r3["n_digits"] == 3
+    assert not bool(r3["is_mixed"])
+    r4 = got.iloc[4]
+    assert r4["n_letters"] == 0 and not bool(r4["is_mixed"])
+    # doc 0: single-script, nondom = 0 -> not mixed
+    assert not bool(got.iloc[0]["is_mixed"])

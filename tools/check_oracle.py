@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -79,14 +80,17 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             got = to_pandas(fn(sf_dir))
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: ray side raised {type(ex).__name__}: {str(ex)[:200]}")
             failures += 1
             continue
+        ray_s = time.perf_counter() - t0
         if name not in oracles:
-            print(f"rows  {name}: {len(got)} rows (no oracle — rows-only check)")
+            print(f"rows  {name}: {len(got)} rows (no oracle — rows-only check)"
+                  f"  [{ray_s:.2f}s]")
             continue
         try:
             want = con.execute(oracles[name]).df()
@@ -107,7 +111,7 @@ def main() -> int:
             if "value-hash mismatch" in problems and os.environ.get("ORACLE_DEBUG"):
                 _debug_diff(got, want, name)
         else:
-            print(f"OK    {name}: {len(got)} rows")
+            print(f"OK    {name}: {len(got)} rows  [{ray_s:.2f}s]")
     ray.shutdown()
     return 1 if failures else 0
 
