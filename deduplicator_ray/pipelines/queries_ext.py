@@ -4030,6 +4030,24 @@ FROM captures GROUP BY 1, 2
 """
 
 
+def q_bbit_jaccard_est(sf_dir: str):
+    """Near-dup pair scoring from b=1 b-bit minhash sketches (Li &
+    Koenig 2010; stages/minhash.bbit_jaccard_pairs): LSH candidates
+    scored by the bias-corrected collision estimate from 16-byte
+    sketches — the retention/transport shape when keeping full
+    512-byte signatures of every doc is too heavy.  Deterministic
+    (seeded permutations), so the driver oracle is a golden pin;
+    estimator accuracy is pytest-gated against planted agreement."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.minhash import bbit_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bbit_jaccard_pairs(ds, b=1, key_col="doc_id",
+                              min_est_ppm=300_000)
+
+
 def q_script_mix(sf_dir: str):
     """Unicode-script census per language: doc counts, per-script char
     sums (Latin/Cyrillic/Han/Arabic), digit/letter totals, and the
@@ -4128,6 +4146,8 @@ def registry_ext():
                                    _SQL_WEIGHTED_JACCARD),
         "cws_jaccard_pairs": (q_cws_jaccard_pairs, _SQL_WEIGHTED_JACCARD),
         "script_mix": (q_script_mix, _SQL_SCRIPT_MIX),
+        "bbit_jaccard_est": (q_bbit_jaccard_est,
+                             GOLDEN_SQL.get("bbit_jaccard_est")),
         "embed_covariance": (q_embed_covariance, _SQL_EMB_COVARIANCE),
         "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
         "dup_rate_timeline": (q_dup_rate_timeline,
