@@ -886,8 +886,9 @@ def q_neardup_clusters(sf_dir: str):
 # (node, reachable-node) pair over the symmetrized edge set (UNION gives
 # set semantics, so the recursion terminates on cycles); the final group
 # by takes the minimum reachable id — identical to stages/cc.py labels.
-_SQL_NEARDUP_CLUSTERS = f"""
-WITH RECURSIVE toks AS (
+# shared CTE body: exact 5-gram Jaccard pairs + recursive-CTE connected
+# components (used by _SQL_NEARDUP_CLUSTERS and _SQL_SPLIT_BY_CLUSTER)
+_NEARDUP_CC_CTES = f"""toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
   FROM documents
@@ -912,9 +913,95 @@ reach(node, r) AS (
   SELECT a, b FROM edges
   UNION
   SELECT rr.node, e.b FROM reach rr JOIN edges e ON rr.r = e.a
-)
+)"""
+
+_SQL_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE {_NEARDUP_CC_CTES}
 SELECT node AS doc_key, least(node, min(r)) AS cluster_id
 FROM reach GROUP BY node ORDER BY doc_key
+"""
+
+
+def split_by_cluster(ds, fractions, *, seed: int,
+                     num: int, den: int, ngram: int,
+                     num_partitions: int = 16):
+    """Leakage-FREE train/val/test assignment: every near-duplicate
+    CLUSTER (connected components of the exact ngram-Jaccard graph —
+    the north-star cluster definition) lands wholly in one split, the
+    constructive fix for the straddling pairs ``split_leakage`` counts
+    and the gap document-level ``split_assign`` / site-level
+    ``split_assign_grouped`` leave (near-dups cross sites).
+
+    Split key is the CLUSTER id through the same Weyl-interval machinery
+    as split_assign (singletons key on their own doc_id, so an
+    edge-free corpus degrades to exactly split_assign).  Shape: exact
+    pair pipeline -> CC -> one hash join of (doc_key, cluster_id)
+    against the id column -> map-only interval assign; the join ships
+    16-byte rows only."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.cc import connected_components_auto
+    from deduplicator_ray.stages.jaccard import ngram_jaccard_pairs
+    from deduplicator_ray.stages.joins import hash_join
+    from deduplicator_ray.stages.shuffle import split_assign
+
+    pairs = ngram_jaccard_pairs(ds, num=num, den=den, ngram=ngram,
+                                lang_col=None)
+    edges = pairs.map_batches(
+        lambda b: pa.table({"a": b["doc_a"], "b": b["doc_b"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    asg = connected_components_auto(edges)
+    if not hasattr(asg, "map_batches"):          # driver fast path result
+        asg = (rd.from_arrow(asg) if isinstance(asg, pa.Table)
+               else rd.from_pandas(asg))
+    ids = ds.select_columns(["doc_id"]).map_batches(
+        lambda b: pa.table({"doc_key": b["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(
+        ids, asg, on=("doc_key",), num_partitions=num_partitions,
+        out_schema={"doc_key": pa.int64(), "cluster_id": pa.int64()},
+        join_type="left_outer")
+    filled = joined.map_batches(
+        lambda b: pa.table({
+            "doc_key": b["doc_key"],
+            "cluster_id": pc.coalesce(b["cluster_id"], b["doc_key"]),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    return split_assign(filled, fractions, seed=seed, id_col="cluster_id",
+                        keep_cols=("doc_key",))
+
+
+def q_split_by_cluster(sf_dir: str):
+    """Cluster-aware split over ``documents`` at the north-star config
+    (exact 5-shingle Jaccard >= 0.8 components; split_assign's
+    fractions/seed).  Returns (cluster_id, split, doc_key); the oracle
+    recomputes clusters via the recursive CTE and the split via the
+    same integer Weyl expression."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return split_by_cluster(ds, _SPLIT_FRACTIONS, seed=_SPLIT_SEED,
+                            num=_NEARDUP_NUM, den=_NEARDUP_DEN,
+                            ngram=_NEARDUP_NGRAM)
+
+
+def _sql_split_by_cluster() -> str:
+    from deduplicator_ray.stages.shuffle import split_sql_expr
+
+    return f"""
+WITH RECURSIVE {_NEARDUP_CC_CTES},
+cl AS (
+  SELECT node AS doc_key, least(node, min(r)) AS cluster_id
+  FROM reach GROUP BY node
+),
+alldocs AS (
+  SELECT d.doc_id AS doc_key,
+         coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cl ON cl.doc_key = d.doc_id
+)
+SELECT cluster_id, {split_sql_expr(_SPLIT_FRACTIONS, _SPLIT_SEED,
+                                   id_col="cluster_id")} AS split, doc_key
+FROM alldocs
 """
 
 
@@ -4148,6 +4235,7 @@ def registry_ext():
         "script_mix": (q_script_mix, _SQL_SCRIPT_MIX),
         "bbit_jaccard_est": (q_bbit_jaccard_est,
                              GOLDEN_SQL.get("bbit_jaccard_est")),
+        "split_by_cluster": (q_split_by_cluster, _sql_split_by_cluster()),
         "embed_covariance": (q_embed_covariance, _SQL_EMB_COVARIANCE),
         "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
         "dup_rate_timeline": (q_dup_rate_timeline,

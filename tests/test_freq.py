@@ -1332,3 +1332,49 @@ def test_rank_fusion_rrf_guards(ray_session):
     # no doc contains a query term -> empty fusion
     out = rank_fusion_rrf(ds, ["zz"], k=2, pool=4)
     assert len(out) == 0
+
+
+def test_split_by_cluster_no_straddle(ray_session):
+    """Cluster-aware split: a planted near-dup pair whose doc-level
+    splits DIFFER must land in the same split (keyed on the cluster id
+    = min member), and singletons must match plain split_assign
+    exactly."""
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines.queries_ext import split_by_cluster
+    from deduplicator_ray.stages.shuffle import shuffle_key, split_assign
+
+    fr = [("train", 0.5), ("val", 0.25), ("test", 0.25)]
+    seed = 6
+    # find a doc-id pair whose Weyl keys fall in different intervals
+    keys = shuffle_key(np.arange(200, dtype=np.int64), seed)
+    cuts = np.array([int(0.5 * 2**64), int(0.75 * 2**64)], dtype=np.uint64)
+    iv = np.searchsorted(cuts, keys, side="right")
+    a = 0
+    b = next(int(j) for j in range(1, 200) if iv[j] != iv[a])
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(300)]
+    base = " ".join(rng.choice(vocab, size=80))
+    rows = []
+    for i in range(60):
+        if i == a or i == b:
+            rows.append((i, base))              # exact dup pair (a, b)
+        else:
+            rows.append((i, " ".join(rng.choice(vocab, size=60))))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    got = (split_by_cluster(rd.from_pandas(pdf), fr, seed=seed,
+                            num=4, den=5, ngram=5)
+           .to_pandas().set_index("doc_key").sort_index())
+    # the planted pair coheres, on the min-member's split
+    assert got.loc[a, "split"] == got.loc[b, "split"]
+    plain = (split_assign(rd.from_pandas(pdf[["doc_id"]]), fr, seed=seed)
+             .to_pandas().set_index("doc_id")["split"])
+    assert plain.loc[a] != plain.loc[b]          # the leak split_assign has
+    assert got.loc[a, "split"] == plain.loc[min(a, b)]
+    # singletons (no edges) degrade to exactly split_assign
+    singles = [i for i in range(60) if i not in (a, b)]
+    same = [got.loc[i, "split"] == plain.loc[i] for i in singles
+            if got.loc[i, "cluster_id"] == i]
+    assert same and all(same)
