@@ -902,7 +902,9 @@ grams AS (
   FROM toks
 ),
 pairs AS (
-  SELECT a.doc_id AS a, b.doc_id AS b
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.g, b.g)) AS n_inter,
+         len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS n_union
   FROM grams a JOIN grams b ON a.doc_id < b.doc_id
   WHERE len(list_intersect(a.g, b.g)) > 0
     AND {_NEARDUP_DEN} * len(list_intersect(a.g, b.g))
@@ -954,6 +956,12 @@ def split_by_cluster(ds, fractions, *, seed: int,
     if not hasattr(asg, "map_batches"):          # driver fast path result
         asg = (rd.from_arrow(asg) if isinstance(asg, pa.Table)
                else rd.from_pandas(asg))
+    else:
+        # chained-hash-join barrier: the distributed-CC result's lineage
+        # reaches back through the pair pipeline's semi-join; materialize
+        # (assignment is small by contract) so the outer join's topology
+        # holds exactly one shuffle (see stages/graph.assortativity)
+        asg = asg.materialize()
     ids = ds.select_columns(["doc_id"]).map_batches(
         lambda b: pa.table({"doc_key": b["doc_id"].cast(pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True)
@@ -1002,6 +1010,99 @@ alldocs AS (
 SELECT cluster_id, {split_sql_expr(_SPLIT_FRACTIONS, _SPLIT_SEED,
                                    id_col="cluster_id")} AS split, doc_key
 FROM alldocs
+"""
+
+
+def q_cluster_cohesion(sf_dir: str):
+    """Per-cluster cohesion census over the north-star assignment:
+    (cluster_id, n_docs, n_edges, min_j_ppm, sum_j_ppm) — the
+    transitive-chaining diagnostic.  Connected components merge docs
+    that never directly matched; a cluster whose edge density
+    2*n_edges/(n_docs*(n_docs-1)) is low or whose min edge Jaccard sits
+    at the threshold is a CC chain, not a clique — exactly what a
+    dedup-recipe review inspects before trusting keep-one-per-cluster.
+
+    All-integer/ppm output (j_ppm = floor(1e6*inter/union + 0.5); both
+    engines evaluate the identical double expression, exact below 2^53).
+    Shape: exact pair pipeline -> CC -> one hash join of the (small)
+    edge list against the assignment -> per-block partial min/sum
+    combine; the driver merge holds one row per cluster (the census
+    contract; the 10^12-doc path buckets the combine by cluster hash)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.cc import connected_components_auto
+    from deduplicator_ray.stages.jaccard import ngram_jaccard_pairs
+    from deduplicator_ray.stages.joins import hash_join
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, num=_NEARDUP_NUM, den=_NEARDUP_DEN,
+                                ngram=_NEARDUP_NGRAM, lang_col=None)
+
+    def with_j(b: pa.Table) -> pa.Table:
+        inter = b["n_inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        union = b["n_union"].to_numpy(zero_copy_only=False).astype(np.float64)
+        j_ppm = np.floor(1_000_000.0 * inter / union + 0.5).astype(np.int64)
+        return pa.table({"doc_key": b["doc_a"].cast(pa.int64()),
+                         "a": b["doc_a"], "b": b["doc_b"],
+                         "j_ppm": pa.array(j_ppm)})
+
+    # barrier: the pair pipeline carries its own semi-join; leaving it in
+    # the outer hash_join's live topology means two sets of shuffle
+    # aggregator actors co-scheduled in one streaming graph, which can
+    # deadlock on a small cpu budget (see stages/graph.assortativity).
+    # It also pins the (small) edge list so CC and the join share one
+    # computation instead of re-running the pair pipeline.
+    edges_j = pairs.map_batches(with_j, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    asg = connected_components_auto(edges_j.map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["b"]}),
+        batch_format="pyarrow", zero_copy_batch=True))
+    if not hasattr(asg, "map_batches"):
+        asg = (rd.from_arrow(asg) if isinstance(asg, pa.Table)
+               else rd.from_pandas(asg))
+    joined = hash_join(
+        edges_j.select_columns(["doc_key", "j_ppm"]), asg,
+        on=("doc_key",), num_partitions=16,
+        out_schema={"cluster_id": pa.int64(), "j_ppm": pa.int64()})
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return df.groupby("cluster_id", as_index=False).agg(
+            n_edges=("j_ppm", "size"), min_j_ppm=("j_ppm", "min"),
+            sum_j_ppm=("j_ppm", "sum"))
+
+    parts = joined.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    agg = parts.groupby("cluster_id", as_index=False).agg(
+        n_edges=("n_edges", "sum"), min_j_ppm=("min_j_ppm", "min"),
+        sum_j_ppm=("sum_j_ppm", "sum"))
+    sizes = (asg.to_pandas().groupby("cluster_id", as_index=False)
+             .size().rename(columns={"size": "n_docs"}))
+    out = sizes.merge(agg, on="cluster_id", how="inner")
+    for c in ("n_docs", "n_edges", "min_j_ppm", "sum_j_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_SQL_CLUSTER_COHESION = f"""
+WITH RECURSIVE {_NEARDUP_CC_CTES},
+cl AS (
+  SELECT node AS doc_key, least(node, min(r)) AS cluster_id
+  FROM reach GROUP BY node
+),
+ej AS (
+  SELECT cl.cluster_id,
+         CAST(floor(1000000.0 * p.n_inter / p.n_union + 0.5) AS BIGINT)
+           AS j_ppm
+  FROM pairs p JOIN cl ON cl.doc_key = p.a
+),
+nd AS (SELECT cluster_id, count(*)::BIGINT AS n_docs FROM cl GROUP BY 1)
+SELECT nd.cluster_id, nd.n_docs, count(*)::BIGINT AS n_edges,
+       min(ej.j_ppm)::BIGINT AS min_j_ppm, sum(ej.j_ppm)::BIGINT AS sum_j_ppm
+FROM ej JOIN nd ON nd.cluster_id = ej.cluster_id GROUP BY 1, 2
 """
 
 
@@ -4236,6 +4337,7 @@ def registry_ext():
         "bbit_jaccard_est": (q_bbit_jaccard_est,
                              GOLDEN_SQL.get("bbit_jaccard_est")),
         "split_by_cluster": (q_split_by_cluster, _sql_split_by_cluster()),
+        "cluster_cohesion": (q_cluster_cohesion, _SQL_CLUSTER_COHESION),
         "embed_covariance": (q_embed_covariance, _SQL_EMB_COVARIANCE),
         "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
         "dup_rate_timeline": (q_dup_rate_timeline,

@@ -335,3 +335,32 @@ def test_tier_census_all_tiers_fire(ray_session, tmp_path):
     assert out["dup_norm"] == [2]           # docs 1, 2
     assert out["dup_near"] == [3]           # docs 1, 2, 3
     assert out["dup_any"] == [3]
+
+
+def test_cluster_cohesion_chain_vs_clique(ray_session, tmp_path):
+    """A 3-clique of exact dups reports full density and j = 1e6; a
+    2-doc near pair reports 1 edge with min_j inside the (threshold, 1)
+    band — the per-cluster evidence the census exists to surface."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.pipelines.queries_ext import q_cluster_cohesion
+
+    words = [f"tok{i}" for i in range(40)]
+    base = " ".join(words)                       # docs 10,11,12: clique
+    # near pair: one appended word -> J = 20/21 (in-band, not 1.0)
+    a = " ".join(words[:24])
+    b_ = " ".join(words[:24] + ["xx"])
+    docs = pa.table({
+        "doc_id": pa.array([10, 11, 12, 20, 21], type=pa.int64()),
+        "text": [base, base, base, a, b_],
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = (q_cluster_cohesion(str(tmp_path))
+           .sort_values("cluster_id", ignore_index=True))
+    cl = out.set_index("cluster_id")
+    assert cl.loc[10, "n_docs"] == 3 and cl.loc[10, "n_edges"] == 3
+    assert cl.loc[10, "min_j_ppm"] == 1_000_000
+    assert cl.loc[10, "sum_j_ppm"] == 3_000_000
+    assert cl.loc[20, "n_docs"] == 2 and cl.loc[20, "n_edges"] == 1
+    assert 800_000 <= cl.loc[20, "min_j_ppm"] < 1_000_000
