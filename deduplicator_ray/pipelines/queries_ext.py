@@ -4236,6 +4236,24 @@ def q_bbit_jaccard_est(sf_dir: str):
                               min_est_ppm=300_000)
 
 
+def q_containment_est(sf_dir: str):
+    """Asymmetric containment estimates for LSH near-dup candidates
+    (stages/minhash.containment_est_pairs): c(A->B) = |A∩B|/|A| from
+    minhash sketches + exact distinct-shingle sizes — the quote /
+    partial-mirror signal symmetric Jaccard flattens.  Deterministic
+    (seeded permutations) -> golden-pinned; the subset-geometry
+    estimator is pytest-gated.  Exact completeness-critical alternative:
+    ``ngram_containment_pairs`` (oracle-checked)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.minhash import containment_est_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return containment_est_pairs(ds, key_col="doc_id",
+                                 min_c_ppm=500_000)
+
+
 def q_script_mix(sf_dir: str):
     """Unicode-script census per language: doc counts, per-script char
     sums (Latin/Cyrillic/Han/Arabic), digit/letter totals, and the
@@ -4306,6 +4324,76 @@ FROM m GROUP BY lang
 """
 
 
+def q_mojibake_stats(sf_dir: str):
+    """Encoding-damage census per source: counts of the classic
+    UTF-8-decoded-as-cp1252 artifacts ('Ã' + continuation char for
+    damaged Latin-1 letters, 'â€' for damaged punctuation, stray 'Â'
+    before spaces/symbols, and U+FFFD replacement chars) plus the
+    affected-doc count — the data-cleaning read (ftfy-style) a crawl
+    ingest runs before trusting its text extraction.  Map-only RE2
+    substring counts with a per-block partial combine (<= #sources rows
+    leave each block); patterns evaluate identically in DuckDB."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        t = pc.fill_null(b["text"], "")
+
+        def cnt(pat: str) -> np.ndarray:
+            return (pc.count_substring(t, pat)
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+
+        at = cnt("Ã")      # Ã : mangled Latin-1 letter lead byte
+        ac = cnt("â€")  # â€ : mangled punctuation lead pair
+        st = cnt("Â")      # Â : stray NBSP/symbol lead byte
+        rc = cnt("�")      # U+FFFD replacement char
+        df = pd.DataFrame({
+            "source": b["source"].to_pandas(),
+            "n_atilde": at, "n_apunct": ac, "n_stray_a": st, "n_fffd": rc,
+            "n_affected": ((at + ac + st + rc) > 0).astype("int64"),
+            "n_docs": 1,
+        })
+        return df.groupby("source", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    cols = ["n_docs", "n_affected", "n_atilde", "n_apunct",
+            "n_stray_a", "n_fffd"]
+    if parts.empty:
+        return pd.DataFrame({"source": pd.Series([], dtype="string"),
+                             **{c: pd.Series([], dtype="int64")
+                                for c in cols}})
+    out = parts.groupby("source", as_index=False).sum()
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[["source"] + cols]
+
+
+_SQL_MOJIBAKE_STATS = """
+WITH s AS (
+  SELECT source,
+         (length(text) - length(replace(text, 'Ã', ''))) AS n_atilde,
+         (length(text) - length(replace(text, 'â€', ''))) / 2 AS n_apunct,
+         (length(text) - length(replace(text, 'Â', ''))) AS n_stray_a,
+         (length(text) - length(replace(text, '�', ''))) AS n_fffd
+  FROM documents
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN n_atilde + n_apunct + n_stray_a + n_fffd > 0
+                THEN 1 ELSE 0 END)::BIGINT AS n_affected,
+       sum(n_atilde)::BIGINT AS n_atilde,
+       sum(n_apunct)::BIGINT AS n_apunct,
+       sum(n_stray_a)::BIGINT AS n_stray_a,
+       sum(n_fffd)::BIGINT AS n_fffd
+FROM s GROUP BY source
+"""
+
+
 def registry_ext():
     """name -> (callable(sf_dir), oracle_sql | None).
 
@@ -4338,6 +4426,9 @@ def registry_ext():
                              GOLDEN_SQL.get("bbit_jaccard_est")),
         "split_by_cluster": (q_split_by_cluster, _sql_split_by_cluster()),
         "cluster_cohesion": (q_cluster_cohesion, _SQL_CLUSTER_COHESION),
+        "mojibake_stats": (q_mojibake_stats, _SQL_MOJIBAKE_STATS),
+        "containment_est": (q_containment_est,
+                            GOLDEN_SQL.get("containment_est")),
         "embed_covariance": (q_embed_covariance, _SQL_EMB_COVARIANCE),
         "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
         "dup_rate_timeline": (q_dup_rate_timeline,

@@ -361,3 +361,99 @@ def bbit_jaccard_pairs(ds, cfg: MinHashConfig | None = None, *, b: int = 1,
 
     return withsk.map_batches(score, batch_format="pyarrow",
                               batch_size=4096, zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# containment estimation from minhash sketches (quote / subset detection)
+# ---------------------------------------------------------------------------
+
+def containment_est_pairs(ds, cfg: MinHashConfig | None = None, *,
+                          key_col: str = "doc_key", text_col: str = "text",
+                          num_partitions: int = 64,
+                          min_c_ppm: int | None = None):
+    """Asymmetric CONTAINMENT estimates for near-dup candidates, from
+    minhash sketches + exact distinct-shingle counts: c(A->B) =
+    |A ∩ B| / |A| — the quote / page-within-page / partial-mirror signal
+    the symmetric Jaccard flattens (a doc fully quoted inside a 10x
+    bigger page has c = 1.0 but J ~ 0.1).
+
+    Estimator: J_hat = signature agreement fraction; with exact sizes
+    |A|, |B| (8 bytes each, computed once per doc), I_hat =
+    J_hat (|A| + |B|) / (1 + J_hat) and c_a = I_hat / |A|, c_b =
+    I_hat / |B|, both clipped to [0, 1], integer ppm.  Returns
+    (doc_a, doc_b, c_ab_ppm, c_ba_ppm, j_est_ppm).
+
+    Scale shape: the size rides INSIDE the signature blob (sig || u64
+    size), so the existing attach machinery ships one binary column and
+    the shuffles stay key-only.  RECALL CAVEAT (documented, inherent):
+    candidates come from Jaccard-keyed LSH banding, so a tiny doc inside
+    a much bigger one (high c, low J) can miss candidacy — the exact
+    prefix-filter path (stages/jaccard.ngram_containment_pairs) is the
+    completeness-critical alternative; per-size-partition banding (LSH
+    Ensemble, Zhu et al. VLDB 2016) is the scale remedy if that matters.
+    """
+    from deduplicator_ray.stages.lsh import (_sig_matrix, attach_signatures,
+                                             band_explode, candidate_pairs)
+
+    cfg = cfg or MinHashConfig()
+    k = cfg.num_perms
+    sigs = signatures(ds, cfg, text_col=text_col)
+
+    token_re = re.compile(r"\w+", re.UNICODE)
+
+    def with_size(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        sizes = np.fromiter(
+            (len(np.unique(shingle_hashes(t, cfg.shingle_words, token_re)))
+             for t in texts), dtype="<u8", count=len(texts))
+        sig = _sig_matrix(b["minhash_sig"], k)
+        blob = np.concatenate(
+            [sig.astype("<u4").view(np.uint8).reshape(len(sig), 4 * k),
+             sizes.view(np.uint8).reshape(len(sig), 8)], axis=1)
+        w = 4 * k + 8
+        offsets = np.arange(len(sig) + 1, dtype=np.int32) * w
+        arr = pa.BinaryArray.from_buffers(
+            pa.binary(), len(sig),
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(blob).tobytes())])
+        return pa.table({key_col: b[key_col], "sigsz": arr,
+                         "minhash_sig": b["minhash_sig"]})
+
+    sigsz = sigs.map_batches(with_size, batch_format="pyarrow",
+                             batch_size=1024, zero_copy_batch=True
+                             ).materialize()
+    bands = band_explode(sigsz, cfg, key_col=key_col)
+    pairs = candidate_pairs(bands, cfg, key_col=key_col,
+                            num_partitions=num_partitions)
+    withsk = attach_signatures(
+        pairs, sigsz.select_columns([key_col, "sigsz"]),
+        key_col=key_col, sig_col="sigsz")
+
+    def score(batch: pa.Table) -> pa.Table:
+        W = 4 * k + 8
+        A = _blob_matrix(batch["sig_a"], W)
+        B = _blob_matrix(batch["sig_b"], W)
+        sa = A[:, : 4 * k].copy().view("<u4").reshape(len(A), k)
+        sb = B[:, : 4 * k].copy().view("<u4").reshape(len(B), k)
+        za = A[:, 4 * k:].copy().view("<u8").ravel().astype(np.float64)
+        zb = B[:, 4 * k:].copy().view("<u8").ravel().astype(np.float64)
+        j = (sa == sb).mean(axis=1)
+        inter = j * (za + zb) / (1.0 + j)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ca = np.where(za > 0, np.clip(inter / za, 0.0, 1.0), 0.0)
+            cb = np.where(zb > 0, np.clip(inter / zb, 0.0, 1.0), 0.0)
+        t = pa.table({
+            "doc_a": batch["a"], "doc_b": batch["b"],
+            "c_ab_ppm": pa.array(np.floor(ca * 1e6 + 0.5).astype(np.int64)),
+            "c_ba_ppm": pa.array(np.floor(cb * 1e6 + 0.5).astype(np.int64)),
+            "j_est_ppm": pa.array(np.floor(j * 1e6 + 0.5).astype(np.int64)),
+        })
+        if min_c_ppm is not None:
+            keep = pc.greater_equal(
+                pc.max_element_wise(t["c_ab_ppm"], t["c_ba_ppm"]),
+                pa.scalar(min_c_ppm))
+            t = t.filter(keep)
+        return t
+
+    return withsk.map_batches(score, batch_format="pyarrow",
+                              batch_size=4096, zero_copy_batch=True)

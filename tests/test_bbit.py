@@ -93,3 +93,34 @@ def test_bbit_pipeline_exact_dup(ray_session):
     # nothing pairs the random docs with the planted cluster
     idx = got.index.to_frame(index=False)
     assert set(idx["doc_a"]).issubset({0, 1, 2}) and set(idx["doc_b"]).issubset({0, 1, 2})
+
+
+def test_containment_est_subset(ray_session):
+    """A doc fully contained in a 2x bigger doc: c(A->B) ~ 1.0,
+    c(B->A) ~ 0.5, J ~ 0.5 (so LSH candidacy holds); an exact dup pair
+    estimates 1.0/1.0 exactly; unrelated docs never pair with them."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.minhash import containment_est_pairs
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(500)]
+    half = " ".join(rng.choice(vocab, size=100))
+    full = half + " " + " ".join(rng.choice(vocab, size=100))
+    rows = [(0, half), (1, full), (2, full)]
+    rows += [(i, " ".join(rng.choice(vocab, size=80))) for i in range(3, 30)]
+    pdf = pd.DataFrame(rows, columns=["doc_key", "text"])
+    # 32x4 banding: candidate threshold ~ (1/32)^(1/4) = 0.42, so the
+    # J ~ 0.5 subset pair reliably surfaces (default 16x8 is keyed ~0.8
+    # — exactly the documented high-c/low-J recall caveat)
+    cfg = MinHashConfig(num_perms=128, bands=32, rows_per_band=4)
+    got = (containment_est_pairs(rd.from_pandas(pdf), cfg).to_pandas()
+           .set_index(["doc_a", "doc_b"]))
+    d = got.loc[(1, 2)]
+    assert d["c_ab_ppm"] == 1_000_000 and d["c_ba_ppm"] == 1_000_000
+    s = got.loc[(0, 1)] if (0, 1) in got.index else got.loc[(0, 2)]
+    assert s["c_ab_ppm"] > 850_000          # A inside B
+    assert 350_000 < s["c_ba_ppm"] < 650_000
+    assert 350_000 < s["j_est_ppm"] < 650_000
+    idx = got.index.to_frame(index=False)
+    assert set(idx["doc_a"]) <= {0, 1, 2} and set(idx["doc_b"]) <= {0, 1, 2}

@@ -364,3 +364,31 @@ def test_cluster_cohesion_chain_vs_clique(ray_session, tmp_path):
     assert cl.loc[10, "sum_j_ppm"] == 3_000_000
     assert cl.loc[20, "n_docs"] == 2 and cl.loc[20, "n_edges"] == 1
     assert 800_000 <= cl.loc[20, "min_j_ppm"] < 1_000_000
+
+
+def test_mojibake_stats_planted(ray_session, tmp_path):
+    """Planted encoding damage: per-source artifact counts and the
+    affected-doc census match hand counts; clean docs contribute zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.pipelines.queries_ext import q_mojibake_stats
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "source": ["feedA", "feedA", "feedB", "feedB"],
+        "text": [
+            "clean ascii text",
+            "cafÃ© naÃ¯ve rÃ©sumÃ©",            # 4x Ã
+            "donâ€™t â€œquoteâ€ me Â here",  # 3x â€ + 1x Â
+            "lost bytes �� here",       # 2x U+FFFD
+        ],
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_mojibake_stats(str(tmp_path)).set_index("source").sort_index()
+    a, b = out.loc["feedA"], out.loc["feedB"]
+    assert a["n_docs"] == 2 and a["n_affected"] == 1 and a["n_atilde"] == 4
+    assert a[["n_apunct", "n_stray_a", "n_fffd"]].sum() == 0
+    assert b["n_docs"] == 2 and b["n_affected"] == 2
+    assert b["n_apunct"] == 3 and b["n_stray_a"] == 1 and b["n_fffd"] == 2
+    assert b["n_atilde"] == 0
