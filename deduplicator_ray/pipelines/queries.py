@@ -534,6 +534,36 @@ FROM c
 # ---------------------------------------------------------------------------
 
 
+_RETAIN_N = 2
+
+
+def q_keep_n_versions(sf_dir: str):
+    """Archive retention policy: keep the 2 most recent captures per
+    canonical url (stages/timeline.keep_n_versions) with a 1-based
+    newest-first version rank — the storage-budget counterpart of
+    timeline_dedup's content-run compression."""
+    from deduplicator_ray.stages.timeline import keep_n_versions
+
+    return keep_n_versions(captures_dataset(sf_dir), _RETAIN_N)
+
+
+def _sql_keep_n_versions() -> str:
+    canon = canonical_sql_expr("url")
+    return f"""
+WITH {CAPTURES_CTE},
+c AS (SELECT {canon} AS url_canonical, ts_epoch, md5(text) AS digest
+      FROM captures),
+r AS (SELECT url_canonical, ts_epoch, digest,
+             row_number() OVER (PARTITION BY url_canonical
+                                ORDER BY ts_epoch DESC, digest)
+               AS version_rank
+      FROM c)
+SELECT url_canonical, ts_epoch::BIGINT AS ts_epoch, digest,
+       version_rank::BIGINT AS version_rank
+FROM r WHERE version_rank <= {_RETAIN_N}
+"""
+
+
 def registry():
     """name -> (callable(sf_dir) -> Dataset, oracle_sql | None)."""
     from deduplicator_ray.pipelines.queries_delta import registry_delta
@@ -565,6 +595,7 @@ def registry():
         "dup_report": (q_dup_report, _sql_dup_report()),
         "canonical_urls": (q_canonical_urls, _sql_canonical_urls()),
         "timeline_dedup": (q_timeline_dedup, _sql_timeline_dedup()),
+        "keep_n_versions": (q_keep_n_versions, _sql_keep_n_versions()),
         "scope_filter": (q_scope_filter, _sql_scope_filter()),
         "lang_counts": (
             q_lang_counts,

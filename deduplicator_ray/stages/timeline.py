@@ -327,3 +327,57 @@ def capture_burst(caps, *, window: int = 60, url_col: str = "url_canonical",
             .groupby("_part")
             .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
                         batch_format="pandas"))
+
+
+def keep_n_versions(caps, n: int, *, url_col: str = "url_canonical",
+                    ts_col: str = "ts_epoch", digest_col: str = "digest",
+                    num_partitions: int | None = None):
+    """Archive RETENTION policy: keep the N most recent captures per
+    page -> Dataset (url_canonical, ts_epoch BIGINT, digest,
+    version_rank BIGINT; rank 1 = newest).  The storage-budget
+    counterpart of ``timeline_dedup`` (which keeps one capture per
+    content run): heritage policies cap stored versions per URL
+    regardless of content churn.
+
+    Same distribution contract as timeline_dedup: column prune, ONE
+    hash-bucket shuffle on the canonical url (per-page timelines are
+    tiny, buckets stay balanced), vectorized rank kernel per bucket.
+    Ordering contract: newest-first by ``ts_col``, ties broken by digest
+    then stable order — deterministic and SQL-mirrorable
+    (row_number() OVER (ORDER BY ts DESC, digest)).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    P = num_partitions or auto_partitions()
+
+    def prune(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            url_col: b[url_col],
+            ts_col: pc.cast(b[ts_col], pa.int64()),
+            digest_col: b[digest_col],
+        })
+
+    pruned = caps.map_batches(prune, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([url_col, ts_col, digest_col],
+                            ascending=[True, False, True],
+                            kind="mergesort", ignore_index=True)
+        u = df[url_col].to_numpy()
+        starts = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            starts[1:] = u[1:] != u[:-1]
+        start_idx = np.flatnonzero(starts)
+        rank = np.arange(len(df), dtype=np.int64) - np.repeat(
+            start_idx, np.diff(np.append(start_idx, len(df))))
+        kept = df.loc[rank < n].copy()
+        kept["version_rank"] = (rank[rank < n] + 1).astype("int64")
+        return kept
+
+    return (hash_bucket(pruned, url_col, P)
+            .groupby("_part")
+            .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                        batch_format="pandas"))

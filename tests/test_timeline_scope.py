@@ -174,3 +174,29 @@ def test_capture_burst_two_pointer(ray_session):
     out2 = (capture_burst(rd.from_pandas(caps2), window=60)
             .to_pandas().set_index("site"))
     assert out2.loc["c.example", "max_burst"] == 1
+
+
+def test_keep_n_versions_rank_and_cut(ray_session):
+    """Newest-N retention: ranks are newest-first 1-based, the cut drops
+    older captures, ties on ts break by digest, pages with < N captures
+    keep everything."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.timeline import keep_n_versions
+
+    pdf = pd.DataFrame({
+        "url_canonical": ["p"] * 4 + ["q"] * 2 + ["r"],
+        "ts_epoch": [10, 20, 30, 30, 5, 6, 1],
+        "digest": ["d1", "d2", "d3", "d0", "e1", "e2", "f1"],
+    })
+    got = (keep_n_versions(rd.from_pandas(pdf), 2)
+           .to_pandas().sort_values(["url_canonical", "version_rank"],
+                                    ignore_index=True))
+    p = got[got["url_canonical"] == "p"]
+    # ts=30 tie -> digest asc: d0 ranks 1, d3 ranks 2; 10/20 dropped
+    assert p[["ts_epoch", "digest", "version_rank"]].values.tolist() == [
+        [30, "d0", 1], [30, "d3", 2]]
+    q = got[got["url_canonical"] == "q"]
+    assert q[["ts_epoch", "version_rank"]].values.tolist() == [[6, 1], [5, 2]]
+    r = got[got["url_canonical"] == "r"]
+    assert r[["ts_epoch", "version_rank"]].values.tolist() == [[1, 1]]
