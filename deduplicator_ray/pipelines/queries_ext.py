@@ -4254,6 +4254,22 @@ def q_containment_est(sf_dir: str):
                                  min_c_ppm=500_000)
 
 
+def q_winnow_pairs(sf_dir: str):
+    """MOSS-style local-similarity pairs over ``documents``
+    (stages/textstats.winnow_pairs): docs sharing >= 10 winnow
+    fingerprints (df-capped at 50) — the lifted-paragraph / quote
+    detector global near-dup misses.  Deterministic (byte-hash
+    winnowing) -> golden-pinned; exactness vs a brute-force
+    intersection oracle is pytest-gated."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import winnow_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return winnow_pairs(ds, min_shared=10)
+
+
 def q_script_mix(sf_dir: str):
     """Unicode-script census per language: doc counts, per-script char
     sums (Latin/Cyrillic/Han/Arabic), digit/letter totals, and the
@@ -4429,6 +4445,7 @@ def registry_ext():
         "mojibake_stats": (q_mojibake_stats, _SQL_MOJIBAKE_STATS),
         "containment_est": (q_containment_est,
                             GOLDEN_SQL.get("containment_est")),
+        "winnow_pairs": (q_winnow_pairs, GOLDEN_SQL.get("winnow_pairs")),
         "embed_covariance": (q_embed_covariance, _SQL_EMB_COVARIANCE),
         "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
         "dup_rate_timeline": (q_dup_rate_timeline,

@@ -773,3 +773,102 @@ def script_counts(ds, *, id_col: str = "doc_id", lang_col: str | None = "lang",
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=4096,
                           zero_copy_batch=True)
+
+
+def winnow_pairs(ds, *, k: int = 8, window: int = 16, min_shared: int = 3,
+                 max_df: int = 50, id_col: str = "doc_id",
+                 text_col: str = "text", num_partitions: int = 32):
+    """MOSS-style LOCAL-similarity pairs (Schleimer et al., SIGMOD'03):
+    documents sharing >= ``min_shared`` winnow fingerprints -> (doc_a,
+    doc_b, n_shared).  Winnowing guarantees any shared run of >=
+    window + k - 1 bytes leaves at least one common fingerprint, so a
+    lifted PARAGRAPH surfaces even when whole-doc Jaccard/minhash is
+    far below any global threshold — the plagiarism/quote complement to
+    the global near-dup family.
+
+    Fingerprints with document frequency > ``max_df`` are dropped on
+    both sides of every comparison (standard MOSS practice: ubiquitous
+    boilerplate carries no locality signal) — this also bounds every
+    fingerprint group, so pair fan-out per group is <= max_df^2 and the
+    shuffles stay balanced by construction.  Exactness modulo that df
+    cap; the pytest oracle recomputes |fp(A) ∩ fp(B)| brute-force with
+    the same cap.
+
+    Shape: explode (16-byte fp rows) -> fp-keyed hash-bucket shuffle ->
+    in-bucket vectorized pair fan-out with per-bucket partial counts ->
+    pair-keyed hash-bucket sum.  Text never rides a shuffle."""
+    import pandas as pd
+
+    from deduplicator_ray.stages.exact import hash_bucket
+    from deduplicator_ray.util import auto_partitions
+
+    P = num_partitions or auto_partitions()
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b[text_col].to_pylist()
+        fps, docs = [], []
+        for i, t in enumerate(texts):
+            fp = winnow_fingerprints(t or "", k=k, window=window)
+            if len(fp):
+                fps.append(fp)
+                docs.append(np.full(len(fp), ids[i], dtype=np.int64))
+        if not fps:
+            return pa.table({"fp": pa.array([], pa.int64()),
+                             "doc": pa.array([], pa.int64())})
+        return pa.table({"fp": np.concatenate(fps),
+                         "doc": np.concatenate(docs)})
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow", batch_size=1024,
+        zero_copy_batch=True)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["fp", "doc"], kind="mergesort",
+                            ignore_index=True)
+        # df cap: drop ubiquitous fingerprints BEFORE fan-out
+        sizes = df.groupby("fp")["doc"].transform("size")
+        df = df[sizes <= max_df]
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        f = df["fp"].to_numpy()
+        d = df["doc"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(([True], f[1:] != f[:-1])))
+        lens = np.diff(np.append(starts, len(f)))
+        out_a, out_b = [], []
+        for s, L in zip(starts, lens):           # L <= max_df by the cap
+            if L < 2:
+                continue
+            g = d[s: s + L]
+            ii, jj = np.triu_indices(L, 1)
+            out_a.append(g[ii])
+            out_b.append(g[jj])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return (pd.DataFrame({"a": lo, "b": hi})
+                .groupby(["a", "b"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    partials = (hash_bucket(rows, "fp", P)
+                .groupby("_part")
+                .map_groups(lambda g: bucket_pairs(g.drop(columns=["_part"])),
+                            batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["a", "b"], as_index=False)["n"].sum()
+        out = out[out["n"] >= min_shared]
+        return pd.DataFrame({"doc_a": out["a"].astype("int64"),
+                             "doc_b": out["b"].astype("int64"),
+                             "n_shared": out["n"].astype("int64")})
+
+    return (hash_bucket(partials, "a", P)
+            .groupby("_part")
+            .map_groups(lambda g: final(g.drop(columns=["_part"])),
+                        batch_format="pandas"))

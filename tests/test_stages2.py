@@ -685,3 +685,47 @@ def test_script_counts_unicode(ray_session):
     assert r4["n_letters"] == 0 and not bool(r4["is_mixed"])
     # doc 0: single-script, nondom = 0 -> not mixed
     assert not bool(got.iloc[0]["is_mixed"])
+
+
+def test_winnow_pairs_bruteforce_and_lifted_paragraph(ray_session):
+    """winnow_pairs == brute-force |fp(A) ∩ fp(B)| (same df cap), and a
+    paragraph lifted into an otherwise-unrelated doc surfaces even
+    though whole-doc similarity is low."""
+    import collections
+    import itertools
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import (winnow_fingerprints,
+                                                   winnow_pairs)
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i:03d}" for i in range(600)]
+    para = " ".join(rng.choice(vocab, size=40))      # the lifted paragraph
+    rows = []
+    for i in range(25):
+        body = " ".join(rng.choice(vocab, size=150))
+        rows.append((i, body))
+    rows.append((100, rows[0][1]))                    # exact dup of doc 0
+    rows.append((101, " ".join(rng.choice(vocab, size=150)) + " " + para))
+    rows.append((102, para + " " + " ".join(rng.choice(vocab, size=150))))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    MIN_SHARED, MAX_DF = 3, 10
+    got = (winnow_pairs(rd.from_pandas(pdf), min_shared=MIN_SHARED,
+                        max_df=MAX_DF).to_pandas())
+    found = {(a, b): n for a, b, n in
+             zip(got["doc_a"], got["doc_b"], got["n_shared"])}
+
+    fps = {r.doc_id: set(winnow_fingerprints(r.text).tolist())
+           for r in pdf.itertuples()}
+    df_cnt = collections.Counter(f for s in fps.values() for f in s)
+    keep = {f for f, c in df_cnt.items() if c <= MAX_DF}
+    want = {}
+    for a, b in itertools.combinations(sorted(fps), 2):
+        n = len(fps[a] & fps[b] & keep)
+        if n >= MIN_SHARED:
+            want[(a, b)] = n
+    assert found == want
+    assert (101, 102) in found          # paragraph-level hit, low global J
+    assert (0, 100) in found            # exact dup
