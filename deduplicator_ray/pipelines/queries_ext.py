@@ -4270,6 +4270,24 @@ def q_winnow_pairs(sf_dir: str):
     return winnow_pairs(ds, min_shared=10)
 
 
+_SAMPLE_K, _SAMPLE_K_SEED = 7, 13
+
+
+def q_sample_k_stratified(sf_dir: str):
+    """Exact-k deterministic per-language sample
+    (stages/shuffle.sample_k_stratified): the k smallest Weyl keys per
+    group, ranked — fixed-size eval-set draws where Bernoulli sampling's
+    binomial variance is unacceptable.  Zero shuffle; bijective keys
+    make the rank total with no tie-break."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    from deduplicator_ray.stages.shuffle import sample_k_stratified
+
+    return sample_k_stratified(ds, _SAMPLE_K, seed=_SAMPLE_K_SEED)
+
+
 def q_script_mix(sf_dir: str):
     """Unicode-script census per language: doc counts, per-script char
     sums (Latin/Cyrillic/Han/Arabic), digit/letter totals, and the
@@ -4410,6 +4428,12 @@ FROM s GROUP BY source
 """
 
 
+def _sql_sample_k_stratified() -> str:
+    from deduplicator_ray.stages.shuffle import sample_k_sql
+
+    return sample_k_sql(_SAMPLE_K, _SAMPLE_K_SEED)
+
+
 def registry_ext():
     """name -> (callable(sf_dir), oracle_sql | None).
 
@@ -4446,6 +4470,8 @@ def registry_ext():
         "containment_est": (q_containment_est,
                             GOLDEN_SQL.get("containment_est")),
         "winnow_pairs": (q_winnow_pairs, GOLDEN_SQL.get("winnow_pairs")),
+        "sample_k_stratified": (q_sample_k_stratified,
+                                _sql_sample_k_stratified()),
         "embed_covariance": (q_embed_covariance, _SQL_EMB_COVARIANCE),
         "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
         "dup_rate_timeline": (q_dup_rate_timeline,

@@ -837,3 +837,68 @@ def shard_manifest(ds, *, budget_tokens: int, id_col: str = "doc_id",
             .groupby("_part")
             .map_groups(lambda g: merge(g.drop(columns=["_part"])),
                         batch_format="pandas"))
+
+
+def sample_k_stratified(ds, k: int, *, seed: int = 0,
+                        id_col: str = "doc_id", group_col: str = "lang"):
+    """EXACT-k deterministic sample per group -> (id_col, group_col,
+    sample_rank BIGINT, 1..k by key order): the k docs with the
+    smallest Weyl keys in each group — the fixed-size companion of
+    ``stratified_sample`` (Bernoulli rates give binomial-variance
+    sizes; an eval-set build wants exactly k per language).
+
+    The Weyl map is a bijection on uint64, so keys are distinct per
+    doc id and the rank is total with no tie-break rule needed.
+    Distribution: per-block partial top-k per group (<= k x #groups
+    rows leave each block), driver merge of the tiny partials — ZERO
+    shuffle, reproducible at any parallelism, exactly SQL-mirrorable
+    (``sample_k_sql``)."""
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            id_col: ids,
+            group_col: b[group_col].to_pandas(),
+            "_key": shuffle_key(ids, seed),
+        })
+        return (df.sort_values("_key", kind="mergesort")
+                .groupby(group_col, sort=False).head(k))
+
+    parts = ds.select_columns([id_col, group_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             group_col: pd.Series([], dtype="string"),
+                             "sample_rank": pd.Series([], dtype="int64")})
+    out = (parts.sort_values("_key", kind="mergesort")
+           .groupby(group_col, sort=False).head(k).copy())
+    out["sample_rank"] = out.groupby(group_col, sort=False).cumcount() + 1
+    out["sample_rank"] = out["sample_rank"].astype("int64")
+    return (out.drop(columns=["_key"])
+            [[id_col, group_col, "sample_rank"]]
+            .reset_index(drop=True))
+
+
+def sample_k_sql(k: int, seed: int, *, id_col: str = "doc_id",
+                 group_col: str = "lang", table: str = "documents") -> str:
+    """DuckDB mirror of ``sample_k_stratified`` — same Weyl key, same
+    per-group rank."""
+    key = (f"(CAST({id_col} AS HUGEINT) + {seed}) * {SHUFFLE_MULT} "
+           f"% 18446744073709551616")
+    return f"""
+WITH keyed AS (
+  SELECT {id_col}, {group_col}, {key} AS key FROM {table}
+),
+ranked AS (
+  SELECT {id_col}, {group_col},
+         row_number() OVER (PARTITION BY {group_col} ORDER BY key)
+           AS sample_rank
+  FROM keyed
+)
+SELECT {id_col}, {group_col}, sample_rank::BIGINT AS sample_rank
+FROM ranked WHERE sample_rank <= {k}
+"""

@@ -1378,3 +1378,34 @@ def test_split_by_cluster_no_straddle(ray_session):
     same = [got.loc[i, "split"] == plain.loc[i] for i in singles
             if got.loc[i, "cluster_id"] == i]
     assert same and all(same)
+
+
+def test_sample_k_stratified_partition_invariant(ray_session):
+    """Exact-k per group: partition-count invariance, exact sizes, rank
+    = key order, consistency with the Bernoulli sampler's key space
+    (the k smallest keys are a prefix of any rate's accepted set)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.shuffle import (sample_k_stratified,
+                                                 shuffle_key)
+
+    n = 500
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": np.repeat(["en", "de", "fr", "is", "es"], n // 5),
+    })
+    a = sample_k_stratified(rd.from_pandas(pdf).repartition(7), 9, seed=3)
+    b = sample_k_stratified(rd.from_pandas(pdf).repartition(2), 9, seed=3)
+    pd.testing.assert_frame_equal(
+        a.sort_values(["lang", "sample_rank"], ignore_index=True),
+        b.sort_values(["lang", "sample_rank"], ignore_index=True))
+    assert (a.groupby("lang").size() == 9).all()
+    # rank order == key order, per group
+    for lang, g in a.groupby("lang"):
+        keys = shuffle_key(g.sort_values("sample_rank")["doc_id"]
+                           .to_numpy(), 3)
+        assert (np.diff(keys.astype(np.uint64)) > 0).all()
+        # brute-force: these ARE the k smallest keys of the group
+        allk = shuffle_key(pdf.loc[pdf["lang"] == lang, "doc_id"]
+                           .to_numpy(), 3)
+        assert set(keys.tolist()) == set(np.sort(allk)[:9].tolist())
