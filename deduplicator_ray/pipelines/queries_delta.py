@@ -1004,6 +1004,7 @@ def registry_delta():
         "capture_gaps": (q_capture_gaps, _sql_capture_gaps()),
         "capture_burst": (q_capture_burst, _sql_capture_burst()),
         "domain_rollup": (q_domain_rollup, _sql_domain_rollup()),
+        "domain_blocklist": (q_domain_blocklist, _sql_domain_blocklist()),
         "site_change_rate": (q_site_change_rate, _sql_site_change_rate()),
         "cdx_roundtrip": (q_cdx_roundtrip, _sql_cdx_roundtrip()),
         "query_param_stats": (q_query_param_stats, _sql_query_param_stats()),
@@ -1031,3 +1032,102 @@ def registry_delta():
         "site_lang_mix": (q_site_lang_mix, _sql_site_lang_mix()),
         "corpus_sample_pps": (q_corpus_sample_pps, _sql_corpus_sample_pps()),
     }
+
+
+_BLOCK_MIN_CAPS, _BLOCK_DUP_NUM, _BLOCK_DUP_DEN = 20, 1, 2
+_BLOCK_PARAM_NUM, _BLOCK_PARAM_DEN = 4, 5
+
+
+def q_domain_blocklist(sf_dir: str):
+    """Registrable-domain BLOCKLIST candidates — the decision rollup a
+    crawl operator reviews before excluding a domain: per domain,
+    captures / distinct pages / duplicated-content captures (captures
+    minus distinct digests) / query-param captures, and an integer-rule
+    ``blocked`` flag: >= 20 captures AND (dup share >= 1/2 OR
+    query-param share >= 4/5).  Thresholds are the classic
+    spam/trap/mirror screens (hub 'empty page' digests and phpsessid
+    families in this corpus trip them by construction).
+
+    Same distribution contract as domain_rollup: within-batch distinct
+    partials, ONE domain-keyed shuffle, vectorized per-bucket rollup;
+    integer rules evaluate identically in DuckDB."""
+    import pyarrow.compute as pc
+
+    from deduplicator_ray.stages.exact import hash_bucket
+    from deduplicator_ray.util import auto_partitions
+
+    caps = captures_dataset(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["url_canonical"].combine_chunks()
+        m = pc.extract_regex(u, r"^(?P<h>[^/]+)")
+        host = pc.fill_null(pc.struct_field(m, "h"), "")
+        d = pc.extract_regex(host, r"(?P<d>[^.]+\.[^.]+)$")
+        dom = pc.fill_null(pc.struct_field(d, "d"), "")
+        has_q = pc.cast(pc.greater(pc.count_substring(u, "?"), 0),
+                        pa.int64())
+        df = pa.table({"domain": dom, "u": u, "digest": b["digest"],
+                       "q": has_q}).to_pandas()
+        g = (df.groupby(["domain", "u", "digest"], as_index=False)
+             .agg(n=("q", "size"), n_param=("q", "sum")))
+        g["n"] = g["n"].astype("int64")
+        g["n_param"] = g["n_param"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_bucket(df):
+        import pandas as pd
+
+        g = (df.groupby(["domain", "u", "digest"], as_index=False)
+             .agg(n=("n", "sum"), n_param=("n_param", "sum")))
+        out = g.groupby("domain", as_index=False).agg(
+            n_captures=("n", "sum"), n_pages=("u", "nunique"),
+            n_digests=("digest", "nunique"), n_param=("n_param", "sum"))
+        nc = out["n_captures"]
+        out["n_dup"] = nc - out["n_digests"]
+        blocked = (nc >= _BLOCK_MIN_CAPS) & (
+            (_BLOCK_DUP_DEN * out["n_dup"] >= _BLOCK_DUP_NUM * nc)
+            | (_BLOCK_PARAM_DEN * out["n_param"] >= _BLOCK_PARAM_NUM * nc))
+        out["blocked"] = blocked.astype("int64")
+        out = out.drop(columns=["n_digests"])
+        for c in ("n_captures", "n_pages", "n_dup", "n_param", "blocked"):
+            out[c] = out[c].astype("int64")
+        return out[["domain", "n_captures", "n_pages", "n_dup",
+                    "n_param", "blocked"]]
+
+    return (hash_bucket(
+        caps.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True), "domain",
+        auto_partitions())
+        .groupby("_part")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                    batch_format="pandas"))
+
+
+def _sql_domain_blocklist() -> str:
+    canon = canonical_sql_expr("url")
+    return f"""
+WITH {CAPTURES_CTE},
+caps AS (SELECT {canon} AS u, md5(text) AS digest FROM captures),
+d AS (
+  SELECT u, digest,
+         regexp_extract(regexp_extract(u, '^(?P<h>[^/]+)', 1),
+                        '([^.]+\\.[^.]+)$', 1) AS domain,
+         CASE WHEN contains(u, '?') THEN 1 ELSE 0 END AS q
+  FROM caps
+),
+agg AS (
+  SELECT domain,
+         count(*)::BIGINT AS n_captures,
+         count(DISTINCT u)::BIGINT AS n_pages,
+         (count(*) - count(DISTINCT digest))::BIGINT AS n_dup,
+         sum(q)::BIGINT AS n_param
+  FROM d GROUP BY domain
+)
+SELECT domain, n_captures, n_pages, n_dup, n_param,
+       CASE WHEN n_captures >= {_BLOCK_MIN_CAPS} AND (
+                 {_BLOCK_DUP_DEN} * n_dup >= {_BLOCK_DUP_NUM} * n_captures
+              OR {_BLOCK_PARAM_DEN} * n_param
+                 >= {_BLOCK_PARAM_NUM} * n_captures)
+            THEN 1 ELSE 0 END::BIGINT AS blocked
+FROM agg
+"""
