@@ -564,6 +564,74 @@ FROM r WHERE version_rank <= {_RETAIN_N}
 """
 
 
+_RETAIN_CURVE_MAX = 8
+
+
+def q_retention_curve(sf_dir: str):
+    """Retention-policy tuning curve: for each cap N in 1..8, the
+    captures a keep-newest-N policy would drop and the pages it would
+    touch — the storage-vs-history trade-off read an archive operator
+    takes before fixing N (companion of ``keep_n_versions``; shape of
+    ``jaccard_curve``).
+
+    Distribution: within-batch per-url partial counts, ONE url-keyed
+    hash-bucket shuffle to exact per-page capture counts, then a
+    count-histogram fold (<= max timeline length rows) on the driver —
+    the curve is pure arithmetic over that tiny histogram."""
+    import numpy as np
+    import pandas as pd
+
+    from deduplicator_ray.stages.exact import hash_bucket
+    from deduplicator_ray.util import auto_partitions
+
+    caps = captures_dataset(sf_dir)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pa.table({"u": b["url_canonical"]}).to_pandas()
+        return df.groupby("u", as_index=False).size().rename(
+            columns={"size": "n"})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("u", as_index=False)["n"].sum()
+        h = g.groupby("n", as_index=False).size().rename(
+            columns={"size": "n_pages"})
+        return h
+
+    hist = (hash_bucket(
+        caps.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True), "u", auto_partitions())
+        .groupby("_part")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                    batch_format="pandas")
+        .to_pandas().groupby("n", as_index=False)["n_pages"].sum())
+    c = hist["n"].to_numpy(np.int64)
+    p = hist["n_pages"].to_numpy(np.int64)
+    total = int((c * p).sum())
+    rows = []
+    for N in range(1, _RETAIN_CURVE_MAX + 1):
+        over = c > N
+        dropped = int(((c[over] - N) * p[over]).sum())
+        rows.append((N, total - dropped, dropped, int(p[over].sum())))
+    return pd.DataFrame(rows, columns=["cap_n", "n_kept", "n_dropped",
+                                       "pages_affected"]).astype("int64")
+
+
+def _sql_retention_curve() -> str:
+    canon = canonical_sql_expr("url")
+    return f"""
+WITH {CAPTURES_CTE},
+pc_ AS (SELECT {canon} AS u, count(*)::BIGINT AS c
+        FROM captures GROUP BY 1),
+ns AS (SELECT unnest(range(1, {_RETAIN_CURVE_MAX + 1})) AS cap_n)
+SELECT ns.cap_n::BIGINT AS cap_n,
+       sum(least(pc_.c, ns.cap_n))::BIGINT AS n_kept,
+       sum(greatest(pc_.c - ns.cap_n, 0))::BIGINT AS n_dropped,
+       sum(CASE WHEN pc_.c > ns.cap_n THEN 1 ELSE 0 END)::BIGINT
+         AS pages_affected
+FROM ns CROSS JOIN pc_ GROUP BY 1
+"""
+
+
 def registry():
     """name -> (callable(sf_dir) -> Dataset, oracle_sql | None)."""
     from deduplicator_ray.pipelines.queries_delta import registry_delta
@@ -596,6 +664,7 @@ def registry():
         "canonical_urls": (q_canonical_urls, _sql_canonical_urls()),
         "timeline_dedup": (q_timeline_dedup, _sql_timeline_dedup()),
         "keep_n_versions": (q_keep_n_versions, _sql_keep_n_versions()),
+        "retention_curve": (q_retention_curve, _sql_retention_curve()),
         "scope_filter": (q_scope_filter, _sql_scope_filter()),
         "lang_counts": (
             q_lang_counts,
