@@ -753,6 +753,29 @@ def q_embed_topk_pq(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def q_embed_topk_ivfpq(sf_dir: str):
+    """ANN compute+memory scale path: IVF+PQ (Jegou et al. 2011 Sec. V,
+    the FAISS IVFPQ layout; stages/embed.ivfpq_topk).  The stored index
+    is (id, coarse list, 16-byte residual PQ code) SORTED BY LIST —
+    list-pure blocks give probe-side partition pruning on top of PQ's
+    32x at-rest compression.  This row runs FULL probe + 128-deep exact
+    rerank, so the output EQUALS brute force and pins the entire
+    machinery (coarse quantizer, residual codebooks, list-sorted
+    encode, q.c + LUT ADC scan with block skipping, shortlist merge,
+    exact rerank) against the same DuckDB oracle as ``embed_topk``;
+    partial-probe recall and the shortlist-sizing effect are
+    pytest-gated on planted clusters."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import ivfpq_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = ivfpq_topk(ds, _topk_query_matrix(sf_dir), k=_TOPK_K,
+                     n_lists=16, n_probe=16, n_subspaces=16, rerank=128)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
 _SQL_EMB_TOPK = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {_TOPK_NQ}
@@ -4496,6 +4519,7 @@ def registry_ext():
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
         "embed_topk_ivf": (q_embed_topk_ivf, _SQL_EMB_TOPK),
         "embed_topk_pq": (q_embed_topk_pq, _SQL_EMB_TOPK),
+        "embed_topk_ivfpq": (q_embed_topk_ivfpq, _SQL_EMB_TOPK),
         "neardup_clusters": (q_neardup_clusters, _SQL_NEARDUP_CLUSTERS),
         "neardup_clusters_minhash": (q_neardup_clusters_minhash, GOLDEN_SQL["neardup_clusters_minhash"]),
         "pair_lcs": (q_pair_lcs, GOLDEN_SQL["pair_lcs"]),

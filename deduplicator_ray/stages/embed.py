@@ -1211,3 +1211,146 @@ def d4_keep(ds, *, k: int = 8, iters: int = 3, threshold: float = 0.9,
     return (labeled.groupby("_part")
             .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
                         batch_format="pandas"))
+
+
+def ivfpq_topk(ds, query_matrix: np.ndarray, k: int = 10, *,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               n_lists: int = 16, n_probe: int = 4,
+               n_subspaces: int = 8, n_centroids: int = 256,
+               train_sample: int = 10_000, rerank: int = 50,
+               iters: int = 10, seed: int = 42,
+               batch_size: int = 4096) -> pa.Table:
+    """IVF+PQ ANN top-k (Jegou et al. 2011 Sec. V — the FAISS IVFPQ
+    layout): a k-means coarse quantizer routes every vector to a list,
+    the RESIDUAL (v - centroid) is product-quantized to m bytes, and the
+    stored index is (id, list, code) SORTED BY LIST so blocks are
+    list-pure.  A query probes its ``n_probe`` nearest lists: blocks
+    whose lists no query probes are skipped outright (the partition
+    pruning that makes IVF pay at cluster scale — each probe reads only
+    its lists' partitions), probed blocks are scored by residual ADC
+    (score = q.centroid_list + sum_j LUT[q, j, code_j]) and pruned to a
+    per-query shortlist; exact cosine reranks the shortlist (one
+    filtered gather pass, same machinery as ``pq_topk``).
+
+    With full probing and shortlist recall 1 the output EQUALS brute
+    force (the pytest gate); partial-probe recall is gated on planted
+    clusters.  Returns (query_id, vec_id, rank, cosine) — exact cosine
+    after rerank."""
+    import pandas as pd
+    import ray
+
+    q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    nq, d = q.shape
+    sample = _normalize(_hash_sample(ds, id_col, vec_col, train_sample))
+    centroids = _kmeans_fit(sample, n_lists, iters=iters, seed=seed)
+    L = len(centroids)
+    assign = np.argmax(sample @ centroids.T, axis=1)
+    books = pq_train(sample - centroids[assign], n_subspaces=n_subspaces,
+                     n_centroids=n_centroids, iters=iters, seed=seed)
+    M, ksub, dsub = books.shape
+    enc_ref = ray.put((centroids, books))
+
+    def encode(b: pa.Table) -> pa.Table:
+        cents, bks = _bcast(enc_ref)
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        m = _normalize(_matrix(b[vec_col], d))
+        lists = np.argmax(m @ cents.T, axis=1)
+        res = m - cents[lists]
+        codes = np.empty((len(m), M), dtype=np.uint8)
+        for j in range(M):
+            sub = res[:, j * dsub: (j + 1) * dsub]
+            # argmin ||r - c||^2 = argmin(|c|^2 - 2 r.c)
+            d2 = (bks[j] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ bks[j].T)
+            codes[:, j] = np.argmin(d2, axis=1)
+        offsets = np.arange(len(m) + 1, dtype=np.int32) * M
+        arr = pa.BinaryArray.from_buffers(
+            pa.binary(), len(m),
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(codes.tobytes())])
+        return pa.table({id_col: pa.array(ids), "list_id": pa.array(
+            lists.astype(np.int64)), "pqcode": arr})
+
+    # the stored index: 17-byte rows, list-pure blocks (partition pruning)
+    codes_ds = (ds.select_columns([id_col, vec_col])
+                .map_batches(encode, batch_format="pyarrow",
+                             batch_size=batch_size, zero_copy_batch=True)
+                .sort("list_id").materialize())
+
+    probe_order = np.argsort(-(q @ centroids.T), axis=1)[:, : min(n_probe, L)]
+    probe_mask = np.zeros((L, nq), dtype=bool)
+    for qi, lists in enumerate(probe_order):
+        probe_mask[lists, qi] = True
+    lut = np.einsum("qjd,jkd->qjk", q.reshape(nq, M, dsub), books)
+    qdotc = q @ centroids.T                      # (nq, L) list constants
+    scan_ref = ray.put((np.ascontiguousarray(lut), qdotc, probe_mask))
+    keep_n = max(k, rerank)
+
+    def scan(b: pa.Table) -> pa.Table:
+        lt, qc, mask = _bcast(scan_ref)
+        z = pa.array([], pa.int64())
+        empty = pa.table({"query_id": z, "vec_id": z,
+                          "adc": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        lists = np.asarray(b["list_id"], dtype=np.int64)
+        if not mask[np.unique(lists)].any():
+            return empty                          # block-level skip
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        codes = _blob_codes(b["pqcode"], M)
+        n = len(ids)
+        tile = _scratch("ivfpq_tile", (nq, n))
+        np.copyto(tile, qc[:, lists])
+        for j in range(M):
+            tile += lt[:, j, codes[:, j]]
+        tile[~mask[lists].T] = -np.inf
+        kk = min(keep_n, n)
+        idx = (np.argpartition(tile, n - kk, axis=1)[:, n - kk:]
+               if kk < n else
+               np.broadcast_to(np.arange(n), (nq, n)))
+        vals = np.take_along_axis(tile, idx, axis=1)
+        qi = np.repeat(np.arange(nq, dtype=np.int64), idx.shape[1])
+        vid = ids[idx.ravel()]
+        adc = vals.ravel()
+        keep = adc > -np.inf
+        return pa.table({"query_id": qi[keep], "vec_id": vid[keep],
+                         "adc": adc[keep].copy()})
+
+    pdf = codes_ds.map_batches(scan, batch_format="pyarrow",
+                               batch_size=batch_size,
+                               zero_copy_batch=True).to_pandas()
+    if pdf.empty:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    pdf = pdf.sort_values(["query_id", "adc", "vec_id"],
+                          ascending=[True, False, True], kind="mergesort")
+    short = pdf.groupby("query_id", sort=True).head(keep_n).reset_index(drop=True)
+
+    need = np.unique(short["vec_id"].to_numpy(np.int64))
+    need_ref = ray.put(need)
+
+    def gather(b: pa.Table) -> pa.Table:
+        want = _bcast(need_ref)
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        pos = np.searchsorted(want, ids)
+        hit = (pos < len(want)) & (want[np.minimum(pos, len(want) - 1)] == ids)
+        t = b.filter(pa.array(hit))
+        return _vec_blob_table(t, id_col, vec_col)
+
+    vecs = ds.select_columns([id_col, vec_col]).map_batches(
+        gather, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True).to_pandas()
+    vid = vecs[id_col].to_numpy(np.int64)
+    V = (np.stack([np.frombuffer(bts, dtype="<f8") for bts in vecs["vecblob"]])
+         if len(vecs) else np.empty((0, d)))   # blobs are pre-normalized
+    row_of = pd.Series(np.arange(len(vid)), index=vid)
+    rows = row_of[short["vec_id"].to_numpy(np.int64)].to_numpy()
+    qs = short["query_id"].to_numpy(np.int64)
+    short = short.assign(cosine=np.einsum("ij,ij->i", q[qs], V[rows]))
+    short = short.sort_values(["query_id", "cosine", "vec_id"],
+                              ascending=[True, False, True], kind="mergesort")
+    top = short.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        top[["query_id", "vec_id", "rank", "cosine"]], preserve_index=False)
