@@ -632,6 +632,45 @@ FROM ns CROSS JOIN pc_ GROUP BY 1
 """
 
 
+def q_revisit_schedule(sf_dir: str):
+    """Adaptive revisit scheduling per page (stages/timeline.
+    revisit_schedule; the batch analog of Heritrix's adaptive-revisit
+    frontier): digest-transition count + observed mean change interval
+    -> clamped suggested fetch interval — the crawl-planning read the
+    reference's duplicate/novel decisions feed in production."""
+    from deduplicator_ray.stages.timeline import revisit_schedule
+
+    return revisit_schedule(captures_dataset(sf_dir))
+
+
+def _sql_revisit_schedule() -> str:
+    from deduplicator_ray.stages.timeline import (_REVISIT_MAX_S,
+                                                  _REVISIT_MIN_S)
+
+    canon = canonical_sql_expr("url")
+    return f"""
+WITH {CAPTURES_CTE},
+c AS (SELECT {canon} AS url_canonical, ts_epoch, md5(text) AS digest
+      FROM captures),
+seq AS (SELECT url_canonical, ts_epoch, digest,
+               lag(digest) OVER (PARTITION BY url_canonical
+                                 ORDER BY ts_epoch, digest) AS prev
+        FROM c),
+agg AS (SELECT url_canonical,
+               count(*)::BIGINT AS n_captures,
+               sum(CASE WHEN prev IS NOT NULL AND prev <> digest
+                        THEN 1 ELSE 0 END)::BIGINT AS n_changes,
+               (max(ts_epoch) - min(ts_epoch))::BIGINT AS span_s
+        FROM seq GROUP BY 1)
+SELECT url_canonical, n_captures, n_changes, span_s,
+       CASE WHEN n_changes = 0 THEN {_REVISIT_MAX_S}
+            ELSE least({_REVISIT_MAX_S},
+                       greatest({_REVISIT_MIN_S}, span_s // n_changes))
+       END::BIGINT AS suggested_interval_s
+FROM agg
+"""
+
+
 def registry():
     """name -> (callable(sf_dir) -> Dataset, oracle_sql | None)."""
     from deduplicator_ray.pipelines.queries_delta import registry_delta
@@ -665,6 +704,7 @@ def registry():
         "timeline_dedup": (q_timeline_dedup, _sql_timeline_dedup()),
         "keep_n_versions": (q_keep_n_versions, _sql_keep_n_versions()),
         "retention_curve": (q_retention_curve, _sql_retention_curve()),
+        "revisit_schedule": (q_revisit_schedule, _sql_revisit_schedule()),
         "scope_filter": (q_scope_filter, _sql_scope_filter()),
         "lang_counts": (
             q_lang_counts,

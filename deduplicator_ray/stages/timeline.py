@@ -381,3 +381,73 @@ def keep_n_versions(caps, n: int, *, url_col: str = "url_canonical",
             .groupby("_part")
             .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
                         batch_format="pandas"))
+
+
+_REVISIT_MIN_S = 3600
+_REVISIT_MAX_S = 2_592_000  # 30 days
+
+
+def revisit_schedule(caps, *, url_col: str = "url_canonical",
+                     ts_col: str = "ts_epoch", digest_col: str = "digest",
+                     min_interval_s: int = _REVISIT_MIN_S,
+                     max_interval_s: int = _REVISIT_MAX_S,
+                     num_partitions: int | None = None):
+    """Adaptive revisit scheduling (the batch analog of Heritrix's
+    adaptive-revisit frontier, which widens/narrows a page's fetch
+    interval as content proves stable/volatile): per page ->
+    (url_canonical, n_captures, n_changes, span_s, suggested_interval_s)
+    where n_changes counts digest transitions on the ts-ordered
+    timeline and the suggestion is the observed mean change interval
+    span_s // n_changes, clamped to [min, max]; a page never seen to
+    change gets the max interval.  All-integer rules, identical in SQL.
+
+    Same distribution contract as timeline_dedup: ONE url-keyed
+    hash-bucket shuffle, vectorized per-bucket kernel; ties on ts break
+    by digest (deterministic both engines)."""
+    P = num_partitions or auto_partitions()
+
+    def prune(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            url_col: b[url_col],
+            ts_col: pc.cast(b[ts_col], pa.int64()),
+            digest_col: b[digest_col],
+        })
+
+    pruned = caps.map_batches(prune, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([url_col, ts_col, digest_col], kind="mergesort",
+                            ignore_index=True)
+        u = df[url_col].to_numpy()
+        t = df[ts_col].to_numpy(np.int64)
+        d = df[digest_col].to_numpy()
+        same_page = np.zeros(len(df), dtype=bool)
+        if len(df) > 1:
+            same_page[1:] = u[1:] == u[:-1]
+        change = same_page & (np.concatenate(([True], d[1:] != d[:-1])))
+        starts = np.flatnonzero(~same_page)
+        lens = np.diff(np.append(starts, len(df)))
+        n_caps = lens.astype(np.int64)
+        n_changes = np.add.reduceat(change.astype(np.int64), starts) \
+            if len(df) else np.zeros(0, np.int64)
+        span = t[starts + lens - 1] - t[starts]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_iv = np.where(n_changes > 0,
+                               span // np.maximum(n_changes, 1),
+                               max_interval_s)
+        suggested = np.clip(mean_iv, min_interval_s, max_interval_s)
+        return pd.DataFrame({
+            url_col: u[starts],
+            "n_captures": n_caps,
+            "n_changes": n_changes,
+            "span_s": span.astype("int64"),
+            "suggested_interval_s": suggested.astype("int64"),
+        })
+
+    return (hash_bucket(pruned, url_col, P)
+            .groupby("_part")
+            .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                        batch_format="pandas"))

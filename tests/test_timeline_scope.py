@@ -200,3 +200,38 @@ def test_keep_n_versions_rank_and_cut(ray_session):
     assert q[["ts_epoch", "version_rank"]].values.tolist() == [[6, 1], [5, 2]]
     r = got[got["url_canonical"] == "r"]
     assert r[["ts_epoch", "version_rank"]].values.tolist() == [[1, 1]]
+
+
+def test_revisit_schedule_rules(ray_session):
+    """Volatile page -> mean change interval; stable page -> max;
+    single capture -> max; clamps apply at both ends."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.timeline import (_REVISIT_MAX_S,
+                                                  _REVISIT_MIN_S,
+                                                  revisit_schedule)
+
+    day = 86400
+    pdf = pd.DataFrame({
+        "url_canonical": (["vol"] * 4) + (["stable"] * 3) + ["once"]
+                          + (["fast"] * 3),
+        "ts_epoch": [0, day, 2 * day, 3 * day,
+                     0, day, 2 * day,
+                     50,
+                     0, 60, 120],
+        "digest": ["a", "b", "c", "d",
+                   "s", "s", "s",
+                   "x",
+                   "p", "q", "r"],
+    })
+    got = (revisit_schedule(rd.from_pandas(pdf)).to_pandas()
+           .set_index("url_canonical"))
+    v = got.loc["vol"]
+    assert v["n_captures"] == 4 and v["n_changes"] == 3
+    assert v["suggested_interval_s"] == day          # span 3d / 3 changes
+    s = got.loc["stable"]
+    assert s["n_changes"] == 0
+    assert s["suggested_interval_s"] == _REVISIT_MAX_S
+    assert got.loc["once", "suggested_interval_s"] == _REVISIT_MAX_S
+    f = got.loc["fast"]                              # 120s span / 2 changes
+    assert f["suggested_interval_s"] == _REVISIT_MIN_S   # clamped up
