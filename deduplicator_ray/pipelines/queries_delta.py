@@ -1045,8 +1045,10 @@ def q_domain_blocklist(sf_dir: str):
     minus distinct digests) / query-param captures, and an integer-rule
     ``blocked`` flag: >= 20 captures AND (dup share >= 1/2 OR
     query-param share >= 4/5).  Thresholds are the classic
-    spam/trap/mirror screens (hub 'empty page' digests and phpsessid
-    families in this corpus trip them by construction).
+    spam/trap/mirror screens; the param screen reads the RAW url
+    (canonicalization strips exactly the session params it targets —
+    the hub 'empty page' digest family trips the dup rule by
+    construction).
 
     Same distribution contract as domain_rollup: within-batch distinct
     partials, ONE domain-keyed shuffle, vectorized per-bucket rollup;
@@ -1064,7 +1066,9 @@ def q_domain_blocklist(sf_dir: str):
         host = pc.fill_null(pc.struct_field(m, "h"), "")
         d = pc.extract_regex(host, r"(?P<d>[^.]+\.[^.]+)$")
         dom = pc.fill_null(pc.struct_field(d, "d"), "")
-        has_q = pc.cast(pc.greater(pc.count_substring(u, "?"), 0),
+        # param screen reads the RAW url: canonicalization strips exactly
+        # the session params the rule exists to catch
+        has_q = pc.cast(pc.greater(pc.count_substring(b["url"], "?"), 0),
                         pa.int64())
         df = pa.table({"domain": dom, "u": u, "digest": b["digest"],
                        "q": has_q}).to_pandas()
@@ -1107,12 +1111,13 @@ def _sql_domain_blocklist() -> str:
     canon = canonical_sql_expr("url")
     return f"""
 WITH {CAPTURES_CTE},
-caps AS (SELECT {canon} AS u, md5(text) AS digest FROM captures),
+caps AS (SELECT {canon} AS u, url AS raw_url, md5(text) AS digest
+         FROM captures),
 d AS (
   SELECT u, digest,
          regexp_extract(regexp_extract(u, '^(?P<h>[^/]+)', 1),
                         '([^.]+\\.[^.]+)$', 1) AS domain,
-         CASE WHEN contains(u, '?') THEN 1 ELSE 0 END AS q
+         CASE WHEN contains(raw_url, '?') THEN 1 ELSE 0 END AS q
   FROM caps
 ),
 agg AS (

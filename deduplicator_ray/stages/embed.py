@@ -1276,12 +1276,12 @@ def ivfpq_topk(ds, query_matrix: np.ndarray, k: int = 10, *,
                              batch_size=batch_size, zero_copy_batch=True)
                 .sort("list_id").materialize())
 
-    probe_order = np.argsort(-(q @ centroids.T), axis=1)[:, : min(n_probe, L)]
+    qdotc = q @ centroids.T                      # (nq, L) list constants
+    probe_order = np.argsort(-qdotc, axis=1)[:, : min(n_probe, L)]
     probe_mask = np.zeros((L, nq), dtype=bool)
     for qi, lists in enumerate(probe_order):
         probe_mask[lists, qi] = True
     lut = np.einsum("qjd,jkd->qjk", q.reshape(nq, M, dsub), books)
-    qdotc = q @ centroids.T                      # (nq, L) list constants
     scan_ref = ray.put((np.ascontiguousarray(lut), qdotc, probe_mask))
     keep_n = max(k, rerank)
 

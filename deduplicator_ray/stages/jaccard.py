@@ -298,6 +298,28 @@ def _gram_tf(text: str, n: int) -> np.ndarray:
     return np.column_stack([uniq, cnt.astype(np.uint64)]).ravel()
 
 
+def _tf_blob_table(ds, *, ngram: int, id_col: str,
+                   lang_col: str | None, text_col: str):
+    """(id, [lang], text) -> materialized (id, tfblob, [lang]) table of
+    hash-sorted (gram u64, count u64) blobs — the shared weighted-set
+    encoding both ``weighted_jaccard_pairs`` and ``cws_jaccard_pairs``
+    feed to their candidate and verify stages."""
+    cols = [id_col, text_col] + ([lang_col] if lang_col else [])
+
+    def grams_table(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        arr = pack_u64_blobs([_gram_tf(t, ngram) for t in texts])
+        out = {id_col: b[id_col], "tfblob": arr}
+        if lang_col:
+            out[lang_col] = b[lang_col]
+        return pa.table(out)
+
+    return ds.select_columns(cols).map_batches(
+        grams_table, batch_format="pyarrow", batch_size=1024,
+        zero_copy_batch=True
+    ).materialize()  # feeds both the candidate explode and the verify join
+
+
 def weighted_jaccard_pairs(ds, *, num: int = 1, den: int = 2, ngram: int = 3,
                            id_col: str = "doc_id",
                            lang_col: str | None = "lang",
@@ -337,20 +359,8 @@ def weighted_jaccard_pairs(ds, *, num: int = 1, den: int = 2, ngram: int = 3,
 
     if not (0 < num <= den):
         raise ValueError("need 0 < num <= den")
-    cols = [id_col, text_col] + ([lang_col] if lang_col else [])
-
-    def grams_table(b: pa.Table) -> pa.Table:
-        texts = b[text_col].to_pylist()
-        arr = pack_u64_blobs([_gram_tf(t, ngram) for t in texts])
-        out = {id_col: b[id_col], "tfblob": arr}
-        if lang_col:
-            out[lang_col] = b[lang_col]
-        return pa.table(out)
-
-    sigs = ds.select_columns(cols).map_batches(
-        grams_table, batch_format="pyarrow", batch_size=1024,
-        zero_copy_batch=True
-    ).materialize()  # feeds both the prefix explode and the verify join
+    sigs = _tf_blob_table(ds, ngram=ngram, id_col=id_col,
+                          lang_col=lang_col, text_col=text_col)
 
     def prefix_explode(b: pa.Table) -> pa.Table:
         ids = np.asarray(b[id_col], dtype=np.int64)
@@ -477,7 +487,7 @@ def cws_jaccard_pairs(ds, *, num: int = 1, den: int = 2, ngram: int = 3,
                       seed: int = 42, id_col: str = "doc_id",
                       lang_col: str | None = "lang", text_col: str = "text",
                       num_partitions: int = 64, max_group: int = 100_000,
-                      overflow: str = "star"):
+                      overflow: str = "error"):
     """Weighted-Jaccard near-dup pairs via Consistent Weighted Sampling
     sketches — the SCALE path for ``weighted_jaccard_pairs`` when the
     gram universe is stopword-heavy and prefix groups would blow up
@@ -489,7 +499,11 @@ def cws_jaccard_pairs(ds, *, num: int = 1, den: int = 2, ngram: int = 3,
     (shared kernel with the exact path), so precision is 1 and only
     candidate recall is probabilistic: a pair at J_w = j survives with
     p = 1 - (1 - j^band_size)^(n_samples/band_size) (defaults: 0.9999
-    at j = 0.5; pytest recall-gated).  Sketch cost per doc is
+    at j = 0.5; pytest recall-gated).  ``overflow='error'`` by default —
+    like the exact path, this output is completeness-critical, so a
+    mega band-bucket (a duplicate family past ``max_group``) raises
+    instead of silently degrading to star edges; pass
+    ``overflow='star'`` to opt into that degradation.  Sketch cost per doc is
     O(n_samples x m) vectorized flops; band rows are 16 bytes — tf
     blobs never ride the band shuffle."""
     from deduplicator_ray.config import MinHashConfig
@@ -499,20 +513,8 @@ def cws_jaccard_pairs(ds, *, num: int = 1, den: int = 2, ngram: int = 3,
         raise ValueError("need 0 < num <= den")
     if n_samples % band_size:
         raise ValueError("band_size must divide n_samples")
-    cols = [id_col, text_col] + ([lang_col] if lang_col else [])
-
-    def grams_table(b: pa.Table) -> pa.Table:
-        texts = b[text_col].to_pylist()
-        arr = pack_u64_blobs([_gram_tf(t, ngram) for t in texts])
-        out = {id_col: b[id_col], "tfblob": arr}
-        if lang_col:
-            out[lang_col] = b[lang_col]
-        return pa.table(out)
-
-    sigs = ds.select_columns(cols).map_batches(
-        grams_table, batch_format="pyarrow", batch_size=1024,
-        zero_copy_batch=True
-    ).materialize()  # feeds both the sketch explode and the verify join
+    sigs = _tf_blob_table(ds, ngram=ngram, id_col=id_col,
+                          lang_col=lang_col, text_col=text_col)
 
     n_bands = n_samples // band_size
     band_idx = np.arange(n_bands, dtype=np.uint64)

@@ -109,12 +109,18 @@ class MinHasher:
             self._affine_buf = np.empty(n_elems, dtype=np.uint64)
         return self._affine_buf[:n_elems]
 
-    def signature_matrix(self, texts: list[str | None]) -> np.ndarray:
+    def signature_matrix(self, texts: list[str | None], *,
+                         distinct_counts: list | None = None) -> np.ndarray:
         """(n_docs, num_perms) uint32 signature matrix.
 
         Whole-batch vectorization: every doc's words are hashed in ONE
         ``pd.util.hash_array`` call over the concatenated token array;
-        only the (cheap) k-term rolling combine runs per doc."""
+        only the (cheap) k-term rolling combine runs per doc.
+
+        ``distinct_counts``: pass an empty list to ALSO receive the
+        per-doc DISTINCT shingle counts (int64 array appended to the
+        list) — consumers like ``containment_est_pairs`` need |A|
+        without re-running the tokenize/hash work."""
         cfg = self.cfg
         words_per_doc = [self.token_re.findall((t or "").lower()) for t in texts]
         lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
@@ -134,6 +140,10 @@ class MinHasher:
                 for i in range(len(texts))
             ]
         counts = np.array([len(h) for h in per_doc], dtype=np.int64)
+        if distinct_counts is not None:
+            distinct_counts.append(np.fromiter(
+                (len(np.unique(h)) for h in per_doc), dtype=np.int64,
+                count=len(per_doc)))
         n = len(per_doc)
         sigs = np.full((n, cfg.num_perms), int(_P), dtype=np.uint64)
         nonempty_idx = np.flatnonzero(counts > 0)
@@ -338,12 +348,14 @@ def bbit_jaccard_pairs(ds, cfg: MinHashConfig | None = None, *, b: int = 1,
                                              candidate_pairs)
 
     cfg = cfg or MinHashConfig()
-    sigs = signatures(ds, cfg, text_col=text_col).materialize()
+    # key+sig only: materializing with the text column would pin the
+    # whole corpus in the object store for the stage's lifetime
+    sigs = signatures(ds, cfg, text_col=text_col).select_columns(
+        [key_col, "minhash_sig"]).materialize()
     bands = band_explode(sigs, cfg, key_col=key_col)
     pairs = candidate_pairs(bands, cfg, key_col=key_col,
                             num_partitions=num_partitions)
-    sketches = bbit_pack(sigs.select_columns([key_col, "minhash_sig"]),
-                         cfg, b=b, drop_sig=True)
+    sketches = bbit_pack(sigs, cfg, b=b, drop_sig=True)
     withsk = attach_signatures(pairs, sketches, key_col=key_col,
                                sig_col="bbit_sig")
     k = cfg.num_perms
@@ -392,36 +404,44 @@ def containment_est_pairs(ds, cfg: MinHashConfig | None = None, *,
     completeness-critical alternative; per-size-partition banding (LSH
     Ensemble, Zhu et al. VLDB 2016) is the scale remedy if that matters.
     """
-    from deduplicator_ray.stages.lsh import (_sig_matrix, attach_signatures,
+    from deduplicator_ray.stages.lsh import (attach_signatures,
                                              band_explode, candidate_pairs)
 
     cfg = cfg or MinHashConfig()
     k = cfg.num_perms
-    sigs = signatures(ds, cfg, text_col=text_col)
 
-    token_re = re.compile(r"\w+", re.UNICODE)
-
-    def with_size(b: pa.Table) -> pa.Table:
+    def sig_and_size(b: pa.Table) -> pa.Table:
+        # ONE tokenize/hash pass: the signature kernel also reports the
+        # per-doc distinct-shingle counts (|A| for the estimator)
+        key = (cfg, text_col)
+        mh = _HASHER_CACHE.get(key)
+        if mh is None:
+            mh = _HASHER_CACHE.setdefault(key, MinHasher(cfg, text_col))
         texts = b[text_col].to_pylist()
-        sizes = np.fromiter(
-            (len(np.unique(shingle_hashes(t, cfg.shingle_words, token_re)))
-             for t in texts), dtype="<u8", count=len(texts))
-        sig = _sig_matrix(b["minhash_sig"], k)
+        out: list = []
+        sig = mh.signature_matrix(texts, distinct_counts=out)
+        sizes = out[0].astype("<u8")
+        n = len(sig)
+        sig_bytes = sig.astype("<u4").view(np.uint8).reshape(n, 4 * k)
         blob = np.concatenate(
-            [sig.astype("<u4").view(np.uint8).reshape(len(sig), 4 * k),
-             sizes.view(np.uint8).reshape(len(sig), 8)], axis=1)
+            [sig_bytes, sizes.view(np.uint8).reshape(n, 8)], axis=1)
         w = 4 * k + 8
-        offsets = np.arange(len(sig) + 1, dtype=np.int32) * w
+        offsets = np.arange(n + 1, dtype=np.int32) * w
         arr = pa.BinaryArray.from_buffers(
-            pa.binary(), len(sig),
+            pa.binary(), n,
             [None, pa.py_buffer(offsets.tobytes()),
              pa.py_buffer(np.ascontiguousarray(blob).tobytes())])
+        sig_off = np.arange(n + 1, dtype=np.int32) * (4 * k)
+        sig_arr = pa.BinaryArray.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(sig_off.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(sig_bytes).tobytes())])
         return pa.table({key_col: b[key_col], "sigsz": arr,
-                         "minhash_sig": b["minhash_sig"]})
+                         "minhash_sig": sig_arr})
 
-    sigsz = sigs.map_batches(with_size, batch_format="pyarrow",
-                             batch_size=1024, zero_copy_batch=True
-                             ).materialize()
+    sigsz = ds.select_columns([key_col, text_col]).map_batches(
+        sig_and_size, batch_format="pyarrow", batch_size=1024,
+        zero_copy_batch=True).materialize()
     bands = band_explode(sigsz, cfg, key_col=key_col)
     pairs = candidate_pairs(bands, cfg, key_col=key_col,
                             num_partitions=num_partitions)

@@ -30,6 +30,24 @@ from deduplicator_ray.stages.exact import hash_bucket
 from deduplicator_ray.util import auto_partitions
 
 
+def _prune_url_ts_digest(caps, url_col: str, ts_col: str, digest_col: str):
+    """Shared column prune for the per-page timeline kernels: (url, ts
+    cast int64, digest), map-only — the only columns any timeline
+    shuffle ships."""
+    def prune(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            url_col: b[url_col],
+            ts_col: pc.cast(b[ts_col], pa.int64()),
+            digest_col: b[digest_col],
+        })
+
+    return caps.map_batches(prune, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+
 def timeline_dedup(caps, *, url_col: str = "url_canonical",
                    ts_col: str = "ts_epoch", digest_col: str = "digest",
                    num_partitions: int | None = None):
@@ -47,17 +65,7 @@ def timeline_dedup(caps, *, url_col: str = "url_canonical",
     """
     P = num_partitions or auto_partitions()
 
-    def prune(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.table({
-            url_col: b[url_col],
-            ts_col: pc.cast(b[ts_col], pa.int64()),
-            digest_col: b[digest_col],
-        })
-
-    pruned = caps.map_batches(prune, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    pruned = _prune_url_ts_digest(caps, url_col, ts_col, digest_col)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([url_col, ts_col, digest_col], kind="mergesort",
@@ -350,17 +358,7 @@ def keep_n_versions(caps, n: int, *, url_col: str = "url_canonical",
         raise ValueError("n must be >= 1")
     P = num_partitions or auto_partitions()
 
-    def prune(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.table({
-            url_col: b[url_col],
-            ts_col: pc.cast(b[ts_col], pa.int64()),
-            digest_col: b[digest_col],
-        })
-
-    pruned = caps.map_batches(prune, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    pruned = _prune_url_ts_digest(caps, url_col, ts_col, digest_col)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([url_col, ts_col, digest_col],
@@ -406,17 +404,7 @@ def revisit_schedule(caps, *, url_col: str = "url_canonical",
     by digest (deterministic both engines)."""
     P = num_partitions or auto_partitions()
 
-    def prune(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.table({
-            url_col: b[url_col],
-            ts_col: pc.cast(b[ts_col], pa.int64()),
-            digest_col: b[digest_col],
-        })
-
-    pruned = caps.map_batches(prune, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    pruned = _prune_url_ts_digest(caps, url_col, ts_col, digest_col)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([url_col, ts_col, digest_col], kind="mergesort",
