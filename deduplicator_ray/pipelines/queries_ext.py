@@ -776,6 +776,44 @@ def q_embed_topk_ivfpq(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+_ADC_DEPTHS = (10, 20, 40, 80, 160)
+
+
+def q_adc_recall_curve(sf_dir: str):
+    """PQ shortlist-sizing curve: recall@10 of the ADC-ordered candidate
+    list against exact brute force, per shortlist depth — the tuning
+    read that sizes ``rerank`` in pq_topk / ivfpq_topk (ADC noise ~
+    0.005 cosine shuffles ranks inside near-tie sets, so recall vs
+    depth is the decision curve, not a single recall number).  ADC
+    ordering comes from the distributed no-rerank PQ scan; exact truth
+    from ``cosine_topk``; the fold over both is tiny (n_queries x
+    max depth rows).  Deterministic -> golden-pinned."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import cosine_topk, pq_topk
+
+    q = _topk_query_matrix(sf_dir)
+    K = _TOPK_K
+    max_d = max(_ADC_DEPTHS)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    exact = cosine_topk(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]), q, k=K).to_pandas()
+    adc = pq_topk(ds, q, k=max_d, n_subspaces=16, rerank=0).to_pandas()
+    truth = {qi: set(g["vec_id"]) for qi, g in exact.groupby("query_id")}
+    rows = []
+    for depth in _ADC_DEPTHS:
+        short = adc[adc["rank"] <= depth]
+        hits = sum(len(truth[qi] & set(g["vec_id"]))
+                   for qi, g in short.groupby("query_id"))
+        total = sum(len(v) for v in truth.values())
+        rows.append((depth, int(round(1_000_000 * hits / total))))
+    return pd.DataFrame(rows, columns=["depth", "recall_ppm"]).astype("int64")
+
+
 _SQL_EMB_TOPK = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {_TOPK_NQ}
@@ -4520,6 +4558,8 @@ def registry_ext():
         "embed_topk_ivf": (q_embed_topk_ivf, _SQL_EMB_TOPK),
         "embed_topk_pq": (q_embed_topk_pq, _SQL_EMB_TOPK),
         "embed_topk_ivfpq": (q_embed_topk_ivfpq, _SQL_EMB_TOPK),
+        "adc_recall_curve": (q_adc_recall_curve,
+                             GOLDEN_SQL.get("adc_recall_curve")),
         "neardup_clusters": (q_neardup_clusters, _SQL_NEARDUP_CLUSTERS),
         "neardup_clusters_minhash": (q_neardup_clusters_minhash, GOLDEN_SQL["neardup_clusters_minhash"]),
         "pair_lcs": (q_pair_lcs, GOLDEN_SQL["pair_lcs"]),
