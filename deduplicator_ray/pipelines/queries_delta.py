@@ -1005,6 +1005,8 @@ def registry_delta():
         "capture_burst": (q_capture_burst, _sql_capture_burst()),
         "domain_rollup": (q_domain_rollup, _sql_domain_rollup()),
         "domain_blocklist": (q_domain_blocklist, _sql_domain_blocklist()),
+        "dup_rate_by_depth": (q_dup_rate_by_depth,
+                              _sql_dup_rate_by_depth()),
         "site_change_rate": (q_site_change_rate, _sql_site_change_rate()),
         "cdx_roundtrip": (q_cdx_roundtrip, _sql_cdx_roundtrip()),
         "query_param_stats": (q_query_param_stats, _sql_query_param_stats()),
@@ -1105,6 +1107,71 @@ def q_domain_blocklist(sf_dir: str):
         .groupby("_part")
         .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
                     batch_format="pandas"))
+
+
+def q_dup_rate_by_depth(sf_dir: str):
+    """Duplicate rate per URL PATH DEPTH — the structural dual of
+    dup_rate_by_length: is the duplicated mass shallow (mirrors, hub
+    pages) or deep (calendar/session traps)?  A capture is a duplicate
+    iff it is not its digest's first capture (order: ts, then canonical
+    url — deterministic both engines).  ONE digest-key shuffle electing
+    first-per-digest, collapsing to <= depths partial rows per bucket;
+    tiny driver merge."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from deduplicator_ray.stages.exact import hash_bucket
+    from deduplicator_ray.util import auto_partitions
+
+    caps = captures_dataset(sf_dir)
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "dg": b["digest"],
+            "ts": pc.cast(b["ts_epoch"], pa.int64()),
+            "u": b["url_canonical"],
+            "depth": pc.cast(
+                pc.count_substring(b["url_canonical"], "/"), pa.int64()),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["dg", "ts", "u"], kind="mergesort",
+                            ignore_index=True)
+        first = ~df["dg"].duplicated()
+        g = (pd.DataFrame({"depth": df["depth"],
+                           "d": (~first).astype("int64")})
+             .groupby("depth", as_index=False)
+             .agg(n_captures=("d", "size"), n_dups=("d", "sum")))
+        return g
+
+    parts = (hash_bucket(
+        caps.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True), "dg", auto_partitions())
+        .groupby("_part")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["_part"])),
+                    batch_format="pandas")
+        .to_pandas())
+    out = parts.groupby("depth", as_index=False).sum()
+    for c in ("n_captures", "n_dups"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _sql_dup_rate_by_depth() -> str:
+    canon = canonical_sql_expr("url")
+    return f"""
+WITH {CAPTURES_CTE},
+c AS (SELECT {canon} AS u, ts_epoch, md5(text) AS dg FROM captures),
+r AS (SELECT u, dg,
+             length(u) - length(replace(u, '/', '')) AS depth,
+             row_number() OVER (PARTITION BY dg ORDER BY ts_epoch, u)
+               AS rn
+      FROM c)
+SELECT depth::BIGINT AS depth,
+       count(*)::BIGINT AS n_captures,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dups
+FROM r GROUP BY depth
+"""
 
 
 def _sql_domain_blocklist() -> str:

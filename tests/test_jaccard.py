@@ -299,3 +299,27 @@ def test_cws_pipeline_matches_exact_weighted(ray_session, docs):
     assert len(want) > 20
     assert got <= want          # exact verify => no false positives
     assert len(got) / len(want) >= 0.99
+
+
+def test_cws_samples_permutation_invariant():
+    """Ioffe samples are a pure function of the MULTISET: permuting the
+    (gram, count) entry order never changes a single sample id (the
+    property that makes the sketch partitioning-independent).  Property
+    test over random multisets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deduplicator_ray.stages.jaccard import _cws_samples
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(0, 2**32), st.integers(2, 30), st.integers(0, 999))
+    def check(seed, m, perm_seed):
+        rng = np.random.default_rng(seed)
+        gh = np.unique(rng.integers(0, 2**63, size=m).astype(np.uint64))
+        cnt = rng.integers(1, 50, size=len(gh)).astype(np.uint64)
+        base = _cws_samples(gh, cnt, 32, seed=7)
+        p = np.random.default_rng(perm_seed).permutation(len(gh))
+        again = _cws_samples(gh[p], cnt[p], 32, seed=7)
+        np.testing.assert_array_equal(base, again)
+
+    check()
