@@ -4349,6 +4349,23 @@ def q_sample_k_stratified(sf_dir: str):
     return sample_k_stratified(ds, _SAMPLE_K, seed=_SAMPLE_K_SEED)
 
 
+def q_containment_ensemble(sf_dir: str):
+    """LSH-Ensemble containment pair mining (Zhu et al. VLDB 2016;
+    stages/minhash.containment_pairs_ensemble): size-stratified banding
+    engineers >= 0.95 candidate recall for contained pairs up to an 8x
+    size ratio — the high-containment/low-J regime plain Jaccard
+    banding misses — with exact set verification (precision 1).
+    Deterministic -> golden-pinned; full-recall + exact-values vs brute
+    force is pytest-gated."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.minhash import containment_pairs_ensemble
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return containment_pairs_ensemble(ds, num=4, den=5, key_col="doc_id")
+
+
 def q_script_mix(sf_dir: str):
     """Unicode-script census per language: doc counts, per-script char
     sums (Latin/Cyrillic/Han/Arabic), digit/letter totals, and the
@@ -4560,6 +4577,8 @@ def registry_ext():
         "embed_topk_ivfpq": (q_embed_topk_ivfpq, _SQL_EMB_TOPK),
         "adc_recall_curve": (q_adc_recall_curve,
                              GOLDEN_SQL.get("adc_recall_curve")),
+        "containment_ensemble": (q_containment_ensemble,
+                                 GOLDEN_SQL.get("containment_ensemble")),
         "neardup_clusters": (q_neardup_clusters, _SQL_NEARDUP_CLUSTERS),
         "neardup_clusters_minhash": (q_neardup_clusters_minhash, GOLDEN_SQL["neardup_clusters_minhash"]),
         "pair_lcs": (q_pair_lcs, GOLDEN_SQL["pair_lcs"]),

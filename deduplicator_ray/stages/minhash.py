@@ -477,3 +477,172 @@ def containment_est_pairs(ds, cfg: MinHashConfig | None = None, *,
 
     return withsk.map_batches(score, batch_format="pyarrow",
                               batch_size=4096, zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# LSH-Ensemble-style containment pair mining (Zhu et al., VLDB 2016)
+# ---------------------------------------------------------------------------
+
+def _ensemble_rows_per_band(j_min: float, k: int, target_recall: float) -> int:
+    """Largest rows-per-band r such that banding k samples at r rows
+    keeps pair recall >= target at Jaccard j_min: 1-(1-j^r)^(k//r)."""
+    best = 1
+    for r in range(1, 9):
+        b = k // r
+        if b < 1:
+            break
+        if 1.0 - (1.0 - j_min ** r) ** b >= target_recall:
+            best = r
+    return best
+
+
+def containment_pairs_ensemble(ds, *, num: int = 4, den: int = 5,
+                               cfg: MinHashConfig | None = None,
+                               key_col: str = "doc_key",
+                               text_col: str = "text",
+                               max_ratio_log2: int = 3,
+                               target_recall: float = 0.95,
+                               num_partitions: int = 64,
+                               max_group: int = 100_000,
+                               overflow: str = "star"):
+    """Containment pair mining at scale, LSH-Ensemble style (Zhu et
+    al., VLDB 2016): docs are STRATIFIED BY SET SIZE (log2 buckets) and
+    each stratum PAIR gets its own banding — fewer rows per band the
+    larger the size ratio, because a contained pair's Jaccard shrinks
+    with the ratio (I >= c|A|, |B| <= R|A| => J >= c/(1+R-c)).  Plain
+    Jaccard-keyed banding (``containment_est_pairs``'s documented
+    caveat) misses exactly these high-containment/low-J pairs; the
+    ensemble engineers >= ``target_recall`` candidate recall for every
+    ratio up to 2^``max_ratio_log2`` (beyond that J collapses toward 0
+    and the exact prefix-filter path ``ngram_containment_pairs`` is the
+    honest tool).  Every candidate is verified EXACTLY on the distinct
+    shingle sets, so precision is 1 and the output keeps (doc_a, doc_b,
+    n_inter, size_a, size_b) with den*n_inter >= num*min(size_a,
+    size_b).
+
+    Shape: ONE tokenize pass emits (sig, sorted distinct-shingle blob,
+    size); band rows are 16 bytes keyed (stratum-pair, band, r-row
+    hash); one candidate shuffle serves every stratum pair (the pair id
+    salts the bucket); the set blobs ride only the (small) verify
+    attach."""
+    from deduplicator_ray.stages.jaccard import pack_u64_blobs
+    from deduplicator_ray.stages.lsh import attach_signatures, candidate_pairs
+
+    cfg = cfg or MinHashConfig()
+    if not (0 < num <= den):
+        raise ValueError("need 0 < num <= den")
+    k = cfg.num_perms
+    c_thr = num / den
+    # rows-per-band per stratum DISTANCE d: worst ratio R = 2^(d+1)
+    r_of_dist = [
+        _ensemble_rows_per_band(c_thr / (1.0 + 2.0 ** (d + 1) - c_thr),
+                                k, target_recall)
+        for d in range(max_ratio_log2 + 1)
+    ]
+    token_re = re.compile(r"\w+", re.UNICODE)
+
+    def prep(b: pa.Table) -> pa.Table:
+        key = (cfg, text_col)
+        mh = _HASHER_CACHE.get(key)
+        if mh is None:
+            mh = _HASHER_CACHE.setdefault(key, MinHasher(cfg, text_col))
+        texts = b[text_col].to_pylist()
+        uniqs, sigs, sizes = [], [], []
+        for t in texts:
+            u = np.unique(shingle_hashes(t or "", cfg.shingle_words,
+                                         token_re))
+            uniqs.append(u)
+            sizes.append(len(u))
+            if len(u):
+                with np.errstate(over="ignore"):
+                    A = (mh.a[:, None] * u[None, :] + mh.b[:, None]) % _P
+                sigs.append(A.min(axis=1).astype(np.uint32))
+            else:
+                sigs.append(np.full(k, int(_P), dtype=np.uint32))
+        sig_bytes = np.ascontiguousarray(np.stack(sigs)).astype("<u4")
+        n = len(texts)
+        offsets = np.arange(n + 1, dtype=np.int32) * (4 * k)
+        sig_arr = pa.BinaryArray.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(sig_bytes.tobytes())])
+        return pa.table({key_col: b[key_col], "minhash_sig": sig_arr,
+                         "setblob": pack_u64_blobs(uniqs),
+                         "set_size": pa.array(
+                             np.asarray(sizes, dtype=np.int64))})
+
+    base = ds.select_columns([key_col, text_col]).map_batches(
+        prep, batch_format="pyarrow", batch_size=1024,
+        zero_copy_batch=True).materialize()
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        from deduplicator_ray.stages.jaccard import _mix64
+        from deduplicator_ray.stages.lsh import _sig_matrix
+
+        ids = np.asarray(b[key_col], dtype=np.int64)
+        sizes = np.asarray(b["set_size"], dtype=np.int64)
+        sig = _sig_matrix(b["minhash_sig"], k).astype(np.uint64)
+        out_bucket, out_id = [], []
+        strata = np.maximum(sizes, 1)
+        strata = np.frexp(strata.astype(np.float64))[1] - 1  # floor(log2)
+        for i in range(len(ids)):
+            if sizes[i] == 0:
+                continue
+            s = int(strata[i])
+            for t in range(max(0, s - max_ratio_log2),
+                           s + max_ratio_log2 + 1):
+                lo, hi = min(s, t), max(s, t)
+                r = r_of_dist[hi - lo]
+                nb = k // r
+                with np.errstate(over="ignore"):
+                    h = np.zeros(nb, dtype=np.uint64)
+                    for j in range(r):
+                        h = _mix64(h ^ sig[i, j::r][:nb],
+                                   0x9E3779B9 + 977 * j)
+                    pair_salt = np.uint64(
+                        (lo * 131 + hi) * 0xC2B2AE3D27D4EB4F
+                        & 0xFFFFFFFFFFFFFFFF)
+                    band_idx = np.arange(nb, dtype=np.uint64)
+                    bucket = _mix64(
+                        h ^ pair_salt ^ (band_idx
+                                         * np.uint64(0xD6E8FEB86659FD93)),
+                        0xE6546B64).astype(np.int64)
+                out_bucket.append(bucket)
+                out_id.append(np.full(nb, ids[i], dtype=np.int64))
+        if not out_bucket:
+            return pa.table({"band_bucket": pa.array([], pa.int64()),
+                             key_col: pa.array([], pa.int64())})
+        return pa.table({"band_bucket": np.concatenate(out_bucket),
+                         key_col: np.concatenate(out_id)})
+
+    bands = base.select_columns([key_col, "minhash_sig", "set_size"]
+                                ).map_batches(
+        band_rows, batch_format="pyarrow", batch_size=1024,
+        zero_copy_batch=True)
+    pairs = candidate_pairs(bands, MinHashConfig(max_band_group=max_group),
+                            key_col=key_col, num_partitions=num_partitions,
+                            overflow=overflow)
+    withsets = attach_signatures(
+        pairs, base.select_columns([key_col, "setblob"]),
+        key_col=key_col, sig_col="setblob")
+
+    def verify(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        inter = np.zeros(n, dtype=np.int64)
+        sa = np.zeros(n, dtype=np.int64)
+        sb = np.zeros(n, dtype=np.int64)
+        for i, (ba, bb) in enumerate(zip(b["sig_a"].to_pylist(),
+                                         b["sig_b"].to_pylist())):
+            aa = np.frombuffer(ba, dtype="<u8")
+            ab = np.frombuffer(bb, dtype="<u8")
+            sa[i], sb[i] = len(aa), len(ab)
+            inter[i] = len(np.intersect1d(aa, ab, assume_unique=True))
+        keep = (inter > 0) & (den * inter >= num * np.minimum(sa, sb))
+        t = b.filter(pa.array(keep))
+        return pa.table({"doc_a": t["a"], "doc_b": t["b"],
+                         "n_inter": pa.array(inter[keep]),
+                         "size_a": pa.array(sa[keep]),
+                         "size_b": pa.array(sb[keep])})
+
+    return withsets.map_batches(verify, batch_format="pyarrow",
+                                batch_size=4096, zero_copy_batch=True)

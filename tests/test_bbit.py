@@ -124,3 +124,44 @@ def test_containment_est_subset(ray_session):
     assert 350_000 < s["j_est_ppm"] < 650_000
     idx = got.index.to_frame(index=False)
     assert set(idx["doc_a"]) <= {0, 1, 2} and set(idx["doc_b"]) <= {0, 1, 2}
+
+
+def test_containment_ensemble_finds_high_ratio_pairs(ray_session):
+    """The ensemble's raison d'etre: a doc fully contained in a ~4x
+    bigger doc (J ~ 0.25, far below the default 16x8 banding threshold
+    ~0.8) must surface, with EXACT intersection counts; output equals
+    the brute-force containment pair set on this corpus (seeded,
+    deterministic)."""
+    import itertools
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.minhash import (containment_pairs_ensemble,
+                                                 shingle_hashes)
+    import re
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(800)]
+    small = " ".join(rng.choice(vocab, size=60))
+    big = small + " " + " ".join(rng.choice(vocab, size=180))   # ratio ~4
+    rows = [(0, small), (1, big), (2, big)]
+    rows += [(i, " ".join(rng.choice(vocab, size=100))) for i in range(3, 40)]
+    pdf = pd.DataFrame(rows, columns=["doc_key", "text"])
+
+    NUM, DEN = 4, 5
+    got = containment_pairs_ensemble(
+        rd.from_pandas(pdf), num=NUM, den=DEN).to_pandas()
+    found = {(a, b): (i, sa, sb) for a, b, i, sa, sb in
+             zip(got["doc_a"], got["doc_b"], got["n_inter"],
+                 got["size_a"], got["size_b"])}
+
+    token_re = re.compile(r"\w+", re.UNICODE)
+    sets = {r.doc_key: set(shingle_hashes(r.text, 5, token_re).tolist())
+            for r in pdf.itertuples()}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter > 0 and DEN * inter >= NUM * min(len(sets[a]), len(sets[b])):
+            want[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    assert (0, 1) in want                   # the planted high-ratio pair
+    assert found == want                    # exact values, full recall here
