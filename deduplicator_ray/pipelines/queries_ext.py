@@ -3234,6 +3234,75 @@ SELECT e.vec_id,
 FROM emb e"""
 
 
+def q_kmeans_quality(sf_dir: str):
+    """Cluster-quality census for the k-means blocking that SemDeDup /
+    D4 rely on: per cluster, size, mean cosine to the own centroid
+    (cohesion) and mean margin over the best OTHER centroid
+    (separation) — the read that says whether the semantic-dedup blocks
+    are real clusters or arbitrary cuts.  Same k/iters/seeding as
+    kmeans_clusters, so this oracle pins the same centroid contract;
+    float means compare under the driver's 9-dp rounding."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import kmeans_centroids
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cent = kmeans_centroids(ds, k=_KM_K, iters=_KM_ITERS)
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        m = np.stack(b["embedding"].to_pylist()).astype(np.float64)
+        d2 = ((m ** 2).sum(1)[:, None] - 2.0 * (m @ cent.T)
+              + (cent ** 2).sum(1)[None, :])
+        cl = np.argmin(d2, axis=1)              # ties -> lowest label
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = mn @ cn.T
+        own = cos[np.arange(len(m)), cl]
+        cos[np.arange(len(m)), cl] = -np.inf
+        other = cos.max(axis=1)
+        return (pd.DataFrame({"cluster": cl.astype("int64"), "own": own,
+                              "margin": own - other})
+                .groupby("cluster", as_index=False)
+                .agg(n_vecs=("own", "size"), s_own=("own", "sum"),
+                     s_margin=("margin", "sum")))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    g = parts.groupby("cluster", as_index=False).sum()
+    out = pd.DataFrame({
+        "cluster": g["cluster"].astype("int64"),
+        "n_vecs": g["n_vecs"].astype("int64"),
+        "mean_cos": g["s_own"] / g["n_vecs"],
+        "mean_margin": g["s_margin"] / g["n_vecs"],
+    })
+    return out
+
+
+def _sql_kmeans_quality() -> str:
+    chain, prev = _kmeans_sql_chain()
+    return f"""
+WITH {chain},
+asgf AS (SELECT e.vec_id, e.v,
+                (SELECT c.cl FROM {prev} c
+                 ORDER BY list_distance(e.v, c.vec), c.cl LIMIT 1)::BIGINT
+                AS cluster
+         FROM emb e),
+sc AS (SELECT a.cluster,
+              (SELECT list_cosine_similarity(a.v, c.vec) FROM {prev} c
+               WHERE c.cl = a.cluster) AS cos_own,
+              (SELECT max(list_cosine_similarity(a.v, c.vec))
+               FROM {prev} c WHERE c.cl <> a.cluster) AS cos_other
+       FROM asgf a)
+SELECT cluster, count(*)::BIGINT AS n_vecs,
+       avg(cos_own) AS mean_cos,
+       avg(cos_own - cos_other) AS mean_margin
+FROM sc GROUP BY cluster
+"""
+
+
 _SEMDEDUP_THRESHOLD = 0.4
 
 
@@ -4366,6 +4435,52 @@ def q_containment_ensemble(sf_dir: str):
     return containment_pairs_ensemble(ds, num=4, den=5, key_col="doc_id")
 
 
+def q_detector_overlap(sf_dir: str):
+    """Detector-agreement census: the exact 5-gram Jaccard >= 0.8 pair
+    set vs the SimHash hamming<=3 pair set over ``documents`` — one row
+    (n_jaccard, n_simhash, n_both, n_jaccard_only, n_simhash_only).
+    The evaluation read that decides which near-dup tier catches what
+    (SimHash favors long-doc token-frequency similarity; shingle
+    Jaccard favors ordered phrase overlap).  Both inputs deterministic
+    -> golden-pinned; each side's own pipeline is independently
+    oracle/golden-checked elsewhere."""
+    import pandas as pd
+
+    jp = _to_pandas_result(q_neardup_clusters_pairs(sf_dir))
+    sp = _to_pandas_result(q_simhash_dups(sf_dir))
+    a = set(zip(jp["doc_a"], jp["doc_b"]))
+    b = set(zip(sp["a"], sp["b"]))
+    return pd.DataFrame([{
+        "n_jaccard": len(a), "n_simhash": len(b),
+        "n_both": len(a & b),
+        "n_jaccard_only": len(a - b), "n_simhash_only": len(b - a),
+    }]).astype("int64")
+
+
+def _to_pandas_result(res):
+    import pandas as pd
+
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()
+
+
+def q_neardup_clusters_pairs(sf_dir: str):
+    """The exact Jaccard pair set at the north-star config (helper for
+    detector_overlap; same pipeline the neardup_clusters oracle
+    checks)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.jaccard import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, num=_NEARDUP_NUM, den=_NEARDUP_DEN,
+                               ngram=_NEARDUP_NGRAM, lang_col=None)
+
+
 def q_script_mix(sf_dir: str):
     """Unicode-script census per language: doc counts, per-script char
     sums (Latin/Cyrillic/Han/Arabic), digit/letter totals, and the
@@ -4579,6 +4694,8 @@ def registry_ext():
                              GOLDEN_SQL.get("adc_recall_curve")),
         "containment_ensemble": (q_containment_ensemble,
                                  GOLDEN_SQL.get("containment_ensemble")),
+        "detector_overlap": (q_detector_overlap,
+                             GOLDEN_SQL.get("detector_overlap")),
         "neardup_clusters": (q_neardup_clusters, _SQL_NEARDUP_CLUSTERS),
         "neardup_clusters_minhash": (q_neardup_clusters_minhash, GOLDEN_SQL["neardup_clusters_minhash"]),
         "pair_lcs": (q_pair_lcs, GOLDEN_SQL["pair_lcs"]),
@@ -4636,6 +4753,7 @@ def registry_ext():
         "dsir_logratio": (q_dsir_logratio, _SQL_DSIR_LOGRATIO),
         "bpe_merge_candidates": (q_bpe_merges, _SQL_BPE_MERGES),
         "kmeans_clusters": (q_kmeans, _sql_kmeans()),
+        "kmeans_quality": (q_kmeans_quality, _sql_kmeans_quality()),
         "semdedup_keep": (q_semdedup, _sql_semdedup()),
         "prototypicality": (q_prototypicality, _sql_prototypicality()),
         "d4_keep": (q_d4_keep, _sql_d4_keep()),
