@@ -2375,6 +2375,301 @@ SELECT doc_id, fail_reason IS NULL AS keep, fail_reason FROM (
 """
 
 
+def q_quality_ablation_grid(sf_dir: str):
+    """Filter-interaction census (stages/textstats.py: gopher_filter
+    ``output='flags'``): doc and token counts per combination of the
+    five INDEPENDENT Gopher rule bits — the ablation grid a recipe reads
+    to see which rules overlap and what each rule removes at the margin
+    (first-fail reporting, as in ``gopher_filter``/``quality_by_source``,
+    hides the interactions).  Partial-combine inside every block: at
+    most 2^5 rows leave any block, and the final reduce is driver-tiny."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import gopher_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    flags = gopher_filter(ds, min_words=_GOPHER_MIN_WORDS,
+                          max_words=_GOPHER_MAX_WORDS,
+                          stopwords=_gopher_stoplist(), output="flags")
+    bits = ["len_ok", "wordlen_ok", "alpha_ok", "stop_ok", "rep_ok"]
+
+    def partial(b: pa.Table):
+        import pandas as pd
+
+        df = b.to_pandas()
+        out = df.groupby(bits, as_index=False).agg(
+            n_docs=("doc_id", "size"), n_tokens=("n_words", "sum"))
+        return out
+
+    parts = flags.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    out = parts.groupby(bits, as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out
+
+
+def _sql_quality_ablation_grid() -> str:
+    stop_sql = ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(_gopher_stoplist())
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS word
+  FROM documents
+), wc AS (
+  SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word
+), per AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(sum(c * len(word)) AS BIGINT) AS nonspace,
+         CAST(COALESCE(sum(c) FILTER (WHERE regexp_matches(word, '[A-Za-z]')), 0) AS BIGINT) AS n_alpha,
+         CAST(count(*) FILTER (WHERE word IN ({stop_sql})) AS BIGINT) AS n_stop,
+         CAST(max(c) AS BIGINT) AS top_word
+  FROM wc GROUP BY doc_id
+)
+SELECT n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS} AS len_ok,
+       nonspace >= 3 * n_words AND nonspace <= 10 * n_words AS wordlen_ok,
+       5 * n_alpha >= 4 * n_words AS alpha_ok,
+       n_stop >= 2 AS stop_ok,
+       5 * top_word <= n_words AS rep_ok,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_tokens
+FROM per GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+def q_soft_dedup_weights(sf_dir: str):
+    """SoftDeDup reweighting (He et al. 2024, arXiv:2407.06654: keep
+    duplicated documents but DOWNWEIGHT them by data commonness instead
+    of hard removal): per doc, the size of its exact
+    normalized-text group (the ``dedup_exact_norm`` key — CCNet-style
+    accent/case/punct-folded md5) and the sampling weight
+    ``weight_ppm = round(1e6 / group_size)`` — integer-exact as
+    ``(2e6 + size) // (2 * size)``.  Every group's total weight is ~1e6,
+    so the corpus's effective size is its distinct-content size while no
+    document is dropped.  Same hash-bucket shape as dedup_exact_norm:
+    only (doc_id, digest, n_tokens) ride the shuffle, never text."""
+    import ray.data as rd
+
+    from deduplicator_ray.functions.textnorm import normalize_text_arrow
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def dig(b: pa.Table) -> pa.Table:
+        text = b["text"].combine_chunks()
+        norm = normalize_text_arrow(text)
+        digests = [hashlib.md5(t.encode("utf-8")).hexdigest()
+                   for t in norm.to_pylist()]
+        n_tok = pc.list_value_length(
+            pc.split_pattern(pc.fill_null(text, ""), " "))
+        return pa.table({"doc_id": b["doc_id"],
+                         "digest": pa.array(digests, pa.string()),
+                         "n_tokens": pc.cast(n_tok, pa.int64())})
+
+    def weigh(g):
+        g = g.drop(columns=["_part"]).copy()
+        size = g.groupby("digest")["doc_id"].transform("size").astype("int64")
+        g["group_size"] = size
+        g["weight_ppm"] = ((2_000_000 + size) // (2 * size)).astype("int64")
+        return g[["doc_id", "n_tokens", "group_size", "weight_ppm"]]
+
+    return (hash_bucket(
+        ds.map_batches(dig, batch_format="pyarrow", zero_copy_batch=True),
+        "digest", 64)
+        .groupby("_part").map_groups(weigh, batch_format="pandas"))
+
+
+def _sql_soft_dedup_weights() -> str:
+    from deduplicator_ray.functions.textnorm import textnorm_sql_expr
+
+    expr = textnorm_sql_expr("text")
+    return f"""
+WITH k AS (
+  SELECT doc_id, md5({expr}) AS digest,
+         CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(count(*) OVER (PARTITION BY digest) AS BIGINT) AS group_size,
+       CAST((2000000 + count(*) OVER (PARTITION BY digest))
+            // (2 * count(*) OVER (PARTITION BY digest)) AS BIGINT) AS weight_ppm
+FROM k
+"""
+
+
+# (bands, rows_per_band) layouts of a 128-hash MinHash signature
+_LSH_LAYOUTS = ((8, 16), (16, 8), (32, 4), (64, 2))
+
+
+def q_lsh_tuning_curve(sf_dir: str):
+    """LSH banding-plan census: for each (bands b, rows r) layout of a
+    128-hash MinHash signature, the EXPECTED candidate-generation
+    outcome on THIS corpus's exact pair-similarity distribution (the
+    prefix-filter Jaccard pipeline at the J >= {_CURVE_NUM}/{_CURVE_DEN}
+    census floor): Sum over pairs of the S-curve probability
+    p(J) = 1 - (1 - J^r)^b (Leskovec/Rajaraman/Ullman, MMDS ch.3), the
+    expected mass MISSED among pairs at/above the 0.8 dedup threshold
+    (Sum of 1 - p), and the layout's characteristic threshold
+    (1/b)^(1/r) — the table a recipe reads to pick banding before paying
+    for a signature pass.  Pair enumeration never leaves the cluster:
+    each block collapses to one partial row per layout."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.jaccard import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+    pairs = ngram_jaccard_pairs(ds, num=_CURVE_NUM, den=_CURVE_DEN,
+                                ngram=_NGRAM_N)
+
+    def partial(b: pa.Table) -> pa.Table:
+        inter = np.asarray(b["n_inter"], dtype=np.float64)
+        union = np.asarray(b["n_union"], dtype=np.float64)
+        j = inter / union
+        hi = 5.0 * inter >= 4.0 * union  # J >= 0.8, integer-exact
+        rows = []
+        for bands, r in _LSH_LAYOUTS:
+            p = 1.0 - (1.0 - j ** r) ** bands
+            rows.append((bands, r, float(p.sum()),
+                         float((1.0 - p[hi]).sum()),
+                         int(len(j)), int(hi.sum())))
+        cols = list(zip(*rows))
+        return pa.table({
+            "n_bands": pa.array(cols[0], type=pa.int64()),
+            "rows_per_band": pa.array(cols[1], type=pa.int64()),
+            "sum_p": pa.array(cols[2], type=pa.float64()),
+            "sum_miss": pa.array(cols[3], type=pa.float64()),
+            "n_pairs": pa.array(cols[4], type=pa.int64()),
+            "n_pairs_high": pa.array(cols[5], type=pa.int64()),
+        })
+
+    parts = pairs.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    base = [(b, r) for b, r in _LSH_LAYOUTS]
+    import pandas as pd
+
+    if parts.empty:
+        agg = pd.DataFrame({"n_bands": [b for b, _ in base],
+                            "rows_per_band": [r for _, r in base],
+                            "sum_p": 0.0, "sum_miss": 0.0,
+                            "n_pairs": 0, "n_pairs_high": 0})
+    else:
+        agg = parts.groupby(["n_bands", "rows_per_band"], as_index=False).agg(
+            sum_p=("sum_p", "sum"), sum_miss=("sum_miss", "sum"),
+            n_pairs=("n_pairs", "sum"), n_pairs_high=("n_pairs_high", "sum"))
+    agg["thresh_pm"] = np.floor(
+        (1.0 / agg["n_bands"]) ** (1.0 / agg["rows_per_band"]) * 1e6 + 0.5
+    ).astype("int64")
+    agg["exp_candidates_milli"] = np.floor(
+        agg["sum_p"] * 1e3 + 0.5).astype("int64")
+    agg["exp_missed_milli"] = np.floor(
+        agg["sum_miss"] * 1e3 + 0.5).astype("int64")
+    agg["n_pairs"] = agg["n_pairs"].astype("int64")
+    agg["n_pairs_high"] = agg["n_pairs_high"].astype("int64")
+    return agg[["n_bands", "rows_per_band", "thresh_pm",
+                "exp_candidates_milli", "exp_missed_milli",
+                "n_pairs", "n_pairs_high"]]
+
+
+_SQL_LSH_TUNING_CURVE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(w) >= {_NGRAM_N}
+              THEN list_distinct(list_transform(range(1, len(w) - {_NGRAM_N - 2}),
+                                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [] END AS g
+  FROM toks
+),
+p AS (
+  SELECT len(list_intersect(a.g, b.g))::BIGINT AS n_inter,
+         (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))::BIGINT AS n_union
+  FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.g, b.g)) > 0
+    AND {_CURVE_DEN} * len(list_intersect(a.g, b.g))
+        >= {_CURVE_NUM} * (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+),
+lay(b, r) AS (VALUES {", ".join(f"({b}, {r})" for b, r in _LSH_LAYOUTS)}),
+pp AS (
+  SELECT lay.b, lay.r,
+         1 - POWER(1 - POWER(CAST(n_inter AS DOUBLE) / n_union, lay.r), lay.b) AS prob,
+         5 * n_inter >= 4 * n_union AS hi
+  FROM p CROSS JOIN lay
+)
+SELECT CAST(b AS BIGINT) AS n_bands, CAST(r AS BIGINT) AS rows_per_band,
+       CAST(floor(POWER(1.0 / b, 1.0 / r) * 1000000 + 0.5) AS BIGINT) AS thresh_pm,
+       CAST(floor(COALESCE(sum(prob), 0) * 1000 + 0.5) AS BIGINT) AS exp_candidates_milli,
+       CAST(floor(COALESCE(sum(1 - prob) FILTER (WHERE hi), 0) * 1000 + 0.5) AS BIGINT) AS exp_missed_milli,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) FILTER (WHERE hi) AS BIGINT) AS n_pairs_high
+FROM pp GROUP BY b, r
+"""
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail buckets (stages/textstats.py:
+    ccnet_buckets): per-language third-mass perplexity buckets over the
+    corpus-trained unigram LM, integer milli-nat thresholds."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.textstats import ccnet_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+    return ccnet_buckets(ds, min_ppm=_HH_MIN_PPM, num_buckets=16)
+
+
+_SQL_CCNET_BUCKETS = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS w
+  FROM documents
+), tot AS (SELECT count(*) AS nt FROM ex),
+cnt AS (SELECT w, count(*) AS c FROM ex GROUP BY w),
+voc AS (
+  SELECT w, c FROM cnt, tot WHERE c * 1000000 >= nt * {_HH_MIN_PPM}
+),
+s AS (SELECT (SELECT nt FROM tot) AS n, (SELECT count(*) FROM voc) AS v),
+ll AS (
+  SELECT e.doc_id,
+         CAST(floor(-avg(ln((COALESCE(voc.c, 0) + 1.0) / (s.n + s.v + 1)))
+                    * 1000 + 0.5) AS BIGINT) AS llm
+  FROM ex e LEFT JOIN voc ON e.w = voc.w, s
+  GROUP BY e.doc_id
+),
+ld AS (
+  SELECT d.doc_id, d.lang, ll.llm FROM documents d
+  JOIN ll ON d.doc_id = ll.doc_id
+),
+h AS (SELECT lang, llm, count(*) AS c FROM ld GROUP BY 1, 2),
+cum AS (
+  SELECT lang, llm,
+         sum(c) OVER (PARTITION BY lang ORDER BY llm) AS cc,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM h
+),
+cuts AS (
+  SELECT lang,
+         min(llm) FILTER (WHERE 3 * cc >= n) AS c1,
+         min(llm) FILTER (WHERE 3 * cc >= 2 * n) AS c2
+  FROM cum GROUP BY lang
+)
+SELECT ld.doc_id, ld.lang, ld.llm,
+       CASE WHEN ld.llm <= cuts.c1 THEN 'head'
+            WHEN ld.llm <= cuts.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ld JOIN cuts ON ld.lang = cuts.lang
+"""
+
+
 _SHUFFLE_SEED = 42
 
 
@@ -4690,6 +4985,12 @@ def registry_ext():
         "embed_topk_ivf": (q_embed_topk_ivf, _SQL_EMB_TOPK),
         "embed_topk_pq": (q_embed_topk_pq, _SQL_EMB_TOPK),
         "embed_topk_ivfpq": (q_embed_topk_ivfpq, _SQL_EMB_TOPK),
+        "quality_ablation_grid": (q_quality_ablation_grid,
+                                  _sql_quality_ablation_grid()),
+        "soft_dedup_weights": (q_soft_dedup_weights,
+                               _sql_soft_dedup_weights()),
+        "lsh_tuning_curve": (q_lsh_tuning_curve, _SQL_LSH_TUNING_CURVE),
+        "ccnet_buckets": (q_ccnet_buckets, _SQL_CCNET_BUCKETS),
         "adc_recall_curve": (q_adc_recall_curve,
                              GOLDEN_SQL.get("adc_recall_curve")),
         "containment_ensemble": (q_containment_ensemble,

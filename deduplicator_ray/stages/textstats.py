@@ -228,12 +228,16 @@ def gopher_filter(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     ``output="project"`` returns (doc_id, keep, fail_reason) —
     ``fail_reason`` null when kept; ``output="annotate"`` keeps the input
-    columns and appends keep/fail_reason (for in-pipeline filtering).
+    columns and appends keep/fail_reason (for in-pipeline filtering);
+    ``output="flags"`` returns every rule's independent pass/fail bit
+    (doc_id, len_ok, wordlen_ok, alpha_ok, stop_ok, rep_ok, n_words) —
+    the input to filter-ablation censuses, where first-fail masking
+    would hide rule interactions.
     """
     import pandas as pd
 
-    if output not in ("project", "annotate"):
-        raise ValueError("output must be 'project' or 'annotate'")
+    if output not in ("project", "annotate", "flags"):
+        raise ValueError("output must be 'project', 'annotate' or 'flags'")
 
     def f(b: pa.Table) -> pa.Table:
         # annotate mode never emits ids, so it has no int64-id
@@ -245,6 +249,13 @@ def gopher_filter(ds, *, id_col: str = "doc_id", text_col: str = "text",
             if output == "annotate":
                 return b.append_column("keep", empty_keep).append_column(
                     "fail_reason", empty_reason)
+            if output == "flags":
+                eb = pa.array([], type=pa.bool_())
+                return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                                 "len_ok": eb, "wordlen_ok": eb,
+                                 "alpha_ok": eb, "stop_ok": eb,
+                                 "rep_ok": eb,
+                                 "n_words": pa.array([], type=pa.int64())})
             return pa.table({"doc_id": pa.array([], type=pa.int64()),
                              "keep": empty_keep,
                              "fail_reason": empty_reason})
@@ -275,6 +286,18 @@ def gopher_filter(ds, *, id_col: str = "doc_id", text_col: str = "text",
         top_word = np.zeros(n, dtype=np.int64)
         top_word[per_wc.index.to_numpy()] = per_wc.to_numpy()
 
+        if output == "flags":
+            return pa.table({
+                "doc_id": pa.array(b[id_col].to_numpy().astype(np.int64)),
+                "len_ok": pa.array((n_words >= min_words)
+                                   & (n_words <= max_words)),
+                "wordlen_ok": pa.array((nonspace >= 3 * n_words)
+                                       & (nonspace <= 10 * n_words)),
+                "alpha_ok": pa.array(5 * n_alpha >= 4 * n_words),
+                "stop_ok": pa.array(n_stop >= min_stop),
+                "rep_ok": pa.array(5 * top_word <= n_words),
+                "n_words": pa.array(n_words),
+            })
         reason = np.full(n, None, dtype=object)
         checks = [
             ("too_few_words", n_words < min_words),
@@ -355,7 +378,8 @@ def fingerprints(ds, *, text_col: str = "text", k: int = 8, window: int = 16):
 
 def unigram_logloss(ds, *, min_ppm: int = 1000, id_col: str = "doc_id",
                     text_col: str = "text", sketch_size: int = 4096,
-                    num_buckets: int = 16):
+                    num_buckets: int = 16,
+                    passthrough: tuple = ()):
     """CCNet-style LM quality scoring (Wenzek et al. 2020,
     arXiv:1911.00359 scores pages with a pretrained KenLM; here the
     unigram LM is trained on the corpus itself in the same job, which
@@ -373,7 +397,9 @@ def unigram_logloss(ds, *, min_ppm: int = 1000, id_col: str = "doc_id",
     token lookup + per-doc ``reduceat``) — no shuffle at all.
 
     Returns (id_col, n_tokens, logloss); every doc scores (empty/null
-    text tokenizes to the single token '').
+    text tokenizes to the single token '').  ``passthrough`` names extra
+    input columns to carry into the output unchanged (e.g. ``lang`` for
+    per-language bucketing downstream).
     """
     import pandas as pd
     import ray
@@ -415,13 +441,103 @@ def unigram_logloss(ds, *, min_ppm: int = 1000, id_col: str = "doc_id",
         # every doc has >= 1 token, so reduceat sees no empty segments
         sums = (np.add.reduceat(lp, offsets[:-1])
                 if len(toks) else np.zeros(0))
-        return pa.table({
+        cols = {
             id_col: b[id_col],
             "n_tokens": pa.array(lens),
             "logloss": pa.array((-sums / lens).astype(np.float64)),
-        })
+        }
+        for c in passthrough:
+            cols[c] = b[c]
+        return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ccnet_buckets(ds, *, min_ppm: int = 1000, id_col: str = "doc_id",
+                  text_col: str = "text", lang_col: str = "lang",
+                  quant: int = 1000, sketch_size: int = 4096,
+                  num_buckets: int = 16):
+    """CCNet head/middle/tail quality bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.4: pages are split per language into three
+    equal-mass buckets by LM perplexity; 'head' is the most fluent
+    third).  Scores come from :func:`unigram_logloss` (the same
+    corpus-trained add-one unigram model), quantized to integer
+    milli-nats ``llm = floor(logloss * quant + 0.5)`` so the bucket
+    boundary is integer-exact and SQL-mirrorable.
+
+    Boundary semantics (exactly what the DuckDB oracle computes): per
+    language with n docs, ``cut1`` is the smallest llm whose running
+    count reaches ceil(n/3) (``3*cc >= n`` over the per-llm histogram)
+    and ``cut2`` the smallest reaching ceil(2n/3); a doc is 'head' if
+    ``llm <= cut1``, 'middle' if ``llm <= cut2``, else 'tail' — ties on
+    the quantized score all land in the lower bucket (threshold
+    semantics, like CCNet's percentile cutoffs, NOT NTILE row-splitting,
+    which would need a doc-level total order).
+
+    Scale shape: scoring is the map-only logloss pass; the cutoff pass
+    shuffles only the per-(lang, llm) HISTOGRAM — bounded by languages x
+    distinct quantized scores (~15k values for logloss in [0, 15] nats at
+    quant=1000) regardless of corpus size — and the driver reduces it;
+    assignment is a second map over the materialized (id, lang, llm)
+    projection with the tiny cutoff table broadcast once.
+
+    Returns (id_col, lang, llm BIGINT, bucket in {'head','middle','tail'}).
+    """
+    import pandas as pd
+    import ray
+
+    scored = unigram_logloss(
+        ds, min_ppm=min_ppm, id_col=id_col, text_col=text_col,
+        sketch_size=sketch_size, num_buckets=num_buckets,
+        passthrough=(lang_col,),
+    )
+
+    def to_llm(b: pa.Table) -> pa.Table:
+        ll = np.asarray(b["logloss"], dtype=np.float64)
+        llm = np.floor(ll * quant + 0.5).astype(np.int64)
+        return pa.table({id_col: b[id_col], lang_col: b[lang_col],
+                         "llm": pa.array(llm)})
+
+    # materialized: consumed twice (histogram pass + assignment pass);
+    # 3 narrow columns, never the text
+    proj = scored.map_batches(to_llm, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    def hist_partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({lang_col: b[lang_col].to_pandas(),
+                           "llm": np.asarray(b["llm"], dtype=np.int64)})
+        out = df.groupby([lang_col, "llm"], sort=False).size()
+        return out.rename("c").reset_index()
+
+    hist = (proj.map_batches(hist_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .to_pandas()
+            .groupby([lang_col, "llm"], as_index=False)["c"].sum()
+            .sort_values([lang_col, "llm"], kind="mergesort"))
+    cuts: dict = {}
+    for lang, g in hist.groupby(lang_col, sort=False):
+        cc = g["c"].to_numpy(np.int64).cumsum()
+        n = int(cc[-1])
+        vals = g["llm"].to_numpy(np.int64)
+        cut1 = int(vals[np.searchsorted(3 * cc, n, side="left")])
+        cut2 = int(vals[np.searchsorted(3 * cc, 2 * n, side="left")])
+        cuts[lang] = (cut1, cut2)
+    ref = ray.put(cuts)
+
+    def assign(b: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        langs = b[lang_col].to_pandas()
+        llm = np.asarray(b["llm"], dtype=np.int64)
+        c1 = langs.map(lambda x: table[x][0]).to_numpy(np.int64)
+        c2 = langs.map(lambda x: table[x][1]).to_numpy(np.int64)
+        bucket = np.where(llm <= c1, "head",
+                          np.where(llm <= c2, "middle", "tail"))
+        return pa.table({id_col: b[id_col], lang_col: b[lang_col],
+                         "llm": b["llm"],
+                         "bucket": pa.array(bucket, type=pa.string())})
+
+    return proj.map_batches(assign, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def bigram_logloss(ds, *, min_ppm: int = 1000, id_col: str = "doc_id",
