@@ -2670,6 +2670,87 @@ FROM ld JOIN cuts ON ld.lang = cuts.lang
 """
 
 
+# ppm multipliers per CCNet bucket: keep the fluent third at full weight,
+# halve the middle, quarter the tail (CCNet itself trains on head+middle)
+_POLICY_BUCKET_PPM = {"head": 1_000_000, "middle": 500_000, "tail": 250_000}
+
+
+def q_curation_policy(sf_dir: str):
+    """The composed curation policy — the per-doc sampling weight a
+    training-data recipe actually consumes, built from three of the
+    engine's signals in one pipeline: the Gopher quality gate
+    (``gopher_filter``, hard 0 on drop), SoftDeDup duplicate
+    downweighting (``soft_dedup_weights``, 1e6/group over the
+    normalized-text exact groups) and CCNet fluency bucketing
+    (``ccnet_buckets``; head/middle/tail multipliers 1.0/0.5/0.25 as
+    ppm).  ``final_weight_ppm = keep ? soft_ppm *
+    bucket_ppm // 1e6 : 0`` — pure integer arithmetic, so the DuckDB
+    mirror (the three oracle chains joined on doc_id) is bit-exact.
+
+    Scale shape: each leg is the already-bounded pipeline it reuses;
+    the composition is two hash joins on doc_id over NARROW frames
+    (ids + small ints + a bucket tag — text never enters the join)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.joins import hash_join
+    from deduplicator_ray.stages.textstats import gopher_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    gate = gopher_filter(ds, min_words=_GOPHER_MIN_WORDS,
+                         max_words=_GOPHER_MAX_WORDS,
+                         stopwords=_gopher_stoplist()).drop_columns(
+                             ["fail_reason"])
+    soft = q_soft_dedup_weights(sf_dir)
+    buck = q_ccnet_buckets(sf_dir).drop_columns(["lang", "llm"])
+
+    j1 = hash_join(gate, soft, on=("doc_id",), num_partitions=16,
+                   out_schema={"doc_id": pa.int64(), "keep": pa.bool_(),
+                               "n_tokens": pa.int64(),
+                               "group_size": pa.int64(),
+                               "weight_ppm": pa.int64()})
+    # chained-hash-join barrier (house rule, see cluster_cohesion): keep
+    # exactly one join shuffle per executing plan — narrow frame, no text
+    j1 = j1.materialize()
+    j2 = hash_join(j1, buck, on=("doc_id",), num_partitions=16,
+                   out_schema={"doc_id": pa.int64(), "keep": pa.bool_(),
+                               "n_tokens": pa.int64(),
+                               "group_size": pa.int64(),
+                               "weight_ppm": pa.int64(),
+                               "bucket": pa.string()})
+
+    mult = _POLICY_BUCKET_PPM
+
+    def fin(b: pa.Table) -> pa.Table:
+        keep = np.asarray(b["keep"], dtype=bool)
+        w = np.asarray(b["weight_ppm"], dtype=np.int64)
+        m = np.array([mult[x] for x in b["bucket"].to_pylist()],
+                     dtype=np.int64)
+        final = np.where(keep, (w * m) // 1_000_000, 0)
+        return pa.table({"doc_id": b["doc_id"], "keep": b["keep"],
+                         "bucket": b["bucket"],
+                         "group_size": b["group_size"],
+                         "n_tokens": b["n_tokens"],
+                         "final_weight_ppm": pa.array(final)})
+
+    return j2.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_curation_policy() -> str:
+    mult_case = " ".join(f"WHEN '{k}' THEN {v}"
+                         for k, v in _POLICY_BUCKET_PPM.items())
+    return f"""
+WITH g AS ({_sql_gopher_filter()}),
+s AS ({_sql_soft_dedup_weights()}),
+c AS ({_SQL_CCNET_BUCKETS})
+SELECT g.doc_id, g.keep, c.bucket, s.group_size, s.n_tokens,
+       CASE WHEN g.keep
+            THEN s.weight_ppm * (CASE c.bucket {mult_case} END) // 1000000
+            ELSE 0 END AS final_weight_ppm
+FROM g JOIN s ON g.doc_id = s.doc_id JOIN c ON g.doc_id = c.doc_id
+"""
+
+
 _SHUFFLE_SEED = 42
 
 
@@ -4987,6 +5068,7 @@ def registry_ext():
         "embed_topk_ivfpq": (q_embed_topk_ivfpq, _SQL_EMB_TOPK),
         "quality_ablation_grid": (q_quality_ablation_grid,
                                   _sql_quality_ablation_grid()),
+        "curation_policy": (q_curation_policy, _sql_curation_policy()),
         "soft_dedup_weights": (q_soft_dedup_weights,
                                _sql_soft_dedup_weights()),
         "lsh_tuning_curve": (q_lsh_tuning_curve, _SQL_LSH_TUNING_CURVE),

@@ -205,3 +205,23 @@ def test_quality_ablation_grid_totals(ray_session, sf_dir):
     bits = ["len_ok", "wordlen_ok", "alpha_ok", "stop_ok", "rep_ok"]
     cell = out[out[bits].all(axis=1)]
     assert int(cell["n_docs"].sum()) == int(keeps)
+
+
+def test_curation_policy_arithmetic(ray_session, sf_dir):
+    """final_weight_ppm must be reconstructible from the row's own
+    (keep, bucket, group_size) via the documented integer formula, and
+    dropped docs must carry exactly 0."""
+    from deduplicator_ray.pipelines.queries_ext import (_POLICY_BUCKET_PPM,
+                                                        q_curation_policy)
+
+    out = q_curation_policy(sf_dir).to_pandas()
+    gs = out["group_size"].to_numpy(np.int64)
+    soft = (2_000_000 + gs) // (2 * gs)
+    mult = out["bucket"].map(_POLICY_BUCKET_PPM).to_numpy(np.int64)
+    want = np.where(out["keep"].to_numpy(bool),
+                    (soft * mult) // 1_000_000, 0)
+    assert (out["final_weight_ppm"].to_numpy(np.int64) == want).all()
+    assert (out.loc[~out["keep"], "final_weight_ppm"] == 0).all()
+    # the policy must be non-degenerate on the test corpus
+    assert out["keep"].any() and (~out["keep"]).any()
+    assert out["bucket"].nunique() == 3
