@@ -1892,6 +1892,60 @@ FROM t LEFT JOIN c USING (doc_id)
 """
 
 
+_ONION_NGRAM = 3
+_ONION_THRESHOLD_PPM = 500_000
+
+
+def q_onion_filter(sf_dir: str):
+    """Onion cross-document duplication gate (stages/sentdedup.py:
+    onion_coverage): per doc, the ppm of overlapping 3-gram positions
+    whose gram occurs in >= 2 distinct documents corpus-wide;
+    keep = onion_ppm <= 50%.  The complement of dup_gram_coverage
+    (within-doc) — together they split Gopher A1.1's signal into
+    self-repetition vs corpus-level duplication."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import onion_coverage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return onion_coverage(ds, ngram=_ONION_NGRAM,
+                          threshold_ppm=_ONION_THRESHOLD_PPM)
+
+
+_SQL_ONION_FILTER = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(COALESCE(text, ''), ' ')) AS word,
+         unnest(range(1, len(string_split(COALESCE(text, ''), ' ')) + 1)) AS ord
+  FROM documents
+), g AS (
+  SELECT doc_id, ord AS i,
+         string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY ord
+           ROWS BETWEEN CURRENT ROW AND {_ONION_NGRAM - 1} FOLLOWING) AS gram,
+         count(*) OVER (PARTITION BY doc_id ORDER BY ord
+           ROWS BETWEEN CURRENT ROW AND {_ONION_NGRAM - 1} FOLLOWING) AS glen
+  FROM w
+), gg AS (
+  SELECT doc_id, gram FROM g WHERE glen = {_ONION_NGRAM}
+), t AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos FROM gg GROUP BY doc_id
+), s AS (
+  SELECT gram FROM gg GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), c AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS shared
+  FROM gg JOIN s USING (gram) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_pos,
+       CAST(COALESCE(c.shared, 0) AS BIGINT) AS shared_pos,
+       CAST(COALESCE(c.shared, 0) * 1000000 // t.n_pos AS BIGINT)
+         AS onion_ppm,
+       CAST(COALESCE(c.shared, 0) * 1000000 // t.n_pos
+            <= {_ONION_THRESHOLD_PPM} AS BOOLEAN) AS keep
+FROM t LEFT JOIN c USING (doc_id)
+"""
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition metrics per document
     (stages/sentdedup.py:repetition_stats)."""
@@ -2748,6 +2802,46 @@ SELECT g.doc_id, g.keep, c.bucket, s.group_size, s.n_tokens,
             THEN s.weight_ppm * (CASE c.bucket {mult_case} END) // 1000000
             ELSE 0 END AS final_weight_ppm
 FROM g JOIN s ON g.doc_id = s.doc_id JOIN c ON g.doc_id = c.doc_id
+"""
+
+
+_POLICY_SAMPLE_SEED = 77
+
+
+def q_policy_sample(sf_dir: str):
+    """Materialize ``curation_policy`` into the actual training subset:
+    keep each doc with probability final_weight_ppm / 1e6 via the same
+    bijective Weyl key the global shuffle uses — keep iff
+    ``shuffle_key(doc_id, seed) % 1e6 < final_weight_ppm``.  Map-only
+    over the policy frame (no extra shuffle), bit-reproducible across
+    runs/workers/cluster sizes, and MONOTONE in the weight under a fixed
+    seed: raising a doc's weight can only add it to the sample, so
+    policy tweaks churn exactly the margin, never the core."""
+    from deduplicator_ray.stages.shuffle import shuffle_key
+
+    pol = q_curation_policy(sf_dir)
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        draw = (shuffle_key(ids, _POLICY_SAMPLE_SEED)
+                % np.uint64(1_000_000)).astype(np.int64)
+        keep = draw < np.asarray(b["final_weight_ppm"], dtype=np.int64)
+        t = pa.table({"doc_id": b["doc_id"], "bucket": b["bucket"],
+                      "final_weight_ppm": b["final_weight_ppm"]})
+        return t.filter(pa.array(keep))
+
+    return pol.map_batches(pick, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _sql_policy_sample() -> str:
+    from deduplicator_ray.stages.shuffle import SHUFFLE_MULT
+
+    return f"""
+WITH p AS ({_sql_curation_policy()})
+SELECT doc_id, bucket, final_weight_ppm FROM p
+WHERE (CAST(doc_id AS HUGEINT) + {_POLICY_SAMPLE_SEED}) * {SHUFFLE_MULT}
+      % 18446744073709551616 % 1000000 < final_weight_ppm
 """
 
 
@@ -5069,6 +5163,8 @@ def registry_ext():
         "quality_ablation_grid": (q_quality_ablation_grid,
                                   _sql_quality_ablation_grid()),
         "curation_policy": (q_curation_policy, _sql_curation_policy()),
+        "policy_sample": (q_policy_sample, _sql_policy_sample()),
+        "onion_filter": (q_onion_filter, _SQL_ONION_FILTER),
         "soft_dedup_weights": (q_soft_dedup_weights,
                                _sql_soft_dedup_weights()),
         "lsh_tuning_curve": (q_lsh_tuning_curve, _SQL_LSH_TUNING_CURVE),

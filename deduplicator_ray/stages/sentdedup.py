@@ -1084,3 +1084,97 @@ def dup_gram_coverage(ds, *, ngram: int = 3, id_col: str = "doc_id",
         })
 
     return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def onion_coverage(ds, *, ngram: int = 3, num_buckets: int = 64,
+                   threshold_ppm: int = 500_000,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Onion-style cross-document duplication filter (Pomikálek 2011,
+    "Removing Boilerplate and Duplicate Content from Web Corpora", ch. 5:
+    resemblance on the n-gram multiset) -> Dataset (doc_id,
+    n_pos BIGINT, shared_pos BIGINT, onion_ppm BIGINT, keep BOOL).
+
+    Per document, over its overlapping ``ngram``-word positions: a
+    position is SHARED iff its gram occurs in >= 2 DISTINCT documents
+    corpus-wide (within-doc-only repetition does not count — that is
+    ``dup_gram_coverage``'s signal).  ``onion_ppm`` = shared positions
+    per million gram positions; ``keep`` = onion_ppm <= threshold_ppm —
+    the "drop documents that are mostly other documents" gate Onion
+    applies with its default 50% resemblance cut.  Documents with fewer
+    than ``ngram`` words have no positions and emit no row (same rule as
+    ``doc_novelty``).
+
+    Shape (100 TB): text never rides a shuffle.  Map-side the batch
+    collapses to one row per (gram, doc) carrying its occurrence count
+    (a doc lives in one row, so the count is exact) plus one per-doc
+    total row riding the same tagged stream; ONE gram-key shuffle of
+    integer rows; per bucket, distinct-doc>=2 election and per-doc
+    partial sums; one tiny doc-key shuffle sums the two integer streams.
+    Same tagged-union shape as ``doc_novelty``.
+    """
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    def explode(b: pa.Table) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        g1, g2, di, _pos = _ngram_occurrences(b[text_col].combine_chunks(),
+                                              ngram)
+        df = pd.DataFrame({"h1": g1, "h2": g2, "doc": ids[di]})
+        per = (df.groupby(["h1", "h2", "doc"], as_index=False, sort=False)
+               .size().rename(columns={"size": "cnt"}))
+        tot = per.groupby("doc", as_index=False)["cnt"].sum()
+        grams = pd.DataFrame({
+            "key": per["h1"].to_numpy().view("int64"),
+            "h2": per["h2"].to_numpy().view("int64"),
+            "doc": per["doc"].to_numpy(),
+            "cnt": per["cnt"].to_numpy().astype("int64"),
+            "is_gram": True,
+        })
+        totals = pd.DataFrame({
+            "key": tot["doc"].to_numpy(),
+            "h2": np.int64(0),
+            "doc": tot["doc"].to_numpy(),
+            "cnt": tot["cnt"].to_numpy().astype("int64"),
+            "is_gram": False,
+        })
+        return pd.concat([grams, totals], ignore_index=True)
+
+    tagged = ds.map_batches(explode, batch_format="pyarrow",
+                            batch_size=4096)
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["is_gram"]]
+        passthrough = df.loc[~df["is_gram"], ["doc", "cnt"]].copy()
+        passthrough = passthrough.rename(columns={"cnt": "n_pos"})
+        passthrough["shared"] = np.int64(0)
+        ndoc = g.groupby(["key", "h2"])["doc"].transform("nunique")
+        sh = g[ndoc >= 2]
+        shared = sh.groupby("doc", as_index=False)["cnt"].sum().rename(
+            columns={"cnt": "shared"})
+        shared["n_pos"] = np.int64(0)
+        out = pd.concat([shared[["doc", "n_pos", "shared"]], passthrough],
+                        ignore_index=True)
+        return out.astype({"doc": "int64", "n_pos": "int64",
+                           "shared": "int64"})
+
+    partials = (hash_bucket(tagged, "key", num_buckets)
+                .groupby("_part")
+                .map_groups(lambda g: bucket_partial(g.drop(columns=["_part"])),
+                            batch_format="pandas"))
+
+    thr = int(threshold_ppm)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc", as_index=False).agg(
+            n_pos=("n_pos", "sum"), shared_pos=("shared", "sum"))
+        ppm = (out["shared_pos"].to_numpy(np.int64) * 1_000_000
+               // np.maximum(out["n_pos"].to_numpy(np.int64), 1))
+        out["onion_ppm"] = ppm
+        out["keep"] = ppm <= thr
+        out = out.rename(columns={"doc": id_col})
+        return out.astype({"n_pos": "int64", "shared_pos": "int64",
+                           "onion_ppm": "int64", "keep": "bool"})
+
+    return (hash_bucket(partials, "doc", num_buckets)
+            .groupby("_part")
+            .map_groups(lambda g: final(g.drop(columns=["_part"])),
+                        batch_format="pandas"))

@@ -225,3 +225,24 @@ def test_curation_policy_arithmetic(ray_session, sf_dir):
     # the policy must be non-degenerate on the test corpus
     assert out["keep"].any() and (~out["keep"]).any()
     assert out["bucket"].nunique() == 3
+
+
+def test_policy_sample_membership_and_monotonicity(ray_session, sf_dir):
+    """Sample membership must be exactly the documented Weyl predicate
+    over the policy frame, and nested: every sampled doc would also be
+    sampled at any higher weight (draw < ppm is monotone in ppm)."""
+    from deduplicator_ray.pipelines.queries_ext import (_POLICY_SAMPLE_SEED,
+                                                        q_curation_policy,
+                                                        q_policy_sample)
+    from deduplicator_ray.stages.shuffle import shuffle_key
+
+    pol = q_curation_policy(sf_dir).to_pandas()
+    got = set(q_policy_sample(sf_dir).to_pandas()["doc_id"])
+    ids = pol["doc_id"].to_numpy(np.int64)
+    draw = (shuffle_key(ids, _POLICY_SAMPLE_SEED)
+            % np.uint64(1_000_000)).astype(np.int64)
+    want = set(ids[draw < pol["final_weight_ppm"].to_numpy(np.int64)])
+    assert got == want
+    assert got  # non-empty on the test corpus
+    # dropped docs (weight 0) can never be sampled
+    assert not got & set(pol.loc[~pol["keep"], "doc_id"])

@@ -413,3 +413,46 @@ def test_dup_gram_coverage_bruteforce(ray_session):
     assert got.loc[0, "covered_tokens"] == 6
     assert got.loc[1, "covered_tokens"] == 4
     assert got.loc[2, "covered_tokens"] == 0
+
+
+def test_onion_coverage_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import onion_coverage
+
+    rng = np.random.default_rng(11)
+    docs = _mk_docs(rng, n=30)
+    # plant a doc that is pure copy of another and a short (<n) doc
+    docs[900] = docs[sorted(docs)[0]]
+    docs[901] = "only two"
+    pdf = pd.DataFrame({"doc_id": sorted(docs),
+                        "text": [docs[k] for k in sorted(docs)]})
+    out = (onion_coverage(rd.from_pandas(pdf).repartition(5),
+                          ngram=3, num_buckets=7, threshold_ppm=500_000)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # brute force: gram -> set of docs; positions per doc
+    gram_docs: dict[tuple, set] = collections.defaultdict(set)
+    per_doc: dict[int, list] = {}
+    for did in sorted(docs):
+        words = docs[did].split(" ")
+        grams = [tuple(words[i:i + 3]) for i in range(len(words) - 2)]
+        per_doc[did] = grams
+        for g in grams:
+            gram_docs[g].add(did)
+    rows = []
+    for did in sorted(docs):
+        grams = per_doc[did]
+        if not grams:
+            continue  # <n words: no row
+        shared = sum(1 for g in grams if len(gram_docs[g]) >= 2)
+        ppm = shared * 1_000_000 // len(grams)
+        rows.append({"doc_id": did, "n_pos": len(grams),
+                     "shared_pos": shared, "onion_ppm": ppm,
+                     "keep": ppm <= 500_000})
+    want = pd.DataFrame(rows)
+    assert 901 not in set(out["doc_id"])  # short doc emits no row
+    pd.testing.assert_frame_equal(
+        out.astype(want.dtypes.to_dict()), want)
+    # the planted copy must be fully shared on both members
+    assert int(out.loc[out["doc_id"] == 900, "onion_ppm"].iloc[0]) == 1_000_000
