@@ -1913,6 +1913,129 @@ def q_onion_filter(sf_dir: str):
                           threshold_ppm=_ONION_THRESHOLD_PPM)
 
 
+_JTOPK_NGRAM = 3
+_JTOPK_K = 3
+_JTOPK_MOD = 50  # query set: doc_id % 50 == 0
+
+
+def q_jaccard_topk(sf_dir: str):
+    """Top-k most-similar documents per QUERY doc by exact Jaccard over
+    distinct 3-word shingles — the "find me documents like these" lookup
+    (the lexical twin of ``embed_topk``), not the threshold all-pairs
+    mining ``ngram_jaccard_pairs`` does.  Query set = doc_id % 50 == 0.
+
+    Shape (100 TB): the query side is small by construction, so its
+    distinct shingle fingerprints broadcast ONCE (``ray.put``) and every
+    batch merges against them locally — intersections need no shuffle at
+    all; each block emits its local top-k per query (<= k x blocks x
+    queries tiny integer rows) and the driver keeps the global k.
+    Deterministic tie-break (jacc_ppm desc, cand_id asc); integer ppm so
+    the DuckDB mirror is bit-exact; pairs need intersection >= 1 to
+    appear, and a query with fewer than 3 words has no shingles and no
+    rows (both sides agree)."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from deduplicator_ray.stages.sentdedup import _ngram_occurrences
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def shingles(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g1, g2, di, _pos = _ngram_occurrences(
+            b["text"].combine_chunks(), _JTOPK_NGRAM)
+        return pd.DataFrame({"doc_id": ids[di], "h1": g1.view("int64"),
+                             "h2": g2.view("int64")}).drop_duplicates()
+
+    def qfilter(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % _JTOPK_MOD == 0))
+
+    # query-side shingle sets: tiny by construction -> broadcast
+    qsh = (ds.map_batches(qfilter, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .map_batches(shingles, batch_format="pyarrow")
+           .to_pandas())
+    qsizes = qsh.groupby("doc_id").size().astype("int64")
+    q_ref = ray.put((qsh.rename(columns={"doc_id": "qid"}), qsizes))
+
+    def block_topk(b: pa.Table) -> pd.DataFrame:
+        qdf, qsz = ray.get(q_ref)
+        sh = shingles(b)
+        sh = sh[~sh["doc_id"].isin(set(qsz.index))]  # candidates only
+        if sh.empty or qdf.empty:
+            return pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                                 "cand_id": pd.Series(dtype="int64"),
+                                 "jacc_ppm": pd.Series(dtype="int64")})
+        csz = sh.groupby("doc_id").size().astype("int64")
+        m = sh.merge(qdf, on=["h1", "h2"])
+        inter = (m.groupby(["qid", "doc_id"], as_index=False)
+                 .size().rename(columns={"size": "i", "doc_id": "cand_id"}))
+        union = (qsz.loc[inter["qid"]].to_numpy()
+                 + csz.loc[inter["cand_id"]].to_numpy()
+                 - inter["i"].to_numpy())
+        inter["jacc_ppm"] = (inter["i"].to_numpy() * 1_000_000
+                             // union).astype("int64")
+        inter = inter.sort_values(["qid", "jacc_ppm", "cand_id"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+        top = inter.groupby("qid").head(_JTOPK_K)
+        return top[["qid", "cand_id", "jacc_ppm"]].astype("int64")
+
+    parts = ds.map_batches(block_topk, batch_format="pyarrow",
+                           batch_size=4096).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64"),
+                             "cand_id": pd.Series(dtype="int64"),
+                             "jacc_ppm": pd.Series(dtype="int64")})
+    parts = parts.sort_values(["qid", "jacc_ppm", "cand_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    out = parts.groupby("qid").head(_JTOPK_K).reset_index(drop=True)
+    out["rank"] = out.groupby("qid").cumcount().astype("int64") + 1
+    return out[["qid", "rank", "cand_id", "jacc_ppm"]]
+
+
+_SQL_JACCARD_TOPK = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(COALESCE(text, ''), ' ')) AS word,
+         unnest(range(1, len(string_split(COALESCE(text, ''), ' ')) + 1)) AS ord
+  FROM documents
+), g AS (
+  SELECT doc_id, string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY ord
+           ROWS BETWEEN CURRENT ROW AND {_JTOPK_NGRAM - 1} FOLLOWING) AS gram,
+         count(*) OVER (PARTITION BY doc_id ORDER BY ord
+           ROWS BETWEEN CURRENT ROW AND {_JTOPK_NGRAM - 1} FOLLOWING) AS glen
+  FROM w
+), gg AS (
+  SELECT DISTINCT doc_id, gram FROM g WHERE glen = {_JTOPK_NGRAM}
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gg GROUP BY doc_id
+), q AS (
+  SELECT doc_id AS qid, gram FROM gg WHERE doc_id % {_JTOPK_MOD} = 0
+), i AS (
+  SELECT q.qid, gg.doc_id AS cand_id, CAST(count(*) AS BIGINT) AS i
+  FROM q JOIN gg USING (gram)
+  WHERE gg.doc_id % {_JTOPK_MOD} <> 0
+  GROUP BY q.qid, gg.doc_id
+), j AS (
+  SELECT i.qid, i.cand_id,
+         i.i * 1000000 // (sq.n + sc.n - i.i) AS jacc_ppm,
+         row_number() OVER (PARTITION BY i.qid
+           ORDER BY i.i * 1000000 // (sq.n + sc.n - i.i) DESC,
+                    i.cand_id ASC) AS rank
+  FROM i JOIN sz sq ON sq.doc_id = i.qid JOIN sz sc ON sc.doc_id = i.cand_id
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, cand_id,
+       CAST(jacc_ppm AS BIGINT) AS jacc_ppm
+FROM j WHERE rank <= {_JTOPK_K}
+"""
+
+
 _SQL_ONION_FILTER = f"""
 WITH w AS (
   SELECT doc_id,
@@ -1943,6 +2066,95 @@ SELECT t.doc_id, t.n_pos,
        CAST(COALESCE(c.shared, 0) * 1000000 // t.n_pos
             <= {_ONION_THRESHOLD_PPM} AS BOOLEAN) AS keep
 FROM t LEFT JOIN c USING (doc_id)
+"""
+
+
+def q_dataset_card(sf_dir: str):
+    """The dataset-card rollup — the summary table a corpus release
+    ships: one SCAN of ``documents`` feeds every section (total /
+    per-lang / per-source / lang x source) via tagged per-batch partials
+    (a handful of rows each), then one tiny (section, key) exchange sums
+    them.  Metrics are additive on purpose (docs, whitespace tokens,
+    chars, empty docs) so partials combine exactly.  Contrast with
+    running four group-bys: the corpus is read ONCE — at 100 TB the scan
+    is the cost, not the aggregation."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "lang", "source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        b = pd.DataFrame({
+            "lang": b["lang"], "source": b["source"],
+            "tok": (t.str.count(" ") + 1).astype("int64"),
+            "chars": b["n_chars"].astype("int64"),
+            "empty": (t == "").astype("int64"),
+        })
+
+        def agg(g, section, key):
+            out = g.agg(n_docs=("tok", "size"), n_tokens=("tok", "sum"),
+                        n_chars=("chars", "sum"), n_empty=("empty", "sum"))
+            out = out.reset_index(drop=section == "total")
+            out.insert(0, "section", section)
+            out.insert(1, "key", key(out) if callable(key) else key)
+            return out[["section", "key", "n_docs", "n_tokens",
+                        "n_chars", "n_empty"]]
+
+        rows = pd.concat([
+            agg(b.assign(_k=0).groupby("_k"), "total", "all"),
+            agg(b.groupby("lang"), "lang", lambda o: o["lang"]),
+            agg(b.groupby("source"), "source", lambda o: o["source"]),
+            agg(b.groupby(["lang", "source"]), "lang_source",
+                lambda o: o["lang"] + "/" + o["source"]),
+        ], ignore_index=True)
+        return rows.astype({"n_docs": "int64", "n_tokens": "int64",
+                            "n_chars": "int64", "n_empty": "int64"})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["section", "key"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"),
+            n_chars=("n_chars", "sum"), n_empty=("n_empty", "sum"))
+        return out.astype({"n_docs": "int64", "n_tokens": "int64",
+                           "n_chars": "int64", "n_empty": "int64"})
+
+    return (hash_bucket(parts, "key", 8)
+            .groupby("_part")
+            .map_groups(lambda g: final(g.drop(columns=["_part"])),
+                        batch_format="pandas"))
+
+
+_SQL_DATASET_CARD = """
+WITH d AS (
+  SELECT lang, source,
+         CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS tok,
+         CAST(n_chars AS BIGINT) AS chars,
+         CAST(COALESCE(text, '') = '' AS BIGINT) AS empty
+  FROM documents
+)
+SELECT 'total' AS section, 'all' AS key, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       CAST(sum(chars) AS BIGINT) AS n_chars,
+       CAST(sum(empty) AS BIGINT) AS n_empty
+FROM d
+UNION ALL
+SELECT 'lang', lang, CAST(count(*) AS BIGINT), CAST(sum(tok) AS BIGINT),
+       CAST(sum(chars) AS BIGINT), CAST(sum(empty) AS BIGINT)
+FROM d GROUP BY lang
+UNION ALL
+SELECT 'source', source, CAST(count(*) AS BIGINT), CAST(sum(tok) AS BIGINT),
+       CAST(sum(chars) AS BIGINT), CAST(sum(empty) AS BIGINT)
+FROM d GROUP BY source
+UNION ALL
+SELECT 'lang_source', lang || '/' || source, CAST(count(*) AS BIGINT),
+       CAST(sum(tok) AS BIGINT), CAST(sum(chars) AS BIGINT),
+       CAST(sum(empty) AS BIGINT)
+FROM d GROUP BY lang, source
 """
 
 
@@ -5165,6 +5377,8 @@ def registry_ext():
         "curation_policy": (q_curation_policy, _sql_curation_policy()),
         "policy_sample": (q_policy_sample, _sql_policy_sample()),
         "onion_filter": (q_onion_filter, _SQL_ONION_FILTER),
+        "dataset_card": (q_dataset_card, _SQL_DATASET_CARD),
+        "jaccard_topk": (q_jaccard_topk, _SQL_JACCARD_TOPK),
         "soft_dedup_weights": (q_soft_dedup_weights,
                                _sql_soft_dedup_weights()),
         "lsh_tuning_curve": (q_lsh_tuning_curve, _SQL_LSH_TUNING_CURVE),

@@ -246,3 +246,78 @@ def test_policy_sample_membership_and_monotonicity(ray_session, sf_dir):
     assert got  # non-empty on the test corpus
     # dropped docs (weight 0) can never be sampled
     assert not got & set(pol.loc[~pol["keep"], "doc_id"])
+
+
+def test_dataset_card_sections_consistent(ray_session, sf_dir):
+    """Every section is a partition of the corpus: lang, source and
+    lang_source rows must each sum to the total row, metric by metric;
+    lang_source keys must refine the lang section."""
+    from deduplicator_ray.pipelines.queries_ext import q_dataset_card
+
+    out = q_dataset_card(sf_dir).to_pandas()
+    tot = out[out["section"] == "total"].iloc[0]
+    for sec in ["lang", "source", "lang_source"]:
+        sub = out[out["section"] == sec]
+        for c in ["n_docs", "n_tokens", "n_chars", "n_empty"]:
+            assert int(sub[c].sum()) == int(tot[c]), (sec, c)
+    ls = out[out["section"] == "lang_source"]
+    per_lang = (ls.assign(lang=ls["key"].str.split("/").str[0])
+                .groupby("lang")["n_docs"].sum())
+    lang = out[out["section"] == "lang"].set_index("key")["n_docs"]
+    assert per_lang.sort_index().equals(lang.sort_index())
+
+
+def test_jaccard_topk_bruteforce(ray_session, tmp_path):
+    """Top-k rows must equal a brute-force exact-Jaccard ranking with the
+    documented (ppm desc, cand_id asc) tie-break, on a planted corpus
+    where doc 0 and 50 are queries."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.pipelines.queries_ext import (_JTOPK_K,
+                                                        _JTOPK_MOD,
+                                                        _JTOPK_NGRAM,
+                                                        q_jaccard_topk)
+
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = {i: " ".join(rng.choice(vocab, int(rng.integers(4, 16))))
+            for i in range(1, 120) if i % _JTOPK_MOD != 0}
+    docs[0] = " ".join(vocab[:8])
+    docs[_JTOPK_MOD] = " ".join(vocab[4:12])
+    docs[3] = docs[0]                       # exact copy of query 0
+    ids = sorted(docs)
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": [docs[i] for i in ids],
+                             "lang": ["en"] * len(ids),
+                             "source": ["s"] * len(ids),
+                             "n_chars": [len(docs[i]) for i in ids]}),
+                   tmp_path / "documents.parquet")
+    got = q_jaccard_topk(str(tmp_path)).reset_index(drop=True)
+
+    def sh(t):
+        w = t.split(" ")
+        return {tuple(w[i:i + _JTOPK_NGRAM])
+                for i in range(len(w) - _JTOPK_NGRAM + 1)}
+
+    rows = []
+    for q in (0, _JTOPK_MOD):
+        qs = sh(docs[q])
+        scored = []
+        for c in ids:
+            if c % _JTOPK_MOD == 0:
+                continue
+            cs = sh(docs[c])
+            i = len(qs & cs)
+            if i:
+                scored.append((i * 1_000_000 // len(qs | cs), -c))
+        scored.sort(reverse=True)
+        for r, (ppm, negc) in enumerate(scored[:_JTOPK_K], 1):
+            rows.append({"qid": q, "rank": r, "cand_id": -negc,
+                         "jacc_ppm": ppm})
+    want = pd.DataFrame(rows)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    assert ((got["qid"] == 0) & (got["cand_id"] == 3)
+            & (got["jacc_ppm"] == 1_000_000)).any()
