@@ -677,6 +677,7 @@ def registry():
     from deduplicator_ray.pipelines.queries_ext import registry_ext
     from deduplicator_ray.pipelines.queries_graph import registry_graph
     from deduplicator_ray.pipelines.queries_rel import registry_rel
+    from deduplicator_ray.pipelines.queries_curate import registry_curate
     from deduplicator_ray.pipelines.queries_sim import registry_sim
 
     base = {
@@ -732,4 +733,5 @@ def registry():
     base.update(registry_graph())
     base.update(registry_delta())
     base.update(registry_sim())
+    base.update(registry_curate())
     return base

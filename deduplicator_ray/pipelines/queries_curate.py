@@ -1,0 +1,311 @@
+"""Corpus-curation queries: multilingual temperature sampling and
+host/section boilerplate templates.
+
+Extensions beyond the reference surface (SURVEY.md §2.11), continuing
+the LLM-training-data family in ``queries_ext.py``:
+
+- ``lang_alpha_weights`` — XLM-R / mC4-style temperature rebalancing
+  (Conneau et al. 2020, "Unsupervised Cross-lingual Representation
+  Learning at Scale", §3: sample languages with p_l ∝ share_l^alpha).
+- ``section_template`` — per (host, first-path-segment) common
+  prefix/suffix template detection using the order-statistics LCP
+  identity: the longest common prefix of a GROUP equals the LCP of its
+  lexicographic min and max (any mismatch between min and max bounds
+  every middle string).  The group reduce therefore only needs min/max
+  — a classic partial-combinable aggregate, no pairwise work.
+- ``template_strip`` — boilerplate removal using those templates: the
+  template table is tiny (≤ hosts x sections), so it broadcasts via
+  ``ray.put`` into a ``map_batches`` lookup instead of shuffling the
+  corpus (the reference strips per-record boilerplate in its indexing
+  pass; here it is a first-class two-pass operator).
+
+Scale contract: per-block partial combine -> tiny per-key partial rows
+-> small driver/broadcast finalize.  No corpus-wide shuffle anywhere in
+this module; the only full-corpus pass is the map-side strip.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from deduplicator_ray.sources.corpus import CAPTURES_CTE, captures_dataset
+
+_HOST_PAT = r"^https?://(?P<host>[^/]+)"
+_SECTION_PAT = r"^https?://[^/]+/(?P<section>[^/?#]+)"
+
+# ---------------------------------------------------------------------------
+# lang_alpha_weights: temperature-rebalanced multilingual sampling
+# ---------------------------------------------------------------------------
+
+_ALPHA = 0.3  # XLM-R's low-resource-upweighting temperature
+
+
+def q_lang_alpha_weights(sf_dir: str):
+    """Per-language sampling weights for temperature alpha=0.3 over the
+    documents table: w_l = share_l^alpha / sum(share_m^alpha), where
+    share_l is the language's fraction of corpus characters.
+
+    Shape: one per-block groupby(lang) partial (≤ #langs rows per
+    block), driver finalize on the ≤ #langs aggregate — zero shuffle.
+    Floats use libm ``pow`` on doubles, the same kernel DuckDB's
+    ``pow()`` calls, so the oracle comparison is stable at the value
+    hash's 9-decimal rounding."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": b["lang"].to_pandas(),
+                           "n_chars": b["n_chars"].to_pandas()})
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        g["sum_chars"] = g["sum_chars"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = docs.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    agg = parts.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+    total = float(agg["sum_chars"].sum())
+    agg["char_share"] = agg["sum_chars"].astype(float) / total
+    pw = agg["char_share"].map(lambda s: math.pow(s, _ALPHA))
+    agg["sample_weight"] = pw / pw.sum()
+    # how much the policy up/downsamples each language vs natural share
+    agg["upsample_factor"] = agg["sample_weight"] / agg["char_share"]
+    return agg.astype({"n_docs": "int64", "sum_chars": "int64"})
+
+
+def _sql_lang_alpha_weights() -> str:
+    return f"""
+WITH agg AS (
+  SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+  FROM documents GROUP BY lang
+),
+t AS (
+  SELECT *,
+         sum_chars / (SELECT sum(sum_chars)::DOUBLE FROM agg) AS char_share,
+         pow(sum_chars / (SELECT sum(sum_chars)::DOUBLE FROM agg), {_ALPHA})
+           AS pw
+  FROM agg
+)
+SELECT lang, n_docs, sum_chars, char_share,
+       pw / (SELECT sum(pw) FROM t) AS sample_weight,
+       (pw / (SELECT sum(pw) FROM t)) / char_share AS upsample_factor
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# section_template: per (host, section) common prefix/suffix templates
+# ---------------------------------------------------------------------------
+
+
+def _lcp_len(a: str, b: str) -> int:
+    """Character LCP of two strings (numpy codepoint compare)."""
+    n = min(len(a), len(b))
+    if n == 0:
+        return 0
+    xa = np.frombuffer(a[:n].encode("utf-32-le"), dtype=np.uint32)
+    xb = np.frombuffer(b[:n].encode("utf-32-le"), dtype=np.uint32)
+    neq = np.nonzero(xa != xb)[0]
+    return int(neq[0]) if len(neq) else n
+
+
+_TEMPLATE_COLS = ["host", "section", "n_pages", "prefix_len", "suffix_len",
+                  "template_prefix"]
+
+
+def _template_partials(caps):
+    """Per-block partial: groupby (host, section) -> min/max of text and
+    of reversed text (+count).  min/max are the only state the LCP
+    identity needs, so each block emits ≤ #groups tiny rows."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        host = pc.fill_null(
+            pc.struct_field(pc.extract_regex(b["url"], _HOST_PAT), "host"), "")
+        section = pc.fill_null(
+            pc.struct_field(pc.extract_regex(b["url"], _SECTION_PAT),
+                            "section"), "")
+        text = b["text"]
+        df = pd.DataFrame({
+            "host": host.to_pandas(),
+            "section": section.to_pandas(),
+            "tmin": text.to_pandas(),
+            "rmin": pc.utf8_reverse(text).to_pandas(),
+        })
+        df["tmax"] = df["tmin"]
+        df["rmax"] = df["rmin"]
+        g = df.groupby(["host", "section"], as_index=False).agg(
+            n_pages=("tmin", "size"), tmin=("tmin", "min"),
+            tmax=("tmax", "max"), rmin=("rmin", "min"), rmax=("rmax", "max"))
+        g["n_pages"] = g["n_pages"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return caps.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+
+
+def _template_table(sf_dir: str) -> pd.DataFrame:
+    """(host, section) template table: n_pages, prefix/suffix lengths,
+    and the first 24 chars of the common prefix.  Final combine + the
+    O(#groups) LCP pass run on the pre-aggregated ≤ hosts x sections
+    rows (two strings per group), mirroring the repo's host_stats
+    driver-finalize shape."""
+    caps = captures_dataset(sf_dir)
+    parts = _template_partials(caps)
+    agg = parts.groupby(["host", "section"], as_index=False).agg(
+        n_pages=("n_pages", "sum"), tmin=("tmin", "min"),
+        tmax=("tmax", "max"), rmin=("rmin", "min"), rmax=("rmax", "max"))
+    agg["prefix_len"] = [
+        _lcp_len(a, b) for a, b in zip(agg["tmin"], agg["tmax"])]
+    agg["suffix_len"] = [
+        _lcp_len(a, b) for a, b in zip(agg["rmin"], agg["rmax"])]
+    agg["template_prefix"] = [
+        t[:min(p, 24)] for t, p in zip(agg["tmin"], agg["prefix_len"])]
+    out = agg[_TEMPLATE_COLS].copy()
+    out["prefix_len"] = out["prefix_len"].astype("int64")
+    out["suffix_len"] = out["suffix_len"].astype("int64")
+    return out
+
+
+def q_section_template(sf_dir: str):
+    return _template_table(sf_dir)
+
+
+_SQL_TEMPLATE_CTE = f"""
+k AS (
+  SELECT regexp_extract(url, '{_HOST_PAT}', 1) AS host,
+         regexp_extract(url, '{_SECTION_PAT}', 1) AS section,
+         text, reverse(text) AS rtext
+  FROM captures
+),
+g AS (
+  SELECT host, section, count(*) AS n_pages,
+         min(text) AS tmin, max(text) AS tmax,
+         min(rtext) AS rmin, max(rtext) AS rmax
+  FROM k GROUP BY 1, 2
+),
+mx AS (
+  SELECT coalesce(max(least(length(tmin), length(tmax))), 0) AS m FROM g
+),
+-- DuckDB's range() cannot take correlated (per-row) bounds or
+-- subquery bounds, so probe every position up to a 1e6-char cap
+-- (>= any real page; the engine side has no such cap), restricted to
+-- the global max comparable length and then per group in the aggregate
+probe AS (
+  SELECT g.host, g.section,
+         min(CASE WHEN t.i <= least(length(g.tmin), length(g.tmax))
+                   AND substring(g.tmin, t.i::INT, 1)
+                       <> substring(g.tmax, t.i::INT, 1)
+                  THEN t.i END) AS pmis,
+         min(CASE WHEN t.i <= least(length(g.rmin), length(g.rmax))
+                   AND substring(g.rmin, t.i::INT, 1)
+                       <> substring(g.rmax, t.i::INT, 1)
+                  THEN t.i END) AS smis
+  FROM g, mx, (SELECT range AS i FROM range(1, 1000001)) t
+  WHERE t.i <= mx.m
+  GROUP BY 1, 2
+),
+tpl AS (
+  SELECT g.host, g.section, g.n_pages,
+         CAST(coalesce(p.pmis - 1,
+                       least(length(g.tmin), length(g.tmax))) AS BIGINT)
+           AS prefix_len,
+         CAST(coalesce(p.smis - 1,
+                       least(length(g.rmin), length(g.rmax))) AS BIGINT)
+           AS suffix_len,
+         g.tmin
+  FROM g LEFT JOIN probe p USING (host, section)
+)"""
+
+
+def _sql_section_template() -> str:
+    return f"""
+WITH {CAPTURES_CTE},
+{_SQL_TEMPLATE_CTE}
+SELECT host, section, n_pages, prefix_len, suffix_len,
+       substring(tmin, 1, least(prefix_len, 24)::INT) AS template_prefix
+FROM tpl
+"""
+
+
+# ---------------------------------------------------------------------------
+# template_strip: remove detected templates from every page
+# ---------------------------------------------------------------------------
+
+
+def q_template_strip(sf_dir: str):
+    """Per-capture boilerplate strip using the (host, section) template
+    table: pages in a multi-page group lose prefix_len + suffix_len
+    chars (clamped at 0 for pages the template covers entirely);
+    singleton groups are left untouched (their 'template' is the whole
+    page).  The template table broadcasts once via ``ray.put``; the
+    corpus pass is map-only — no shuffle."""
+    import ray
+
+    tpl = _template_table(sf_dir)
+    tpl = tpl[tpl["n_pages"] >= 2]
+    strip_of = {(h, s): int(p + x) for h, s, p, x in zip(
+        tpl["host"], tpl["section"], tpl["prefix_len"], tpl["suffix_len"])}
+    ref = ray.put(strip_of)
+
+    caps = captures_dataset(sf_dir)
+
+    def f(b: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        host = pc.fill_null(
+            pc.struct_field(pc.extract_regex(b["url"], _HOST_PAT), "host"), "")
+        section = pc.fill_null(
+            pc.struct_field(pc.extract_regex(b["url"], _SECTION_PAT),
+                            "section"), "")
+        orig_len = pc.utf8_length(b["text"]).to_numpy(zero_copy_only=False)
+        keys = list(zip(host.to_pylist(), section.to_pylist()))
+        strip = np.fromiter((lookup.get(k, 0) for k in keys),
+                            dtype=np.int64, count=len(keys))
+        cleaned = np.maximum(orig_len.astype(np.int64) - strip, 0)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "rep": b["rep"],
+            "host": pa.array([k[0] for k in keys], pa.string()),
+            "section": pa.array([k[1] for k in keys], pa.string()),
+            "orig_len": pa.array(orig_len.astype(np.int64)),
+            "cleaned_len": pa.array(cleaned),
+        })
+
+    return caps.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_template_strip() -> str:
+    return f"""
+WITH {CAPTURES_CTE},
+{_SQL_TEMPLATE_CTE}
+SELECT c.doc_id, c.rep,
+       regexp_extract(c.url, '{_HOST_PAT}', 1) AS host,
+       regexp_extract(c.url, '{_SECTION_PAT}', 1) AS section,
+       length(c.text)::BIGINT AS orig_len,
+       greatest(length(c.text)
+                - CASE WHEN t.n_pages >= 2
+                       THEN t.prefix_len + t.suffix_len ELSE 0 END,
+                0)::BIGINT AS cleaned_len
+FROM captures c
+LEFT JOIN tpl t
+  ON t.host = regexp_extract(c.url, '{_HOST_PAT}', 1)
+ AND t.section = regexp_extract(c.url, '{_SECTION_PAT}', 1)
+"""
+
+
+def registry_curate():
+    """name -> (callable(sf_dir) -> result, oracle_sql | None)."""
+    return {
+        "lang_alpha_weights": (q_lang_alpha_weights,
+                               _sql_lang_alpha_weights()),
+        "section_template": (q_section_template, _sql_section_template()),
+        "template_strip": (q_template_strip, _sql_template_strip()),
+    }

@@ -1,0 +1,108 @@
+"""Curation queries (pipelines/queries_curate.py): oracle parity plus
+property tests for the order-statistics LCP identity the template
+operators rely on."""
+
+from __future__ import annotations
+
+import os.path
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize(
+    "name", ["lang_alpha_weights", "section_template", "template_strip"])
+def test_oracle_parity(ray_session, sf_dir, duck, name):
+    from deduplicator_ray.pipelines.queries_curate import registry_curate
+
+    fn, sql = registry_curate()[name]
+    got = fn(sf_dir)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = duck.execute(sql).df()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# the LCP order-statistics identity: LCP(group) == LCP(min, max)
+# ---------------------------------------------------------------------------
+
+_words = st.text(alphabet="abcxyz é", min_size=0, max_size=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_words, min_size=1, max_size=8))
+def test_lcp_identity_matches_bruteforce(strings):
+    from deduplicator_ray.pipelines.queries_curate import _lcp_len
+
+    got = _lcp_len(min(strings), max(strings))
+    want = len(os.path.commonprefix(strings))
+    assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_words, min_size=1, max_size=8))
+def test_common_suffix_via_reversal(strings):
+    from deduplicator_ray.pipelines.queries_curate import _lcp_len
+
+    rev = [s[::-1] for s in strings]
+    got = _lcp_len(min(rev), max(rev))
+    want = len(os.path.commonprefix(rev))
+    assert got == want
+
+
+def test_lcp_len_edges():
+    from deduplicator_ray.pipelines.queries_curate import _lcp_len
+
+    assert _lcp_len("", "") == 0
+    assert _lcp_len("", "abc") == 0
+    assert _lcp_len("abc", "abc") == 3
+    assert _lcp_len("abcd", "abce") == 3
+    assert _lcp_len("héllo world", "héllo there") == 6  # codepoints, not bytes
+
+
+def test_template_strip_planted(ray_session, sf_dir):
+    """A multi-page (host, section) group's pages lose exactly the
+    group's prefix_len + suffix_len; singleton groups are untouched."""
+    from deduplicator_ray.pipelines.queries_curate import (
+        q_section_template,
+        q_template_strip,
+    )
+
+    tpl = q_section_template(sf_dir).set_index(["host", "section"])
+    out = q_template_strip(sf_dir).to_pandas()
+    for (_, row) in out.iterrows():
+        t = tpl.loc[(row["host"], row["section"])]
+        strip = int(t["prefix_len"] + t["suffix_len"]) if t["n_pages"] >= 2 else 0
+        assert row["cleaned_len"] == max(int(row["orig_len"]) - strip, 0)
+    # the synthetic corpus's v2 section shares the ' v2' suffix
+    v2 = tpl[tpl.index.get_level_values("section") == "v2"]
+    if len(v2) and (v2["n_pages"] >= 2).any():
+        assert (v2.loc[v2["n_pages"] >= 2, "suffix_len"] >= 3).all()
