@@ -817,6 +817,53 @@ FROM s
 """
 
 
+_LPA_ROUNDS = 4
+
+
+def q_lpa_communities(sf_dir: str):
+    """Deterministic synchronous label-propagation communities over the
+    undirected weighted host graph (stages/graph.py:lpa_communities):
+    {rounds} simultaneous rounds, ties to the smallest label, labels =
+    host names."""
+    from deduplicator_ray.stages.graph import lpa_communities
+
+    edges = edge_aggregate(_links(sf_dir))
+    return lpa_communities(edges, rounds=_LPA_ROUNDS)
+
+
+def _sql_lpa() -> str:
+    """The {_LPA_ROUNDS} LPA rounds unrolled as MATERIALIZED chained
+    CTEs (the hits/pagerank idiom): each round joins the undirected
+    edge list to the previous labels, sums vote weights, and picks the
+    per-node winner by (count DESC, label ASC)."""
+    sql = f"""
+WITH {LINKED_PAGES_CTE},
+eagg AS MATERIALIZED (
+  SELECT src_host, dst_host, count(*)::BIGINT AS w
+  FROM links WHERE src_host <> dst_host GROUP BY 1, 2),
+undl AS MATERIALIZED (
+  SELECT a, b, sum(w)::BIGINT AS w FROM (
+    SELECT src_host AS a, dst_host AS b, w FROM eagg
+    UNION ALL
+    SELECT dst_host AS a, src_host AS b, w FROM eagg)
+  GROUP BY 1, 2),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS host, a AS lbl FROM undl)"""
+    for i in range(1, _LPA_ROUNDS + 1):
+        sql += f""",
+v{i} AS MATERIALIZED (
+  SELECT e.a AS host, l.lbl, sum(e.w)::BIGINT AS c
+  FROM undl e JOIN l{i - 1} l ON e.b = l.host GROUP BY 1, 2),
+l{i} AS MATERIALIZED (
+  SELECT host, lbl FROM (
+    SELECT host, lbl,
+           row_number() OVER (PARTITION BY host
+                              ORDER BY c DESC, lbl) AS rn
+    FROM v{i}) WHERE rn = 1)"""
+    sql += f"""
+SELECT host, lbl AS community FROM l{_LPA_ROUNDS}"""
+    return sql
+
+
 def registry_graph():
     """name -> (callable(sf_dir), oracle_sql)."""
     return {
@@ -840,5 +887,6 @@ def registry_graph():
         "anchor_stats": (q_anchor_stats, _SQL_ANCHOR_STATS),
         "mirror_hosts": (q_mirror_hosts, _SQL_MIRROR_HOSTS),
         "host_reach": (q_host_reach, _sql_host_reach()),
+        "lpa_communities": (q_lpa_communities, _sql_lpa()),
         "frontier_gap": (q_frontier_gap, _sql_frontier_gap()),
     }

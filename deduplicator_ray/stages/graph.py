@@ -1400,3 +1400,162 @@ def assortativity(edges, *, src_col: str = "src_host",
         math.floor(float(num) / float(den) * 1_000_000 + 0.5))
     return pa.table({"n_edges": pa.array([m], type=pa.int64()),
                      "assort_micro": pa.array([micro], type=pa.int64())})
+
+
+def _symmetrize(pdf: pd.DataFrame, src_col, dst_col, weight_col
+                ) -> pd.DataFrame:
+    """Directed aggregated edges -> undirected weighted neighbor list
+    (both orientations, per-pair weights summed, self-loops dropped)."""
+    pdf = pdf[pdf[src_col] != pdf[dst_col]]
+    fwd = pdf.rename(columns={src_col: "a", dst_col: "b",
+                              weight_col: "w"})[["a", "b", "w"]]
+    rev = pdf.rename(columns={dst_col: "a", src_col: "b",
+                              weight_col: "w"})[["a", "b", "w"]]
+    und = pd.concat([fwd, rev], ignore_index=True)
+    return und.groupby(["a", "b"], as_index=False).agg(w=("w", "sum"))
+
+
+def _lpa_winners(node: np.ndarray, lab: np.ndarray, w: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Vote reduce: per node, the label with max summed weight, ties to
+    the SMALLEST label index (== lexicographically smallest label
+    string, since labels index a sorted host array).  Pure numpy:
+    sort by (node, label), segment-sum, then pick per-node best."""
+    order = np.lexsort((lab, node))
+    node, lab, w = node[order], lab[order], w[order]
+    new_seg = np.empty(len(node), dtype=bool)
+    new_seg[0] = True
+    new_seg[1:] = (node[1:] != node[:-1]) | (lab[1:] != lab[:-1])
+    starts = np.nonzero(new_seg)[0]
+    c = np.add.reduceat(w, starts)
+    n_seg, l_seg = node[starts], lab[starts]
+    # per-node winner: stable sort by (node asc, count desc, label asc);
+    # l_seg is already ascending within node from the segment pass
+    win = np.lexsort((l_seg, -c, n_seg))
+    first = np.empty(len(win), dtype=bool)
+    nw = n_seg[win]
+    first[0] = True
+    first[1:] = nw[1:] != nw[:-1]
+    sel = win[first]
+    return n_seg[sel], l_seg[sel]
+
+
+def lpa_communities(edges, *, rounds: int = 4,
+                    src_col: str = "src_host", dst_col: str = "dst_host",
+                    weight_col: str = "n_links",
+                    max_driver_edges: int = 2_000_000,
+                    num_partitions: int | None = None) -> pa.Table:
+    """Deterministic synchronous label propagation communities
+    (Raghavan, Albert & Kumara 2007, "Near linear time algorithm to
+    detect community structures in large-scale networks"), made
+    order-independent so the numpy path, the distributed path and the
+    unrolled-CTE DuckDB oracle agree value-for-value:
+
+    - every label updates SIMULTANEOUSLY from the previous round's
+      labels (no in-round cascades),
+    - votes are edge-weight sums over the undirected, self-loop-free
+      neighborhood (both directions' multiplicities merged),
+    - ties break to the lexicographically smallest label,
+    - exactly ``rounds`` rounds, no convergence test.
+
+    l0(v) = v.  Labels are always host names, so community ids are
+    stable, meaningful strings.  Every node in the edge table has a
+    neighbor by construction, so each round relabels every node.
+
+    Driver numpy path under ``max_driver_edges``; above it, each round
+    broadcasts the n_hosts-bounded label vector via ``ray.put`` and
+    runs the per-edge voting as map_batches partials + one hash-bucket
+    winner reduce (the pagerank shape).  Returns (host, community).
+    """
+    n_edges = edges.count()
+    if n_edges <= max_driver_edges:
+        und = _symmetrize(edges.to_pandas(), src_col, dst_col, weight_col)
+        hosts = np.unique(und["a"].to_numpy(dtype=object))
+        ai = np.searchsorted(hosts, und["a"].to_numpy(dtype=object))
+        bi = np.searchsorted(hosts, und["b"].to_numpy(dtype=object))
+        w = und["w"].to_numpy(dtype=np.int64)
+        lbl = np.arange(len(hosts), dtype=np.int64)
+        for _ in range(rounds):
+            nodes, wins = _lpa_winners(ai, lbl[bi], w)
+            nxt = lbl.copy()
+            nxt[nodes] = wins
+            lbl = nxt
+        return pa.table({"host": pa.array(hosts, type=pa.string()),
+                         "community": pa.array(hosts[lbl], type=pa.string())})
+    return _lpa_bucketed(edges, src_col, dst_col, weight_col, rounds,
+                         num_partitions or auto_partitions())
+
+
+def _lpa_bucketed(edges, src_col, dst_col, weight_col, rounds, P
+                  ) -> pa.Table:
+    """Distributed LPA: symmetrize as a map + one (a, b) hash-bucket
+    combine, then per round broadcast the label vector and reduce the
+    per-block vote partials by node bucket — only n_hosts-bounded
+    tables ever reach the driver."""
+    import ray
+
+    def sym_partial(b: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame({
+            src_col: np.asarray(b[src_col], dtype=object),
+            dst_col: np.asarray(b[dst_col], dtype=object),
+            weight_col: np.asarray(b[weight_col], dtype=np.int64),
+        })
+        return pa.Table.from_pandas(
+            _symmetrize(pdf, src_col, dst_col, weight_col),
+            preserve_index=False)
+
+    def sym_combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "a" not in df.columns:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "w": pd.Series([], dtype="int64")})
+        g = df.groupby(["a", "b"], as_index=False).agg(w=("w", "sum"))
+        g["w"] = g["w"].astype("int64")
+        return g
+
+    parts = edges.map_batches(sym_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    und = (hash_bucket(parts, "a", P).groupby("_part")
+           .map_groups(sym_combine, batch_format="pandas")
+           ).materialize()  # consumed per round; sym_combine drops _part
+    hosts = _collect_hosts(und, ("a",))
+    hosts_ref = ray.put(hosts)
+    lbl = np.arange(len(hosts), dtype=np.int64)
+    for _ in range(rounds):
+        lbl_ref = ray.put(lbl)
+
+        def vote_partial(b: pa.Table, *, _h=hosts_ref, _l=lbl_ref
+                         ) -> pa.Table:
+            hs = ray.get(_h) if isinstance(_h, ray.ObjectRef) else _h
+            lv = ray.get(_l) if isinstance(_l, ray.ObjectRef) else _l
+            ai = np.searchsorted(hs, np.asarray(b["a"], dtype=object))
+            bi = np.searchsorted(hs, np.asarray(b["b"], dtype=object))
+            w = np.asarray(b["w"], dtype=np.int64)
+            df = pd.DataFrame({"node": ai, "lab": lv[bi], "w": w})
+            g = df.groupby(["node", "lab"], as_index=False).agg(
+                w=("w", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def vote_winner(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "node" not in df.columns:
+                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                     "lab": pd.Series([], dtype="int64")})
+            g = df.groupby(["node", "lab"], as_index=False).agg(
+                w=("w", "sum"))
+            g = g.sort_values(["node", "w", "lab"],
+                              ascending=[True, False, True])
+            g = g.drop_duplicates("node")
+            return g[["node", "lab"]].astype("int64")
+
+        votes = und.map_batches(vote_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        wins = (hash_bucket(votes, "node", P).groupby("_part")
+                .map_groups(vote_winner, batch_format="pandas")
+                .to_pandas())
+        nxt = lbl.copy()
+        if len(wins):
+            nxt[wins["node"].to_numpy(dtype=np.int64)] = \
+                wins["lab"].to_numpy(dtype=np.int64)
+        lbl = nxt
+    return pa.table({"host": pa.array(hosts, type=pa.string()),
+                     "community": pa.array(hosts[lbl], type=pa.string())})

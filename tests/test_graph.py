@@ -197,7 +197,8 @@ def test_co_occurrence_pairs_semantics(ray_session):
              "hits_hosts", "host_triangles", "kcore_hosts",
              "coupled_hosts", "host_reciprocity", "degree_census",
              "trustrank_hosts", "host_components", "wat_link_graph",
-             "orphan_pages", "crawl_budget", "host_assortativity"])
+             "orphan_pages", "crawl_budget", "host_assortativity",
+             "lpa_communities"])
 def test_graph_oracle_parity(ray_session, sf_dir, duck, name):
     from deduplicator_ray.pipelines.queries_graph import registry_graph
 
@@ -668,3 +669,49 @@ def test_assortativity_empty_inputs(ray_session):
     out2 = assortativity(rd.from_pandas(empty),
                          num_partitions=4).to_pandas()
     assert out2.iloc[0].to_dict() == {"n_edges": 0, "assort_micro": 0}
+
+
+def test_lpa_two_cliques_and_paths_agree(ray_session):
+    """Two 3-cliques joined by one weak bridge: LPA assigns each clique
+    its lexicographically-smallest member as community; the driver and
+    distributed paths agree row-for-row."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import lpa_communities
+
+    cl1 = ["a1", "a2", "a3"]
+    cl2 = ["b1", "b2", "b3"]
+    rows = []
+    for grp in (cl1, cl2):
+        for u in grp:
+            for v in grp:
+                if u != v:
+                    rows.append({"src_host": u, "dst_host": v, "n_links": 5})
+    rows.append({"src_host": "a3", "dst_host": "b1", "n_links": 1})
+    edges = rd.from_pandas(pd.DataFrame(rows))
+
+    out = lpa_communities(edges, rounds=4).to_pandas()
+    got = dict(zip(out["host"], out["community"]))
+    assert all(got[h] == "a1" for h in cl1)
+    assert all(got[h] == "b1" for h in cl2)
+
+    dist = lpa_communities(edges, rounds=4, max_driver_edges=0,
+                           num_partitions=4).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("host", ignore_index=True),
+        dist.sort_values("host", ignore_index=True))
+
+
+def test_lpa_tie_breaks_to_smallest_label(ray_session):
+    """A node pulled equally by two labels adopts the smaller one."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.graph import lpa_communities
+
+    edges = rd.from_pandas(pd.DataFrame([
+        {"src_host": "x", "dst_host": "m", "n_links": 2},
+        {"src_host": "x", "dst_host": "z", "n_links": 2},
+    ]))
+    out = lpa_communities(edges, rounds=1).to_pandas()
+    got = dict(zip(out["host"], out["community"]))
+    assert got["x"] == "m"  # tie between m and z -> lexicographic min
