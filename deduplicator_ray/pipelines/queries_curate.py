@@ -301,6 +301,61 @@ LEFT JOIN tpl t
 """
 
 
+# ---------------------------------------------------------------------------
+# kcenter_sample: greedy farthest-point diversity coreset
+# ---------------------------------------------------------------------------
+
+_KC_K = 8
+
+
+def q_kcenter_sample(sf_dir: str):
+    """Greedy k-center diversity sample over the embeddings table
+    (stages/embed.py:kcenter_sample): k={k} farthest-point picks,
+    euclidean, ties to the smallest vec_id."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import kcenter_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return kcenter_sample(ds, k=_KC_K)
+
+
+def _sql_kcenter_sample() -> str:
+    """The greedy rounds unrolled as MATERIALIZED chained CTEs: round i
+    scans emb for the point (not yet chosen) with max min-distance to
+    the previous chosen set."""
+    sql = """
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT 0 AS rnd, vec_id, v, CAST(0 AS BIGINT) AS radius_micro
+  FROM emb WHERE vec_id = (SELECT min(vec_id) FROM emb)
+)"""
+    prev_all = "c0"
+    for i in range(1, _KC_K):
+        sql += f""",
+d{i} AS MATERIALIZED (
+  SELECT e.vec_id, e.v,
+         (SELECT min(list_distance(e.v, c.v)) FROM {prev_all} c) AS d
+  FROM emb e
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM {prev_all})
+),
+p{i} AS MATERIALIZED (
+  SELECT {i} AS rnd, vec_id, v,
+         CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS radius_micro
+  FROM d{i} ORDER BY d DESC, vec_id LIMIT 1
+),
+c{i} AS MATERIALIZED (
+  SELECT * FROM {prev_all} UNION ALL SELECT * FROM p{i}
+)"""
+        prev_all = f"c{i}"
+    sql += f"""
+SELECT rnd AS round, vec_id, radius_micro FROM {prev_all}"""
+    return sql
+
+
 def registry_curate():
     """name -> (callable(sf_dir) -> result, oracle_sql | None)."""
     return {
@@ -308,4 +363,5 @@ def registry_curate():
                                _sql_lang_alpha_weights()),
         "section_template": (q_section_template, _sql_section_template()),
         "template_strip": (q_template_strip, _sql_template_strip()),
+        "kcenter_sample": (q_kcenter_sample, _sql_kcenter_sample()),
     }

@@ -1354,3 +1354,78 @@ def ivfpq_topk(ds, query_matrix: np.ndarray, k: int = 10, *,
     top["rank"] = top.groupby("query_id").cumcount() + 1
     return pa.Table.from_pandas(
         top[["query_id", "vec_id", "rank", "cosine"]], preserve_index=False)
+
+
+def kcenter_sample(ds, *, k: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> pd.DataFrame:
+    """Greedy k-center / farthest-point sampling (Gonzalez 1985,
+    "Clustering to minimize the maximum intercluster distance") — the
+    classic 2-approximation coreset used for diversity-first data
+    selection: seed with the smallest id, then repeatedly take the
+    point FARTHEST (euclidean, ties to the smallest id) from the chosen
+    set, excluding already-chosen ids.
+
+    Shape per round: the ≤ k chosen vectors ship inside the task
+    closure (tiny), each block reduces to its single best candidate
+    (argmax decomposes over partitions because (d DESC, id ASC) is a
+    total order), and the driver picks among ≤ #blocks winners — k
+    passes over the corpus, no shuffle.
+
+    Returns (round, vec_id, radius_micro): radius_micro is the selected
+    point's distance to the previous centers in 1e-6 units (integer, so
+    the DuckDB mirror compares exactly); the seed's is 0 by convention.
+    """
+    import pandas as pd
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col])
+        i = int(np.argmin(ids))
+        return pa.table({id_col: pa.array([ids[i]]),
+                         vec_col: pa.array([b[vec_col][i].as_py()])})
+
+    seeds = ds.map_batches(seed_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    si = int(seeds[id_col].astype("int64").idxmin())
+    chosen_ids = [int(seeds[id_col][si])]
+    chosen_vecs = [np.asarray(seeds[vec_col][si], dtype=np.float64)]
+    out = [(0, chosen_ids[0], 0)]
+
+    for rnd in range(1, k):
+        C = np.stack(chosen_vecs)
+        taken = frozenset(chosen_ids)
+
+        def far_partial(b: pa.Table, *, _C=C, _t=taken) -> pa.Table:
+            ids = np.asarray(b[id_col], dtype=np.int64)
+            keep = ~np.isin(ids, np.fromiter(_t, dtype=np.int64))
+            if not keep.any():
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "d": pa.array([], pa.float64()),
+                                 "vec": pa.array([], pa.list_(pa.float64()))})
+            m = _matrix(b[vec_col])[keep]
+            ids = ids[keep]
+            # direct (a-b)^2 sums (not the matmul identity): matches
+            # DuckDB's list_distance arithmetic to ~1 ulp, where the
+            # a^2-2ab+b^2 form loses ~1e-10 to cancellation and could
+            # flip the argmax/rounding against the oracle
+            diff = m[:, None, :] - _C[None, :, :]
+            d = np.sqrt((diff * diff).sum(axis=2).min(axis=1))
+            # block winner by (d DESC, id ASC): stable argmax on -d
+            order = np.lexsort((ids, -d))
+            j = order[0]
+            return pa.table({id_col: pa.array([ids[j]]),
+                             "d": pa.array([float(d[j])]),
+                             "vec": pa.array([m[j].tolist()],
+                                             pa.list_(pa.float64()))})
+
+        cand = ds.map_batches(far_partial, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+        cand = cand.sort_values(["d", id_col],
+                                ascending=[False, True], ignore_index=True)
+        win_id = int(cand[id_col][0])
+        win_d = float(cand["d"][0])
+        chosen_ids.append(win_id)
+        chosen_vecs.append(np.asarray(cand["vec"][0], dtype=np.float64))
+        out.append((rnd, win_id, int(np.floor(win_d * 1e6 + 0.5))))
+
+    return pd.DataFrame(out, columns=["round", id_col, "radius_micro"]
+                        ).astype("int64")

@@ -106,3 +106,28 @@ def test_template_strip_planted(ray_session, sf_dir):
     v2 = tpl[tpl.index.get_level_values("section") == "v2"]
     if len(v2) and (v2["n_pages"] >= 2).any():
         assert (v2.loc[v2["n_pages"] >= 2, "suffix_len"] >= 3).all()
+
+
+def test_kcenter_sample_planted(ray_session):
+    """Three well-separated clusters + k=3: the greedy picks hit all
+    three clusters (the 2-approximation's whole point), seed is the
+    smallest id, radii are non-increasing after round 1."""
+    import numpy as np
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import kcenter_sample
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(20):
+            rows.append({"vec_id": ci * 100 + j,
+                         "embedding": (c + rng.normal(0, .1, 2)).tolist()})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = kcenter_sample(ds, k=3)
+    assert out["round"].tolist() == [0, 1, 2]
+    assert out["vec_id"][0] == 0  # seed = min id
+    picked_clusters = sorted(out["vec_id"] // 100)
+    assert picked_clusters == [0, 1, 2]
+    assert out["radius_micro"][1] >= out["radius_micro"][2] >= 0
