@@ -356,6 +356,177 @@ SELECT rnd AS round, vec_id, radius_micro FROM {prev_all}"""
     return sql
 
 
+# ---------------------------------------------------------------------------
+# knn_label_noise: k-NN label-disagreement audit (confident-learning lite)
+# ---------------------------------------------------------------------------
+
+_KNN_NOISE_K = 5
+
+
+def q_knn_label_noise(sf_dir: str):
+    """Label-quality audit over the embeddings table: each vector's
+    label vs the majority label of its {k} exact cosine nearest
+    neighbors (self excluded; neighbor ties to the smaller vec_id,
+    majority ties to the smaller label) — the k-NN disagreement signal
+    confident-learning pipelines use to rank suspect labels.
+
+    Shape: the corpus-as-query broadcast top-k (stages/embed.py:
+    cosine_topk, per-block local prune) gives the 5n edge list; labels
+    attach via hash joins (never a broadcast of the corpus-sized label
+    column); majority is a tiny per-query reduce."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import cosine_topk
+    from deduplicator_ray.stages.joins import hash_join
+    from deduplicator_ray.util import auto_partitions
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).sort_by("vec_id")
+    q = np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)
+    edges = cosine_topk(ds, q, k=_KNN_NOISE_K + 1).to_pandas()
+    edges = edges[edges["query_id"] != edges["vec_id"]]
+    edges = edges.sort_values(["query_id", "rank"], ignore_index=True)
+    edges["rank"] = edges.groupby("query_id").cumcount() + 1
+    edges = edges[edges["rank"] <= _KNN_NOISE_K]
+
+    P = auto_partitions()
+    labels = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "label"])
+    e = rd.from_pandas(edges[["query_id", "vec_id"]].astype("int64"))
+    j = hash_join(e, labels, on=("vec_id",), num_partitions=P,
+                  out_schema={"query_id": pa.int64(), "vec_id": pa.int64(),
+                              "label": pa.int32()}).to_pandas()
+    votes = j.groupby(["query_id", "label"], as_index=False).size()
+    votes = votes.sort_values(["query_id", "size", "label"],
+                              ascending=[True, False, True])
+    knn = votes.drop_duplicates("query_id")[["query_id", "label"]]
+    knn = knn.rename(columns={"query_id": "vec_id", "label": "knn_label"})
+    own = labels.to_pandas()
+    out = own.merge(knn, on="vec_id", how="inner")
+    out["label"] = out["label"].astype("int64")
+    out["knn_label"] = out["knn_label"].astype("int64")
+    out["agree"] = (out["label"] == out["knn_label"]).astype("int64")
+    return out[["vec_id", "label", "knn_label", "agree"]].astype("int64")
+
+
+def _sql_knn_label_noise() -> str:
+    return f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, label::BIGINT AS label, embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+nn AS MATERIALIZED (
+  SELECT a.vec_id AS q, b.label AS nb_label,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) AS rn
+  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+),
+votes AS (
+  SELECT q, nb_label, count(*) AS c FROM nn
+  WHERE rn <= {_KNN_NOISE_K} GROUP BY 1, 2
+),
+mv AS (
+  SELECT q, nb_label AS knn_label FROM (
+    SELECT q, nb_label,
+           row_number() OVER (PARTITION BY q
+                              ORDER BY c DESC, nb_label) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT e.vec_id, e.label, m.knn_label,
+       CAST(e.label = m.knn_label AS BIGINT) AS agree
+FROM emb e JOIN mv m ON m.q = e.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_embed: semantic (embedding-space) benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_DECON_EMB_THRESHOLD = 0.85
+
+
+def q_decontaminate_embed(sf_dir: str):
+    """Semantic decontamination over the embeddings table: vectors with
+    vec_id % 20 == 0 play the held-out benchmark; every other vector is
+    flagged when its max cosine to ANY benchmark vector reaches
+    {threshold} — the embedding-space complement of the n-gram
+    ``decontaminate`` (same 1-in-20 split convention).
+
+    Shape: the benchmark side is the small side by construction, so it
+    broadcasts once via ``ray.put`` and the train corpus streams through
+    one map-only matmul pass — no shuffle, no corpus materialization.
+    Reports the nearest benchmark id (ties to the smaller id) and the
+    cosine in 1e-6 integer units so the DuckDB mirror compares exactly."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    # sorted bench ids: np.argmax's first-occurrence rule then IS the
+    # smallest-id tie break the SQL mirror uses
+    bench_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"]
+                              ).sort_by("vec_id")
+    bm = bench_tbl["vec_id"].to_numpy() % 20 == 0
+    bench_ids = bench_tbl["vec_id"].to_numpy()[bm].astype(np.int64)
+    B = np.stack(bench_tbl["embedding"].to_pylist()).astype(np.float64)[bm]
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+    ref = ray.put((bench_ids, Bn))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ids_b, bn = ray.get(ref)
+        ids = np.asarray(b["vec_id"], dtype=np.int64)
+        keep = ids % 20 != 0
+        ids = ids[keep]
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "nn_bench_id": pa.array([], pa.int64()),
+                             "cos_micro": pa.array([], pa.int64()),
+                             "is_contaminated": pa.array([], pa.int64())})
+        m = np.stack(b["embedding"].to_pylist()).astype(np.float64)[keep]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = mn @ bn.T
+        best = np.argmax(cos, axis=1)  # ties -> lowest index = lowest id
+        bc = cos[np.arange(len(ids)), best]
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "nn_bench_id": pa.array(ids_b[best]),
+            "cos_micro": pa.array(np.floor(bc * 1e6 + 0.5).astype(np.int64)),
+            "is_contaminated": pa.array(
+                (bc >= _DECON_EMB_THRESHOLD).astype(np.int64)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_decontaminate_embed() -> str:
+    return f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+bench AS MATERIALIZED (SELECT * FROM emb WHERE vec_id % 20 = 0),
+train AS (SELECT * FROM emb WHERE vec_id % 20 <> 0),
+nn AS (
+  SELECT t.vec_id, b.vec_id AS nn_bench_id,
+         list_cosine_similarity(t.v, b.v) AS c,
+         row_number() OVER (PARTITION BY t.vec_id
+                            ORDER BY list_cosine_similarity(t.v, b.v) DESC,
+                                     b.vec_id) AS rn
+  FROM train t JOIN bench b ON true
+)
+SELECT vec_id, nn_bench_id,
+       CAST(floor(c * 1000000 + 0.5) AS BIGINT) AS cos_micro,
+       CAST(c >= {_DECON_EMB_THRESHOLD} AS BIGINT) AS is_contaminated
+FROM nn WHERE rn = 1
+"""
+
+
 def registry_curate():
     """name -> (callable(sf_dir) -> result, oracle_sql | None)."""
     return {
@@ -364,4 +535,7 @@ def registry_curate():
         "section_template": (q_section_template, _sql_section_template()),
         "template_strip": (q_template_strip, _sql_template_strip()),
         "kcenter_sample": (q_kcenter_sample, _sql_kcenter_sample()),
+        "knn_label_noise": (q_knn_label_noise, _sql_knn_label_noise()),
+        "decontaminate_embed": (q_decontaminate_embed,
+                                _sql_decontaminate_embed()),
     }

@@ -131,3 +131,45 @@ def test_kcenter_sample_planted(ray_session):
     picked_clusters = sorted(out["vec_id"] // 100)
     assert picked_clusters == [0, 1, 2]
     assert out["radius_micro"][1] >= out["radius_micro"][2] >= 0
+
+
+@pytest.mark.parametrize(
+    "name", ["kcenter_sample", "knn_label_noise", "decontaminate_embed"])
+def test_oracle_parity_embed_ops(ray_session, sf_dir, duck, name):
+    from deduplicator_ray.pipelines.queries_curate import registry_curate
+
+    fn, sql = registry_curate()[name]
+    got = fn(sf_dir)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = duck.execute(sql).df()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+def test_decontaminate_embed_planted(ray_session, tmp_path):
+    """A train vector identical to a benchmark vector is flagged; an
+    orthogonal one is not."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.pipelines.queries_curate import q_decontaminate_embed
+
+    d = 8
+    rows = {
+        0: np.eye(d)[0],                      # benchmark (id % 20 == 0)
+        20: np.eye(d)[1],                     # benchmark
+        1: np.eye(d)[0],                      # exact copy of bench 0
+        2: np.eye(d)[2],                      # orthogonal to both
+    }
+    tbl = pa.table({
+        "vec_id": pa.array(list(rows), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in rows.values()],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(rows), pa.int32()),
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = q_decontaminate_embed(str(tmp_path)).to_pandas().set_index("vec_id")
+    assert out.loc[1, "is_contaminated"] == 1
+    assert out.loc[1, "nn_bench_id"] == 0
+    assert out.loc[2, "is_contaminated"] == 0
