@@ -527,6 +527,184 @@ FROM nn WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# greedy_coverage_sample: submodular (max-coverage) document selection
+# ---------------------------------------------------------------------------
+
+_COV_K = 6
+
+
+def q_greedy_coverage_sample(sf_dir: str):
+    """Greedy maximum-coverage document selection (the classic (1-1/e)
+    submodular greedy; cf. Nemhauser, Wolsey & Fisher 1978): {k} rounds,
+    each picking the document with the most distinct words NOT yet
+    covered by previous picks (ties to the smaller doc_id) — the
+    vocabulary-coverage flavor of data-subset selection.
+
+    Coverage units are word BIGRAMS (the unigram vocabulary of this
+    corpus saturates after one pick; bigrams keep the marginal-gain
+    structure non-trivial).  The greedy stops early once the best
+    marginal gain is zero, the standard max-coverage termination.
+
+    Shape per round: the covered-bigram set (bigrams of ≤ {k} docs,
+    tiny) ships in the task closure; each block computes per-doc
+    uncovered-distinct counts vectorized (split -> explode -> shift ->
+    isin) and emits ONE winner row carrying its uncovered bigrams, so
+    the driver only compares #blocks candidates.  ≤ k passes, no
+    shuffle.  Returns (round, doc_id, gain)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    covered: set[str] = set()
+    out = []
+    for rnd in range(_COV_K):
+        cov = frozenset(covered)
+        taken = frozenset(r[1] for r in out)
+
+        def win_partial(b: pa.Table, *, _cov=cov, _t=taken) -> pa.Table:
+            empty = pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "gain": pa.array([], pa.int64()),
+                "words": pa.array([], pa.list_(pa.string()))})
+            df = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                               "text": b["text"].to_pandas()})
+            if _t:
+                df = df[~df["doc_id"].isin(_t)]
+            if not len(df):
+                return empty
+            w = df.assign(word=df["text"].fillna("").str.split(" ")
+                          ).explode("word")
+            nxt = w["word"].shift(-1)
+            same = w["doc_id"] == w["doc_id"].shift(-1)
+            w = w.assign(word=w["word"] + "\x1f" + nxt)[same]
+            w = w[["doc_id", "word"]].drop_duplicates()
+            if _cov:
+                w = w[~w["word"].isin(_cov)]
+            if not len(w):
+                return empty
+            gain = w.groupby("doc_id").size()
+            g = gain.sort_index().reset_index(name="gain")
+            g = g.sort_values(["gain", "doc_id"], ascending=[False, True])
+            top = int(g["doc_id"].iloc[0])
+            words = w.loc[w["doc_id"] == top, "word"].tolist()
+            return pa.table({
+                "doc_id": pa.array([top], pa.int64()),
+                "gain": pa.array([int(g["gain"].iloc[0])], pa.int64()),
+                "words": pa.array([words], pa.list_(pa.string())),
+            })
+
+        cand = ds.map_batches(win_partial, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+        if not len(cand):
+            break
+        cand = cand.sort_values(["gain", "doc_id"],
+                                ascending=[False, True], ignore_index=True)
+        doc, gain = int(cand["doc_id"][0]), int(cand["gain"][0])
+        if gain <= 0:
+            break
+        covered.update(cand["words"][0])
+        out.append((rnd, doc, gain))
+    return pd.DataFrame(out, columns=["round", "doc_id", "gain"]
+                        ).astype("int64")
+
+
+def _sql_greedy_coverage_sample() -> str:
+    sql = """
+WITH ex AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents
+),
+pos AS (SELECT doc_id, unnest(w) AS tok,
+               unnest(range(1, len(w) + 1)) AS ord FROM ex),
+wd AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id, a.tok || chr(31) || b.tok AS word
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+)"""
+    chosen: list[str] = []
+    prev_cov = None
+    for i in range(_COV_K):
+        not_chosen = (f"WHERE doc_id NOT IN (SELECT doc_id FROM chosen{i - 1})"
+                      if chosen else "")
+        not_cov = (f"AND word NOT IN (SELECT word FROM cov{i - 1})"
+                   if prev_cov else "")
+        sql += f""",
+g{i} AS MATERIALIZED (
+  SELECT doc_id, count(*) AS gain FROM wd
+  {not_chosen} {not_cov}
+  GROUP BY doc_id),
+p{i} AS MATERIALIZED (
+  SELECT {i} AS rnd, doc_id, gain FROM g{i}
+  ORDER BY gain DESC, doc_id LIMIT 1),
+chosen{i} AS MATERIALIZED (
+  {"SELECT doc_id FROM chosen" + str(i - 1) + " UNION ALL " if chosen else ""}
+  SELECT doc_id FROM p{i}),
+cov{i} AS MATERIALIZED (
+  SELECT DISTINCT word FROM wd
+  WHERE doc_id IN (SELECT doc_id FROM chosen{i}))"""
+        chosen.append(f"p{i}")
+        prev_cov = f"cov{i}"
+    union = " UNION ALL ".join(f"SELECT * FROM {p}" for p in chosen)
+    sql += f"""
+SELECT rnd AS round, doc_id, gain FROM ({union})"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# closest_capture: Wayback-style closest-timestamp lookup per url
+# ---------------------------------------------------------------------------
+
+_CLOSEST_EPOCH = 1_700_025_000  # mid-corpus probe instant
+
+
+def q_closest_capture(sf_dir: str):
+    """The Wayback Machine's 'closest' lookup as a corpus-wide operator:
+    for every url, the capture whose warc_ts is nearest to the probe
+    instant (ties to the EARLIER capture) — per-block partial winner +
+    one hash-bucket final reduce (argmin under a total order decomposes
+    over partitions)."""
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    caps = captures_dataset(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["warc_ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        sec = ts // 1_000_000
+        dist = np.abs(sec - _CLOSEST_EPOCH)
+        df = pd.DataFrame({"url": b["url"].to_pandas(), "ts_epoch": sec,
+                           "dist_s": dist})
+        df = df.sort_values(["url", "dist_s", "ts_epoch"],
+                            ignore_index=True)
+        return pa.Table.from_pandas(df.drop_duplicates("url"),
+                                    preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["url", "dist_s", "ts_epoch"], ignore_index=True)
+        g = g.drop_duplicates("url")
+        return g[["url", "ts_epoch", "dist_s"]].astype(
+            {"ts_epoch": "int64", "dist_s": "int64"})
+
+    parts = caps.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return (hash_bucket(parts, "url", 32).groupby("_part")
+            .map_groups(final, batch_format="pandas"))
+
+
+def _sql_closest_capture() -> str:
+    return f"""
+WITH {CAPTURES_CTE},
+d AS (
+  SELECT url, ts_epoch,
+         abs(ts_epoch - {_CLOSEST_EPOCH}) AS dist_s
+  FROM captures
+)
+SELECT url, ts_epoch, dist_s FROM (
+  SELECT *, row_number() OVER (PARTITION BY url
+                               ORDER BY dist_s, ts_epoch) AS rn
+  FROM d) WHERE rn = 1
+"""
+
+
 def registry_curate():
     """name -> (callable(sf_dir) -> result, oracle_sql | None)."""
     return {
@@ -538,4 +716,7 @@ def registry_curate():
         "knn_label_noise": (q_knn_label_noise, _sql_knn_label_noise()),
         "decontaminate_embed": (q_decontaminate_embed,
                                 _sql_decontaminate_embed()),
+        "greedy_coverage_sample": (q_greedy_coverage_sample,
+                                   _sql_greedy_coverage_sample()),
+        "closest_capture": (q_closest_capture, _sql_closest_capture()),
     }

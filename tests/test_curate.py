@@ -173,3 +173,28 @@ def test_decontaminate_embed_planted(ray_session, tmp_path):
     assert out.loc[1, "is_contaminated"] == 1
     assert out.loc[1, "nn_bench_id"] == 0
     assert out.loc[2, "is_contaminated"] == 0
+
+
+@pytest.mark.parametrize(
+    "name", ["greedy_coverage_sample", "closest_capture"])
+def test_oracle_parity_round2(ray_session, sf_dir, duck, name):
+    from deduplicator_ray.pipelines.queries_curate import registry_curate
+
+    fn, sql = registry_curate()[name]
+    got = fn(sf_dir)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = duck.execute(sql).df()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+def test_greedy_coverage_monotone_gains(ray_session, sf_dir):
+    """Submodularity: the greedy's marginal gains never increase."""
+    from deduplicator_ray.pipelines.queries_curate import (
+        q_greedy_coverage_sample,
+    )
+
+    out = q_greedy_coverage_sample(sf_dir)
+    gains = out["gain"].tolist()
+    assert gains == sorted(gains, reverse=True)
+    assert out["doc_id"].is_unique
