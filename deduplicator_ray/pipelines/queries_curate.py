@@ -705,6 +705,127 @@ SELECT url, ts_epoch, dist_s FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# url_template_census: URL templating (digit-run collapse) census
+# ---------------------------------------------------------------------------
+
+
+def q_url_template_census(sf_dir: str):
+    """Crawler-side URL templating: collapse digit runs to 'N'
+    (``/p/123`` and ``/p/456`` share a template) and census each
+    template's traffic — the blocking key crawl planners use to spot
+    parameterized page families.  Distinct-url counts are NOT additive
+    across blocks, so the partial keeps (template, url) granularity
+    (pre-summed per block) and one hash-bucket reduce per template
+    finishes both counts exactly."""
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    caps = captures_dataset(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        tpl = pc.replace_substring_regex(b["url"], r"[0-9]+", "N")
+        df = pd.DataFrame({"url_template": tpl.to_pandas(),
+                           "url": b["url"].to_pandas()})
+        g = df.groupby(["url_template", "url"], as_index=False).size()
+        g = g.rename(columns={"size": "c"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby("url_template", as_index=False).agg(
+            n_captures=("c", "sum"), n_urls=("url", "nunique"))
+        return h.astype({"n_captures": "int64", "n_urls": "int64"})
+
+    parts = caps.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return (hash_bucket(parts, "url_template", 32).groupby("_part")
+            .map_groups(final, batch_format="pandas"))
+
+
+def _sql_url_template_census() -> str:
+    return f"""
+WITH {CAPTURES_CTE}
+SELECT regexp_replace(url, '[0-9]+', 'N', 'g') AS url_template,
+       count(*) AS n_captures,
+       count(DISTINCT url) AS n_urls
+FROM captures GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# host_trend: per-host capture-rate trend (integer-exact regression)
+# ---------------------------------------------------------------------------
+
+
+def q_host_trend(sf_dir: str):
+    """Per-host crawl-activity trend: least-squares slope of captures
+    per day over the host's observed days (the crawl-budget forecasting
+    signal).  Sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact
+    int64 partials combined per block and reduced once per host, so the
+    ONLY float op is the final num/den division — the same two integers
+    divide on the DuckDB side, making slope_ppm bit-stable.  Hosts seen
+    on a single day are excluded (slope undefined)."""
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    caps = captures_dataset(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["url"], _HOST_PAT)
+        host = pc.fill_null(pc.struct_field(m, "host"), "")
+        ts = b["warc_ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        day = (ts // 1_000_000) // 86_400
+        df = pd.DataFrame({"host": host.to_pandas(), "day": day})
+        g = df.groupby(["host", "day"], as_index=False).size()
+        g = g.rename(columns={"size": "y"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for host, sub in g.groupby("host"):
+            d = sub.groupby("day")["y"].sum()
+            if len(d) < 2:
+                continue
+            x = d.index.to_numpy(dtype=object)  # python ints: exact
+            y = d.to_numpy(dtype=object)
+            n = len(d)
+            sx, sy = sum(x), sum(y)
+            sxy = sum(a * b for a, b in zip(x, y))
+            sxx = sum(a * a for a in x)
+            num = n * sxy - sx * sy
+            den = n * sxx - sx * sx
+            slope_ppm = int(np.floor(1e6 * float(num) / float(den) + 0.5))
+            rows.append((host, n, int(sy), slope_ppm))
+        return pd.DataFrame(rows, columns=["host", "n_days", "n_captures",
+                                           "slope_ppm"]).astype(
+            {"n_days": "int64", "n_captures": "int64", "slope_ppm": "int64"})
+
+    parts = caps.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return (hash_bucket(parts, "host", 32).groupby("_part")
+            .map_groups(final, batch_format="pandas"))
+
+
+def _sql_host_trend() -> str:
+    return f"""
+WITH {CAPTURES_CTE},
+d AS (
+  SELECT regexp_extract(url, '{_HOST_PAT}', 1) AS host,
+         ts_epoch // 86400 AS day, count(*)::BIGINT AS y
+  FROM captures GROUP BY 1, 2
+),
+s AS (
+  SELECT host, count(*)::BIGINT AS n, sum(day)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(day * y)::BIGINT AS sxy,
+         sum(day * day)::BIGINT AS sxx
+  FROM d GROUP BY host
+)
+SELECT host, n AS n_days, sy AS n_captures,
+       CAST(floor(1000000.0 * (n * sxy - sx * sy)
+                  / (n * sxx - sx * sx) + 0.5) AS BIGINT) AS slope_ppm
+FROM s WHERE n >= 2
+"""
+
+
 def registry_curate():
     """name -> (callable(sf_dir) -> result, oracle_sql | None)."""
     return {
@@ -719,4 +840,7 @@ def registry_curate():
         "greedy_coverage_sample": (q_greedy_coverage_sample,
                                    _sql_greedy_coverage_sample()),
         "closest_capture": (q_closest_capture, _sql_closest_capture()),
+        "url_template_census": (q_url_template_census,
+                                _sql_url_template_census()),
+        "host_trend": (q_host_trend, _sql_host_trend()),
     }
