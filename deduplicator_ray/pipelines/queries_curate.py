@@ -826,6 +826,52 @@ FROM s WHERE n >= 2
 """
 
 
+def q_template_dup_rate(sf_dir: str):
+    """Content staleness per URL template: for each digit-collapsed url
+    family, how many captures vs how many DISTINCT content digests —
+    dup_ppm near 1e6 marks parameterized families that serve identical
+    content (crawler skip / canonicalization candidates).  Same
+    (template, key) partial + one hash-bucket reduce shape as
+    ``url_template_census``; distinct digests are exact, never
+    sketched."""
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    caps = captures_dataset(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        tpl = pc.replace_substring_regex(b["url"], r"[0-9]+", "N")
+        df = pd.DataFrame({"url_template": tpl.to_pandas(),
+                           "digest": b["digest"].to_pandas()})
+        g = df.groupby(["url_template", "digest"], as_index=False).size()
+        g = g.rename(columns={"size": "c"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby("url_template", as_index=False).agg(
+            n_captures=("c", "sum"), n_digests=("digest", "nunique"))
+        h["dup_ppm"] = ((h["n_captures"] - h["n_digests"]) * 1_000_000
+                        // h["n_captures"])
+        return h.astype({"n_captures": "int64", "n_digests": "int64",
+                         "dup_ppm": "int64"})
+
+    parts = caps.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return (hash_bucket(parts, "url_template", 32).groupby("_part")
+            .map_groups(final, batch_format="pandas"))
+
+
+def _sql_template_dup_rate() -> str:
+    return f"""
+WITH {CAPTURES_CTE}
+SELECT regexp_replace(url, '[0-9]+', 'N', 'g') AS url_template,
+       count(*) AS n_captures,
+       count(DISTINCT md5(text)) AS n_digests,
+       (count(*) - count(DISTINCT md5(text))) * 1000000 // count(*)
+         AS dup_ppm
+FROM captures GROUP BY 1
+"""
+
+
 def registry_curate():
     """name -> (callable(sf_dir) -> result, oracle_sql | None)."""
     return {
@@ -843,4 +889,5 @@ def registry_curate():
         "url_template_census": (q_url_template_census,
                                 _sql_url_template_census()),
         "host_trend": (q_host_trend, _sql_host_trend()),
+        "template_dup_rate": (q_template_dup_rate, _sql_template_dup_rate()),
     }

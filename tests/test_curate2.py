@@ -78,3 +78,17 @@ def test_host_trend_exact_on_planted_counts(ray_session, tmp_path):
     slope_ppm = int(np.floor(1e6 * float(n * sxy - sx * sy)
                              / float(n * sxx - sx * sx) + 0.5))
     assert slope_ppm == 1_000_000
+
+
+def test_template_dup_rate_oracle(ray_session, sf_dir, duck):
+    from deduplicator_ray.pipelines.queries_curate import registry_curate
+
+    fn, sql = registry_curate()["template_dup_rate"]
+    got = fn(sf_dir).to_pandas()
+    want = duck.execute(sql).df()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+    # the /empty/N family serves ONE digest -> dup_ppm > 0; sanity bound
+    emp = got[got["url_template"].str.contains("/empty/N", regex=False)]
+    if len(emp):
+        assert (emp["n_digests"] == 1).all()
+        assert (emp["dup_ppm"] > 0).all()
