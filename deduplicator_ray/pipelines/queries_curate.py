@@ -157,7 +157,17 @@ def _template_table(sf_dir: str) -> pd.DataFrame:
     and the first 24 chars of the common prefix.  Final combine + the
     O(#groups) LCP pass run on the pre-aggregated ≤ hosts x sections
     rows (two strings per group), mirroring the repo's host_stats
-    driver-finalize shape."""
+    driver-finalize shape.
+
+    Unicode semantics: suffix_len counts CODEPOINTS and the engine's
+    reverse (``pc.utf8_reverse``) is codepoint-level, while DuckDB's
+    ``reverse()`` is grapheme-aware — they diverge on combining
+    sequences (``'e\\u0301x'`` reverses to ``'x\\u0301e'`` here vs
+    ``'xe\\u0301'`` in DuckDB).  The intended semantics are the
+    codepoint ones (pinned by
+    tests/test_curate2.py::test_template_suffix_combining_chars);
+    the SQL oracle parity additionally assumes ASCII/precomposed
+    text, which the synthetic corpus satisfies."""
     caps = captures_dataset(sf_dir)
     parts = _template_partials(caps)
     agg = parts.groupby(["host", "section"], as_index=False).agg(
@@ -387,6 +397,11 @@ def q_knn_label_noise(sf_dir: str):
                          columns=["vec_id", "embedding"]).sort_by("vec_id")
     q = np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)
     edges = cosine_topk(ds, q, k=_KNN_NOISE_K + 1).to_pandas()
+    # cosine_topk's query_id is the 0-based row index into q, NOT a
+    # vec_id; map it through the sorted qtbl ids BEFORE the self-filter
+    # so non-contiguous vec_id spaces stay correct
+    qids = qtbl["vec_id"].to_numpy().astype(np.int64)
+    edges["query_id"] = qids[edges["query_id"].to_numpy(np.int64)]
     edges = edges[edges["query_id"] != edges["vec_id"]]
     edges = edges.sort_values(["query_id", "rank"], ignore_index=True)
     edges["rank"] = edges.groupby("query_id").cumcount() + 1

@@ -1379,12 +1379,18 @@ def kcenter_sample(ds, *, k: int = 8, id_col: str = "vec_id",
 
     def seed_partial(b: pa.Table) -> pa.Table:
         ids = np.asarray(b[id_col])
+        if not len(ids):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             vec_col: pa.array([], pa.list_(pa.float64()))})
         i = int(np.argmin(ids))
         return pa.table({id_col: pa.array([ids[i]]),
                          vec_col: pa.array([b[vec_col][i].as_py()])})
 
     seeds = ds.map_batches(seed_partial, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
+    if not len(seeds):
+        return pd.DataFrame(columns=["round", id_col, "radius_micro"]
+                            ).astype("int64")
     si = int(seeds[id_col].astype("int64").idxmin())
     chosen_ids = [int(seeds[id_col][si])]
     chosen_vecs = [np.asarray(seeds[vec_col][si], dtype=np.float64)]
@@ -1419,6 +1425,8 @@ def kcenter_sample(ds, *, k: int = 8, id_col: str = "vec_id",
 
         cand = ds.map_batches(far_partial, batch_format="pyarrow",
                               zero_copy_batch=True).to_pandas()
+        if not len(cand):
+            break  # k exceeds the point count: return what we found
         cand = cand.sort_values(["d", id_col],
                                 ascending=[False, True], ignore_index=True)
         win_id = int(cand[id_col][0])

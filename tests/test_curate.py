@@ -133,6 +133,64 @@ def test_kcenter_sample_planted(ray_session):
     assert out["radius_micro"][1] >= out["radius_micro"][2] >= 0
 
 
+def test_kcenter_sample_k_exceeds_n(ray_session):
+    """k > #points returns the n points found (no IndexError)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import kcenter_sample
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": [3, 7], "embedding": [[0.0, 0.0], [1.0, 0.0]]}))
+    out = kcenter_sample(ds, k=5)
+    assert out["vec_id"].tolist() == [3, 7]
+    assert out["round"].tolist() == [0, 1]
+
+
+def test_knn_label_noise_noncontiguous_ids(ray_session, tmp_path):
+    """vec_ids 10,20,...  (non-contiguous): self-exclusion and the
+    knn_label ids must still be correct — pins the query_id→vec_id
+    mapping (cosine_topk's query_id is a row index, not an id)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.pipelines.queries_curate import (
+        _KNN_NOISE_K, q_knn_label_noise)
+
+    rng = np.random.default_rng(11)
+    n = 24
+    ids = (np.arange(n) + 1) * 10  # 10, 20, ..., non-contiguous
+    V = rng.normal(size=(n, 4))
+    labels = (np.arange(n) % 3).astype(np.int32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in V],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    out = q_knn_label_noise(str(tmp_path))
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out = out.set_index("vec_id").sort_index()
+    assert sorted(out.index) == sorted(ids)  # every id audited once
+
+    # brute-force reference with float32-exact cosines
+    Vf = V.astype(np.float32).astype(np.float64)
+    Vn = Vf / np.linalg.norm(Vf, axis=1, keepdims=True)
+    cos = Vn @ Vn.T
+    for qi, qid in enumerate(ids):
+        order = sorted((j for j in range(n) if j != qi),
+                       key=lambda j: (-cos[qi, j], ids[j]))
+        nb = order[:_KNN_NOISE_K]
+        votes = {}
+        for j in nb:
+            votes[labels[j]] = votes.get(labels[j], 0) + 1
+        maj = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        assert out.loc[qid, "knn_label"] == maj, qid
+        assert out.loc[qid, "agree"] == int(labels[qi] == maj)
+
+
 @pytest.mark.parametrize(
     "name", ["kcenter_sample", "knn_label_noise", "decontaminate_embed"])
 def test_oracle_parity_embed_ops(ray_session, sf_dir, duck, name):

@@ -58,26 +58,73 @@ def test_url_template_collapses_families(ray_session, sf_dir):
 
 
 def test_host_trend_exact_on_planted_counts(ray_session, tmp_path):
-    """Hand-checkable slope: a host with daily counts 1,2,3 over days
-    0,1,2 has slope exactly 1 (1e6 ppm)."""
-    import numpy as np
+    """Drive q_host_trend end-to-end on a crafted documents table whose
+    captures derivation lands hand-checkable daily counts.
+
+    doc_ids {20, 80, 100, 940, 1000, 1040} are all ≡0 (mod 20) and none
+    is divisible by 3 or 7, so per doc the captures CTE emits exactly:
+    rep0+rep5 on host www.site0.example and rep2 on www2.site0.example.
+    ts_epoch = 1700000000 + 100·doc_id (+rep≤5) puts them on days
+    19675 / 19676 / 19677 as 1, 2, 3 docs respectively — so
+    www2.site0.example sees daily counts 1,2,3 (slope exactly 1 →
+    1_000_000 ppm) and www.site0.example sees 2,4,6 (slope 2)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    # craft a documents table whose captures derivation lands one host
-    # on a clean arithmetic progression is awkward — drive the kernel
-    # directly through the same reduce instead
-    from deduplicator_ray.pipelines.queries_curate import q_host_trend  # noqa: F401
+    from deduplicator_ray.pipelines.queries_curate import q_host_trend
 
-    # integer sufficient statistics check (the formula the query uses)
-    x = np.array([0, 1, 2], dtype=object)
-    y = np.array([1, 2, 3], dtype=object)
-    n, sx, sy = len(x), sum(x), sum(y)
-    sxy = sum(a * b for a, b in zip(x, y))
-    sxx = sum(a * a for a in x)
-    slope_ppm = int(np.floor(1e6 * float(n * sxy - sx * sy)
-                             / float(n * sxx - sx * sx) + 0.5))
-    assert slope_ppm == 1_000_000
+    ids = [20, 80, 100, 940, 1000, 1040]
+    docs = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([f"planted doc {i}" for i in ids]),
+        "lang": pa.array(["en"] * len(ids)),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    out = q_host_trend(str(tmp_path))
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out = out.set_index("host")
+
+    w2 = out.loc["www2.site0.example"]
+    assert int(w2["n_days"]) == 3
+    assert int(w2["n_captures"]) == 6
+    assert int(w2["slope_ppm"]) == 1_000_000
+
+    w = out.loc["www.site0.example"]
+    assert int(w["n_days"]) == 3
+    assert int(w["n_captures"]) == 12
+    assert int(w["slope_ppm"]) == 2_000_000
+
+
+def test_template_suffix_combining_chars(ray_session, tmp_path):
+    """Pin the engine's CODEPOINT-level suffix semantics on combining
+    characters (where DuckDB's grapheme-aware reverse() would differ —
+    see _template_table docstring).
+
+    Two pages on one (host, section) end in 'xe' + COMBINING ACUTE vs
+    'ye' + COMBINING ACUTE.  Codepoint-reversed they are
+    [0x301, 'e', 'x', ...] vs [0x301, 'e', 'y', ...]: common suffix is
+    the 2 codepoints (e, U+0301).  A grapheme reverse would keep 'e'+
+    combining-acute together and report 1 grapheme instead."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.pipelines.queries_curate import _template_table
+
+    # rep-0 urls land both docs on host www.site0.example, section 'p'
+    docs = pa.table({
+        "doc_id": pa.array([0, 20], pa.int64()),
+        "text": pa.array(["AA xé", "BB yé"]),
+        "lang": pa.array(["en", "en"]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    tpl = _template_table(str(tmp_path)).set_index(["host", "section"])
+    row = tpl.loc[("www.site0.example", "p")]
+    # 2 planted pages (+ the doc_id==0 empty pages join other sections)
+    assert int(row["suffix_len"]) == 2  # 'e' + U+0301, codepoint-level
+    assert int(row["prefix_len"]) == 0  # 'A...' vs 'B...'
 
 
 def test_template_dup_rate_oracle(ray_session, sf_dir, duck):
