@@ -211,9 +211,10 @@ def match_shuffle_tagged(tagged, cfg: PipelineConfig | None = None, *,
                           skip_col=history_col, skip_value=history_value)
     both = hash_bucket_salted(both, "digest", cfg.shuffle_buckets,
                               hot, cfg.salt_buckets)
-    return both.groupby("_part").map_groups(
+    both = _pack_digests(both)
+    return _unpack_digests(both.groupby("_part").map_groups(
         lambda g: _resolve_partition(g, cfg, True), batch_format="pandas"
-    )
+    ))
 
 
 def find_hot_keys(ds, col: str, *, num_buckets: int, min_count: int = 5_000,
@@ -333,6 +334,38 @@ def hash_bucket_salted(ds, col: str, num_buckets: int, hot_keys: frozenset,
     return _arrow_blocks(ds, coalesce_rows).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True, batch_size=coalesce_rows
     )
+
+
+def _pack_digests(ds):
+    """Shuffle-byte cut: pack the 32-hex digest column to tagged 17-byte
+    binary (functions/digesting.py) just before the all-to-all — the map
+    fuses into the bucketing task, so the sort moves 21 instead of 36
+    bytes per digest.  Value-level injective, so bucket membership and
+    within-bucket equality are untouched; the reduce resolves on the
+    packed bytes (pandas merges/drop_duplicates hash bytes exactly like
+    strings) and ``_unpack_digests`` restores the original strings in a
+    buffer-level Arrow map fused onto the reduce output."""
+
+    def f(b: pa.Table) -> pa.Table:
+        from deduplicator_ray.functions.digesting import pack_digest_array
+
+        i = b.column_names.index("digest")
+        return b.set_column(i, "digest", pack_digest_array(b["digest"]))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _unpack_digests(ds):
+    """Inverse of ``_pack_digests`` on the match output (no-op when the
+    column is already strings)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        from deduplicator_ray.functions.digesting import unpack_digest_array
+
+        i = b.column_names.index("digest")
+        return b.set_column(i, "digest", unpack_digest_array(b["digest"]))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _upsert_sort(df: pd.DataFrame) -> tuple[list[str], list[bool]]:
@@ -553,9 +586,10 @@ def match_shuffle(current, history, cfg: PipelineConfig | None = None, *,
     hot = _match_hot_keys(current, cfg, strip)
     both = hash_bucket_salted(h.union(c), "digest", cfg.shuffle_buckets,
                               hot, cfg.salt_buckets)
-    return both.groupby("_part").map_groups(
+    both = _pack_digests(both)
+    return _unpack_digests(both.groupby("_part").map_groups(
         lambda g: _resolve_partition(g, cfg, history_is_raw), batch_format="pandas"
-    )
+    ))
 
 
 def _match_hot_keys(current, cfg: PipelineConfig, strip: bool,
