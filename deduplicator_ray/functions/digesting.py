@@ -329,3 +329,35 @@ def unpack_digest_array(col):
         [vbuf, pa.py_buffer(out_offs.astype(np.int32).tobytes()),
          pa.py_buffer(out.tobytes())],
     )
+
+
+def md5_hex_arrow(col):
+    """Hex MD5 per value of an Arrow string array -> Arrow string array.
+
+    Reads each value's UTF-8 bytes as a memoryview slice of the Arrow
+    data buffer — no per-row str materialization or ``.encode()`` copy
+    (the buffer already IS utf8).  The md5+hexdigest calls are C; the
+    loop body does no Python string work beyond collecting the 32-char
+    results.  Nulls map to nulls."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=odt)[
+        col.offset : col.offset + n + 1
+    ].tolist()
+    mv = memoryview(col.buffers()[2])
+    md5 = hashlib.md5
+    if col.null_count == 0:
+        out = [md5(mv[offs[i] : offs[i + 1]]).hexdigest() for i in range(n)]
+    else:
+        valid = np.asarray(col.is_valid()).tolist()
+        out = [
+            md5(mv[offs[i] : offs[i + 1]]).hexdigest() if valid[i] else None
+            for i in range(n)
+        ]
+    return pa.array(out, type=pa.string())

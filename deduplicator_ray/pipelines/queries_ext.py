@@ -27,6 +27,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from deduplicator_ray.functions.digesting import md5_hex_arrow
+
 # ---------------------------------------------------------------------------
 # D1: exact text dedup (hash-partition + per-group first)
 # ---------------------------------------------------------------------------
@@ -43,8 +45,8 @@ def q_dedup_exact_text(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def dig(b: pa.Table) -> pa.Table:
-        digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in b["text"].to_pylist()]
-        return pa.table({"doc_id": b["doc_id"], "digest": pa.array(digests, pa.string())})
+        return pa.table({"doc_id": b["doc_id"],
+                         "digest": md5_hex_arrow(b["text"])})
 
     from deduplicator_ray.stages.exact import hash_bucket
 
@@ -91,14 +93,13 @@ def q_dup_rate_by_length(sf_dir: str):
 
     def dig(b: pa.Table) -> pa.Table:
         txt = pc.coalesce(b["text"], pa.scalar("", b["text"].type))
-        digests = [hashlib.md5(t.encode("utf-8")).hexdigest()
-                   for t in txt.to_pylist()]
+        digests = md5_hex_arrow(txt)
         spaces = pc.subtract(
             pc.utf8_length(txt),
             pc.utf8_length(pc.replace_substring(txt, " ", "")))
         return pa.table({
             "doc_id": b["doc_id"],
-            "dg": pa.array(digests, pa.string()),
+            "dg": digests,
             "band": pc.divide(pc.add(pc.cast(spaces, pa.int64()), 1),
                               _DUPBAND_W),
         })
@@ -163,10 +164,8 @@ def q_dedup_exact_norm(sf_dir: str):
 
     def dig(b: pa.Table) -> pa.Table:
         norm = normalize_text_arrow(b["text"].combine_chunks())
-        digests = [hashlib.md5(t.encode("utf-8")).hexdigest()
-                   for t in norm.to_pylist()]
         return pa.table({"doc_id": b["doc_id"],
-                         "digest": pa.array(digests, pa.string())})
+                         "digest": md5_hex_arrow(norm)})
 
     from deduplicator_ray.stages.exact import hash_bucket
 
@@ -228,8 +227,7 @@ def q_tier_census(sf_dir: str):
                         batch_format="pandas"))
 
     def md5_of(col: pa.Array) -> pa.Array:
-        return pa.array([hashlib.md5(t.encode("utf-8")).hexdigest()
-                         for t in col.to_pylist()], pa.string())
+        return md5_hex_arrow(col)
 
     # materialize: each stream is consumed twice (count + union)
     ex = dup_ids(lambda b: md5_of(b["text"].combine_chunks())).materialize()
@@ -2729,12 +2727,11 @@ def q_soft_dedup_weights(sf_dir: str):
     def dig(b: pa.Table) -> pa.Table:
         text = b["text"].combine_chunks()
         norm = normalize_text_arrow(text)
-        digests = [hashlib.md5(t.encode("utf-8")).hexdigest()
-                   for t in norm.to_pylist()]
+        digests = md5_hex_arrow(norm)
         n_tok = pc.list_value_length(
             pc.split_pattern(pc.fill_null(text, ""), " "))
         return pa.table({"doc_id": b["doc_id"],
-                         "digest": pa.array(digests, pa.string()),
+                         "digest": digests,
                          "n_tokens": pc.cast(n_tok, pa.int64())})
 
     def weigh(g):

@@ -334,8 +334,10 @@ def q_outlier_docs(sf_dir: str):
     def flag(b: pa.Table) -> pa.Table:
         langs = b["lang"].to_pandas()
         nch = b["n_chars"].to_pandas().to_numpy(dtype=np.int64)
-        med = langs.map(lambda s: stats[s][0]).to_numpy(dtype=np.int64)
-        mad = langs.map(lambda s: stats[s][1]).to_numpy(dtype=np.int64)
+        # factorize + integer take instead of a per-row dict .map(lambda)
+        codes, uniq = pd.factorize(langs)
+        med = np.array([stats[u][0] for u in uniq], dtype=np.int64)[codes]
+        mad = np.array([stats[u][1] for u in uniq], dtype=np.int64)[codes]
         dev = nch - med
         return pa.table(
             {

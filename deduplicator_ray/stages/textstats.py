@@ -528,8 +528,13 @@ def ccnet_buckets(ds, *, min_ppm: int = 1000, id_col: str = "doc_id",
         table = ray.get(ref)
         langs = b[lang_col].to_pandas()
         llm = np.asarray(b["llm"], dtype=np.int64)
-        c1 = langs.map(lambda x: table[x][0]).to_numpy(np.int64)
-        c2 = langs.map(lambda x: table[x][1]).to_numpy(np.int64)
+        # vectorized lookup: one factorize pass + two integer takes
+        # (the per-row dict .map(lambda) was the batch's only Python loop)
+        codes, uniq = pd.factorize(langs)
+        cut1 = np.array([table[u][0] for u in uniq], dtype=np.int64)
+        cut2 = np.array([table[u][1] for u in uniq], dtype=np.int64)
+        c1 = cut1[codes]
+        c2 = cut2[codes]
         bucket = np.where(llm <= c1, "head",
                           np.where(llm <= c2, "middle", "tail"))
         return pa.table({id_col: b[id_col], lang_col: b[lang_col],
