@@ -1321,6 +1321,56 @@ def q_media_phash_dups(sf_dir: str):
                          max_hamming=3)
 
 
+def q_media_phash_dups_png(sf_dir: str):
+    """Perceptual near-duplicate images over REAL PNG payloads: the
+    no-dependency zlib+numpy decode path (stages/multimodal.decode_png)
+    feeds average-hash signatures into the 4-band pigeonhole hamming
+    machinery.  Stronger planting than the PPM variant: the exact
+    duplicate of image 0 is re-encoded with DIFFERENT scanline filters
+    (same pixels, different bytes), so the pair asserts the decoder is
+    encoding-invariant, not byte-matching; a one-pixel variant (<= 1
+    ahash bit) and a filter-shuffled copy of image 5 round out the
+    planted pairs.  Deterministic end to end -> golden pin."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.multimodal import decode_images, encode_png
+    from deduplicator_ray.stages.simhash import hamming_pairs
+
+    rng = np.random.default_rng(44)
+    imgs = []
+    for i in range(48):
+        h = int(rng.integers(8, 40))
+        w = int(rng.integers(8, 40))
+        imgs.append(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+
+    rows = [(i, encode_png(im, filters=[(i + y) % 5 for y in range(im.shape[0])]))
+            for i, im in enumerate(imgs)]
+    # planted: exact pixels of img0 under a different encoding; a
+    # one-pixel variant of img0; img5 re-encoded paeth-only
+    var0 = imgs[0].copy()
+    var0[0, 0, 0] ^= 0x04  # one channel of one pixel: <= 1 ahash bit
+    rows += [
+        (1000, encode_png(imgs[0], filters=3)),
+        (1001, encode_png(var0, filters=0)),
+        (1002, encode_png(imgs[5], filters=4)),
+    ]
+    media = pa.table({
+        "media_id": pa.array(np.array([r[0] for r in rows], dtype=np.int64)),
+        "kind": pa.array(["image"] * len(rows)),
+        "payload": pa.array([r[1] for r in rows], type=pa.binary()),
+        "mime": pa.array(["image/png"] * len(rows)),
+        "width": pa.nulls(len(rows), pa.int32()),
+        "height": pa.nulls(len(rows), pa.int32()),
+        "duration_ms": pa.nulls(len(rows), pa.int32()),
+    })
+    feats = decode_images(rd.from_arrow(media), decoder="png")
+    feats = feats.map_batches(
+        lambda b: b.filter(pc.not_equal(b["phash"], 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return hamming_pairs(feats, id_col="media_id", hash_col="phash",
+                         max_hamming=3)
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing end-to-end: deterministic synthetic media
     table -> kind-routed actor-pool stages (image decode, audio features,
@@ -5398,6 +5448,8 @@ def registry_ext():
                                GOLDEN_SQL.get("media_ppm_features")),
         "media_phash_dups": (q_media_phash_dups,
                              GOLDEN_SQL.get("media_phash_dups")),
+        "media_phash_dups_png": (q_media_phash_dups_png,
+                                 GOLDEN_SQL.get("media_phash_dups_png")),
         "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
         "boilerplate_dedup": (q_boilerplate_dedup, _SQL_BOILERPLATE_DEDUP),
         "boilerplate_report": (q_boilerplate_report, _SQL_BOILERPLATE_REPORT),

@@ -86,6 +86,179 @@ def decode_ppm(p: bytes) -> "np.ndarray | None":
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
 
 
+def decode_png(p: bytes) -> "np.ndarray | None":
+    """Real PNG decode with no image library: stdlib ``zlib`` inflate +
+    numpy scanline unfiltering (PNG spec §9 filters: None/Sub/Up/
+    Average/Paeth), RGB output.
+
+    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), non-interlaced.  Alpha is dropped (feature
+    extraction wants opaque RGB); palette rows are one vectorized take.
+    Returns (h, w, 3) uint8, or None for malformed/unsupported payloads
+    (16-bit, Adam7 interlace) — same contract as ``decode_ppm``.
+
+    Filter math: None/Up/Sub rows are whole-row numpy (Sub is a prefix
+    sum over the bpp-strided lanes); Average/Paeth are sequential in x
+    by definition, so those rows fall back to a per-pixel loop over
+    (bpp,) lane vectors — encoders emit them per-row, so cost is bounded
+    by the rows that actually chose them."""
+    import zlib
+
+    SIG = b"\x89PNG\r\n\x1a\n"
+    if not p.startswith(SIG):
+        return None
+    pos, n = len(SIG), len(p)
+    ihdr = None
+    plte = None
+    idat = []
+    try:
+        while pos + 8 <= n:
+            ln = int.from_bytes(p[pos:pos + 4], "big")
+            typ = p[pos + 4:pos + 8]
+            data = p[pos + 8:pos + 8 + ln]
+            if len(data) < ln:
+                return None
+            if typ == b"IHDR":
+                ihdr = data
+            elif typ == b"PLTE":
+                plte = data
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln  # length + type + data + crc
+        if ihdr is None or len(ihdr) < 13 or not idat:
+            return None
+        w = int.from_bytes(ihdr[0:4], "big")
+        h = int.from_bytes(ihdr[4:8], "big")
+        depth, ctype, comp, filt, interlace = ihdr[8:13]
+        if min(w, h) < 1 or depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            return None
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+        if channels is None or (ctype == 3 and plte is None):
+            return None
+        raw = zlib.decompress(b"".join(idat))
+    except Exception:
+        return None
+    bpp = channels  # bytes per pixel at depth 8
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        return None
+    lines = np.frombuffer(raw[: h * (stride + 1)], dtype=np.uint8)
+    lines = lines.reshape(h, stride + 1)
+    ftypes = lines[:, 0]
+    if (ftypes > 4).any():
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(ftypes[y])
+        row = lines[y, 1:].copy()
+        if f == 0:
+            pass
+        elif f == 2:  # Up
+            row += prev
+        elif f == 1:  # Sub: prefix sum over bpp-strided lanes
+            row = (
+                row.reshape(w, bpp).astype(np.int64).cumsum(axis=0) & 255
+            ).astype(np.uint8).reshape(stride)
+        else:  # Average (3) / Paeth (4): sequential in x per spec
+            rp = row.reshape(w, bpp).astype(np.int16)
+            up = prev.reshape(w, bpp).astype(np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
+            ul = np.zeros(bpp, dtype=np.int16)
+            for x in range(w):
+                if f == 3:
+                    rp[x] = (rp[x] + ((left + up[x]) >> 1)) & 255
+                else:
+                    pa_ = left + up[x] - ul
+                    da, db, dc = (
+                        np.abs(pa_ - left), np.abs(pa_ - up[x]), np.abs(pa_ - ul),
+                    )
+                    pred = np.where(
+                        (da <= db) & (da <= dc), left,
+                        np.where(db <= dc, up[x], ul),
+                    )
+                    rp[x] = (rp[x] + pred) & 255
+                left = rp[x]
+                ul = up[x]
+            row = rp.astype(np.uint8).reshape(stride)
+        out[y] = row
+        prev = row
+    px = out.reshape(h, w, bpp)
+    if ctype == 2:
+        return np.ascontiguousarray(px)
+    if ctype == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # palette
+    pal = np.frombuffer(plte, dtype=np.uint8)
+    pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+    idx = px[:, :, 0]
+    if int(idx.max()) >= len(pal):
+        return None
+    return pal[idx]
+
+
+def encode_png(img: np.ndarray, *, filters: "list[int] | int" = 0) -> bytes:
+    """(h, w, 3) uint8 -> PNG payload (test/synth helper; stdlib zlib).
+
+    ``filters`` picks the per-row filter type (single int, or one per
+    row) so tests can exercise every unfilter branch; rows are filtered
+    exactly per spec before deflate."""
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    flat = img.reshape(h, w * 3).astype(np.int16)
+    frows = [filters] * h if isinstance(filters, int) else list(filters)
+    body = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int16)
+    for y in range(h):
+        f = int(frows[y])
+        cur = flat[y]
+        left = np.concatenate([np.zeros(3, np.int16), cur[:-3]])
+        up = prev
+        ul = np.concatenate([np.zeros(3, np.int16), up[:-3]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - up
+        elif f == 3:
+            enc = cur - ((left + up) >> 1)
+        else:
+            pa_ = left + up - ul
+            da, db, dc = np.abs(pa_ - left), np.abs(pa_ - up), np.abs(pa_ - ul)
+            pred = np.where((da <= db) & (da <= dc), left,
+                            np.where(db <= dc, up, ul))
+            enc = cur - pred
+        body.append(f)
+        body.extend((enc & 255).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, std filter, no interlace
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def encode_ppm(img: np.ndarray) -> bytes:
     """(h, w, 3) uint8 -> binary-PPM payload (test/synth helper)."""
     h, w = img.shape[:2]
@@ -134,14 +307,16 @@ class ImageDecoder:
     def __init__(self, decoder: str = "fake", payload_col: str = "payload"):
         if decoder == "real":
             raise NotImplementedError(
-                "real JPEG/PNG decoding needs Pillow/turbojpeg — not "
-                "available in this environment; decoder='ppm' is the real "
-                "no-dependency path, decoder='fake' the plumbing stand-in"
+                "real JPEG decoding needs Pillow/turbojpeg — not available "
+                "in this environment; decoder='png' and decoder='ppm' are "
+                "the real no-dependency paths, decoder='fake' the plumbing "
+                "stand-in"
             )
-        if decoder not in ("fake", "ppm"):
+        if decoder not in ("fake", "ppm", "png"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
         self.payload_col = payload_col
+        self._decode = {"ppm": decode_ppm, "png": decode_png}.get(decoder)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
@@ -152,8 +327,8 @@ class ImageDecoder:
         for i, p in enumerate(payloads):
             p = p or b""
             nbytes[i] = len(p)
-            if self.decoder == "ppm":
-                img = decode_ppm(p)
+            if self._decode is not None:
+                img = self._decode(p)
                 if img is not None:
                     phash[i], emb[i] = _ppm_features(img)
                 continue
@@ -325,6 +500,33 @@ def synth_media(n: int = 64, seed: int = 42) -> pa.Table:
             "duration_ms": pa.array([3000 if k == "video" else 0 for k in kinds], type=pa.int32()),
         }
     )
+
+
+def synth_png_media(n: int = 48, seed: int = 44) -> pa.Table:
+    """Deterministic VALID PNG media table (all five scanline filters,
+    plus a few corrupt payloads) — drives the REAL ``decoder="png"``
+    path (zlib inflate + numpy unfiltering) with no external data."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h = int(rng.integers(4, 40))
+        w = int(rng.integers(4, 40))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        # cycle every filter type across rows so all unfilter branches run
+        filts = [(i + y) % 5 for y in range(h)]
+        p = encode_png(img, filters=filts)
+        if i % 12 == 11:  # corrupt a few: truncate inside IDAT
+            p = p[: len(p) // 2]
+        rows.append((i, p, w, h))
+    return pa.table({
+        "media_id": pa.array(np.array([r[0] for r in rows], dtype=np.int64)),
+        "kind": pa.array(["image"] * n),
+        "payload": pa.array([r[1] for r in rows], type=pa.binary()),
+        "mime": pa.array(["image/png"] * n),
+        "width": pa.array([r[2] for r in rows], type=pa.int32()),
+        "height": pa.array([r[3] for r in rows], type=pa.int32()),
+        "duration_ms": pa.array([0] * n, type=pa.int32()),
+    })
 
 
 def synth_ppm_media(n: int = 48, seed: int = 43) -> pa.Table:
