@@ -5164,6 +5164,63 @@ def q_containment_ensemble(sf_dir: str):
     return containment_pairs_ensemble(ds, num=4, den=5, key_col="doc_id")
 
 
+# Real recomputation mirror for containment_ensemble (graduated from a
+# golden pin): brute-force exact containment over the SAME shingle
+# definition (5-word shingles of lowercased \w+ tokens; short docs
+# collapse to ONE all-words shingle, matching shingle_hashes).  The
+# engine's candidate recall is engineered >= 0.95 only up to an 8x size
+# ratio, but its full-recall-at-test-scale property is pytest-gated and
+# holds at the driver's sf0.01, where this mirror is value-exact.
+_SQL_CONTAINMENT_ENSEMBLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^0-9a-z_]+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 5
+              THEN list_distinct(list_transform(range(1, len(w) - 3),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4]))
+              WHEN len(w) >= 1 THEN [array_to_string(w, ' ')]
+              ELSE [] END AS g
+  FROM toks
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.g, b.g))::BIGINT AS n_inter,
+       len(a.g)::BIGINT AS size_a, len(b.g)::BIGINT AS size_b
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE len(a.g) > 0 AND len(b.g) > 0
+  AND 5 * len(list_intersect(a.g, b.g)) >= 4 * least(len(a.g), len(b.g))
+"""
+
+
+def _sql_detector_overlap() -> str:
+    """Semi-graduated oracle for detector_overlap: the Jaccard pair set
+    and ALL the set arithmetic are real recomputation (the same pairs
+    CTE the north-star neardup_clusters oracle uses); only the SimHash
+    pair set comes from its existing golden pin (siphash signatures are
+    not SQL-expressible) — no new pin surface."""
+    from deduplicator_ray.pipelines.golden_sql import GOLDEN_SQL
+
+    sim = GOLDEN_SQL["simhash_dups"]
+    return f"""
+WITH RECURSIVE {_NEARDUP_CC_CTES},
+jp AS (SELECT a AS doc_a, b AS doc_b FROM pairs),
+sp AS (SELECT a, b FROM ({sim}) s)
+SELECT (SELECT count(*) FROM jp)::BIGINT AS n_jaccard,
+       (SELECT count(*) FROM sp)::BIGINT AS n_simhash,
+       (SELECT count(*) FROM jp JOIN sp
+          ON jp.doc_a = sp.a AND jp.doc_b = sp.b)::BIGINT AS n_both,
+       ((SELECT count(*) FROM jp) - (SELECT count(*) FROM jp JOIN sp
+          ON jp.doc_a = sp.a AND jp.doc_b = sp.b))::BIGINT AS n_jaccard_only,
+       ((SELECT count(*) FROM sp) - (SELECT count(*) FROM jp JOIN sp
+          ON jp.doc_a = sp.a AND jp.doc_b = sp.b))::BIGINT AS n_simhash_only
+"""
+
+
 def q_detector_overlap(sf_dir: str):
     """Detector-agreement census: the exact 5-gram Jaccard >= 0.8 pair
     set vs the SimHash hamming<=3 pair set over ``documents`` — one row
@@ -5433,11 +5490,17 @@ def registry_ext():
         "adc_recall_curve": (q_adc_recall_curve,
                              GOLDEN_SQL.get("adc_recall_curve")),
         "containment_ensemble": (q_containment_ensemble,
-                                 GOLDEN_SQL.get("containment_ensemble")),
+                                 _SQL_CONTAINMENT_ENSEMBLE),
         "detector_overlap": (q_detector_overlap,
-                             GOLDEN_SQL.get("detector_overlap")),
+                             _sql_detector_overlap()),
         "neardup_clusters": (q_neardup_clusters, _SQL_NEARDUP_CLUSTERS),
-        "neardup_clusters_minhash": (q_neardup_clusters_minhash, GOLDEN_SQL["neardup_clusters_minhash"]),
+        # graduated from a golden pin: the MinHash->LSH->verify->CC scale
+        # path agrees value-for-value with the exact-Jaccard recursive-CTE
+        # oracle at the driver's sf0.01 (verified pairs make precision 1;
+        # the >=0.99 recall gate in tests/test_queries.py covers the
+        # general case, and at this scale recall is exactly 1)
+        "neardup_clusters_minhash": (q_neardup_clusters_minhash,
+                                     _SQL_NEARDUP_CLUSTERS),
         "pair_lcs": (q_pair_lcs, GOLDEN_SQL["pair_lcs"]),
         "simhash_dups": (q_simhash_dups, GOLDEN_SQL["simhash_dups"]),
         "self_similarity": (q_self_similarity, GOLDEN_SQL["self_similarity"]),
