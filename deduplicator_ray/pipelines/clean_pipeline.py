@@ -14,6 +14,13 @@ a rerun with the same config + input skips completed stages):
     survivors   near-duplicate removal: MinHash -> LSH -> CC clusters
                 (pipelines/neardup.cluster_near_duplicates), keep ONE
                 representative per cluster (the min doc_key)
+    semantic    OPTIONAL embedding-space dedup (--semantic-dedup
+                semdedup|d4 with --embeddings): SemDeDup within-cluster
+                cosine dedup (stages/embed.semdedup_keep), or D4 which
+                additionally prunes prototypical survivors
+                (stages/embed.d4_keep); judges only docs still in the
+                funnel, so an earlier-removed near-dup can never act as
+                a cluster's kept representative
     spandedup   ExactSubstr-style duplicated-span removal inside the
                 survivors (stages/sentdedup.span_dedup)
     shuffled    deterministic global training shuffle: every doc gets a
@@ -76,6 +83,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-filter", dest="do_filter", action="store_false")
     p.add_argument("--no-neardup", dest="do_neardup", action="store_false")
     p.add_argument("--no-span", dest="do_span", action="store_false")
+    p.add_argument("--semantic-dedup", choices=("off", "semdedup", "d4"),
+                   default="off",
+                   help="optional embedding-space dedup stage between "
+                        "near-dup and span removal: 'semdedup' drops "
+                        "within-cluster cosine duplicates (Abbas 2023), "
+                        "'d4' additionally prunes the most prototypical "
+                        "survivors (Tirumala 2023); needs --embeddings")
+    p.add_argument("--embeddings", default=None,
+                   help="parquet table (vec_id, embedding) keyed by the "
+                        "corpus doc_key; docs without a vector pass "
+                        "through unjudged")
+    p.add_argument("--sem-k", type=int, default=8,
+                   help="k-means blocking clusters for semantic dedup")
+    p.add_argument("--sem-threshold", type=float, default=0.9)
+    p.add_argument("--sem-prune-frac", type=float, default=0.25,
+                   help="d4 only: prototypical fraction pruned per cluster")
     p.set_defaults(do_filter=True, do_neardup=True, do_span=True)
     p.add_argument("--force", action="store_true")
     p.add_argument("--num-cpus", type=int, default=None,
@@ -199,8 +222,23 @@ def run(args) -> dict:
         h_filter, "neardup", args.do_neardup, args.bands,
         args.rows_per_band, args.jaccard,
     ))
+    sem = getattr(args, "semantic_dedup", "off")
+    if sem != "off":
+        if not args.embeddings:
+            raise ValueError("--semantic-dedup needs --embeddings")
+        # embeddings-input fingerprint folds into the hash so a new
+        # vector table invalidates this stage (and everything after)
+        h_sem = "|".join(str(x) for x in (
+            h_neardup, "semantic", sem, args.sem_k, args.sem_threshold,
+            *((args.sem_prune_frac,) if sem == "d4" else ()),
+            input_fingerprint(args.embeddings),
+        ))
+    else:
+        # no marker when off: checkpoints written before the knob
+        # existed stay valid
+        h_sem = h_neardup
     h_span = "|".join(str(x) for x in (
-        h_neardup, "span", args.do_span, args.span_ngram,
+        h_sem, "span", args.do_span, args.span_ngram,
     ))
     h_shuffle = "|".join(str(x) for x in (h_span, "shuffle", args.seed))
     fp = input_fingerprint(args.corpus)
@@ -212,6 +250,8 @@ def run(args) -> dict:
         "drop_reasons": {},
         "neardup_clustered": None,
         "neardup_removed": 0,
+        "semantic_judged": None,
+        "semantic_removed": 0,
         "span_words_removed": 0,
         "span_docs_dropped": 0,
     }
@@ -338,6 +378,86 @@ def run(args) -> dict:
     else:
         report["after_neardup"] = report["after_filter"]
 
+    # -- stage 2.5 (optional): semantic (embedding-space) dedup ----------
+    if sem != "off":
+        ck = StageCheckpoint(out, "semantic", config_hash=h_sem,
+                             input_fingerprint=fp)
+        sem_stats: dict = {}
+
+        def build_semantic():
+            import ray
+
+            from deduplicator_ray.stages.embed import d4_keep, semdedup_keep
+
+            emb = rd.read_parquet(args.embeddings,
+                                  columns=["vec_id", "embedding"])
+            # semi-filter the vector table to the SURVIVING doc_keys, so
+            # the funnel judges only docs still in the corpus (a removed
+            # near-dup must not act as a cluster's kept representative):
+            # broadcast the id set up to the cap, hash-join beyond it
+            n_docs = report["after_neardup"]
+            if n_docs <= args.max_broadcast:
+                ids = np.sort(docs.select_columns(["doc_key"])
+                              .to_pandas()["doc_key"].to_numpy(np.int64))
+                ref = ray.put(ids)
+
+                def semi(b: pa.Table) -> pa.Table:
+                    want = ray.get(ref)
+                    v = b["vec_id"].to_numpy().astype(np.int64)
+                    pos = np.searchsorted(want, v)
+                    hit = (pos < len(want)) & (
+                        want[np.minimum(pos, len(want) - 1)] == v)
+                    return b.filter(pa.array(hit))
+
+                emb = emb.map_batches(semi, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+            else:
+                from deduplicator_ray.stages.joins import hash_join
+                from deduplicator_ray.util import auto_partitions
+
+                keys = docs.select_columns(["doc_key"]).map_batches(
+                    lambda b: pa.table({"vec_id": b["doc_key"]}),
+                    batch_format="pyarrow", zero_copy_batch=True)
+                vec_t = rd.read_parquet(args.embeddings).schema().field(
+                    "embedding").type
+                emb = hash_join(emb, keys, on=("vec_id",),
+                                num_partitions=auto_partitions(),
+                                out_schema={"vec_id": pa.int64(),
+                                            "embedding": vec_t})
+
+            if sem == "semdedup":
+                judged = semdedup_keep(emb, k=args.sem_k,
+                                       threshold=args.sem_threshold)
+                pdf = judged.to_pandas() if not hasattr(judged, "columns") \
+                    or hasattr(judged, "to_pandas") else judged
+                drop = pdf.loc[pdf["is_duplicate"], "vec_id"]
+            else:
+                judged = d4_keep(emb, k=args.sem_k,
+                                 threshold=args.sem_threshold,
+                                 prune_frac=args.sem_prune_frac)
+                pdf = judged.to_pandas() if not hasattr(judged, "columns") \
+                    or hasattr(judged, "to_pandas") else judged
+                drop = pdf.loc[~pdf["keep"], "vec_id"]
+            sem_stats["judged"] = int(len(pdf))
+            sem_stats["removed"] = int(len(drop))
+            return drop_ids(docs, drop.to_numpy(np.int64),
+                            max_broadcast=args.max_broadcast)
+
+        docs, m, _ = run_stage(ck, build_semantic, force=args.force)
+        report["after_semantic"] = m["total_rows"]
+        if sem_stats:
+            stats, _ = sidecar("semantic", h_sem, lambda: sem_stats)
+        else:  # resumed
+            stats, _ = sidecar(
+                "semantic", h_sem,
+                lambda: {"judged": None,
+                         "removed": report["after_neardup"] - m["total_rows"]},
+            )
+        report["semantic_judged"] = stats["judged"]
+        report["semantic_removed"] = stats["removed"]
+    else:
+        report["after_semantic"] = report["after_neardup"]
+
     # -- stage 3: duplicated-span removal --------------------------------
     if args.do_span:
         ck = StageCheckpoint(out, "spandedup", config_hash=h_span,
@@ -377,7 +497,7 @@ def run(args) -> dict:
             ).to_pandas()
             return {
                 "words_removed": int(sums["s"].sum()) if "s" in sums.columns else 0,
-                "docs_dropped": report["after_neardup"] - m["total_rows"],
+                "docs_dropped": report["after_semantic"] - m["total_rows"],
             }
 
         stats, _ = sidecar("spandedup", h_span, span_stats)
@@ -386,7 +506,7 @@ def run(args) -> dict:
         report["after_span"] = m["total_rows"]
         docs = docs.select_columns(["doc_key", "text"])
     else:
-        report["after_span"] = report["after_neardup"]
+        report["after_span"] = report["after_semantic"]
 
     # -- stage 4: deterministic shuffle + final output --------------------
     ck = StageCheckpoint(out, "shuffled", config_hash=h_shuffle,

@@ -229,3 +229,115 @@ def test_clean_pipeline_wet_source(ray_session, tmp_path):
     assert rep["input_docs"] == 5
     assert rep["neardup_removed"] >= 1  # the planted exact dup collapses
     assert rep["output_docs"] == rep["after_neardup"]
+
+
+def _write_sem_fixture(tmp_path):
+    """12 long docs; doc 1/2 near-dup texts (2 removed by neardup);
+    embeddings where vec 2 ≡ vec 3 (semantic pair) and vec 6 ≡ vec 7."""
+    import pyarrow as pa
+
+    base = [
+        "doc %d body %s tail%d" % (
+            i, " ".join(f"w{i}x{j} y{i * 31 + j}" for j in range(40)), i)
+        for i in range(12)
+    ]  # per-doc distinct filler: no accidental near-dups
+    base[2] = base[1] + " x"  # near-dup pair (1, 2): 2 removed (min keeps 1)
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(12, dtype=np.int64)),
+        "text": pa.array(base),
+    })
+    pq.write_table(docs, str(tmp_path / "docs.parquet"))
+
+    rng = np.random.default_rng(5)
+    V = rng.normal(size=(12, 8))
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    V[3] = V[2]          # semantic dup pair (2, 3) — but 2 dies in neardup
+    V[7] = V[6] * 1.0    # semantic dup pair (6, 7): 7 must be removed
+    emb = pa.table({
+        "vec_id": pa.array(np.arange(12, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in V],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(emb, str(tmp_path / "emb.parquet"))
+
+
+def test_clean_pipeline_semantic_stage(ray_session, tmp_path):
+    """--semantic-dedup semdedup: drops within-cluster cosine dups of
+    SURVIVORS only — a doc whose semantic twin died in near-dup keeps
+    living (the twin can't act as the kept representative)."""
+    _write_sem_fixture(tmp_path)
+    out = tmp_path / "clean"
+    args = build_parser().parse_args([
+        "--corpus", str(tmp_path / "docs.parquet"), "--out", str(out),
+        "--no-filter", "--no-span",
+        "--semantic-dedup", "semdedup",
+        "--embeddings", str(tmp_path / "emb.parquet"),
+        "--sem-k", "2", "--sem-threshold", "0.95",
+    ])
+    rep = run(args)
+    assert rep["after_neardup"] == 11          # near-dup removed doc 2
+    assert rep["semantic_judged"] == 11        # survivors only
+    assert rep["semantic_removed"] == 1        # exactly doc 7
+    assert rep["after_semantic"] == 10
+    assert rep["output_docs"] == 10
+
+    files = [os.path.join(rep["output_dir"], f)
+             for f in os.listdir(rep["output_dir"]) if f.endswith(".parquet")]
+    keys = set(pd.concat([pq.read_table(f).to_pandas() for f in files])["doc_key"])
+    assert 7 not in keys     # semantic dup of 6 removed
+    assert 3 in keys         # twin-of-removed-doc survives (semi-filter)
+    assert 2 not in keys     # near-dup removal upstream
+
+    # resume: identical rerun skips every stage and reproduces the report
+    rep2 = run(args)
+    assert rep2["semantic_removed"] == 1
+    assert rep2["after_semantic"] == 10
+    assert rep2["output_docs"] == 10
+
+
+def test_clean_pipeline_semantic_d4(ray_session, tmp_path):
+    """--semantic-dedup d4 additionally prunes prototypical survivors;
+    with prune_frac 0 it reduces to SemDeDup's removal set."""
+    _write_sem_fixture(tmp_path)
+    out = tmp_path / "d4"
+    args = build_parser().parse_args([
+        "--corpus", str(tmp_path / "docs.parquet"), "--out", str(out),
+        "--no-filter", "--no-span",
+        "--semantic-dedup", "d4",
+        "--embeddings", str(tmp_path / "emb.parquet"),
+        "--sem-k", "2", "--sem-threshold", "0.95",
+        "--sem-prune-frac", "0.0",
+    ])
+    rep = run(args)
+    assert rep["semantic_removed"] == 1
+    assert rep["after_semantic"] == rep["after_neardup"] - 1
+
+    # a nonzero prune_frac removes MORE (prototypical pruning) and its
+    # config hash invalidates only the semantic stage forward
+    args2 = build_parser().parse_args([
+        "--corpus", str(tmp_path / "docs.parquet"), "--out", str(out),
+        "--no-filter", "--no-span",
+        "--semantic-dedup", "d4",
+        "--embeddings", str(tmp_path / "emb.parquet"),
+        "--sem-k", "2", "--sem-threshold", "0.95",
+        "--sem-prune-frac", "0.4",
+    ])
+    rep2 = run(args2)
+    assert rep2["semantic_removed"] > rep["semantic_removed"]
+    assert rep2["output_docs"] == rep2["after_semantic"]
+
+
+def test_clean_pipeline_semantic_off_hash_compat(ray_session, tmp_path):
+    """semantic-dedup off leaves the span/shuffle config hashes exactly
+    as before the knob existed: a pre-knob checkpoint tree resumes."""
+    _write_sem_fixture(tmp_path)
+    out = tmp_path / "compat"
+    args = build_parser().parse_args([
+        "--corpus", str(tmp_path / "docs.parquet"), "--out", str(out),
+        "--no-filter",
+    ])
+    rep1 = run(args)
+    rep2 = run(args)  # full resume, nothing recomputed
+    assert rep1["config_hash"] == rep2["config_hash"]
+    assert "semantic|" not in rep1["config_hash"]
+    assert rep1["output_docs"] == rep2["output_docs"]
