@@ -84,9 +84,13 @@ def main() -> int:
         p = f"{SF}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"create view {t} as select * from read_parquet('{p}')")
+    import time
+
+    t_all = time.time()
     results, bad = {}, []
     for name in sorted(qs):
         row: dict = {}
+        t_q = time.time()
         try:
             got = _to_pandas(qs[name](SF))
             row["rows"] = len(got)
@@ -106,13 +110,18 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             row["err"] = f"{type(ex).__name__}: {ex}"[:300]
             bad.append(name)
+        row["sec"] = round(time.time() - t_q, 2)  # engine + oracle wall
         results[name] = row
         print(json.dumps({name: row}), flush=True)
     n_ok = sum(1 for r in results.values() if r.get("hash_match"))
+    slow = sorted(results, key=lambda n: -results[n]["sec"])[:10]
     print(json.dumps({"summary": {"queries": len(results), "green": n_ok,
                                   "rows_only": sum(1 for r in results.values()
                                                    if r.get("err") == "no_oracle"),
-                                  "bad": bad}}))
+                                  "bad": bad,
+                                  "sweep_sec": round(time.time() - t_all, 1),
+                                  "slowest": {n: results[n]["sec"]
+                                              for n in slow}}}))
     ray.shutdown()
     return 1 if bad else 0
 
