@@ -887,6 +887,168 @@ FROM captures GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# c4_filter: the C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2)
+# ---------------------------------------------------------------------------
+#
+# The documents table is single-line word soup, so BOTH engines first
+# derive the same deterministic multi-line view (the CAPTURES_CTE
+# pattern): words chunk into lines of (doc_id % 5 + 3) words; every 4th
+# line is left without terminal punctuation (plants the punctuation
+# rule); doc_id % 13 injects 'javascript' into line 1, % 19 'lorem
+# ipsum' into line 0, % 17 a '{' into line 2.  Then the C4 rules:
+#
+#   line kept  iff it ends in a terminal mark (. ! ? ") AND has >= 5
+#              whitespace words AND does not contain 'javascript' (ci);
+#   page kept  iff >= 3 kept lines AND the page contains neither
+#              'lorem ipsum' (ci) nor '{'.
+#
+# Output: per doc (n_lines, n_kept, keep, reason, cleaned_md5) where
+# cleaned_md5 is md5 of the kept lines joined by \n (DuckDB md5() on
+# the oracle side), reason precedence lorem_ipsum > brace >
+# too_few_sentences > kept.
+
+
+def q_c4_filter(sf_dir: str):
+    """C4 cleaning filter over the derived multi-line view (module
+    comment above).  Map-only: one pass, per-batch pandas line table
+    (explode by word position // k), vectorized .str rules, groupby-doc
+    reduce — no shuffle; the oracle recomputes the identical derivation
+    + rules in SQL."""
+    import hashlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"doc_id": b["doc_id"].to_pandas(),
+                           "text": b["text"].to_pandas().fillna("")})
+        df["words"] = df["text"].str.split(" ")  # C-level split
+        ex = df[["doc_id"]].copy()
+        ex["k"] = (ex["doc_id"] % 5 + 3).astype("int64")
+        ex = ex.join(df["words"]).explode("words", ignore_index=True)
+        # empty tokens (double spaces / empty text) drop AFTER the
+        # explode — vectorized, and positions then match the SQL
+        # list_filter-before-slice ordering
+        ex = ex[ex["words"].notna() & (ex["words"] != "")]
+        docs_out = df[["doc_id"]].copy()
+        if len(ex):
+            ex["pos"] = ex.groupby("doc_id").cumcount()
+            ex["line"] = ex["pos"] // ex["k"]
+            lines = (ex.groupby(["doc_id", "line"], sort=True)["words"]
+                     .agg(" ".join).reset_index(name="core"))
+            d = lines["doc_id"]
+            i = lines["line"]
+            lines.loc[(d % 13 == 0) & (i == 1), "core"] += " javascript"
+            lines.loc[(d % 19 == 0) & (i == 0), "core"] += " lorem ipsum"
+            lines.loc[(d % 17 == 0) & (i == 2), "core"] += " {x}"
+            term = (i % 4) != 3
+            lines["out"] = np.where(term, lines["core"] + ".", lines["core"])
+            nwords = lines["out"].str.split().str.len()
+            kept = (lines["out"].str.endswith((".", "!", "?", '"'))
+                    & (nwords >= 5)
+                    & ~lines["out"].str.lower().str.contains("javascript",
+                                                             regex=False))
+            lines["kept"] = kept
+            agg = lines.groupby("doc_id").agg(
+                n_lines=("out", "size"), n_kept=("kept", "sum"))
+            ktext = (lines[lines["kept"]]
+                     .groupby("doc_id")["out"].agg("\n".join))
+            page = lines.groupby("doc_id")["out"].agg("\n".join)
+            docs_out = docs_out.merge(agg, on="doc_id", how="left")
+            docs_out["page_text"] = docs_out["doc_id"].map(page).fillna("")
+            docs_out["ktext"] = docs_out["doc_id"].map(ktext).fillna("")
+        else:
+            docs_out["n_lines"] = 0
+            docs_out["n_kept"] = 0
+            docs_out["page_text"] = ""
+            docs_out["ktext"] = ""
+        docs_out["n_lines"] = docs_out["n_lines"].fillna(0).astype("int64")
+        docs_out["n_kept"] = docs_out["n_kept"].fillna(0).astype("int64")
+        low = docs_out["page_text"].str.lower()
+        lorem = low.str.contains("lorem ipsum", regex=False)
+        brace = docs_out["page_text"].str.contains("{", regex=False)
+        few = docs_out["n_kept"] < 3
+        docs_out["reason"] = np.select(
+            [lorem, brace, few], ["lorem_ipsum", "brace", "too_few_sentences"],
+            default="kept")
+        docs_out["keep"] = (docs_out["reason"] == "kept").astype("int64")
+        docs_out["cleaned_md5"] = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in docs_out["ktext"]]
+        out = docs_out[["doc_id", "n_lines", "n_kept", "keep", "reason",
+                        "cleaned_md5"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_c4_filter() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS w,
+         doc_id % 5 + 3 AS k
+  FROM documents
+),
+ln AS (
+  SELECT doc_id, k, i.i AS line,
+         array_to_string(list_slice(w, i.i * k + 1,
+                                    least((i.i + 1) * k, len(w))), ' ') AS core
+  FROM d, LATERAL (
+    SELECT unnest(range(0, CAST(ceil(len(w)::DOUBLE / k) AS BIGINT))) AS i
+  ) i
+  WHERE len(w) > 0
+),
+dec AS (
+  SELECT doc_id, line,
+         core
+         || CASE WHEN doc_id % 13 = 0 AND line = 1 THEN ' javascript' ELSE '' END
+         || CASE WHEN doc_id % 19 = 0 AND line = 0 THEN ' lorem ipsum' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 AND line = 2 THEN ' {x}' ELSE '' END
+           AS core2
+  FROM ln
+),
+o AS (
+  SELECT doc_id, line,
+         CASE WHEN line % 4 <> 3 THEN core2 || '.' ELSE core2 END AS out
+  FROM dec
+),
+r AS (
+  SELECT doc_id, line, out,
+         (regexp_matches(out, '[.!?\"]$')
+          AND len(list_filter(string_split_regex(out, '\\s+'), x -> x <> '')) >= 5
+          AND NOT contains(lower(out), 'javascript')) AS kept
+  FROM o
+),
+agg AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_lines,
+         sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         contains(lower(string_agg(out, chr(10) ORDER BY line)),
+                  'lorem ipsum') AS lorem,
+         contains(string_agg(out, chr(10) ORDER BY line), '{') AS brace,
+         md5(COALESCE(string_agg(CASE WHEN kept THEN out END, chr(10)
+                                 ORDER BY line), '')) AS cleaned_md5
+  FROM r GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_lines, 0) AS n_lines,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       CASE WHEN COALESCE(a.lorem, false) THEN 'lorem_ipsum'
+            WHEN COALESCE(a.brace, false) THEN 'brace'
+            WHEN COALESCE(a.n_kept, 0) < 3 THEN 'too_few_sentences'
+            ELSE 'kept' END AS reason,
+       CASE WHEN NOT COALESCE(a.lorem, false) AND NOT COALESCE(a.brace, false)
+                 AND COALESCE(a.n_kept, 0) >= 3
+            THEN 1 ELSE 0 END::BIGINT AS keep,
+       COALESCE(a.cleaned_md5, md5('')) AS cleaned_md5
+FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def registry_curate():
     """name -> (callable(sf_dir) -> result, oracle_sql | None)."""
     return {
@@ -905,4 +1067,5 @@ def registry_curate():
                                 _sql_url_template_census()),
         "host_trend": (q_host_trend, _sql_host_trend()),
         "template_dup_rate": (q_template_dup_rate, _sql_template_dup_rate()),
+        "c4_filter": (q_c4_filter, _sql_c4_filter()),
     }

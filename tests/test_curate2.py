@@ -139,3 +139,46 @@ def test_template_dup_rate_oracle(ray_session, sf_dir, duck):
     if len(emp):
         assert (emp["n_digests"] == 1).all()
         assert (emp["dup_ppm"] > 0).all()
+
+
+def test_c4_filter_oracle(ray_session, sf_dir, duck):
+    from deduplicator_ray.pipelines.queries_curate import registry_curate
+
+    fn, sql = registry_curate()["c4_filter"]
+    got = fn(sf_dir)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = duck.execute(sql).df()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+    # every planted rule fires somewhere at this scale
+    assert set(got["reason"]) == {"kept", "too_few_sentences", "brace",
+                                  "lorem_ipsum"}
+
+
+def test_c4_filter_planted_semantics(ray_session, tmp_path):
+    """Hand-checkable doc: doc_id 22 -> k = 22%5+3 = 5 words/line; 20
+    words -> 4 lines of 5; line 3 (index 3) gets no terminal '.', so 3
+    kept lines -> page kept.  doc_id 21 -> k=4 -> every line under 5
+    words -> too_few_sentences."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.pipelines.queries_curate import q_c4_filter
+
+    words20 = " ".join(f"w{j}" for j in range(20))
+    docs = pa.table({
+        "doc_id": pa.array([21, 22], pa.int64()),
+        "text": pa.array([words20, words20]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_c4_filter(str(tmp_path))
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out = out.set_index("doc_id")
+    assert int(out.loc[22, "n_lines"]) == 4
+    assert int(out.loc[22, "n_kept"]) == 3      # line 3 lacks the '.'
+    assert out.loc[22, "reason"] == "kept"
+    assert int(out.loc[22, "keep"]) == 1
+    assert int(out.loc[21, "n_lines"]) == 5     # k=4 -> 5 lines
+    assert int(out.loc[21, "n_kept"]) == 0      # 4-word lines < 5-word rule
+    assert out.loc[21, "reason"] == "too_few_sentences"
