@@ -1721,6 +1721,93 @@ SELECT 'https://warc.example/d/' || doc_id AS url,
 FROM documents WHERE doc_id < {_WARC_N_DOCS}
 """
 
+def q_arc_roundtrip(sf_dir: str):
+    """Synthesize a deterministic legacy ARC v2 file from the documents
+    table (HTTP payloads, md5 checksums in the URL-record line), read it
+    back through the ARC source (sources/arc.py), and emit the parsed
+    rows — filedesc skip, http filter, 14-digit date parse, v2
+    result-code/checksum extraction, ETag-from-HTTP, byte-exact payload
+    lengths.  The oracle recomputes every expected row directly from
+    ``documents`` (payload length = fixed HTTP header bytes +
+    octet_length(text)); the v1/sha1-fallback path is pytest-covered
+    (DuckDB has no sha1)."""
+    import datetime as _dt
+    import hashlib as _hl
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.sources.arc import read_arc, write_arc
+
+    docs = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+    )
+    docs = docs[docs["doc_id"] < _WARC_N_DOCS].sort_values("doc_id")
+    records = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        doc_id = int(doc_id)
+        body = text.encode("utf-8")
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + b'ETag: W/"%d"\r\n\r\n' % doc_id
+            + body
+        )
+        records.append({
+            "url": f"https://arc.example/d/{doc_id}",
+            "date14": _dt.datetime.fromtimestamp(
+                _WARC_EPOCH0 + doc_id, _dt.timezone.utc
+            ).strftime("%Y%m%d%H%M%S"),
+            "mime": "text/html",
+            "status": 200,
+            "checksum": _hl.md5(body).hexdigest(),
+            "payload": payload,
+        })
+    # a non-http record proves the url filter (the writer's filedesc
+    # version block proves the metadata skip)
+    records.append({"url": "dns:arc.example", "date14": "20231114221320",
+                    "payload": b"x"})
+    out_dir = "/tmp/graft_arc"
+    _os.makedirs(out_dir, exist_ok=True)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    path = write_arc(f"{out_dir}/roundtrip_{tag}.arc.gz", records)
+
+    ds = read_arc(path)
+
+    def project(b: pa.Table) -> pa.Table:
+        epoch = pc.divide(
+            pc.cast(b["warc_ts"].cast(pa.timestamp("us")), pa.int64()),
+            1_000_000)
+        return pa.table({
+            "url": b["url"],
+            "ts_epoch": epoch,
+            "status": pc.cast(b["status"], pa.int64()),
+            "mime": b["mime"],
+            "digest": b["digest"],
+            "etag": b["etag"],
+            "n_payload_bytes": pc.cast(b["content_length"], pa.int64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# fixed HTTP header bytes before the body: "HTTP/1.1 200 OK\r\n" (17) +
+# "Content-Type: text/html\r\n" (25) + 'ETag: W/"<id>"\r\n' (12 +
+# len(id)) + "\r\n" (2) = 56 + len(doc_id as string)
+_SQL_ARC_ROUNDTRIP = f"""
+SELECT 'https://arc.example/d/' || doc_id AS url,
+       CAST({_WARC_EPOCH0} + doc_id AS BIGINT) AS ts_epoch,
+       CAST(200 AS BIGINT) AS status,
+       'text/html' AS mime,
+       md5(text) AS digest,
+       'W/"' || doc_id || '"' AS etag,
+       CAST(56 + length(doc_id::VARCHAR) + octet_length(text::BLOB)
+            AS BIGINT) AS n_payload_bytes
+FROM documents WHERE doc_id < {_WARC_N_DOCS}
+"""
+
+
 def q_wet_roundtrip(sf_dir: str):
     """Synthesize a deterministic WET file (Common Crawl extracted-text
     format) from the documents table, read it back through the WET
@@ -5470,6 +5557,7 @@ def registry_ext():
         "token_stats": (q_token_stats, _SQL_TOKEN_STATS),
         "quality_stats": (q_quality_stats, _SQL_QUALITY_STATS),
         "warc_roundtrip": (q_warc_roundtrip, _SQL_WARC_ROUNDTRIP),
+        "arc_roundtrip": (q_arc_roundtrip, _SQL_ARC_ROUNDTRIP),
         "wet_roundtrip": (q_wet_roundtrip, _SQL_WET_ROUNDTRIP),
         "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),

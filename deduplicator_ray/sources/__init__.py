@@ -117,6 +117,12 @@ def _cdx_source(path: str):
     return read_cdx(path)
 
 
+def _arc_source(path: str):
+    from deduplicator_ray.sources.arc import read_arc
+
+    return read_arc(path)
+
+
 _SOURCES: dict[str, Callable] = {
     "parquet": _parquet_source,
     "warc": _warc_source,        # WarcIterator / WarcFileIterator
@@ -126,6 +132,7 @@ _SOURCES: dict[str, Callable] = {
     "cdx": _cdx_source,          # classic CDX-11 capture indexes
     "wet": _wet_source,          # Common Crawl extracted-text WET
     "wat": _wat_source,          # Common Crawl web-metadata WAT (outlinks)
+    "arc": _arc_source,          # legacy Internet Archive ARC v1/v2
 }
 
 

@@ -326,3 +326,98 @@ def test_wat_roundtrip(ray_session, tmp_path):
                                        "https://c.example/y"]
     raw = _gz.decompress(open(d / "part-0.warc.wat.gz", "rb").read())
     assert parse_wat_bytes(raw).num_rows == 2
+
+
+# ---------------------------------------------------------------------------
+# ARC (legacy Internet Archive container)
+# ---------------------------------------------------------------------------
+
+
+def test_arc_v2_roundtrip_fields(ray_session, tmp_path):
+    from deduplicator_ray.sources.arc import parse_arc_bytes, write_arc
+
+    body = b"hello arc world"
+    payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+               b'ETag: "e1"\r\n\r\n' + body)
+    import hashlib
+    p = write_arc(str(tmp_path / "a.arc"), [
+        {"url": "http://a.example/x", "date14": "20231114221320",
+         "mime": "text/html", "status": 200,
+         "checksum": hashlib.md5(body).hexdigest(), "payload": payload},
+        {"url": "dns:a.example", "date14": "20231114221320", "payload": b"z"},
+    ])
+    t = parse_arc_bytes(open(p, "rb").read(), source_path=p)
+    assert t.num_rows == 1  # filedesc + dns filtered
+    r = {k: t[k][0].as_py() for k in t.column_names}
+    assert r["url"] == "http://a.example/x"
+    assert r["status"] == 200
+    assert r["mime"] == "text/html"
+    assert r["digest"] == hashlib.md5(body).hexdigest()
+    assert r["etag"] == '"e1"'
+    assert r["is_revisit"] is False
+    assert r["content_length"] == len(payload)
+    assert r["warc_ts"].isoformat().startswith("2023-11-14T22:13:20")
+    assert r["record_id"].startswith("arc:")
+
+
+def test_arc_v1_sha1_fallback_and_gzip_dir(ray_session, tmp_path):
+    """v1 headers carry no checksum/status: status+mime come from the
+    HTTP block, digest is sha1:BASE32 of the HTTP body; .arc.gz and
+    sorted recursive directory scan work like the WARC family."""
+    from deduplicator_ray.functions.digesting import sha1_base32
+    from deduplicator_ray.sources import get_source
+    from deduplicator_ray.sources.arc import write_arc
+
+    body = b"v1 body bytes"
+    payload = b"HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\n" + body
+    sub = tmp_path / "deep"
+    sub.mkdir()
+    write_arc(str(sub / "b.arc.gz"), [
+        {"url": "https://b.example/y", "date14": "20240101000000",
+         "mime": "-", "payload": payload},
+    ], version=1)
+    ds = get_source("arc")(str(tmp_path))
+    rows = ds.to_pandas()
+    assert len(rows) == 1
+    r = rows.iloc[0]
+    assert r["status"] == 404
+    assert r["mime"] == "text/plain"  # '-' field falls back to HTTP header
+    assert r["digest"] == sha1_base32(body, with_scheme=True)
+    assert r["record_id"] == "arc:2"  # ordinal counts the filedesc record
+
+
+def test_arc_feeds_index_build(ray_session, tmp_path):
+    """An ARC corpus flows through normalize + build_index unchanged
+    (RECORD_SCHEMA parity with the WARC source)."""
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.sources.arc import read_arc, write_arc
+    from deduplicator_ray.stages.exact import build_index
+    from deduplicator_ray.stages.normalize import normalize
+
+    recs = []
+    for i in range(6):
+        body = b"doc %d" % i
+        payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        recs.append({"url": f"https://c.example/{i % 3}",  # re-crawled urls
+                     "date14": f"2024010100000{i}", "status": 200,
+                     "payload": payload})
+    p = write_arc(str(tmp_path / "c.arc"), recs)
+    # mime_whitelist: the reference's default "^text/.*" is a BLACKLIST
+    idx = build_index(normalize(read_arc(p),
+                                PipelineConfig(mime_whitelist=True)))
+    pdf = idx.to_pandas()
+    assert len(pdf) == 6  # distinct (url, digest) pairs
+    assert pdf["digest"].notna().all()
+
+
+def test_arc_torn_tail_stops_clean(ray_session, tmp_path):
+    from deduplicator_ray.sources.arc import parse_arc_bytes, write_arc
+
+    p = write_arc(str(tmp_path / "d.arc"), [
+        {"url": "http://d.example/1", "date14": "20240101000000",
+         "payload": b"HTTP/1.1 200 OK\r\n\r\nok"},
+    ])
+    data = open(p, "rb").read()
+    torn = data + b"http://d.example/2 10.0.0.1 2024"  # truncated header
+    t = parse_arc_bytes(torn)
+    assert t.num_rows == 1  # parsed rows kept, torn tail dropped
