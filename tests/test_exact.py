@@ -784,3 +784,52 @@ def test_merge_index_schema_drift(ray_session):
     assert len(got) == 2
     assert pd.isna(got.loc["d1", "etag"]) and got.loc["d2", "etag"] == 'W/"1"'
     assert got.loc["d1", "original_record_id"] == "r1"
+
+
+def test_match_mixed_digest_formats_roundtrip(ray_session):
+    """Mixed digest formats in ONE corpus (lowercase hex, UPPERCASE hex,
+    Base32-SHA1, scheme-prefixed) through the packed-binary shuffle:
+    equal digests must still match, distinct ones must not, and the
+    output digest strings must be byte-identical to the input — pins
+    the value-level injectivity of _pack_digests at pipeline level."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.functions.digesting import md5_hex, sha1_base32
+    from deduplicator_ray.stages.exact import match_shuffle_tagged
+
+    hx = md5_hex("same")
+    b32 = sha1_base32(b"same")
+    rows = []
+    # history rows: one per digest flavor
+    for i, dg in enumerate([hx, hx.upper(), b32, "md5:" + hx]):
+        rows.append({"doc_id": i, "rep": 0, "crawl": "history",
+                     "url": f"https://h.example/{i}", "digest": dg,
+                     "url_canonical": f"https://h.example/{i}",
+                     "warc_ts": pd.Timestamp("2023-01-01") + pd.Timedelta(i, "s"),
+                     "content_bytes": 10})
+    # current rows: same digests (must hit) + a fresh one (must miss)
+    cur_digests = [hx, hx.upper(), b32, "md5:" + hx, md5_hex("novel")]
+    for i, dg in enumerate(cur_digests):
+        rows.append({"doc_id": 100 + i, "rep": 1, "crawl": "current",
+                     "url": f"https://c.example/{i}", "digest": dg,
+                     "url_canonical": f"https://c.example/{i}",
+                     "warc_ts": pd.Timestamp("2023-06-01"),
+                     "content_bytes": 10})
+    pdf = pd.DataFrame(rows)
+    cfg = PipelineConfig(strategy=SearchStrategy.DIGEST_ANY,
+                         use_digest_scheme=True,  # keep formats distinct
+                         shuffle_buckets=4)
+    out = (match_shuffle_tagged(rd.from_pandas(pdf), cfg,
+                                id_cols=("doc_id", "rep"))
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert len(out) == 5
+    # with the scheme kept, each flavor only matches its own exact bytes
+    assert out["is_duplicate"].tolist() == [True, True, True, True, False]
+    assert out.loc[0, "refers_to_url"] == "https://h.example/0"
+    assert out.loc[1, "refers_to_url"] == "https://h.example/1"
+    assert out.loc[2, "refers_to_url"] == "https://h.example/2"
+    assert out.loc[3, "refers_to_url"] == "https://h.example/3"
+    # output digests are byte-identical to the input strings (unpack
+    # restored every flavor exactly)
+    assert out["digest"].tolist() == cur_digests
