@@ -79,6 +79,10 @@ def test_slices_offsets_large_string():
     # packed-side slices unpack correctly too (non-zero array offset)
     packed = pack_digest_array(pa.array(vals, type=pa.string()))
     assert unpack_digest_array(packed.slice(3, 99)).to_pylist() == vals[3:102]
+    # ODD data-buffer offset into a uniform-hex run (first value 3 bytes):
+    # the fast path's uint16 view must handle the unaligned start
+    odd = pa.array(["abc"] + vals[:50], type=pa.string()).slice(1)
+    assert unpack_digest_array(pack_digest_array(odd)).to_pylist() == vals[:50]
 
 
 def test_empty_all_null_and_null_type():
