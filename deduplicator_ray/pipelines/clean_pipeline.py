@@ -106,16 +106,34 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def drop_ids(ds, ids: np.ndarray, *, key_col: str = "doc_key",
+def drop_ids(ds, ids, *, key_col: str = "doc_key",
              max_broadcast: int = 2_000_000, num_buckets: int = 64):
     """Anti-join: remove rows whose ``key_col`` is in ``ids``.
 
-    Small id sets (the common case — near-dup non-representatives are a
-    corpus-dependent minority) broadcast once via ``ray.put`` and every
-    task filters map-side; beyond ``max_broadcast`` the ids co-partition
-    with the data on the key (one shuffle of the data, tags only for the
-    id side)."""
+    ``ids`` is a numpy int64 array OR a single-int64-column Dataset (the
+    producer stays distributed; only a ≤``max_broadcast`` id list ever
+    lands on the driver).  Small id sets (the common case — near-dup
+    non-representatives are a corpus-dependent minority) broadcast once
+    via ``ray.put`` and every task filters map-side; beyond
+    ``max_broadcast`` the ids co-partition with the data on the key (one
+    shuffle of the data, tags only for the id side)."""
     import ray
+
+    if not isinstance(ids, np.ndarray):
+        id_mat = ids.materialize()
+        n_ids = id_mat.count()  # metadata-only on a materialized dataset
+        col = id_mat.schema().names[0]
+        if n_ids > max_broadcast:
+            id_side = id_mat
+            if col != key_col:
+                id_side = id_side.map_batches(
+                    lambda b: b.rename_columns([key_col]),
+                    batch_format="pyarrow", zero_copy_batch=True)
+            return _drop_ids_shuffle(ds, id_side, key_col, num_buckets)
+        ids = np.concatenate(
+            [b[col].to_numpy().astype(np.int64) for b in
+             id_mat.iter_batches(batch_format="pyarrow")]
+            or [np.empty(0, np.int64)])
 
     ids = np.sort(np.asarray(ids, dtype=np.int64))
     if len(ids) <= max_broadcast:
@@ -134,9 +152,13 @@ def drop_ids(ds, ids: np.ndarray, *, key_col: str = "doc_key",
 
     import ray.data as rd
 
-    from deduplicator_ray.stages.exact import hash_bucket
-
     id_ds = rd.from_arrow(pa.table({key_col: pa.array(ids)}))
+    return _drop_ids_shuffle(ds, id_ds, key_col, num_buckets)
+
+
+def _drop_ids_shuffle(ds, id_ds, key_col: str, num_buckets: int):
+    """Hash-partitioned anti-join for beyond-broadcast id sets."""
+    from deduplicator_ray.stages.exact import hash_bucket
 
     def tag(src: int):
         def f(b: pa.Table) -> pa.Table:
@@ -428,19 +450,30 @@ def run(args) -> dict:
             if sem == "semdedup":
                 judged = semdedup_keep(emb, k=args.sem_k,
                                        threshold=args.sem_threshold)
-                pdf = judged.to_pandas() if not hasattr(judged, "columns") \
-                    or hasattr(judged, "to_pandas") else judged
-                drop = pdf.loc[pdf["is_duplicate"], "vec_id"]
+                flag, drop_when = "is_duplicate", True
             else:
                 judged = d4_keep(emb, k=args.sem_k,
                                  threshold=args.sem_threshold,
                                  prune_frac=args.sem_prune_frac)
-                pdf = judged.to_pandas() if not hasattr(judged, "columns") \
-                    or hasattr(judged, "to_pandas") else judged
-                drop = pdf.loc[~pdf["keep"], "vec_id"]
-            sem_stats["judged"] = int(len(pdf))
-            sem_stats["removed"] = int(len(drop))
-            return drop_ids(docs, drop.to_numpy(np.int64),
+                flag, drop_when = "keep", False
+            # filter to the dropped ids DISTRIBUTED — the full judged
+            # table never lands on the driver; drop_ids collects the
+            # (minority) drop list only when it fits max_broadcast and
+            # hash-joins otherwise
+            proj = judged.select_columns(["vec_id", flag]).materialize()
+            sem_stats["judged"] = int(proj.count())
+
+            def only_dropped(b: pa.Table) -> pa.Table:
+                m = b[flag]
+                if not drop_when:
+                    import pyarrow.compute as pc
+                    m = pc.invert(m)
+                return b.filter(m).select(["vec_id"])
+
+            dropped = proj.map_batches(only_dropped, batch_format="pyarrow",
+                                       zero_copy_batch=True).materialize()
+            sem_stats["removed"] = int(dropped.count())
+            return drop_ids(docs, dropped,
                             max_broadcast=args.max_broadcast)
 
         docs, m, _ = run_stage(ck, build_semantic, force=args.force)

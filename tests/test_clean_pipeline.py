@@ -181,6 +181,32 @@ def test_drop_ids_paths_agree(ray_session):
     pd.testing.assert_frame_equal(b[["doc_key", "text"]], want)
 
 
+def test_drop_ids_dataset_side(ray_session):
+    """ids may arrive as a single-column Dataset (the distributed
+    semantic-stage producer): both the collect-and-broadcast branch and
+    the beyond-cap hash-join branch must agree with the numpy path,
+    including when the id column is named differently (vec_id)."""
+    import ray.data as rd
+
+    pdf = pd.DataFrame({"doc_key": np.arange(100, dtype=np.int64),
+                        "text": [f"t{i}" for i in range(100)]})
+    ids = np.array([3, 7, 50, 99], dtype=np.int64)
+    ds = rd.from_pandas(pdf).repartition(4)
+    id_ds = rd.from_pandas(pd.DataFrame({"vec_id": ids})).repartition(2)
+    want = (pdf[~pdf["doc_key"].isin(ids)]
+            .sort_values("doc_key").reset_index(drop=True))
+    a = (drop_ids(ds, id_ds, max_broadcast=1000).to_pandas()
+         .sort_values("doc_key").reset_index(drop=True))
+    b = (drop_ids(ds, id_ds, max_broadcast=0).to_pandas()
+         .sort_values("doc_key").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, want)
+    pd.testing.assert_frame_equal(b[["doc_key", "text"]], want)
+
+    empty = rd.from_pandas(pd.DataFrame({"vec_id": np.empty(0, np.int64)}))
+    c = drop_ids(ds, empty, max_broadcast=1000).to_pandas()
+    assert len(c) == 100
+
+
 def test_drop_ids_copartition_keeps_int_dtypes(ray_session):
     """The union null-pads the id rows' doc columns; the Arrow-native
     anti reduce must NOT promote int64 payload columns to float64."""
