@@ -65,6 +65,33 @@ def normalize_text_arrow(arr: pa.Array | pa.ChunkedArray, *,
     return out
 
 
+def nfc_arrow(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Real NFC normalization of an Arrow string array (DuckDB mirror:
+    ``nfc_normalize``).
+
+    pyarrow 16.1's ``utf8_normalize`` does NOT recompose — every form
+    it offers behaves as decomposition (see module docstring) — so
+    composition must go through ``unicodedata``.  Cost discipline for
+    the hot path: a vectorized whole-column ASCII check
+    (binary_length == utf8_length ⇒ pure ASCII ⇒ already NFC)
+    short-circuits the overwhelmingly common web-text batch for free;
+    only batches containing non-ASCII pay the per-string C-level
+    ``unicodedata.is_normalized`` probe, and only the rare
+    non-normalized string is actually rewritten."""
+    import unicodedata
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    ascii_only = pc.all(
+        pc.equal(pc.binary_length(arr), pc.utf8_length(arr))).as_py()
+    if ascii_only is not False:  # True, or None for all-null columns
+        return arr
+    out = [s if s is None or unicodedata.is_normalized("NFC", s)
+           else unicodedata.normalize("NFC", s)
+           for s in arr.to_pylist()]
+    return pa.array(out, type=pa.string())
+
+
 def textnorm_sql_expr(col: str, *, fold_accents: bool = True,
                       lower: bool = True, strip_punct: bool = True,
                       collapse_ws: bool = True) -> str:

@@ -33,6 +33,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from deduplicator_ray.functions.textnorm import nfc_arrow
 from deduplicator_ray.sources.corpus import CAPTURES_CTE, captures_dataset
 
 _HOST_PAT = r"^https?://(?P<host>[^/]+)"
@@ -133,7 +134,7 @@ def _template_partials(caps):
         section = pc.fill_null(
             pc.struct_field(pc.extract_regex(b["url"], _SECTION_PAT),
                             "section"), "")
-        text = b["text"]
+        text = nfc_arrow(b["text"])
         df = pd.DataFrame({
             "host": host.to_pandas(),
             "section": section.to_pandas(),
@@ -159,15 +160,17 @@ def _template_table(sf_dir: str) -> pd.DataFrame:
     rows (two strings per group), mirroring the repo's host_stats
     driver-finalize shape.
 
-    Unicode semantics: suffix_len counts CODEPOINTS and the engine's
-    reverse (``pc.utf8_reverse``) is codepoint-level, while DuckDB's
-    ``reverse()`` is grapheme-aware — they diverge on combining
-    sequences (``'e\\u0301x'`` reverses to ``'x\\u0301e'`` here vs
-    ``'xe\\u0301'`` in DuckDB).  The intended semantics are the
-    codepoint ones (pinned by
-    tests/test_curate2.py::test_template_suffix_combining_chars);
-    the SQL oracle parity additionally assumes ASCII/precomposed
-    text, which the synthetic corpus satisfies."""
+    Unicode semantics: text is NFC-normalized FIRST on both engines
+    (``functions.textnorm.nfc_arrow`` here — pyarrow's own
+    ``utf8_normalize`` cannot recompose — and ``nfc_normalize`` in the
+    DuckDB oracle), so combining sequences with a precomposed form
+    collapse to one codepoint and prefix/suffix lengths count NFC
+    codepoints — ``'xe\\u0301'`` and ``'ye\\u0301'`` share a 1-codepoint
+    suffix (``'é'``), matching DuckDB's grapheme-aware ``reverse()`` on
+    normalized text (asserted by
+    tests/test_curate2.py::test_template_suffix_combining_chars).
+    Sequences with no precomposed form (rare) still count their
+    combining marks as codepoints."""
     caps = captures_dataset(sf_dir)
     parts = _template_partials(caps)
     agg = parts.groupby(["host", "section"], as_index=False).agg(
@@ -193,7 +196,8 @@ _SQL_TEMPLATE_CTE = f"""
 k AS (
   SELECT regexp_extract(url, '{_HOST_PAT}', 1) AS host,
          regexp_extract(url, '{_SECTION_PAT}', 1) AS section,
-         text, reverse(text) AS rtext
+         nfc_normalize(text) AS text,
+         reverse(nfc_normalize(text)) AS rtext
   FROM captures
 ),
 g AS (
@@ -275,7 +279,8 @@ def q_template_strip(sf_dir: str):
         section = pc.fill_null(
             pc.struct_field(pc.extract_regex(b["url"], _SECTION_PAT),
                             "section"), "")
-        orig_len = pc.utf8_length(b["text"]).to_numpy(zero_copy_only=False)
+        orig_len = pc.utf8_length(
+            nfc_arrow(b["text"])).to_numpy(zero_copy_only=False)
         keys = list(zip(host.to_pylist(), section.to_pylist()))
         strip = np.fromiter((lookup.get(k, 0) for k in keys),
                             dtype=np.int64, count=len(keys))
@@ -299,8 +304,8 @@ WITH {CAPTURES_CTE},
 SELECT c.doc_id, c.rep,
        regexp_extract(c.url, '{_HOST_PAT}', 1) AS host,
        regexp_extract(c.url, '{_SECTION_PAT}', 1) AS section,
-       length(c.text)::BIGINT AS orig_len,
-       greatest(length(c.text)
+       length(nfc_normalize(c.text))::BIGINT AS orig_len,
+       greatest(length(nfc_normalize(c.text))
                 - CASE WHEN t.n_pages >= 2
                        THEN t.prefix_len + t.suffix_len ELSE 0 END,
                 0)::BIGINT AS cleaned_len

@@ -98,15 +98,15 @@ def test_host_trend_exact_on_planted_counts(ray_session, tmp_path):
 
 
 def test_template_suffix_combining_chars(ray_session, tmp_path):
-    """Pin the engine's CODEPOINT-level suffix semantics on combining
-    characters (where DuckDB's grapheme-aware reverse() would differ —
-    see _template_table docstring).
+    """Assert the NFC-normalize-first suffix semantics on combining
+    characters (see _template_table docstring).
 
-    Two pages on one (host, section) end in 'xe' + COMBINING ACUTE vs
-    'ye' + COMBINING ACUTE.  Codepoint-reversed they are
-    [0x301, 'e', 'x', ...] vs [0x301, 'e', 'y', ...]: common suffix is
-    the 2 codepoints (e, U+0301).  A grapheme reverse would keep 'e'+
-    combining-acute together and report 1 grapheme instead."""
+    Two pages on one (host, section) end in 'xe' + COMBINING ACUTE
+    (U+0301) vs 'ye' + COMBINING ACUTE, written DECOMPOSED.  NFC
+    collapses each to the precomposed U+00E9 (one codepoint), so the
+    common suffix is exactly 1 codepoint -- matching what DuckDB's
+    nfc_normalize + reverse() computes.  The pre-round-5
+    codepoint-level semantics reported 2 (e, U+0301)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -115,7 +115,7 @@ def test_template_suffix_combining_chars(ray_session, tmp_path):
     # rep-0 urls land both docs on host www.site0.example, section 'p'
     docs = pa.table({
         "doc_id": pa.array([0, 20], pa.int64()),
-        "text": pa.array(["AA xé", "BB yé"]),
+        "text": pa.array(["AA xe\u0301", "BB ye\u0301"]),
         "lang": pa.array(["en", "en"]),
     })
     pq.write_table(docs, str(tmp_path / "documents.parquet"))
@@ -123,7 +123,7 @@ def test_template_suffix_combining_chars(ray_session, tmp_path):
     tpl = _template_table(str(tmp_path)).set_index(["host", "section"])
     row = tpl.loc[("www.site0.example", "p")]
     # 2 planted pages (+ the doc_id==0 empty pages join other sections)
-    assert int(row["suffix_len"]) == 2  # 'e' + U+0301, codepoint-level
+    assert int(row["suffix_len"]) == 1  # NFC U+00E9, one codepoint
     assert int(row["prefix_len"]) == 0  # 'A...' vs 'B...'
 
 

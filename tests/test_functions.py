@@ -202,3 +202,49 @@ class TestTextNorm:
         out = normalize_text_arrow(pa.array([None, "A  b!", "a b"])).to_pylist()
         assert out[0] is None
         assert out[1] == out[2] == "a b"   # the dedup-key collapse
+
+
+class TestNfcArrow:
+    """functions/textnorm.py::nfc_arrow -- real NFC recomposition (pyarrow
+    16.1's utf8_normalize cannot recompose), DuckDB mirror nfc_normalize."""
+
+    def test_recomposes_and_matches_duckdb(self):
+        import duckdb
+        import pyarrow as pa
+
+        from deduplicator_ray.functions.textnorm import nfc_arrow
+
+        cases = ["plain ascii", "xe\u0301", "cafe\u0301", "", None,
+                 "mixed \u00e9 and e\u0301", "\u212b"]  # ANGSTROM SIGN
+        got = nfc_arrow(pa.array(cases, type=pa.string())).to_pylist()
+        con = duckdb.connect()
+        want = [None if c is None else
+                con.execute("select nfc_normalize(?)", [c]).fetchone()[0]
+                for c in cases]
+        assert got == want
+        assert got[1] == "x\u00e9"            # recomposed to one codepoint
+        assert got[6] == "\u00c5"             # ANGSTROM -> A WITH RING
+
+    def test_ascii_fast_path_zero_copy(self):
+        import pyarrow as pa
+
+        from deduplicator_ray.functions.textnorm import nfc_arrow
+
+        arr = pa.array(["abc", "def", None], type=pa.string())
+        assert nfc_arrow(arr) is arr  # fast path: input array untouched
+
+    def test_all_null_column(self):
+        import pyarrow as pa
+
+        from deduplicator_ray.functions.textnorm import nfc_arrow
+
+        arr = pa.array([None, None], type=pa.string())
+        assert nfc_arrow(arr).to_pylist() == [None, None]
+
+    def test_chunked_input(self):
+        import pyarrow as pa
+
+        from deduplicator_ray.functions.textnorm import nfc_arrow
+
+        ch = pa.chunked_array([pa.array(["xe\u0301"]), pa.array(["ok"])])
+        assert nfc_arrow(ch).to_pylist() == ["x\u00e9", "ok"]
