@@ -71,11 +71,26 @@ def incremental_neardup(
     text_col: str = "text",
     old_is_signatures: bool = False,
     num_buckets: int = 32,
+    verify: str = "est",
+    exact_ngram: int = 5,
+    exact_num: int = 4,
+    exact_den: int = 5,
 ):
     """Dedup a NEW crawl against an EXISTING corpus (snapshot-over-
     snapshot dedup): returns (doc_key, dup_of, est_jaccard) with ONE row
     per new doc that near-duplicates an old doc — its best old match
     (highest estimated Jaccard, smallest old key on ties).
+
+    ``verify="exact"`` swaps the estimator verification for EXACT word
+    ``exact_ngram``-gram Jaccard on the LSH candidate pairs (integer
+    threshold ``exact_num/exact_den``; the LSH-candidates +
+    exact-verify recipe of Lee et al. 2021) and returns
+    (doc_key, dup_of, n_inter, n_union) — best match by true Jaccard
+    (ties to the smallest old key).  This output is fully
+    SQL-recomputable (the driver oracle recomputes it all-pairs in
+    DuckDB), modulo LSH recall, which is pytest-gated >= 0.99 and
+    ~1 - 5e-8 per pair at the configured banding.  Exact mode needs old
+    TEXT, so it rejects ``old_is_signatures=True``.
 
     This is the incremental workflow the snapshot pipeline can't express:
     new-vs-new and old-vs-old pairs are explicitly NOT candidates, only
@@ -98,6 +113,11 @@ def incremental_neardup(
 
     from deduplicator_ray.stages.exact import hash_bucket
 
+    if verify not in ("est", "exact"):
+        raise ValueError(f"verify must be 'est' or 'exact', got {verify!r}")
+    if verify == "exact" and old_is_signatures:
+        raise ValueError("verify='exact' needs the old side's text; "
+                         "old_is_signatures=True only carries signatures")
     cfg = cfg or MinHashConfig()
 
     def tagger(side: int):
@@ -141,7 +161,52 @@ def incremental_neardup(
 
     pairs = pairs.map_batches(cross_only, batch_format="pyarrow",
                               zero_copy_batch=True)
-    edges = _verify(pairs, sigs, cfg, key_col=key_col)
+
+    if verify == "exact":
+        from deduplicator_ray.stages.jaccard import _gram_hashes, pack_u64_blobs
+        from deduplicator_ray.stages.lsh import attach_signatures
+
+        def grams_table(b: pa.Table) -> pa.Table:
+            arr = pack_u64_blobs(
+                [_gram_hashes(t, exact_ngram) for t in b[text_col].to_pylist()])
+            return pa.table({key_col: b[key_col], "gramblob": arr})
+
+        texts = (
+            old_ds.select_columns([key_col, text_col])
+            .map_batches(tagger(0), batch_format="pyarrow", zero_copy_batch=True)
+            .union(new_ds.select_columns([key_col, text_col])
+                   .map_batches(tagger(1), batch_format="pyarrow",
+                                zero_copy_batch=True))
+            .map_batches(grams_table, batch_format="pyarrow", batch_size=1024,
+                         zero_copy_batch=True)
+            .materialize()
+        )
+        withblobs = attach_signatures(pairs, texts, key_col=key_col,
+                                      sig_col="gramblob")
+
+        def exact_verify(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            ia = np.zeros(n, dtype=np.int64)
+            iu = np.zeros(n, dtype=np.int64)
+            for i, (ba, bb) in enumerate(zip(b["sig_a"].to_pylist(),
+                                             b["sig_b"].to_pylist())):
+                ga = np.frombuffer(ba, dtype="<u8")
+                gb = np.frombuffer(bb, dtype="<u8")
+                inter = len(np.intersect1d(ga, gb, assume_unique=True))
+                ia[i] = inter
+                iu[i] = len(ga) + len(gb) - inter
+            keep = (ia > 0) & (exact_den * ia >= exact_num * iu)
+            t = b.filter(pa.array(keep))
+            return pa.table({"a": t["a"], "b": t["b"],
+                             "n_inter": pa.array(ia[keep]),
+                             "n_union": pa.array(iu[keep])})
+
+        edges = withblobs.map_batches(exact_verify, batch_format="pyarrow",
+                                      batch_size=4096, zero_copy_batch=True)
+        val_cols = ["n_inter", "n_union"]
+    else:
+        edges = _verify(pairs, sigs, cfg, key_col=key_col)
+        val_cols = ["est_jaccard"]
 
     def decode(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy().astype(np.int64)
@@ -149,11 +214,13 @@ def incremental_neardup(
         a_new = (a & 1) == 1
         new_k = np.where(a_new, a, bb) >> 1
         old_k = np.where(a_new, bb, a) >> 1
-        return pa.table({
+        out = {
             "doc_key": pa.array(new_k.astype(np.int64)),
             "dup_of": pa.array(old_k.astype(np.int64)),
-            "est_jaccard": b["est_jaccard"],
-        })
+        }
+        for c in val_cols:
+            out[c] = b[c]
+        return pa.table(out)
 
     decoded = edges.map_batches(decode, batch_format="pyarrow",
                                 zero_copy_batch=True)
@@ -162,10 +229,18 @@ def incremental_neardup(
     def best(g):
         import pandas as pd  # noqa: F811
 
-        g = g.sort_values(["doc_key", "est_jaccard", "dup_of"],
-                          ascending=[True, False, True], kind="mergesort")
+        if verify == "exact":
+            # true Jaccard as IEEE double — the same division the SQL
+            # oracle orders by, so ties break identically
+            g = g.assign(_j=g["n_inter"].to_numpy(np.float64)
+                         / g["n_union"].to_numpy(np.float64))
+            g = g.sort_values(["doc_key", "_j", "dup_of"],
+                              ascending=[True, False, True], kind="mergesort")
+        else:
+            g = g.sort_values(["doc_key", "est_jaccard", "dup_of"],
+                              ascending=[True, False, True], kind="mergesort")
         return g.drop_duplicates("doc_key", ignore_index=True)[
-            ["doc_key", "dup_of", "est_jaccard"]
+            ["doc_key", "dup_of"] + val_cols
         ]
 
     return bucketed.groupby("_part").map_groups(best, batch_format="pandas")

@@ -947,7 +947,7 @@ def q_neardup_clusters(sf_dir: str):
 # by takes the minimum reachable id — identical to stages/cc.py labels.
 # shared CTE body: exact 5-gram Jaccard pairs + recursive-CTE connected
 # components (used by _SQL_NEARDUP_CLUSTERS and _SQL_SPLIT_BY_CLUSTER)
-_NEARDUP_CC_CTES = f"""toks AS (
+_NEARDUP_GRAMS_CTES = f"""toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
   FROM documents
@@ -959,7 +959,9 @@ grams AS (
                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
               ELSE [] END AS g
   FROM toks
-),
+)"""
+
+_NEARDUP_CC_CTES = f"""{_NEARDUP_GRAMS_CTES},
 pairs AS (
   SELECT a.doc_id AS a, b.doc_id AS b,
          len(list_intersect(a.g, b.g)) AS n_inter,
@@ -2425,10 +2427,16 @@ def _sql_decontaminate_norm() -> str:
 
 def q_incremental_neardup(sf_dir: str):
     """Snapshot-over-snapshot dedup (pipelines/neardup.py:
-    incremental_neardup): docs with doc_id % 5 == 0 play the existing
-    corpus, the rest the new crawl; one row per new doc near-duplicating
-    an old doc, with its best match and the integer count of agreeing
-    MinHash permutations (n_agree = est_jaccard * num_perms, exact)."""
+    incremental_neardup, verify="exact"): docs with doc_id % 5 == 0 play
+    the existing corpus, the rest the new crawl; one row per new doc
+    near-duplicating an old doc at exact 5-gram Jaccard >= 4/5, with its
+    best match (highest true Jaccard, smallest old key on ties) and the
+    integer intersection/union gram counts.  Candidate pairs come from
+    the MinHash-LSH bands (the scale path); verification is exact, so
+    the DuckDB oracle recomputes the whole output all-pairs — this row
+    GRADUATED from a pinned golden in round 5.  The estimator-verified
+    variant (est_jaccard / n_agree output) stays pytest-covered in
+    tests/test_neardup.py."""
     import ray.data as rd
 
     from deduplicator_ray.config import MinHashConfig
@@ -2437,7 +2445,8 @@ def q_incremental_neardup(sf_dir: str):
     def side(keep_old: bool):
         def f(b: pa.Table) -> pa.Table:
             m = b["doc_id"].to_numpy() % 5 == 0
-            return b.filter(pa.array(m if keep_old else ~m))
+            t = b.filter(pa.array(m if keep_old else ~m))
+            return pa.table({"doc_key": t["doc_id"], "text": t["text"]})
         return f
 
     read = lambda: rd.read_parquet(  # noqa: E731 - two independent scans
@@ -2447,19 +2456,33 @@ def q_incremental_neardup(sf_dir: str):
                              zero_copy_batch=True)
     new = read().map_batches(side(False), batch_format="pyarrow",
                              zero_copy_batch=True)
-    cfg = MinHashConfig()
-    out = incremental_neardup(new, old, cfg)
+    return incremental_neardup(
+        new, old, MinHashConfig(), verify="exact",
+        exact_ngram=_NEARDUP_NGRAM, exact_num=_NEARDUP_NUM,
+        exact_den=_NEARDUP_DEN)
 
-    def to_int(b: pa.Table) -> pa.Table:
-        j = b["est_jaccard"].to_numpy()
-        n_agree = np.rint(j * cfg.num_perms).astype(np.int64)
-        return pa.table({
-            "doc_key": b["doc_key"],
-            "dup_of": b["dup_of"],
-            "n_agree": pa.array(n_agree),
-        })
 
-    return out.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
+_SQL_INCREMENTAL_NEARDUP = f"""
+WITH {_NEARDUP_GRAMS_CTES},
+xp AS (
+  SELECT n.doc_id AS doc_key, o.doc_id AS dup_of,
+         len(list_intersect(n.g, o.g)) AS n_inter,
+         len(n.g) + len(o.g) - len(list_intersect(n.g, o.g)) AS n_union
+  FROM grams n JOIN grams o
+    ON n.doc_id % 5 <> 0 AND o.doc_id % 5 = 0
+  WHERE len(list_intersect(n.g, o.g)) > 0
+    AND {_NEARDUP_DEN} * len(list_intersect(n.g, o.g))
+        >= {_NEARDUP_NUM} * (len(n.g) + len(o.g) - len(list_intersect(n.g, o.g)))
+),
+best AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_key
+      ORDER BY n_inter::DOUBLE / n_union DESC, dup_of) AS rn
+  FROM xp
+)
+SELECT doc_key, dup_of, n_inter::BIGINT AS n_inter, n_union::BIGINT AS n_union
+FROM best WHERE rn = 1 ORDER BY doc_key
+"""
 
 
 _SPAN_NGRAM = 8
@@ -5609,7 +5632,7 @@ def registry_ext():
         "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
         "decontaminate_norm": (q_decontaminate_norm, _sql_decontaminate_norm()),
         "incremental_neardup": (q_incremental_neardup,
-                                GOLDEN_SQL.get("incremental_neardup")),
+                                _SQL_INCREMENTAL_NEARDUP),
         "span_dedup": (q_span_dedup, _SQL_SPAN_DEDUP),
         "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
         "length_quantiles": (q_length_quantiles, _SQL_LENGTH_QUANTILES),

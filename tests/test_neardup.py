@@ -274,3 +274,52 @@ def test_incremental_neardup_precomputed_signatures(ray_session, corpus):
                              old_is_signatures=True)
          .to_pandas().sort_values("doc_key", ignore_index=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_incremental_neardup_exact_verify(ray_session, corpus):
+    """verify="exact": LSH candidates + exact 5-gram Jaccard (4/5).
+    Output must equal the all-pairs exact cross-join oracle (best match
+    per new doc by true Jaccard, ties to smallest old key)."""
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines.neardup import incremental_neardup
+    from deduplicator_ray.stages.jaccard import _gram_hashes
+
+    old_mask = corpus["doc_key"] % 3 == 0
+    old_pdf = corpus[old_mask][["doc_key", "text"]]
+    new_pdf = corpus[~old_mask][["doc_key", "text"]]
+
+    got = (incremental_neardup(rd.from_pandas(new_pdf), rd.from_pandas(old_pdf),
+                               CFG, verify="exact", exact_ngram=5,
+                               exact_num=4, exact_den=5)
+           .to_pandas().sort_values("doc_key", ignore_index=True))
+
+    grams = {int(k): _gram_hashes(t, 5)
+             for k, t in zip(corpus["doc_key"], corpus["text"])}
+    want = {}
+    for nk in new_pdf["doc_key"]:
+        best = None
+        for ok in old_pdf["doc_key"]:
+            ga, gb = grams[int(nk)], grams[int(ok)]
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            union = len(ga) + len(gb) - inter
+            if inter > 0 and 5 * inter >= 4 * union:
+                j = inter / union
+                cand = (-j, int(ok), inter, union)
+                if best is None or cand < best:
+                    best = cand
+        if best is not None:
+            want[int(nk)] = (best[1], best[2], best[3])
+    assert want, "degenerate split: no exact cross near-dups"
+
+    got_map = {int(r.doc_key): (int(r.dup_of), int(r.n_inter), int(r.n_union))
+               for r in got.itertuples()}
+    assert got_map == want
+
+    with pytest.raises(ValueError, match="old_is_signatures"):
+        incremental_neardup(rd.from_pandas(new_pdf),
+                            rd.from_pandas(old_pdf), CFG,
+                            verify="exact", old_is_signatures=True)
+    with pytest.raises(ValueError, match="verify"):
+        incremental_neardup(rd.from_pandas(new_pdf),
+                            rd.from_pandas(old_pdf), CFG, verify="bogus")
