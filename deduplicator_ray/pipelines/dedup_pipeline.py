@@ -35,7 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--corpus-format", default="parquet",
                    help="registered source reading --corpus: parquet (url, warc_ts, "
                         "html, text, lang), warc (dir/file of .warc[.gz]), crawl_log "
-                        "(Heritrix crawl.log) — sources.register_source adds more")
+                        "(Heritrix crawl.log), arc/wet/wat/cdx/jsonl/csv, mixed "
+                        "(ARC+WARC+WET in one dir) — sources.register_source adds more")
     p.add_argument("--include-etag", action="store_true",
                    help="carry the ETag column into the index (reference -e flag)")
     p.add_argument("--history", default=None, help="parquet index table (url, url_canonical, digest, date, ...)")

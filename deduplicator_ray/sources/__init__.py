@@ -123,6 +123,89 @@ def _arc_source(path: str):
     return read_arc(path)
 
 
+def _mixed_source(path: str):
+    """Mixed-container directory — ARC + WARC + WET side by side, the
+    realistic shape of a decades-spanning web archive (ARC predates
+    WARC; WET extracts ride along in Common Crawl drops).  Every archive
+    file dispatches to its format reader by the family extension rules
+    (``*.arc(.gz)`` / ``*.warc(.gz)`` / ``*.wet(.gz)``, disjoint by
+    construction), each family conforms to ONE superset record schema
+    (WARC's RECORD_SCHEMA + ``text``), and the families union into a
+    single Dataset — so one ``dedup_pipeline --build-index`` run indexes
+    a mixed archive directly.
+
+    Conform rules: container records (ARC/WARC) gain ``text = null``
+    (they are metadata rows; payloads never ride the pipeline).  WET
+    rows are extracted text without HTTP envelope: they gain
+    ``status=200`` / ``mime='text/plain'`` (a WET conversion record
+    exists only for a successful text capture), null revisit fields, and
+    — because WET carries no payload digest — the md5-of-text digest
+    computed AT PARSE TIME with the same kernel the text pipelines use,
+    keeping wet-in-mixed rows byte-identical to a wet-only run under
+    ``digest_mode='md5_text'`` (normalize leaves existing digest
+    columns untouched)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduplicator_ray.functions.digesting import md5_hex_many
+    from deduplicator_ray.sources.arc import _ARC_FILE_RE, read_arc
+    from deduplicator_ray.sources.warc import (
+        _WARC_FILE_RE,
+        RECORD_SCHEMA,
+        family_paths,
+        read_warc,
+    )
+    from deduplicator_ray.sources.wet import _WET_FILE_RE, read_wet
+
+    mixed_fields = list(RECORD_SCHEMA) + [pa.field("text", pa.large_string())]
+    names = [f.name for f in mixed_fields]
+    types = {f.name: f.type for f in mixed_fields}
+
+    def conform_container(b: pa.Table) -> pa.Table:
+        return pa.table({n: b[n] if n in b.column_names
+                         else pa.nulls(b.num_rows, types[n]) for n in names})
+
+    def conform_wet(b: pa.Table) -> pa.Table:
+        n_rows = b.num_rows
+        texts = b["text"].to_pylist()
+        cols = {
+            "url": b["url"],
+            "warc_ts": b["warc_ts"],
+            "status": pa.array(np.full(n_rows, 200, dtype=np.int32)),
+            "mime": pa.array(["text/plain"] * n_rows, pa.string()),
+            "digest": pa.array(md5_hex_many(texts), pa.string()),
+            "etag": pa.nulls(n_rows, pa.string()),
+            "is_revisit": pa.array(np.zeros(n_rows, dtype=bool)),
+            "original_url": pa.nulls(n_rows, pa.string()),
+            "original_ts": pa.nulls(n_rows, pa.timestamp("us")),
+            "revisit_profile": pa.nulls(n_rows, pa.string()),
+            "record_id": b["record_id"],
+            "content_length": b["content_length"],
+            "source_path": b["source_path"],
+            "text": b["text"].cast(pa.large_string()),
+        }
+        return pa.table({n: cols[n] for n in names})
+
+    parts = []
+    for file_re, reader, conform in (
+        (_ARC_FILE_RE, read_arc, conform_container),
+        (_WARC_FILE_RE, read_warc, conform_container),
+        (_WET_FILE_RE, read_wet, conform_wet),
+    ):
+        paths = family_paths(path, file_re)
+        if paths:
+            parts.append(reader(paths).map_batches(
+                conform, batch_format="pyarrow", zero_copy_batch=True))
+    if not parts:
+        return rd.from_arrow(pa.table(
+            {n: pa.array([], type=types[n]) for n in names}))
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
 _SOURCES: dict[str, Callable] = {
     "parquet": _parquet_source,
     "warc": _warc_source,        # WarcIterator / WarcFileIterator
@@ -133,6 +216,7 @@ _SOURCES: dict[str, Callable] = {
     "wet": _wet_source,          # Common Crawl extracted-text WET
     "wat": _wat_source,          # Common Crawl web-metadata WAT (outlinks)
     "arc": _arc_source,          # legacy Internet Archive ARC v1/v2
+    "mixed": _mixed_source,      # ARC + WARC + WET in one directory
 }
 
 

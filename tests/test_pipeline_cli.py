@@ -354,3 +354,88 @@ def test_append_index_cli(ray_session, tmp_path):
 
     pd.testing.assert_frame_equal(got, want)
     assert len(got) > 0
+
+
+def _mk_mixed_dir(tmp_path) -> str:
+    """One directory holding all three container families with DISJOINT
+    urls (so the mixed index is exactly the union of per-format ones)."""
+    from deduplicator_ray.sources.arc import write_arc
+    from deduplicator_ray.sources.wet import write_wet
+
+    d = tmp_path / "mixeddir"
+    os.makedirs(d)
+    warc_records = [
+        {
+            "type": "response",
+            "url": f"https://warc.example/p/{i}",
+            "date": f"2023-02-{i + 1:02d}T00:00:00Z",
+            "digest": f"sha1:WDIG{i % 3:04d}",
+            "record_id": f"<urn:uuid:w{i}>",
+            "http_status": 200,
+            "mime": "text/html",
+            "etag": f'W/"w{i}"',
+            "payload": b"<html>w</html>",
+        }
+        for i in range(6)
+    ]
+    write_warc(str(d / "crawl-w.warc.gz"), warc_records)
+    arc_records = [
+        {
+            "url": f"http://arc.example/x/{i}",
+            "date14": f"2023011{i % 9 + 1}221320",
+            "mime": "text/html",
+            "status": 200,
+            "checksum": f"adig{i % 2}",
+            "payload": (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                        b"\r\n<html>a</html>"),
+        }
+        for i in range(4)
+    ]
+    write_arc(str(d / "legacy-a.arc.gz"), arc_records)
+    wet_records = [
+        {
+            "url": f"https://wet.example/t/{i}",
+            "date": f"2023-03-{i + 1:02d}T00:00:00Z",
+            "text": f"wet text body {i % 2}",
+        }
+        for i in range(5)
+    ]
+    write_wet(str(d / "extract.warc.wet.gz"), wet_records)
+    return str(d)
+
+
+def test_mixed_container_index_equals_per_format_union(ray_session, tmp_path):
+    """sources 'mixed': one --build-index run over an ARC + WARC + WET
+    directory must produce exactly the union of the three per-format
+    index builds (disjoint urls, same config)."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    d = _mk_mixed_dir(tmp_path)
+
+    def build(fmt: str) -> pd.DataFrame:
+        out = str(tmp_path / f"out_{fmt}")
+        args = build_parser().parse_args(
+            ["--corpus", d, "--corpus-format", fmt, "--build-index",
+             "--include-etag", "--mime-filter", "^text/.*", "--whitelist",
+             "--out", out])
+        run(args)
+        return pads.dataset(os.path.join(out, "index", "data")).to_table().to_pandas()
+
+    mixed = build("mixed")
+    per = pd.concat([build(f) for f in ("arc", "warc", "wet")],
+                    ignore_index=True)
+    # per-format frames may lack columns a family never carries (wet has
+    # no etag column on its own); align to the mixed column set
+    for c in mixed.columns:
+        if c not in per.columns:
+            per[c] = pd.NA
+    assert sorted(per.columns) == sorted(mixed.columns)
+    cols = sorted(mixed.columns)
+    key = ["url", "digest"]
+    mixed = mixed[cols].sort_values(key, ignore_index=True)
+    per = per[cols].sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(mixed, per, check_dtype=False)
+    # all three families made it in
+    hosts = {u.split("/")[2] for u in mixed["url"]}
+    assert hosts == {"warc.example", "arc.example", "wet.example"}
