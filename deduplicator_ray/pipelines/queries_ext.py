@@ -1373,6 +1373,60 @@ def q_media_phash_dups_png(sf_dir: str):
                          max_hamming=3)
 
 
+def q_media_phash_dups_jpeg(sf_dir: str):
+    """Perceptual near-duplicate images over REAL baseline-JPEG
+    payloads: the pure-numpy JFIF decode path (stages/jpeg.py —
+    Huffman + dequant + IDCT + YCbCr) feeds average-hash signatures
+    into the 4-band pigeonhole hamming machinery.  JPEG being lossy,
+    the plants assert encoding-ROBUSTNESS rather than byte identity:
+    one structured image appears under 4:4:4 and 4:2:0 subsampling and
+    as a one-pixel variant (all within <= 3 ahash bits), and a noise
+    image is re-encoded with restart markers — pure framing, so its
+    DECODED pixels (and hash) are identical despite different bytes.
+    48 base noise images keep the non-pair background far apart.
+    Deterministic end to end -> golden pin."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.jpeg import encode_jpeg
+    from deduplicator_ray.stages.multimodal import decode_images
+    from deduplicator_ray.stages.simhash import hamming_pairs
+
+    rng = np.random.default_rng(45)
+    rows = []
+    for i in range(48):
+        h = int(rng.integers(8, 40))
+        w = int(rng.integers(8, 40))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append((i, encode_jpeg(img, quality=85)))
+        if i == 5:
+            img5 = img
+    g = np.add.outer(np.linspace(0, 220, 32), np.linspace(0, 35, 32))
+    structured = np.stack([g, 255 - g, g * 0.7], -1).astype(np.uint8)
+    var = structured.copy()
+    var[0, 0, 0] ^= 0x04
+    rows += [
+        (1000, encode_jpeg(structured, quality=95, subsampling="4:4:4")),
+        (1001, encode_jpeg(structured, quality=95, subsampling="4:2:0")),
+        (1002, encode_jpeg(var, quality=95, subsampling="4:4:4")),
+        (1003, encode_jpeg(img5, quality=85, restart_interval=2)),
+    ]
+    media = pa.table({
+        "media_id": pa.array(np.array([r[0] for r in rows], dtype=np.int64)),
+        "kind": pa.array(["image"] * len(rows)),
+        "payload": pa.array([r[1] for r in rows], type=pa.binary()),
+        "mime": pa.array(["image/jpeg"] * len(rows)),
+        "width": pa.nulls(len(rows), pa.int32()),
+        "height": pa.nulls(len(rows), pa.int32()),
+        "duration_ms": pa.nulls(len(rows), pa.int32()),
+    })
+    feats = decode_images(rd.from_arrow(media), decoder="jpeg")
+    feats = feats.map_batches(
+        lambda b: b.filter(pc.not_equal(b["phash"], 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return hamming_pairs(feats, id_col="media_id", hash_col="phash",
+                         max_hamming=3)
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing end-to-end: deterministic synthetic media
     table -> kind-routed actor-pool stages (image decode, audio features,
@@ -5624,6 +5678,8 @@ def registry_ext():
                              GOLDEN_SQL.get("media_phash_dups")),
         "media_phash_dups_png": (q_media_phash_dups_png,
                                  GOLDEN_SQL.get("media_phash_dups_png")),
+        "media_phash_dups_jpeg": (q_media_phash_dups_jpeg,
+                                  GOLDEN_SQL.get("media_phash_dups_jpeg")),
         "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
         "boilerplate_dedup": (q_boilerplate_dedup, _SQL_BOILERPLATE_DEDUP),
         "boilerplate_report": (q_boilerplate_report, _SQL_BOILERPLATE_REPORT),

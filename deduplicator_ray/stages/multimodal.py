@@ -1,16 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata (training-data-pipeline extension).
 
-The compressed-format decode kernels (JPEG/PNG, audio codecs) are
-STUBBED — this container ships no image/audio libraries — but
-``decoder="ppm"`` is a REAL no-dependency image path (pure-numpy
-binary-PPM parse + average-hash + channel-stats embedding), and
-everything Ray-side is real and tested: schemas, actor-pool signatures,
+Every image format this engine claims has a REAL no-dependency decode
+path: ``decoder="ppm"`` (pure-numpy binary-PPM), ``decoder="png"``
+(stdlib zlib + numpy unfiltering), and ``decoder="jpeg"`` (baseline
+JFIF — pure numpy Huffman + dequant + IDCT + YCbCr, ``stages/jpeg.py``).
+Audio codecs remain stubbed (no libsndfile/ffmpeg in this container).
+Everything Ray-side is real and tested: schemas, actor-pool signatures,
 batch sizing for wide binary rows, and the output layout.
 ``decoder="fake"`` provides a deterministic stand-in
 (content-hash-derived features) for arbitrary binary; ``decoder="real"``
-raises ``NotImplementedError`` at actor init, exactly where a
-Pillow/libav-backed implementation would load.
+(the old Pillow integration point) now points users at the real paths.
 
 Memory note: binary payloads can be MBs/row — these stages default to a
 small ``batch_size`` (64) so batch x concurrency stays within worker
@@ -307,16 +307,22 @@ class ImageDecoder:
     def __init__(self, decoder: str = "fake", payload_col: str = "payload"):
         if decoder == "real":
             raise NotImplementedError(
-                "real JPEG decoding needs Pillow/turbojpeg — not available "
-                "in this environment; decoder='png' and decoder='ppm' are "
-                "the real no-dependency paths, decoder='fake' the plumbing "
-                "stand-in"
+                "decoder='real' was the Pillow/turbojpeg integration point; "
+                "every image format this engine claims now has a REAL "
+                "no-dependency path — use decoder='jpeg', 'png' or 'ppm' "
+                "(decoder='fake' remains the arbitrary-binary plumbing "
+                "stand-in)"
             )
-        if decoder not in ("fake", "ppm", "png"):
+        if decoder not in ("fake", "ppm", "png", "jpeg"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
         self.payload_col = payload_col
-        self._decode = {"ppm": decode_ppm, "png": decode_png}.get(decoder)
+        if decoder == "jpeg":
+            from deduplicator_ray.stages.jpeg import decode_jpeg
+
+            self._decode = decode_jpeg
+        else:
+            self._decode = {"ppm": decode_ppm, "png": decode_png}.get(decoder)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
@@ -523,6 +529,45 @@ def synth_png_media(n: int = 48, seed: int = 44) -> pa.Table:
         "kind": pa.array(["image"] * n),
         "payload": pa.array([r[1] for r in rows], type=pa.binary()),
         "mime": pa.array(["image/png"] * n),
+        "width": pa.array([r[2] for r in rows], type=pa.int32()),
+        "height": pa.array([r[3] for r in rows], type=pa.int32()),
+        "duration_ms": pa.array([0] * n, type=pa.int32()),
+    })
+
+
+def synth_jpeg_media(n: int = 48, seed: int = 45) -> pa.Table:
+    """Deterministic VALID baseline-JPEG media table cycling subsampling
+    (4:4:4 / 4:2:0), grayscale, quality levels and restart intervals,
+    plus a few corrupt payloads — drives the REAL ``decoder="jpeg"``
+    path (stages/jpeg.py) with no external data."""
+    from deduplicator_ray.stages.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h = int(rng.integers(8, 40))
+        w = int(rng.integers(8, 40))
+        if i % 5 == 4:
+            img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)  # gray
+        else:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        p = encode_jpeg(
+            img,
+            quality=(60, 85, 95)[i % 3],
+            subsampling="4:2:0" if (img.ndim == 3 and i % 2) else "4:4:4",
+            restart_interval=(i % 4 == 3) and 2 or 0,
+        )
+        if i % 12 == 11:  # corrupt a few: truncate inside the headers
+            # (mid-SCAN truncation may still decode — the spec pads the
+            # entropy stream with 1-bits — so it is exercised separately
+            # in tests, not used as a guaranteed-invalid payload)
+            p = p[:20]
+        rows.append((i, p, w, h))
+    return pa.table({
+        "media_id": pa.array(np.array([r[0] for r in rows], dtype=np.int64)),
+        "kind": pa.array(["image"] * n),
+        "payload": pa.array([r[1] for r in rows], type=pa.binary()),
+        "mime": pa.array(["image/jpeg"] * n),
         "width": pa.array([r[2] for r in rows], type=pa.int32()),
         "height": pa.array([r[3] for r in rows], type=pa.int32()),
         "duration_ms": pa.array([0] * n, type=pa.int32()),
