@@ -344,7 +344,16 @@ def _pack_digests(ds):
     within-bucket equality are untouched; the reduce resolves on the
     packed bytes (pandas merges/drop_duplicates hash bytes exactly like
     strings) and ``_unpack_digests`` restores the original strings in a
-    buffer-level Arrow map fused onto the reduce output."""
+    buffer-level Arrow map fused onto the reduce output.
+
+    ``GRAFT_DIGEST_PACK=0`` (read driver-side at plan time) skips the
+    pack — the A/B knob for measuring the byte cut where transfer
+    actually costs (a multi-raylet shuffle); ``_unpack_digests`` is
+    type-driven, so the unpack stage degrades to a per-batch no-op."""
+    import os
+
+    if os.environ.get("GRAFT_DIGEST_PACK", "1") == "0":
+        return ds
 
     def f(b: pa.Table) -> pa.Table:
         from deduplicator_ray.functions.digesting import pack_digest_array

@@ -5,7 +5,13 @@ small object store so plasma spill actually runs.
     python tools/scale_drill.py prepare            # write the r2560 corpora
     python tools/scale_drill.py clean  [ncpu] [out_dir]
     python tools/scale_drill.py exact  [ncpu]
+    python tools/scale_drill.py exact_nodes [ncpu] # + raylet/pack telemetry
+    python tools/scale_drill.py shufflebytes [ncpu]  # packed-vs-unpacked bytes
     python tools/scale_drill.py hash   <out_dir>   # sha256 of a funnel output
+
+Set GRAFT_RAY_ADDRESS=auto to JOIN a started cluster (1- vs 2-raylet
+drills, cluster/raylet2_exact.sh) and GRAFT_DIGEST_PACK=0 to disable
+the packed-digest shuffle for A/Bs.
 
 Every invocation owns its Ray session (fresh process per parallelism
 level, like bench.py --scaling).  The store is capped at 8 GiB via
@@ -39,11 +45,21 @@ def _bench():
 
 
 def _init(ncpu: int):
+    """Own a local session, or JOIN a started cluster when
+    ``GRAFT_RAY_ADDRESS`` is set (e.g. ``auto`` after ``ray start
+    --head`` [+ a second ``ray start --address=...`` raylet] — the
+    two-raylet drill, where shuffle bytes cross the object-transfer
+    path instead of staying inside one plasma store)."""
     import ray
 
+    addr = os.environ.get("GRAFT_RAY_ADDRESS")
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
-                 logging_level="ERROR", object_store_memory=STORE)
+        if addr:
+            ray.init(address=addr, include_dashboard=False,
+                     logging_level="ERROR")
+        else:
+            ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+                     logging_level="ERROR", object_store_memory=STORE)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -126,6 +142,88 @@ def cmd_exact(ncpu: int) -> None:
                       "caps_per_sec": round(agg["handled"] / dt)}))
 
 
+def cmd_exact_nodes(ncpu: int) -> None:
+    """cmd_exact + node telemetry: which raylets the session sees and
+    how many bytes each object-store holds afterwards — the evidence
+    that a 2-raylet run actually crossed the transfer path."""
+    bench = _bench()
+    ray = _init(ncpu)
+    nodes = [n for n in ray.nodes() if n.get("Alive")]
+    import ray.data as rd
+
+    from deduplicator_ray.config import PipelineConfig, SearchStrategy
+    from deduplicator_ray.stages.exact import (match_shuffle_tagged,
+                                               report_aggregates)
+
+    cache = bench._cache_dir("captures")
+    hot = tuple(json.load(open(cache + "/_stats.json"))["hot_digests"])
+    t0 = time.time()
+    caps = rd.read_parquet(
+        cache,
+        columns=["doc_id", "rep", "url", "url_canonical", "digest",
+                 "warc_ts", "crawl", "content_bytes"],
+        override_num_blocks=4 * ncpu)
+    cfg = PipelineConfig(strategy=SearchStrategy.DIGEST_URL_PREFERRED,
+                         hot_keys=hot)
+    agg = report_aggregates(
+        match_shuffle_tagged(caps, cfg, id_cols=("doc_id", "rep")))
+    dt = time.time() - t0
+    print(json.dumps({
+        "ncpu": ncpu, "n_raylets": len(nodes),
+        "pack": os.environ.get("GRAFT_DIGEST_PACK", "1") != "0",
+        "sec": round(dt, 1), "handled": agg["handled"],
+        "duplicates": agg["duplicates"],
+        "caps_per_sec": round(agg["handled"] / dt),
+        "loadavg": round(os.getloadavg()[0], 1),
+    }))
+
+
+def cmd_shufflebytes(ncpu: int) -> None:
+    """Measure the bytes ENTERING the exact-match all-to-all (the
+    conformed + bucketed + optionally packed dataset match_shuffle_tagged
+    hands to groupby) with the digest pack on vs off — the denominator
+    for the 2-raylet A/B.  Uses a small repeat (bytes/row is
+    repeat-invariant)."""
+    bench = _bench()
+    _init(ncpu)
+    import ray.data as rd
+
+    from deduplicator_ray.config import PipelineConfig, SearchStrategy
+    from deduplicator_ray.stages.exact import (_match_hot_keys,
+                                               _pack_digests,
+                                               conform_tagged,
+                                               hash_bucket_salted)
+
+    cache = bench._cache_dir("captures")
+    hotk = tuple(json.load(open(cache + "/_stats.json"))["hot_digests"])
+    caps = rd.read_parquet(
+        cache,
+        columns=["doc_id", "rep", "url", "url_canonical", "digest",
+                 "warc_ts", "crawl", "content_bytes"],
+        override_num_blocks=4 * ncpu)
+    cfg = PipelineConfig(strategy=SearchStrategy.DIGEST_URL_PREFERRED,
+                         hot_keys=hotk)
+    strip = not cfg.use_digest_scheme
+    both = conform_tagged(caps, history_col="crawl", history_value="history",
+                          id_cols=("doc_id", "rep"),
+                          strip_digest_scheme=strip, remap_revisits=True)
+    hot = _match_hot_keys(caps, cfg, strip, skip_col="crawl",
+                          skip_value="history")
+    both = hash_bucket_salted(both, "digest", cfg.shuffle_buckets, hot,
+                              cfg.salt_buckets)
+    out = {"repeat": REPEAT}
+    for pack in ("1", "0"):
+        os.environ["GRAFT_DIGEST_PACK"] = pack
+        m = _pack_digests(both).materialize()
+        key = "packed" if pack == "1" else "unpacked"
+        out[key + "_bytes"] = int(m.size_bytes())
+        out[key + "_bytes_per_row"] = round(m.size_bytes() / m.count(), 1)
+        out["rows"] = int(m.count())
+    out["byte_cut_pct"] = round(
+        100 * (1 - out["packed_bytes"] / out["unpacked_bytes"]), 1)
+    print(json.dumps(out))
+
+
 def cmd_hash(out: str) -> None:
     import pandas as pd
     import pyarrow.parquet as pq
@@ -149,6 +247,10 @@ def main() -> int:
                   sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale_drill_clean")
     elif cmd == "exact":
         cmd_exact(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
+    elif cmd == "exact_nodes":
+        cmd_exact_nodes(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
+    elif cmd == "shufflebytes":
+        cmd_shufflebytes(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif cmd == "hash":
         cmd_hash(sys.argv[2])
     else:
