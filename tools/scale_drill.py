@@ -2,7 +2,7 @@
 and the exact matcher at 10x the scaling corpus, through a deliberately
 small object store so plasma spill actually runs.
 
-    python tools/scale_drill.py prepare            # write the r2560 corpora
+    python tools/scale_drill.py prepare [captures|neardup]  # write drill corpora
     python tools/scale_drill.py clean  [ncpu] [out_dir]
     python tools/scale_drill.py exact  [ncpu]
     python tools/scale_drill.py exact_nodes [ncpu] # + raylet/pack telemetry
@@ -66,14 +66,19 @@ def _init(ncpu: int):
     return ray
 
 
-def cmd_prepare() -> None:
+def cmd_prepare(only: str | None = None) -> None:
+    """Write the drill corpora; ``only="captures"`` skips the neardup
+    cache (the 100x exact drill needs only captures — at r25600 the
+    neardup corpus would be ~40 GB of unused parquet)."""
     bench = _bench()
     _init(16)
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
 
-    if not bench._cache_ready("neardup"):
+    if only not in (None, "captures", "neardup"):
+        raise SystemExit(f"unknown prepare target {only!r}")
+    if only != "captures" and not bench._cache_ready("neardup"):
         docs = rd.read_parquet(f"{bench.SF_DIR}/documents.parquet",
                                columns=["doc_id", "text"])
         docs.map_batches(bench._neardup_expand, batch_format="pyarrow",
@@ -81,7 +86,7 @@ def cmd_prepare() -> None:
                          ).repartition(128).write_parquet(
             bench._cache_dir("neardup"))
         bench._mark_done("neardup")
-    if not bench._cache_ready("captures"):
+    if only != "neardup" and not bench._cache_ready("captures"):
         from deduplicator_ray.sources.corpus import captures_dataset
 
         caps = captures_dataset(bench.SF_DIR, repeat=REPEAT)
@@ -241,7 +246,7 @@ def cmd_hash(out: str) -> None:
 def main() -> int:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "prepare"
     if cmd == "prepare":
-        cmd_prepare()
+        cmd_prepare(sys.argv[2] if len(sys.argv) > 2 else None)
     elif cmd == "clean":
         cmd_clean(int(sys.argv[2]) if len(sys.argv) > 2 else 16,
                   sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale_drill_clean")
