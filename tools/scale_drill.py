@@ -96,9 +96,16 @@ def cmd_prepare(only: str | None = None) -> None:
                                 pc.cast(pc.utf8_length(b["text"]), "int64"))
             return b.drop_columns(["text", "lang"]).replace_schema_metadata(None)
 
-        caps.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True
-                         ).repartition(256).write_parquet(
-            bench._cache_dir("captures"))
+        stripped = caps.map_batches(strip, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        if REPEAT <= 2560:
+            stripped = stripped.repartition(256)
+        # beyond r2560 the repartition's all-to-all would materialize the
+        # whole ~47 GB corpus through the capped store (≈40 GB of disk
+        # spill — measured to FILL this box's disk at r25600); the
+        # streaming write needs no exchange and the expansion's block
+        # sizing already yields ~150 well-sized files
+        stripped.write_parquet(bench._cache_dir("captures"))
         bench._captures_stats()
         bench._mark_done("captures")
     print(json.dumps({"prepared": bench._cache_dir("")}))
