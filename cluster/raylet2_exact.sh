@@ -31,14 +31,18 @@ trap cleanup EXIT
 wait_nodes() {  # expected-count
     local want="$1"
     for _ in $(seq 1 30); do
-        got=$(RAY_ADDRESS= python - "$ADDR" <<'EOF'
+        # `|| got=0`: right after `ray start` returns, the GCS may not
+        # accept connections yet — under errexit a failed probe would
+        # kill the drill instead of retrying, the exact race this loop
+        # exists to absorb
+        got=$(RAY_ADDRESS= python - "$ADDR" 2>/dev/null <<'EOF'
 import sys
 import ray
 ray.init(address=sys.argv[1], include_dashboard=False, logging_level="ERROR")
 print(sum(1 for n in ray.nodes() if n.get("Alive")))
 ray.shutdown()
 EOF
-)
+) || got=0
         [ "$got" = "$want" ] && return 0
         sleep 1
     done

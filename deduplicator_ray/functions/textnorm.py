@@ -89,7 +89,10 @@ def nfc_arrow(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     out = [s if s is None or unicodedata.is_normalized("NFC", s)
            else unicodedata.normalize("NFC", s)
            for s in arr.to_pylist()]
-    return pa.array(out, type=pa.string())
+    # preserve the input's string type: a large_string column must not
+    # flip to string only on the batches that happen to contain
+    # non-ASCII (per-batch schema divergence breaks block unification)
+    return pa.array(out, type=arr.type)
 
 
 def textnorm_sql_expr(col: str, *, fold_accents: bool = True,

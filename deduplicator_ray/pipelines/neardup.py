@@ -163,6 +163,8 @@ def incremental_neardup(
                               zero_copy_batch=True)
 
     if verify == "exact":
+        import ray
+
         from deduplicator_ray.stages.jaccard import _gram_hashes, pack_u64_blobs
         from deduplicator_ray.stages.lsh import attach_signatures
 
@@ -177,11 +179,36 @@ def incremental_neardup(
             .union(new_ds.select_columns([key_col, text_col])
                    .map_batches(tagger(1), batch_format="pyarrow",
                                 zero_copy_batch=True))
-            .map_batches(grams_table, batch_format="pyarrow", batch_size=1024,
-                         zero_copy_batch=True)
-            .materialize()
         )
-        withblobs = attach_signatures(pairs, texts, key_col=key_col,
+        # shingle ONLY the candidate keys: LSH makes candidates a small
+        # minority of the corpus, so re-shingling every doc (signatures
+        # already cost one full pass) would roughly double the corpus
+        # scan for rows attach_signatures' join discards anyway.  Same
+        # driver guard as verified_edges: collect the distinct pair
+        # keys when the pair set is small (the realistic regime);
+        # beyond it, full shingling is the safe fallback.
+        pairs = pairs.materialize()
+        if pairs.count() <= 500_000:
+            pdf = pairs.to_pandas()
+            cand = np.unique(np.concatenate([
+                pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)]
+            ) if len(pdf) else [np.empty(0, np.int64)])
+            cref = ray.put(cand)
+
+            def semi(b: pa.Table) -> pa.Table:
+                want = ray.get(cref)
+                k = b[key_col].to_numpy().astype(np.int64)
+                if not len(want) or not len(k):
+                    return b.slice(0, 0)
+                pos = np.minimum(np.searchsorted(want, k), len(want) - 1)
+                return b.filter(pa.array(want[pos] == k))
+
+            texts = texts.map_batches(semi, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+        blobs = texts.map_batches(grams_table, batch_format="pyarrow",
+                                  batch_size=1024,
+                                  zero_copy_batch=True).materialize()
+        withblobs = attach_signatures(pairs, blobs, key_col=key_col,
                                       sig_col="gramblob")
 
         def exact_verify(b: pa.Table) -> pa.Table:

@@ -158,17 +158,34 @@ def _mixed_source(path: str):
     )
     from deduplicator_ray.sources.wet import _WET_FILE_RE, read_wet
 
-    mixed_fields = list(RECORD_SCHEMA) + [pa.field("text", pa.large_string())]
+    import os
+
+    mixed_fields = (list(RECORD_SCHEMA)
+                    + [pa.field("text", pa.large_string()),
+                       pa.field("content_bytes", pa.int64())])
     names = [f.name for f in mixed_fields]
     types = {f.name: f.type for f in mixed_fields}
 
+    # content_bytes is pre-computed HERE for both families (container:
+    # the record's content_length; wet: utf-8 byte length of the text,
+    # what normalize computes for a text corpus) because the superset
+    # schema carries a text column that is null for container rows —
+    # normalize's own fallback order (html -> text -> content_length)
+    # would see that null text first and emit null byte counts,
+    # silently zeroing the per-tier byte aggregates of a mixed run.
+
     def conform_container(b: pa.Table) -> pa.Table:
-        return pa.table({n: b[n] if n in b.column_names
-                         else pa.nulls(b.num_rows, types[n]) for n in names})
+        out = {n: b[n] if n in b.column_names
+               else pa.nulls(b.num_rows, types[n]) for n in names}
+        out["content_bytes"] = b["content_length"].cast(pa.int64())
+        return pa.table(out)
 
     def conform_wet(b: pa.Table) -> pa.Table:
         n_rows = b.num_rows
         texts = b["text"].to_pylist()
+        text_large = b["text"].cast(pa.large_string())
+        import pyarrow.compute as pc
+
         cols = {
             "url": b["url"],
             "warc_ts": b["warc_ts"],
@@ -183,17 +200,27 @@ def _mixed_source(path: str):
             "record_id": b["record_id"],
             "content_length": b["content_length"],
             "source_path": b["source_path"],
-            "text": b["text"].cast(pa.large_string()),
+            "text": text_large,
+            "content_bytes": pc.cast(pc.binary_length(
+                pc.cast(text_large, pa.large_binary())), pa.int64()),
         }
         return pa.table({n: cols[n] for n in names})
 
     parts = []
+    is_file = os.path.isfile(path)
     for file_re, reader, conform in (
         (_ARC_FILE_RE, read_arc, conform_container),
         (_WARC_FILE_RE, read_warc, conform_container),
         (_WET_FILE_RE, read_wet, conform_wet),
     ):
-        paths = family_paths(path, file_re)
+        if is_file:
+            # family_paths passes a FILE path through without applying
+            # the family regex (a single-format reader wants that); the
+            # mixed dispatcher must re-assert the extension rule or one
+            # file would feed ALL THREE parsers
+            paths = [path] if file_re.match(os.path.basename(path)) else []
+        else:
+            paths = family_paths(path, file_re)
         if paths:
             parts.append(reader(paths).map_batches(
                 conform, batch_format="pyarrow", zero_copy_batch=True))

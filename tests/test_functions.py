@@ -248,3 +248,16 @@ class TestNfcArrow:
 
         ch = pa.chunked_array([pa.array(["xe\u0301"]), pa.array(["ok"])])
         assert nfc_arrow(ch).to_pylist() == ["x\u00e9", "ok"]
+
+
+    def test_large_string_type_preserved(self):
+        import pyarrow as pa
+
+        from deduplicator_ray.functions.textnorm import nfc_arrow
+
+        arr = pa.array(["xe\u0301", "plain"], type=pa.large_string())
+        out = nfc_arrow(arr)
+        assert out.type == pa.large_string()
+        assert out.to_pylist() == ["x\u00e9", "plain"]
+        fast = nfc_arrow(pa.array(["ascii"], type=pa.large_string()))
+        assert fast.type == pa.large_string()

@@ -439,3 +439,38 @@ def test_mixed_container_index_equals_per_format_union(ray_session, tmp_path):
     # all three families made it in
     hosts = {u.split("/")[2] for u in mixed["url"]}
     assert hosts == {"warc.example", "arc.example", "wet.example"}
+
+
+def test_mixed_source_content_bytes_and_file_dispatch(ray_session, tmp_path):
+    """Two round-5 review fixes: (1) container rows in a mixed run must
+    carry real content_bytes (the superset schema's null text column
+    must not shadow content_length through normalize's fallback order);
+    (2) a single FILE path must dispatch to exactly ONE family parser,
+    not all three."""
+    import pyarrow.compute as pc
+
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.stages.normalize import normalize
+
+    d = _mk_mixed_dir(tmp_path)
+    cfg = PipelineConfig(mime_filter="^text/", mime_whitelist=True)
+    mixed = normalize(get_source("mixed")(d), cfg,
+                      digest_mode="md5_text").to_pandas()
+    assert mixed["content_bytes"].notna().all()
+    warc_only = normalize(get_source("warc")(d), cfg,
+                          digest_mode="md5_text").to_pandas()
+    a = (mixed[mixed["url"].str.contains("warc.example")]
+         .set_index("url")["content_bytes"])
+    b = warc_only.set_index("url")["content_bytes"]
+    assert a.sort_index().tolist() == b.sort_index().tolist()
+    assert (a > 0).all()
+    # wet rows: content_bytes = utf-8 byte length of the text
+    w = mixed[mixed["url"].str.contains("wet.example")]
+    assert (w["content_bytes"] ==
+            w["text"].str.encode("utf-8").str.len()).all()
+
+    # single-file dispatch: one .warc.gz feeds ONLY the warc parser
+    one = get_source("mixed")(str(tmp_path / "mixeddir" / "crawl-w.warc.gz"))
+    pdf = one.to_pandas()
+    assert len(pdf) == 6
+    assert pdf["url"].str.contains("warc.example").all()

@@ -126,38 +126,11 @@ def cmd_clean(ncpu: int, out: str) -> None:
                       "output_docs": rep["output_docs"]}))
 
 
-def cmd_exact(ncpu: int) -> None:
-    bench = _bench()
-    _init(ncpu)
-    import ray.data as rd
-
-    from deduplicator_ray.config import PipelineConfig, SearchStrategy
-    from deduplicator_ray.stages.exact import (match_shuffle_tagged,
-                                               report_aggregates)
-
-    cache = bench._cache_dir("captures")
-    hot = tuple(json.load(open(cache + "/_stats.json"))["hot_digests"])
-    t0 = time.time()
-    caps = rd.read_parquet(
-        cache,
-        columns=["doc_id", "rep", "url", "url_canonical", "digest",
-                 "warc_ts", "crawl", "content_bytes"],
-        override_num_blocks=4 * ncpu)
-    cfg = PipelineConfig(strategy=SearchStrategy.DIGEST_URL_PREFERRED,
-                         hot_keys=hot)
-    agg = report_aggregates(
-        match_shuffle_tagged(caps, cfg, id_cols=("doc_id", "rep")))
-    dt = time.time() - t0
-    print(json.dumps({"ncpu": ncpu, "sec": round(dt, 1),
-                      "handled": agg["handled"],
-                      "duplicates": agg["duplicates"],
-                      "caps_per_sec": round(agg["handled"] / dt)}))
-
-
-def cmd_exact_nodes(ncpu: int) -> None:
-    """cmd_exact + node telemetry: which raylets the session sees and
-    how many bytes each object-store holds afterwards — the evidence
-    that a 2-raylet run actually crossed the transfer path."""
+def cmd_exact(ncpu: int, *, telemetry: bool = False) -> None:
+    """The exact-match drill; ``telemetry=True`` (the ``exact_nodes``
+    command) adds raylet-count / pack / loadavg fields so 1- vs
+    2-raylet runs are self-evidencing — ONE recipe for both, so the
+    topologies can never silently measure different pipelines."""
     bench = _bench()
     ray = _init(ncpu)
     nodes = [n for n in ray.nodes() if n.get("Alive")]
@@ -180,14 +153,16 @@ def cmd_exact_nodes(ncpu: int) -> None:
     agg = report_aggregates(
         match_shuffle_tagged(caps, cfg, id_cols=("doc_id", "rep")))
     dt = time.time() - t0
-    print(json.dumps({
-        "ncpu": ncpu, "n_raylets": len(nodes),
-        "pack": os.environ.get("GRAFT_DIGEST_PACK", "1") != "0",
-        "sec": round(dt, 1), "handled": agg["handled"],
-        "duplicates": agg["duplicates"],
-        "caps_per_sec": round(agg["handled"] / dt),
-        "loadavg": round(os.getloadavg()[0], 1),
-    }))
+    out = {"ncpu": ncpu, "sec": round(dt, 1), "handled": agg["handled"],
+           "duplicates": agg["duplicates"],
+           "caps_per_sec": round(agg["handled"] / dt)}
+    if telemetry:
+        out.update({
+            "n_raylets": len(nodes),
+            "pack": os.environ.get("GRAFT_DIGEST_PACK", "1") != "0",
+            "loadavg": round(os.getloadavg()[0], 1),
+        })
+    print(json.dumps(out))
 
 
 def cmd_shufflebytes(ncpu: int) -> None:
@@ -260,7 +235,8 @@ def main() -> int:
     elif cmd == "exact":
         cmd_exact(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif cmd == "exact_nodes":
-        cmd_exact_nodes(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
+        cmd_exact(int(sys.argv[2]) if len(sys.argv) > 2 else 16,
+                  telemetry=True)
     elif cmd == "shufflebytes":
         cmd_shufflebytes(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif cmd == "hash":
