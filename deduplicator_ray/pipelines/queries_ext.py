@@ -606,6 +606,59 @@ def q_embed_dedup_keep(sf_dir: str):
     return embedding_dedup_keep(ds, threshold=_EMB_DUP_THRESHOLD)
 
 
+_INC_EMB_THRESHOLD = 0.42  # the synthetic embeddings are diffuse (no
+# cross pairs above cosine 0.5), so the DEMO threshold sits where the
+# operator actually matches; the API default stays 0.9
+
+
+def q_incremental_embed_dedup(sf_dir: str):
+    """Snapshot-over-snapshot SEMANTIC dedup (stages/embed.py:
+    incremental_embed_dedup): vectors with vec_id % 4 == 0 play the
+    existing corpus, the rest the new snapshot; one row per new vector
+    whose best old match reaches cosine >= {t} — (vec_id, dup_of,
+    cos_micro), best = highest cosine then smallest old id, cosine in
+    1e-6 integer units (the decontaminate_embed convention).  The
+    embedding-space complement of ``incremental_neardup``."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import incremental_embed_dedup
+
+    def side(keep_old: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b["vec_id"].to_numpy() % 4 == 0
+            return b.filter(pa.array(m if keep_old else ~m))
+        return f
+
+    read = lambda: rd.read_parquet(  # noqa: E731 - two independent scans
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    old = read().map_batches(side(True), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    new = read().map_batches(side(False), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return incremental_embed_dedup(new, old, threshold=_INC_EMB_THRESHOLD)
+
+
+_SQL_INCREMENTAL_EMBED_DEDUP = f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+o AS MATERIALIZED (SELECT * FROM emb WHERE vec_id % 4 = 0),
+n AS (SELECT * FROM emb WHERE vec_id % 4 <> 0),
+nn AS (
+  SELECT n.vec_id, o.vec_id AS dup_of,
+         list_cosine_similarity(n.v, o.v) AS c,
+         row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY list_cosine_similarity(n.v, o.v) DESC,
+                                     o.vec_id) AS rn
+  FROM n JOIN o ON true
+)
+SELECT vec_id, dup_of,
+       CAST(floor(c * 1000000 + 0.5) AS BIGINT) AS cos_micro
+FROM nn WHERE rn = 1 AND c >= {_INC_EMB_THRESHOLD} ORDER BY vec_id
+"""
+
+
 _SQL_EMB_DEDUP_KEEP = f"""
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS a, b.vec_id AS b
@@ -5704,6 +5757,8 @@ def registry_ext():
         "token_budget": (q_token_budget, _sql_token_budget()),
         "distinctive_terms": (q_distinctive_terms, _SQL_DISTINCTIVE_TERMS),
         "embed_dedup_keep": (q_embed_dedup_keep, _SQL_EMB_DEDUP_KEEP),
+        "incremental_embed_dedup": (q_incremental_embed_dedup,
+                                    _SQL_INCREMENTAL_EMBED_DEDUP),
         "unigram_logloss": (q_unigram_logloss, _SQL_UNIGRAM_LOGLOSS),
         "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
         "ngram_containment_pairs": (q_ngram_containment,

@@ -398,6 +398,117 @@ def embedding_dup_pairs_bucketed(ds, threshold: float, *, id_col: str = "vec_id"
                                 zero_copy_batch=True)
 
 
+def incremental_embed_dedup(new_ds, old_ds, *, threshold: float = 0.9,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            max_broadcast: int = 2_000_000,
+                            num_buckets: int = 32):
+    """Snapshot-over-snapshot SEMANTIC dedup: one row per NEW vector
+    whose best OLD match has cosine >= ``threshold`` ->
+    (vec_id, dup_of, cos_micro) — the embedding-space complement of
+    ``pipelines/neardup.py::incremental_neardup`` (same side contract,
+    same best-match election: highest similarity, smallest old id on
+    ties; cosine reported in 1e-6 integer units so the DuckDB mirror
+    compares exactly, the decontaminate_embed convention).
+
+    Shape: the OLD side broadcasts once via ``ray.put`` when it fits
+    ``max_broadcast`` rows (ids sorted ascending, so argmax's
+    first-occurrence rule IS the smallest-old-id tie break) and the new
+    corpus streams through one map-only matmul — no shuffle.  Beyond
+    the cap, sides are parity-tagged (old 2k / new 2k+1) and ride the
+    banded sign-random-projection machinery
+    (``embedding_dup_pairs_bucketed``) with a cross-parity filter and a
+    per-new hash-bucket argmax reduce; recall is then banding-bound
+    like every LSH path (>= 0.99 at the default tables for cosines in
+    the threshold regime, pytest-gated)."""
+    import ray
+    import ray.data as rd  # noqa: F401
+
+    from deduplicator_ray.stages.exact import hash_bucket
+
+    old_mat = old_ds.select_columns([id_col, vec_col]).materialize()
+    n_old = old_mat.count()
+    if n_old <= max_broadcast:
+        ids_l, vecs_l = [], []
+        for b in old_mat.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                ids_l.append(np.asarray(b[id_col], dtype=np.int64))
+                vecs_l.append(_normalize(_matrix(b[vec_col])))
+        if not ids_l:
+            return rd.from_arrow(pa.table({
+                id_col: pa.array([], pa.int64()),
+                "dup_of": pa.array([], pa.int64()),
+                "cos_micro": pa.array([], pa.int64())}))
+        ids = np.concatenate(ids_l)
+        order = np.argsort(ids, kind="stable")
+        ref = ray.put((ids[order], np.concatenate(vecs_l)[order]))
+
+        def f(b: pa.Table) -> pa.Table:
+            oid, on = ray.get(ref)
+            nid = np.asarray(b[id_col], dtype=np.int64)
+            if not len(nid):
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "dup_of": pa.array([], pa.int64()),
+                                 "cos_micro": pa.array([], pa.int64())})
+            cos = _normalize(_matrix(b[vec_col])) @ on.T
+            best = np.argmax(cos, axis=1)
+            bc = cos[np.arange(len(nid)), best]
+            keep = bc >= threshold
+            return pa.table({
+                id_col: pa.array(nid[keep]),
+                "dup_of": pa.array(oid[best[keep]]),
+                "cos_micro": pa.array(
+                    np.floor(bc[keep] * 1e6 + 0.5).astype(np.int64)),
+            })
+
+        return new_ds.select_columns([id_col, vec_col]).map_batches(
+            f, batch_format="pyarrow", zero_copy_batch=True)
+
+    # beyond-broadcast: parity-tag and ride the bucketed pair machinery
+    def tagger(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            k = np.asarray(b[id_col], dtype=np.int64)
+            tagged = (k.astype(np.uint64) * np.uint64(2)
+                      + np.uint64(side)).view(np.int64)
+            return b.set_column(b.column_names.index(id_col), id_col,
+                                pa.array(tagged))
+        return f
+
+    both = (old_mat.map_batches(tagger(0), batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .union(new_ds.select_columns([id_col, vec_col])
+                   .map_batches(tagger(1), batch_format="pyarrow",
+                                zero_copy_batch=True)))
+    pairs = embedding_dup_pairs_bucketed(both, threshold, id_col=id_col,
+                                         vec_col=vec_col)
+
+    def decode(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy().astype(np.int64)
+        bb = b["b"].to_numpy().astype(np.int64)
+        cross = ((a ^ bb) & 1) == 1
+        a, bb = a[cross], bb[cross]
+        cos = b["cosine"].to_numpy()[cross]
+        a_new = (a & 1) == 1
+        return pa.table({
+            id_col: pa.array(np.where(a_new, a, bb) >> 1),
+            "dup_of": pa.array(np.where(a_new, bb, a) >> 1),
+            "cosine": pa.array(cos),
+        })
+
+    decoded = pairs.map_batches(decode, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    bucketed = hash_bucket(decoded, id_col, num_buckets)
+
+    def best(g):
+        g = g.sort_values([id_col, "cosine", "dup_of"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.drop_duplicates(id_col, ignore_index=True)
+        g["cos_micro"] = np.floor(
+            g["cosine"].to_numpy(np.float64) * 1e6 + 0.5).astype(np.int64)
+        return g[[id_col, "dup_of", "cos_micro"]]
+
+    return bucketed.groupby("_part").map_groups(best, batch_format="pandas")
+
+
 def _hash_sample(ds, id_col: str, vec_col: str, n_rows: int,
                  oversample: int = 4) -> np.ndarray:
     """Uniform, deterministic, input-order-independent sample of

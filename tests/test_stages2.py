@@ -782,3 +782,49 @@ class TestIvfPq:
             have = set(got.loc[got["query_id"] == qi, "vec_id"])
             rec.append(len(want & have) / len(want))
         assert min(rec) >= 0.9, rec
+
+
+def test_incremental_embed_dedup_paths_agree(ray_session):
+    """stages/embed.py::incremental_embed_dedup — the broadcast path and
+    the beyond-cap bucketed-LSH path must produce the same
+    (vec_id, dup_of, cos_micro) table on a planted corpus, and find
+    every planted cross-snapshot semantic dup."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduplicator_ray.stages.embed import incremental_embed_dedup
+
+    rng = np.random.default_rng(7)
+    dim = 32
+    old_v = rng.normal(size=(40, dim))
+    new_v = rng.normal(size=(60, dim))
+    planted = {}
+    for i in range(10):  # new vec 3*i duplicates old vec 4*i
+        src = old_v[4 * i]
+        new_v[3 * i] = src + rng.normal(scale=0.02, size=dim)
+        planted[3 * i * 2 + 1] = 4 * i  # engine ids are raw vec_ids below
+
+    def tbl(ids, vecs):
+        return pa.table({
+            "vec_id": pa.array(np.asarray(ids, dtype=np.int64)),
+            "embedding": pa.array([v.astype(np.float32) for v in vecs],
+                                  type=pa.list_(pa.float32())),
+        })
+
+    old = rd.from_arrow(tbl(np.arange(40) * 2, old_v))       # even ids
+    new = rd.from_arrow(tbl(np.arange(60) * 2 + 1, new_v))   # odd ids
+
+    a = (incremental_embed_dedup(new, old, threshold=0.9,
+                                 max_broadcast=10_000)
+         .to_pandas().sort_values("vec_id", ignore_index=True))
+    b = (incremental_embed_dedup(new, old, threshold=0.9, max_broadcast=0)
+         .to_pandas().sort_values("vec_id", ignore_index=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a[["vec_id", "dup_of", "cos_micro"]],
+                                  b[["vec_id", "dup_of", "cos_micro"]])
+    got = dict(zip(a["vec_id"], a["dup_of"]))
+    for i in range(10):
+        assert got.get(3 * i * 2 + 1) == 4 * i * 2, (i, got)
+    assert (a["cos_micro"] >= 900_000).all()
