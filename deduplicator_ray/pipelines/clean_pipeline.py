@@ -434,18 +434,51 @@ def run(args) -> dict:
                 emb = emb.map_batches(semi, batch_format="pyarrow",
                                       zero_copy_batch=True)
             else:
-                from deduplicator_ray.stages.joins import hash_join
-                from deduplicator_ray.util import auto_partitions
+                # beyond-cap SEMI-join without Acero: pyarrow joins
+                # reject list-typed non-key columns ("list<float> is not
+                # supported in join non-key field"), so the vector rides
+                # a hash-bucket co-partition as ordinary DATA and each
+                # bucket keeps the rows whose vec_id appears on the
+                # (id-only) key side — the same shuffle shape as
+                # _drop_ids_shuffle with the polarity flipped.  This
+                # path was latent until the r256 semantic drill forced
+                # it (two stacked bugs: Ray's Schema wrapper has no
+                # .field, and the old hash_join could never carry the
+                # embedding column at all).
+                from deduplicator_ray.stages.exact import hash_bucket
+
+                def tag_sem(src: int):
+                    def f(b: pa.Table) -> pa.Table:
+                        return b.append_column(
+                            "_src",
+                            pa.array(np.full(b.num_rows, src, dtype=np.int8)))
+                    return f
 
                 keys = docs.select_columns(["doc_key"]).map_batches(
                     lambda b: pa.table({"vec_id": b["doc_key"]}),
                     batch_format="pyarrow", zero_copy_batch=True)
-                vec_t = rd.read_parquet(args.embeddings).schema().field(
-                    "embedding").type
-                emb = hash_join(emb, keys, on=("vec_id",),
-                                num_partitions=auto_partitions(),
-                                out_schema={"vec_id": pa.int64(),
-                                            "embedding": vec_t})
+                both = emb.map_batches(
+                    tag_sem(0), batch_format="pyarrow", zero_copy_batch=True
+                ).union(keys.map_batches(
+                    tag_sem(1), batch_format="pyarrow", zero_copy_batch=True))
+                both = hash_bucket(both, "vec_id", 64)
+
+                def semi_reduce(g: pa.Table) -> pa.Table:
+                    src = g["_src"].to_numpy(zero_copy_only=False)
+                    ids = g["vec_id"].to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    want = np.unique(ids[src == 1])
+                    if len(want):
+                        pos = np.minimum(np.searchsorted(want, ids),
+                                         len(want) - 1)
+                        hit = want[pos] == ids
+                    else:
+                        hit = np.zeros(len(ids), dtype=bool)
+                    out = g.filter(pa.array((src == 0) & hit))
+                    return out.drop_columns(["_src", "_part"])
+
+                emb = both.groupby("_part").map_groups(
+                    semi_reduce, batch_format="pyarrow")
 
             if sem == "semdedup":
                 judged = semdedup_keep(emb, k=args.sem_k,

@@ -367,3 +367,31 @@ def test_clean_pipeline_semantic_off_hash_compat(ray_session, tmp_path):
     assert rep1["config_hash"] == rep2["config_hash"]
     assert "semantic|" not in rep1["config_hash"]
     assert rep1["output_docs"] == rep2["output_docs"]
+
+
+def test_clean_pipeline_semantic_beyond_broadcast(ray_session, tmp_path):
+    """--max-broadcast 1 forces BOTH beyond-cap branches at once: the
+    embeddings semi-filter becomes the hash-bucket co-partition (Acero
+    joins reject list-typed payload columns, so the vector must ride a
+    plain data shuffle — the r256 drill exposed two stacked latent bugs
+    here) and the dropped-id anti-join becomes the shuffle path.  The
+    funnel must match the broadcast run exactly."""
+    _write_sem_fixture(tmp_path)
+    out = tmp_path / "clean_cap"
+    args = build_parser().parse_args([
+        "--corpus", str(tmp_path / "docs.parquet"), "--out", str(out),
+        "--no-filter", "--no-span",
+        "--semantic-dedup", "semdedup",
+        "--embeddings", str(tmp_path / "emb.parquet"),
+        "--sem-k", "2", "--sem-threshold", "0.95",
+        "--max-broadcast", "1",
+    ])
+    rep = run(args)
+    assert rep["semantic_judged"] == 11
+    assert rep["semantic_removed"] == 1
+    assert rep["after_semantic"] == 10
+    assert rep["output_docs"] == 10
+    files = [os.path.join(rep["output_dir"], f)
+             for f in os.listdir(rep["output_dir"]) if f.endswith(".parquet")]
+    keys = set(pd.concat([pq.read_table(f).to_pandas() for f in files])["doc_key"])
+    assert 7 not in keys and 3 in keys and 2 not in keys
