@@ -233,13 +233,21 @@ def _init_ray():
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=NUM_CPUS,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        addr = os.environ.get("GRAFT_RAY_ADDRESS")
+        if addr:
+            # JOIN a started cluster (cluster/nodes_scaling.sh: the
+            # N-raylet vs 4N-raylet node-scaling legs) — the cluster
+            # owns cpu counts and per-node object stores
+            ray.init(address=addr, include_dashboard=False,
+                     ignore_reinit_error=True, logging_level="ERROR")
+        else:
+            ray.init(
+                address="local",
+                num_cpus=NUM_CPUS,
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
