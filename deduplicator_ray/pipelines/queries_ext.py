@@ -1978,6 +1978,155 @@ SELECT 'https://wet.example/d/' || doc_id AS url,
 FROM documents WHERE doc_id < {_WARC_N_DOCS}
 """
 
+
+def q_mixed_roundtrip(sf_dir: str):
+    """Synthesize ONE directory holding an ARC v2, a WARC and a WET file
+    (documents partitioned across the three container families by
+    ``doc_id % 3``), read it back through the ``mixed`` source registry
+    entry (sources/__init__.py `_mixed_source`) in a single pass, and
+    emit the unified superset-schema rows — proving the per-file family
+    dispatch, the container/WET conform rules (null ``text`` +
+    ``content_bytes=content_length`` for container rows; synthesized
+    status/mime/md5-of-text digest + utf-8 byte count for WET rows) and
+    the three-way union, end to end.  The oracle recomputes every
+    expected row per family directly from ``documents`` (the WARC/ARC
+    HTTP envelope is 56 bytes + len(doc_id) before the body, see
+    `_SQL_ARC_ROUNDTRIP`).  Non-http records in the ARC and WARC files
+    prove the url filters fire inside a mixed run too."""
+    import datetime as _dt
+    import hashlib as _hl
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.sources import get_source
+    from deduplicator_ray.sources.arc import write_arc
+    from deduplicator_ray.sources.warc import write_warc
+    from deduplicator_ray.sources.wet import write_wet
+
+    docs = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+    )
+    docs = docs[docs["doc_id"] < _WARC_N_DOCS].sort_values("doc_id")
+
+    def iso(doc_id: int) -> str:
+        return _dt.datetime.fromtimestamp(
+            _WARC_EPOCH0 + doc_id, _dt.timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    arc_recs, warc_recs, wet_recs = [], [], []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        doc_id = int(doc_id)
+        body = text.encode("utf-8")
+        fam = doc_id % 3
+        if fam == 0:
+            arc_recs.append({
+                "url": f"https://mixed.example/arc/{doc_id}",
+                "date14": _dt.datetime.fromtimestamp(
+                    _WARC_EPOCH0 + doc_id, _dt.timezone.utc
+                ).strftime("%Y%m%d%H%M%S"),
+                "mime": "text/html",
+                "status": 200,
+                "checksum": _hl.md5(body).hexdigest(),
+                "payload": (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    + b'ETag: W/"%d"\r\n\r\n' % doc_id
+                    + body
+                ),
+            })
+        elif fam == 1:
+            warc_recs.append({
+                "type": "response",
+                "url": f"https://mixed.example/warc/{doc_id}",
+                "date": iso(doc_id),
+                "digest": "md5:" + _hl.md5(body).hexdigest(),
+                "record_id": f"<urn:uuid:{doc_id}>",
+                "http_status": 200,
+                "mime": "text/html",
+                "etag": f'W/"{doc_id}"',
+                "payload": body,
+            })
+        else:
+            wet_recs.append({"url": f"https://mixed.example/wet/{doc_id}",
+                             "date": iso(doc_id), "text": text})
+    # per-family filter provers: skipped inside the mixed dispatch too
+    arc_recs.append({"url": "dns:mixed.example", "date14": "20231114221320",
+                     "payload": b"x"})
+    warc_recs.append({"type": "metadata", "url": "https://mixed.example/meta",
+                      "date": "2023-11-14T22:13:20Z", "payload": b"x"})
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/graft_mixed/{tag}"
+    _os.makedirs(out_dir, exist_ok=True)
+    write_arc(f"{out_dir}/part-arc.arc.gz", arc_recs)
+    write_warc(f"{out_dir}/part-warc.warc.gz", warc_recs)
+    write_wet(f"{out_dir}/part-wet.warc.wet.gz", wet_recs)
+
+    ds = get_source("mixed")(out_dir)
+
+    def project(b: pa.Table) -> pa.Table:
+        epoch = pc.divide(
+            pc.cast(b["warc_ts"].cast(pa.timestamp("us")), pa.int64()),
+            1_000_000)
+        return pa.table({
+            "url": b["url"],
+            "ts_epoch": epoch,
+            "status": pc.cast(b["status"], pa.int64()),
+            "mime": b["mime"],
+            "digest": b["digest"],
+            "etag": b["etag"],
+            "content_bytes": pc.cast(b["content_bytes"], pa.int64()),
+            "text": pc.cast(b["text"], pa.string()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# One SELECT per container family over the same documents partition the
+# pipeline wrote, unioned — the mixed source's conform rules verbatim:
+# container rows carry NULL text and the HTTP-envelope byte count
+# (56 + len(doc_id) header bytes + body, see _SQL_ARC_ROUNDTRIP); WET
+# rows carry the text, a synthesized 200/text-plain envelope, the
+# md5-of-text digest and the utf-8 byte count.
+_SQL_MIXED_ROUNDTRIP = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {_WARC_N_DOCS}
+)
+SELECT 'https://mixed.example/arc/' || doc_id AS url,
+       CAST({_WARC_EPOCH0} + doc_id AS BIGINT) AS ts_epoch,
+       CAST(200 AS BIGINT) AS status,
+       'text/html' AS mime,
+       md5(text) AS digest,
+       'W/"' || doc_id || '"' AS etag,
+       CAST(56 + length(doc_id::VARCHAR) + octet_length(encode(text))
+            AS BIGINT) AS content_bytes,
+       CAST(NULL AS VARCHAR) AS text
+FROM d WHERE doc_id % 3 = 0
+UNION ALL
+SELECT 'https://mixed.example/warc/' || doc_id,
+       CAST({_WARC_EPOCH0} + doc_id AS BIGINT),
+       CAST(200 AS BIGINT),
+       'text/html',
+       'md5:' || md5(text),
+       'W/"' || doc_id || '"',
+       CAST(56 + length(doc_id::VARCHAR) + octet_length(encode(text))
+            AS BIGINT),
+       CAST(NULL AS VARCHAR)
+FROM d WHERE doc_id % 3 = 1
+UNION ALL
+SELECT 'https://mixed.example/wet/' || doc_id,
+       CAST({_WARC_EPOCH0} + doc_id AS BIGINT),
+       CAST(200 AS BIGINT),
+       'text/plain',
+       md5(text),
+       CAST(NULL AS VARCHAR),
+       CAST(octet_length(encode(text)) AS BIGINT),
+       text
+FROM d WHERE doc_id % 3 = 2
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5689,6 +5838,7 @@ def registry_ext():
         "warc_roundtrip": (q_warc_roundtrip, _SQL_WARC_ROUNDTRIP),
         "arc_roundtrip": (q_arc_roundtrip, _SQL_ARC_ROUNDTRIP),
         "wet_roundtrip": (q_wet_roundtrip, _SQL_WET_ROUNDTRIP),
+        "mixed_roundtrip": (q_mixed_roundtrip, _SQL_MIXED_ROUNDTRIP),
         "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
         "embed_topk_ivf": (q_embed_topk_ivf, _SQL_EMB_TOPK),

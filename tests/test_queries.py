@@ -15,6 +15,7 @@ SQL_CHECKED = [
     "neardup_clusters",
     "dup_rate_by_length",
     "wet_roundtrip",
+    "mixed_roundtrip",
     "freq_spectrum",
     "events_sessions",
     "orders_asof",
