@@ -2127,6 +2127,180 @@ SELECT 'https://mixed.example/wet/' || doc_id,
 FROM d WHERE doc_id % 3 = 2
 """
 
+
+def q_crawl_log_roundtrip(sf_dir: str):
+    """Synthesize a deterministic Heritrix ``crawl.log`` from the
+    documents table (response lines + revisit lines carrying the
+    ``Revisit:IdenticalPayloadDigest`` annotation and the JSON
+    extra-info block), read it back through the crawl-log source
+    (sources/crawl_log.py — CrawlLogIterator.java:146-228 semantics:
+    13-field whitespace split, status>0 filter, 17-digit+duration
+    timestamp, revisit regex, RevisitRefersToURI/Date/Profile JSON) and
+    emit the parsed rows.  Malformed-line provers (short line, status 0,
+    bad timestamp, <10 fields) are dropped by the parser exactly like
+    the reference's skipped counter.  The oracle recomputes every
+    surviving row directly from ``documents``."""
+    import datetime as _dt
+    import hashlib as _hl
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.sources.crawl_log import read_crawl_log
+
+    docs = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+    )
+    docs = docs[docs["doc_id"] < _WARC_N_DOCS].sort_values("doc_id")
+    lines = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        doc_id = int(doc_id)
+        body = text.encode("utf-8")
+        fetch17 = _dt.datetime.fromtimestamp(
+            _WARC_EPOCH0 + doc_id, _dt.timezone.utc
+        ).strftime("%Y%m%d%H%M%S") + "177"
+        url = f"https://log.example/d/{doc_id}"
+        digest = "sha1:" + _hl.md5(body).hexdigest()
+        dur = doc_id % 400
+        base = (f"2023-11-14T22:13:20.000Z 200 {len(body)} {url} L "
+                f"https://log.example/ text/html #042 {fetch17}+{dur} "
+                f"{digest} -")
+        if doc_id % 5 == 0 and doc_id > 0:
+            refers_iso = _dt.datetime.fromtimestamp(
+                _WARC_EPOCH0 + doc_id - 1000, _dt.timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ")
+            extra = _json.dumps({
+                "RevisitProfile": "IdenticalPayloadDigest",
+                "RevisitRefersToURI": url,
+                "RevisitRefersToDate": refers_iso,
+            }, separators=(",", ":"))
+            lines.append(f"{base} duplicate:Revisit:IdenticalPayloadDigest {extra}")
+        else:
+            lines.append(f"{base} content-size:{len(body)}")
+    # malformed provers, each a distinct parser drop rule
+    lines.append("too-short")                                        # <=42 chars
+    lines.append("2023-11-14T22:13:20.000Z 0 1 https://log.example/zero "
+                 "L - text/html #001 20231114221320000+1 sha1:x - -")  # status<=0
+    lines.append("2023-11-14T22:13:20.000Z 200 1 https://log.example/badts "
+                 "L - text/html #001 NOT_A_TIMESTAMP sha1:x - -")     # bad ts
+    lines.append("2023-11-14T22:13:20.000Z 200 1 https://log.example/short "
+                 "L - text/html #001 x")                              # <10 fields
+
+    out_dir = "/tmp/graft_crawl_log"
+    _os.makedirs(out_dir, exist_ok=True)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{out_dir}/roundtrip_{tag}.crawl.log"
+    tmp = f"{path}.tmp.{_os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    _os.replace(tmp, path)
+
+    ds = read_crawl_log(path)
+
+    def project(b: pa.Table) -> pa.Table:
+        def epoch(col):
+            return pc.divide(
+                pc.cast(b[col].cast(pa.timestamp("us")), pa.int64()),
+                1_000_000)
+
+        return pa.table({
+            "url": b["url"],
+            "ts_epoch": epoch("warc_ts"),
+            "status": pc.cast(b["status"], pa.int64()),
+            "mime": b["mime"],
+            "digest": b["digest"],
+            "is_revisit": b["is_revisit"],
+            "original_url": b["original_url"],
+            "original_epoch": epoch("original_ts"),
+            "revisit_profile": b["revisit_profile"],
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+_SQL_CRAWL_LOG_ROUNDTRIP = f"""
+SELECT 'https://log.example/d/' || doc_id AS url,
+       CAST({_WARC_EPOCH0} + doc_id AS BIGINT) AS ts_epoch,
+       CAST(200 AS BIGINT) AS status,
+       'text/html' AS mime,
+       'sha1:' || md5(text) AS digest,
+       doc_id % 5 = 0 AND doc_id > 0 AS is_revisit,
+       CASE WHEN doc_id % 5 = 0 AND doc_id > 0
+            THEN 'https://log.example/d/' || doc_id END AS original_url,
+       CASE WHEN doc_id % 5 = 0 AND doc_id > 0
+            THEN CAST({_WARC_EPOCH0} + doc_id - 1000 AS BIGINT)
+            END AS original_epoch,
+       CASE WHEN doc_id % 5 = 0 AND doc_id > 0
+            THEN 'IdenticalPayloadDigest' END AS revisit_profile
+FROM documents WHERE doc_id < {_WARC_N_DOCS}
+"""
+
+
+def q_frame_plan(sf_dir: str):
+    """Video frame-sampling plumbing with a REAL recomputation oracle:
+    give every document a data-dependent fake video duration
+    (200 + utf-8-byte-length mod 9800 ms), run the actual
+    ``sample_frames`` actor stage (stages/multimodal.py) at fps=2, and
+    explode the per-row frame-timestamp plan to (doc_id, duration_ms,
+    frame_ts_ms) rows — the exact frames a real decoder would be asked
+    to extract.  The oracle mirrors the plan arithmetic with DuckDB's
+    stepped ``range`` unnest (timestamps 0..duration step 500,
+    exclusive), so the whole list-typed plan is value-checked, not
+    pinned."""
+    import numpy as np
+    import ray.data as rd
+
+    from deduplicator_ray.stages.multimodal import sample_frames
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.filter(expr=f"doc_id < {_WARC_N_DOCS}")
+
+    def prep(b: pa.Table) -> pa.Table:
+        nbytes = pc.binary_length(
+            pc.cast(pc.cast(b["text"], pa.large_string()), pa.large_binary())
+        ).to_numpy(zero_copy_only=False)
+        dur = (200 + nbytes % 9800).astype(np.int32)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "duration_ms": pa.array(dur),
+        })
+
+    plan = sample_frames(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        fps=2.0,
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        lists = b["frame_ts_ms"]
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        idx = pc.list_parent_indices(lists)
+        return pa.table({
+            "doc_id": pc.take(b["doc_id"], idx),
+            "duration_ms": pc.cast(pc.take(b["duration_ms"], idx), pa.int64()),
+            "frame_ts_ms": pc.cast(pc.list_flatten(lists), pa.int64()),
+        })
+
+    return plan.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+_SQL_FRAME_PLAN = f"""
+WITH d AS (
+  SELECT doc_id,
+         200 + (octet_length(encode(text)) % 9800) AS duration_ms
+  FROM documents WHERE doc_id < {_WARC_N_DOCS}
+)
+SELECT doc_id,
+       CAST(duration_ms AS BIGINT) AS duration_ms,
+       CAST(t.ts AS BIGINT) AS frame_ts_ms
+FROM d, unnest(range(0, duration_ms, 500)) AS t(ts)
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5839,6 +6013,8 @@ def registry_ext():
         "arc_roundtrip": (q_arc_roundtrip, _SQL_ARC_ROUNDTRIP),
         "wet_roundtrip": (q_wet_roundtrip, _SQL_WET_ROUNDTRIP),
         "mixed_roundtrip": (q_mixed_roundtrip, _SQL_MIXED_ROUNDTRIP),
+        "crawl_log_roundtrip": (q_crawl_log_roundtrip, _SQL_CRAWL_LOG_ROUNDTRIP),
+        "frame_plan": (q_frame_plan, _SQL_FRAME_PLAN),
         "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
         "embed_topk_ivf": (q_embed_topk_ivf, _SQL_EMB_TOPK),

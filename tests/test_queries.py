@@ -16,6 +16,8 @@ SQL_CHECKED = [
     "dup_rate_by_length",
     "wet_roundtrip",
     "mixed_roundtrip",
+    "crawl_log_roundtrip",
+    "frame_plan",
     "freq_spectrum",
     "events_sessions",
     "orders_asof",
