@@ -2301,6 +2301,75 @@ SELECT doc_id,
 FROM d, unnest(range(0, duration_ms, 500)) AS t(ts)
 """
 
+
+def q_resize_plan(sf_dir: str):
+    """Image resize planning with a REAL recomputation oracle: give
+    every document data-dependent fake image dimensions (spanning both
+    the no-op regime long-side <= 256 and the downscale regime), run the
+    actual ``resize_plan`` stage (stages/multimodal.py — aspect-ratio
+    preserving, long side clamped to max_side, numpy banker's rounding)
+    and emit the planned target dimensions.  The oracle mirrors the
+    arithmetic exactly in DuckDB doubles — ``round_even`` IS numpy's
+    half-to-even rule, and both engines evaluate the same IEEE-double
+    ``w * (256 / long_side)`` product — so the plan is value-checked."""
+    import numpy as np
+    import ray.data as rd
+
+    from deduplicator_ray.stages.multimodal import resize_plan
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.filter(expr=f"doc_id < {_WARC_N_DOCS}")
+
+    def prep(b: pa.Table) -> pa.Table:
+        nbytes = pc.binary_length(
+            pc.cast(pc.cast(b["text"], pa.large_string()), pa.large_binary())
+        ).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "width": pa.array((16 + nbytes * 13 % 4000).astype(np.int32)),
+            "height": pa.array((16 + nbytes * 7 % 3000).astype(np.int32)),
+        })
+
+    plan = resize_plan(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        max_side=256,
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "width": pc.cast(b["width"], pa.int64()),
+            "height": pc.cast(b["height"], pa.int64()),
+            "target_width": pc.cast(b["target_width"], pa.int64()),
+            "target_height": pc.cast(b["target_height"], pa.int64()),
+        })
+
+    return plan.map_batches(project, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+_SQL_RESIZE_PLAN = f"""
+WITH d AS (
+  SELECT doc_id,
+         16 + (octet_length(encode(text)) * 13) % 4000 AS width,
+         16 + (octet_length(encode(text)) * 7) % 3000 AS height
+  FROM documents WHERE doc_id < {_WARC_N_DOCS}
+), s AS (
+  SELECT doc_id, width, height,
+         LEAST(1.0, 256.0 / GREATEST(1, GREATEST(width, height))) AS scale
+  FROM d
+)
+SELECT doc_id,
+       CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       CAST(GREATEST(1, round_even(width * scale, 0)) AS BIGINT)
+           AS target_width,
+       CAST(GREATEST(1, round_even(height * scale, 0)) AS BIGINT)
+           AS target_height
+FROM s
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6015,6 +6084,7 @@ def registry_ext():
         "mixed_roundtrip": (q_mixed_roundtrip, _SQL_MIXED_ROUNDTRIP),
         "crawl_log_roundtrip": (q_crawl_log_roundtrip, _SQL_CRAWL_LOG_ROUNDTRIP),
         "frame_plan": (q_frame_plan, _SQL_FRAME_PLAN),
+        "resize_plan": (q_resize_plan, _SQL_RESIZE_PLAN),
         "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
         "embed_topk_ivf": (q_embed_topk_ivf, _SQL_EMB_TOPK),

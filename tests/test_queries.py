@@ -18,6 +18,7 @@ SQL_CHECKED = [
     "mixed_roundtrip",
     "crawl_log_roundtrip",
     "frame_plan",
+    "resize_plan",
     "freq_spectrum",
     "events_sessions",
     "orders_asof",
