@@ -2370,6 +2370,73 @@ SELECT doc_id,
 FROM s
 """
 
+
+def q_simhash_md5_sigs(sf_dir: str):
+    """SimHash signatures with the WHOLE vote kernel independently
+    recomputed in SQL: the ``token_hash="md5"`` variant of the SimHash
+    stage (stages/simhash.py) hashes each token to DuckDB's
+    ``md5_number_lower`` (little-endian int of md5 digest bytes 8..16)
+    over the RE2-whitespace tokenization, so the oracle rebuilds every
+    64-bit signature from scratch — per-bit majority votes across all
+    token occurrences, tie -> 0, empty doc -> 0 — with no pinned
+    values.  This graduates the simhash KERNEL semantics (tokenize ->
+    per-token 64-bit hash -> bit votes -> sign pack) to a real
+    recomputation; the production siphash path (`simhash_dups`) shares
+    everything but the hash function."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.simhash import simhash_signatures
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.filter(expr=f"doc_id < {_WARC_N_DOCS}")
+    sigs = simhash_signatures(ds, token_hash="md5")
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "simhash": pc.cast(b["simhash"], pa.int64()),
+        })
+
+    return sigs.map_batches(project, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+# Full from-scratch SimHash recomputation: tokenize on the same RE2 \s
+# class the stage uses, hash every token occurrence with
+# md5_number_lower, majority-vote each of the 64 bit positions
+# (2*ones > n; ties 0), pack to a signed 64-bit int (two's complement
+# via HUGEINT), empty/whitespace-only docs -> 0 through the LEFT JOIN.
+_SQL_SIMHASH_MD5_SIGS = f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS t
+  FROM documents WHERE doc_id < {_WARC_N_DOCS}
+), tok AS (
+  SELECT doc_id, tk
+  FROM d, unnest(string_split_regex(t, '[ \t\n\r\f]+')) AS u(tk)
+  WHERE tk <> ''
+), th AS (
+  SELECT doc_id, md5_number_lower(tk) AS h FROM tok
+), votes AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+         COUNT(*) AS n
+  FROM th, generate_series(0, 63) AS g(i)
+  GROUP BY doc_id, i
+), bits AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 2 * ones > n THEN CAST(1 AS HUGEINT) << i
+                  ELSE CAST(0 AS HUGEINT) END) AS s
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN b.s IS NULL THEN 0
+                 WHEN b.s >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN b.s - CAST('18446744073709551616' AS HUGEINT)
+                 ELSE b.s END AS BIGINT) AS simhash
+FROM d LEFT JOIN bits b USING (doc_id)
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6085,6 +6152,7 @@ def registry_ext():
         "crawl_log_roundtrip": (q_crawl_log_roundtrip, _SQL_CRAWL_LOG_ROUNDTRIP),
         "frame_plan": (q_frame_plan, _SQL_FRAME_PLAN),
         "resize_plan": (q_resize_plan, _SQL_RESIZE_PLAN),
+        "simhash_md5_sigs": (q_simhash_md5_sigs, _SQL_SIMHASH_MD5_SIGS),
         "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
         "embed_topk_ivf": (q_embed_topk_ivf, _SQL_EMB_TOPK),

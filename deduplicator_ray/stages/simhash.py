@@ -14,6 +14,8 @@ Verification computes the exact Hamming distance (vectorized popcount).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 
@@ -36,12 +38,44 @@ def _token_hashes64(text: str) -> np.ndarray:
     return pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
 
 
-def _batch_simhash(texts: list[str | None]) -> np.ndarray:
+# exact RE2 \s character class — the md5 token-hash variant tokenizes
+# with THIS so a DuckDB oracle (string_split_regex on the same class)
+# reproduces the token stream byte-for-byte; Python str.split() would
+# additionally split on unicode whitespace the SQL regex can't see
+_SQL_WS_RE = re.compile(r"[ \t\n\r\f]+")
+
+
+def _md5_lower64(flat: np.ndarray) -> np.ndarray:
+    """Per-token 64-bit hash = little-endian int of md5 digest bytes
+    8..16 — exactly DuckDB's ``md5_number_lower``, making the whole
+    SimHash vote kernel SQL-recomputable.  Python-loops over tokens by
+    construction (hashlib has no batch API); it exists as the
+    correctness bridge for the oracle row — the production default
+    stays the vectorized pandas siphash path."""
+    import hashlib
+
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[8:], "little")
+         for w in flat),
+        dtype=np.uint64, count=len(flat))
+
+
+def _batch_simhash(texts: list[str | None], *, token_hash: str = "pandas") -> np.ndarray:
     """Whole-batch SimHash: one token-hash pass over the concatenated
-    token array, per-doc bit votes via ``np.add.reduceat``."""
+    token array, per-doc bit votes via ``np.add.reduceat``.
+
+    ``token_hash="pandas"`` (default): siphash via pandas, unicode
+    whitespace tokenization — the fast production path.
+    ``token_hash="md5"``: DuckDB-mirrorable md5_number_lower hashes over
+    the RE2 ``\\s`` tokenization — the independently-recomputable path
+    (see `_md5_lower64`)."""
     import pandas as pd
 
-    toks_per = [(t or "").lower().split() for t in texts]
+    if token_hash == "md5":
+        toks_per = [[w for w in _SQL_WS_RE.split((t or "").lower()) if w]
+                    for t in texts]
+    else:
+        toks_per = [(t or "").lower().split() for t in texts]
     lens = np.fromiter((len(w) for w in toks_per), dtype=np.int64, count=len(toks_per))
     sigs = np.zeros(len(texts), dtype=np.uint64)
     total = int(lens.sum())
@@ -52,7 +86,10 @@ def _batch_simhash(texts: list[str | None]) -> np.ndarray:
     for w in toks_per:
         flat[pos : pos + len(w)] = w
         pos += len(w)
-    h = pd.util.hash_array(flat).astype(np.uint64)
+    if token_hash == "md5":
+        h = _md5_lower64(flat)
+    else:
+        h = pd.util.hash_array(flat).astype(np.uint64)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )  # (T, 64)
@@ -77,12 +114,13 @@ class SimHasher:
     """Actor-pool stage: adds ``simhash`` (int64 bit-cast) and the banded
     binary signature column reused by the LSH candidate machinery."""
 
-    def __init__(self, text_col: str = "text"):
+    def __init__(self, text_col: str = "text", token_hash: str = "pandas"):
         self.text_col = text_col
+        self.token_hash = token_hash
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        sigs = _batch_simhash(texts)
+        sigs = _batch_simhash(texts, token_hash=self.token_hash)
         # 4 x 16-bit chunks widened to uint32, little-endian — the layout
         # lsh._sig_matrix / band_explode expect
         chunks = np.empty((len(texts), 4), dtype=np.uint32)
@@ -96,14 +134,14 @@ class SimHasher:
         return out.append_column("minhash_sig", sig_arr)
 
 
-def simhash_signatures(ds, *, text_col: str = "text",
+def simhash_signatures(ds, *, text_col: str = "text", token_hash: str = "pandas",
                        concurrency: int | tuple[int, int] | None = None, batch_size: int = 1024):
     from deduplicator_ray.util import auto_concurrency
 
     concurrency = concurrency or auto_concurrency()
     return ds.map_batches(
         SimHasher,
-        fn_constructor_args=(text_col,),
+        fn_constructor_args=(text_col, token_hash),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

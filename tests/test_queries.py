@@ -19,6 +19,7 @@ SQL_CHECKED = [
     "crawl_log_roundtrip",
     "frame_plan",
     "resize_plan",
+    "simhash_md5_sigs",
     "freq_spectrum",
     "events_sessions",
     "orders_asof",
