@@ -2437,6 +2437,78 @@ SELECT d.doc_id,
 FROM d LEFT JOIN bits b USING (doc_id)
 """
 
+_SIMHASH_MD5_PAIRS_N = 1000
+
+
+def q_simhash_md5_dups(sf_dir: str):
+    """SimHash near-dup PAIRS checked against brute force: the banded
+    candidate machinery (4 x 16-bit pigeonhole chunks -> hash-bucket
+    shuffle -> vectorized pair generation -> exact popcount verify,
+    stages/simhash.py + stages/lsh.py) over md5-hashed signatures, with
+    ``overflow="error"`` so any silently-lossy star degradation would
+    fail loudly instead of shipping an incomplete pair set.  The oracle
+    recomputes every signature from scratch (see `_SQL_SIMHASH_MD5_SIGS`)
+    and finds ALL pairs at hamming <= 3 by an all-pairs
+    ``bit_count(xor(...))`` join — so both the LSH completeness claim
+    (pigeonhole: any pair within radius 3 shares a chunk) and the
+    verify kernel are value-checked with no pinned output."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.simhash import simhash_pairs, simhash_signatures
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.filter(expr=f"doc_id < {_SIMHASH_MD5_PAIRS_N}")
+    sigs = simhash_signatures(ds, token_hash="md5")
+    pairs = simhash_pairs(sigs, key_col="doc_id", max_hamming=3,
+                          overflow="error")
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pc.cast(b["a"], pa.int64()),
+            "b": pc.cast(b["b"], pa.int64()),
+            "hamming": pc.cast(b["hamming"], pa.int64()),
+        })
+
+    return pairs.map_batches(project, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+_SQL_SIMHASH_MD5_DUPS = f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS t
+  FROM documents WHERE doc_id < {_SIMHASH_MD5_PAIRS_N}
+), tok AS (
+  SELECT doc_id, tk
+  FROM d, unnest(string_split_regex(t, '[ \t\n\r\f]+')) AS u(tk)
+  WHERE tk <> ''
+), th AS (
+  SELECT doc_id, md5_number_lower(tk) AS h FROM tok
+), votes AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+         COUNT(*) AS n
+  FROM th, generate_series(0, 63) AS g(i)
+  GROUP BY doc_id, i
+), bits AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 2 * ones > n THEN CAST(1 AS HUGEINT) << i
+                  ELSE CAST(0 AS HUGEINT) END) AS s
+  FROM votes GROUP BY doc_id
+), sig AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN b.s IS NULL THEN 0
+                   WHEN b.s >= CAST('9223372036854775808' AS HUGEINT)
+                   THEN b.s - CAST('18446744073709551616' AS HUGEINT)
+                   ELSE b.s END AS BIGINT) AS simhash
+  FROM d LEFT JOIN bits b USING (doc_id)
+)
+SELECT s1.doc_id AS a, s2.doc_id AS b,
+       CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
+FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6153,6 +6225,7 @@ def registry_ext():
         "frame_plan": (q_frame_plan, _SQL_FRAME_PLAN),
         "resize_plan": (q_resize_plan, _SQL_RESIZE_PLAN),
         "simhash_md5_sigs": (q_simhash_md5_sigs, _SQL_SIMHASH_MD5_SIGS),
+        "simhash_md5_dups": (q_simhash_md5_dups, _SQL_SIMHASH_MD5_DUPS),
         "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
         "embed_topk_ivf": (q_embed_topk_ivf, _SQL_EMB_TOPK),

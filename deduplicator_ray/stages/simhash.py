@@ -161,17 +161,22 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def simhash_pairs(ds, *, key_col: str = "doc_key", max_hamming: int = 3,
-                  num_partitions: int = 8):
+                  num_partitions: int = 8, overflow: str = "star"):
     """Signature dataset (from simhash_signatures) -> distinct pairs
     (a, b, hamming) with Hamming distance <= max_hamming.
 
     Banding guarantee: complete for max_hamming <= 3 (4 bands); larger
-    radii may miss pairs that differ in all four chunks."""
+    radii may miss pairs that differ in all four chunks.  ``overflow``
+    is passed through to ``candidate_pairs``: "star" (default) degrades
+    mega chunk-buckets to connectivity-preserving stars; "error" raises
+    instead, for callers that need pair-level completeness (e.g. the
+    brute-force-checked oracle row)."""
     from deduplicator_ray.stages.lsh import attach_signatures
 
     sigs = ds.select_columns([key_col, "minhash_sig"]).materialize()
     bands = band_explode(sigs, SIMHASH_BAND_CFG, key_col=key_col)
-    pairs = candidate_pairs(bands, SIMHASH_BAND_CFG, key_col=key_col, num_partitions=num_partitions)
+    pairs = candidate_pairs(bands, SIMHASH_BAND_CFG, key_col=key_col,
+                            num_partitions=num_partitions, overflow=overflow)
     withsigs = attach_signatures(pairs, sigs, key_col=key_col, num_partitions=num_partitions)
 
     def verify(b: pa.Table) -> pa.Table:

@@ -20,6 +20,7 @@ SQL_CHECKED = [
     "frame_plan",
     "resize_plan",
     "simhash_md5_sigs",
+    "simhash_md5_dups",
     "freq_spectrum",
     "events_sessions",
     "orders_asof",
