@@ -2440,6 +2440,116 @@ FROM d LEFT JOIN bits b USING (doc_id)
 _SIMHASH_MD5_PAIRS_N = 1000
 
 
+def q_minhash_md5_sigs(sf_dir: str):
+    """MinHash signatures with the WHOLE pipeline independently
+    recomputed in SQL: the ``word_hash="md5"`` variant of the MinHash
+    stage (stages/minhash.py MinHasher) — ASCII ``\\w`` tokenization,
+    md5_number_lower word hashes, the position-sensitive multiply-xor
+    k-shingle combine mod 2^64, reduction mod the Mersenne prime
+    2^31-1, distinct shingles, and the seeded affine permutation mins
+    ((a*h+b) mod P per perm, empty doc -> P) — exploded to
+    (doc_id, perm, sig) rows.  The oracle rebuilds every signature from
+    the raw text: tokens via the same RE2 class, the rolling combine
+    via lead() windows with UHUGEINT modular products, and the 16
+    (a, b) permutation constants inlined as the operator's published
+    config literals (np.default_rng(seed=42), exactly `_perm_tables`).
+    This graduates the MinHash KERNEL semantics — the production
+    siphash path (`neardup_clusters_minhash` et al.) shares everything
+    but the word hash."""
+    import numpy as np
+    import ray.data as rd
+
+    from deduplicator_ray.config import MinHashConfig
+    from deduplicator_ray.stages.minhash import _blob_matrix, signatures
+
+    cfg = MinHashConfig(shingle_words=3, num_perms=16, bands=4,
+                        rows_per_band=4)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.filter(expr=f"doc_id < {_WARC_N_DOCS}")
+    sigs = signatures(ds, cfg, word_hash="md5")
+
+    def explode(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        m8 = _blob_matrix(b["minhash_sig"], 4 * cfg.num_perms)  # (n, 4P) u8
+        m = np.ascontiguousarray(m8).view("<u4").reshape(n, cfg.num_perms)
+        doc = np.repeat(np.asarray(b["doc_id"], dtype=np.int64),
+                        cfg.num_perms)
+        perm = np.tile(np.arange(cfg.num_perms, dtype=np.int64), n)
+        return pa.table({
+            "doc_id": pa.array(doc),
+            "perm": pa.array(perm),
+            "sig": pa.array(m.reshape(-1).astype(np.int64)),
+        })
+
+    return sigs.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+# The 16 (perm, a, b) constants below ARE the operator's config: the
+# affine coefficients `_perm_tables(MinHashConfig(seed=42))` publishes
+# for num_perms=16 — config literals like the epoch/coef constants
+# above, not pinned output.  2^64 modulus via UHUGEINT keeps the
+# multiply-xor combine's wraparound arithmetic exact.
+_MINHASH_MD5_PERMS = (
+    "(0, 191664964, 1102145672), (1, 1662057957, 275121930), "
+    "(2, 1405681632, 1803345590), (3, 942484272, 967196436), "
+    "(4, 929893138, 1074497555), (5, 1843824992, 796282693), "
+    "(6, 184566855, 392022359), (7, 1497586438, 1990212658), "
+    "(8, 432652534, 1678403330), (9, 202244315, 1382689815), "
+    "(10, 1130604997, 864178266), (11, 2095133045, 1766867109), "
+    "(12, 1580016184, 1171300112), (13, 1634535062, 952224740), "
+    "(14, 1540770719, 967354524), (15, 1688060240, 487991438)"
+)
+
+_MM64 = "CAST('18446744073709551616' AS UHUGEINT)"
+
+
+def _sql_mulmod64(col: str, coef: int) -> str:
+    return (f"CAST((CAST({col} AS UHUGEINT) * CAST({coef} AS UHUGEINT))"
+            f" % {_MM64} AS UBIGINT)")
+
+
+_SQL_MINHASH_MD5_SIGS = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS toks
+  FROM documents WHERE doc_id < {_WARC_N_DOCS}
+), t AS (
+  SELECT doc_id, len(toks) AS n, unnest(toks) AS w,
+         unnest(range(1, len(toks)+1)) AS pos
+  FROM d
+), wh AS (
+  SELECT doc_id, n, pos, md5_number_lower(w) AS h0,
+         lead(md5_number_lower(w), 1)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+         lead(md5_number_lower(w), 2)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+  FROM t
+), sh AS (
+  SELECT DISTINCT doc_id,
+     (xor(xor({_sql_mulmod64('h0', 0x9E3779B97F4A7C15)},
+              CASE WHEN h1 IS NULL THEN 0
+                   ELSE {_sql_mulmod64('h1', 0xC2B2AE3D27D4EB4F)} END),
+              CASE WHEN h2 IS NULL THEN 0
+                   ELSE {_sql_mulmod64('h2', 0x165667B19E3779F9)} END)
+     ) % 2147483647 AS hp
+  FROM wh
+  WHERE (n >= 3 AND pos <= n - 2) OR (n < 3 AND pos = 1)
+), perms AS (
+  SELECT * FROM (VALUES {_MINHASH_MD5_PERMS}) AS p(perm, a, b)
+), mins AS (
+  SELECT s.doc_id, p.perm,
+         MIN((p.a * CAST(s.hp AS BIGINT) + p.b) % 2147483647) AS sig
+  FROM sh s CROSS JOIN perms p GROUP BY s.doc_id, p.perm
+)
+SELECT dd.doc_id, CAST(p.perm AS BIGINT) AS perm,
+       CAST(COALESCE(m.sig, 2147483647) AS BIGINT) AS sig
+FROM (SELECT doc_id FROM documents WHERE doc_id < {_WARC_N_DOCS}) dd
+CROSS JOIN perms p
+LEFT JOIN mins m ON m.doc_id = dd.doc_id AND m.perm = p.perm
+"""
+
+
 def q_simhash_md5_dups(sf_dir: str):
     """SimHash near-dup PAIRS checked against brute force: the banded
     candidate machinery (4 x 16-bit pigeonhole chunks -> hash-bucket
@@ -6226,6 +6336,7 @@ def registry_ext():
         "resize_plan": (q_resize_plan, _SQL_RESIZE_PLAN),
         "simhash_md5_sigs": (q_simhash_md5_sigs, _SQL_SIMHASH_MD5_SIGS),
         "simhash_md5_dups": (q_simhash_md5_dups, _SQL_SIMHASH_MD5_DUPS),
+        "minhash_md5_sigs": (q_minhash_md5_sigs, _SQL_MINHASH_MD5_SIGS),
         "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
         "embed_topk_ivf": (q_embed_topk_ivf, _SQL_EMB_TOPK),

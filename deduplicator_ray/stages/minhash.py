@@ -93,10 +93,20 @@ def shingle_hashes(text: str, k: int, token_re: re.Pattern[str]) -> np.ndarray:
 class MinHasher:
     """Actor-pool stage: text column -> minhash signature column."""
 
-    def __init__(self, cfg: MinHashConfig | None = None, text_col: str = "text"):
+    def __init__(self, cfg: MinHashConfig | None = None, text_col: str = "text",
+                 word_hash: str = "pandas"):
         self.cfg = cfg or MinHashConfig()
         self.a, self.b = _perm_tables(self.cfg)
-        self.token_re = re.compile(r"\w+", re.UNICODE)
+        self.word_hash = word_hash
+        if word_hash == "md5":
+            # DuckDB-recomputable variant (see queries_ext
+            # `minhash_md5_sigs`): per-word hash = md5_number_lower and
+            # an ASCII \\w token class, so a SQL regexp reproduces the
+            # token stream byte-for-byte.  Production default stays the
+            # vectorized siphash path with unicode \\w.
+            self.token_re = re.compile(r"[0-9a-z_]+")
+        else:
+            self.token_re = re.compile(r"\w+", re.UNICODE)
         self.text_col = text_col
         self._affine_buf = np.empty(0, dtype=np.uint64)  # grow-only scratch
 
@@ -133,7 +143,12 @@ class MinHasher:
             for w in words_per_doc:
                 flat[pos : pos + len(w)] = w
                 pos += len(w)
-            all_wh = _word_hashes(flat)
+            if self.word_hash == "md5":
+                from deduplicator_ray.stages.simhash import _md5_lower64
+
+                all_wh = _md5_lower64(flat)
+            else:
+                all_wh = _word_hashes(flat)
             bounds = np.concatenate(([0], np.cumsum(lens)))
             per_doc = [
                 _combine_shingles(all_wh[bounds[i] : bounds[i + 1]], cfg.shingle_words)
@@ -200,7 +215,7 @@ _HASHER_CACHE: dict[tuple, "MinHasher"] = {}
 
 def signatures(ds, cfg: MinHashConfig | None = None, *, text_col: str = "text",
                concurrency: int | tuple[int, int] | None = None, batch_size: int = 1024,
-               use_actor_pool: bool = False):
+               use_actor_pool: bool = False, word_hash: str = "pandas"):
     """corpus Dataset -> Dataset with ``minhash_sig`` column.
 
     Default is a TASK pool with a per-PROCESS cached ``MinHasher``: Ray
@@ -221,7 +236,7 @@ def signatures(ds, cfg: MinHashConfig | None = None, *, text_col: str = "text",
         concurrency = concurrency or auto_concurrency()
         return ds.map_batches(
             MinHasher,
-            fn_constructor_args=(cfg, text_col),
+            fn_constructor_args=(cfg, text_col, word_hash),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
@@ -229,10 +244,10 @@ def signatures(ds, cfg: MinHashConfig | None = None, *, text_col: str = "text",
         )
 
     def f(batch: pa.Table) -> pa.Table:
-        key = (cfg, text_col)
+        key = (cfg, text_col, word_hash)
         mh = _HASHER_CACHE.get(key)
         if mh is None:
-            mh = _HASHER_CACHE.setdefault(key, MinHasher(cfg, text_col))
+            mh = _HASHER_CACHE.setdefault(key, MinHasher(cfg, text_col, word_hash))
         return mh(batch)
 
     return ds.map_batches(

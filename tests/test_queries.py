@@ -21,6 +21,7 @@ SQL_CHECKED = [
     "resize_plan",
     "simhash_md5_sigs",
     "simhash_md5_dups",
+    "minhash_md5_sigs",
     "freq_spectrum",
     "events_sessions",
     "orders_asof",
