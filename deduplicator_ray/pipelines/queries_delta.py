@@ -869,6 +869,93 @@ def q_digest_freq_cms(sf_dir: str):
     })
 
 
+def q_hll_md5_registers(sf_dir: str):
+    """HyperLogLog register table with EVERY register independently
+    recomputed in SQL: the ``hash_fn="md5"`` variant of the HLL partial
+    (stages/freq.hll_merged_registers — same slot/rho/merge code as the
+    production `distinct_urls_hll`, only the row hash swapped to
+    DuckDB's ``md5_number_lower``) over the captures url column at
+    p=12.  Emits the nonzero (slot, reg) rows; the oracle rebuilds each
+    register from the raw urls — slot = top 12 hash bits, rho = 1-based
+    position of the first 1 bit among the remaining 52
+    (53 - bit_length, sentinel 53 when they are all zero), merged by
+    slot-wise MAX.  This graduates the HLL register construction (hash
+    split, rho rule, max-merge) to a real recomputation; the estimate
+    formula on top stays pytest-gated against the exact count."""
+    import numpy as np
+    import pandas as pd
+
+    from deduplicator_ray.stages.freq import hll_merged_registers
+
+    regs = hll_merged_registers(captures_dataset(sf_dir), "url", p=12,
+                                hash_fn="md5")
+    nz = np.flatnonzero(regs)
+    return pd.DataFrame({"slot": nz.astype("int64"),
+                         "reg": regs[nz].astype("int64")})
+
+
+def _sql_hll_md5_registers() -> str:
+    return f"""
+WITH {CAPTURES_CTE},
+hh AS (SELECT md5_number_lower(url) AS h FROM captures),
+rr AS (SELECT CAST(h >> 52 AS BIGINT) AS slot,
+              h & ((CAST(1 AS UBIGINT) << 52) - 1) AS rest
+       FROM hh)
+SELECT slot,
+       CAST(MAX(CASE WHEN rest = 0 THEN 53
+                     ELSE 53 - length(bin(rest)) END) AS BIGINT) AS reg
+FROM rr GROUP BY slot
+"""
+
+
+def q_cms_md5_freq(sf_dir: str):
+    """Count-Min sketch with the WHOLE estimate path independently
+    recomputed in SQL: the ``hash_fn="md5"`` variant of the CMS
+    (stages/freq.count_min_sketch — same partial/merge/min-query code
+    as the production `digest_freq_cms`, row hash swapped to
+    ``md5_number_lower('<depth>|' || value)``) over the captures digest
+    column at width=4096 x depth=4, point-queried for EVERY distinct
+    digest.  The oracle rebuilds all occupied cells from the raw
+    captures and takes the same min-over-depths — so the bucket
+    arithmetic, the merge-by-sum and the never-underestimates query are
+    value-checked against a from-scratch recomputation (the estimates
+    include real collisions at width 4096)."""
+    import pandas as pd
+
+    from deduplicator_ray.stages.freq import cms_query, count_min_sketch
+
+    caps = captures_dataset(sf_dir)
+    sk = count_min_sketch(caps, "digest", width=4096, depth=4,
+                          hash_fn="md5")
+    keys = sorted(caps.select_columns(["digest"]).unique("digest"))
+    est = cms_query(sk, keys, hash_fn="md5")
+    return pd.DataFrame({"digest": keys, "est": est.astype("int64")})
+
+
+def _sql_cms_md5_freq() -> str:
+    return f"""
+WITH {CAPTURES_CTE},
+dd AS (SELECT md5(text) AS digest FROM captures),
+dep AS (SELECT unnest([0, 1, 2, 3]) AS d),
+cells AS (
+  SELECT dep.d AS row,
+         CAST(md5_number_lower(dep.d || '|' || dd.digest) % 4096
+              AS BIGINT) AS slot,
+         COUNT(*) AS c
+  FROM dd CROSS JOIN dep
+  GROUP BY 1, 2
+)
+SELECT k.digest, CAST(MIN(c.c) AS BIGINT) AS est
+FROM (SELECT DISTINCT digest FROM dd) k
+CROSS JOIN dep
+JOIN cells c
+  ON c.row = dep.d
+ AND c.slot = CAST(md5_number_lower(dep.d || '|' || k.digest) % 4096
+                   AS BIGINT)
+GROUP BY k.digest
+"""
+
+
 def q_page_lifespans(sf_dir: str):
     from deduplicator_ray.stages.timeline import page_lifespans
 
@@ -1024,6 +1111,8 @@ def registry_delta():
         "compression_stats": (q_compression_stats,
                               _GOLDEN.get("compression_stats")),
         "url_features": (q_url_features, _sql_url_features()),
+        "hll_md5_registers": (q_hll_md5_registers, _sql_hll_md5_registers()),
+        "cms_md5_freq": (q_cms_md5_freq, _sql_cms_md5_freq()),
         "distinct_urls_hll": (q_distinct_urls_hll,
                               _GOLDEN.get("distinct_urls_hll")),
         "digest_freq_cms": (q_digest_freq_cms,

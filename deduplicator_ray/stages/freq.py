@@ -656,28 +656,24 @@ def grouped_heavy_hitters(ds, *, group_col: str = "lang",
     return counted.groupby("_part").map_groups(final, batch_format="pandas")
 
 
-def distinct_count_hll(ds, col: str, *, p: int = 12):
-    """Approximate distinct count with ZERO key shuffle -> dict
-    (estimate BIGINT, registers m, std_error_pct) — HyperLogLog
-    (Flajolet, Fusy, Gandouet, Meunier 2007) with the standard
-    small-range linear-counting correction.
-
-    Every other distinct in this engine is exact; this is the scale
-    TOOL the exact ops can't be: at 10^12 rows an exact distinct of a
-    high-cardinality key is itself a full shuffle, while the HLL moves
-    ONE 2^p-byte register vector per block and merges by elementwise
-    max (associative + commutative + idempotent => order-independent
-    and retry-safe).  Relative error ~= 1.04/sqrt(2^p) (1.6% at p=12).
-
-    Deterministic given the column values (fixed siphash key), so the
-    driver check can golden-pin it; pytest gates it against the exact
-    count at the documented tolerance.
-    """
+def hll_merged_registers(ds, col: str, *, p: int = 12,
+                         hash_fn: str = "pandas") -> np.ndarray:
+    """The register-vector half of ``distinct_count_hll``: per-block
+    partial register tables merged by slot-wise max -> int64 vector of
+    length 2^p.  ``hash_fn="pandas"`` is the production siphash;
+    ``"md5"`` hashes rows with DuckDB's ``md5_number_lower`` so a SQL
+    oracle can rebuild every register from the raw column (see
+    queries_ext `hll_md5_registers`)."""
     m = 1 << p
 
     def partial(b: pa.Table) -> pa.Table:
         s = b[col].to_pandas()
-        h = pd.util.hash_pandas_object(s, index=False).to_numpy(np.uint64)
+        if hash_fn == "md5":
+            from deduplicator_ray.stages.simhash import _md5_lower64
+
+            h = _md5_lower64(s.to_numpy(dtype=object))
+        else:
+            h = pd.util.hash_pandas_object(s, index=False).to_numpy(np.uint64)
         idx = (h >> np.uint64(64 - p)).astype(np.int64)
         rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel ones
         # rho = 1-based position of the first 1 bit of the remaining
@@ -703,6 +699,28 @@ def distinct_count_hll(ds, col: str, *, p: int = 12):
     if len(parts):
         agg = parts.groupby("slot")["reg"].max()
         regs[agg.index.to_numpy()] = agg.to_numpy()
+    return regs
+
+
+def distinct_count_hll(ds, col: str, *, p: int = 12):
+    """Approximate distinct count with ZERO key shuffle -> dict
+    (estimate BIGINT, registers m, std_error_pct) — HyperLogLog
+    (Flajolet, Fusy, Gandouet, Meunier 2007) with the standard
+    small-range linear-counting correction.
+
+    Every other distinct in this engine is exact; this is the scale
+    TOOL the exact ops can't be: at 10^12 rows an exact distinct of a
+    high-cardinality key is itself a full shuffle, while the HLL moves
+    ONE 2^p-byte register vector per block and merges by elementwise
+    max (associative + commutative + idempotent => order-independent
+    and retry-safe).  Relative error ~= 1.04/sqrt(2^p) (1.6% at p=12).
+
+    Deterministic given the column values (fixed siphash key), so the
+    driver check can golden-pin it; pytest gates it against the exact
+    count at the documented tolerance.
+    """
+    regs = hll_merged_registers(ds, col, p=p)
+    m = 1 << p
     alpha = 0.7213 / (1 + 1.079 / m)
     est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
     zeros = int((regs == 0).sum())
@@ -712,7 +730,23 @@ def distinct_count_hll(ds, col: str, *, p: int = 12):
             "std_error_pct": round(104.0 / np.sqrt(m), 2)}
 
 
-def count_min_sketch(ds, col: str, *, width: int = 16384, depth: int = 4):
+def _cms_row_hashes(s: pd.Series, d: int, hash_fn: str) -> np.ndarray:
+    """Per-depth 64-bit row hashes for the Count-Min family.
+    ``"pandas"``: keyed siphash (production).  ``"md5"``:
+    ``md5_number_lower('<d>|' || value)`` — DuckDB-recomputable, the
+    correctness bridge for the `cms_md5_freq` oracle row (per-row
+    string build; not a hot path)."""
+    if hash_fn == "md5":
+        from deduplicator_ray.stages.simhash import _md5_lower64
+
+        vals = np.array([f"{d}|{v}" for v in s.astype(str)], dtype=object)
+        return _md5_lower64(vals)
+    return pd.util.hash_pandas_object(
+        s, index=False, hash_key=f"{d:016d}").to_numpy(np.uint64)
+
+
+def count_min_sketch(ds, col: str, *, width: int = 16384, depth: int = 4,
+                     hash_fn: str = "pandas"):
     """Mergeable Count-Min sketch of a key column (Cormode &
     Muthukrishnan 2005) -> numpy int64 array of shape (depth, width).
 
@@ -728,8 +762,7 @@ def count_min_sketch(ds, col: str, *, width: int = 16384, depth: int = 4):
         s = b[col].to_pandas()
         sk = np.zeros((depth, width), dtype=np.int64)
         for d in range(depth):
-            h = pd.util.hash_pandas_object(
-                s, index=False, hash_key=f"{d:016d}").to_numpy(np.uint64)
+            h = _cms_row_hashes(s, d, hash_fn)
             np.add.at(sk[d], (h % np.uint64(width)).astype(np.int64), 1)
         # emit only occupied cells: bounded by depth x distinct keys per
         # block, not depth x width
@@ -751,16 +784,15 @@ def count_min_sketch(ds, col: str, *, width: int = 16384, depth: int = 4):
     return sk
 
 
-def cms_query(sketch: np.ndarray, keys) -> np.ndarray:
+def cms_query(sketch: np.ndarray, keys, *, hash_fn: str = "pandas") -> np.ndarray:
     """Point-query a ``count_min_sketch`` result for ``keys`` (list-like
     of the key column's values) -> int64 estimates (min over rows —
-    never an underestimate)."""
+    never an underestimate).  ``hash_fn`` must match the sketch's."""
     depth, width = sketch.shape
     s = pd.Series(list(keys))
     est = np.full(len(s), np.iinfo(np.int64).max, dtype=np.int64)
     for d in range(depth):
-        h = pd.util.hash_pandas_object(
-            s, index=False, hash_key=f"{d:016d}").to_numpy(np.uint64)
+        h = _cms_row_hashes(s, d, hash_fn)
         est = np.minimum(est, sketch[d, (h % np.uint64(width)).astype(np.int64)])
     return est
 

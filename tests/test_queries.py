@@ -158,6 +158,26 @@ def test_oracle_parity_rel(ray_session, sf_dir, duck, name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+# SQL-checked entries living in OTHER query registries (delta, ...);
+# resolved through the merged driver registry.
+SQL_CHECKED_FULL_REGISTRY = [
+    "hll_md5_registers",
+    "cms_md5_freq",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED_FULL_REGISTRY)
+def test_oracle_parity_full_registry(ray_session, sf_dir, duck, name):
+    from deduplicator_ray.pipelines.queries import registry
+
+    fn, sql = registry()[name]
+    got = _norm(_to_pandas(fn(sf_dir)))
+    want = _norm(duck.execute(sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_oracle_parity_warc_roundtrip(ray_session, sf_dir, duck):
     from deduplicator_ray.pipelines.queries_ext import registry_ext
 
