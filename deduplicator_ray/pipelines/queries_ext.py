@@ -4247,6 +4247,88 @@ def q_vocab_overlap_kmv(sf_dir: str):
                      for c, v in est.items()})
 
 
+_KMV_MD5_K = 64
+
+
+def q_kmv_md5_overlap(sf_dir: str):
+    """KMV vocabulary-overlap estimates with the WHOLE estimator
+    independently recomputed in SQL: the ``hash_fn="md5"`` variant of
+    the KMV sketch (stages/freq.kmv_sketch — same local-k partial /
+    bounded driver merge, row hash swapped to ``md5_number_lower``)
+    over the src0/src1 word BIGRAMS at k=64 (the ~900-gram cardinality
+    fills the sketches, so the (k-1)*2^64//th estimator branch — not
+    the exact-count shortcut — is what the oracle checks).  The oracle
+    rebuilds both sketches from raw text (per-doc lead() bigrams,
+    distinct md5 hashes, ORDER BY LIMIT k), the
+    union sketch, and the exact integer estimators —
+    ``(k-1) * 2^64 // (kth_min + 1)`` via HUGEINT division and the
+    multiset intersection rule — so sketch construction AND estimation
+    are value-checked with no pinned output (the production siphash
+    twin is `vocab_overlap_kmv`)."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.freq import kmv_overlap
+
+    def src(name):
+        return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["source", "text"])
+                .filter(expr=f"source == '{name}'"))
+
+    est = kmv_overlap(src("src0"), src("src1"), k=_KMV_MD5_K, ngram=2,
+                      hash_fn="md5")
+    return pa.table({c: pa.array([v], type=pa.int64())
+                     for c, v in est.items()})
+
+
+def _kmv_md5_sql() -> str:
+    k = _KMV_MD5_K
+    two64 = "CAST('18446744073709551616' AS UHUGEINT)"
+
+    def sketch(src: str, name: str) -> str:
+        # per-doc word BIGRAMS: lead() within the doc partition mirrors
+        # the stage's row_of window guard (grams never cross documents)
+        return (
+            f"{name}_tok AS (SELECT DISTINCT md5_number_lower(g) AS h "
+            f"FROM (SELECT w || ' ' || lead(w) OVER "
+            f"(PARTITION BY doc_id ORDER BY pos) AS g "
+            f"FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w, "
+            f"unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos "
+            f"FROM documents WHERE source = '{src}')) "
+            f"WHERE g IS NOT NULL), "
+            f"{name}_sk AS (SELECT h FROM {name}_tok ORDER BY h LIMIT {k})"
+        )
+
+    def est(name: str) -> str:
+        # exact count when the sketch isn't full, else the unbiased
+        # (k-1) * 2^64 // (kth_min + 1) — HUGEINT division = python //
+        return (
+            f"(SELECT CASE WHEN COUNT(*) < {k} THEN COUNT(*) "
+            f"ELSE CAST((CAST({k - 1} AS UHUGEINT) * {two64}) "
+            f"// (CAST(MAX(h) AS UHUGEINT) + 1) AS BIGINT) END "
+            f"FROM {name}_sk)"
+        )
+
+    return f"""
+WITH {sketch('src0', 'a')}, {sketch('src1', 'b')},
+u_sk AS (
+  SELECT h FROM (SELECT h FROM a_sk UNION SELECT h FROM b_sk)
+  ORDER BY h LIMIT {k}
+),
+nboth AS (
+  SELECT COUNT(*) AS n FROM u_sk
+  WHERE h IN (SELECT h FROM a_sk) AND h IN (SELECT h FROM b_sk)
+),
+uk AS (SELECT COUNT(*) AS kk FROM u_sk)
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST({est('a')} AS BIGINT) AS est_distinct_a,
+       CAST({est('b')} AS BIGINT) AS est_distinct_b,
+       CAST({est('u')} AS BIGINT) AS est_union,
+       CAST(CAST((SELECT n FROM nboth) AS HUGEINT) * {est('u')}
+            // GREATEST((SELECT kk FROM uk), 1) AS BIGINT)
+           AS est_intersection
+"""
+
+
 _OOV_K = 16
 
 
@@ -6337,6 +6419,7 @@ def registry_ext():
         "simhash_md5_sigs": (q_simhash_md5_sigs, _SQL_SIMHASH_MD5_SIGS),
         "simhash_md5_dups": (q_simhash_md5_dups, _SQL_SIMHASH_MD5_DUPS),
         "minhash_md5_sigs": (q_minhash_md5_sigs, _SQL_MINHASH_MD5_SIGS),
+        "kmv_md5_overlap": (q_kmv_md5_overlap, _kmv_md5_sql()),
         "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
         "embed_topk_ivf": (q_embed_topk_ivf, _SQL_EMB_TOPK),

@@ -985,7 +985,7 @@ def oov_rate(ds, *, group_col: str = "source", text_col: str = "text",
 
 
 def kmv_sketch(ds, *, text_col: str = "text", k: int = 256,
-               ngram: int = 1) -> np.ndarray:
+               ngram: int = 1, hash_fn: str = "pandas") -> np.ndarray:
     """K-minimum-values distinct sketch of a corpus's word ``ngram``s
     (Beyer et al. 2007, "On synopses for distinct value estimation under
     multiset operations"): the k smallest 64-bit gram hashes, sorted
@@ -1020,7 +1020,12 @@ def kmv_sketch(ds, *, text_col: str = "text", k: int = 256,
             vals = grams[keep].astype(object)
         else:
             vals = flat
-        h = np.unique(pd.util.hash_array(vals))
+        if hash_fn == "md5":
+            from deduplicator_ray.stages.simhash import _md5_lower64
+
+            h = np.unique(_md5_lower64(vals))
+        else:
+            h = np.unique(pd.util.hash_array(vals))
         return pa.table({"h": pa.array(h[:k], type=pa.uint64())})
 
     parts = (ds.map_batches(partial, batch_format="pyarrow",
@@ -1041,7 +1046,8 @@ def kmv_estimate(sk: np.ndarray, k: int) -> int:
 
 
 def kmv_overlap(ds_a, ds_b, *, text_col: str = "text",
-                k: int = 256, ngram: int = 1) -> dict:
+                k: int = 256, ngram: int = 1,
+                hash_fn: str = "pandas") -> dict:
     """Sketch-side corpus vocabulary overlap — union and intersection
     distinct-word estimates from two KMV sketches WITHOUT a join: the
     scale path for "how much do these two 10 TB corpora share?" where
@@ -1053,8 +1059,10 @@ def kmv_overlap(ds_a, ds_b, *, text_col: str = "text",
     est_intersection = (|union sketch ∩ A ∩ B| * est_union) // K — the
     standard KMV multiset-operation estimator, integer end to end.
     """
-    a = kmv_sketch(ds_a, text_col=text_col, k=k, ngram=ngram)
-    b = kmv_sketch(ds_b, text_col=text_col, k=k, ngram=ngram)
+    a = kmv_sketch(ds_a, text_col=text_col, k=k, ngram=ngram,
+                   hash_fn=hash_fn)
+    b = kmv_sketch(ds_b, text_col=text_col, k=k, ngram=ngram,
+                   hash_fn=hash_fn)
     union = np.unique(np.concatenate([a, b]))[:k]
     kk = min(k, len(union))
     est_union = kmv_estimate(union, k)

@@ -22,6 +22,7 @@ SQL_CHECKED = [
     "simhash_md5_sigs",
     "simhash_md5_dups",
     "minhash_md5_sigs",
+    "kmv_md5_overlap",
     "freq_spectrum",
     "events_sessions",
     "orders_asof",
