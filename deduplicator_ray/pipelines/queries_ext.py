@@ -1295,7 +1295,10 @@ def q_pair_lcs(sf_dir: str):
 
 def q_fingerprint_sketch(sf_dir: str):
     """Winnowing sketch summary per document (fp_count distinct window
-    minima + fp_min)."""
+    minima + fp_min) — GRADUATED from its golden pin in round 5: the
+    production kernel (rolling FNV-base polynomial over utf-8 bytes,
+    16-gram sliding-window minima) is mirrored from scratch in SQL, see
+    `_winnow_fps_cte`."""
     import ray.data as rd
 
     from deduplicator_ray.stages.textstats import fingerprints
@@ -1303,6 +1306,96 @@ def q_fingerprint_sketch(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = fingerprints(ds)
     return out.select_columns(["doc_id", "fp_min", "fp_count"])
+
+
+def _winnow_fps_cte() -> str:
+    """CTE chain rebuilding stages/textstats.winnow_fingerprints
+    (k=8, window=16) from raw text, ending in ``fps(doc_id, m)`` =
+    each doc's distinct winnow fingerprints:
+
+    - utf-8 bytes via hex(encode(text)) + a 256-row hex lookup (DuckDB
+      1.0 has no BLOB substring);
+    - rolling k-gram polynomial: ((b0+1)*BASE^7 + b1*BASE^6 + ... + b7)
+      mod 2^64 (UHUGEINT products, BASE = the FNV64 prime 0x100000001B3,
+      powers inlined) masked to 62 bits — bit-for-bit the numpy kernel's
+      wraparound arithmetic;
+    - window minima: MIN over 16 consecutive grams; docs with <= 16
+      grams collapse to the single global min (the stage's short-doc
+      branch), captured by pos <= GREATEST(n_grams - 15, 1);
+    - DISTINCT per doc (np.unique in the stage)."""
+    base = 0x100000001B3
+    coefs = [pow(base, 7 - j, 1 << 64) for j in range(8)]
+    m64 = "CAST('18446744073709551616' AS UHUGEINT)"
+
+    def term(col: str, c: int, plus1: bool = False) -> str:
+        v = f"(CAST({col} AS UHUGEINT){' + 1' if plus1 else ''})"
+        return f"({v} * CAST({c} AS UHUGEINT))"
+
+    gsum = " + ".join(
+        [term("b0", coefs[0], True)]
+        + [f"CASE WHEN b{j} IS NULL THEN CAST(0 AS UHUGEINT) "
+           f"ELSE {term(f'b{j}', coefs[j])} END" for j in range(1, 8)]
+    )
+    leads = ", ".join(
+        f"lead(b, {j}) OVER (PARTITION BY doc_id ORDER BY pos) AS b{j}"
+        for j in range(1, 8)
+    )
+    return f"""hexmap AS (
+  SELECT lpad(upper(to_hex(i)), 2, '0') AS hh, CAST(i AS UBIGINT) AS v
+  FROM range(256) t(i)
+), hx AS (
+  SELECT doc_id, hex(encode(text)) AS hs FROM documents
+), by_ AS (
+  SELECT doc_id, pos, m.v AS b, length(hs) / 2 AS nb
+  FROM (SELECT doc_id, hs,
+               unnest(range(1, CAST(length(hs)/2 AS BIGINT) + 1)) AS pos
+        FROM hx) x
+  JOIN hexmap m ON m.hh = substr(x.hs, CAST(pos*2 - 1 AS BIGINT), 2)
+), lg AS (
+  SELECT doc_id, pos, nb, b AS b0, {leads} FROM by_
+), grams AS (
+  SELECT doc_id, pos,
+         CAST((({gsum}) % {m64}) % 4611686018427387904 AS BIGINT) AS g,
+         nb - 7 AS ng
+  FROM lg WHERE pos <= nb - 7
+), mins AS (
+  SELECT doc_id, pos, ng,
+         MIN(g) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, m FROM mins
+  WHERE pos <= GREATEST(ng - 15, 1)
+)"""
+
+
+def _sql_fingerprint_sketch() -> str:
+    return f"""
+WITH {_winnow_fps_cte()}
+SELECT d.doc_id,
+       CAST(COALESCE(MIN(f.m), -1) AS BIGINT) AS fp_min,
+       CAST(COUNT(f.m) AS BIGINT) AS fp_count
+FROM documents d LEFT JOIN fps f USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
+def _sql_winnow_pairs() -> str:
+    # same fingerprint sets; global df cap 50 (the fp-keyed shuffle
+    # co-locates every fp, so the stage's in-bucket df IS global df),
+    # pair fan-out a < b, keep >= 10 shared
+    return f"""
+WITH {_winnow_fps_cte()},
+df AS (SELECT m, COUNT(*) AS c FROM fps GROUP BY m),
+kept AS (
+  SELECT f.doc_id, f.m FROM fps f JOIN df USING (m) WHERE df.c <= 50
+)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM kept x JOIN kept y ON x.m = y.m AND x.doc_id < y.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 10
+"""
 
 
 def q_media_ppm_features(sf_dir: str):
@@ -6057,9 +6150,10 @@ def q_winnow_pairs(sf_dir: str):
     """MOSS-style local-similarity pairs over ``documents``
     (stages/textstats.winnow_pairs): docs sharing >= 10 winnow
     fingerprints (df-capped at 50) — the lifted-paragraph / quote
-    detector global near-dup misses.  Deterministic (byte-hash
-    winnowing) -> golden-pinned; exactness vs a brute-force
-    intersection oracle is pytest-gated."""
+    detector global near-dup misses.  GRADUATED from its golden pin in
+    round 5: the oracle rebuilds the fingerprint sets from raw text
+    (see `_winnow_fps_cte`) and recomputes the df-capped pair counts
+    from scratch."""
     import ray.data as rd
 
     from deduplicator_ray.stages.textstats import winnow_pairs
@@ -6388,7 +6482,7 @@ def registry_ext():
         "mojibake_stats": (q_mojibake_stats, _SQL_MOJIBAKE_STATS),
         "containment_est": (q_containment_est,
                             GOLDEN_SQL.get("containment_est")),
-        "winnow_pairs": (q_winnow_pairs, GOLDEN_SQL.get("winnow_pairs")),
+        "winnow_pairs": (q_winnow_pairs, _sql_winnow_pairs()),
         "sample_k_stratified": (q_sample_k_stratified,
                                 _sql_sample_k_stratified()),
         "embed_covariance": (q_embed_covariance, _SQL_EMB_COVARIANCE),
@@ -6453,7 +6547,7 @@ def registry_ext():
         "pair_lcs": (q_pair_lcs, GOLDEN_SQL["pair_lcs"]),
         "simhash_dups": (q_simhash_dups, GOLDEN_SQL["simhash_dups"]),
         "self_similarity": (q_self_similarity, GOLDEN_SQL["self_similarity"]),
-        "fingerprint_sketch": (q_fingerprint_sketch, GOLDEN_SQL["fingerprint_sketch"]),
+        "fingerprint_sketch": (q_fingerprint_sketch, _sql_fingerprint_sketch()),
         "lang_id_pred": (q_lang_id_pred, GOLDEN_SQL["lang_id_pred"]),
         "media_features": (q_media_features, GOLDEN_SQL["media_features"]),
         "media_ppm_features": (q_media_ppm_features,

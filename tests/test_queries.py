@@ -23,6 +23,8 @@ SQL_CHECKED = [
     "simhash_md5_dups",
     "minhash_md5_sigs",
     "kmv_md5_overlap",
+    "fingerprint_sketch",
+    "winnow_pairs",
     "freq_spectrum",
     "events_sessions",
     "orders_asof",
