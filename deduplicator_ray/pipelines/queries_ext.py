@@ -2603,8 +2603,10 @@ def _sql_mulmod64(col: str, coef: int) -> str:
             f" % {_MM64} AS UBIGINT)")
 
 
-_SQL_MINHASH_MD5_SIGS = f"""
-WITH d AS (
+# Shared CTE chain rebuilding the md5-variant MinHash signatures from
+# raw text, ending in ``msig(doc_id, perm, sig)`` — used by both
+# `minhash_md5_sigs` and `bbit_md5_est`.
+_MINHASH_MD5_SIG_CTE = f"""d AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS toks
   FROM documents WHERE doc_id < {_WARC_N_DOCS}
 ), t AS (
@@ -2634,12 +2636,77 @@ WITH d AS (
   SELECT s.doc_id, p.perm,
          MIN((p.a * CAST(s.hp AS BIGINT) + p.b) % 2147483647) AS sig
   FROM sh s CROSS JOIN perms p GROUP BY s.doc_id, p.perm
+), msig AS (
+  SELECT dd.doc_id, CAST(p.perm AS BIGINT) AS perm,
+         CAST(COALESCE(m.sig, 2147483647) AS BIGINT) AS sig
+  FROM (SELECT doc_id FROM documents WHERE doc_id < {_WARC_N_DOCS}) dd
+  CROSS JOIN perms p
+  LEFT JOIN mins m ON m.doc_id = dd.doc_id AND m.perm = p.perm
+)"""
+
+_SQL_MINHASH_MD5_SIGS = f"""
+WITH {_MINHASH_MD5_SIG_CTE}
+SELECT doc_id, perm, sig FROM msig
+"""
+
+
+def q_bbit_md5_est(sf_dir: str):
+    """b-bit MinHash Jaccard estimates with the WHOLE path value-checked
+    in SQL: md5-variant signatures (see `minhash_md5_sigs`) through the
+    REAL ``bbit_pack`` stage (b=1: lowest bit of each of 16 perms,
+    np.packbits into 2-byte sketches) and ``bbit_estimate_matrix``
+    (Li & Koenig 2010) for every doc pair with a positive estimate.
+    At k=16, b=1 the estimator is exact integer arithmetic —
+    ppm = (eq - 8) * 125000 for eq matching low bits > 8 — so the
+    oracle recomputes it from scratch off the rebuilt signatures: the
+    bit extraction, packing, XOR-popcount collision count and the
+    bias-corrected estimate all round-trip.  The 200-doc pair set is a
+    correctness bridge (the production LSH-driven scorer is
+    `bbit_jaccard_est`)."""
+    import numpy as np
+    import ray.data as rd
+
+    from deduplicator_ray.config import MinHashConfig
+    from deduplicator_ray.stages.minhash import (
+        bbit_estimate_matrix,
+        bbit_pack,
+        signatures,
+    )
+
+    cfg = MinHashConfig(shingle_words=3, num_perms=16, bands=4,
+                        rows_per_band=4)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.filter(expr=f"doc_id < {_WARC_N_DOCS}")
+    packed = bbit_pack(signatures(ds, cfg, word_hash="md5"), cfg, b=1)
+    # bounded driver merge: _WARC_N_DOCS 2-byte sketches
+    pdf = packed.select_columns(["doc_id", "bbit_sig"]).to_pandas()
+    pdf = pdf.sort_values("doc_id", ignore_index=True)
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    mat = np.stack([np.frombuffer(x, dtype=np.uint8)
+                    for x in pdf["bbit_sig"]])
+    ii, jj = np.triu_indices(len(ids), 1)
+    est = bbit_estimate_matrix(mat[ii], mat[jj], k=cfg.num_perms, b=1)
+    keep = est > 0
+    return pa.table({
+        "a": pa.array(ids[ii][keep]),
+        "b": pa.array(ids[jj][keep]),
+        "est_ppm": pa.array(est[keep]),
+    })
+
+
+_SQL_BBIT_MD5_EST = f"""
+WITH {_MINHASH_MD5_SIG_CTE},
+lowbits AS (SELECT doc_id, perm, sig % 2 AS bit FROM msig),
+eqc AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         SUM(CASE WHEN x.bit = y.bit THEN 1 ELSE 0 END) AS eq
+  FROM lowbits x JOIN lowbits y
+    ON x.perm = y.perm AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
 )
-SELECT dd.doc_id, CAST(p.perm AS BIGINT) AS perm,
-       CAST(COALESCE(m.sig, 2147483647) AS BIGINT) AS sig
-FROM (SELECT doc_id FROM documents WHERE doc_id < {_WARC_N_DOCS}) dd
-CROSS JOIN perms p
-LEFT JOIN mins m ON m.doc_id = dd.doc_id AND m.perm = p.perm
+SELECT a, b, CAST((eq - 8) * 125000 AS BIGINT) AS est_ppm
+FROM eqc WHERE eq > 8
 """
 
 
@@ -6514,6 +6581,7 @@ def registry_ext():
         "simhash_md5_dups": (q_simhash_md5_dups, _SQL_SIMHASH_MD5_DUPS),
         "minhash_md5_sigs": (q_minhash_md5_sigs, _SQL_MINHASH_MD5_SIGS),
         "kmv_md5_overlap": (q_kmv_md5_overlap, _kmv_md5_sql()),
+        "bbit_md5_est": (q_bbit_md5_est, _SQL_BBIT_MD5_EST),
         "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
         "embed_topk_ivf": (q_embed_topk_ivf, _SQL_EMB_TOPK),

@@ -25,6 +25,7 @@ SQL_CHECKED = [
     "kmv_md5_overlap",
     "fingerprint_sketch",
     "winnow_pairs",
+    "bbit_md5_est",
     "freq_spectrum",
     "events_sessions",
     "orders_asof",
