@@ -2710,6 +2710,83 @@ FROM eqc WHERE eq > 8
 """
 
 
+def q_containment_md5_est(sf_dir: str):
+    """Asymmetric containment estimates with the WHOLE path — LSH
+    banding candidacy AND the Li-style estimator — independently
+    recomputed in SQL: the ``word_hash="md5"`` variant of
+    ``containment_est_pairs`` (stages/minhash.py: sig||size blobs, band
+    explode, candidate pairs, signature-agreement scoring) at 16 perms
+    / 4 bands.  The oracle rebuilds the signatures from raw text,
+    derives band keys (4 consecutive perms), finds every band-sharing
+    pair, counts exact distinct shingles per doc from the same CTE, and
+    mirrors the estimator's float64 arithmetic operation for operation
+    (j = eq/16 is dyadic-exact; inter = j*(|A|+|B|)/(1+j); c = inter
+    over size, clipped, half-up ppm) — so candidacy and scoring are
+    both value-checked with no pinned output.  The production siphash
+    twin is `containment_est`."""
+    import ray.data as rd
+
+    from deduplicator_ray.config import MinHashConfig
+    from deduplicator_ray.stages.minhash import containment_est_pairs
+
+    cfg = MinHashConfig(shingle_words=3, num_perms=16, bands=4,
+                        rows_per_band=4)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.filter(expr=f"doc_id < {_WARC_N_DOCS}")
+    return containment_est_pairs(ds, cfg, key_col="doc_id",
+                                 word_hash="md5")
+
+
+_SQL_CONTAINMENT_MD5_EST = f"""
+WITH {_MINHASH_MD5_SIG_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS z FROM sh GROUP BY doc_id),
+bnd AS (
+  SELECT doc_id, CAST(perm // 4 AS BIGINT) AS band,
+         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm) AS bk
+  FROM msig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bnd x JOIN bnd y
+    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
+),
+eqc AS (
+  SELECT c.a, c.b,
+         SUM(CASE WHEN xa.sig = xb.sig THEN 1 ELSE 0 END) AS eq
+  FROM cand c
+  JOIN msig xa ON xa.doc_id = c.a
+  JOIN msig xb ON xb.doc_id = c.b AND xb.perm = xa.perm
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT e.a, e.b,
+         CAST(e.eq AS DOUBLE) / 16.0 AS j,
+         CAST(COALESCE(za.z, 0) AS DOUBLE) AS za,
+         CAST(COALESCE(zb.z, 0) AS DOUBLE) AS zb
+  FROM eqc e
+  LEFT JOIN sizes za ON za.doc_id = e.a
+  LEFT JOIN sizes zb ON zb.doc_id = e.b
+),
+est AS (
+  SELECT a, b, j,
+         (j * (za + zb)) / (1.0 + j) AS inter, za, zb
+  FROM scored
+)
+SELECT a AS doc_a, b AS doc_b,
+       CAST(FLOOR(CASE WHEN za > 0
+                       THEN LEAST(GREATEST(inter / za, 0.0), 1.0)
+                       ELSE 0.0 END * 1000000.0 + 0.5) AS BIGINT)
+           AS c_ab_ppm,
+       CAST(FLOOR(CASE WHEN zb > 0
+                       THEN LEAST(GREATEST(inter / zb, 0.0), 1.0)
+                       ELSE 0.0 END * 1000000.0 + 0.5) AS BIGINT)
+           AS c_ba_ppm,
+       CAST(FLOOR(j * 1000000.0 + 0.5) AS BIGINT) AS j_est_ppm
+FROM est
+"""
+
+
 def q_simhash_md5_dups(sf_dir: str):
     """SimHash near-dup PAIRS checked against brute force: the banded
     candidate machinery (4 x 16-bit pigeonhole chunks -> hash-bucket
@@ -6582,6 +6659,8 @@ def registry_ext():
         "minhash_md5_sigs": (q_minhash_md5_sigs, _SQL_MINHASH_MD5_SIGS),
         "kmv_md5_overlap": (q_kmv_md5_overlap, _kmv_md5_sql()),
         "bbit_md5_est": (q_bbit_md5_est, _SQL_BBIT_MD5_EST),
+        "containment_md5_est": (q_containment_md5_est,
+                                _SQL_CONTAINMENT_MD5_EST),
         "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
         "embed_topk_ivf": (q_embed_topk_ivf, _SQL_EMB_TOPK),

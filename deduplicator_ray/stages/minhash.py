@@ -397,7 +397,8 @@ def bbit_jaccard_pairs(ds, cfg: MinHashConfig | None = None, *, b: int = 1,
 def containment_est_pairs(ds, cfg: MinHashConfig | None = None, *,
                           key_col: str = "doc_key", text_col: str = "text",
                           num_partitions: int = 64,
-                          min_c_ppm: int | None = None):
+                          min_c_ppm: int | None = None,
+                          word_hash: str = "pandas"):
     """Asymmetric CONTAINMENT estimates for near-dup candidates, from
     minhash sketches + exact distinct-shingle counts: c(A->B) =
     |A ∩ B| / |A| — the quote / page-within-page / partial-mirror signal
@@ -428,10 +429,11 @@ def containment_est_pairs(ds, cfg: MinHashConfig | None = None, *,
     def sig_and_size(b: pa.Table) -> pa.Table:
         # ONE tokenize/hash pass: the signature kernel also reports the
         # per-doc distinct-shingle counts (|A| for the estimator)
-        key = (cfg, text_col)
+        key = (cfg, text_col, word_hash)
         mh = _HASHER_CACHE.get(key)
         if mh is None:
-            mh = _HASHER_CACHE.setdefault(key, MinHasher(cfg, text_col))
+            mh = _HASHER_CACHE.setdefault(
+                key, MinHasher(cfg, text_col, word_hash))
         texts = b[text_col].to_pylist()
         out: list = []
         sig = mh.signature_matrix(texts, distinct_counts=out)

@@ -26,6 +26,7 @@ SQL_CHECKED = [
     "fingerprint_sketch",
     "winnow_pairs",
     "bbit_md5_est",
+    "containment_md5_est",
     "freq_spectrum",
     "events_sessions",
     "orders_asof",
