@@ -1293,6 +1293,124 @@ def q_pair_lcs(sf_dir: str):
     return out.select_columns(["a", "b", "lcs_len"])
 
 
+_LRS_SHORT_N = 200
+_LRS_SHORT_CHARS = 80
+
+
+def q_self_similarity_short(sf_dir: str):
+    """The suffix-array longest-repeated-substring kernel value-checked
+    against SQL brute force: the REAL ``self_similarity`` stage
+    (stages/substr.py — codepoint suffix array + LCP maximum) over
+    documents truncated to {n} chars, where a from-scratch oracle is
+    tractable (enumerate every substring, keep lengths occurring at
+    >= 2 positions, take the max).  Overlapping repeats count in both
+    engines (suffix-array LRS is overlap-inclusive; so is the SQL
+    position count).  Truncation is by CODEPOINTS on both sides
+    (python slice / DuckDB substr).  The full-text twin `self_similarity`
+    stays pinned — the O(n^2)-substring oracle is only feasible short."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.substr import self_similarity
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.filter(expr=f"doc_id < {_LRS_SHORT_N}")
+
+    def trunc(b: pa.Table) -> pa.Table:
+        texts = [(t or "")[:_LRS_SHORT_CHARS] for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "text": pa.array(texts, type=pa.large_string())})
+
+    out = self_similarity(
+        ds.map_batches(trunc, batch_format="pyarrow", zero_copy_batch=True))
+    return out.select_columns(["doc_id", "lrs_len"])
+
+
+q_self_similarity_short.__doc__ = q_self_similarity_short.__doc__.format(
+    n=_LRS_SHORT_CHARS)
+
+_SQL_SELF_SIMILARITY_SHORT = f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {_LRS_SHORT_CHARS}) AS t
+  FROM documents WHERE doc_id < {_LRS_SHORT_N}
+), subs AS (
+  SELECT doc_id, ll.L AS L, substr(t, ss.s, ll.L) AS sub
+  FROM d,
+       unnest(range(1, length(t)+1)) AS ll(L),
+       unnest(range(1, length(t)+1)) AS ss(s)
+  WHERE ss.s + ll.L <= length(t) + 1
+), rep AS (
+  SELECT doc_id, L FROM subs GROUP BY doc_id, L, sub HAVING COUNT(*) >= 2
+)
+SELECT d.doc_id, CAST(COALESCE(MAX(r.L), 0) AS BIGINT) AS lrs_len
+FROM d LEFT JOIN rep r USING (doc_id) GROUP BY d.doc_id
+"""
+
+
+def q_pair_lcs_short(sf_dir: str):
+    """The joint-suffix-array longest-COMMON-substring path value-checked
+    against SQL brute force: deterministic consecutive-doc edges
+    (i, i+1) through the REAL ``pair_common_substrings`` stage
+    (stages/substr.py — hash-join text attach + joint suffix array per
+    pair) over {n}-char texts; the oracle enumerates both docs'
+    substrings and takes the longest shared one.  The production twin
+    `pair_lcs` (LSH-derived edges) stays pinned — its pair set rides
+    the siphash minhash pipeline."""
+    import numpy as np
+    import ray.data as rd
+
+    from deduplicator_ray.stages.substr import pair_common_substrings
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.filter(expr=f"doc_id < {_LRS_SHORT_N}")
+
+    def trunc(b: pa.Table) -> pa.Table:
+        texts = [(t or "")[:_LRS_SHORT_CHARS] for t in b["text"].to_pylist()]
+        return pa.table({"doc_key": b["doc_id"],
+                         "text": pa.array(texts, type=pa.large_string())})
+
+    corpus = ds.map_batches(trunc, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    ids = np.arange(_LRS_SHORT_N - 1, dtype=np.int64)
+    edges = rd.from_arrow(pa.table({"a": ids, "b": ids + 1}))
+    out = pair_common_substrings(edges, corpus)
+    return out.select_columns(["a", "b", "lcs_len"])
+
+
+q_pair_lcs_short.__doc__ = q_pair_lcs_short.__doc__.format(
+    n=_LRS_SHORT_CHARS)
+
+_SQL_PAIR_LCS_SHORT = f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {_LRS_SHORT_CHARS}) AS t
+  FROM documents WHERE doc_id < {_LRS_SHORT_N}
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.t AS ta, y.t AS tb
+  FROM d x JOIN d y ON y.doc_id = x.doc_id + 1
+), subs_a AS (
+  SELECT DISTINCT a, b, ll.L AS L, substr(ta, ss.s, ll.L) AS sub
+  FROM pairs,
+       unnest(range(1, length(ta)+1)) AS ll(L),
+       unnest(range(1, length(ta)+1)) AS ss(s)
+  WHERE ss.s + ll.L <= length(ta) + 1
+), subs_b AS (
+  SELECT DISTINCT a, b, ll.L AS L, substr(tb, ss.s, ll.L) AS sub
+  FROM pairs,
+       unnest(range(1, length(tb)+1)) AS ll(L),
+       unnest(range(1, length(tb)+1)) AS ss(s)
+  WHERE ss.s + ll.L <= length(tb) + 1
+), com AS (
+  SELECT sa.a, sa.b, sa.L
+  FROM subs_a sa JOIN subs_b sb
+    ON sa.a = sb.a AND sa.b = sb.b AND sa.L = sb.L AND sa.sub = sb.sub
+)
+SELECT p.a, p.b, CAST(COALESCE(MAX(c.L), 0) AS BIGINT) AS lcs_len
+FROM pairs p LEFT JOIN com c ON c.a = p.a AND c.b = p.b
+GROUP BY p.a, p.b
+"""
+
+
 def q_fingerprint_sketch(sf_dir: str):
     """Winnowing sketch summary per document (fp_count distinct window
     minima + fp_min) — GRADUATED from its golden pin in round 5: the
@@ -6661,6 +6779,9 @@ def registry_ext():
         "bbit_md5_est": (q_bbit_md5_est, _SQL_BBIT_MD5_EST),
         "containment_md5_est": (q_containment_md5_est,
                                 _SQL_CONTAINMENT_MD5_EST),
+        "self_similarity_short": (q_self_similarity_short,
+                                  _SQL_SELF_SIMILARITY_SHORT),
+        "pair_lcs_short": (q_pair_lcs_short, _SQL_PAIR_LCS_SHORT),
         "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
         "embed_topk_ivf": (q_embed_topk_ivf, _SQL_EMB_TOPK),

@@ -27,6 +27,8 @@ SQL_CHECKED = [
     "winnow_pairs",
     "bbit_md5_est",
     "containment_md5_est",
+    "self_similarity_short",
+    "pair_lcs_short",
     "freq_spectrum",
     "events_sessions",
     "orders_asof",
