@@ -424,12 +424,11 @@ def run(args) -> dict:
                 ref = ray.put(ids)
 
                 def semi(b: pa.Table) -> pa.Table:
+                    from deduplicator_ray.util import isin_sorted
+
                     want = ray.get(ref)
                     v = b["vec_id"].to_numpy().astype(np.int64)
-                    pos = np.searchsorted(want, v)
-                    hit = (pos < len(want)) & (
-                        want[np.minimum(pos, len(want) - 1)] == v)
-                    return b.filter(pa.array(hit))
+                    return b.filter(pa.array(isin_sorted(want, v)))
 
                 emb = emb.map_batches(semi, batch_format="pyarrow",
                                       zero_copy_batch=True)

@@ -173,10 +173,15 @@ def incremental_neardup(
                 [_gram_hashes(t, exact_ngram) for t in b[text_col].to_pylist()])
             return pa.table({key_col: b[key_col], "gramblob": arr})
 
+        # same ensure_doc_key normalization the signature side applies:
+        # a corpus keyed by doc_id/id or url+warc_ts must work in exact
+        # mode exactly like it does in est mode
         texts = (
-            old_ds.select_columns([key_col, text_col])
+            ensure_doc_key(old_ds, key_col=key_col)
+            .select_columns([key_col, text_col])
             .map_batches(tagger(0), batch_format="pyarrow", zero_copy_batch=True)
-            .union(new_ds.select_columns([key_col, text_col])
+            .union(ensure_doc_key(new_ds, key_col=key_col)
+                   .select_columns([key_col, text_col])
                    .map_batches(tagger(1), batch_format="pyarrow",
                                 zero_copy_batch=True))
         )
@@ -196,12 +201,11 @@ def incremental_neardup(
             cref = ray.put(cand)
 
             def semi(b: pa.Table) -> pa.Table:
+                from deduplicator_ray.util import isin_sorted
+
                 want = ray.get(cref)
                 k = b[key_col].to_numpy().astype(np.int64)
-                if not len(want) or not len(k):
-                    return b.slice(0, 0)
-                pos = np.minimum(np.searchsorted(want, k), len(want) - 1)
-                return b.filter(pa.array(want[pos] == k))
+                return b.filter(pa.array(isin_sorted(want, k)))
 
             texts = texts.map_batches(semi, batch_format="pyarrow",
                                       zero_copy_batch=True)

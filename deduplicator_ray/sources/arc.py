@@ -32,6 +32,7 @@ the oracle-checked ``arc_roundtrip`` query (no external data).
 from __future__ import annotations
 
 import gzip
+import os
 import re
 
 import pyarrow as pa
@@ -196,6 +197,10 @@ def write_arc(path: str, records: list[dict], *, compress: bool | None = None,
     blob = bytes(out)
     if compress:
         blob = gzip.compress(blob, mtime=0)
-    with open(path, "wb") as f:
+    # atomic publish (same contract as write_warc): concurrent
+    # writers/readers of one fixture path must never see a truncation
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
         f.write(blob)
+    os.replace(tmp, path)
     return path

@@ -16,6 +16,7 @@ is the text-side sibling of the capture-side WARC reader.
 from __future__ import annotations
 
 import gzip
+import os
 import re
 
 import pyarrow as pa
@@ -106,7 +107,11 @@ def write_wet(path: str, records: list[dict],
     if compress is None:
         compress = path.endswith(".gz")
     if compress:
-        data = gzip.compress(data)
-    with open(path, "wb") as f:
+        # mtime pinned -> byte-identical output for identical input
+        data = gzip.compress(data, mtime=0)
+    # atomic publish (same contract as write_warc)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
         f.write(data)
+    os.replace(tmp, path)
     return path

@@ -273,6 +273,13 @@ def _decode(p: bytes) -> "np.ndarray | None":
             ncomp = seg[5]
             if ncomp not in (1, 3) or min(h_img, w_img) < 1:
                 return None
+            # sanity cap for UNTRUSTED web-archive payloads: a crafted
+            # <200-byte header can otherwise declare 65535x65535 and
+            # drive a multi-GB coefficient allocation plus tens of
+            # millions of entropy-loop iterations before any bitstream
+            # error surfaces
+            if h_img * w_img > 16_000_000:
+                return None
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
@@ -280,6 +287,12 @@ def _decode(p: bytes) -> "np.ndarray | None":
                               "tq": tq})
                 if not (1 <= comps[-1]["h"] <= 4 and 1 <= comps[-1]["v"] <= 4):
                     return None
+            if ncomp == 1:
+                # T.81 A.2: a single-component scan is NON-interleaved —
+                # one 8x8 data unit per MCU in raster order, regardless
+                # of the sampling factors the SOF declares (some
+                # encoders keep 2x2 luma factors when writing gray)
+                comps[0]["h"] = comps[0]["v"] = 1
             frame = {"h": h_img, "w": w_img, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):

@@ -36,6 +36,22 @@ def auto_partitions(minimum: int = 8) -> int:
     return max(minimum, cpus)
 
 
+def isin_sorted(sorted_vals, keys):
+    """Membership mask of ``keys`` in a SORTED array — the broadcast
+    semi-join primitive every ray.put-ed id-set filter needs.  One
+    shared implementation so the searchsorted edge cases (empty id set,
+    empty batch, key beyond the max) are handled once: returns a bool
+    array aligned with ``keys``; all-False when either side is empty."""
+    import numpy as np
+
+    keys = np.asarray(keys)
+    if len(sorted_vals) == 0 or len(keys) == 0:
+        return np.zeros(len(keys), dtype=bool)
+    pos = np.minimum(np.searchsorted(sorted_vals, keys),
+                     len(sorted_vals) - 1)
+    return sorted_vals[pos] == keys
+
+
 def typed_to_pandas(ds, columns: dict[str, str]):
     """``Dataset.to_pandas()`` that survives Ray 2.49's empty-stream
     schema drop: an all-empty result comes back column-less, so an

@@ -261,3 +261,19 @@ class TestNfcArrow:
         assert out.to_pylist() == ["x\u00e9", "plain"]
         fast = nfc_arrow(pa.array(["ascii"], type=pa.large_string()))
         assert fast.type == pa.large_string()
+
+
+def test_isin_sorted_edges():
+    """Shared broadcast-semi-join primitive: empty id set, empty batch,
+    and beyond-max keys must all be safe (the clean_pipeline semantic
+    stage hits the empty-want case when every doc was removed)."""
+    import numpy as np
+
+    from deduplicator_ray.util import isin_sorted
+
+    want = np.array([2, 5, 9], dtype=np.int64)
+    assert isin_sorted(want, np.array([1, 2, 9, 10])).tolist() == [
+        False, True, True, False]
+    assert isin_sorted(np.array([], dtype=np.int64),
+                       np.array([1, 2])).tolist() == [False, False]
+    assert isin_sorted(want, np.array([], dtype=np.int64)).tolist() == []

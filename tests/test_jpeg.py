@@ -186,3 +186,34 @@ def test_ahash_stable_across_encodings():
     ha, _ = _ppm_features(a)
     hb, _ = _ppm_features(b)
     assert bin(ha ^ hb).count("1") <= 3
+
+
+def test_gray_sof_sampling_factors_ignored():
+    """T.81 A.2: a single-component scan is non-interleaved, so declared
+    sampling factors must not change the decode.  Patch the SOF sampling
+    byte of a real grayscale stream from 1x1 to 2x2 (what encoders that
+    keep luma factors emit) and require pixel-identical output."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    p = encode_jpeg(img, quality=90)
+    ref = decode_jpeg(p)
+    i = p.index(b"\xff\xc0")
+    # SOF0: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) cid(1) -> hv
+    hv_off = i + 11
+    assert p[hv_off] == 0x11
+    patched = p[:hv_off] + b"\x22" + p[hv_off + 1:]
+    got = decode_jpeg(patched)
+    assert got is not None and np.array_equal(got, ref)
+
+
+def test_decode_jpeg_dimension_bomb_rejected():
+    """A tiny crafted header must not drive a multi-GB allocation: any
+    SOF declaring more than the 16 MP untrusted-payload cap decodes to
+    None instead of allocating."""
+    img = np.zeros((8, 8), dtype=np.uint8)
+    p = encode_jpeg(img, quality=90)
+    i = p.index(b"\xff\xc0")
+    # patch height x width to 65503 x 65503
+    dims = (65503).to_bytes(2, "big") * 2
+    patched = p[: i + 5] + dims + p[i + 9:]
+    assert decode_jpeg(patched) is None

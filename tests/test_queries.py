@@ -29,6 +29,8 @@ SQL_CHECKED = [
     "containment_md5_est",
     "self_similarity_short",
     "pair_lcs_short",
+    "incremental_neardup",
+    "incremental_embed_dedup",
     "freq_spectrum",
     "events_sessions",
     "orders_asof",
