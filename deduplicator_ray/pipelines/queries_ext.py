@@ -1735,7 +1735,10 @@ def q_media_features(sf_dir: str):
 
 def q_lang_id_pred(sf_dir: str):
     """Heuristic language ID vs the table's labeled lang: confusion
-    counts (pred, label, n)."""
+    counts (pred, label, n) — GRADUATED from its golden pin in round 5:
+    the classifier is fixed stopword profiles + a CJK codepoint rule,
+    no trained state, so the oracle recomputes every prediction from
+    raw text (see `_sql_lang_id_pred`)."""
     import ray.data as rd
     from ray.data.aggregate import Count
 
@@ -1744,6 +1747,66 @@ def q_lang_id_pred(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
     ds = lang_id(ds)
     return ds.groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="n"))
+
+
+def _sql_lang_id_pred() -> str:
+    """From-scratch SQL mirror of stages/textstats.LangId.detect over
+    every document, grouped into the confusion table.  Interpolates the
+    SAME `_PROFILES` dict the stage uses (single source of truth):
+    2000-codepoint sample, CJK short-circuit (>20% of non-space chars
+    in U+4E00..U+9FFF -> 'zh'), unicode-letter tokenization (RE2
+    ``\\p{L}+`` — empirically identical to Python's ``[^\\W\\d_]+`` on
+    this corpus), per-language stopword hit rates, argmax with the
+    stage's tie rule (strict >, earlier profile wins) and the 0.04
+    confidence floor."""
+    from deduplicator_ray.stages.textstats import _PROFILES
+
+    langs = list(_PROFILES)
+    prof_vals = ", ".join(
+        f"({i}, '{l}', '{w}')"
+        for i, l in enumerate(langs) for w in sorted(_PROFILES[l]))
+    lang_vals = ", ".join(f"({i}, '{l}')" for i, l in enumerate(langs))
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, substr(text, 1, 2000) AS s FROM documents
+), stats AS (
+  SELECT doc_id,
+         length(regexp_replace(s, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+             AS cjk,
+         GREATEST(1, length(replace(s, ' ', ''))) AS nosp
+  FROM d
+), words AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(s, '[\\p{{L}}]+'))) AS w
+  FROM d
+), wc AS (
+  SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id
+), prof AS (SELECT * FROM (VALUES {prof_vals}) p(ord, plang, w)),
+hits AS (
+  SELECT wo.doc_id, p.ord, COUNT(*) AS h
+  FROM words wo JOIN prof p ON p.w = wo.w
+  GROUP BY 1, 2
+), rates AS (
+  SELECT wc.doc_id, l.ord, l.plang,
+         CAST(COALESCE(h.h, 0) AS DOUBLE) / wc.n AS rate
+  FROM wc CROSS JOIN (SELECT * FROM (VALUES {lang_vals}) x(ord, plang)) l
+  LEFT JOIN hits h ON h.doc_id = wc.doc_id AND h.ord = l.ord
+), best AS (
+  SELECT doc_id, plang, rate,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY rate DESC, ord ASC) AS rn
+  FROM rates
+), pred AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN st.cjk > 0.2 * st.nosp THEN 'zh'
+              WHEN b.rate IS NOT NULL AND b.rate > 0.04 THEN b.plang
+              ELSE 'und' END AS lang_pred
+  FROM d JOIN stats st USING (doc_id)
+  LEFT JOIN (SELECT doc_id, plang, rate FROM best WHERE rn = 1) b
+    USING (doc_id)
+)
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY lang, lang_pred
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -6816,7 +6879,7 @@ def registry_ext():
         "simhash_dups": (q_simhash_dups, GOLDEN_SQL["simhash_dups"]),
         "self_similarity": (q_self_similarity, GOLDEN_SQL["self_similarity"]),
         "fingerprint_sketch": (q_fingerprint_sketch, _sql_fingerprint_sketch()),
-        "lang_id_pred": (q_lang_id_pred, GOLDEN_SQL["lang_id_pred"]),
+        "lang_id_pred": (q_lang_id_pred, _sql_lang_id_pred()),
         "media_features": (q_media_features, GOLDEN_SQL["media_features"]),
         "media_ppm_features": (q_media_ppm_features,
                                GOLDEN_SQL.get("media_ppm_features")),

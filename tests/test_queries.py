@@ -31,6 +31,7 @@ SQL_CHECKED = [
     "pair_lcs_short",
     "incremental_neardup",
     "incremental_embed_dedup",
+    "lang_id_pred",
     "freq_spectrum",
     "events_sessions",
     "orders_asof",
