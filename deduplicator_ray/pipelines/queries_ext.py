@@ -1411,6 +1411,92 @@ GROUP BY p.a, p.b
 """
 
 
+_PPM_BRIDGE_N = 200
+
+
+def q_media_ahash_docs(sf_dir: str):
+    """REAL image decode under an independent SQL recomputation: build
+    valid binary-PPM P6 payloads deterministically from document text
+    bytes (8x8 pixels, each byte tripled to R=G=B, so every float32 op
+    in `_ppm_features` is exact — gray == byte, block == pixel, mean =
+    SUM/64 a dyadic rational), run the REAL
+    ``ImageDecoder(decoder="ppm")`` actor stage (stages/multimodal.py:
+    the same P6 parser + average-hash the pinned media rows use), and
+    emit (media_id, payload_bytes, phash).  The oracle rebuilds every
+    pixel from ``hex(encode(text))``, thresholds at the exact SUM/64.0
+    mean, and packs the 64 bits big-endian two's-complement — the first
+    image-DECODE path value-checked against a from-scratch
+    recomputation (the sibling media pins stay: their payloads come
+    from non-SQL synthetic RNG).  Docs shorter than 64 utf-8 bytes are
+    excluded on both sides."""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.multimodal import decode_images
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.filter(expr=f"doc_id < {_PPM_BRIDGE_N}")
+
+    def to_media(b: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            tb = (t or "").encode("utf-8")
+            if len(tb) < 64:
+                continue
+            px = bytes(bytearray(v for x in tb[:64] for v in (x, x, x)))
+            ids.append(did)
+            payloads.append(b"P6\n8 8\n255\n" + px)
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    media = ds.map_batches(to_media, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    feats = decode_images(media, decoder="ppm")
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": b["media_id"],
+            "payload_bytes": pc.cast(b["payload_bytes"], pa.int64()),
+            "phash": pc.cast(b["phash"], pa.int64()),
+        })
+
+    return feats.map_batches(project, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+# payload = 11-byte P6 header + 64 tripled pixels = 203 bytes; phash
+# bit for 1-based pixel pos sits at 64 - pos (row-major raster,
+# big-endian pack), signed via the HUGEINT two's-complement fold.
+_SQL_MEDIA_AHASH_DOCS = f"""
+WITH hexmap AS (
+  SELECT lpad(upper(to_hex(i)), 2, '0') AS hh, CAST(i AS UBIGINT) AS v
+  FROM range(256) t(i)
+), d AS (
+  SELECT doc_id, hex(encode(text)) AS hs
+  FROM documents
+  WHERE doc_id < {_PPM_BRIDGE_N} AND octet_length(encode(text)) >= 64
+), px AS (
+  SELECT doc_id, pos, m.v AS g
+  FROM (SELECT doc_id, hs, unnest(range(1, 65)) AS pos FROM d) x
+  JOIN hexmap m ON m.hh = substr(x.hs, CAST(pos*2 - 1 AS BIGINT), 2)
+), mu AS (
+  SELECT doc_id, SUM(g) AS sg FROM px GROUP BY doc_id
+), ph AS (
+  SELECT p.doc_id,
+         SUM(CASE WHEN CAST(p.g AS DOUBLE) >= CAST(m.sg AS DOUBLE) / 64.0
+                  THEN CAST(1 AS HUGEINT) << CAST(64 - p.pos AS INTEGER)
+                  ELSE CAST(0 AS HUGEINT) END) AS s
+  FROM px p JOIN mu m USING (doc_id) GROUP BY p.doc_id
+)
+SELECT doc_id AS media_id,
+       CAST(203 AS BIGINT) AS payload_bytes,
+       CAST(CASE WHEN s >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN s - CAST('18446744073709551616' AS HUGEINT)
+                 ELSE s END AS BIGINT) AS phash
+FROM ph
+"""
+
+
 def q_fingerprint_sketch(sf_dir: str):
     """Winnowing sketch summary per document (fp_count distinct window
     minima + fp_min) — GRADUATED from its golden pin in round 5: the
@@ -6845,6 +6931,7 @@ def registry_ext():
         "self_similarity_short": (q_self_similarity_short,
                                   _SQL_SELF_SIMILARITY_SHORT),
         "pair_lcs_short": (q_pair_lcs_short, _SQL_PAIR_LCS_SHORT),
+        "media_ahash_docs": (q_media_ahash_docs, _SQL_MEDIA_AHASH_DOCS),
         "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
         "embed_topk_ivf": (q_embed_topk_ivf, _SQL_EMB_TOPK),

@@ -32,6 +32,7 @@ SQL_CHECKED = [
     "incremental_neardup",
     "incremental_embed_dedup",
     "lang_id_pred",
+    "media_ahash_docs",
     "freq_spectrum",
     "events_sessions",
     "orders_asof",
