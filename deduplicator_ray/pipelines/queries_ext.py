@@ -1497,6 +1497,85 @@ FROM ph
 """
 
 
+def q_media_ahash_png_docs(sf_dir: str):
+    """The WHOLE PNG codec roundtrip under the same SQL check as
+    `media_ahash_docs`: the same deterministic 8x8 R=G=B pixels from
+    document text bytes are ENCODED to real PNG (stages/multimodal.py
+    `encode_png`, zlib + cycling scanline filters so every unfilter
+    branch runs), decoded back through the REAL
+    ``ImageDecoder(decoder="png")`` stage and average-hashed.  PNG is
+    lossless, so the oracle needs no zlib: it rebuilds the EXPECTED
+    pixels straight from ``hex(encode(text))`` and recomputes the hash
+    — any pixel the decoder mangles flips phash bits and fails the
+    row.  (JPEG cannot join this bridge: lossy.)"""
+    import ray.data as rd
+
+    from deduplicator_ray.stages.multimodal import decode_images, encode_png
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.filter(expr=f"doc_id < {_PPM_BRIDGE_N}")
+
+    def to_media(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids, payloads = [], []
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            tb = (t or "").encode("utf-8")
+            if len(tb) < 64:
+                continue
+            g = np.frombuffer(tb[:64], dtype=np.uint8).reshape(8, 8)
+            img = np.repeat(g[:, :, None], 3, axis=2)
+            # cycle the filter types so all five unfilter branches run
+            payloads.append(encode_png(img, filters=[(int(did) + y) % 5
+                                                     for y in range(8)]))
+            ids.append(did)
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    media = ds.map_batches(to_media, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    feats = decode_images(media, decoder="png")
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": b["media_id"],
+            "phash": pc.cast(b["phash"], pa.int64()),
+        })
+
+    return feats.map_batches(project, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+_SQL_MEDIA_AHASH_PNG_DOCS = f"""
+WITH hexmap AS (
+  SELECT lpad(upper(to_hex(i)), 2, '0') AS hh, CAST(i AS UBIGINT) AS v
+  FROM range(256) t(i)
+), d AS (
+  SELECT doc_id, hex(encode(text)) AS hs
+  FROM documents
+  WHERE doc_id < {_PPM_BRIDGE_N} AND octet_length(encode(text)) >= 64
+), px AS (
+  SELECT doc_id, pos, m.v AS g
+  FROM (SELECT doc_id, hs, unnest(range(1, 65)) AS pos FROM d) x
+  JOIN hexmap m ON m.hh = substr(x.hs, CAST(pos*2 - 1 AS BIGINT), 2)
+), mu AS (
+  SELECT doc_id, SUM(g) AS sg FROM px GROUP BY doc_id
+), ph AS (
+  SELECT p.doc_id,
+         SUM(CASE WHEN CAST(p.g AS DOUBLE) >= CAST(m.sg AS DOUBLE) / 64.0
+                  THEN CAST(1 AS HUGEINT) << CAST(64 - p.pos AS INTEGER)
+                  ELSE CAST(0 AS HUGEINT) END) AS s
+  FROM px p JOIN mu m USING (doc_id) GROUP BY p.doc_id
+)
+SELECT doc_id AS media_id,
+       CAST(CASE WHEN s >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN s - CAST('18446744073709551616' AS HUGEINT)
+                 ELSE s END AS BIGINT) AS phash
+FROM ph
+"""
+
+
 def q_fingerprint_sketch(sf_dir: str):
     """Winnowing sketch summary per document (fp_count distinct window
     minima + fp_min) — GRADUATED from its golden pin in round 5: the
@@ -6932,6 +7011,8 @@ def registry_ext():
                                   _SQL_SELF_SIMILARITY_SHORT),
         "pair_lcs_short": (q_pair_lcs_short, _SQL_PAIR_LCS_SHORT),
         "media_ahash_docs": (q_media_ahash_docs, _SQL_MEDIA_AHASH_DOCS),
+        "media_ahash_png_docs": (q_media_ahash_png_docs,
+                                 _SQL_MEDIA_AHASH_PNG_DOCS),
         "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
         "orders_asof": (q_orders_asof, _SQL_ORDERS_ASOF),
         "embed_topk_ivf": (q_embed_topk_ivf, _SQL_EMB_TOPK),

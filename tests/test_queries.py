@@ -33,6 +33,7 @@ SQL_CHECKED = [
     "incremental_embed_dedup",
     "lang_id_pred",
     "media_ahash_docs",
+    "media_ahash_png_docs",
     "freq_spectrum",
     "events_sessions",
     "orders_asof",
