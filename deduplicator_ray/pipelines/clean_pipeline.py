@@ -140,13 +140,13 @@ def drop_ids(ds, ids, *, key_col: str = "doc_key",
         ref = ray.put(ids)
 
         def f(b: pa.Table) -> pa.Table:
+            from deduplicator_ray.util import isin_sorted
+
             k = b[key_col].to_numpy().astype(np.int64)
             drop = ray.get(ref)
             if not len(drop) or not len(k):
                 return b
-            pos = np.searchsorted(drop, k)
-            hit = (pos < len(drop)) & (drop[np.minimum(pos, len(drop) - 1)] == k)
-            return b.filter(pa.array(~hit))
+            return b.filter(pa.array(~isin_sorted(drop, k)))
 
         return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -176,14 +176,12 @@ def _drop_ids_shuffle(ds, id_ds, key_col: str, num_buckets: int):
         # Arrow-native reduce: the union null-pads the id rows' doc
         # columns, and a pandas map_groups would promote int64 doc
         # columns to float64 through those NaNs — Arrow keeps the types
+        from deduplicator_ray.util import isin_sorted
+
         src = g["_src"].to_numpy(zero_copy_only=False)
         keys = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         drop = np.unique(keys[src == 1])
-        if len(drop):
-            pos = np.minimum(np.searchsorted(drop, keys), len(drop) - 1)
-            hit = drop[pos] == keys
-        else:
-            hit = np.zeros(len(keys), dtype=bool)
+        hit = isin_sorted(drop, keys)
         out = g.filter(pa.array((src == 0) & ~hit))
         return out.drop_columns(["_src", "_part"])
 
@@ -463,16 +461,13 @@ def run(args) -> dict:
                 both = hash_bucket(both, "vec_id", 64)
 
                 def semi_reduce(g: pa.Table) -> pa.Table:
+                    from deduplicator_ray.util import isin_sorted
+
                     src = g["_src"].to_numpy(zero_copy_only=False)
                     ids = g["vec_id"].to_numpy(
                         zero_copy_only=False).astype(np.int64)
                     want = np.unique(ids[src == 1])
-                    if len(want):
-                        pos = np.minimum(np.searchsorted(want, ids),
-                                         len(want) - 1)
-                        hit = want[pos] == ids
-                    else:
-                        hit = np.zeros(len(ids), dtype=bool)
+                    hit = isin_sorted(want, ids)
                     out = g.filter(pa.array((src == 0) & hit))
                     return out.drop_columns(["_src", "_part"])
 

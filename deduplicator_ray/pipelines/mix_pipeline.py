@@ -124,9 +124,9 @@ def keep_ids(ds, ids: np.ndarray, *, key_col: str = "doc_id",
                 return b
             if not len(keep):
                 return b.slice(0, 0)
-            pos = np.searchsorted(keep, k)
-            hit = (pos < len(keep)) & (keep[np.minimum(pos, len(keep) - 1)] == k)
-            return b.filter(pa.array(hit))
+            from deduplicator_ray.util import isin_sorted
+
+            return b.filter(pa.array(isin_sorted(keep, k)))
 
         return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -1464,10 +1464,14 @@ def q_media_ahash_docs(sf_dir: str):
                              zero_copy_batch=True)
 
 
-# payload = 11-byte P6 header + 64 tripled pixels = 203 bytes; phash
-# bit for 1-based pixel pos sits at 64 - pos (row-major raster,
-# big-endian pack), signed via the HUGEINT two's-complement fold.
-_SQL_MEDIA_AHASH_DOCS = f"""
+def _ahash_docs_sql(extra_cols: str = "") -> str:
+    """Shared from-scratch ahash recomputation for the media-decode
+    bridge oracles (PPM and PNG carry IDENTICAL expected pixels — the
+    formats differ only in container): rebuild the 64 gray values from
+    ``hex(encode(text))`` via the 256-row hex lookup, threshold at the
+    exact SUM/64.0 mean, pack big-endian (bit for 1-based pixel pos at
+    64 - pos), fold to signed via HUGEINT two's complement."""
+    return f"""
 WITH hexmap AS (
   SELECT lpad(upper(to_hex(i)), 2, '0') AS hh, CAST(i AS UBIGINT) AS v
   FROM range(256) t(i)
@@ -1488,13 +1492,17 @@ WITH hexmap AS (
                   ELSE CAST(0 AS HUGEINT) END) AS s
   FROM px p JOIN mu m USING (doc_id) GROUP BY p.doc_id
 )
-SELECT doc_id AS media_id,
-       CAST(203 AS BIGINT) AS payload_bytes,
+SELECT doc_id AS media_id,{extra_cols}
        CAST(CASE WHEN s >= CAST('9223372036854775808' AS HUGEINT)
                  THEN s - CAST('18446744073709551616' AS HUGEINT)
                  ELSE s END AS BIGINT) AS phash
 FROM ph
 """
+
+
+# payload = 11-byte P6 header + 64 tripled pixels = 203 bytes
+_SQL_MEDIA_AHASH_DOCS = _ahash_docs_sql(
+    "\n       CAST(203 AS BIGINT) AS payload_bytes,")
 
 
 def q_media_ahash_png_docs(sf_dir: str):
@@ -1547,33 +1555,7 @@ def q_media_ahash_png_docs(sf_dir: str):
                              zero_copy_batch=True)
 
 
-_SQL_MEDIA_AHASH_PNG_DOCS = f"""
-WITH hexmap AS (
-  SELECT lpad(upper(to_hex(i)), 2, '0') AS hh, CAST(i AS UBIGINT) AS v
-  FROM range(256) t(i)
-), d AS (
-  SELECT doc_id, hex(encode(text)) AS hs
-  FROM documents
-  WHERE doc_id < {_PPM_BRIDGE_N} AND octet_length(encode(text)) >= 64
-), px AS (
-  SELECT doc_id, pos, m.v AS g
-  FROM (SELECT doc_id, hs, unnest(range(1, 65)) AS pos FROM d) x
-  JOIN hexmap m ON m.hh = substr(x.hs, CAST(pos*2 - 1 AS BIGINT), 2)
-), mu AS (
-  SELECT doc_id, SUM(g) AS sg FROM px GROUP BY doc_id
-), ph AS (
-  SELECT p.doc_id,
-         SUM(CASE WHEN CAST(p.g AS DOUBLE) >= CAST(m.sg AS DOUBLE) / 64.0
-                  THEN CAST(1 AS HUGEINT) << CAST(64 - p.pos AS INTEGER)
-                  ELSE CAST(0 AS HUGEINT) END) AS s
-  FROM px p JOIN mu m USING (doc_id) GROUP BY p.doc_id
-)
-SELECT doc_id AS media_id,
-       CAST(CASE WHEN s >= CAST('9223372036854775808' AS HUGEINT)
-                 THEN s - CAST('18446744073709551616' AS HUGEINT)
-                 ELSE s END AS BIGINT) AS phash
-FROM ph
-"""
+_SQL_MEDIA_AHASH_PNG_DOCS = _ahash_docs_sql()
 
 
 def q_fingerprint_sketch(sf_dir: str):
@@ -1919,11 +1901,14 @@ def _sql_lang_id_pred() -> str:
     every document, grouped into the confusion table.  Interpolates the
     SAME `_PROFILES` dict the stage uses (single source of truth):
     2000-codepoint sample, CJK short-circuit (>20% of non-space chars
-    in U+4E00..U+9FFF -> 'zh'), unicode-letter tokenization (RE2
-    ``\\p{L}+`` — empirically identical to Python's ``[^\\W\\d_]+`` on
-    this corpus), per-language stopword hit rates, argmax with the
+    in U+4E00..U+9FFF -> 'zh'), unicode tokenization, per-language
+    stopword hit rates, argmax with the
     stage's tie rule (strict >, earlier profile wins) and the 0.04
-    confidence floor."""
+    confidence floor.  Token class ``[\\p{{L}}\\p{{Nl}}\\p{{No}}]+`` is
+    the exact RE2 spelling of Python's ``[^\\W\\d_]`` (unicode
+    alphanumerics minus decimal digits minus underscore = letters +
+    letter-numerals + other-numerals), so numeral-letters like 'Ⅻ' or
+    '½' embedded in words tokenize identically on both sides."""
     from deduplicator_ray.stages.textstats import _PROFILES
 
     langs = list(_PROFILES)
@@ -1941,7 +1926,9 @@ WITH d AS (
          GREATEST(1, length(replace(s, ' ', ''))) AS nosp
   FROM d
 ), words AS (
-  SELECT doc_id, lower(unnest(regexp_extract_all(s, '[\\p{{L}}]+'))) AS w
+  SELECT doc_id,
+         lower(unnest(regexp_extract_all(s, '[\\p{{L}}\\p{{Nl}}\\p{{No}}]+')))
+             AS w
   FROM d
 ), wc AS (
   SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id

@@ -34,6 +34,7 @@ from __future__ import annotations
 import gzip
 import os
 import re
+import uuid
 
 import pyarrow as pa
 
@@ -199,7 +200,7 @@ def write_arc(path: str, records: list[dict], *, compress: bool | None = None,
         blob = gzip.compress(blob, mtime=0)
     # atomic publish (same contract as write_warc): concurrent
     # writers/readers of one fixture path must never see a truncation
-    tmp = f"{path}.tmp.{os.getpid()}"
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)

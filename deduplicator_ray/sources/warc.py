@@ -34,6 +34,7 @@ import gzip
 import io
 import os
 import re
+import uuid
 
 import pyarrow as pa
 
@@ -283,7 +284,7 @@ def write_warc(path: str, records: list[dict], *, compress: bool | None = None) 
         data = gzip.compress(data, mtime=0)
     # atomic publish: concurrent writers/readers of the same fixture path
     # (parallel pytest, driver gate) must never observe a truncated file
-    tmp = f"{path}.tmp.{os.getpid()}"
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)

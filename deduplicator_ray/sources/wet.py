@@ -18,6 +18,7 @@ from __future__ import annotations
 import gzip
 import os
 import re
+import uuid
 
 import pyarrow as pa
 
@@ -110,7 +111,7 @@ def write_wet(path: str, records: list[dict],
         # mtime pinned -> byte-identical output for identical input
         data = gzip.compress(data, mtime=0)
     # atomic publish (same contract as write_warc)
-    tmp = f"{path}.tmp.{os.getpid()}"
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)

@@ -1211,11 +1211,11 @@ def pq_topk(ds, query_matrix: np.ndarray, k: int = 10, *,
     need_ref = ray.put(need)  # sorted by construction of np.unique
 
     def gather(b: pa.Table) -> pa.Table:
+        from deduplicator_ray.util import isin_sorted
+
         want = _bcast(need_ref)
         ids = np.asarray(b[id_col], dtype=np.int64)
-        pos = np.searchsorted(want, ids)
-        hit = (pos < len(want)) & (want[np.minimum(pos, len(want) - 1)] == ids)
-        t = b.filter(pa.array(hit))
+        t = b.filter(pa.array(isin_sorted(want, ids)))
         return _vec_blob_table(t, id_col, vec_col)
 
     vecs = ds.select_columns([id_col, vec_col]).map_batches(
@@ -1442,11 +1442,11 @@ def ivfpq_topk(ds, query_matrix: np.ndarray, k: int = 10, *,
     need_ref = ray.put(need)
 
     def gather(b: pa.Table) -> pa.Table:
+        from deduplicator_ray.util import isin_sorted
+
         want = _bcast(need_ref)
         ids = np.asarray(b[id_col], dtype=np.int64)
-        pos = np.searchsorted(want, ids)
-        hit = (pos < len(want)) & (want[np.minimum(pos, len(want) - 1)] == ids)
-        t = b.filter(pa.array(hit))
+        t = b.filter(pa.array(isin_sorted(want, ids)))
         return _vec_blob_table(t, id_col, vec_col)
 
     vecs = ds.select_columns([id_col, vec_col]).map_batches(

@@ -224,15 +224,26 @@ def _extend(v: int, s: int) -> int:
     return v
 
 
-def decode_jpeg(p: bytes) -> "np.ndarray | None":
-    """Baseline JFIF payload -> (h, w, 3) uint8 RGB, or None."""
+# declared-dimension budget for untrusted payloads; decode_jpeg callers
+# with a vetted large-image corpus can pass a bigger max_pixels
+JPEG_MAX_PIXELS = 16_000_000
+
+
+def decode_jpeg(p: bytes, *,
+                max_pixels: int = JPEG_MAX_PIXELS) -> "np.ndarray | None":
+    """Baseline JFIF payload -> (h, w, 3) uint8 RGB, or None.
+
+    ``max_pixels`` bounds the SOF-declared h*w before any coefficient
+    allocation (crafted tiny headers can otherwise declare 65535^2);
+    legitimate larger images decode by raising it."""
     try:
-        return _decode(p)
+        return _decode(p, max_pixels=max_pixels)
     except Exception:
         return None
 
 
-def _decode(p: bytes) -> "np.ndarray | None":
+def _decode(p: bytes, *,
+            max_pixels: int = JPEG_MAX_PIXELS) -> "np.ndarray | None":
     if len(p) < 4 or p[0] != 0xFF or p[1] != 0xD8:
         return None
     pos = 2
@@ -277,8 +288,10 @@ def _decode(p: bytes) -> "np.ndarray | None":
             # <200-byte header can otherwise declare 65535x65535 and
             # drive a multi-GB coefficient allocation plus tens of
             # millions of entropy-loop iterations before any bitstream
-            # error surfaces
-            if h_img * w_img > 16_000_000:
+            # error surfaces.  Legitimate larger images: raise the
+            # module knob (a real photo pipeline would also budget the
+            # per-image decode wall, which is what the cap bounds).
+            if h_img * w_img > max_pixels:
                 return None
             comps = []
             for c in range(ncomp):

@@ -250,12 +250,12 @@ def attach_signatures(pairs_ds, sigs_ds, *, key_col: str = "doc_key",
         needed_ref = ray.put(needed)
 
         def semi(t: pa.Table) -> pa.Table:
+            from deduplicator_ray.util import isin_sorted
+
             nd = ray.get(needed_ref)
             k = np.asarray(t[key_col], dtype=np.int64)
-            # needed is sorted: membership via searchsorted
-            idx = np.searchsorted(nd, k)
-            idx[idx == len(nd)] = 0
-            return t.filter(pa.array(nd[idx] == k))
+            # needed is sorted: membership via the shared helper
+            return t.filter(pa.array(isin_sorted(nd, k)))
 
         base = base.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -310,11 +310,11 @@ def verified_edges(pairs_ds, sigs_ds, cfg: MinHashConfig | None = None, *,
         needed_ref = ray.put(needed)
 
         def semi(t: pa.Table) -> pa.Table:
+            from deduplicator_ray.util import isin_sorted
+
             nd = ray.get(needed_ref)
             k = np.asarray(t[key_col], dtype=np.int64)
-            idx = np.searchsorted(nd, k)
-            idx[idx == len(nd)] = 0
-            return t.filter(pa.array(nd[idx] == k))
+            return t.filter(pa.array(isin_sorted(nd, k)))
 
         kept = (
             sigs_ds.select_columns([key_col, "minhash_sig"])

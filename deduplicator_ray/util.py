@@ -38,10 +38,13 @@ def auto_partitions(minimum: int = 8) -> int:
 
 def isin_sorted(sorted_vals, keys):
     """Membership mask of ``keys`` in a SORTED array — the broadcast
-    semi-join primitive every ray.put-ed id-set filter needs.  One
-    shared implementation so the searchsorted edge cases (empty id set,
-    empty batch, key beyond the max) are handled once: returns a bool
-    array aligned with ``keys``; all-False when either side is empty."""
+    semi/anti-join primitive every ray.put-ed id-set filter needs
+    (used by clean_pipeline drop/semi filters, the neardup exact-mode
+    semi, mix_pipeline keep-filter, embed short-list gathers and the
+    lsh attach prefilters).  One shared implementation so the
+    searchsorted edge cases (empty id set, empty batch, key beyond the
+    max) are handled once: returns a bool array aligned with ``keys``;
+    all-False when either side is empty."""
     import numpy as np
 
     keys = np.asarray(keys)
